@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's synthetic star schema (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. Parquet scans get vectorized
+  * reads + predicate pushdown + column pruning for free; at 100 TB the same
+  * code path works because nothing here assumes a row count — partitioning
+  * comes from the file layout and `spark.sql.files.maxPartitionBytes`.
+  */
+object Tables {
+  val star: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val all: Seq[String] = star ++ Seq("events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by default;
+    * read nanos as long (legacy conf) and convert to a µs timestamp with
+    * exact integer arithmetic (DIV — a double division would lose precision
+    * at 1.7e18 ns). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}

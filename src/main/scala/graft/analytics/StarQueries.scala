@@ -1,0 +1,450 @@
+package graft.analytics
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** The reference's aggregation / filter / sort / join surface (SURVEY.md §2)
+  * re-expressed over the driver's star schema, one named query per operator.
+  *
+  * Every aggregation keeps partial (map-side) aggregation: plain
+  * groupBy/agg with codegen'd built-in functions, no UDFs. Joins against
+  * the small dimensions (customer/supplier/nation/region) are explicitly
+  * broadcast — at 100 TB those stay O(dim) per executor while the fact
+  * table streams through without a shuffle.
+  */
+object StarQueries {
+
+  /** Exact order-independent sum: double -> decimal -> sum -> double.
+    * Double summation order varies with partitioning; decimal summation is
+    * exact so the result is bit-identical to DuckDB's same-shaped SUM. */
+  private def sumDec(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Mean with deterministic float math: exact decimal sum, one double
+    * division, one round — the same three steps the oracle SQL does. */
+  private def avgDec(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(lit(1)), 6)
+
+  // ---------------------------------------------------------------- A1-A9
+
+  /** TPC-H Q1-shaped pricing summary: the reference's KPI block
+    * (analysis.py:211-217 / views.py:141-157 shape) over lineitem.
+    * Grouped full-scan aggregate → partial agg + single shuffle on the
+    * (tiny-cardinality) group key. */
+  val q1PricingSummary = GraftQuery(
+    "q1_pricing_summary",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumDec($"l_quantity").as("sum_qty"),
+          sumDec($"l_extendedprice").as("sum_base_price"),
+          sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("sum_disc_price"),
+          avgDec($"l_quantity").as("avg_qty"),
+          avgDec($"l_extendedprice").as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+      COUNT(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  /** Whole-table KPI row (A1 count, A2 exact count-distinct, A3 exact
+    * median, A4 mean, A5 min/max — views.py:141-157). At 100 TB the
+    * count-distincts would switch to approx_count_distinct; the exact
+    * variants are kept here because the reference's KPIs are exact. */
+  val qSummaryKpis = GraftQuery(
+    "q_summary_kpis",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir).agg(
+        count(lit(1)).as("total_orders"),
+        countDistinct($"o_custkey").as("unique_customers"),
+        countDistinct($"o_orderstatus").as("unique_statuses"),
+        round(expr("median(o_totalprice)"), 4).as("median_price"),
+        avgDec($"o_totalprice").as("avg_price"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+    },
+    Some("""SELECT COUNT(*) AS total_orders,
+      COUNT(DISTINCT o_custkey) AS unique_customers,
+      COUNT(DISTINCT o_orderstatus) AS unique_statuses,
+      ROUND(MEDIAN(o_totalprice), 4) AS median_price,
+      ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price
+      FROM orders""")
+  )
+
+  /** A7 group-by mean (avg price per keyword ≡ avg totalprice per
+    * priority, analysis.py:256-257). */
+  val qGroupMean = GraftQuery(
+    "q_group_mean",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), avgDec($"o_totalprice").as("avg_totalprice"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+      ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_totalprice
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** A8/A9 value counts + top-N (analysis.py:281,302; views.py:167). */
+  val qValueCounts = GraftQuery(
+    "q_value_counts",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"event_type")
+        .limit(10)
+    },
+    Some("""SELECT event_type, COUNT(*) AS n FROM events
+      GROUP BY event_type ORDER BY n DESC, event_type LIMIT 10""")
+  )
+
+  /** A10 top-N + "Others" rollup (donut chart, analysis.py:302-310):
+    * rank groups, keep top-5 labels, fold the tail into 'Others'. */
+  val qTopnOthers = GraftQuery(
+    "q_topn_others",
+    (s, dir) => {
+      import s.implicits._
+      val counts = Tables.part(s, dir).groupBy($"p_brand").agg(count(lit(1)).as("n"))
+      val ranked = counts.withColumn("rk",
+        row_number().over(Window.orderBy($"n".desc, $"p_brand")))
+      ranked
+        .withColumn("label", when($"rk" <= 5, $"p_brand").otherwise(lit("Others")))
+        .groupBy($"label").agg(sum($"n").cast(LongType).as("n"))
+        .orderBy($"n".desc, $"label")
+    },
+    Some("""WITH c AS (SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand),
+      r AS (SELECT p_brand, n, ROW_NUMBER() OVER (ORDER BY n DESC, p_brand) AS rk FROM c)
+      SELECT CASE WHEN rk <= 5 THEN p_brand ELSE 'Others' END AS label,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM r GROUP BY 1 ORDER BY n DESC, label""")
+  )
+
+  /** A11 exact quantiles (etl.py:210-214 IQR, analysis.py:339 p99).
+    * Exact `percentile` (interpolating, same definition as DuckDB
+    * quantile_cont) for oracle parity; at 100 TB swap to
+    * percentile_approx — single-pass sketch, no sort. */
+  val qQuantiles = GraftQuery(
+    "q_quantiles",
+    (s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        round(expr("percentile(l_extendedprice, 0.25D)"), 6).as("q1"),
+        round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("q2"),
+        round(expr("percentile(l_extendedprice, 0.75D)"), 6).as("q3"),
+        round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99"))
+    },
+    Some("""SELECT ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS q1,
+      ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS q2,
+      ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS q3,
+      ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 6) AS p99
+      FROM lineitem""")
+  )
+
+  /** A12 equi-width histogram (analysis.py:343; views.py:222-224):
+    * min/max in one pass, bucket + count in a second — two jobs, no
+    * collect of data rows; the 1-row bounds DF is broadcast. */
+  val qHistogram = GraftQuery(
+    "q_histogram",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val bounds = li.agg(min($"l_extendedprice").as("mn"), max($"l_extendedprice").as("mx"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          least(floor(($"l_extendedprice" - $"mn") / (($"mx" - $"mn") / 12)), lit(11L))
+            .cast(LongType))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+    Some("""WITH b AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem)
+      SELECT CAST(LEAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 12)), 11) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM lineitem, b GROUP BY 1 ORDER BY bucket""")
+  )
+
+  /** A13 Pearson correlation (EDA_INSIGHTS.md:19-20). */
+  val qCorr = GraftQuery(
+    "q_corr",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .agg(round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"))
+    },
+    Some("SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price FROM lineitem")
+  )
+
+  /** A14 IQR winsorize (etl.py:210-222): two-pass — exact quantiles, then
+    * clip with least/greatest, then grouped exact sums. */
+  val qWinsorize = GraftQuery(
+    "q_winsorize",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val q = li.agg(
+        expr("percentile(l_extendedprice, 0.25D)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75D)").as("q3"))
+      li.crossJoin(broadcast(q))
+        .withColumn("v", least(
+          greatest($"l_extendedprice", $"q1" - lit(1.5) * ($"q3" - $"q1")),
+          $"q3" + lit(1.5) * ($"q3" - $"q1")))
+        .groupBy($"l_returnflag")
+        .agg(sumDec($"v").as("sum_winsorized"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH q AS (SELECT QUANTILE_CONT(l_extendedprice, 0.25) AS q1,
+                              QUANTILE_CONT(l_extendedprice, 0.75) AS q3 FROM lineitem),
+      w AS (SELECT l_returnflag,
+              LEAST(GREATEST(l_extendedprice, q1 - 1.5 * (q3 - q1)), q3 + 1.5 * (q3 - q1)) AS v
+            FROM lineitem, q)
+      SELECT l_returnflag, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized,
+             COUNT(*) AS n
+      FROM w GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  // ------------------------------------------------------------ D1-D3, P*
+
+  /** D1 composite-key dedup with keep-FIRST semantics (etl.py:358-368).
+    * "First" needs an explicit total order in a distributed engine —
+    * row_number over (key, order col); dropDuplicates alone keeps an
+    * arbitrary row. Single shuffle on the partition key. */
+  val qDedupFirst = GraftQuery(
+    "q_dedup_first",
+    (s, dir) => {
+      import s.implicits._
+      // the testdata has duplicate (orderkey, linenumber) pairs — "first"
+      // is only well-defined under a TOTAL order, so tie-break on every
+      // output column (etl.py:358-368's keep-first made deterministic)
+      val w = Window.partitionBy($"l_orderkey").orderBy(
+        $"l_linenumber", $"l_partkey", $"l_suppkey", $"l_quantity", $"l_extendedprice")
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
+          $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey")
+    },
+    Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+            FROM lineitem) t
+      WHERE rn = 1 ORDER BY l_orderkey""")
+  )
+
+  /** D3 distinct sorted value list with cap (views.py:117-134). */
+  val qDistinctValues = GraftQuery(
+    "q_distinct_values",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_type").filter($"event_type".isNotNull)
+        .distinct().orderBy($"event_type").limit(300)
+    },
+    Some("""SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+      ORDER BY event_type LIMIT 300""")
+  )
+
+  /** P3 case-insensitive equality filter (views.py:40-50) + aggregate. */
+  val qFilterCi = GraftQuery(
+    "q_filter_ci",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .filter(lower($"event_type") === lit("purchase"))
+        .agg(count(lit(1)).as("n"), sumDec($"value", 6).as("sum_value"))
+    },
+    Some("""SELECT COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE LOWER(event_type) = 'purchase'""")
+  )
+
+  // ---------------------------------------------------------------- O1-O4
+
+  /** O2 top-K rows by column (analysis.py:463-465) — TakeOrderedAndProject,
+    * no global sort materialization. */
+  val qTopk = GraftQuery(
+    "q_topk",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")
+  )
+
+  /** O3 running cumulative sum over the top-10 (waterfall,
+    * analysis.py:469) — the reference's one window-function computation. */
+  val qCumsum = GraftQuery(
+    "q_cumsum",
+    (s, dir) => {
+      import s.implicits._
+      val top = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey").limit(10)
+      val w = Window.orderBy($"o_totalprice".desc, $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top
+        .withColumn("running_total",
+          sum($"o_totalprice".cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+    },
+    Some("""WITH t AS (SELECT o_orderkey, o_totalprice FROM orders
+                       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+      SELECT o_orderkey, o_totalprice,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      FROM t ORDER BY o_totalprice DESC, o_orderkey""")
+  )
+
+  /** O4 preferred-first priority ordering (views.py:191-204): order by a
+    * when-derived rank, not by the label. */
+  val qPriorityOrder = GraftQuery(
+    "q_priority_order",
+    (s, dir) => {
+      import s.implicits._
+      val rank = when($"o_orderpriority" === "1-URGENT", 0)
+        .when($"o_orderpriority" === "3-MEDIUM", 1)
+        .when($"o_orderpriority" === "5-LOW", 2)
+        .otherwise(9)
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        .withColumn("rk", rank)
+        .orderBy($"rk", $"o_orderpriority")
+        .select($"o_orderpriority", $"n", $"rk")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '3-MEDIUM' THEN 1
+             WHEN '5-LOW' THEN 2 ELSE 9 END AS rk
+      FROM orders GROUP BY o_orderpriority ORDER BY rk, o_orderpriority""")
+  )
+
+  // ---------------------------------------------------------------- joins
+
+  /** §2.8(a) broadcast hash join: fact orders ⋈ dim customer. The dim side
+    * is wrapped in broadcast() — at 100 TB the fact side never shuffles. */
+  val qJoinSegmentRevenue = GraftQuery(
+    "q_join_segment_revenue",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sumDec($"o_totalprice").as("revenue"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  /** §2.8(b) multi-way dim chain: lineitem ⋈ supplier ⋈ nation — snowflake
+    * rollup with both dims broadcast. */
+  val qJoinNationRevenue = GraftQuery(
+    "q_join_nation_revenue",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    },
+    Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")
+  )
+
+  /** Customer ⋈ orders ⋈ nation ⋈ region: the star's full dimension chain
+    * (exercises multi-join reorder + broadcast planning). */
+  val qJoinRegionRevenue = GraftQuery(
+    "q_join_region_revenue",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_orders"), sumDec($"o_totalprice").as("revenue"))
+        .orderBy($"r_name")
+    },
+    Some("""SELECT r_name, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""")
+  )
+
+  // ----------------------------------------------------- events / temporal
+
+  /** Hourly windowed aggregate over the events table (the batch shape of
+    * the streaming query in graft.streaming). Timestamps emitted as
+    * strings for engine-neutral comparison. */
+  val qEventsHourly = GraftQuery(
+    "q_events_hourly",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("n"), sumDec($"value", 6).as("sum_value"))
+        .orderBy($"hour")
+    },
+    Some("""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY hour""")
+  )
+
+  /** F13-adjacent: JSON attribute extraction (the reference's isq map,
+    * scraper.py:263-280, generalized to the events props column). */
+  val qJsonExtract = GraftQuery(
+    "q_json_extract",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy($"event_type")
+        .agg(sum($"k").cast(LongType).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+        COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(
+    q1PricingSummary, qSummaryKpis, qGroupMean, qValueCounts, qTopnOthers,
+    qQuantiles, qHistogram, qCorr, qWinsorize, qDedupFirst, qDistinctValues,
+    qFilterCi, qTopk, qCumsum, qPriorityOrder, qJoinSegmentRevenue,
+    qJoinNationRevenue, qJoinRegionRevenue, qEventsHourly, qJsonExtract)
+}
