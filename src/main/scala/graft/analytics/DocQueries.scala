@@ -1,0 +1,202 @@
+package graft.analytics
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Scale-extension queries over the documents/embeddings tables: text
+  * analysis, dedup family, similarity search (the north-star operators
+  * beyond the reference's own surface).
+  *
+  * Oracle notes: everything emitted is either integer, md5 hex, or a
+  * round(…,6) of deterministic sequential double math, so DuckDB
+  * reproduces it bit-for-bit. MinHash/SimHash/LSH queries have no SQL
+  * equivalent (engine-specific hashing) → rows-only driver check, with
+  * cross-validation against the exact operators in ScalaTest instead.
+  */
+object DocQueries {
+
+  /** Text quality metrics (token counting + ratios), F19 generalized. */
+  val qTextStats = GraftQuery(
+    "q_text_stats",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          length($"text").as("chars"),
+          TextAnalysis.wsTokenCount($"text").as("ws_tokens"),
+          TextAnalysis.tokenCount($"text").as("alnum_tokens"),
+          TextAnalysis.bpeIshTokenCount($"text").as("bpeish_tokens"),
+          round(TextAnalysis.punctRatio($"text"), 6).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatio($"text", TextAnalysis.Stopwords("en")), 6)
+            .as("stop_ratio_en"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents)
+      SELECT doc_id,
+        LENGTH(text) AS chars,
+        CASE WHEN TRIM(text) = '' THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS ws_tokens,
+        LEN(toks) AS alnum_tokens,
+        LEN(regexp_extract_all(text, '[A-Za-z]+|\d|[^A-Za-z\d\s]')) AS bpeish_tokens,
+        ROUND(CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1), 6) AS stop_ratio_en
+      FROM t ORDER BY doc_id""")
+  )
+
+  /** Heuristic language-ID scores + argmax prediction. */
+  val qLangId = GraftQuery(
+    "q_lang_id",
+    (s, dir) => {
+      import s.implicits._
+      val scored = TextAnalysis.langScores($"text").foldLeft(Tables.documents(s, dir)) {
+        case (d, (l, c)) => d.withColumn(s"s_$l", round(c, 6))
+      }
+      scored
+        .withColumn("predicted", TextAnalysis.langId($"text"))
+        .select($"doc_id", $"s_de", $"s_en", $"s_es", $"s_fr", $"s_zh", $"predicted")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      s AS (SELECT doc_id,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','den','von','sich','auf','für'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_de,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_en,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','por','con','no','los','las','para'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_es,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour','dans','qui','pas','sur','avec'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_fr,
+        ROUND(CAST(LEN(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / GREATEST(LENGTH(text),1), 6) AS s_zh
+      FROM t)
+      SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        CASE WHEN GREATEST(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+             WHEN s_de = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+             WHEN s_en = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+             WHEN s_es = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+             WHEN s_fr = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+             ELSE 'zh' END AS predicted
+      FROM s ORDER BY doc_id""")
+  )
+
+  /** Exact dedup groups via normalized md5 fingerprint. */
+  val qDedupExact = GraftQuery(
+    "q_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy($"fingerprint")
+    },
+    Some("""SELECT md5(array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fingerprint,
+        MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY fingerprint""")
+  )
+
+  /** Exact 3-gram Jaccard near-dup pairs (shared-shingle blocked),
+    * integer arithmetic end-to-end. */
+  val qJaccardPairs = GraftQuery(
+    "q_jaccard_pairs",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, minJaccard = 0.5)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      sh AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, CASE WHEN LEN(ts) < 3 THEN [array_to_string(ts, ' ')]
+          ELSE [array_to_string(ts[i+1:i+3], ' ') for i in range(0, LEN(ts)-2)] END AS ss
+        FROM toks), UNNEST(ss) AS u(s)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        CAST(na.n + nb.n - inter AS BIGINT) AS uni
+      FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+      WHERE inter * 100 >= (na.n + nb.n - inter) * 50
+      ORDER BY id_a, id_b""")
+  )
+
+  /** Brute-force cosine top-20 against the min-vec_id query vector —
+    * exact ANN baseline. Sequential double math both engines. */
+  val qEmbedTopK = GraftQuery(
+    "q_embed_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.orderBy($"vec_id").limit(1)
+        .select($"embedding".cast("array<double>")).collect()(0)
+        .getSeq[Double](0)
+      Similarity.bruteForceTopK(
+        emb.withColumn("embedding", $"embedding".cast("array<double>")),
+        "vec_id", "embedding", q, 20)
+    },
+    Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+      scored AS (SELECT vec_id,
+        ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+          (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+           SQRT(list_dot_product(qv, qv))), 6) AS cos_sim
+      FROM embeddings, q)
+      SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 20""")
+  )
+
+  // ----- engine-specific hashing: rows-only driver check, cross-validated
+  // ----- against exact operators in ScalaTest
+
+  /** MinHash+LSH near-dup pairs (est. Jaccard ≥ 0.5). */
+  val qMinhashPairs = GraftQuery(
+    "q_minhash_pairs",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.minhashDedupPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    },
+    None
+  )
+
+  /** SimHash near-dup pairs (hamming ≤ 3 on the 64-bit sketch). */
+  val qSimhashPairs = GraftQuery(
+    "q_simhash_pairs",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    },
+    None
+  )
+
+  /** LSH-bucketed ANN top-20 (same query vector as q_embed_topk). */
+  val qAnnTopK = GraftQuery(
+    "q_ann_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>"))
+      val q = emb.orderBy($"vec_id").limit(1)
+        .select($"embedding").collect()(0).getSeq[Double](0)
+      Similarity.annTopK(emb, "vec_id", "embedding", q, k = 20, nPlanes = 3)
+    },
+    None
+  )
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.95, LSH-blocked). */
+  val qEmbedDupPairs = GraftQuery(
+    "q_embed_dup_pairs",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.embeddingDupPairs(
+          Tables.embeddings(s, dir).withColumn("embedding", $"embedding".cast("array<double>")),
+          "vec_id", "embedding", threshold = 0.95, nPlanes = 3)
+        .orderBy($"id_a", $"id_b")
+    },
+    None
+  )
+
+  val all: Seq[GraftQuery] = Seq(
+    qTextStats, qLangId, qDedupExact, qJaccardPairs, qEmbedTopK,
+    qMinhashPairs, qSimhashPairs, qAnnTopK, qEmbedDupPairs)
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operator family for large-scale training-data pipelines
+  * (the generalization of the reference's token report, SURVEY.md F19):
+  * tokenization, token counting, quality scoring, language-ID, document
+  * fingerprinting.
+  *
+  * All pure Column expressions — codegen'd, no UDFs, no shuffles; each
+  * runs map-side over 100 TB of documents and only the (tiny) aggregates
+  * shuffle.
+  */
+object TextAnalysis {
+
+  /** Lowercase alnum tokens (the tokenizer behind
+    * reports/top_product_tokens.csv — verified `[a-z0-9]+`). */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Whitespace token count (the cheap pre-pass). */
+  def wsTokenCount(c: Column): Column =
+    when(trim(c) === "", 0).otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish piece count: alpha runs, single digits, single punctuation —
+    * a regex approximation of GPT-2-style pre-tokenization for budgeting
+    * token costs without a vocab. */
+  def bpeIshTokenCount(c: Column): Column =
+    coalesce(regexp_count(c, lit("[A-Za-z]+|\\d|[^A-Za-z\\d\\s]")), lit(0))
+
+  def punctRatio(c: Column): Column =
+    coalesce(regexp_count(c, lit("[^\\w\\s]")), lit(0)).cast(DoubleType) /
+      greatest(length(c), lit(1)).cast(DoubleType)
+
+  def upperRatio(c: Column): Column =
+    coalesce(regexp_count(c, lit("[A-Z]")), lit(0)).cast(DoubleType) /
+      greatest(length(c), lit(1)).cast(DoubleType)
+
+  /** Fraction of tokens found in `stops`. */
+  def stopwordRatio(c: Column, stops: Seq[String]): Column = {
+    val ts = tokens(c)
+    size(filter(ts, t => t.isin(stops: _*))).cast(DoubleType) /
+      greatest(size(ts), lit(1)).cast(DoubleType)
+  }
+
+  /** Small high-frequency stopword sets per language — enough signal for
+    * n-gram-free heuristic language-ID. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "on", "with", "as", "was", "at"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit", "den", "von", "sich", "auf", "für"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por", "con", "no", "los", "las", "para"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour", "dans", "qui", "pas", "sur", "avec"))
+
+  /** CJK character ratio — the zh signal (script-based, not lexical). */
+  def cjkRatio(c: Column): Column =
+    coalesce(regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")), lit(0)).cast(DoubleType) /
+      greatest(length(c), lit(1)).cast(DoubleType)
+
+  /** Per-language scores: stopword-hit ratio for latin-script languages,
+    * CJK char ratio for zh. Returns (lang -> score Column). */
+  def langScores(c: Column): Seq[(String, Column)] =
+    Stopwords.toSeq.sortBy(_._1).map { case (l, stops) => l -> stopwordRatio(c, stops) } :+
+      ("zh" -> cjkRatio(c))
+
+  /** Heuristic language-ID: argmax of langScores with deterministic
+    * first-wins tie-break in (de, en, es, fr, zh) order; all-zero → "und"
+    * (undetermined). */
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val chain = scores.foldLeft(when(best === 0.0, "und")) { case (acc, (l, s)) =>
+      acc.when(s === best, l)
+    }
+    chain.otherwise("und")
+  }
+
+  /** Composite quality score in [0,1] (length / punctuation / stopword
+    * signals, the reference-free analogue of data-quality scoring for
+    * training corpora):
+    *  - length in a useful band (50..10000 chars)
+    *  - some stopwords present (natural language, not code/logs)
+    *  - punctuation not dominating. */
+  def qualityScore(c: Column, stops: Seq[String] = Stopwords("en")): Column = {
+    val len = length(c).cast(DoubleType)
+    val lenScore = least(len / 50.0, lit(1.0)) * when(len > 10000, 0.5).otherwise(1.0)
+    val stopScore = least(stopwordRatio(c, stops) * lit(4.0), lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 4.0)
+    round(lenScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 6)
+  }
+
+  /** Normalized-content fingerprint: md5 of the space-joined token stream.
+    * Robust to case/punctuation/whitespace differences — the exact-dedup
+    * key. */
+  def fingerprint(c: Column): Column = md5(concat_ws(" ", tokens(c)))
+
+  /** Word k-shingles (distinct), the unit for Jaccard/MinHash dedup. */
+  def shingles(c: Column, k: Int): Column = {
+    val ts = tokens(c)
+    val n = size(ts)
+    array_distinct(
+      when(n < k, array(concat_ws(" ", ts)))
+        .otherwise(transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
+  }
+
+  /** 64-bit rolling-hash fingerprints of the k-shingles (xxhash64). */
+  def shingleHashes(c: Column, k: Int): Column =
+    transform(shingles(c, k), s => xxhash64(s))
+}

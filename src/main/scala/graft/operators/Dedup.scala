@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operator family for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is one shuffle on the 16-byte fingerprint — the text
+  *    itself never shuffles;
+  *  - MinHash/LSH shuffles (id, band-hash) pairs, O(docs × bands) small
+  *    rows; candidate verification touches only bucket-mates;
+  *  - SimHash is map-only per doc (64-bit sketch), pairs come from
+  *    banding the sketch the same way;
+  *  - everything is expression-level — no UDF, no driver collect.
+  */
+object Dedup {
+
+  /** Exact near-duplicate groups via normalized-content fingerprint:
+    * keep the min-id doc per group, count members. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Survivors of exact dedup (the keep side of [[exactGroups]]). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextAnalysis.fingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min over the doc's k-shingle hashes. One array column per doc. */
+  def minhashSignature(textCol: Column, k: Int, numHashes: Int): Column = {
+    val sh = TextAnalysis.shingles(textCol, k)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (`bands` bands of
+    * numHashes/bands rows), bucket-join docs sharing any band hash.
+    * Returns (id_a, id_b) with id_a < id_b, distinct. */
+  def minhashLshCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val r = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
+      .toDF("id", "band", "bhash")
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash-estimated Jaccard for candidate pairs (fraction of agreeing
+    * signature positions), filtered at `threshold`. */
+  def minhashDedupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame = {
+    val sig = df.select(col(idCol).as("sid"),
+      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    val cand = minhashLshCandidates(df, idCol, textCol, k, numHashes, bands)
+    cand
+      .join(sig.withColumnRenamed("sid", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+      .join(sig.withColumnRenamed("sid", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard for all pairs sharing at least one shingle:
+    * explode-join-count — integer arithmetic end to end, so it doubles as
+    * a DuckDB-comparable oracle query. Blocking by shared shingle keeps it
+    * far below the full cross product. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), k)).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * lit(100) >= col("uni") * lit((minJaccard * 100).toInt))
+      .select(col("id_a"), col("id_b"), col("inter").cast(LongType),
+        col("uni").cast(LongType))
+  }
+
+  /** 64-bit SimHash sketch as FOUR 16-bit chunks (array<long>, each chunk
+    * < 2^16 so the fold never overflows under ANSI mode). Per token, bit i's
+    * ±1 vote comes from the sign bit of an i-seeded xxhash64 (64 independent
+    * hash functions — no dynamic bit shifts needed); sketch bit i is set
+    * when the vote sum is positive. All expression-level, map-only. */
+  def simhashChunks(textCol: Column): Column = {
+    val ts = TextAnalysis.tokens(textCol)
+    val voteArr = aggregate(
+      ts,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(xxhash64(t, i) >= 0, lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    // fold each 16-bit slice MSB-first into a chunk value
+    transform(sequence(lit(0), lit(3)), c =>
+      aggregate(slice(voteArr, c * 16 + 1, lit(16)), lit(0L),
+        (acc, v) => acc * 2 + when(v > 0, 1L).otherwise(0L)))
+  }
+
+  /** Hamming distance between two chunked sketches. */
+  def hammingChunks(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, v) => acc + v)
+
+  /** SimHash near-dup candidate pairs: band the sketch by its 4 16-bit
+    * chunks (any equal chunk → candidate, catches hamming<=3 with high
+    * probability), verify with the exact hamming distance. */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sk = df.select(col(idCol).as("id"), simhashChunks(col(textCol)).as("sk"))
+    val chunks = sk.select(col("id"), col("sk"),
+      posexplode(col("sk")))
+      .toDF("id", "sk", "band", "chunk")
+    chunks.as("a").join(chunks.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingChunks(col("a.sk"), col("b.sk")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Similarity search over embedding columns (Array[Float]):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Vector math is `zip_with`/`aggregate` over array columns — codegen'd,
+  * sequential left-to-right summation (deterministic, engine-comparable).
+  * At 100 TB the LSH path turns the O(N) per-query scan into an O(N/2^p)
+  * bucket scan after one map-only bucketing pass.
+  */
+object Similarity {
+
+  /** Sequential dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against one literal query vector — the
+    * brute-force baseline. Map-only scoring + TakeOrderedAndProject. */
+  def bruteForceTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val q = typedLit(query)
+    df.select(col(idCol),
+        round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (driver-side PRNG, broadcast as
+    * literals — dim×planes doubles, trivially small). */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id from the hyperplanes (map-only). */
+  def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column =
+    planes.foldLeft(lit(0L)) { (acc, p) =>
+      acc * 2 + when(dot(vecCol, typedLit(p)) >= 0, 1L).otherwise(0L)
+    }
+
+  /** ANN top-k with multi-probe: score only the docs in the query's bucket
+    * plus all buckets within `probeRadius` bit flips (exact cosine within).
+    * Recall/cost is tuned by nPlanes (bucket granularity) and probeRadius
+    * (fraction of the space scanned) — at scale the bucket column is
+    * precomputed/partitioned so a probe set is a partition-pruned scan. */
+  def annTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, nPlanes: Int = 4, probeRadius: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val qBucket = planes.foldLeft(0L) { (acc, p) =>
+      acc * 2 + (if (p.zip(query).map { case (x, y) => x * y }.sum >= 0) 1L else 0L)
+    }
+    val probes = (0L until (1L << nPlanes))
+      .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= probeRadius)
+    df.withColumn("_bucket", lshBucket(col(vecCol), planes))
+      .filter(col("_bucket").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), typedLit(query)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicates by embedding cosine ≥ threshold, LSH-blocked:
+    * pairs only form inside a bucket. The embedding-cosine member of the
+    * dedup family. */
+  def embeddingDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 4, seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Exact k-NN join: for each left row, top-k right rows by cosine.
+    * O(|L|×|R|) — correct but quadratic; the LSH variant is the scale
+    * path. Kept for verification and small dimension tables. */
+  def knnJoin(
+      left: DataFrame, right: DataFrame,
+      idL: String, idR: String, vecL: String, vecR: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_l")).orderBy(col("cos_sim").desc, col("id_r"))
+    left.select(col(idL).as("id_l"), col(vecL).as("vl"))
+      .crossJoin(right.select(col(idR).as("id_r"), col(vecR).as("vr")))
+      .select(col("id_l"), col("id_r"), round(cosine(col("vl"), col("vr")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+}

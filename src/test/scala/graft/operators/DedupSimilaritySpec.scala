@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Cross-validation of the sketch-based operators against their exact
+  * counterparts on the sf0.001 corpus (which contains planted near-dups
+  * with Jaccard ≈ 0.99). */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private val Dir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, Dir).cache()
+  private lazy val emb = Tables.embeddings(spark, Dir)
+    .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+
+  test("minhash LSH recovers the high-Jaccard pairs (recall vs exact)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    val mh = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(mh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("simhash finds near-dup pairs consistent with exact Jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && sh.nonEmpty)
+    val recall = exact.count(sh.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"simhash recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("exact dedup is idempotent and keeps min ids") {
+    val once = Dedup.exactDedup(docs, "doc_id", "text")
+    val twice = Dedup.exactDedup(once, "doc_id", "text")
+    assert(once.count() === twice.count())
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.agg(sum("n_docs")).collect()(0).getLong(0) === docs.count())
+  }
+
+  test("ANN top-k has high overlap with brute-force top-k") {
+    val q = emb.orderBy("vec_id").limit(1).select("embedding")
+      .collect()(0).getSeq[Double](0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", q, k = 20,
+        nPlanes = 3, probeRadius = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // random gaussian embeddings have near-orthogonal neighbors, so LSH
+    // recall ≈ probed fraction of the space (4/8 buckets here); real
+    // clustered embeddings do far better
+    val overlap = brute.count(ann.contains).toDouble / brute.size
+    assert(overlap >= 0.35, s"ann overlap $overlap")
+    assert(ann.size === 20)
+  }
+
+  test("embedding dup pairs are symmetric-free and above threshold") {
+    val pairs = Similarity.embeddingDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 3).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.9)
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = emb.limit(5)
+      .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(one.forall(math.abs(_) > 0.999999))
+  }
+}
