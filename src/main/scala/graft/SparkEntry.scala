@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** All registered queries, in registration order. Names must be unique. */
   def registry: Seq[GraftQuery] =
-    analytics.StarQueries.all ++ analytics.DocQueries.all
+    analytics.StarQueries.all ++ analytics.DocQueries.all ++ analytics.FuncQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,74 @@
+package graft.analytics
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Cleaning
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries exercising the §2.6 scalar kernel on the star
+  * schema (the listing columns don't exist in the driver corpus, so the
+  * functions run over synthesized-but-equivalent inputs built identically
+  * in both engines). */
+object FuncQueries {
+
+  /** F2/F3 price parsing round-trip: build "₹ <int>/Piece" from
+    * p_retailprice in both engines, parse back with the cleaning kernel. */
+  val qPriceParse = GraftQuery(
+    "q_price_parse",
+    (s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .withColumn("price_str",
+          concat(lit("₹ "), floor($"p_retailprice").cast("bigint").cast("string"),
+            lit("/Piece")))
+        .select($"p_partkey",
+          Cleaning.parsePriceToNumber($"price_str").as("price_numeric"),
+          Cleaning.extractPriceUnit($"price_str").as("price_unit"))
+        .orderBy($"p_partkey")
+    },
+    Some("""WITH p AS (SELECT p_partkey,
+        '₹ ' || CAST(CAST(FLOOR(p_retailprice) AS BIGINT) AS VARCHAR) || '/Piece' AS price_str
+      FROM part)
+      SELECT p_partkey,
+        CAST(regexp_extract(replace(replace(price_str, '₹', ''), ',', ''), '\d+(\.\d+)?', 0) AS DOUBLE) AS price_numeric,
+        regexp_extract(price_str, '/\s*([A-Za-z]+)', 1) AS price_unit
+      FROM p ORDER BY p_partkey""")
+  )
+
+  /** F5/F6 digit-strip + salted sha-256 (the phone anonymization) over
+    * customer names. */
+  val qHashDigits = GraftQuery(
+    "q_hash_digits",
+    (s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_custkey",
+          Cleaning.sha256Hash(Cleaning.cleanPhoneDigits($"c_name")).as("digit_hash"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey,
+        CASE WHEN regexp_replace(c_name, '\D', '', 'g') = '' THEN NULL
+             ELSE sha256('indiamart_etl_salt::' || regexp_replace(c_name, '\D', '', 'g'))
+        END AS digit_hash
+      FROM customer ORDER BY c_custkey""")
+  )
+
+  /** Multimodal plumbing, engine-visible part: opaque binary payloads from
+    * text (encode), byte size + content digest — what shuffles at 100 TB
+    * is this metadata, never the payload. */
+  val qMultimodalMeta = GraftQuery(
+    "q_multimodal_meta",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          octet_length(encode($"text", "UTF-8")).as("byte_size"),
+          sha2($"text", 256).as("sha256"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_size,
+        sha256(text) AS sha256
+      FROM documents ORDER BY doc_id""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qPriceParse, qHashDigits, qMultimodalMeta)
+}

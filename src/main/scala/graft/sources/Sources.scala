@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.schema.Schemas
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The reference's source/sink surface (SURVEY.md §2.1) on Spark readers
+  * and writers. Parquet is the canonical interchange (columnar scans,
+  * pushdown, pruning); CSV/JSONL are kept for reference fidelity.
+  */
+object Sources {
+
+  /** S1 — raw listing CSV scan with the declared 24-column schema
+    * (never inferSchema; pandas-style quoting). */
+  def readRawCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true").option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .schema(Schemas.raw)
+      .csv(path)
+
+  /** S1 — clean CSV scan: "NaN" sentinels → null, then declared types. */
+  def readCleanCsv(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val g = spark.read
+      .option("header", "true").option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("nullValue", "NaN")
+      .csv(path)
+    Schemas.clean.fields.foldLeft(g) { (d, f) =>
+      if (d.columns.contains(f.name)) d.withColumn(f.name, col(f.name).try_cast(f.dataType))
+      else d
+    }
+  }
+
+  /** S2 — CSV sink with the reference's literal-"NaN" missing convention
+    * (etl.py:419). */
+  def writeCsvNaN(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("nullValue", "NaN")
+      .csv(path)
+
+  /** S3 — append-mode sink (the scraper's incremental per-keyword writes,
+    * scraper.py:568-573). On parquet, append is transactional per task via
+    * the file-commit protocol — no header-if-new-file dance needed. */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S4 — JSONL sink (scraper.py:532-536): one JSON object per line. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** S5 — DB-table sink (the reference's SQLite `to_sql("products",
+    * if_exists="replace")`, etl.py:428-435): a managed catalog table,
+    * replace ≡ overwrite. */
+  def writeTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+
+  /** S6 — SQL scan over the catalog (check_db.py:7-16). */
+  def tableCounts(spark: SparkSession, table: String): (Long, DataFrame) = {
+    val n = spark.sql(s"SELECT COUNT(*) AS n FROM $table").collect()(0).getLong(0)
+    (n, spark.sql(s"SELECT * FROM $table LIMIT 5"))
+  }
+}

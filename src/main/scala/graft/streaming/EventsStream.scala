@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Structured Streaming shape of the reference's incremental-ingest
+  * semantics (SURVEY.md §2.9): the scraper's checkpoint/resume + seen-keys
+  * dedup loop (scraper.py:543-621) maps to a file source with
+  * checkpointing and watermarked streaming dedup; its per-keyword append
+  * accumulation maps to windowed aggregation.
+  *
+  * At scale this is the ingest path: files land, micro-batches pick them
+  * up (maxFilesPerTrigger bounds rework ≡ the reference's rate limiting),
+  * state is bounded by the watermark (≡ the 200k seen_keys cap).
+  */
+object EventsStream {
+
+  /** The events table schema with ts as LongType nanos (how the parquet
+    * file presents under nanosAsLong) — declared, not inferred, as
+    * readStream requires. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** D2/S8 — streaming incremental dedup across restarts: watermarked
+    * dropDuplicatesWithinWatermark on the event key; state is bounded by
+    * the watermark horizon (the scalable analogue of the reference's
+    * 200k-cap seen_keys set). */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Windowed aggregation (1-hour tumbling) with watermark — the
+    * streaming twin of StarQueries.qEventsHourly. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Run a streaming query to completion over the files already in `dir`
+    * (Trigger.AvailableNow — batch-finite, checkpointed), collecting to an
+    * in-memory table. Returns the result. */
+  def runAvailableNow(
+      spark: SparkSession, query: DataFrame, name: String,
+      checkpoint: String): DataFrame = {
+    val q = query.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+}

@@ -13,6 +13,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    // fresh warehouse per JVM: the in-memory catalog forgets tables across
+    // sessions but their directories would otherwise persist and collide
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .getOrCreate()
 
   override def afterAll(): Unit = {

@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import graft.multimodal.Multimodal
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Sinks round-trip, catalog tables, streaming ingest, multimodal batch
+  * processing — the §2.1/§2.9 and multimodal coverage. */
+class SourcesStreamingSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft_io").toString
+  private val Dir = "/root/testdata/sf0.001"
+
+  test("S2 CSV NaN sink + S1 clean CSV scan round-trip") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("b", None)).toDF("product_name", "price_numeric")
+    Sources.writeCsvNaN(df, s"$tmp/csv_nan")
+    val back = Sources.readCleanCsv(spark, s"$tmp/csv_nan")
+    assert(back.count() === 2)
+    assert(back.filter($"price_numeric".isNull).count() === 1)
+  }
+
+  test("S3 append sink accumulates like the scraper's incremental writes") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "v")
+    val b = Seq((2L, "y")).toDF("id", "v")
+    Sources.appendParquet(a, s"$tmp/append")
+    Sources.appendParquet(b, s"$tmp/append")
+    assert(spark.read.parquet(s"$tmp/append").count() === 2)
+  }
+
+  test("S4 JSONL sink writes one object per line") {
+    import spark.implicits._
+    Sources.writeJsonl(Seq((1L, "x")).toDF("id", "v"), s"$tmp/jsonl")
+    val lines = spark.read.text(s"$tmp/jsonl").collect().map(_.getString(0))
+    assert(lines.length === 1 && lines(0).startsWith("{"))
+  }
+
+  test("S5/S6 managed table replace + SQL scan (to_sql/check_db shape)") {
+    import spark.implicits._
+    Sources.writeTable(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), "products")
+    Sources.writeTable(Seq((3L, "z")).toDF("id", "v"), "products") // replace
+    val (n, sample) = Sources.tableCounts(spark, "products")
+    assert(n === 1L)
+    assert(sample.count() === 1L)
+  }
+
+  test("streaming: hourly windowed counts over the events files") {
+    // file stream sources need a directory, not a single file
+    val srcDir = s"$tmp/events_src"
+    new java.io.File(srcDir).mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"$Dir/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+    val events = EventsStream.readEvents(spark, srcDir)
+    assert(events.isStreaming)
+    val result = EventsStream.runAvailableNow(spark,
+      EventsStream.hourlyCounts(events), "hourly_test", s"$tmp/ckpt1")
+    // watermark-closed windows emit; the batch ground truth is the
+    // StarQueries hourly aggregate
+    val batchHours = Tables.events(spark, Dir)
+      .select(date_trunc("hour", col("ts")).as("h")).distinct().count()
+    assert(result.select("window_start").distinct().count() >= batchHours - 3)
+  }
+
+  test("streaming: dedup within watermark drops re-delivered events") {
+    import spark.implicits._
+    // duplicate the events file into a 2-file dir → same events delivered twice
+    val dir = s"$tmp/dup_events"
+    new java.io.File(dir).mkdirs()
+    for (i <- 1 to 2)
+      Files.copy(java.nio.file.Paths.get(s"$Dir/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events_$i.parquet"))
+    val deduped = EventsStream.dedupedEvents(EventsStream.readEvents(spark, dir))
+    val out = EventsStream.runAvailableNow(spark, deduped, "dedup_test", s"$tmp/ckpt2")
+    val total = Tables.events(spark, Dir).count()
+    assert(out.count() === total) // 2N delivered, N emitted
+  }
+
+  test("multimodal: batch feature extraction over binary payloads") {
+    implicit val s = spark
+    import s.implicits._
+    val media = Multimodal.fromText(
+      Tables.documents(spark, Dir).limit(50), "doc_id", "text", "video")
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length === 50)
+    assert(rows.forall(_.sha256.length === 64))
+    assert(rows.forall(f => f.width >= 64 && f.height >= 64))
+    assert(rows.forall(_.byte_size > 0))
+    // deterministic: same payload → same features
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.sortBy(_.media_id).toSeq === again.sortBy(_.media_id).toSeq)
+    // frame sampling explodes only videos
+    val frames = Multimodal.sampleFrames(feats.toDF(), everyNth = 100)
+    assert(frames.count() >= 50)
+    // resize truncates payloads batch-wise
+    val resized = Multimodal.resize(media, 16).collect()
+    assert(resized.forall(_.payload.length <= 16))
+  }
+}
