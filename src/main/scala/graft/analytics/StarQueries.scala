@@ -146,11 +146,14 @@ object StarQueries {
   val qQuantiles = GraftQuery(
     "q_quantiles",
     (s, dir) => {
-      Tables.lineitem(s, dir).agg(
-        round(expr("percentile(l_extendedprice, 0.25D)"), 6).as("q1"),
-        round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("q2"),
-        round(expr("percentile(l_extendedprice, 0.75D)"), 6).as("q3"),
-        round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99"))
+      // ONE percentile aggregate for all four points (one sort, not four)
+      Tables.lineitem(s, dir)
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))").as("qs"))
+        .select(
+          round(element_at(col("qs"), 1), 6).as("q1"),
+          round(element_at(col("qs"), 2), 6).as("q2"),
+          round(element_at(col("qs"), 3), 6).as("q3"),
+          round(element_at(col("qs"), 4), 6).as("p99"))
     },
     Some("""SELECT ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS q1,
       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS q2,
@@ -199,9 +202,9 @@ object StarQueries {
     (s, dir) => {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
-      val q = li.agg(
-        expr("percentile(l_extendedprice, 0.25D)").as("q1"),
-        expr("percentile(l_extendedprice, 0.75D)").as("q3"))
+      val q = li
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.75D))").as("qs"))
+        .select(element_at(col("qs"), 1).as("q1"), element_at(col("qs"), 2).as("q3"))
       li.crossJoin(broadcast(q))
         .withColumn("v", least(
           greatest($"l_extendedprice", $"q1" - lit(1.5) * ($"q3" - $"q1")),

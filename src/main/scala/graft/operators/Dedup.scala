@@ -33,47 +33,58 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the doc's k-shingle hashes. One array column per doc. */
-  def minhashSignature(textCol: Column, k: Int, numHashes: Int): Column = {
-    val sh = TextAnalysis.shingles(textCol, k)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
-    }: _*)
-  }
-
-  /** LSH candidate pairs: band the signature (`bands` bands of
-    * numHashes/bands rows), bucket-join docs sharing any band hash.
-    * Returns (id_a, id_b) with id_a < id_b, distinct. */
-  def minhashLshCandidates(
+  /** MinHash signatures as a DataFrame (id, sig):
+    *  1. shingle hashes materialize ONCE per doc (xxhash64 of the string);
+    *  2. the `numHashes` functions derive from the base hash via cheap
+    *     long re-hashing (universal-hash style) — never re-tokenizing.
+    * Materializing in separate selects keeps CollapseProject from
+    * inlining the expensive shingle build into all N signature slots. */
+  def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val r = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
+      k: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.shingleHashes(col(textCol), k).as("_sh"))
+      .select(col("id"),
+        array((0 until numHashes).map { seed =>
+          array_min(transform(col("_sh"), h => xxhash64(h, lit(seed))))
+        }: _*).as("sig"))
+
+  /** LSH candidate pairs from a signature DF: band the signature (`bands`
+    * bands of rowsPerBand rows), bucket-join docs sharing any band hash.
+    * Returns (id_a, id_b) with id_a < id_b, distinct. */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .toDF("id", "band", "bhash")
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-        col("a.id") < col("b.id"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
 
+  /** Compatibility wrapper: signatures + banded candidates. */
+  def minhashLshCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    lshCandidates(minhashSignatures(df, idCol, textCol, k, numHashes), bands,
+      numHashes / bands)
+
   /** MinHash-estimated Jaccard for candidate pairs (fraction of agreeing
-    * signature positions), filtered at `threshold`. */
+    * signature positions), filtered at `threshold`. The signature DF is
+    * cached — it feeds the banding AND both sides of the verify join
+    * (numDocs × numHashes longs; small relative to the corpus even at
+    * billions of docs). */
   def minhashDedupPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.6): DataFrame = {
-    val sig = df.select(col(idCol).as("sid"),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
-    val cand = minhashLshCandidates(df, idCol, textCol, k, numHashes, bands)
+    val sig = minhashSignatures(df, idCol, textCol, k, numHashes).cache()
+    val cand = lshCandidates(sig, bands, numHashes / bands)
     cand
-      .join(sig.withColumnRenamed("sid", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
-      .join(sig.withColumnRenamed("sid", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
@@ -82,6 +93,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+
   /** Exact n-gram Jaccard for all pairs sharing at least one shingle:
     * explode-join-count — integer arithmetic end to end, so it doubles as
     * a DuckDB-comparable oracle query. Blocking by shared shingle keeps it
@@ -89,8 +101,10 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // cache: the exploded shingle set feeds the self-join (twice) and the
+    // per-doc sizes — and shingle 64-bit hashes shuffle instead of strings
     val sh = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.shingles(col(textCol), k)).as("shingle"))
+      explode(TextAnalysis.shingleHashes(col(textCol), k)).as("shingle")).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -111,13 +125,15 @@ object Dedup {
     * hash functions — no dynamic bit shifts needed); sketch bit i is set
     * when the vote sum is positive. All expression-level, map-only. */
   def simhashChunks(textCol: Column): Column = {
-    val ts = TextAnalysis.tokens(textCol)
+    // hash each token string ONCE; the 64 per-bit votes derive from cheap
+    // long re-hashes of the base hash, not 64 string hashes
+    val baseHashes = transform(TextAnalysis.tokens(textCol), t => xxhash64(t))
     val voteArr = aggregate(
-      ts,
+      baseHashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(63)),
-          i => when(xxhash64(t, i) >= 0, lit(1L)).otherwise(lit(-1L))),
+          i => when(xxhash64(h, i) >= 0, lit(1L)).otherwise(lit(-1L))),
         (a, b) => a + b))
     // fold each 16-bit slice MSB-first into a chunk value
     transform(sequence(lit(0), lit(3)), c =>
@@ -136,7 +152,8 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sk = df.select(col(idCol).as("id"), simhashChunks(col(textCol)).as("sk"))
+    // cache: the sketch feeds both sides of the self-join (8 longs/doc)
+    val sk = df.select(col(idCol).as("id"), simhashChunks(col(textCol)).as("sk")).cache()
     val chunks = sk.select(col("id"), col("sk"),
       posexplode(col("sk")))
       .toDF("id", "sk", "band", "chunk")

@@ -80,12 +80,16 @@ object Similarity {
       threshold: Double, nPlanes: Int = 4, seed: Long = 42L,
       dim: Int = 64): DataFrame = {
     val planes = hyperplanes(dim, nPlanes, seed)
+    // precompute norms once per row (cached) — the pair stage then does a
+    // single dot product per candidate instead of dot + two norms
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("nrm"),
+      lshBucket(col(vecCol), planes).as("bucket")).cache()
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.vec"), col("b.vec")), 6).as("cos_sim"))
+        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -97,9 +101,10 @@ object Similarity {
       idL: String, idR: String, vecL: String, vecR: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_l")).orderBy(col("cos_sim").desc, col("id_r"))
-    left.select(col(idL).as("id_l"), col(vecL).as("vl"))
-      .crossJoin(right.select(col(idR).as("id_r"), col(vecR).as("vr")))
-      .select(col("id_l"), col("id_r"), round(cosine(col("vl"), col("vr")), 6).as("cos_sim"))
+    left.select(col(idL).as("id_l"), col(vecL).as("vl"), norm(col(vecL)).as("nl"))
+      .crossJoin(right.select(col(idR).as("id_r"), col(vecR).as("vr"), norm(col(vecR)).as("nr")))
+      .select(col("id_l"), col("id_r"),
+        round(dot(col("vl"), col("vr")) / (col("nl") * col("nr")), 6).as("cos_sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .drop("rk")
