@@ -445,9 +445,119 @@ object StarQueries {
       FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** A15 column-profile report as a distributed query: one aggregate pass
+    * computes every column's stats, then the per-column rows are unioned
+    * from that single row (the reference's per-column pandas loop becomes
+    * one scan; etl.py:379-400). */
+  val qProfileOrders = GraftQuery(
+    "q_profile_orders",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val cols = o.columns.toSeq
+      val agg = o.agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"uq_$c"))): _*)
+      cols.map { c =>
+        agg.select(lit(c).as("column"), col("rows"),
+          col(s"nn_$c").as("non_null"), (col("rows") - col(s"nn_$c")).as("nulls"),
+          round((col("rows") - col(s"nn_$c")).cast(DoubleType) / col("rows") * 100, 4)
+            .as("null_pct"),
+          col(s"uq_$c").as("unique"))
+      }.reduce(_.unionAll(_)).orderBy($"column")
+    },
+    Some("""WITH s AS (SELECT COUNT(*) AS rows,
+        COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS uq1,
+        COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS uq2,
+        COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS uq3,
+        COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS uq4,
+        COUNT(o_orderdate) AS nn5, COUNT(DISTINCT o_orderdate) AS uq5,
+        COUNT(o_orderpriority) AS nn6, COUNT(DISTINCT o_orderpriority) AS uq6
+      FROM orders)
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS "column", "rows", nn1 AS non_null, "rows"-nn1 AS nulls, ROUND(CAST("rows"-nn1 AS DOUBLE)/"rows"*100, 4) AS null_pct, uq1 AS "unique" FROM s
+        UNION ALL SELECT 'o_custkey', "rows", nn2, "rows"-nn2, ROUND(CAST("rows"-nn2 AS DOUBLE)/"rows"*100, 4), uq2 FROM s
+        UNION ALL SELECT 'o_orderstatus', "rows", nn3, "rows"-nn3, ROUND(CAST("rows"-nn3 AS DOUBLE)/"rows"*100, 4), uq3 FROM s
+        UNION ALL SELECT 'o_totalprice', "rows", nn4, "rows"-nn4, ROUND(CAST("rows"-nn4 AS DOUBLE)/"rows"*100, 4), uq4 FROM s
+        UNION ALL SELECT 'o_orderdate', "rows", nn5, "rows"-nn5, ROUND(CAST("rows"-nn5 AS DOUBLE)/"rows"*100, 4), uq5 FROM s
+        UNION ALL SELECT 'o_orderpriority', "rows", nn6, "rows"-nn6, ROUND(CAST("rows"-nn6 AS DOUBLE)/"rows"*100, 4), uq6 FROM s
+      ) ORDER BY "column" """)
+  )
+
+  /** P6 date-range filter + temporal rollup: the predicate reaches the
+    * parquet scan (PushedFilters) — at 100 TB with date partitioning this
+    * is partition pruning. */
+  val qRevenueByYear = GraftQuery(
+    "q_revenue_by_year",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+        .groupBy(year($"o_orderdate").as("yr"))
+        .agg(count(lit(1)).as("n_orders"), sumDec($"o_totalprice").as("revenue"))
+        .orderBy($"yr")
+    },
+    Some("""SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1 ORDER BY yr""")
+  )
+
+  /** Sessionization (lag/window family the reference lacks, standard for
+    * event pipelines): a session breaks after a 30-minute gap per user;
+    * one shuffle on user_id, lag + running sum inside the partition. */
+  val qSessionize = GraftQuery(
+    "q_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val newSession = when(
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) > 30L * 60 * 1000000,
+        1).otherwise(0)
+      Tables.events(s, dir)
+        .withColumn("new_s", coalesce(newSession, lit(0)))
+        .withColumn("session_idx",
+          sum($"new_s").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"n_events").cast(LongType).as("n_events"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events),
+      se AS (SELECT user_id,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM g),
+      per AS (SELECT user_id, session_idx, COUNT(*) AS n_events FROM se GROUP BY 1, 2)
+      SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events
+      FROM per GROUP BY user_id ORDER BY user_id""")
+  )
+
+  /** P9 bounded deterministic sample (rows-only check: pandas' seeded RNG
+    * is engine-specific; rand(seed) here is stable for a fixed input
+    * partitioning). */
+  val qSampleEvents = GraftQuery(
+    "q_sample_events",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"event_type")
+        .orderBy(rand(42)).limit(1000)
+    },
+    None
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, qSummaryKpis, qGroupMean, qValueCounts, qTopnOthers,
     qQuantiles, qHistogram, qCorr, qWinsorize, qDedupFirst, qDistinctValues,
     qFilterCi, qTopk, qCumsum, qPriorityOrder, qJoinSegmentRevenue,
-    qJoinNationRevenue, qJoinRegionRevenue, qEventsHourly, qJsonExtract)
+    qJoinNationRevenue, qJoinRegionRevenue, qEventsHourly, qJsonExtract,
+    qProfileOrders, qRevenueByYear, qSessionize, qSampleEvents)
 }

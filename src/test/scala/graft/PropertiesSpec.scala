@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.{Cleaning, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5.4): invariants that must hold for any
+  * input, not just the golden fixtures. Raw ScalaCheck Gen with a seeded
+  * sampler (the scalatest bridge isn't in the offline cache). */
+class PropertiesSpec extends SparkSpec {
+
+  private def forAll[A](gen: Gen[A], reps: Int = 8)(f: A => Unit): Unit =
+    (1 to reps).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private def evalOn(values: Seq[String], f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Seq[Any] = {
+    import spark.implicits._
+    values.map(Option(_)).toDF("c").select(f(col("c")).as("r")).collect().map(_.get(0)).toSeq
+  }
+
+  test("priceBucket is total: every double lands in exactly one bucket") {
+    import spark.implicits._
+    forAll(Gen.listOfN(50, Gen.option(Gen.chooseNum(-1e9, 1e9)))) { xs =>
+      val buckets = xs.map(x => Option(x).flatten).toDF("p")
+        .select(Cleaning.priceBucket(col("p")).as("b")).collect().map(_.getString(0))
+      assert(buckets.forall(Set("Unknown", "Low (<10k)", "Mid (10k-50k)", "High (50k+)")))
+      assert(buckets.length == xs.length)
+    }
+  }
+
+  test("winsorize clip stays within bounds and preserves nulls") {
+    import spark.implicits._
+    val gen = for {
+      xs <- Gen.listOfN(40, Gen.option(Gen.chooseNum(-1e6, 1e6)))
+      lo <- Gen.chooseNum(-1e5, 0.0)
+      hi <- Gen.chooseNum(0.0, 1e5)
+    } yield (xs, lo, hi)
+    forAll(gen) { case (xs, lo, hi) =>
+      whenever(lo <= hi) {
+        val clip = when(col("p").isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(col("p"), lit(lo)), lit(hi)))
+        val out = xs.map(x => Option(x).flatten).toDF("p").select(clip.as("c"))
+          .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+        out.zip(xs.map(Option(_).flatten)).foreach {
+          case (Some(c), Some(_)) => assert(c >= lo && c <= hi)
+          case (None, None)       => ()
+          case other              => fail(s"null mismatch: $other")
+        }
+      }
+    }
+  }
+
+  test("cleanText is idempotent") {
+    val gen = Gen.listOfN(30, Gen.oneOf(
+      Gen.alphaNumStr, Gen.const("  a   b "), Gen.const("NaN"),
+      Gen.const("null"), Gen.const(""), Gen.const(" x\t y ")))
+    forAll(gen) { xs =>
+      val once = evalOn(xs, Cleaning.cleanText)
+      val twice = evalOn(once.map(_.asInstanceOf[String]), Cleaning.cleanText)
+      assert(once === twice)
+    }
+  }
+
+  test("parsed price is non-negative and unit is alphabetic") {
+    forAll(Gen.listOfN(20, Gen.oneOf(
+      Gen.choose(0, 2000000).map(n => s"₹ $n/Piece"),
+      Gen.const("Ask Price"), Gen.alphaNumStr))) { xs =>
+      evalOn(xs, Cleaning.parsePriceToNumber).foreach {
+        case null      => ()
+        case d: Double => assert(d >= 0)
+        case other     => fail(other.toString)
+      }
+      evalOn(xs, Cleaning.extractPriceUnit).foreach {
+        case null      => ()
+        case s: String => assert(s.matches("[A-Za-z]+"))
+        case other     => fail(other.toString)
+      }
+    }
+  }
+
+  test("fingerprint invariance: case/whitespace/punct-insensitive") {
+    import spark.implicits._
+    forAll(Gen.listOfN(10, Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+      .map(_.mkString(" ")))) { texts =>
+      val variants = texts.map(t => (t, t.toUpperCase + "  ", t.replace(" ", " ,  ")))
+      val df = variants.toDF("a", "b", "c")
+      val rows = df.select(
+        TextAnalysis.fingerprint(col("a")).as("fa"),
+        TextAnalysis.fingerprint(col("b")).as("fb"),
+        TextAnalysis.fingerprint(col("c")).as("fc")).collect()
+      rows.foreach { r =>
+        assert(r.getString(0) === r.getString(1))
+        assert(r.getString(0) === r.getString(2))
+      }
+    }
+  }
+
+  test("profile invariant: non_null + nulls = rows for any frame") {
+    import spark.implicits._
+    forAll(Gen.listOfN(25, Gen.option(Gen.alphaStr))) { xs =>
+      val prof = quality.Profiler.profile(xs.toDF("v"))
+      prof.collect().foreach { r =>
+        assert(r.getAs[Long]("non_null") + r.getAs[Long]("nulls") === r.getAs[Long]("rows"))
+        assert(r.getAs[Long]("unique") <= r.getAs[Long]("non_null"))
+      }
+    }
+  }
+}

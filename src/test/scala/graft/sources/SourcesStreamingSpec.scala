@@ -78,6 +78,22 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(out.count() === total) // 2N delivered, N emitted
   }
 
+  test("sessionize: flatMapGroupsWithState closes sessions on 30-min gaps") {
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    def t(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
+    val events = Seq(
+      (1L, t(0)), (1L, t(10)), (1L, t(20)),   // session A: 3 events
+      (1L, t(60)), (1L, t(65)),               // session B: 2 events (closed by next)
+      (1L, t(120)),                           // session C: open → not emitted
+      (2L, t(0)), (2L, t(40))                 // session D closed, E open
+    ).toDF("user_id", "ts")
+    val out = Sessionize.sessions(events).collect()
+      .map(s => (s.user_id, s.n_events)).sorted.toSeq
+    // open sessions stay in state (would emit on timeout in a real stream)
+    assert(out === Seq((1L, 3L), (1L, 2L), (2L, 1L)).sorted)
+  }
+
   test("multimodal: batch feature extraction over binary payloads") {
     implicit val s = spark
     import s.implicits._
