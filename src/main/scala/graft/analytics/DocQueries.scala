@@ -196,7 +196,40 @@ object DocQueries {
     None
   )
 
+  /** IVF ANN top-20 (KMeans coarse quantizer, 2-probe; same query vector
+    * as q_embed_topk). Rows-only check — KMeans centroids are
+    * engine-specific; recall is asserted against the exact top-k in
+    * ScalaTest. */
+  val qIvfTopK = GraftQuery(
+    "q_ivf_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")).cache()
+      val q = emb.orderBy($"vec_id").limit(1)
+        .select($"embedding").collect()(0).getSeq[Double](0)
+      val model = graft.operators.IvfIndex.fit(emb, "embedding", k = 8)
+      graft.operators.IvfIndex.search(emb, "vec_id", "embedding", model, q,
+        k = 20, nProbe = 2)
+    },
+    None
+  )
+
+  /** A2 at scale: approximate distinct (HLL++) alongside the exact KPIs —
+    * rows-only (sketch internals are engine-specific). */
+  val qApproxDistinct = GraftQuery(
+    "q_approx_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir).agg(
+        approx_count_distinct($"user_id").as("approx_users"),
+        approx_count_distinct($"event_id").as("approx_events"))
+    },
+    None
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qEmbedTopK,
-    qMinhashPairs, qSimhashPairs, qAnnTopK, qEmbedDupPairs)
+    qMinhashPairs, qSimhashPairs, qAnnTopK, qEmbedDupPairs, qIvfTopK,
+    qApproxDistinct)
 }

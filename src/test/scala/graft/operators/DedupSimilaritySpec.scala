@@ -58,6 +58,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ann.size === 20)
   }
 
+  test("IVF search beats plain LSH recall on the same budget") {
+    val q = emb.orderBy("vec_id").limit(1).select("embedding")
+      .collect()(0).getSeq[Double](0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val model = IvfIndex.fit(emb, "embedding", k = 8)
+    assert(model.centroids.length === 8)
+    val ivf = IvfIndex.search(emb, "vec_id", "embedding", model, q, k = 20, nProbe = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"ivf recall $recall") // random embeddings: ≈ probed share
+    // every probed result is a true cosine (exact within cells)
+    assert(ivf.size === 20)
+  }
+
   test("embedding dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.embeddingDupPairs(emb, "vec_id", "embedding",
       threshold = 0.9, nPlanes = 3).collect()
