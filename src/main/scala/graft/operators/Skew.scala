@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities (SURVEY.md §7.4 risk, prompt scale rules):
+  * salting for hot keys in aggregations and joins, plus the bucketed-layout
+  * helper for co-located (shuffle-free) fact-to-fact joins.
+  *
+  * AQE's skew-join handling (on by default in Spark 4) covers sort-merge
+  * joins at runtime; explicit salting remains the tool for skewed
+  * AGGREGATIONS and for deterministic layouts.
+  */
+object Skew {
+
+  /** Two-stage salted aggregation: groupBy(key, salt) partial → groupBy(key)
+    * final. A hot key spreads over `salts` reducers in stage 1; stage 2
+    * combines `salts` rows per key — O(keys×salts) tiny. Correct for any
+    * commutative re-aggregable pair (sum/sum, count/sum, min/min, ...). */
+  def saltedAgg(
+      df: DataFrame, key: Column, valueExpr: Column, finalExpr: Column => Column,
+      salts: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(key.as("key"), col("_salt"))
+      .agg(valueExpr.as("partial"))
+      .groupBy(col("key"))
+      .agg(finalExpr(col("partial")).as("value"))
+
+  /** Salted join for a skewed LEFT key against a small-ish right side:
+    * left gets a random salt in [0, salts), right is replicated `salts`
+    * times — the hot key's rows land on `salts` different reducers.
+    * (For a genuinely small right side prefer broadcast(); this is for the
+    * middle ground where the right side is too big to broadcast.) */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+      salts: Int = 16): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(pmod(hash(col(leftKey), monotonically_increasing_id()), lit(salts)) + lit(salts), lit(salts)))
+    val replicatedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(replicatedRight,
+        saltedLeft(leftKey) === replicatedRight(rightKey) &&
+          saltedLeft("_salt") === replicatedRight("_salt"))
+      .drop("_salt")
+  }
+
+  /** Write both sides bucketed by the join key: subsequent joins between
+    * the two tables are co-located — SortMergeJoin with NO Exchange.
+    * The 100 TB pattern: bucket the fact tables once at ingest, join free
+    * forever after. */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}
