@@ -125,15 +125,16 @@ object Dedup {
     * hash functions — no dynamic bit shifts needed); sketch bit i is set
     * when the vote sum is positive. All expression-level, map-only. */
   def simhashChunks(textCol: Column): Column = {
-    // hash each token string ONCE; the 64 per-bit votes derive from cheap
-    // long re-hashes of the base hash, not 64 string hashes
+    // hash each token string ONCE; the 64 per-bit votes are that hash's
+    // own bits, extracted with STATIC shifts (no re-hashing at all)
     val baseHashes = transform(TextAnalysis.tokens(textCol), t => xxhash64(t))
     val voteArr = aggregate(
       baseHashes,
       array_repeat(lit(0L), 64),
       (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(xxhash64(h, i) >= 0, lit(1L)).otherwise(lit(-1L))),
+        array((0 until 64).map { i =>
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+        }: _*),
         (a, b) => a + b))
     // fold each 16-bit slice MSB-first into a chunk value
     transform(sequence(lit(0), lit(3)), c =>

@@ -57,7 +57,7 @@ object IvfIndex {
     assign(df, vecCol, model)
       .filter(col("ivf_cell").isin(cells: _*))
       .select(col(idCol),
-        round(Similarity.cosine(col(vecCol), typedLit(query)), 6).as("cos_sim"))
+        round(Similarity.cosineNative(col(vecCol), typedLit(query)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }

