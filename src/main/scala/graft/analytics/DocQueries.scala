@@ -228,8 +228,60 @@ object DocQueries {
     None
   )
 
+  /** As-of join: each event matched to its user's latest prior order —
+    * ONE shuffle (union + window), not an inequality-join explosion.
+    * Orders pre-deduped per (custkey, orderdate) so the match is unique
+    * and the DuckDB ASOF JOIN oracle is deterministic. */
+  val qAsofJoin = GraftQuery(
+    "q_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"),
+          expr("max_by(o_totalprice, o_orderkey)").as("o_totalprice"))
+      val e = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+      graft.operators.TemporalJoins.asOfJoin(
+          e, o, "user_id", "ts", "o_custkey", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"))
+        .select($"event_id", $"user_id",
+          $"_matched.o_orderkey".as("matched_orderkey"),
+          $"_matched.o_totalprice".as("matched_totalprice"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+              ARG_MAX(o_totalprice, o_orderkey) AS o_totalprice
+            FROM orders GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, o.o_orderkey AS matched_orderkey,
+             o.o_totalprice AS matched_totalprice
+      FROM events e ASOF JOIN o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      ORDER BY event_id""")
+  )
+
+  /** Range join: event pairs of the same user within a forward 60 s
+    * window, time-bucketized (candidates bounded by bucket occupancy).
+    * Integer µs comparisons in both engines. */
+  val qRangeJoin = GraftQuery(
+    "q_range_join",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.TemporalJoins.rangeJoinForward(
+          Tables.events(s, dir), "user_id", "ts", "event_id", windowSeconds = 60)
+        .groupBy($"key").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"key")
+    },
+    Some("""SELECT e1.user_id AS key, COUNT(*) AS n_pairs
+      FROM events e1 JOIN events e2
+        ON e1.user_id = e2.user_id
+       AND epoch_us(e2.ts) > epoch_us(e1.ts)
+       AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 60000000
+       AND e1.event_id <> e2.event_id
+      GROUP BY 1 ORDER BY key""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qEmbedTopK,
     qMinhashPairs, qSimhashPairs, qAnnTopK, qEmbedDupPairs, qIvfTopK,
-    qApproxDistinct)
+    qApproxDistinct, qAsofJoin, qRangeJoin)
 }
