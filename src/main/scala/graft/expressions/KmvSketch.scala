@@ -1,0 +1,118 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** KMV (k-minimum-values) distinct-count sketch as a
+  * TypedImperativeAggregate — the custom-sketch extension point
+  * (SURVEY.md §2.10): fixed-size state (k longs), commutative merge, so
+  * it runs as partial + final aggregation with map-side combine like any
+  * built-in.
+  *
+  * Estimator: with the k smallest normalized hashes of the distinct
+  * values, E[distinct] ≈ (k-1) / max_k where max_k is the k-th minimum
+  * hash mapped to (0,1). Standard error ≈ 1/sqrt(k-2).
+  *
+  * vs approx_count_distinct (HLL++): KMV supports set-intersection
+  * estimates (Jaccard of two sketches = overlap of their k-min sets),
+  * which HLL cannot — the reason a training-data pipeline keeps one.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_distinct"
+
+  private lazy val hasher = XxHash64(Seq(child), 42L)
+
+  override def createAggregationBuffer(): java.util.TreeSet[Long] =
+    new java.util.TreeSet[Long]()
+
+  override def update(
+      buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = hasher.eval(input).asInstanceOf[Long]
+      add(buf, h)
+    }
+    buf
+  }
+
+  private def add(buf: java.util.TreeSet[Long], h: Long): Unit = {
+    // keep the k smallest (unsigned order via flip of the sign bit)
+    val key = h ^ Long.MinValue
+    if (buf.size < k) buf.add(key)
+    else if (key < buf.last()) {
+      if (buf.add(key)) buf.pollLast()
+    }
+  }
+
+  override def merge(
+      a: java.util.TreeSet[Long], b: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
+    val it = b.iterator()
+    while (it.hasNext) {
+      val key = it.next()
+      if (a.size < k) a.add(key)
+      else if (key < a.last()) { if (a.add(key)) a.pollLast() }
+    }
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[Long]): Any = estimate(buf)
+
+  private def estimate(buf: java.util.TreeSet[Long]): Long = {
+    val n = buf.size
+    if (n < k) n.toLong // exact below k
+    else {
+      // stored keys are already in unsigned order: position in [0, 2^64)
+      // is key - Long.MinValue
+      val kth = buf.last().toDouble - Long.MinValue.toDouble
+      val frac = kth / math.pow(2.0, 64)
+      math.round((k - 1) / frac)
+    }
+  }
+
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = new java.util.TreeSet[Long]()
+    var i = 0
+    while (i < n) { s.add(bb.getLong); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketch =
+    copy(child = newChildren.head)
+}
+
+object KmvSketch {
+  import org.apache.spark.sql.Column
+
+  /** Column API: kmv_distinct(col, k). */
+  def kmvDistinct(c: Column, k: Int = 256): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      KmvSketch(org.apache.spark.sql.graftshim.ColumnShim.expression(c), k)
+        .toAggregateExpression())
+}

@@ -1,0 +1,42 @@
+package graft.expressions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** KMV sketch accuracy + exactness below k + distributed merge. */
+class KmvSketchSpec extends SparkSpec {
+
+  test("exact below k") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => i % 37).toDF("v")
+    val got = df.agg(KmvSketch.kmvDistinct(col("v"), 256).as("d"))
+      .collect()(0).getLong(0)
+    assert(got === 37L)
+  }
+
+  test("estimates within ~3 standard errors above k") {
+    import spark.implicits._
+    val n = 50000
+    val df = (1 to n).toDF("v").repartition(8) // force partial + merge paths
+    val k = 256
+    val got = df.agg(KmvSketch.kmvDistinct(col("v"), k).as("d"))
+      .collect()(0).getLong(0)
+    val se = 1.0 / math.sqrt(k - 2)
+    assert(math.abs(got - n).toDouble / n < 3 * se,
+      s"estimate $got for $n (rel err ${math.abs(got - n).toDouble / n})")
+  }
+
+  test("group-wise sketches on the star schema vs exact") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(KmvSketch.kmvDistinct(col("l_orderkey"), 512).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, ex) =>
+      val rel = math.abs(approx(g) - ex).toDouble / ex
+      assert(rel < 0.15, s"group $g: $rel ($ex vs ${approx(g)})")
+    }
+  }
+}
