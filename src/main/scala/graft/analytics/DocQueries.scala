@@ -280,8 +280,48 @@ object DocQueries {
       GROUP BY 1 ORDER BY key""")
   )
 
+  /** KMV sketch (custom TypedImperativeAggregate) group-wise distinct —
+    * rows-only (sketch internals engine-specific; accuracy pinned in
+    * KmvSketchSpec). */
+  val qKmvDistinct = GraftQuery(
+    "q_kmv_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(graft.expressions.KmvSketch.kmvDistinct($"l_orderkey", 512).as("approx_orders"))
+        .orderBy($"l_returnflag")
+    },
+    None
+  )
+
+  /** Composite document quality score (deterministic double math —
+    * SQL-expressible; the formula is mirrored in the oracle). */
+  val qQualityScore = GraftQuery(
+    "q_quality_score",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT doc_id,
+        CAST(LENGTH(text) AS DOUBLE) AS len,
+        CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM t)
+      SELECT doc_id,
+        ROUND(LEAST(len / 50.0, 1.0) * (CASE WHEN len > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+              + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+              + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) AS quality
+      FROM m ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qEmbedTopK,
     qMinhashPairs, qSimhashPairs, qAnnTopK, qEmbedDupPairs, qIvfTopK,
-    qApproxDistinct, qAsofJoin, qRangeJoin)
+    qApproxDistinct, qAsofJoin, qRangeJoin, qKmvDistinct, qQualityScore)
 }
