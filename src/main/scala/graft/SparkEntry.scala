@@ -14,9 +14,11 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     analytics.StarQueries.all ++ analytics.DocQueries.all ++ analytics.FuncQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Top-10 customers by revenue: scan → broadcast dim joins → grouped
+    * decimal aggregate → window rank → top-k, one plan. */
   def entry(spark: SparkSession): DataFrame =
-    analytics.StarQueries.q1PricingSummary.run(spark, "/root/testdata/sf0.001")
+    analytics.StarQueries.qTopCustomers.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -554,7 +554,43 @@ object StarQueries {
     None
   )
 
+  /** Flagship composite: scan → broadcast dim joins → grouped decimal
+    * aggregate → window rank → top-10 (the TPC-H Q10 shape; exercises the
+    * whole relational stack in one plan). */
+  val qTopCustomers = GraftQuery(
+    "q_top_customers",
+    (s, dir) => {
+      import s.implicits._
+      val revenue = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(
+          countDistinct($"o_orderkey").as("n_orders"),
+          sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("revenue"))
+      revenue
+        .withColumn("rk", row_number().over(Window.orderBy($"revenue".desc, $"c_custkey")))
+        .filter($"rk" <= 10)
+        .select($"rk", $"c_custkey", $"c_name", $"n_name", $"n_orders", $"revenue")
+        .orderBy($"rk")
+    },
+    Some("""WITH rev AS (SELECT c_custkey, c_name, n_name,
+        COUNT(DISTINCT o_orderkey) AS n_orders,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk FROM rev)
+      SELECT rk, c_custkey, c_name, n_name, n_orders, revenue
+      FROM ranked WHERE rk <= 10 ORDER BY rk""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qTopCustomers,
     q1PricingSummary, qSummaryKpis, qGroupMean, qValueCounts, qTopnOthers,
     qQuantiles, qHistogram, qCorr, qWinsorize, qDedupFirst, qDistinctValues,
     qFilterCi, qTopk, qCumsum, qPriorityOrder, qJoinSegmentRevenue,
