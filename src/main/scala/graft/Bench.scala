@@ -27,22 +27,32 @@ object Bench {
     // widest expression trees); run 2 is the steady-state per-batch cost —
     // the number that scales with data volume.
     val results = SparkEntry.registry.map { q =>
+      // a failed query reports -1.0 — a visible sentinel in the JSON, not
+      // a plausible-looking near-zero timing
       def once(): Double = {
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
+        try {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            -1.0
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      (q.name, once(), once())
+      val r = (q.name, once(), once())
+      spark.catalog.clearCache() // operators cache sketches; don't accumulate
+      r
     }
+    // locale-independent formatting: a comma-decimal default locale would
+    // otherwise emit invalid JSON
+    def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def fmt(f: ((String, Double, Double)) => Double) =
-      results.map(r => "\"" + r._1 + f"""":${f(r)}%.3f""").mkString("{", ",", "}")
+      results.map(r => "\"" + r._1 + "\":" + num(f(r))).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val steady = results.map(_._3).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(_._2)},"value_steady":$steady%.3f,"queries_steady":${fmt(_._3)},"sf":"$sfDir"}""")
+    val nFailed = results.count(r => r._2 < 0 || r._3 < 0)
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(_._2)},"value_steady":${num(steady)},"queries_steady":${fmt(_._3)},"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,8 +32,10 @@ object AnalyticsMain {
 
     val outputs: Seq[(String, DataFrame)] = Seq(
       "summary" -> ListingQueries.summaryKpis(df),
-      "filters_states" -> ListingQueries.filterValues(df, "state"),
-      "filters_keywords" -> ListingQueries.filterValues(df, "search_keyword"),
+      // filter dropdowns come from the FULL dataset, like the reference
+      // endpoint (views.py:117-134 reloads the unfiltered CSV)
+      "filters_states" -> ListingQueries.filterValues(base, "state"),
+      "filters_keywords" -> ListingQueries.filterValues(base, "search_keyword"),
       "top_cities" -> ListingQueries.valueCountsTopN(df, "city", 12),
       "top_states" -> ListingQueries.valueCountsTopN(df, "state", 12),
       "price_buckets" -> ListingQueries.priceBuckets(df),

@@ -54,8 +54,15 @@ object DocQueries {
       val scored = TextAnalysis.langScores($"text").foldLeft(Tables.documents(s, dir)) {
         case (d, (l, c)) => d.withColumn(s"s_$l", round(c, 6))
       }
+      // argmax over the SAME rounded columns the oracle sees (computing it
+      // from unrounded scores could disagree on sub-1e-6 ties)
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val best = langs.map(l => col(s"s_$l")).reduce(greatest(_, _))
+      val predicted = langs.foldLeft(when(best === 0.0, "und")) { (acc, l) =>
+        acc.when(col(s"s_$l") === best, l)
+      }.otherwise("und")
       scored
-        .withColumn("predicted", TextAnalysis.langId($"text"))
+        .withColumn("predicted", predicted)
         .select($"doc_id", $"s_de", $"s_en", $"s_es", $"s_fr", $"s_zh", $"predicted")
         .orderBy($"doc_id")
     },

@@ -85,7 +85,12 @@ object CleanPipeline {
       else typed1
 
     // winsorize (etl.py:210-222,303-306): two-pass — exact IQR bounds on the
-    // non-null prices (one agg job), then clip; guard `count >= 10`
+    // non-null prices (one agg job), then clip; guard `count >= 10`.
+    // typed2 is cached HERE: the bounds collect below is its first
+    // materialization, and the featured/issues/main chains all reuse it —
+    // without the cache the whole parse+clean chain would re-execute per
+    // consumer.
+    typed2.cache()
     val st = typed2.agg(
       count(col("price_numeric")).as("n"),
       expr("percentile(price_numeric, 0.25D)").as("q1"),
@@ -104,7 +109,8 @@ object CleanPipeline {
       .withColumn("supplier_region",
         if (typed2.columns.contains("state")) Cleaning.supplierRegionFromState(col("state"))
         else lit("Unknown"))
-      .cache() // shared by issues + main chain
+    // issues + main chain both derive from featured as cheap projections
+    // over the cached typed2 — no second cache needed
 
     // -- validate_and_collect_issues (etl.py:315-346): the reference's
     //    O(n) Python iterrows loop as ONE vectorized array/filter/explode

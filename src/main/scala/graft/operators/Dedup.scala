@@ -53,6 +53,8 @@ object Dedup {
     * bands of rowsPerBand rows), bucket-join docs sharing any band hash.
     * Returns (id_a, id_b) with id_a < id_b, distinct. */
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0,
+      s"bands=$bands rowsPerBand=$rowsPerBand must be positive")
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
@@ -67,9 +69,12 @@ object Dedup {
   /** Compatibility wrapper: signatures + banded candidates. */
   def minhashLshCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes (trailing slots would be silently ignored)")
     lshCandidates(minhashSignatures(df, idCol, textCol, k, numHashes), bands,
       numHashes / bands)
+  }
 
   /** MinHash-estimated Jaccard for candidate pairs (fraction of agreeing
     * signature positions), filtered at `threshold`. The signature DF is
@@ -80,6 +85,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.6): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes (trailing slots would be silently ignored)")
     val sig = minhashSignatures(df, idCol, textCol, k, numHashes).cache()
     val cand = lshCandidates(sig, bands, numHashes / bands)
     cand

@@ -30,11 +30,11 @@ object TemporalJoins {
       payloadCols: Seq[String]): DataFrame = {
     val pay = struct(payloadCols.map(col): _*)
     val r = right.select(col(rightKey).as("_k"), col(rightTs).cast("timestamp").as("_t"),
-      pay.as("_pay"), lit(0).as("_tag"), lit(null).cast("long").as("_rowid"))
+      pay.as("_pay"), lit(0).as("_tag"))
     val leftCols = left.columns.toSeq
     val l = left.select((Seq(col(leftKey).as("_k"), col(leftTs).cast("timestamp").as("_t"),
-      lit(null).cast(r.schema("_pay").dataType).as("_pay"), lit(1).as("_tag"),
-      monotonically_increasing_id().as("_rowid")) ++ leftCols.map(col)): _*)
+      lit(null).cast(r.schema("_pay").dataType).as("_pay"), lit(1).as("_tag")) ++
+      leftCols.map(col)): _*)
     val unioned = r.select((r.columns.map(col) ++
       leftCols.map(c => lit(null).cast(l.schema(c).dataType).as(c))).toSeq: _*)
       .unionByName(l)

@@ -10,8 +10,10 @@ import org.apache.spark.sql.types._
   * The stats for ALL columns are computed in ONE distributed aggregate job
   * (count/countDistinct per column in a single `agg`), not a per-column
   * loop — the reference's O(columns) pandas passes collapse into one scan.
-  * Samples (bounded, 3 values) are a second cheap job per column over a
-  * `limit(3)` — at 100 TB these short-circuit after the first file split.
+  * Samples (3 values per column) are one TakeOrdered job per column when an
+  * order column is given (full scan per column, no sort materialization) —
+  * fine for report-sized use; at 100 TB drop the ordering (arbitrary
+  * `limit(3)` short-circuits on the first file split) or sample upstream.
   */
 object Profiler {
 

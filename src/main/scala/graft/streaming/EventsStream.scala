@@ -68,7 +68,12 @@ object EventsStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    val finished = q.awaitTermination(300000)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query $name did not finish within 300s — result would be partial")
+    }
     spark.table(name)
   }
 }
