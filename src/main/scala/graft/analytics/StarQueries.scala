@@ -589,8 +589,31 @@ object StarQueries {
       FROM ranked WHERE rk <= 10 ORDER BY rk""")
   )
 
+  /** Semi/anti join family (EXISTS / NOT EXISTS): customers with and
+    * without orders — left_semi/left_anti never materialize the right
+    * side's columns, so at 100 TB only the key set flows. */
+  val qSemiAnti = GraftQuery(
+    "q_semi_anti",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select($"o_custkey")
+      val withOrders = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .agg(count(lit(1)).as("n")).select(lit("with_orders").as("segment"), $"n")
+      val withoutOrders = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("without_orders").as("segment"), $"n")
+      withOrders.unionAll(withoutOrders).orderBy($"segment")
+    },
+    Some("""SELECT 'with_orders' AS segment, COUNT(*) AS n FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT 'without_orders', COUNT(*) FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY segment""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qTopCustomers,
+    qTopCustomers, qSemiAnti,
     q1PricingSummary, qSummaryKpis, qGroupMean, qValueCounts, qTopnOthers,
     qQuantiles, qHistogram, qCorr, qWinsorize, qDedupFirst, qDistinctValues,
     qFilterCi, qTopk, qCumsum, qPriorityOrder, qJoinSegmentRevenue,
