@@ -612,8 +612,81 @@ object StarQueries {
       ORDER BY segment""")
   )
 
+  /** Hierarchical rollup (region → nation subtotals + grand total) —
+    * grouping-sets family beyond the reference's flat group-bys. */
+  val qRollup = GraftQuery(
+    "q_rollup",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_orders"), sumDec($"o_totalprice").as("revenue"))
+        .select(coalesce($"r_name", lit("ALL")).as("region"),
+          coalesce($"n_name", lit("ALL")).as("nation"), $"n_orders", $"revenue")
+        .orderBy($"region", $"nation")
+    },
+    Some("""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region, nation""")
+  )
+
+  /** Pivot as portable conditional aggregation: order counts by
+    * status × priority (one row per priority, one column per status). */
+  val qPivotStatus = GraftQuery(
+    "q_pivot_status",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(when($"o_orderstatus" === "O", 1).otherwise(0)).cast(LongType).as("n_open"),
+          sum(when($"o_orderstatus" === "F", 1).otherwise(0)).cast(LongType).as("n_filled"),
+          sum(when($"o_orderstatus" === "P", 1).otherwise(0)).cast(LongType).as("n_pending"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** Set operations: users who purchased INTERSECT/EXCEPT users who
+    * errored (distinct-set semantics, one shuffle each). */
+  val qSetOps = GraftQuery(
+    "q_set_ops",
+    (s, dir) => {
+      import s.implicits._
+      def users(t: String) = Tables.events(s, dir)
+        .filter($"event_type" === t).select($"user_id").distinct()
+      val both = users("purchase").intersect(users("error"))
+        .agg(count(lit(1)).as("n")).select(lit("purchase_and_error").as("segment"), $"n")
+      val only = users("purchase").except(users("error"))
+        .agg(count(lit(1)).as("n")).select(lit("purchase_no_error").as("segment"), $"n")
+      both.unionAll(only).orderBy($"segment")
+    },
+    Some("""SELECT 'purchase_and_error' AS segment, COUNT(*) AS n FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error') t
+      UNION ALL
+      SELECT 'purchase_no_error', COUNT(*) FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error') t
+      ORDER BY segment""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qTopCustomers, qSemiAnti,
+    qTopCustomers, qSemiAnti, qRollup, qPivotStatus, qSetOps,
     q1PricingSummary, qSummaryKpis, qGroupMean, qValueCounts, qTopnOthers,
     qQuantiles, qHistogram, qCorr, qWinsorize, qDedupFirst, qDistinctValues,
     qFilterCi, qTopk, qCumsum, qPriorityOrder, qJoinSegmentRevenue,
