@@ -109,10 +109,72 @@ case class KmvSketch(
 
 object KmvSketch {
   import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
 
   /** Column API: kmv_distinct(col, k). */
   def kmvDistinct(c: Column, k: Int = 256): Column =
     org.apache.spark.sql.graftshim.ColumnShim.column(
       KmvSketch(org.apache.spark.sql.graftshim.ColumnShim.expression(c), k)
         .toAggregateExpression())
+
+  /** The k-min SET itself (sorted array<long>) — the mergeable sketch
+    * value, enabling set-overlap estimates HLL cannot do. */
+  def kmvSet(c: Column, k: Int = 256): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      KmvSetSketch(org.apache.spark.sql.graftshim.ColumnShim.expression(c), k)
+        .toAggregateExpression())
+
+  /** Jaccard estimate between two KMV sets (both built with the same k):
+    * take the k smallest of the union, measure the overlap fraction —
+    * plain array expressions over the sketch columns, no re-scan of the
+    * underlying data. */
+  def kmvJaccard(a: Column, b: Column, k: Int = 256): Column = {
+    val union = slice(array_sort(array_union(a, b)), 1, k)
+    val inBoth = size(filter(union, x => array_contains(a, x) && array_contains(b, x)))
+    inBoth.cast("double") / greatest(size(union), lit(1))
+  }
+}
+
+/** KMV variant evaluating to the sorted k-min hash set (array<long>)
+  * instead of the distinct estimate — the composable form. */
+case class KmvSetSketch(
+    child: Expression,
+    k: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
+
+  private val inner = KmvSketch(child, k)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_set"
+
+  override def createAggregationBuffer(): java.util.TreeSet[Long] =
+    inner.createAggregationBuffer()
+  override def update(b: java.util.TreeSet[Long], in: InternalRow): java.util.TreeSet[Long] =
+    inner.update(b, in)
+  override def merge(a: java.util.TreeSet[Long], b: java.util.TreeSet[Long]): java.util.TreeSet[Long] =
+    inner.merge(a, b)
+  override def serialize(b: java.util.TreeSet[Long]): Array[Byte] = inner.serialize(b)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] =
+    inner.deserialize(bytes)
+
+  override def eval(buf: java.util.TreeSet[Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvSetSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvSetSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSetSketch =
+    copy(child = newChildren.head)
 }

@@ -26,6 +26,19 @@ class KmvSketchSpec extends SparkSpec {
       s"estimate $got for $n (rel err ${math.abs(got - n).toDouble / n})")
   }
 
+  test("kmvJaccard estimates pairwise set overlap from sketches alone") {
+    import spark.implicits._
+    // two overlapping id sets: |A|=8000, |B|=8000, |A∩B|=4000 → J = 1/3
+    val a = (1 to 8000).map(i => ("a", i.toLong))
+    val b = (4001 to 12000).map(i => ("b", i.toLong))
+    val df = (a ++ b).toDF("src", "v")
+    val sk = df.groupBy($"src").agg(KmvSketch.kmvSet($"v", 256).as("sk"))
+    val j = sk.as("x").join(sk.as("y"), col("x.src") < col("y.src"))
+      .select(KmvSketch.kmvJaccard(col("x.sk"), col("y.sk"), 256).as("j"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(j - 1.0 / 3.0) < 0.12, s"jaccard estimate $j vs 0.333")
+  }
+
   test("group-wise sketches on the star schema vs exact") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val approx = li.groupBy(col("l_returnflag"))
