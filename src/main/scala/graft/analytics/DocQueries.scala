@@ -327,8 +327,30 @@ object DocQueries {
       FROM m ORDER BY doc_id""")
   )
 
+  /** Pairwise source-corpus vocabulary similarity estimated from KMV
+    * sketches alone: one scan builds a token sketch per source, the pair
+    * stage touches only k-long arrays — never re-reading the corpus.
+    * Rows-only (hash-seeded sketch; accuracy pinned in KmvSketchSpec). */
+  val qSourceSimilarity = GraftQuery(
+    "q_source_similarity",
+    (s, dir) => {
+      import s.implicits._
+      import graft.expressions.KmvSketch
+      val sk = Tables.documents(s, dir)
+        .select($"source", explode(TextAnalysis.tokens($"text")).as("token"))
+        .groupBy($"source").agg(KmvSketch.kmvSet($"token", 256).as("sk"))
+      sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          round(KmvSketch.kmvJaccard(col("a.sk"), col("b.sk"), 256), 6)
+            .as("est_vocab_jaccard"))
+        .orderBy($"source_a", $"source_b")
+    },
+    None
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qEmbedTopK,
     qMinhashPairs, qSimhashPairs, qAnnTopK, qEmbedDupPairs, qIvfTopK,
-    qApproxDistinct, qAsofJoin, qRangeJoin, qKmvDistinct, qQualityScore)
+    qApproxDistinct, qAsofJoin, qRangeJoin, qKmvDistinct, qQualityScore,
+    qSourceSimilarity)
 }
