@@ -40,9 +40,17 @@ object Bench {
             -1.0
         }
       }
-      val r = (q.name, once(), once())
-      spark.catalog.clearCache() // operators cache sketches; don't accumulate
-      r
+      // caches are dropped BETWEEN the runs too: run 2 then measures pure
+      // codegen amortization (recompute cost), not a hit on the sketch
+      // DataFrames run 1 materialized (cache lookup is by logical plan, so
+      // minhash/simhash/ivf would otherwise silently reuse them)
+      def clear(): Unit = {
+        operators.Caches.unpersistAll()
+        spark.catalog.clearCache()
+      }
+      val c = once(); clear()
+      val st = once(); clear()
+      (q.name, c, st)
     }
     // locale-independent formatting: a comma-decimal default locale would
     // otherwise emit invalid JSON

@@ -21,6 +21,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      operators.Caches.unpersistAll()
       spark.catalog.clearCache() // operators cache sketches per query
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

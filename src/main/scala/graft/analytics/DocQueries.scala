@@ -211,8 +211,8 @@ object DocQueries {
     "q_ivf_topk",
     (s, dir) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("embedding", $"embedding".cast("array<double>")).cache()
+      val emb = graft.operators.Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
       val q = emb.orderBy($"vec_id").limit(1)
         .select($"embedding").collect()(0).getSeq[Double](0)
       val model = graft.operators.IvfIndex.fit(emb, "embedding", k = 8)

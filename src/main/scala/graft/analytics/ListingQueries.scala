@@ -78,9 +78,12 @@ object ListingQueries {
     val clipped = priced.crossJoin(broadcast(p99)).filter(col("price_numeric") <= col("p99"))
     val bounds = clipped.agg(
       min(col("price_numeric")).as("mn"), max(col("price_numeric")).as("mx"))
+    // mx == mn (all prices equal) would make the bucket width 0 and the
+    // division null/NaN — greatest(width, tiny) degrades to one bucket 0
+    val width = greatest((col("mx") - col("mn")) / bins, lit(1e-12))
     clipped.crossJoin(broadcast(bounds))
       .withColumn("bucket",
-        least(floor((col("price_numeric") - col("mn")) / ((col("mx") - col("mn")) / bins)),
+        least(floor((col("price_numeric") - col("mn")) / width),
           lit(bins - 1L)).cast(LongType))
       .groupBy(col("bucket"), col("mn"), col("mx")).agg(count(lit(1)).as("count"))
       .withColumn("lo", col("mn") + col("bucket") * (col("mx") - col("mn")) / bins)
@@ -205,9 +208,13 @@ object ListingQueries {
     import spark.implicits._
     rows.map { case (c, dt) =>
       val nonNull = stat.getAs[Long](c)
-      (c, dt, n - nonNull,
-        BigDecimal((n - nonNull).toDouble / n * 100)
-          .setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+      // n == 0 guard: an empty input (plausible after dashboard filters)
+      // must report 0.0, not 0/0 = NaN (same contract as Profiler.profile)
+      val pct =
+        if (n == 0L) 0.0
+        else BigDecimal((n - nonNull).toDouble / n * 100)
+          .setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      (c, dt, n - nonNull, pct)
     }.toDF("column", "dtype", "missing_count", "missing_pct")
       .orderBy(col("missing_pct").desc, col("column"))
   }

@@ -171,15 +171,18 @@ object StarQueries {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
       val bounds = li.agg(min($"l_extendedprice").as("mn"), max($"l_extendedprice").as("mx"))
+      // greatest(width, tiny) guards mx == mn (degenerate single-bucket
+      // input) — mirrored EXACTLY in the oracle SQL so hashes still match
       li.crossJoin(broadcast(bounds))
         .withColumn("bucket",
-          least(floor(($"l_extendedprice" - $"mn") / (($"mx" - $"mn") / 12)), lit(11L))
+          least(floor(($"l_extendedprice" - $"mn") /
+            greatest(($"mx" - $"mn") / 12, lit(1e-12))), lit(11L))
             .cast(LongType))
         .groupBy($"bucket").agg(count(lit(1)).as("n"))
         .orderBy($"bucket")
     },
     Some("""WITH b AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem)
-      SELECT CAST(LEAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 12)), 11) AS BIGINT) AS bucket,
+      SELECT CAST(LEAST(FLOOR((l_extendedprice - mn) / GREATEST((mx - mn) / 12, 1e-12)), 11) AS BIGINT) AS bucket,
              COUNT(*) AS n
       FROM lineitem, b GROUP BY 1 ORDER BY bucket""")
   )

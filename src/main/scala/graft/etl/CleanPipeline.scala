@@ -18,9 +18,17 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
   *
   * Row order: "keep first" dedup (etl.py:358-368) and issue row_index
   * (etl.py:321) are defined by input file order. File order is carried
-  * explicitly as `_row_index` (monotonically_increasing_id over the
-  * offset-ordered file splits) — an arbitrary-order dropDuplicates would
-  * be nondeterministic in a distributed engine.
+  * explicitly as `_row_index` (monotonically_increasing_id) — an
+  * arbitrary-order dropDuplicates would be nondeterministic in a
+  * distributed engine.
+  *
+  * PRECONDITION for ingest-order fidelity: `_row_index` follows file order
+  * only when the input is a SINGLE unsplittable split — Spark packs file
+  * splits into partitions sorted by size descending, so multi-file or
+  * splittable inputs would reorder. The raw CSV reader satisfies this
+  * (multiLine=true forces one split per file) with one input file; for
+  * multi-file inputs derive order from an explicit source column instead
+  * (e.g. input_file_name() + a per-file sequence).
   */
 object CleanPipeline {
 

@@ -87,7 +87,7 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes (trailing slots would be silently ignored)")
-    val sig = minhashSignatures(df, idCol, textCol, k, numHashes).cache()
+    val sig = Caches.register(minhashSignatures(df, idCol, textCol, k, numHashes))
     val cand = lshCandidates(sig, bands, numHashes / bands)
     cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -110,8 +110,8 @@ object Dedup {
       k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     // cache: the exploded shingle set feeds the self-join (twice) and the
     // per-doc sizes — and shingle 64-bit hashes shuffle instead of strings
-    val sh = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.shingleHashes(col(textCol), k)).as("shingle")).cache()
+    val sh = Caches.register(df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingleHashes(col(textCol), k)).as("shingle")))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -161,7 +161,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     // cache: the sketch feeds both sides of the self-join (8 longs/doc)
-    val sk = df.select(col(idCol).as("id"), simhashChunks(col(textCol)).as("sk")).cache()
+    val sk = Caches.register(
+      df.select(col(idCol).as("id"), simhashChunks(col(textCol)).as("sk")))
     val chunks = sk.select(col("id"), col("sk"),
       posexplode(col("sk")))
       .toDF("id", "sk", "band", "chunk")

@@ -94,8 +94,8 @@ object Similarity {
     val planes = hyperplanes(dim, nPlanes, seed)
     // cached: bucket assignment feeds both sides of the self-join; the
     // fused native cosine computes dot + both norms in one pass per pair
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshBucket(col(vecCol), planes).as("bucket")).cache()
+    val b = Caches.register(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshBucket(col(vecCol), planes).as("bucket")))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -22,17 +22,24 @@ object TemporalJoins {
     * right rows sort before left rows at equal timestamps so `<=` holds.
     * ONE shuffle on the key; state per row is one payload struct. Right
     * side must be unique per (key, rightTs) for deterministic output —
-    * pre-aggregate if needed. */
+    * pre-aggregate if needed.
+    *
+    * NULL keys never match (standard equality-join / ASOF semantics):
+    * both inputs are filtered to non-null keys up front — without the
+    * filter, SQL null-grouping would co-partition NULL-key left rows with
+    * NULL-key right rows and fabricate matches. */
   def asOfJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTs: String,
       rightKey: String, rightTs: String,
       payloadCols: Seq[String]): DataFrame = {
     val pay = struct(payloadCols.map(col): _*)
-    val r = right.select(col(rightKey).as("_k"), col(rightTs).cast("timestamp").as("_t"),
-      pay.as("_pay"), lit(0).as("_tag"))
+    val r = right.filter(col(rightKey).isNotNull)
+      .select(col(rightKey).as("_k"), col(rightTs).cast("timestamp").as("_t"),
+        pay.as("_pay"), lit(0).as("_tag"))
     val leftCols = left.columns.toSeq
-    val l = left.select((Seq(col(leftKey).as("_k"), col(leftTs).cast("timestamp").as("_t"),
+    val l = left.filter(col(leftKey).isNotNull)
+      .select((Seq(col(leftKey).as("_k"), col(leftTs).cast("timestamp").as("_t"),
       lit(null).cast(r.schema("_pay").dataType).as("_pay"), lit(1).as("_tag")) ++
       leftCols.map(col)): _*)
     val unioned = r.select((r.columns.map(col) ++

@@ -33,6 +33,23 @@ class TemporalJoinsSpec extends SparkSpec {
     brute.foreach { case (id, ok) => assert(fast(id) === ok, s"event $id") }
   }
 
+  test("asOfJoin never matches NULL keys on either side") {
+    import spark.implicits._
+    // left has a null-key row; right has a null-key row that would sort
+    // before everything — equality semantics must drop both, never pair them
+    val left = Seq((1L, Some("u1"), "2024-01-01 10:00:00"),
+        (2L, None: Option[String], "2024-01-01 11:00:00"))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((Some("u1"), "2024-01-01 09:00:00", 100.0),
+        (None: Option[String], "2024-01-01 00:00:00", -1.0))
+      .toDF("custkey", "orderdate", "totalprice")
+    val out = TemporalJoins.asOfJoin(left, right, "user_id", "ts",
+        "custkey", "orderdate", Seq("totalprice"))
+      .select($"event_id", $"_matched.totalprice".as("tp")).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L && out(0).getDouble(1) === 100.0)
+  }
+
   test("rangeJoinForward equals the brute-force interval join") {
     import spark.implicits._
     val e = Tables.events(spark, Dir).cache()
