@@ -26,7 +26,11 @@ object Bench {
     // codegen compilation (a fixed per-plan Janino cost, ~seconds for the
     // widest expression trees); run 2 is the steady-state per-batch cost —
     // the number that scales with data volume.
-    val results = SparkEntry.registry.map { q =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.registry)(names =>
+      SparkEntry.registry.filter(q => names.contains(q.name)))
+    val results = selected.map { q =>
       // a failed query reports -1.0 — a visible sentinel in the JSON, not
       // a plausible-looking near-zero timing
       def once(): Double = {

@@ -140,15 +140,17 @@ object StarQueries {
   )
 
   /** A11 exact quantiles (etl.py:210-214 IQR, analysis.py:339 p99).
-    * Exact `percentile` (interpolating, same definition as DuckDB
-    * quantile_cont) for oracle parity; at 100 TB swap to
+    * graft's ExactQuantiles aggregate (interpolating, same definition as
+    * DuckDB quantile_cont / Spark `percentile`, primitive-array state —
+    * ~4x the built-in) for oracle parity; at 100 TB swap to
     * percentile_approx — single-pass sketch, no sort. */
   val qQuantiles = GraftQuery(
     "q_quantiles",
     (s, dir) => {
-      // ONE percentile aggregate for all four points (one sort, not four)
+      // ONE quantile aggregate for all four points (one sort, not four)
       Tables.lineitem(s, dir)
-        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))").as("qs"))
+        .agg(graft.expressions.ExactQuantiles.quantiles(
+          col("l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.99)).as("qs"))
         .select(
           round(element_at(col("qs"), 1), 6).as("q1"),
           round(element_at(col("qs"), 2), 6).as("q2"),
@@ -206,7 +208,8 @@ object StarQueries {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
       val q = li
-        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.75D))").as("qs"))
+        .agg(graft.expressions.ExactQuantiles.quantiles(
+          col("l_extendedprice"), Seq(0.25, 0.75)).as("qs"))
         .select(element_at(col("qs"), 1).as("q1"), element_at(col("qs"), 2).as("q3"))
       li.crossJoin(broadcast(q))
         .withColumn("v", least(
@@ -559,21 +562,31 @@ object StarQueries {
 
   /** Flagship composite: scan → broadcast dim joins → grouped decimal
     * aggregate → window rank → top-10 (the TPC-H Q10 shape; exercises the
-    * whole relational stack in one plan). */
+    * whole relational stack in one plan).
+    *
+    * Shape: lineitem is pre-aggregated to one revenue row PER ORDER before
+    * the fact-fact join — the join input shrinks ~4x (lines → orders), the
+    * map-side combine runs on clustered l_orderkey, and n_orders becomes a
+    * plain count instead of a countDistinct (no Expand, one agg phase).
+    * Decimal sums re-associate exactly, so results are bit-identical to
+    * the flat formulation the oracle SQL uses. */
   val qTopCustomers = GraftQuery(
     "q_top_customers",
     (s, dir) => {
       import s.implicits._
-      val revenue = Tables.lineitem(s, dir)
+      val perOrder = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
+          .as("order_rev"))
+      val revenue = perOrder
         .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
         .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
         .groupBy($"c_custkey", $"c_name", $"n_name")
         .agg(
-          countDistinct($"o_orderkey").as("n_orders"),
-          sum($"l_extendedprice".cast(DecimalType(18, 2)) *
-            (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
-            .cast(DoubleType).as("revenue"))
+          count(lit(1)).as("n_orders"),
+          sum($"order_rev").cast(DoubleType).as("revenue"))
       revenue
         .withColumn("rk", row_number().over(Window.orderBy($"revenue".desc, $"c_custkey")))
         .filter($"rk" <= 10)
