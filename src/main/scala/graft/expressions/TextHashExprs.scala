@@ -1,0 +1,205 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Imperative kernels for the text-sketch expressions below. Kept as a
+  * plain object so codegen can call the static forwarders — the generated
+  * Java is one method call, never a giant expression tree for Janino to
+  * chew on (the declarative HOF formulations of these spent 3-7 s of
+  * interpreted evaluation per 5k docs; these run the same math in one
+  * fused pass).
+  *
+  * Hash compatibility: every hash matches the Spark built-in `xxhash64`
+  * bit-for-bit (XXH64 with seed 42; shingles hash the exact bytes of the
+  * space-joined tokens), so results are interchangeable with the
+  * declarative formulations in [[graft.functions.TextAnalysis]].
+  */
+object TextHashKernels {
+
+  private val Seed = 42L
+
+  /** Distinct xxhash64 fingerprints of the k-shingles of `tokens`
+    * (space-joined, matching xxhash64(concat_ws(" ", slice(tokens,i,k)))).
+    * n < k degrades to ONE shingle = all tokens joined (matching
+    * TextAnalysis.shingles). Output sorted ascending (set semantics — no
+    * consumer is order-sensitive). */
+  def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) {
+      // join ALL tokens (possibly an empty string) into one shingle
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        parts(i) = if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8
+          else tokens.getUTF8String(i)
+        i += 1
+      }
+      val joined = UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+      return ArrayData.toArrayData(Array(hashString(joined)))
+    }
+    val hashes = new Array[Long](n - k + 1)
+    // reusable byte buffer for the space-joined shingle bytes
+    var buf = new Array[Byte](256)
+    var s = 0
+    while (s <= n - k) {
+      var len = 0
+      var j = 0
+      while (j < k) {
+        val t = if (tokens.isNullAt(s + j)) UTF8String.EMPTY_UTF8
+          else tokens.getUTF8String(s + j)
+        val tb = t.numBytes()
+        if (len + tb + 1 > buf.length) {
+          val next = new Array[Byte](math.max(buf.length * 2, len + tb + 1))
+          System.arraycopy(buf, 0, next, 0, len)
+          buf = next
+        }
+        if (j > 0) { buf(len) = ' '; len += 1 }
+        t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
+        len += tb
+        j += 1
+      }
+      hashes(s) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed)
+      s += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // in-place unique
+    var out = 0
+    var i = 1
+    while (i < hashes.length) {
+      if (hashes(i) != hashes(out)) { out += 1; hashes(out) = hashes(i) }
+      i += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(hashes, out + 1))
+  }
+
+  /** MinHash signature over shingle hashes: slot j = min over shingles of
+    * hashInt(j, hashLong(h, 42)) — bit-identical to the declarative
+    * array_min(transform(sh, h => xxhash64(h, lit(j)))). */
+  def minhashSignature(shingleHashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = shingleHashes.numElements()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = XXH64.hashLong(shingleHashes.getLong(i), Seed)
+      var j = 0
+      while (j < numHashes) {
+        val g = XXH64.hashInt(j, base)
+        if (g < sig(j)) sig(j) = g
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  /** 64-bit SimHash as four 16-bit chunks (same layout as the declarative
+    * Dedup.simhashChunks: vote bit i = bit i of hashString(token); chunk c
+    * folds votes[16c..16c+15] MSB-first). */
+  def simhashChunks(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hashString(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    val chunks = new Array[Long](4)
+    var c = 0
+    while (c < 4) {
+      var acc = 0L
+      var b = 0
+      while (b < 16) {
+        acc = acc * 2 + (if (votes(c * 16 + b) > 0) 1L else 0L)
+        b += 1
+      }
+      chunks(c) = acc
+      c += 1
+    }
+    ArrayData.toArrayData(chunks)
+  }
+
+  /** xxhash64 of a UTF8String, identical to the Spark built-in. */
+  def hashString(s: UTF8String): Long = XXH64.hashUTF8String(s, Seed)
+}
+
+/** Base for the one-ArrayData-in / ArrayData-out kernel expressions. */
+abstract class TextHashExpr extends UnaryExpression {
+  protected def elemType: DataType
+  /** Java call expression for codegen, e.g. s"...kernel($c)". */
+  protected def kernelCall(c: String): String
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == elemType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<${elemType.simpleString}>, got ${other.simpleString}")
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelCall(c)};")
+}
+
+/** Native shingle fingerprints: array<string> tokens → sorted distinct
+  * array<long> of xxhash64(k-shingle). */
+case class ShingleHashes64(child: Expression, k: Int) extends TextHashExpr {
+  require(k > 0, s"k=$k must be positive")
+  override protected def elemType: DataType = StringType
+  override def prettyName: String = "graft_shingle_hashes"
+  override def nullSafeEval(in: Any): Any =
+    TextHashKernels.shingleHashes(in.asInstanceOf[ArrayData], k)
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextHashKernels.shingleHashes($c, $k)"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes64 =
+    copy(child = newChild)
+}
+
+/** Native MinHash signature: array<long> shingle hashes → array<long>
+  * of numHashes minima. */
+case class MinHashSignature(child: Expression, numHashes: Int) extends TextHashExpr {
+  require(numHashes > 0, s"numHashes=$numHashes must be positive")
+  override protected def elemType: DataType = LongType
+  override def prettyName: String = "graft_minhash_sig"
+  override def nullSafeEval(in: Any): Any =
+    TextHashKernels.minhashSignature(in.asInstanceOf[ArrayData], numHashes)
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextHashKernels.minhashSignature($c, $numHashes)"
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Native SimHash: array<string> tokens → array<long> of 4 16-bit chunks. */
+case class SimHashChunks(child: Expression) extends TextHashExpr {
+  override protected def elemType: DataType = StringType
+  override def prettyName: String = "graft_simhash"
+  override def nullSafeEval(in: Any): Any =
+    TextHashKernels.simhashChunks(in.asInstanceOf[ArrayData])
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextHashKernels.simhashChunks($c)"
+  override protected def withNewChildInternal(newChild: Expression): SimHashChunks =
+    copy(child = newChild)
+}
+
+object TextHashExprs {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
+
+  def shingleHashes64(tokens: Column, k: Int): Column =
+    column(ShingleHashes64(expression(tokens), k))
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    column(MinHashSignature(expression(shingleHashes), numHashes))
+  def simhashChunks(tokens: Column): Column =
+    column(SimHashChunks(expression(tokens)))
+}

@@ -34,20 +34,21 @@ object Dedup {
   }
 
   /** MinHash signatures as a DataFrame (id, sig):
-    *  1. shingle hashes materialize ONCE per doc (xxhash64 of the string);
+    *  1. shingle hashes materialize ONCE per doc (native ShingleHashes64
+    *     kernel — xxhash64 of the space-joined shingle bytes);
     *  2. the `numHashes` functions derive from the base hash via cheap
-    *     long re-hashing (universal-hash style) — never re-tokenizing.
-    * Materializing in separate selects keeps CollapseProject from
-    * inlining the expensive shingle build into all N signature slots. */
+    *     long re-hashing (universal-hash style, native MinHashSignature
+    *     kernel) — never re-tokenizing.
+    * Both steps are fused imperative loops (graft.expressions
+    * .TextHashKernels), bit-identical to the declarative HOF formulation
+    * but without its per-element interpretation cost. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        TextAnalysis.shingleHashes(col(textCol), k).as("_sh"))
-      .select(col("id"),
-        array((0 until numHashes).map { seed =>
-          array_min(transform(col("_sh"), h => xxhash64(h, lit(seed))))
-        }: _*).as("sig"))
+        graft.expressions.TextHashExprs.minhashSignature(
+          graft.expressions.TextHashExprs.shingleHashes64(
+            TextAnalysis.tokens(col(textCol)), k), numHashes).as("sig"))
 
   /** LSH candidate pairs from a signature DF: band the signature (`bands`
     * bands of rowsPerBand rows), bucket-join docs sharing any band hash.
@@ -111,7 +112,8 @@ object Dedup {
     // cache: the exploded shingle set feeds the self-join (twice) and the
     // per-doc sizes — and shingle 64-bit hashes shuffle instead of strings
     val sh = Caches.register(df.select(col(idCol).as("id"),
-      explode(TextAnalysis.shingleHashes(col(textCol), k)).as("shingle")))
+      explode(graft.expressions.TextHashExprs.shingleHashes64(
+        TextAnalysis.tokens(col(textCol)), k)).as("shingle")))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -126,14 +128,21 @@ object Dedup {
         col("uni").cast(LongType))
   }
 
-  /** 64-bit SimHash sketch as FOUR 16-bit chunks (array<long>, each chunk
-    * < 2^16 so the fold never overflows under ANSI mode). Per token, bit i's
-    * ±1 vote comes from the sign bit of an i-seeded xxhash64 (64 independent
-    * hash functions — no dynamic bit shifts needed); sketch bit i is set
-    * when the vote sum is positive. All expression-level, map-only. */
-  def simhashChunks(textCol: Column): Column = {
-    // hash each token string ONCE; the 64 per-bit votes are that hash's
-    // own bits, extracted with STATIC shifts (no re-hashing at all)
+  /** 64-bit SimHash sketch as FOUR 16-bit chunks (array<long>). Per
+    * token, bit i's ±1 vote is bit i of the token's xxhash64 (64
+    * independent vote streams from one hash); sketch bit i is set when
+    * the vote sum is positive. Native fused kernel
+    * (graft.expressions.SimHashChunks) — one pass over the tokens, a
+    * 64-int vote array, no per-token allocation; the equivalent
+    * declarative aggregate/zip_with tree cost ~7 s interpreted per 5k
+    * docs. Map-only. */
+  def simhashChunks(textCol: Column): Column =
+    graft.expressions.TextHashExprs.simhashChunks(TextAnalysis.tokens(textCol))
+
+  /** The declarative HOF formulation of [[simhashChunks]], kept as the
+    * cross-check oracle for the native kernel (DedupSimilaritySpec
+    * asserts bit-identical output). */
+  def simhashChunksDeclarative(textCol: Column): Column = {
     val baseHashes = transform(TextAnalysis.tokens(textCol), t => xxhash64(t))
     val voteArr = aggregate(
       baseHashes,

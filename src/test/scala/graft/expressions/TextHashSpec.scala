@@ -1,0 +1,73 @@
+package graft.expressions
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The native text-hash kernels must be bit-identical to the declarative
+  * HOF formulations they replace (same xxhash64 bytes/seed). */
+class TextHashSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("ShingleHashes64 equals declarative shingleHashes as a set") {
+    val rows = docs.select(
+        sort_array(TextHashExprs.shingleHashes64(
+          TextAnalysis.tokens(col("text")), 3)).as("native"),
+        sort_array(array_distinct(
+          TextAnalysis.shingleHashes(col("text"), 3))).as("decl"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("ShingleHashes64 short-text fallback: n < k joins all tokens") {
+    import spark.implicits._
+    val df = Seq("one two", "", "single").toDF("text")
+    val rows = df.select(
+        TextHashExprs.shingleHashes64(TextAnalysis.tokens(col("text")), 3).as("native"),
+        array_distinct(TextAnalysis.shingleHashes(col("text"), 3)).as("decl"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).sorted === r.getSeq[Long](1).sorted)
+      assert(r.getSeq[Long](0).length === 1)
+    }
+  }
+
+  test("MinHashSignature equals the declarative per-seed array_min") {
+    val numHashes = 8
+    val base = docs.select(col("doc_id"),
+      TextHashExprs.shingleHashes64(TextAnalysis.tokens(col("text")), 3).as("sh"))
+    val rows = base.select(
+        TextHashExprs.minhashSignature(col("sh"), numHashes).as("native"),
+        array((0 until numHashes).map { seed =>
+          array_min(transform(col("sh"), h => xxhash64(h, lit(seed))))
+        }: _*).as("decl"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("SimHashChunks equals the declarative vote fold") {
+    val rows = docs.select(
+        Dedup.simhashChunks(col("text")).as("native"),
+        Dedup.simhashChunksDeclarative(col("text")).as("decl"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("kernels survive whole-stage codegen (larger-than-one-row batch)") {
+    // exercise the doGenCode path explicitly: a projection over many rows
+    // inside one stage, grouped after — would throw on bad generated Java
+    val n = docs.select(
+        TextHashExprs.shingleHashes64(TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .select(explode(col("sh")).as("h")).groupBy().count().collect()(0).getLong(0)
+    assert(n > 0)
+  }
+}
