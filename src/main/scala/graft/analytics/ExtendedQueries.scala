@@ -1,0 +1,166 @@
+package graft.analytics
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Round-2 surface widening: the window-function family, CUBE grouping
+  * sets, grouped exact quantiles, token counting with an oracle, skew-
+  * salted aggregation in the contract, and a REAL Structured Streaming
+  * query (AvailableNow) whose result is oracle-checked against the batch
+  * SQL — the streaming and batch paths must agree row-for-row.
+  */
+object ExtendedQueries {
+
+  private def sumDec(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Ranking / offset / distribution window functions (rank, dense_rank,
+    * lag, lead, ntile, percent_rank, cume_dist) per customer over order
+    * history — the family the reference lacks entirely (§2.5 notes). One
+    * shuffle on o_custkey; all seven functions share one window frame. */
+  val qWindowFuncs = GraftQuery(
+    "q_window_funcs",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir)
+        .filter($"o_custkey" <= 200)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("order_date", date_format($"o_orderdate", "yyyy-MM-dd"))
+        .drop("o_orderdate")
+        .orderBy($"o_custkey", $"rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
+        ROW_NUMBER() OVER w AS rn,
+        DENSE_RANK() OVER w AS drk,
+        LAG(o_totalprice, 1) OVER w AS prev_price,
+        LEAD(o_totalprice, 1) OVER w AS next_price,
+        NTILE(4) OVER w AS quartile,
+        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        ROUND(CUME_DIST() OVER w, 6) AS cume
+      FROM orders WHERE o_custkey <= 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, rn""")
+  )
+
+  /** Full CUBE over status × priority (all four grouping sets) — the
+    * grouping-sets family beyond q_rollup's hierarchy. */
+  val qCube = GraftQuery(
+    "q_cube",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sumDec($"o_totalprice").as("revenue"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n_orders", $"revenue")
+        .orderBy($"status", $"priority")
+    },
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""")
+  )
+
+  /** Grouped exact quantiles — the ExactQuantiles aggregate in grouped
+    * (partial + final) mode, one pass, one shuffle on the group key. */
+  val qGroupQuantiles = GraftQuery(
+    "q_group_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(graft.expressions.ExactQuantiles.quantiles(
+          $"l_extendedprice", Seq(0.25, 0.5, 0.75)).as("qs"))
+        .select($"l_returnflag",
+          round(element_at($"qs", 1), 6).as("q1"),
+          round(element_at($"qs", 2), 6).as("q2"),
+          round(element_at($"qs", 3), 6).as("q3"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+        ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS q1,
+        ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS q2,
+        ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS q3
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** F19 token report with a full oracle: explode tokens → count → top-30
+    * (map-side partial agg; only (token, count) rows shuffle). */
+  val qTopTokens = GraftQuery(
+    "q_top_tokens",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(graft.functions.TextAnalysis.tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token").limit(30)
+    },
+    Some("""SELECT token, COUNT(*) AS n FROM (
+        SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS token
+        FROM documents) t
+      GROUP BY token ORDER BY n DESC, token LIMIT 30""")
+  )
+
+  /** Skew-salted heavy-hitter count in the driver contract: two-stage
+    * groupBy(key, salt) → groupBy(key) so one hot key spreads across
+    * `salts` reducers — identical results to the plain GROUP BY the
+    * oracle runs. */
+  val qSaltedTopUsers = GraftQuery(
+    "q_salted_top_users",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Skew.saltedAgg(
+          Tables.events(s, dir), $"user_id", count(lit(1)),
+          c => sum(c).cast(LongType), salts = 16)
+        .select($"key".as("user_id"), $"value".as("n"))
+        .orderBy($"n".desc, $"user_id").limit(10)
+    },
+    Some("""SELECT user_id, COUNT(*) AS n FROM events
+      GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""")
+  )
+
+  /** The hourly rollup as a REAL Structured Streaming job: file source →
+    * watermarked tumbling window → memory sink, Trigger.AvailableNow,
+    * Complete mode (every window emits at end-of-stream). The oracle is
+    * the same SQL as the batch q_events_hourly — streaming and batch must
+    * agree exactly. */
+  val qStreamHourly = GraftQuery(
+    "q_stream_hourly",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_hourly_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = java.nio.file.Files
+        .createTempDirectory("graft_stream_ckpt").toString
+      val agg = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("n"), sumDec($"value", 6).as("sum_value"))
+      graft.streaming.EventsStream
+        .runAvailableNow(s, agg, name, checkpoint, OutputMode.Complete())
+        .orderBy($"hour")
+    },
+    Some("""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY hour""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(
+    qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
+    qStreamHourly)
+}

@@ -26,13 +26,20 @@ object EventsStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming source over a directory of events parquet files. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming source over events parquet files: a directory, a glob, or
+    * a single file (the file source needs a directory basePath, so a bare
+    * file path is wrapped in a one-element glob character class). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val hasGlob = path.exists("*?[{".contains(_))
+    val src =
+      if (!hasGlob && new java.io.File(path).isFile)
+        path.dropRight(1) + s"[${path.last}]"
+      else path
     spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+      .parquet(src)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
@@ -57,14 +64,18 @@ object EventsStream {
 
   /** Run a streaming query to completion over the files already in `dir`
     * (Trigger.AvailableNow — batch-finite, checkpointed), collecting to an
-    * in-memory table. Returns the result. */
+    * in-memory table. Returns the result.
+    *
+    * Output mode: Append for row streams; use Complete for aggregations
+    * that must emit EVERY window at end-of-stream (in Append mode, windows
+    * newer than the final watermark stay in state and never emit). */
   def runAvailableNow(
       spark: SparkSession, query: DataFrame, name: String,
-      checkpoint: String): DataFrame = {
+      checkpoint: String, mode: OutputMode = OutputMode.Append): DataFrame = {
     val q = query.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode(OutputMode.Append)
+      .outputMode(mode)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
