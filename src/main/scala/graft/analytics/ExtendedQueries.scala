@@ -160,7 +160,53 @@ object ExtendedQueries {
       FROM events GROUP BY 1 ORDER BY hour""")
   )
 
+  /** Exact k-NN join with a full DuckDB oracle (list_cosine_similarity):
+    * 50 query vectors × the corpus, top-3 neighbours each. Ranking is on
+    * the ROUNDED similarity in both engines so order can't diverge on
+    * sub-1e-6 differences. Quadratic by design (the verification
+    * baseline); the ANN/IVF queries are the scale path. */
+  val qKnnJoin = GraftQuery(
+    "q_knn_join",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val left = emb.filter($"vec_id" <= 50)
+        .select($"vec_id".as("id_l"), $"v".as("vl"))
+      val w = Window.partitionBy($"id_l").orderBy($"cos_sim".desc, $"id_r")
+      left.crossJoin(emb.select($"vec_id".as("id_r"), $"v".as("vr")))
+        .filter($"id_l" =!= $"id_r")
+        .select($"id_l", $"id_r",
+          round(graft.operators.Similarity.cosineNative($"vl", $"vr"), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .orderBy($"id_l", $"rk")
+    },
+    Some("""WITH l AS (SELECT vec_id AS id_l, CAST(embedding AS DOUBLE[]) AS vl
+                       FROM embeddings WHERE vec_id <= 50),
+      r AS (SELECT vec_id AS id_r, CAST(embedding AS DOUBLE[]) AS vr FROM embeddings),
+      sims AS (SELECT id_l, id_r, ROUND(list_cosine_similarity(vl, vr), 6) AS cos_sim
+               FROM l CROSS JOIN r WHERE id_l <> id_r),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_l
+                   ORDER BY cos_sim DESC, id_r) AS rk FROM sims)
+      SELECT id_l, id_r, cos_sim, rk FROM ranked WHERE rk <= 3 ORDER BY id_l, rk""")
+  )
+
+  /** Winnowing-fingerprint candidate pairs (rows-only: the fingerprints
+    * are xxhash64 values DuckDB cannot reproduce; the kernel's guarantees
+    * are property-tested in TextHashSpec instead). */
+  val qWinnowPairs = GraftQuery(
+    "q_winnow_pairs",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Dedup.winnowPairs(Tables.documents(s, dir),
+          "doc_id", "text", k = 3, w = 4, minShared = 2)
+        .orderBy($"id_a", $"id_b")
+    },
+    None
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
-    qStreamHourly)
+    qStreamHourly, qKnnJoin, qWinnowPairs)
 }

@@ -30,43 +30,7 @@ object TextHashKernels {
     * TextAnalysis.shingles). Output sorted ascending (set semantics — no
     * consumer is order-sensitive). */
   def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
-    val n = tokens.numElements()
-    if (n < k) {
-      // join ALL tokens (possibly an empty string) into one shingle
-      val parts = new Array[UTF8String](n)
-      var i = 0
-      while (i < n) {
-        parts(i) = if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8
-          else tokens.getUTF8String(i)
-        i += 1
-      }
-      val joined = UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
-      return ArrayData.toArrayData(Array(hashString(joined)))
-    }
-    val hashes = new Array[Long](n - k + 1)
-    // reusable byte buffer for the space-joined shingle bytes
-    var buf = new Array[Byte](256)
-    var s = 0
-    while (s <= n - k) {
-      var len = 0
-      var j = 0
-      while (j < k) {
-        val t = if (tokens.isNullAt(s + j)) UTF8String.EMPTY_UTF8
-          else tokens.getUTF8String(s + j)
-        val tb = t.numBytes()
-        if (len + tb + 1 > buf.length) {
-          val next = new Array[Byte](math.max(buf.length * 2, len + tb + 1))
-          System.arraycopy(buf, 0, next, 0, len)
-          buf = next
-        }
-        if (j > 0) { buf(len) = ' '; len += 1 }
-        t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
-        len += tb
-        j += 1
-      }
-      hashes(s) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed)
-      s += 1
-    }
+    val hashes = positionalShingleHashes(tokens, k)
     java.util.Arrays.sort(hashes)
     // in-place unique
     var out = 0
@@ -134,6 +98,90 @@ object TextHashKernels {
 
   /** xxhash64 of a UTF8String, identical to the Spark built-in. */
   def hashString(s: UTF8String): Long = XXH64.hashUTF8String(s, Seed)
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): over
+    * the POSITIONAL k-shingle hash sequence, slide a window of `w` hashes
+    * and record each window's minimum (ties → rightmost), then distinct.
+    * Guarantees any match of length ≥ w+k-1 tokens shares a fingerprint,
+    * with ~2/(w+1) of the shingles kept — the scalable subset for
+    * fingerprint-join dedup. Unsigned comparison so fingerprints follow
+    * the same order DuckDB/Spark would sort the raw hashes. */
+  def winnowFingerprints(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val hs = positionalShingleHashes(tokens, k)
+    if (hs.length <= w) {
+      var m = hs(0)
+      var i = 1
+      while (i < hs.length) {
+        if (hs(i) + Long.MinValue <= m + Long.MinValue) m = hs(i)
+        i += 1
+      }
+      return ArrayData.toArrayData(Array(m))
+    }
+    val picked = new Array[Long](hs.length - w + 1)
+    var n = 0
+    var prevPos = -1
+    var s = 0
+    while (s + w <= hs.length) {
+      // rightmost minimum in hs[s, s+w)
+      var pos = s
+      var i = s + 1
+      while (i < s + w) {
+        if (hs(i) + Long.MinValue <= hs(pos) + Long.MinValue) pos = i
+        i += 1
+      }
+      if (pos != prevPos) { picked(n) = hs(pos); n = n + 1; prevPos = pos }
+      s += 1
+    }
+    val out = java.util.Arrays.copyOf(picked, n)
+    java.util.Arrays.sort(out)
+    var u = 0
+    var i = 1
+    while (i < out.length) {
+      if (out(i) != out(u)) { u += 1; out(u) = out(i) }
+      i += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(out, u + 1))
+  }
+
+  /** Positional (unsorted, duplicate-preserving) k-shingle hashes — the
+    * winnowing input. Same bytes/seed as [[shingleHashes]]. */
+  def positionalShingleHashes(tokens: ArrayData, k: Int): Array[Long] = {
+    val n = tokens.numElements()
+    if (n < k) {
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        parts(i) = if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8
+          else tokens.getUTF8String(i)
+        i += 1
+      }
+      return Array(hashString(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)))
+    }
+    val hashes = new Array[Long](n - k + 1)
+    var buf = new Array[Byte](256)
+    var s = 0
+    while (s <= n - k) {
+      var len = 0
+      var j = 0
+      while (j < k) {
+        val t = if (tokens.isNullAt(s + j)) UTF8String.EMPTY_UTF8
+          else tokens.getUTF8String(s + j)
+        val tb = t.numBytes()
+        if (len + tb + 1 > buf.length) {
+          val next = new Array[Byte](math.max(buf.length * 2, len + tb + 1))
+          System.arraycopy(buf, 0, next, 0, len)
+          buf = next
+        }
+        if (j > 0) { buf(len) = ' '; len += 1 }
+        t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
+        len += tb
+        j += 1
+      }
+      hashes(s) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed)
+      s += 1
+    }
+    hashes
+  }
 }
 
 /** Base for the one-ArrayData-in / ArrayData-out kernel expressions. */
@@ -180,6 +228,20 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends TextHashE
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints: array<string> tokens → sorted distinct
+  * array<long> of window-minimum shingle hashes. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends TextHashExpr {
+  require(k > 0 && w > 0, s"k=$k w=$w must be positive")
+  override protected def elemType: DataType = StringType
+  override def prettyName: String = "graft_winnow"
+  override def nullSafeEval(in: Any): Any =
+    TextHashKernels.winnowFingerprints(in.asInstanceOf[ArrayData], k, w)
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextHashKernels.winnowFingerprints($c, $k, $w)"
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** Native SimHash: array<string> tokens → array<long> of 4 16-bit chunks. */
 case class SimHashChunks(child: Expression) extends TextHashExpr {
   override protected def elemType: DataType = StringType
@@ -200,6 +262,8 @@ object TextHashExprs {
     column(ShingleHashes64(expression(tokens), k))
   def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(shingleHashes), numHashes))
+  def winnowFingerprints(tokens: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprints(expression(tokens), k, w))
   def simhashChunks(tokens: Column): Column =
     column(SimHashChunks(expression(tokens)))
 }

@@ -128,6 +128,26 @@ object Dedup {
         col("uni").cast(LongType))
   }
 
+  /** Winnowing-fingerprint near-dup pairs (Schleimer et al., SIGMOD'03):
+    * each doc keeps only its window-minimum shingle hashes (~2/(w+1) of
+    * them), pairs form on shared fingerprints — the same explode-join as
+    * [[ngramJaccardPairs]] over a deterministically-thinned subset, so at
+    * 100 TB both the shuffle volume AND the candidate count shrink ~4x at
+    * w=7 while any shared run of ≥ w+k-1 tokens is still guaranteed to
+    * collide. Returns pairs with the shared-fingerprint count. */
+  def winnowPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fp = Caches.register(df.select(col(idCol).as("id"),
+      explode(graft.expressions.TextHashExprs.winnowFingerprints(
+        TextAnalysis.tokens(col(textCol)), k, w)).as("fp")))
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
+
   /** 64-bit SimHash sketch as FOUR 16-bit chunks (array<long>). Per
     * token, bit i's ±1 vote is bit i of the token's xxhash64 (64
     * independent vote streams from one hash); sketch bit i is set when

@@ -62,6 +62,34 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("winnowing picks a subset of the shingle-hash set, never empty") {
+    val rows = docs.select(
+        TextHashExprs.winnowFingerprints(TextAnalysis.tokens(col("text")), 3, 4).as("fp"),
+        TextHashExprs.shingleHashes64(TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fp = r.getSeq[Long](0)
+      val sh = r.getSeq[Long](1).toSet
+      assert(fp.nonEmpty)
+      assert(fp.size < sh.size || sh.size <= 4) // thinning unless tiny doc
+      fp.foreach(h => assert(sh.contains(h)))
+    }
+  }
+
+  test("winnowing window-coverage guarantee: every w-window contributes") {
+    import spark.implicits._
+    // identical long prefix of >= w+k-1 tokens must produce a shared
+    // fingerprint between the two docs (the winnowing guarantee)
+    val common = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq(common + " tailone xyz", common + " other ending words")
+      .toDF("text")
+    val fps = df.select(
+        TextHashExprs.winnowFingerprints(TextAnalysis.tokens(col("text")), 3, 4).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(fps(0).intersect(fps(1)).nonEmpty)
+  }
+
   test("kernels survive whole-stage codegen (larger-than-one-row batch)") {
     // exercise the doGenCode path explicitly: a projection over many rows
     // inside one stage, grouped after — would throw on bad generated Java
