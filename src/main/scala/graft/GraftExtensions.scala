@@ -1,24 +1,89 @@
 package graft
 
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, ExactQuantiles, KmvSketch,
+  MinHashSignature, ShingleHashes64, SimHashChunks, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions injector: registers the engine's native
   * expressions as SQL functions. Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
-  * `.withExtensions(new GraftExtensions)` — then
-  * `expr("graft_cosine(a, b)")` resolves everywhere (SQL, DataFrame,
-  * views), fully codegen'd. */
+  * `.withExtensions(new GraftExtensions)` — then e.g.
+  * `expr("graft_cosine(a, b)")` or `spark.sql("SELECT graft_simhash(...)")`
+  * resolves everywhere (SQL, DataFrame, views), fully codegen'd.
+  *
+  * Functions taking a static parameter (k, numHashes, percentages…)
+  * require a foldable literal argument — they parameterize the kernel,
+  * not per-row behavior.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case l: Literal if l.foldable => l.eval().asInstanceOf[Number].intValue()
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $e")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_cosine(arrayA, arrayB)")
-        CosineSimilarity(children.head, children(1))
-      }))
+    def register(name: String, clazz: Class[_], usage: String)(
+        build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.nonEmpty, usage)
+          build(children)
+        }))
+
+    register("graft_cosine", classOf[CosineSimilarity],
+        "graft_cosine(arrayA, arrayB)") { c =>
+      require(c.length == 2, "graft_cosine(arrayA, arrayB)")
+      CosineSimilarity(c.head, c(1))
+    }
+    register("graft_shingle_hashes", classOf[ShingleHashes64],
+        "graft_shingle_hashes(tokens, k)") { c =>
+      require(c.length == 2, "graft_shingle_hashes(tokens, k)")
+      ShingleHashes64(c.head, intLit(c(1), "graft_shingle_hashes", "k"))
+    }
+    register("graft_minhash_sig", classOf[MinHashSignature],
+        "graft_minhash_sig(shingleHashes, numHashes)") { c =>
+      require(c.length == 2, "graft_minhash_sig(shingleHashes, numHashes)")
+      MinHashSignature(c.head, intLit(c(1), "graft_minhash_sig", "numHashes"))
+    }
+    register("graft_simhash", classOf[SimHashChunks],
+        "graft_simhash(tokens)") { c =>
+      require(c.length == 1, "graft_simhash(tokens)")
+      SimHashChunks(c.head)
+    }
+    register("graft_winnow", classOf[WinnowFingerprints],
+        "graft_winnow(tokens, k, w)") { c =>
+      require(c.length == 3, "graft_winnow(tokens, k, w)")
+      WinnowFingerprints(c.head, intLit(c(1), "graft_winnow", "k"),
+        intLit(c(2), "graft_winnow", "w"))
+    }
+    register("graft_exact_quantiles", classOf[ExactQuantiles],
+        "graft_exact_quantiles(col, p1, p2, ...)") { c =>
+      require(c.length >= 2, "graft_exact_quantiles(col, p1, p2, ...)")
+      val ps = c.tail.map {
+        case l: Literal if l.foldable => l.eval() match {
+          // SQL decimal literals (0.25) evaluate to Decimal, not Number
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number                             => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_exact_quantiles: non-numeric percentage $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"graft_exact_quantiles: percentages must be literals, got $other")
+      }
+      ExactQuantiles(org.apache.spark.sql.catalyst.expressions.Cast(
+        c.head, org.apache.spark.sql.types.DoubleType), ps).toAggregateExpression()
+    }
+    register("graft_kmv_distinct", classOf[KmvSketch],
+        "graft_kmv_distinct(col[, k])") { c =>
+      require(c.length == 1 || c.length == 2, "graft_kmv_distinct(col[, k])")
+      val k = if (c.length == 2) intLit(c(1), "graft_kmv_distinct", "k") else 256
+      KmvSketch(c.head, k).toAggregateExpression()
+    }
   }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.expressions.ExactQuantiles
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Every native expression must resolve as a SQL function through
+  * GraftExtensions and agree with its Column API twin. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("graft_cosine resolves in SQL") {
+    import spark.implicits._
+    val got = Seq((Seq(1.0, 2.0), Seq(2.0, 4.0))).toDF("a", "b")
+      .selectExpr("graft_cosine(a, b) AS c").collect()(0).getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("graft_shingle_hashes / graft_minhash_sig / graft_simhash / graft_winnow in SQL") {
+    docs.select(TextAnalysis.tokens(col("text")).as("toks"))
+      .createOrReplaceTempView("toks_v")
+    val row = spark.sql("""SELECT
+        graft_shingle_hashes(toks, 3) AS sh,
+        graft_minhash_sig(graft_shingle_hashes(toks, 3), 8) AS sig,
+        graft_simhash(toks) AS sk,
+        graft_winnow(toks, 3, 4) AS fp
+      FROM toks_v""").collect()
+    assert(row.nonEmpty)
+    row.foreach { r =>
+      assert(r.getSeq[Long](0).nonEmpty)
+      assert(r.getSeq[Long](1).length === 8)
+      assert(r.getSeq[Long](2).length === 4)
+      assert(r.getSeq[Long](3).nonEmpty)
+    }
+  }
+
+  test("graft_exact_quantiles and graft_kmv_distinct aggregate in SQL") {
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("li_v")
+    val r = spark.sql("""SELECT
+        graft_exact_quantiles(l_extendedprice, 0.25, 0.75) AS qs,
+        graft_kmv_distinct(l_orderkey) AS kmv
+      FROM li_v""").collect()(0)
+    val ref = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .agg(ExactQuantiles.quantiles(col("l_extendedprice"), Seq(0.25, 0.75)))
+      .collect()(0).getSeq[Double](0)
+    assert(r.getSeq[Double](0) === ref)
+    assert(r.getLong(1) > 0)
+  }
+
+  test("non-literal static args are rejected with a clear error") {
+    docs.select(TextAnalysis.tokens(col("text")).as("toks"),
+      col("doc_id")).createOrReplaceTempView("toks_v2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes(toks, CAST(doc_id AS INT)) FROM toks_v2")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan audit: the properties that make these queries scale are
+  * asserted, not assumed — a regression that drops a broadcast, loses a
+  * pushed filter, or sneaks in a cartesian product fails here, long
+  * before it shows up as a 100 TB incident.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val Dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("dimension joins broadcast (never shuffle the fact side)") {
+    Seq("q_join_segment_revenue", "q_join_nation_revenue",
+        "q_join_region_revenue", "q_rollup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("flagship query: broadcast dims + partial aggregation") {
+    val p = plan("q_top_customers")
+    assert(p.contains("BroadcastHashJoin"))
+    // pre-aggregation of lineitem per order must keep map-side combine
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("date-range filter reaches the parquet scan (PushedFilters)") {
+    val p = plan("q_revenue_by_year")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate") || p.contains("PushedFilters: [Is"),
+      s"filter not pushed to scan:\n$p")
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"q_topk plans a full sort:\n$p")
+  }
+
+  test("column pruning: pricing summary reads only the needed columns") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, Dir)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val scan = scans.find(_.contains("ReadSchema")).getOrElse(fail("no scan found"))
+    // only the 5 referenced lineitem columns, not all 16
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+      .foreach(c => assert(scan.contains(c)))
+    Seq("l_comment", "l_shipdate", "l_partkey")
+      .foreach(c => assert(!scan.contains(c), s"unpruned column $c in scan"))
+  }
+
+  test("whole-stage codegen spans the aggregation pipeline") {
+    // AQE hides codegen spans until the final plan exists — execute first
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, Dir)
+    df.collect()
+    // codegen spans render as "*(n) Operator" in the final plan string
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), s"no codegen span:\n$p")
+  }
+}
