@@ -206,7 +206,40 @@ object ExtendedQueries {
     None
   )
 
+  /** F13 as a REAL MapType round-trip (the reference flattens its isq
+    * attribute map to "k=v; k=v" strings because pandas/CSV can't hold a
+    * map — we keep the map): build the flattened string, parse it back
+    * with str_to_map, extract typed attributes. The oracle parses the
+    * same string with regexes, so the MapType path is hash-checked. */
+  val qMapExtract = GraftQuery(
+    "q_map_extract",
+    (s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .withColumn("attrs", concat(
+          lit("brand="), $"p_brand",
+          lit("#size="), $"p_size".cast("string"),
+          lit("#type="), $"p_type"))
+        .withColumn("m", str_to_map($"attrs", lit("#"), lit("=")))
+        .select($"p_partkey",
+          element_at($"m", "brand").as("brand"),
+          element_at($"m", "size").cast("int").as("size"),
+          element_at($"m", "type").as("ptype"),
+          size(map_keys($"m")).as("n_attrs"))
+        .orderBy($"p_partkey")
+    },
+    Some("""WITH p AS (SELECT p_partkey,
+        'brand=' || p_brand || '#size=' || CAST(p_size AS VARCHAR) ||
+        '#type=' || p_type AS attrs FROM part)
+      SELECT p_partkey,
+        regexp_extract(attrs, 'brand=([^#]*)', 1) AS brand,
+        CAST(regexp_extract(attrs, 'size=([^#]*)', 1) AS INTEGER) AS size,
+        regexp_extract(attrs, 'type=([^#]*)', 1) AS ptype,
+        CAST(LEN(string_split(attrs, '#')) AS INTEGER) AS n_attrs
+      FROM p ORDER BY p_partkey""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
-    qStreamHourly, qKnnJoin, qWinnowPairs)
+    qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract)
 }
