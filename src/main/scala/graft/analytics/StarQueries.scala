@@ -73,7 +73,8 @@ object StarQueries {
         count(lit(1)).as("total_orders"),
         countDistinct($"o_custkey").as("unique_customers"),
         countDistinct($"o_orderstatus").as("unique_statuses"),
-        round(expr("median(o_totalprice)"), 4).as("median_price"),
+        round(graft.expressions.ExactQuantiles.quantile($"o_totalprice", 0.5), 4)
+          .as("median_price"),
         avgDec($"o_totalprice").as("avg_price"),
         min($"o_totalprice").as("min_price"),
         max($"o_totalprice").as("max_price"))

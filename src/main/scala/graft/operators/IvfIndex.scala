@@ -31,7 +31,10 @@ object IvfIndex {
       maxSample: Int = 100000): Model = {
     val sample = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
       .limit(maxSample)
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(sample)
+    // 10 iterations: coarse-quantizer centroids only need rough cluster
+    // structure (search recall is governed by nProbe, not centroid
+    // convergence); recall is asserted against exact top-k in ScalaTest
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(sample)
     Model(km.clusterCenters.map(_.toArray.toSeq).toSeq)
   }
 
