@@ -19,10 +19,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
-    case l: Literal if l.foldable => l.eval().asInstanceOf[Number].intValue()
-    case _ => throw new IllegalArgumentException(
+  private def intLit(e: Expression, fn: String, arg: String): Int = {
+    def bad() = throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $e")
+    e match {
+      case l: Literal if l.foldable => l.eval() match {
+        case n: Number => n.intValue()
+        // SQL decimal literals (e.g. 3.0) evaluate to Decimal, not Number
+        case d: org.apache.spark.sql.types.Decimal
+          if d.toDouble == d.toDouble.floor => d.toDouble.toInt
+        case _ => bad()
+      }
+      case _ => bad()
+    }
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -76,8 +85,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_exact_quantiles: percentages must be literals, got $other")
       }
-      ExactQuantiles(org.apache.spark.sql.catalyst.expressions.Cast(
-        c.head, org.apache.spark.sql.types.DoubleType), ps).toAggregateExpression()
+      // ImplicitCastInputTypes on ExactQuantiles coerces the child
+      ExactQuantiles(c.head, ps).toAggregateExpression()
     }
     register("graft_kmv_distinct", classOf[KmvSketch],
         "graft_kmv_distinct(col[, k])") { c =>

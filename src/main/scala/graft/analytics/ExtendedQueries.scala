@@ -14,8 +14,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object ExtendedQueries {
 
-  private def sumDec(c: org.apache.spark.sql.Column, scale: Int = 2) =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+  import Agg.sumDec
 
   /** Ranking / offset / distribution window functions (rank, dense_rank,
     * lag, lead, ntile, percent_rank, cume_dist) per customer over order
@@ -216,11 +215,13 @@ object ExtendedQueries {
     (s, dir) => {
       import s.implicits._
       Tables.part(s, dir)
+        // ';' pair delimiter: '#' would collide with p_brand values
+        // ("Brand#13") and split inside the value
         .withColumn("attrs", concat(
           lit("brand="), $"p_brand",
-          lit("#size="), $"p_size".cast("string"),
-          lit("#type="), $"p_type"))
-        .withColumn("m", str_to_map($"attrs", lit("#"), lit("=")))
+          lit(";size="), $"p_size".cast("string"),
+          lit(";type="), $"p_type"))
+        .withColumn("m", str_to_map($"attrs", lit(";"), lit("=")))
         .select($"p_partkey",
           element_at($"m", "brand").as("brand"),
           element_at($"m", "size").cast("int").as("size"),
@@ -229,13 +230,13 @@ object ExtendedQueries {
         .orderBy($"p_partkey")
     },
     Some("""WITH p AS (SELECT p_partkey,
-        'brand=' || p_brand || '#size=' || CAST(p_size AS VARCHAR) ||
-        '#type=' || p_type AS attrs FROM part)
+        'brand=' || p_brand || ';size=' || CAST(p_size AS VARCHAR) ||
+        ';type=' || p_type AS attrs FROM part)
       SELECT p_partkey,
-        regexp_extract(attrs, 'brand=([^#]*)', 1) AS brand,
-        CAST(regexp_extract(attrs, 'size=([^#]*)', 1) AS INTEGER) AS size,
-        regexp_extract(attrs, 'type=([^#]*)', 1) AS ptype,
-        CAST(LEN(string_split(attrs, '#')) AS INTEGER) AS n_attrs
+        regexp_extract(attrs, 'brand=([^;]*)', 1) AS brand,
+        CAST(regexp_extract(attrs, 'size=([^;]*)', 1) AS INTEGER) AS size,
+        regexp_extract(attrs, 'type=([^;]*)', 1) AS ptype,
+        CAST(LEN(string_split(attrs, ';')) AS INTEGER) AS n_attrs
       FROM p ORDER BY p_partkey""")
   )
 

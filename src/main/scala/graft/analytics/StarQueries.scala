@@ -17,16 +17,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object StarQueries {
 
-  /** Exact order-independent sum: double -> decimal -> sum -> double.
-    * Double summation order varies with partitioning; decimal summation is
-    * exact so the result is bit-identical to DuckDB's same-shaped SUM. */
-  private def sumDec(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
-
-  /** Mean with deterministic float math: exact decimal sum, one double
-    * division, one round — the same three steps the oracle SQL does. */
-  private def avgDec(c: Column, scale: Int = 2): Column =
-    round(sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(lit(1)), 6)
+  import Agg.{avgDec, sumDec}
 
   // ---------------------------------------------------------------- A1-A9
 

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -51,12 +51,17 @@ case class ExactQuantiles(
     percentages: Seq[Double],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[DoubleBuf] {
+    extends TypedImperativeAggregate[DoubleBuf] with ImplicitCastInputTypes {
 
   require(percentages.nonEmpty && percentages.forall(p => p >= 0 && p <= 1),
     s"percentages must be in [0,1], got $percentages")
 
   override def children: Seq[Expression] = Seq(child)
+  // analysis-time cast of any numeric child to double — without this a
+  // non-double child would pass analysis and ClassCastException per row.
+  // (Seq[DataType] covariantly satisfies the Seq[AbstractDataType]
+  // signature; AbstractDataType itself is private[sql].)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "exact_quantiles"

@@ -28,19 +28,33 @@ object EventsStream {
 
   /** Streaming source over events parquet files: a directory, a glob, or
     * a single file (the file source needs a directory basePath, so a bare
-    * file path is wrapped in a one-element glob character class). */
+    * file path gets one basename character wrapped in a one-element glob
+    * class — choosing a character that is NOT a class metacharacter, so
+    * names ending in '!', '^', ']' etc. still resolve literally). */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val hasGlob = path.exists("*?[{".contains(_))
     val src =
-      if (!hasGlob && new java.io.File(path).isFile)
-        path.dropRight(1) + s"[${path.last}]"
+      if (!hasGlob && new java.io.File(path).isFile) wrapAsGlob(path)
       else path
     spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Turn a literal file path into an equivalent one-match glob by
+    * wrapping the last glob-class-safe basename character in [...]. */
+  private[graft] def wrapAsGlob(path: String): String = {
+    val unsafe = "!^]\\-[{}*?"
+    val sep = path.lastIndexOf('/')
+    val idx = (path.length - 1 to (sep + 1) by -1)
+      .find(i => !unsafe.contains(path(i)))
+    idx match {
+      case Some(i) => path.substring(0, i) + s"[${path(i)}]" + path.substring(i + 1)
+      case None => path // every basename char is a metachar — pass through
+    }
   }
 
   /** D2/S8 — streaming incremental dedup across restarts: watermarked
@@ -64,7 +78,12 @@ object EventsStream {
 
   /** Run a streaming query to completion over the files already in `dir`
     * (Trigger.AvailableNow — batch-finite, checkpointed), collecting to an
-    * in-memory table. Returns the result.
+    * in-memory table. Returns the MATERIALIZED result (a local relation):
+    * the memory-sink temp view is dropped and the checkpoint directory
+    * deleted before returning, so repeated invocations in a long-lived
+    * session don't accumulate driver-held tables or /tmp state. (The
+    * memory sink already holds all rows on the driver — materializing
+    * adds nothing.)
     *
     * Output mode: Append for row streams; use Complete for aggregations
     * that must emit EVERY window at end-of-stream (in Append mode, windows
@@ -85,6 +104,17 @@ object EventsStream {
       throw new IllegalStateException(
         s"streaming query $name did not finish within 300s — result would be partial")
     }
-    spark.table(name)
+    val sink = spark.table(name)
+    val rows = sink.collect()
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), sink.schema)
+    spark.catalog.dropTempView(name)
+    deleteRecursively(new java.io.File(checkpoint))
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 }

@@ -32,6 +32,14 @@ class ExactQuantilesSpec extends SparkSpec {
       .agg(ExactQuantiles.quantiles(col("v"), Seq(0.5))).collect()(0).isNullAt(0))
   }
 
+  test("integer child is implicitly cast (no per-row ClassCastException)") {
+    import spark.implicits._
+    val got = Seq(1, 2, 3, 4).toDF("v")
+      .agg(ExactQuantiles.quantiles(col("v"), Seq(0.5)))
+      .collect()(0).getSeq[Double](0)
+    assert(got === Seq(2.5))
+  }
+
   test("single-row input returns that value at every percentage") {
     import spark.implicits._
     val one = Seq(42.5).toDF("v")

@@ -47,6 +47,14 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(sample.count() === 1L)
   }
 
+  test("wrapAsGlob wraps a class-safe char and skips metachar tails") {
+    assert(EventsStream.wrapAsGlob("/d/events.parquet") === "/d/events.parque[t]")
+    // trailing '!' would negate a glob class — wrap the previous char
+    assert(EventsStream.wrapAsGlob("/d/events!") === "/d/event[s]!")
+    assert(EventsStream.wrapAsGlob("/d/ev^!") === "/d/e[v]^!")
+    assert(EventsStream.wrapAsGlob("/d/!!") === "/d/!!") // nothing safe
+  }
+
   test("streaming: hourly windowed counts over the events files") {
     // file stream sources need a directory, not a single file
     val srcDir = s"$tmp/events_src"
