@@ -240,7 +240,71 @@ object ExtendedQueries {
       FROM p ORDER BY p_partkey""")
   )
 
+  /** TPC-H Q5 shape (local-supplier volume): lineitem ⋈ orders ⋈
+    * customer ⋈ supplier with the cross-dimension equality
+    * c_nationkey = s_nationkey — a join topology none of the other
+    * queries exercise (two dims constrained against each other). Dims
+    * broadcast; facts meet in one SMJ on the order key. */
+  val qLocalSupplier = GraftQuery(
+    "q_local_supplier",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("revenue"))
+        .orderBy($"n_name")
+    },
+    Some("""SELECT n_name, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")
+  )
+
+  /** V1 distributed rule validation (etl.py:315-346 generalized): per-row
+    * checks emit zero-or-more (key, issue) rows via one array build +
+    * filter + explode — the vectorized replacement for the reference's
+    * Python iterrows loop, rolled up to issue counts. */
+  val qValidateRules = GraftQuery(
+    "q_validate_rules",
+    (s, dir) => {
+      import s.implicits._
+      val issues = array(
+        when($"o_totalprice" <= 0, lit("nonpositive_price")),
+        when($"o_totalprice" > 400000, lit("price_outlier")),
+        when(!$"o_orderstatus".isin("O", "F", "P"), lit("bad_status")),
+        when($"o_orderpriority".isNull, lit("missing_priority")),
+        when(year($"o_orderdate") < 1992 || year($"o_orderdate") > 1998,
+          lit("date_out_of_range")))
+      Tables.orders(s, dir)
+        .select($"o_orderkey", explode(filter(issues, c => c.isNotNull)).as("issue"))
+        .groupBy($"issue").agg(count(lit(1)).as("n"))
+        .orderBy($"issue")
+    },
+    Some("""WITH checks AS (SELECT o_orderkey, UNNEST(list_filter([
+          CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price' END,
+          CASE WHEN o_totalprice > 400000 THEN 'price_outlier' END,
+          CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 'bad_status' END,
+          CASE WHEN o_orderpriority IS NULL THEN 'missing_priority' END,
+          CASE WHEN YEAR(o_orderdate) < 1992 OR YEAR(o_orderdate) > 1998
+               THEN 'date_out_of_range' END
+        ], x -> x IS NOT NULL)) AS issue FROM orders)
+      SELECT issue, COUNT(*) AS n FROM checks GROUP BY issue ORDER BY issue""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
-    qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract)
+    qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
+    qValidateRules)
 }

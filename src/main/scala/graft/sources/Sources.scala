@@ -32,6 +32,24 @@ object Sources {
     }
   }
 
+  /** S1 robustness variant: PERMISSIVE parse capturing malformed lines in
+    * `_corrupt_record` instead of nulling them silently — at 100 TB of
+    * scraped CSV, quarantining bad rows (write the corrupt column to a
+    * side table) beats both failing the job (FAILFAST) and losing rows
+    * (DROPMALFORMED). */
+  def readRawCsvPermissive(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      Schemas.raw.fields :+ StructField("_corrupt_record", StringType))
+    spark.read
+      .option("header", "true").option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
   /** S2 — CSV sink with the reference's literal-"NaN" missing convention
     * (etl.py:419). */
   def writeCsvNaN(df: DataFrame, path: String): Unit =

@@ -22,6 +22,25 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(back.filter($"price_numeric".isNull).count() === 1)
   }
 
+  test("S1 permissive scan quarantines malformed rows in _corrupt_record") {
+    import spark.implicits._
+    val p = s"$tmp/permissive"
+    new java.io.File(p).mkdirs()
+    val header = graft.schema.Schemas.raw.fieldNames.mkString(",")
+    // row 1 valid; row 2 has an unclosed quote (malformed under escape=")
+    Files.writeString(java.nio.file.Paths.get(s"$p/raw.csv"),
+      header + "\nkw,product,url,sup,surl,1,ph,c,s,l,ui,4,im,1,2,3,4,b,cap,pw,ac,fn,isq,2024-01-01\n\"broken\n")
+    // corrupt-record-only queries require materialization first (Spark
+    // disallows filtering the raw scan on just _corrupt_record)
+    val df = Sources.readRawCsvPermissive(spark, p).cache()
+    val total = df.count()
+    val corrupt = df.filter($"_corrupt_record".isNotNull).count()
+    assert(total === 2)
+    assert(corrupt === 1)
+    assert(df.filter($"_corrupt_record".isNull)
+      .select($"product_name").collect()(0).getString(0) === "product")
+  }
+
   test("S3 append sink accumulates like the scraper's incremental writes") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "v")
