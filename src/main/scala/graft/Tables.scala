@@ -35,4 +35,19 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Register every table as a temp view so the FULL engine surface is
+    * reachable through `spark.sql(...)` — together with the
+    * GraftExtensions function registrations this is the SQL entry point:
+    * `registerAll(spark, dir); spark.sql("SELECT graft_simhash(...) FROM
+    * documents")`. Uses the type-corrected loaders (events gets the exact
+    * nanos→micros conversion, not the raw nanos long). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { name =>
+      val df = name match {
+        case "events" => events(spark, sfDir)
+        case other    => load(spark, sfDir, other)
+      }
+      df.createOrReplaceTempView(name)
+    }
 }

@@ -49,6 +49,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) > 0)
   }
 
+  test("registerAll + extensions = full SQL surface over the star schema") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val r = spark.sql("""
+      SELECT n_name, COUNT(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n DESC LIMIT 3""").collect()
+    assert(r.length === 3)
+    // events view must carry the corrected timestamp type
+    val t = spark.sql("SELECT MIN(ts) FROM events").schema.head.dataType
+    assert(t === org.apache.spark.sql.types.TimestampType)
+    // kernel functions compose with the views
+    val fp = spark.sql("""SELECT doc_id,
+        SIZE(graft_winnow(filter(split(lower(text), '[^a-z0-9]+'), x -> x <> ''), 3, 4)) AS n
+      FROM documents ORDER BY doc_id LIMIT 5""").collect()
+    assert(fp.forall(_.getInt(1) > 0))
+  }
+
   test("non-literal static args are rejected with a clear error") {
     docs.select(TextAnalysis.tokens(col("text")).as("toks"),
       col("doc_id")).createOrReplaceTempView("toks_v2")
