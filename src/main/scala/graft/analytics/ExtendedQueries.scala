@@ -303,8 +303,79 @@ object ExtendedQueries {
       SELECT issue, COUNT(*) AS n FROM checks GROUP BY issue ORDER BY issue""")
   )
 
+  /** Quality-aware exact dedup: per content fingerprint keep the BEST
+    * representative (longest text, ties to the lowest id) via max_by with
+    * a struct ordering — the keep-policy generalization of
+    * q_dedup_exact's keep-min-id. One shuffle on the 16-byte fingerprint;
+    * text never shuffles. */
+  val qDedupBest = GraftQuery(
+    "q_dedup_best",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars",
+          graft.functions.TextAnalysis.fingerprint($"text").as("fingerprint"))
+        .groupBy($"fingerprint")
+        .agg(
+          // composite order packed into one bigint (largest n_chars, then
+          // smallest doc_id) — DuckDB's arg_max has no struct ordering
+          expr("max_by(doc_id, n_chars * 1000000000L - doc_id)").as("keep_id"),
+          max($"n_chars").cast(LongType).as("best_n_chars"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"fingerprint")
+    },
+    Some("""WITH f AS (SELECT doc_id, n_chars,
+        md5(array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                        x -> x <> ''), ' ')) AS fingerprint
+      FROM documents)
+      SELECT fingerprint,
+        arg_max(doc_id, n_chars * 1000000000 - doc_id) AS keep_id,
+        CAST(MAX(n_chars) AS BIGINT) AS best_n_chars,
+        COUNT(*) AS n_docs
+      FROM f GROUP BY fingerprint ORDER BY fingerprint""")
+  )
+
+  /** TF-IDF top-3 terms per document — the classic relevance/quality
+    * filter for training corpora: tf from one explode+groupBy, document
+    * frequency from a second aggregate of the SAME tf relation (no
+    * re-tokenization), idf joined back broadcast. Ranked on the ROUNDED
+    * score in both engines. */
+  val qTfidfTopTerms = GraftQuery(
+    "q_tfidf_top_terms",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select($"doc_id", explode(graft.functions.TextAnalysis.tokens($"text")).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+      tf.join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(total))
+        .withColumn("tfidf", round($"tf" * log($"n_docs".cast(DoubleType) / $"df"), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk", $"token", $"tfidf")
+        .orderBy($"doc_id", $"rk")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS token FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      total AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, token,
+          ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (token), total),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token) AS rk FROM scored)
+      SELECT doc_id, rk, token, tfidf FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, rk""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
-    qValidateRules)
+    qValidateRules, qDedupBest, qTfidfTopTerms)
 }
