@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: per-key top-k via bounded heaps
+    // (logical node graft.plans.TopKPerKeyNode, two-phase physical plan)
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graftshim.TopKPerKeyStrategy)
+
     def register(name: String, clazz: Class[_], usage: String)(
         build: Seq[Expression] => Expression): Unit =
       ext.injectFunction((

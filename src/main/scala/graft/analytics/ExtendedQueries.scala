@@ -374,8 +374,30 @@ object ExtendedQueries {
       ORDER BY doc_id, rk""")
   )
 
+  /** The custom whole-operator extension in the driver contract: top-3
+    * orders per customer through graft.plans.TopKPerKey (bounded heaps,
+    * partial phase prunes to ≤k rows per key BEFORE the shuffle) —
+    * hash-checked against the ROW_NUMBER window formulation in DuckDB. */
+  val qTopkPerKey = GraftQuery(
+    "q_topk_per_key",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.TopKPerKey.perKey(
+          Tables.orders(s, dir), Seq("o_custkey"),
+          Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
-    qValidateRules, qDedupBest, qTfidfTopTerms)
+    qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey)
 }

@@ -55,6 +55,19 @@ object Probe {
           .write.format("noop").mode("overwrite").save()
         graft.operators.Caches.unpersistAll()
       }
+      val orders = Tables.orders(spark, dir)
+      time(s"topk-window-$i") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"topk-operator-$i") {
+        graft.plans.TopKPerKey.perKey(orders, Seq("o_custkey"),
+            Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

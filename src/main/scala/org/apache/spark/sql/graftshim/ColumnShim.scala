@@ -12,4 +12,31 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a DataFrame over a custom LogicalPlan (Dataset.ofRows is
+    * private[sql]) — the bridge for whole-operator extensions like
+    * graft.plans.TopKPerKeyNode. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
+
+/** Planner strategy for [[graft.plans.TopKPerKeyNode]]: partial heap →
+  * (exchange placed by EnsureRequirements) → final heap. Lives in the
+  * sql namespace because SparkStrategy is private[sql]; injected via
+  * graft.GraftExtensions. */
+object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.execution.SparkPlan
+  import graft.plans.{TopKPerKeyExec, TopKPerKeyNode}
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, so, k, child) =>
+      val partial = TopKPerKeyExec(keys, so, k, partial = true, planLater(child))
+      TopKPerKeyExec(keys, so, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
 }

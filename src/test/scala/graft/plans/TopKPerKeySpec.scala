@@ -1,0 +1,73 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom top-k-per-key operator must agree with the window
+  * formulation it replaces, and its physical plan must show the
+  * two-phase (partial heap → exchange → final heap) shape. */
+class TopKPerKeySpec extends SparkSpec {
+
+  private val Dir = "/root/testdata/sf0.001"
+
+  test("matches row_number window formulation exactly") {
+    val orders = Tables.orders(spark, Dir)
+    val fast = TopKPerKey.perKey(orders, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val ref = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === ref)
+    assert(fast.nonEmpty)
+  }
+
+  test("k larger than any group returns everything") {
+    val orders = Tables.orders(spark, Dir)
+    val n = TopKPerKey.perKey(orders, Seq("o_custkey"),
+      Seq(("o_orderkey", true)), 1000000).count()
+    assert(n === orders.count())
+  }
+
+  test("physical plan: partial heap before the exchange, final after") {
+    val df = TopKPerKey.perKey(Tables.orders(spark, Dir), Seq("o_custkey"),
+      Seq(("o_totalprice", false)), 2)
+    // renders as "TopKPerKey [keys], [orders], k, <partial>" positionally
+    val p = df.queryExecution.executedPlan.toString
+    val iFinal = p.indexOf("TopKPerKey")
+    val iExchange = p.indexOf("Exchange hashpartitioning")
+    val iPartial = p.indexOf("TopKPerKey", iFinal + 1)
+    assert(iFinal >= 0 && iPartial >= 0, s"two-phase shape missing:\n$p")
+    assert(iExchange >= 0, s"no key exchange between phases:\n$p")
+    // final phase (printed first) consumes the exchange; partial feeds it
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"phases not around the exchange:\n$p")
+    assert(p.substring(iFinal, iExchange).contains(", false"), s"top node not final:\n$p")
+    assert(p.substring(iPartial).takeWhile(_ != '\n').contains(", true"),
+      s"bottom node not partial:\n$p")
+  }
+
+  test("multi-column keys and ascending order") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1, 10.0), ("a", 1, 5.0), ("a", 1, 7.0),
+      ("a", 2, 1.0), ("b", 1, 3.0), ("b", 1, 2.0)
+    ).toDF("k1", "k2", "v")
+    val got = TopKPerKey.perKey(df, Seq("k1", "k2"), Seq(("v", true)), 2)
+      .orderBy("k1", "k2", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toList
+    assert(got === List(("a", 1, 5.0), ("a", 1, 7.0), ("a", 2, 1.0),
+      ("b", 1, 2.0), ("b", 1, 3.0)))
+  }
+
+  test("unknown column raises a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKey.perKey(Tables.orders(spark, Dir), Seq("nope"), Seq(("x", true)), 1)
+    }
+    assert(e.getMessage.contains("not in"))
+  }
+}
