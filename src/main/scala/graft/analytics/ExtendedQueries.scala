@@ -396,8 +396,52 @@ object ExtendedQueries {
       WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")
   )
 
+  /** Custom streaming STATE in the contract: flatMapGroupsWithState
+    * sessionization (30-min gap) run as a real streaming job. In a
+    * single AvailableNow batch exactly the gap-CLOSED sessions emit —
+    * each user's final session stays in state — so the oracle is the
+    * batch sessionization minus every user's last session. Streaming
+    * state semantics, hash-checked. */
+  val qStreamSessions = GraftQuery(
+    "q_stream_sessions",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_sessions_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = java.nio.file.Files
+        .createTempDirectory("graft_stream_ckpt").toString
+      val ev = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+      val sess = graft.streaming.Sessionize.sessions(
+        ev.select($"user_id", $"ts"), withTimeout = false)
+      graft.streaming.EventsStream
+        .runAvailableNow(s, sess.toDF(), name, checkpoint, OutputMode.Append())
+        .select($"user_id",
+          date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format($"session_end", "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events),
+      se AS (SELECT user_id, ts,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM g),
+      per AS (SELECT user_id, session_idx,
+          STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+          COUNT(*) AS n_events
+        FROM se GROUP BY user_id, session_idx),
+      withmax AS (SELECT *, MAX(session_idx) OVER (PARTITION BY user_id) AS max_idx FROM per)
+      SELECT user_id, session_start, session_end, n_events
+      FROM withmax WHERE session_idx < max_idx
+      ORDER BY user_id, session_start""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
-    qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey)
+    qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions)
 }

@@ -33,8 +33,13 @@ object Sessionize {
 
   /** Emit closed sessions; keep at most one open session per user in
     * state. Events inside a batch arrive unordered → sort within group
-    * (bounded by batch size per key, not stream length). */
-  def trackSessions(
+    * (bounded by batch size per key, not stream length).
+    *
+    * `withTimeout=false` skips the processing-time timeout registration:
+    * required for batch-finite runs (Trigger.AvailableNow), where a
+    * pending 35-minute timeout would keep the query alive long after the
+    * data is exhausted. */
+  def trackSessions(withTimeout: Boolean)(
       userId: Long,
       events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
@@ -60,19 +65,22 @@ object Sessionize {
     }
     cur.foreach { s =>
       state.update(s)
-      state.setTimeoutDuration("35 minutes")
+      if (withTimeout) state.setTimeoutDuration("35 minutes")
     }
     closed.reverseIterator
   }
 
   /** Wire the tracker over a streaming (or batch) events DataFrame. */
-  def sessions(events: DataFrame): Dataset[SessionOut] = {
+  def sessions(events: DataFrame, withTimeout: Boolean = true): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.select(col("user_id"), col("ts"))
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(trackSessions)
+        OutputMode.Append(), timeoutConf)(trackSessions(withTimeout))
   }
 }
