@@ -145,8 +145,7 @@ object ExtendedQueries {
       import s.implicits._
       val name = "stream_hourly_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
-      val checkpoint = java.nio.file.Files
-        .createTempDirectory("graft_stream_ckpt").toString
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
       val agg = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
         .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"))
         .agg(count(lit(1)).as("n"), sumDec($"value", 6).as("sum_value"))
@@ -408,8 +407,7 @@ object ExtendedQueries {
       import s.implicits._
       val name = "stream_sessions_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
-      val checkpoint = java.nio.file.Files
-        .createTempDirectory("graft_stream_ckpt").toString
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
       val ev = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
       val sess = graft.streaming.Sessionize.sessions(
         ev.select($"user_id", $"ts"), withTimeout = false)
@@ -440,8 +438,36 @@ object ExtendedQueries {
       ORDER BY user_id, session_start""")
   )
 
+  /** Unpivot/melt (the reshape inverse of q_pivot_status): wide
+    * per-priority status counts back to long (priority, status, n) rows
+    * via stack — completes the pivot/unpivot reshape family. */
+  val qUnpivot = GraftQuery(
+    "q_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      val wide = Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(when($"o_orderstatus" === "O", 1).otherwise(0)).cast(LongType).as("n_open"),
+          sum(when($"o_orderstatus" === "F", 1).otherwise(0)).cast(LongType).as("n_filled"),
+          sum(when($"o_orderstatus" === "P", 1).otherwise(0)).cast(LongType).as("n_pending"))
+      wide.select($"o_orderpriority", expr(
+          "stack(3, 'O', n_open, 'F', n_filled, 'P', n_pending) AS (status, n)"))
+        .orderBy($"o_orderpriority", $"status")
+    },
+    Some("""WITH wide AS (SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+      FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, s.status, s.n
+      FROM wide, LATERAL (VALUES ('O', n_open), ('F', n_filled), ('P', n_pending)) AS s(status, n)
+      ORDER BY o_orderpriority, status""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
-    qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions)
+    qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
+    qUnpivot)
 }

@@ -117,4 +117,16 @@ object EventsStream {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete()
   }
+
+  /** Checkpoint dir for batch-finite runs: tmpfs (/dev/shm) when present
+    * — the WAL/state writes of a short AvailableNow run are pure
+    * overhead on disk; a DURABLE stream must checkpoint to storage that
+    * survives the machine (HDFS/S3), never here. */
+  def ephemeralCheckpoint(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft_stream_ckpt").toString
+  }
 }
