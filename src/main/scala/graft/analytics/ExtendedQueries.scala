@@ -316,9 +316,10 @@ object ExtendedQueries {
           graft.functions.TextAnalysis.fingerprint($"text").as("fingerprint"))
         .groupBy($"fingerprint")
         .agg(
-          // composite order packed into one bigint (largest n_chars, then
-          // smallest doc_id) — DuckDB's arg_max has no struct ordering
-          expr("max_by(doc_id, n_chars * 1000000000L - doc_id)").as("keep_id"),
+          // struct ordering (largest n_chars, then smallest doc_id) — a
+          // packed bigint would silently break once doc_id reaches the
+          // pack factor; DuckDB mirrors with an ordered FIRST aggregate
+          expr("max_by(doc_id, struct(n_chars, -doc_id))").as("keep_id"),
           max($"n_chars").cast(LongType).as("best_n_chars"),
           count(lit(1)).as("n_docs"))
         .orderBy($"fingerprint")
@@ -328,7 +329,7 @@ object ExtendedQueries {
                                         x -> x <> ''), ' ')) AS fingerprint
       FROM documents)
       SELECT fingerprint,
-        arg_max(doc_id, n_chars * 1000000000 - doc_id) AS keep_id,
+        FIRST(doc_id ORDER BY n_chars DESC, doc_id) AS keep_id,
         CAST(MAX(n_chars) AS BIGINT) AS best_n_chars,
         COUNT(*) AS n_docs
       FROM f GROUP BY fingerprint ORDER BY fingerprint""")
@@ -337,8 +338,8 @@ object ExtendedQueries {
   /** TF-IDF top-3 terms per document — the classic relevance/quality
     * filter for training corpora: tf from one explode+groupBy, document
     * frequency from a second aggregate of the SAME tf relation (no
-    * re-tokenization), idf joined back broadcast. Ranked on the ROUNDED
-    * score in both engines. */
+    * re-tokenization), idf joined back on the token key. Ranked on the
+    * ROUNDED score in both engines. */
   val qTfidfTopTerms = GraftQuery(
     "q_tfidf_top_terms",
     (s, dir) => {
@@ -349,8 +350,10 @@ object ExtendedQueries {
         .select($"doc_id", explode(graft.functions.TextAnalysis.tokens($"text")).as("token"))
         .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      // dfreq (the full vocabulary) is NOT broadcast-hinted: at corpus
+      // scale it has millions of rows — the planner/AQE picks the join
       val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
-      tf.join(broadcast(dfreq), "token")
+      tf.join(dfreq, "token")
         .crossJoin(broadcast(total))
         .withColumn("tfidf", round($"tf" * log($"n_docs".cast(DoubleType) / $"df"), 6))
         .withColumn("rk", row_number().over(w))
@@ -400,7 +403,14 @@ object ExtendedQueries {
     * single AvailableNow batch exactly the gap-CLOSED sessions emit —
     * each user's final session stays in state — so the oracle is the
     * batch sessionization minus every user's last session. Streaming
-    * state semantics, hash-checked. */
+    * state semantics, hash-checked.
+    *
+    * PRECONDITION for the oracle equality: the source is ONE file (one
+    * micro-batch). Multi-file AvailableNow runs process files in
+    * modification-time order — events arriving a batch late merge into
+    * open sessions (extending them backwards) but cannot split an
+    * already-emitted session, so heavily out-of-order file sets can
+    * diverge from the batch-window formulation. */
   val qStreamSessions = GraftQuery(
     "q_stream_sessions",
     (s, dir) => {

@@ -54,6 +54,12 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
 
+  // rows are only filtered, never re-keyed: preserve the child's
+  // partitioning (like aggregation execs) so an already-clustered input
+  // skips the exchange and downstream per-key ops don't re-shuffle
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keysLocal = keys
@@ -74,7 +80,9 @@ case class TopKPerKeyExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal, cmp)
+          // initial capacity stays small — k can exceed group sizes by
+          // orders of magnitude and PriorityQueue grows dynamically
+          heap = new java.util.PriorityQueue[InternalRow](math.min(kLocal, 16), cmp)
           heaps.put(key.copy(), heap) // projection buffer is reused — copy
         }
         if (heap.size < kLocal) heap.add(row.copy())
@@ -102,12 +110,17 @@ object TopKPerKey {
       df: DataFrame, keyCols: Seq[String],
       sort: Seq[(String, Boolean)], k: Int): DataFrame = {
     // self-register the planner strategy for sessions that did not load
-    // GraftExtensions (idempotent; extensions-registered sessions skip)
-    val exp = df.sparkSession.experimental
-    if (!exp.extraStrategies.contains(
-        org.apache.spark.sql.graftshim.TopKPerKeyStrategy)) {
-      exp.extraStrategies =
-        exp.extraStrategies :+ org.apache.spark.sql.graftshim.TopKPerKeyStrategy
+    // GraftExtensions. The check goes through planner.strategies (which
+    // includes BOTH extension-injected and experimental strategies), and
+    // the read-modify-write is synchronized — concurrent perKey calls on
+    // one session must not double-append.
+    val spark = df.sparkSession
+    val strategy = org.apache.spark.sql.graftshim.TopKPerKeyStrategy
+    val exp = spark.experimental
+    exp.synchronized {
+      val registered = org.apache.spark.sql.graftshim.ColumnShim
+        .plannerStrategies(spark).contains(strategy)
+      if (!registered) exp.extraStrategies = exp.extraStrategies :+ strategy
     }
     val lp = df.queryExecution.analyzed
     def attr(name: String): Attribute = lp.output

@@ -91,26 +91,29 @@ object EventsStream {
   def runAvailableNow(
       spark: SparkSession, query: DataFrame, name: String,
       checkpoint: String, mode: OutputMode = OutputMode.Append): DataFrame = {
-    val q = query.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    val finished = q.awaitTermination(300000)
-    if (!finished) {
-      q.stop()
-      throw new IllegalStateException(
-        s"streaming query $name did not finish within 300s — result would be partial")
+    try {
+      val q = query.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(300000)
+      if (!finished) {
+        q.stop()
+        throw new IllegalStateException(
+          s"streaming query $name did not finish within 300s — result would be partial")
+      }
+      val sink = spark.table(name)
+      val rows = sink.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
+    } finally {
+      // failure paths must clean up too — checkpoints may live in
+      // RAM-backed /dev/shm (ephemeralCheckpoint) and leaks accumulate
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      deleteRecursively(new java.io.File(checkpoint))
     }
-    val sink = spark.table(name)
-    val rows = sink.collect()
-    val out = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), sink.schema)
-    spark.catalog.dropTempView(name)
-    deleteRecursively(new java.io.File(checkpoint))
-    out
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

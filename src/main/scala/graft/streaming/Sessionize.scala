@@ -55,7 +55,14 @@ object Sessionize {
     sorted.foreach { t =>
       cur match {
         case Some(s) if t - s.last <= GapMicros =>
-          cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+          // start = min handles a LATE event (earlier than the open
+          // session, e.g. an out-of-order batch): the session extends
+          // backwards instead of keeping a too-late start. Events more
+          // than a gap before the open session still can't be assigned
+          // retroactively — cross-batch order is the source's contract
+          // (single file / time-ordered files).
+          cur = Some(s.copy(start = math.min(s.start, t),
+            last = math.max(s.last, t), n = s.n + 1))
         case Some(s) =>
           closed ::= SessionOut(userId, ts(s.start), ts(s.last), s.n)
           cur = Some(SessionState(t, t, 1))

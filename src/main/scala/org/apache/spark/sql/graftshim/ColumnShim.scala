@@ -22,6 +22,14 @@ object ColumnShim {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session planner's full strategy list (extension-injected +
+    * experimental + built-in) — lets library code check whether a custom
+    * strategy is already registered through EITHER path. */
+  def plannerStrategies(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.planner.strategies
 }
 
 /** Planner strategy for [[graft.plans.TopKPerKeyNode]]: partial heap →
