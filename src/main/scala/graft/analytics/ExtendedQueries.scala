@@ -171,13 +171,16 @@ object ExtendedQueries {
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       val left = emb.filter($"vec_id" <= 50)
         .select($"vec_id".as("id_l"), $"v".as("vl"))
-      val w = Window.partitionBy($"id_l").orderBy($"cos_sim".desc, $"id_r")
-      left.crossJoin(emb.select($"vec_id".as("id_r"), $"v".as("vr")))
+      val scored = left.crossJoin(emb.select($"vec_id".as("id_r"), $"v".as("vr")))
         .filter($"id_l" =!= $"id_r")
         .select($"id_l", $"id_r",
           round(graft.operators.Similarity.cosineNative($"vl", $"vr"), 6).as("cos_sim"))
+      // TopKPerKey prunes the |queries|x|corpus| scored pairs to 3 per
+      // query map-side; the rank window then runs over keys x 3 rows
+      val w = Window.partitionBy($"id_l").orderBy($"cos_sim".desc, $"id_r")
+      graft.plans.TopKPerKey.perKey(scored, Seq("id_l"),
+          Seq(("cos_sim", false), ("id_r", true)), 3)
         .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 3)
         .orderBy($"id_l", $"rk")
     },
     Some("""WITH l AS (SELECT vec_id AS id_l, CAST(embedding AS DOUBLE[]) AS vl
@@ -352,12 +355,15 @@ object ExtendedQueries {
       val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
       // dfreq (the full vocabulary) is NOT broadcast-hinted: at corpus
       // scale it has millions of rows — the planner/AQE picks the join
-      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
-      tf.join(dfreq, "token")
+      val scored = tf.join(dfreq, "token")
         .crossJoin(broadcast(total))
         .withColumn("tfidf", round($"tf" * log($"n_docs".cast(DoubleType) / $"df"), 6))
+      // prune to 3 terms per doc with bounded heaps BEFORE the rank
+      // window — the window then sorts docs x 3 rows, not every tf row
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+      graft.plans.TopKPerKey.perKey(scored, Seq("doc_id"),
+          Seq(("tfidf", false), ("token", true)), 3)
         .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 3)
         .select($"doc_id", $"rk", $"token", $"tfidf")
         .orderBy($"doc_id", $"rk")
     },
