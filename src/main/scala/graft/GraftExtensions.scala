@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (logical node graft.plans.TopKPerKeyNode, two-phase physical plan)
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graftshim.TopKPerKeyStrategy)
+    // optimizer rule: rewrite the row_number-window + filter(rn <= k)
+    // idiom to prune through TopKPerKeyNode beneath the window
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
 
     def register(name: String, clazz: Class[_], usage: String)(
         build: Seq[Expression] => Expression): Unit =

@@ -64,6 +64,37 @@ class TopKPerKeySpec extends SparkSpec {
       ("b", 1, 2.0), ("b", 1, 3.0)))
   }
 
+  test("optimizer rule rewrites the window idiom to prune through the operator") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val idiom = Tables.orders(spark, Dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    // the rule fires during optimization: TopKPerKeyNode appears UNDER
+    // the window, which still computes the rank column
+    val opt = idiom.queryExecution.optimizedPlan.toString
+    assert(opt.contains("TopKPerKey"), s"rule did not fire:\n$opt")
+    assert(opt.contains("row_number"), s"window was dropped — ranks lost:\n$opt")
+    // results identical to the unrewritten semantics (rank col intact)
+    val rows = idiom.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(rows.head.fieldIndex("rn")) <= 3))
+    val perKey = rows.groupBy(_.getLong(rows.head.fieldIndex("o_custkey")))
+    assert(perKey.values.forall(_.length <= 3))
+  }
+
+  test("optimizer rule leaves non-matching windows alone") {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    // rank() is not row_number; filter on a non-window column; no filter
+    val r1 = Tables.orders(spark, Dir)
+      .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    assert(!r1.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+    val r2 = Tables.orders(spark, Dir)
+      .withColumn("rn", row_number().over(w)).filter(col("o_totalprice") > 0)
+    assert(!r2.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+    val r3 = Tables.orders(spark, Dir).withColumn("rn", row_number().over(w))
+    assert(!r3.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+  }
+
   test("unknown column raises a clear error") {
     val e = intercept[IllegalArgumentException] {
       TopKPerKey.perKey(Tables.orders(spark, Dir), Seq("nope"), Seq(("x", true)), 1)
