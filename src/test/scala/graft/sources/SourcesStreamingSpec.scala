@@ -121,6 +121,40 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(out === Seq((1L, 3L), (1L, 2L), (2L, 1L)).sorted)
   }
 
+  test("sessionize: a late in-gap event extends the open session backwards") {
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.streaming.GroupState
+    // drive trackSessions directly across two "batches": batch 2 carries
+    // an event EARLIER than the open session's start (out-of-order file)
+    var saved: Option[Sessionize.SessionState] = None
+    val state = new GroupState[Sessionize.SessionState] {
+      override def exists: Boolean = saved.isDefined
+      override def get: Sessionize.SessionState = saved.get
+      override def getOption: Option[Sessionize.SessionState] = saved
+      override def update(s: Sessionize.SessionState): Unit = saved = Some(s)
+      override def remove(): Unit = saved = None
+      override def hasTimedOut: Boolean = false
+      override def setTimeoutDuration(d: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(t: Long): Unit = ()
+      override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    def ev(min: Long) = Sessionize.Event(1L, new java.sql.Timestamp(1700000000000L + min * 60000))
+    val track = Sessionize.trackSessions(withTimeout = false) _
+    assert(track(1L, Iterator(ev(10), ev(20)), state).isEmpty)
+    // batch 2: minute 5 is 5 min before the open session's start — merge
+    // must move start back to minute 5, not keep minute 10
+    assert(track(1L, Iterator(ev(5)), state).isEmpty)
+    val s = saved.get
+    assert(s.n === 3L)
+    assert(s.start === 1700000000000L * 1000 + 5 * 60000000L)
+    assert(s.last === 1700000000000L * 1000 + 20 * 60000000L)
+  }
+
   test("multimodal: batch feature extraction over binary payloads") {
     implicit val s = spark
     import s.implicits._
