@@ -99,6 +99,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("native text-hash kernels match declarative twins on arbitrary text") {
+    import spark.implicits._
+    // mixed-content strings: words, unicode, digits, punctuation runs,
+    // empties — the kernel and the HOF formulation must agree on ALL
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("héllo", "мир", "世界", "a-b.c", "  ", "", "x!y?z", "123"))
+    val text = Gen.listOfN(30, word).map(_.mkString(" "))
+    forAll(Gen.listOfN(12, text), reps = 4) { texts =>
+      val df = texts.toDF("text")
+      val rows = df.select(
+          sort_array(graft.expressions.TextHashExprs.shingleHashes64(
+            TextAnalysis.tokens(col("text")), 3)).as("native_sh"),
+          sort_array(array_distinct(
+            TextAnalysis.shingleHashes(col("text"), 3))).as("decl_sh"),
+          graft.operators.Dedup.simhashChunks(col("text")).as("native_sk"),
+          graft.operators.Dedup.simhashChunksDeclarative(col("text")).as("decl_sk"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+        assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+      }
+    }
+  }
+
+  test("winnowing fingerprints are always a non-empty subset of the shingle set") {
+    import spark.implicits._
+    val text = Gen.listOfN(25, Gen.alphaNumStr.map(_.take(6))).map(_.mkString(" "))
+    forAll(Gen.listOfN(10, text), reps = 4) { texts =>
+      val rows = texts.toDF("text").select(
+          graft.expressions.TextHashExprs.winnowFingerprints(
+            TextAnalysis.tokens(col("text")), 3, 4).as("fp"),
+          graft.expressions.TextHashExprs.shingleHashes64(
+            TextAnalysis.tokens(col("text")), 3).as("sh"))
+        .collect()
+      rows.foreach { r =>
+        val fp = r.getSeq[Long](0)
+        val sh = r.getSeq[Long](1).toSet
+        assert(fp.nonEmpty && fp.forall(sh.contains))
+      }
+    }
+  }
+
   test("profile invariant: non_null + nulls = rows for any frame") {
     import spark.implicits._
     forAll(Gen.listOfN(25, Gen.option(Gen.alphaStr))) { xs =>

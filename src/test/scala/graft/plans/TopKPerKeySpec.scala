@@ -64,6 +64,16 @@ class TopKPerKeySpec extends SparkSpec {
       ("b", 1, 2.0), ("b", 1, 3.0)))
   }
 
+  test("pre-partitioned input skips the final exchange (outputPartitioning preserved)") {
+    val pre = Tables.orders(spark, Dir).repartition(col("o_custkey"))
+    val df = TopKPerKey.perKey(pre, Seq("o_custkey"), Seq(("o_totalprice", false)), 2)
+    df.collect()
+    // AQE prints Final and Initial plans — count only the final one
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected only the repartition exchange:\n$p")
+  }
+
   test("optimizer rule rewrites the window idiom to prune through the operator") {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
