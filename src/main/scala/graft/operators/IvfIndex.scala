@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -26,16 +24,78 @@ object IvfIndex {
   private def sqDist(a: Seq[Double], b: Seq[Double]): Double =
     a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
 
-  /** Train the coarse quantizer on (a bounded sample of) the corpus. */
+  /** Train the coarse quantizer on (a bounded sample of) the corpus.
+    *
+    * The sample is BOUNDED BY DESIGN (maxSample rows × dim doubles — a
+    * few MB), so Lloyd's iterations run driver-local: one Spark job to
+    * collect the sample instead of one job per KMeans iteration. 10
+    * iterations of rough structure are enough for a coarse quantizer —
+    * search recall is governed by nProbe, not centroid convergence
+    * (asserted against exact top-k in ScalaTest). */
   def fit(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
-      maxSample: Int = 100000): Model = {
-    val sample = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      maxSample: Int = 100000, iters: Int = 10): Model = {
+    val sample = df.select(col(vecCol).cast("array<double>").as("v"))
       .limit(maxSample)
-    // 10 iterations: coarse-quantizer centroids only need rough cluster
-    // structure (search recall is governed by nProbe, not centroid
-    // convergence); recall is asserted against exact top-k in ScalaTest
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(sample)
-    Model(km.clusterCenters.map(_.toArray.toSeq).toSeq)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "IvfIndex.fit: empty input")
+    Model(localKMeans(sample, k, seed, iters).map(_.toSeq).toSeq)
+  }
+
+  /** Seeded Lloyd's algorithm over an in-memory sample: deterministic
+    * distinct-point init, empty clusters re-seeded from the farthest
+    * point of the biggest cluster's domain (rare at coarse k). */
+  private[operators] def localKMeans(
+      points: Array[Array[Double]], k: Int, seed: Long, iters: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = points.length
+    val kk = math.min(k, n)
+    // init: k distinct (by content) seeded picks
+    val centroids = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.Set.empty[Seq[Double]]
+    var guard = 0
+    while (centroids.length < kk && guard < n * 4) {
+      val c = points(rnd.nextInt(n))
+      if (seen.add(c.toSeq)) centroids += c.clone()
+      guard += 1
+    }
+    while (centroids.length < kk) centroids += points(rnd.nextInt(n)).clone()
+    val dim = points(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0
+          val cen = centroids(c)
+          var j = 0
+          while (j < dim) { val t = p(j) - cen(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < centroids.length) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } else {
+          centroids(c) = points(rnd.nextInt(n)).clone() // re-seed empty cell
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids.toArray
   }
 
   /** Squared distance to one literal centroid (sequential double math). */
