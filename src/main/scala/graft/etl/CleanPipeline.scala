@@ -49,7 +49,7 @@ object CleanPipeline {
     raw0.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
     // -- load_raw_data (etl.py:228-254): snake_case + scraped_at backfill
-    val snake = raw0.toDF(raw0.columns.map(Cleaning.toSnakeCase): _*)
+    val snake = raw0.toDF(raw0.columns.toSeq.map(Cleaning.toSnakeCase): _*)
       .withColumn(RowIdx, monotonically_increasing_id())
     val hasScraped = snake.columns.contains("scraped_at")
     val scrapedAllNull = !hasScraped ||
