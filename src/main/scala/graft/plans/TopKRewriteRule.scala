@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo,
   Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
   Literal, PredicateHelper, RowNumber, WindowExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Limit,
+  LocalLimit, LogicalPlan, Sort, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -23,13 +24,20 @@ import org.apache.spark.sql.types.IntegerType
   * (P, O), which is the set the filter would keep. Users keep writing
   * the standard window idiom; the optimizer swaps in the scale shape.
   *
+  * A GLOBAL row_number (empty partition spec) gets the complementary
+  * rewrite: a `Sort + Limit k` is inserted under the window instead,
+  * which Spark plans as TakeOrderedAndProject — per-partition top-k
+  * merged on one reducer — rather than sorting the WHOLE input in a
+  * single partition (the naive plan for an unpartitioned window, and a
+  * guaranteed incident at scale). The window then ranks just k rows.
+  *
   * Fires only when ALL of:
   *  - the window computes exactly one expression, a row_number();
-  *  - partition AND order specs are non-empty (global top-k needs a
-  *    different distribution; unordered row_number is nondeterministic);
+  *  - the order spec is non-empty (unordered row_number is
+  *    nondeterministic);
   *  - some conjunct of the filter bounds that row_number by a positive
   *    integer literal (<=, <, =1 and mirrored forms);
-  *  - the child is not already a TopKPerKeyNode (fixed-point safety).
+  *  - the child is not already rewritten (fixed-point safety).
   */
 object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -52,16 +60,26 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  private def alreadyRewritten(child: LogicalPlan): Boolean = child match {
+    case _: TopKPerKeyNode => true
+    case _: GlobalLimit | _: LocalLimit => true // global variant emitted a Limit
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
         w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
           part, order, child, _))
-        if part.nonEmpty && order.nonEmpty && !child.isInstanceOf[TopKPerKeyNode] =>
+        if order.nonEmpty && !alreadyRewritten(child) =>
       val rn = alias.toAttribute
       val k = splitConjunctivePredicates(cond).flatMap(p => bound(p, rn)).sorted.headOption
       k match {
-        case Some(kv) if kv > 0 =>
+        case Some(kv) if kv > 0 && part.nonEmpty =>
           f.copy(child = w.copy(child = TopKPerKeyNode(part, order, kv, child)))
+        case Some(kv) if kv > 0 =>
+          // global top-k: Sort + Limit plans as TakeOrderedAndProject
+          f.copy(child = w.copy(child =
+            Limit(Literal(kv), Sort(order, global = true, child))))
         case _ => f
       }
   }

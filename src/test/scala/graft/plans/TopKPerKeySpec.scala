@@ -92,6 +92,25 @@ class TopKPerKeySpec extends SparkSpec {
     assert(perKey.values.forall(_.length <= 3))
   }
 
+  test("optimizer rule turns GLOBAL row_number top-k into TakeOrderedAndProject") {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val idiom = Tables.orders(spark, Dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    idiom.collect()
+    val p = idiom.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k still sorts everything in one partition:\n$p")
+    // rank column survives and is correct
+    val rows = idiom.orderBy(col("rn")).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getInt(rows.head.fieldIndex("rn"))).toSeq === Seq(1, 2, 3, 4, 5))
+    // and matches the top-5 by direct sort
+    val direct = Tables.orders(spark, Dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5).select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_.getLong(rows.head.fieldIndex("o_orderkey"))).toSeq === direct)
+  }
+
   test("optimizer rule leaves non-matching windows alone") {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
     // rank() is not row_number; filter on a non-window column; no filter
