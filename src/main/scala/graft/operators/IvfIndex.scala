@@ -42,8 +42,10 @@ object IvfIndex {
   }
 
   /** Seeded Lloyd's algorithm over an in-memory sample: deterministic
-    * distinct-point init, empty clusters re-seeded from the farthest
-    * point of the biggest cluster's domain (rare at coarse k). */
+    * distinct-point init; an empty cluster is re-seeded with a random
+    * sample point (rare at coarse k; a re-seed on the final iteration
+    * returns that raw point as a centroid — acceptable for a coarse
+    * quantizer where recall comes from nProbe, not centroid quality). */
   private[operators] def localKMeans(
       points: Array[Array[Double]], k: Int, seed: Long, iters: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -4,42 +4,41 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo,
   Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
   Literal, PredicateHelper, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Limit,
-  LocalLimit, LogicalPlan, Sort, Window}
+  LocalLimit, LogicalPlan, Project, Sort, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-/** Optimizer rule (SparkSessionExtensions.injectOptimizerRule): rewrite
-  * the per-key top-k idiom
+/** Optimizer rule (SparkSessionExtensions.injectOptimizerRule) for the
+  * per-key top-k idiom `Filter(rn <= k)` over a `row_number()` window.
   *
-  * {{{ Filter(rn <= k, Window(row_number() AS rn, partitionBy P orderBy O, child)) }}}
+  * Spark's builtin InferWindowGroupLimit (3.5+, threshold-guarded) already
+  * prunes this idiom — but its partial phase needs a FULL LOCAL SORT of
+  * every raw partition before the limiter. This rule adds what the
+  * builtin cannot:
   *
-  * into the same plan with [[TopKPerKeyNode]] inserted UNDER the window:
+  *  1. **Heap pre-prune** (partitioned case): [[TopKPerKeyNode]] under
+  *     the window keeps k rows per key in O(n log k) with NO sort of the
+  *     raw input. The builtin may still stack its WindowGroupLimit above
+  *     our node — that pass runs over ≤ keys×k rows and is negligible,
+  *     while the expensive raw-partition sort is avoided.
+  *  2. **Window elision** (rank unused): `Project(..no rn..)` over the
+  *     idiom drops the Filter AND the Window entirely — no rank sort at
+  *     all, just the heap operator. The builtin must keep the window.
+  *  3. **Global top-k** (empty partition spec): `Sort + Limit k` under
+  *     the window plans as TakeOrderedAndProject (per-partition bounded
+  *     heaps + one tiny merge) instead of a single-partition sort.
   *
-  * {{{ Filter(rn <= k, Window(row_number() AS rn, P, O, TopKPerKey(P, O, k, child))) }}}
-  *
-  * The window still computes ranks — but over ≤ k rows per key, pruned
-  * map-side by bounded heaps BEFORE the exchange, instead of sorting and
-  * shuffling every row. Ranks of the surviving rows are unchanged: the
-  * heap keeps exactly (a valid choice of) the k first rows per key under
-  * (P, O), which is the set the filter would keep. Users keep writing
-  * the standard window idiom; the optimizer swaps in the scale shape.
-  *
-  * A GLOBAL row_number (empty partition spec) gets the complementary
-  * rewrite: a `Sort + Limit k` is inserted under the window instead,
-  * which Spark plans as TakeOrderedAndProject — per-partition top-k
-  * merged on one reducer — rather than sorting the WHOLE input in a
-  * single partition (the naive plan for an unpartitioned window, and a
-  * guaranteed incident at scale). The window then ranks just k rows.
-  *
-  * Fires only when ALL of:
-  *  - the window computes exactly one expression, a row_number();
-  *  - the order spec is non-empty (unordered row_number is
-  *    nondeterministic);
-  *  - some conjunct of the filter bounds that row_number by a positive
-  *    integer literal (<=, <, =1 and mirrored forms);
-  *  - the child is not already rewritten (fixed-point safety).
+  * Guards: order expressions must be deterministic (the heap comparator
+  * re-evaluates them per comparison); k is capped at [[MaxK]] — heaps
+  * hold k rows per key in memory with no spill, unlike the window sort;
+  * bound extraction is underflow-safe; already-rewritten children
+  * (TopKPerKeyNode / Limit / WindowGroupLimit) are skipped.
   */
 object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Above this, the no-spill heap's O(keys×k) memory becomes a worse
+    * trade than the window's spillable sort — refuse to fire. */
+  val MaxK = 10000
 
   /** k such that `pred` ⇒ rn <= k, if pred is such a bound. */
   private def bound(pred: Expression, rn: Attribute): Option[Int] = {
@@ -51,9 +50,11 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     }
     pred match {
       case LessThanOrEqual(a: Attribute, IntLit(k)) if a.semanticEquals(rn) => Some(k)
-      case LessThan(a: Attribute, IntLit(k)) if a.semanticEquals(rn)        => Some(k - 1)
+      case LessThan(a: Attribute, IntLit(k)) if a.semanticEquals(rn) && k > Int.MinValue =>
+        Some(k - 1)
       case GreaterThanOrEqual(IntLit(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
-      case GreaterThan(IntLit(k), a: Attribute) if a.semanticEquals(rn)     => Some(k - 1)
+      case GreaterThan(IntLit(k), a: Attribute) if a.semanticEquals(rn) && k > Int.MinValue =>
+        Some(k - 1)
       case EqualTo(a: Attribute, IntLit(1)) if a.semanticEquals(rn)         => Some(1)
       case EqualTo(IntLit(1), a: Attribute) if a.semanticEquals(rn)         => Some(1)
       case _ => None
@@ -63,24 +64,44 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   private def alreadyRewritten(child: LogicalPlan): Boolean = child match {
     case _: TopKPerKeyNode => true
     case _: GlobalLimit | _: LocalLimit => true // global variant emitted a Limit
+    case _: WindowGroupLimit => true // the builtin got here first
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond,
-        w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
-          part, order, child, _))
-        if order.nonEmpty && !alreadyRewritten(child) =>
-      val rn = alias.toAttribute
-      val k = splitConjunctivePredicates(cond).flatMap(p => bound(p, rn)).sorted.headOption
-      k match {
-        case Some(kv) if kv > 0 && part.nonEmpty =>
-          f.copy(child = w.copy(child = TopKPerKeyNode(part, order, kv, child)))
-        case Some(kv) if kv > 0 =>
-          // global top-k: Sort + Limit plans as TakeOrderedAndProject
-          f.copy(child = w.copy(child =
-            Limit(Literal(kv), Sort(order, global = true, child))))
-        case _ => f
-      }
+  /** Extract (rnAttr, k, window) when `f` is the rewritable idiom. */
+  private object TopKIdiom {
+    def unapply(f: Filter): Option[(Attribute, Int, Window)] = f match {
+      case Filter(cond,
+          w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+            _, order, child, _))
+          if order.nonEmpty && order.forall(_.deterministic) &&
+            !alreadyRewritten(child) =>
+        val rn = alias.toAttribute
+        splitConjunctivePredicates(cond).flatMap(p => bound(p, rn)).sorted.headOption
+          .filter(k => k > 0 && k <= MaxK)
+          .map(k => (rn, k, w))
+      case _ => None
+    }
+  }
+
+  // top-down so the Project case claims the idiom before the bare-Filter
+  // case rewrites the Filter underneath it
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // rank column unused above the filter: drop Filter AND Window — the
+    // heap operator alone produces the k rows per key
+    case p @ Project(plist, TopKIdiom(rn, k, w))
+        if w.partitionSpec.nonEmpty &&
+          !plist.exists(_.references.contains(rn)) &&
+          plist.forall(_.references.subsetOf(w.child.outputSet)) =>
+      p.copy(child = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, w.child))
+
+    case f @ TopKIdiom(_, k, w) if w.partitionSpec.nonEmpty =>
+      f.copy(child = w.copy(child =
+        TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, w.child)))
+
+    case f @ TopKIdiom(_, k, w) =>
+      // global top-k: Sort + Limit plans as TakeOrderedAndProject
+      f.copy(child = w.copy(child =
+        Limit(Literal(k), Sort(w.orderSpec, global = true, w.child))))
   }
 }

@@ -54,13 +54,19 @@ object Sessionize {
     var cur = state.getOption
     sorted.foreach { t =>
       cur match {
+        case Some(s) if t < s.start - GapMicros =>
+          // a late event MORE than a gap before the open session belongs
+          // to a distinct earlier session that may already have been
+          // emitted — it cannot be merged (that would bridge a >gap
+          // hole) or re-opened; emit it as its own single-event session
+          // (best effort under out-of-order cross-batch delivery; the
+          // ordered-source contract makes this branch unreachable)
+          closed ::= SessionOut(userId, ts(t), ts(t), 1)
         case Some(s) if t - s.last <= GapMicros =>
-          // start = min handles a LATE event (earlier than the open
-          // session, e.g. an out-of-order batch): the session extends
-          // backwards instead of keeping a too-late start. Events more
-          // than a gap before the open session still can't be assigned
-          // retroactively — cross-batch order is the source's contract
-          // (single file / time-ordered files).
+          // start = min handles a late WITHIN-GAP event (earlier than
+          // the open session's start but within a gap of it): the
+          // session extends backwards instead of keeping a too-late
+          // start
           cur = Some(s.copy(start = math.min(s.start, t),
             last = math.max(s.last, t), n = s.n + 1))
         case Some(s) =>

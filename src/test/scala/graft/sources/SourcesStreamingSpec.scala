@@ -153,6 +153,13 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(s.n === 3L)
     assert(s.start === 1700000000000L * 1000 + 5 * 60000000L)
     assert(s.last === 1700000000000L * 1000 + 20 * 60000000L)
+    // batch 3: minute -40 is MORE than a gap before the open session —
+    // it must NOT merge (that would bridge a >30min hole); it emits as
+    // its own single-event session and the open session is untouched
+    val out = track(1L, Iterator(ev(-40)), state).toList
+    assert(out.map(o => (o.n_events, o.session_start.getTime)) ===
+      List((1L, 1700000000000L - 40 * 60000)))
+    assert(saved.get === s)
   }
 
   test("multimodal: batch feature extraction over binary payloads") {
