@@ -481,9 +481,110 @@ object ExtendedQueries {
       ORDER BY o_orderpriority, status""")
   )
 
+  /** Explicit GROUPING SETS with grouping() markers — the general form
+    * beneath rollup/cube: three hand-picked sets (status, priority,
+    * grand total), the marker columns distinguishing real NULLs from
+    * aggregation NULLs. */
+  val qGroupingSets = GraftQuery(
+    "q_grouping_sets",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT
+          COALESCE(o_orderstatus, 'ALL') AS status,
+          COALESCE(o_orderpriority, 'ALL') AS priority,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+          COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    },
+    Some("""SELECT
+        COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""")
+  )
+
+  /** first_value / last_value / nth_value with an explicit full-frame —
+    * the frame-sensitive window family q_window_funcs doesn't cover. */
+  val qFirstLast = GraftQuery(
+    "q_first_last",
+    (s, dir) => {
+      import s.implicits._
+      val full = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .filter($"o_custkey" <= 100)
+        .withColumn("first_price", first($"o_totalprice").over(full))
+        .withColumn("last_price", last($"o_totalprice").over(full))
+        .withColumn("second_price", nth_value($"o_totalprice", 2).over(full))
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          $"first_price", $"last_price", $"second_price")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        LAST_VALUE(o_totalprice) OVER w AS last_price,
+        NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+      FROM orders WHERE o_custkey <= 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""")
+  )
+
+  /** Ordered array / string aggregation (collect + sort, rendered as a
+    * joined string for engine-neutral comparison). */
+  val qArrayAgg = GraftQuery(
+    "q_array_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(
+          array_join(sort_array(collect_list($"n_name")), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy($"r_name")
+    },
+    Some("""SELECT r_name,
+        array_to_string(list_sort(list(n_name)), ',') AS nations,
+        COUNT(*) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""")
+  )
+
+  /** Sample standard deviation / variance (same Bessel-corrected
+    * definition in both engines; rounded for float-path differences). */
+  val qStats = GraftQuery(
+    "q_stats",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(stddev_samp($"o_totalprice"), 4).as("sd"),
+          round(var_samp($"o_totalprice") / 1e6, 4).as("var_m"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+        ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd,
+        ROUND(VAR_SAMP(o_totalprice) / 1e6, 4) AS var_m,
+        COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
-    qUnpivot)
+    qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats)
 }
