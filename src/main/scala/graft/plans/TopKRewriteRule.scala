@@ -1,8 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo,
-  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
-  Literal, PredicateHelper, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
+  LessThanOrEqual, Literal, PredicateHelper, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Limit,
   LocalLimit, LogicalPlan, Project, Sort, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -68,38 +68,54 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** Extract (rnAttr, k, window) when `f` is the rewritable idiom. */
+  /** Extract (rnAttr, k, residual conjuncts, window) when `f` is the
+    * rewritable idiom. `residual` are the conjuncts of the filter that
+    * are NOT rn-bounds — bounds themselves are all subsumed by the
+    * chosen k = min(bounds) (every kept row has rn in 1..k, and the
+    * `rn == 1` form only extracts when k would be 1), so dropping the
+    * Filter is safe exactly when `residual` is empty. */
   private object TopKIdiom {
-    def unapply(f: Filter): Option[(Attribute, Int, Window)] = f match {
-      case Filter(cond,
-          w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
-            _, order, child, _))
-          if order.nonEmpty && order.forall(_.deterministic) &&
-            !alreadyRewritten(child) =>
-        val rn = alias.toAttribute
-        splitConjunctivePredicates(cond).flatMap(p => bound(p, rn)).sorted.headOption
-          .filter(k => k > 0 && k <= MaxK)
-          .map(k => (rn, k, w))
-      case _ => None
-    }
+    def unapply(f: Filter): Option[(Attribute, Int, Seq[Expression], Window)] =
+      f match {
+        case Filter(cond,
+            w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+              _, order, child, _))
+            if order.nonEmpty && order.forall(_.deterministic) &&
+              !alreadyRewritten(child) =>
+          val rn = alias.toAttribute
+          val conjuncts = splitConjunctivePredicates(cond)
+          val (bounds, residual) =
+            conjuncts.partition(p => bound(p, rn).isDefined)
+          bounds.flatMap(p => bound(p, rn)).sorted.headOption
+            .filter(k => k > 0 && k <= MaxK)
+            .map(k => (rn, k, residual, w))
+        case _ => None
+      }
   }
 
   // top-down so the Project case claims the idiom before the bare-Filter
   // case rewrites the Filter underneath it
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    // rank column unused above the filter: drop Filter AND Window — the
-    // heap operator alone produces the k rows per key
-    case p @ Project(plist, TopKIdiom(rn, k, w))
+    // rank column unused above the filter: drop Window (and the rn-bound
+    // conjuncts) — the heap operator alone produces the k rows per key.
+    // Non-bound conjuncts survive as a residual Filter above the heap;
+    // a residual that references rn cannot be evaluated without the
+    // window, so that shape falls through to the Filter case below.
+    case p @ Project(plist, TopKIdiom(rn, k, residual, w))
         if w.partitionSpec.nonEmpty &&
           !plist.exists(_.references.contains(rn)) &&
-          plist.forall(_.references.subsetOf(w.child.outputSet)) =>
-      p.copy(child = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, w.child))
+          !residual.exists(_.references.contains(rn)) &&
+          plist.forall(_.references.subsetOf(w.child.outputSet)) &&
+          residual.forall(_.references.subsetOf(w.child.outputSet)) =>
+      val pruned = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, w.child)
+      p.copy(child =
+        residual.reduceOption(And).map(Filter(_, pruned)).getOrElse(pruned))
 
-    case f @ TopKIdiom(_, k, w) if w.partitionSpec.nonEmpty =>
+    case f @ TopKIdiom(_, k, _, w) if w.partitionSpec.nonEmpty =>
       f.copy(child = w.copy(child =
         TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, w.child)))
 
-    case f @ TopKIdiom(_, k, w) =>
+    case f @ TopKIdiom(_, k, _, w) =>
       // global top-k: Sort + Limit plans as TakeOrderedAndProject
       f.copy(child = w.copy(child =
         Limit(Literal(k), Sort(w.orderSpec, global = true, w.child))))

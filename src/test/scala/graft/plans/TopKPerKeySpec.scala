@@ -129,6 +129,50 @@ class TopKPerKeySpec extends SparkSpec {
     assert(dropped.collect().map(_.toSeq).toSet === ref)
   }
 
+  test("elision keeps non-bound conjuncts as a residual filter") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val mixed = Tables.orders(spark, Dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("o_totalprice") > 100000)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val opt = mixed.queryExecution.optimizedPlan.toString
+    assert(opt.contains("TopKPerKey"), s"rewrite did not fire:\n$opt")
+    assert(!opt.contains("row_number"), s"window survived:\n$opt")
+    // the price predicate must survive the elision
+    assert(opt.contains("100000"), s"residual conjunct dropped:\n$opt")
+    val ref = Tables.orders(spark, Dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .filter(col("o_totalprice") > 100000)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(ref.nonEmpty, "fixture degenerate: no rows pass the residual")
+    assert(mixed.collect().map(_.toSeq).toSet === ref)
+    // and strictly fewer rows than the bound alone — residual is active
+    val boundOnly = Tables.orders(spark, Dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
+    assert(ref.size < boundOnly)
+  }
+
+  test("pagination (rn >= 2 and rn <= 3) is never elided and stays correct") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val page = Tables.orders(spark, Dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 2 && col("rn") <= 3)
+      .select("o_custkey", "o_orderkey")
+    // rn >= 2 references the rank: the window must survive (heap prune
+    // below it is fine), and row 1 of each key must be excluded
+    val opt = page.queryExecution.optimizedPlan.toString
+    assert(opt.contains("row_number"), s"window elided under an rn residual:\n$opt")
+    val ref = Tables.orders(spark, Dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 2).filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey").collect().map(_.toSeq).toSet
+    assert(ref.nonEmpty)
+    assert(page.collect().map(_.toSeq).toSet === ref)
+  }
+
   test("optimizer rule guards: huge k stays untouched; random order is materialized") {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
     val hugeK = Tables.orders(spark, Dir)
