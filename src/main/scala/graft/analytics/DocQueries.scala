@@ -100,22 +100,26 @@ object DocQueries {
   )
 
   /** Exact 3-gram Jaccard near-dup pairs (shared-shingle blocked),
-    * integer arithmetic end-to-end. */
+    * integer arithmetic end-to-end. maxDf=100 stop-shingle removal is
+    * ACTIVE and mirrored in the oracle's df CTE — the DuckDB gate
+    * validates the cap semantics, not just the uncapped join. */
   val qJaccardPairs = GraftQuery(
     "q_jaccard_pairs",
     (s, dir) => {
       import s.implicits._
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          k = 3, minJaccard = 0.5)
+          k = 3, minJaccard = 0.5, maxDf = 100)
         .orderBy($"id_a", $"id_b")
     },
     Some("""WITH toks AS (SELECT doc_id,
         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
       FROM documents),
-      sh AS (SELECT DISTINCT doc_id, s FROM (
+      sh0 AS (SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id, CASE WHEN LEN(ts) < 3 THEN [array_to_string(ts, ' ')]
           ELSE [array_to_string(ts[i+1:i+3], ' ') for i in range(0, LEN(ts)-2)] END AS ss
         FROM toks), UNNEST(ss) AS u(s)),
+      freq AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq USING (s) WHERE freq.df <= 100),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -159,7 +163,7 @@ object DocQueries {
     (s, dir) => {
       import s.implicits._
       Dedup.minhashDedupPairs(Tables.documents(s, dir), "doc_id", "text",
-          k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+          k = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucket = 100)
         .orderBy($"id_a", $"id_b")
     },
     None
@@ -170,7 +174,8 @@ object DocQueries {
     "q_simhash_pairs",
     (s, dir) => {
       import s.implicits._
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 3, maxBucket = 100)
         .orderBy($"id_a", $"id_b")
     },
     None

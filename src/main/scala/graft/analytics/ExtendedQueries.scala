@@ -201,7 +201,7 @@ object ExtendedQueries {
     (s, dir) => {
       import s.implicits._
       graft.operators.Dedup.winnowPairs(Tables.documents(s, dir),
-          "doc_id", "text", k = 3, w = 4, minShared = 2)
+          "doc_id", "text", k = 3, w = 4, minShared = 2, maxDf = 100)
         .orderBy($"id_a", $"id_b")
     },
     None

@@ -19,6 +19,32 @@ import org.apache.spark.sql.types.LongType
   */
 object Dedup {
 
+  /** Default document-frequency cap for the blocked pair generators: a
+    * blocking key (shingle / fingerprint / LSH bucket) occurring in more
+    * than this many docs is dropped before the self-join. Rationale: a
+    * key shared by f docs contributes f·(f-1)/2 candidate rows ON ONE
+    * REDUCER — at 10k that is ~5·10⁷ rows from a single key, the classic
+    * skewed-corpus scale-killer — while a key common to 10k documents
+    * (boilerplate, stop-shingles) carries no near-duplicate signal. */
+  val DefaultMaxDf = 10000
+
+  /** Drop rows whose blocking key occurs more than `maxDf` times.
+    * `maxDf <= 0` disables the cap. One partial-aggregated pass computes
+    * per-key frequency (tiny: map-side combine reduces to distinct keys),
+    * then a semi-join on the same key — which the subsequent self-join
+    * also shuffles on, so the exchange is reused. Hot keys are never
+    * buffered anywhere (no window over the key). */
+  private[operators] def dropHotKeys(
+      keyed: DataFrame, keyCols: Seq[String], maxDf: Int): DataFrame =
+    if (maxDf <= 0) keyed
+    else {
+      val kept = keyed.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf)
+        .select(keyCols.map(col): _*)
+      keyed.join(kept, keyCols, "left_semi")
+    }
+
   /** Exact near-duplicate groups via normalized-content fingerprint:
     * keep the min-id doc per group, count members. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -52,14 +78,21 @@ object Dedup {
 
   /** LSH candidate pairs from a signature DF: band the signature (`bands`
     * bands of rowsPerBand rows), bucket-join docs sharing any band hash.
-    * Returns (id_a, id_b) with id_a < id_b, distinct. */
-  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    * Buckets with more than `maxBucket` members are dropped before the
+    * join ([[dropHotKeys]]): a bucket of f docs yields f²/2 candidates on
+    * one reducer, and an over-full bucket means the band hash has
+    * degenerated (boilerplate corpus) — it no longer separates near-dups
+    * from the crowd. Returns (id_a, id_b) with id_a < id_b, distinct. */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxDf): DataFrame = {
     require(bands > 0 && rowsPerBand > 0,
       s"bands=$bands rowsPerBand=$rowsPerBand must be positive")
-    val banded = sig.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
-      .toDF("id", "band", "bhash")
+    val banded = dropHotKeys(
+      sig.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+        .toDF("id", "band", "bhash"),
+      Seq("band", "bhash"), maxBucket)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.id") < col("b.id"))
@@ -70,11 +103,12 @@ object Dedup {
   /** Compatibility wrapper: signatures + banded candidates. */
   def minhashLshCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucket: Int = DefaultMaxDf): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes (trailing slots would be silently ignored)")
     lshCandidates(minhashSignatures(df, idCol, textCol, k, numHashes), bands,
-      numHashes / bands)
+      numHashes / bands, maxBucket)
   }
 
   /** MinHash-estimated Jaccard for candidate pairs (fraction of agreeing
@@ -85,11 +119,11 @@ object Dedup {
   def minhashDedupPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, maxBucket: Int = DefaultMaxDf): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes (trailing slots would be silently ignored)")
     val sig = Caches.register(minhashSignatures(df, idCol, textCol, k, numHashes))
-    val cand = lshCandidates(sig, bands, numHashes / bands)
+    val cand = lshCandidates(sig, bands, numHashes / bands, maxBucket)
     cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -105,15 +139,27 @@ object Dedup {
   /** Exact n-gram Jaccard for all pairs sharing at least one shingle:
     * explode-join-count — integer arithmetic end to end, so it doubles as
     * a DuckDB-comparable oracle query. Blocking by shared shingle keeps it
-    * far below the full cross product. */
+    * far below the full cross product.
+    *
+    * Shingles present in more than `maxDf` docs are removed from the
+    * fingerprint space FIRST (stop-shingle removal, [[dropHotKeys]]):
+    * both the intersection and the union are computed over the capped
+    * set, so the Jaccard stays internally consistent. A shingle common
+    * to thousands of docs is corpus boilerplate — it inflates every
+    * pair's similarity equally while generating df² join rows on a
+    * single reducer. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    // cache: the exploded shingle set feeds the self-join (twice) and the
-    // per-doc sizes — and shingle 64-bit hashes shuffle instead of strings
-    val sh = Caches.register(df.select(col(idCol).as("id"),
-      explode(graft.expressions.TextHashExprs.shingleHashes64(
-        TextAnalysis.tokens(col(textCol)), k)).as("shingle")))
+      k: Int = 3, minJaccard: Double = 0.5,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    // cache: the exploded shingle set feeds the df-cap, the self-join
+    // (twice) and the per-doc sizes — and shingle 64-bit hashes shuffle
+    // instead of strings
+    val sh = Caches.register(dropHotKeys(
+      df.select(col(idCol).as("id"),
+        explode(graft.expressions.TextHashExprs.shingleHashes64(
+          TextAnalysis.tokens(col(textCol)), k)).as("shingle")),
+      Seq("shingle"), maxDf))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -137,10 +183,15 @@ object Dedup {
     * collide. Returns pairs with the shared-fingerprint count. */
   def winnowPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
-    val fp = Caches.register(df.select(col(idCol).as("id"),
-      explode(graft.expressions.TextHashExprs.winnowFingerprints(
-        TextAnalysis.tokens(col(textCol)), k, w)).as("fp")))
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    // fingerprints in > maxDf docs are boilerplate, not near-dup signal —
+    // drop them before the self-join (see dropHotKeys)
+    val fp = Caches.register(dropHotKeys(
+      df.select(col(idCol).as("id"),
+        explode(graft.expressions.TextHashExprs.winnowFingerprints(
+          TextAnalysis.tokens(col(textCol)), k, w)).as("fp")),
+      Seq("fp"), maxDf))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -188,13 +239,16 @@ object Dedup {
     * probability), verify with the exact hamming distance. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxDf): DataFrame = {
     // cache: the sketch feeds both sides of the self-join (8 longs/doc)
     val sk = Caches.register(
       df.select(col(idCol).as("id"), simhashChunks(col(textCol)).as("sk")))
-    val chunks = sk.select(col("id"), col("sk"),
-      posexplode(col("sk")))
-      .toDF("id", "sk", "band", "chunk")
+    // over-full (band, chunk) buckets are degenerate blocking keys
+    // (boilerplate corpus) — drop before the f² self-join
+    val chunks = dropHotKeys(
+      sk.select(col("id"), col("sk"), posexplode(col("sk")))
+        .toDF("id", "sk", "band", "chunk"),
+      Seq("band", "chunk"), maxBucket)
     chunks.as("a").join(chunks.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))

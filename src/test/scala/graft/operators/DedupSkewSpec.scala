@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The df-cap in the blocked pair generators: a blocking key shared by a
+  * large fraction of the corpus (boilerplate) must not explode into f²
+  * candidates, while genuinely rare shared content must still pair up.
+  *
+  * Fixture: 50 exact-duplicate boilerplate docs (every blocking key they
+  * produce has df = 50), 10 unique filler docs, one planted NEAR-dup
+  * pair (ids 100/101 — 12 shared tokens, one extra in 101) and one
+  * planted EXACT-dup pair (ids 200/201, unique content). With a cap of
+  * 20, all boilerplate-derived keys vanish; the planted pairs' keys
+  * (df = 2) survive.
+  */
+class DedupSkewSpec extends SparkSpec {
+
+  private val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  private lazy val corpus: DataFrame = {
+    import spark.implicits._
+    val rows =
+      (1L to 50L).map(i => (i, boiler)) ++
+      (61L to 70L).map(i => (i, s"filler$i one$i two$i three$i four$i five$i six$i seven$i")) ++
+      Seq(
+        (100L, "quick brown fox jumps over the lazy dog near riverbank at dawn"),
+        (101L, "quick brown fox jumps over the lazy dog near riverbank at dawn extra"),
+        (200L, "entirely separate planted duplicate content block for sketch tests"),
+        (201L, "entirely separate planted duplicate content block for sketch tests"))
+    rows.toDF("doc_id", "text")
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def boilerPair(p: (Long, Long)): Boolean = p._1 <= 50 && p._2 <= 50
+
+  test("dropHotKeys removes exactly the keys above the cap; 0 disables") {
+    import spark.implicits._
+    val keyed = Seq.tabulate(30)(i => (i.toLong, "hot")) ++
+      Seq((1L, "warm"), (2L, "warm"), (3L, "cold"))
+    val df = keyed.toDF("id", "k")
+    val kept = Dedup.dropHotKeys(df, Seq("k"), maxDf = 2)
+      .select("k").collect().map(_.getString(0))
+    assert(kept.sorted.toSeq === Seq("cold", "warm", "warm"))
+    assert(Dedup.dropHotKeys(df, Seq("k"), maxDf = 0).count() === 33)
+  }
+
+  test("winnow: boilerplate fingerprints capped, rare shared runs survive") {
+    val uncapped = pairs(Dedup.winnowPairs(corpus, "doc_id", "text",
+      k = 3, w = 4, minShared = 1, maxDf = 0))
+    assert(uncapped.size >= 50 * 49 / 2,
+      s"uncapped skew fixture should blow up: ${uncapped.size}")
+    val capped = pairs(Dedup.winnowPairs(corpus, "doc_id", "text",
+      k = 3, w = 4, minShared = 1, maxDf = 20))
+    assert(!capped.exists(boilerPair), s"hot fingerprints survived the cap: $capped")
+    assert(capped.contains((100L, 101L)), s"planted near-dup lost: $capped")
+    assert(capped.contains((200L, 201L)), s"planted exact-dup lost: $capped")
+    assert(capped.size <= 10, s"capped candidate set not bounded: ${capped.size}")
+  }
+
+  test("jaccard: stop-shingle removal kills boilerplate pairs, keeps planted") {
+    val uncapped = pairs(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      k = 3, minJaccard = 0.5, maxDf = 0))
+    assert(uncapped.size >= 50 * 49 / 2)
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      k = 3, minJaccard = 0.5, maxDf = 20)
+    val cp = pairs(capped)
+    assert(!cp.exists(boilerPair))
+    assert(cp.contains((100L, 101L)) && cp.contains((200L, 201L)))
+    // the planted near-dup's jaccard is computed over the CAPPED space
+    val j = capped.filter(col("id_a") === 100L).select("inter", "uni")
+      .collect().map(r => r.getLong(0).toDouble / r.getLong(1)).head
+    assert(j > 0.8, s"planted near-dup jaccard $j")
+  }
+
+  test("minhash LSH: over-full band buckets capped, planted pairs survive") {
+    val uncapped = pairs(Dedup.minhashLshCandidates(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, maxBucket = 0))
+    assert(uncapped.size >= 50 * 49 / 2,
+      s"identical docs must collide in every band: ${uncapped.size}")
+    val capped = pairs(Dedup.minhashLshCandidates(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, maxBucket = 20))
+    assert(!capped.exists(boilerPair), s"hot buckets survived: $capped")
+    assert(capped.contains((200L, 201L)), s"planted exact-dup lost: $capped")
+  }
+
+  test("simhash: hot chunk buckets capped, planted exact-dup survives") {
+    val uncapped = pairs(Dedup.simhashPairs(corpus, "doc_id", "text",
+      maxHamming = 3, maxBucket = 0))
+    assert(uncapped.size >= 50 * 49 / 2)
+    val capped = pairs(Dedup.simhashPairs(corpus, "doc_id", "text",
+      maxHamming = 3, maxBucket = 20))
+    assert(!capped.exists(boilerPair))
+    assert(capped.contains((200L, 201L)))
+  }
+}
