@@ -195,14 +195,19 @@ object DocQueries {
     None
   )
 
-  /** Embedding-cosine near-dup pairs (cos ≥ 0.95, LSH-blocked). */
+  /** Embedding-cosine near-dup pairs, LSH-blocked with 1-bit multi-probe.
+    * Threshold 0.4: the synthetic gaussian embeddings top out around
+    * cosine 0.5 (no planted vector dups), so 0.4 exercises the full
+    * block→probe→verify path with a non-empty result; recall against
+    * brute force is asserted on planted near-dups in
+    * DedupSimilaritySpec. */
   val qEmbedDupPairs = GraftQuery(
     "q_embed_dup_pairs",
     (s, dir) => {
       import s.implicits._
       Similarity.embeddingDupPairs(
           Tables.embeddings(s, dir).withColumn("embedding", $"embedding".cast("array<double>")),
-          "vec_id", "embedding", threshold = 0.95, nPlanes = 3)
+          "vec_id", "embedding", threshold = 0.4, nPlanes = 3, probeRadius = 1)
         .orderBy($"id_a", $"id_b")
     },
     None

@@ -84,20 +84,35 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs near-duplicates by embedding cosine ≥ threshold, LSH-blocked:
-    * pairs only form inside a bucket. The embedding-cosine member of the
-    * dedup family. */
+  /** All-pairs near-duplicates by embedding cosine ≥ threshold, LSH-blocked
+    * with multi-probe: a pair forms when the two bucket ids differ in at
+    * most `probeRadius` sign bits. With exact-bucket blocking alone
+    * (probeRadius = 0) a true pair is silently missed whenever any
+    * hyperplane separates it — at nPlanes = 3 that loses ~27% of
+    * 0.95-cosine pairs; radius 1 cuts the miss rate to ~3% for a
+    * (nPlanes+1)× larger probe side.
+    *
+    * One side explodes to its XOR-neighborhood (masks with ≤ radius bits
+    * set), the other keeps its exact bucket; for a qualifying pair
+    * exactly one mask matches (mask = bucketA ^ bucketB) and the id_a <
+    * id_b guard keeps one orientation, so no distinct is needed. */
   def embeddingDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 4, seed: Long = 42L,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= nPlanes,
+      s"probeRadius=$probeRadius must be in [0, nPlanes=$nPlanes]")
     val planes = hyperplanes(dim, nPlanes, seed)
     // cached: bucket assignment feeds both sides of the self-join; the
     // fused native cosine computes dot + both norms in one pass per pair
     val b = Caches.register(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshBucket(col(vecCol), planes).as("bucket")))
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    val masks = (0L until (1L << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val probed = b.withColumn("_mask", explode(typedLit(masks)))
+      .withColumn("_pbucket", col("bucket").bitwiseXOR(col("_mask")))
+    probed.as("a").join(b.as("b"),
+        col("a._pbucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(cosineNative(col("a.vec"), col("b.vec")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

@@ -73,13 +73,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf.size === 20)
   }
 
-  test("embedding dup pairs are symmetric-free and above threshold") {
-    val pairs = Similarity.embeddingDupPairs(emb, "vec_id", "embedding",
-      threshold = 0.9, nPlanes = 3).collect()
-    pairs.foreach { r =>
-      assert(r.getLong(0) < r.getLong(1))
-      assert(r.getDouble(2) >= 0.9)
+  test("multi-probe embedding dup pairs find planted near-dups (recall vs brute force)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
     }
+    // 30 planted near-dup pairs: base + σ=0.02 gaussian noise → cosine
+    // ≈ 0.987; random 64-dim bases are near-orthogonal to each other
+    val rows = Seq.fill(30)(unit(Array.fill(64)(rnd.nextGaussian())))
+      .zipWithIndex.flatMap { case (b, i) =>
+        val noisy = unit(b.map(_ + rnd.nextGaussian() * 0.02))
+        Seq((i.toLong * 2, b.toSeq), (i.toLong * 2 + 1, noisy.toSeq))
+      }
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = df.as("a").join(df.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosineNative(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size === 30, s"fixture: expected 30 planted pairs, got ${truth.size}")
+    def found(radius: Int): Set[(Long, Long)] =
+      Similarity.embeddingDupPairs(df, "vec_id", "embedding",
+          threshold = 0.95, nPlanes = 3, probeRadius = radius)
+        .collect().map { r =>
+          assert(r.getLong(0) < r.getLong(1)); assert(r.getDouble(2) >= 0.95)
+          (r.getLong(0), r.getLong(1))
+        }.toSet
+    val probed = found(1)
+    val recall = truth.count(probed.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"multi-probe recall $recall over ${truth.size} planted pairs")
+    // multi-probe must dominate exact-bucket blocking
+    assert(found(0).subsetOf(probed))
   }
 
   test("cosine of a vector with itself is 1") {
