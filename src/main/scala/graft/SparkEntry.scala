@@ -13,7 +13,8 @@ object SparkEntry {
   /** All registered queries, in registration order. Names must be unique. */
   def registry: Seq[GraftQuery] =
     analytics.StarQueries.all ++ analytics.DocQueries.all ++
-      analytics.FuncQueries.all ++ analytics.ExtendedQueries.all
+      analytics.FuncQueries.all ++ analytics.ExtendedQueries.all ++
+      analytics.BucketedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Top-10 customers by revenue: scan → broadcast dim joins → grouped

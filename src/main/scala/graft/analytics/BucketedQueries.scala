@@ -1,0 +1,61 @@
+package graft.analytics
+
+import graft.{GraftQuery, Tables}
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The bucketed-layout contract: fact tables written once bucketed by the
+  * join key join co-located forever after — a SortMergeJoin with NO
+  * Exchange on either side. This is the 100 TB answer to the fact-fact
+  * shuffle that dominates q_top_customers: at scale the bucketed write is
+  * amortized over every subsequent join on the key.
+  *
+  * The query performs the full ingest-then-join cycle in one plan tree so
+  * the driver exercises it end to end: write lineitem and orders bucketed
+  * by orderkey (8 buckets, sorted within), re-read through the catalog,
+  * SMJ-join, aggregate per order priority. PlanAuditSpec asserts the join
+  * sides are Exchange-free; the DuckDB oracle checks the same join over
+  * the raw parquet (bucketing must not change results).
+  */
+object BucketedQueries {
+
+  private val Buckets = 8
+
+  val qBucketedJoin = GraftQuery(
+    "q_bucketed_join",
+    (s, dir) => {
+      import s.implicits._
+      // table names carry a dir tag: a shared test session may run this
+      // query against several SFs — stale buckets must never cross SFs
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val lt = s"graft_bkt_lineitem_$tag"
+      val ot = s"graft_bkt_orders_$tag"
+      Skew.writeBucketed(
+        Tables.lineitem(s, dir).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        lt, "l_orderkey", Buckets)
+      Skew.writeBucketed(
+        Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority"),
+        ot, "o_orderkey", Buckets)
+      val l = s.table(lt)
+      val o = s.table(ot)
+      // hint("merge"): orders would otherwise broadcast at test SFs and
+      // hide the co-located-join property being demonstrated
+      l.hint("merge").join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qBucketedJoin)
+}

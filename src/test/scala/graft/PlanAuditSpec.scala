@@ -57,6 +57,24 @@ class PlanAuditSpec extends SparkSpec {
       .foreach(c => assert(!scan.contains(c), s"unpruned column $c in scan"))
   }
 
+  test("bucketed fact-fact join is a SortMergeJoin with Exchange-free sides") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, Dir)
+    df.collect()
+    // AQE prints Final and Initial sections — audit only the final plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), s"bucketed join not SMJ:\n$p")
+    val joinIdx = p.indexOf("SortMergeJoin")
+    // everything below the join comes from the bucketed scans: the ONLY
+    // Exchange allowed in the plan is the groupBy's, which sits above
+    assert(!p.substring(joinIdx).contains("Exchange"),
+      s"bucketed join sides still shuffle:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected only the aggregate exchange:\n$p")
+    // both scans actually read the bucketed layout
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scan not bucketed:\n$p")
+  }
+
   test("whole-stage codegen spans the aggregation pipeline") {
     // AQE hides codegen spans until the final plan exists — execute first
     val df = SparkEntry.queries("q1_pricing_summary")(spark, Dir)
