@@ -404,6 +404,32 @@ object ExtendedQueries {
       WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")
   )
 
+  /** The rank() member of the top-k idiom family: user-written
+    * `rank() <= k` — boundary TIES KEPT, so a key can emit more than k
+    * rows. The optimizer rule routes it through TopKPerKey in Rank mode
+    * (plan-asserted in TopKPerKeySpec); the oracle is DuckDB's RANK()
+    * window. Ranking on o_totalprice alone (no tiebreak) so equal-price
+    * orders genuinely tie. */
+  val qRankTopk = GraftQuery(
+    "q_rank_topk",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+      Tables.orders(s, dir)
+        .withColumn("rk", rank().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+        .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rk
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              CAST(RANK() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC) AS INT) AS rk
+            FROM orders) t
+      WHERE rk <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")
+  )
+
   /** Custom streaming STATE in the contract: flatMapGroupsWithState
     * sessionization (30-min gap) run as a real streaming job. In a
     * single AvailableNow batch exactly the gap-CLOSED sessions emit —
@@ -586,5 +612,5 @@ object ExtendedQueries {
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
-    qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats)
+    qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk)
 }

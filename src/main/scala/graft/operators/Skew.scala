@@ -49,10 +49,20 @@ object Skew {
     * The 100 TB pattern: bucket the fact tables once at ingest, join free
     * forever after. */
   def writeBucketed(
-      df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+      df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // an in-memory catalog forgets its tables at session end but the
+    // managed location survives in the warehouse dir; saveAsTable then
+    // refuses with LOCATION_ALREADY_EXISTS — remove the orphan first
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

@@ -1,15 +1,17 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
-  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
-  LessThanOrEqual, Literal, PredicateHelper, RowNumber, WindowExpression}
+  DenseRank, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
+  LessThanOrEqual, Literal, PredicateHelper, Rank, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Limit,
   LocalLimit, LogicalPlan, Project, Sort, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
 /** Optimizer rule (SparkSessionExtensions.injectOptimizerRule) for the
-  * per-key top-k idiom `Filter(rn <= k)` over a `row_number()` window.
+  * per-key top-k idiom `Filter(rn <= k)` over a `row_number()`, `rank()`
+  * or `dense_rank()` window (the latter two keep boundary ties via the
+  * matching [[TopKMode]] in the heap operator).
   *
   * Spark's builtin InferWindowGroupLimit (3.5+, threshold-guarded) already
   * prunes this idiom — but its partial phase needs a FULL LOCAL SORT of
@@ -68,27 +70,37 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** Extract (rnAttr, k, residual conjuncts, window) when `f` is the
-    * rewritable idiom. `residual` are the conjuncts of the filter that
-    * are NOT rn-bounds — bounds themselves are all subsumed by the
-    * chosen k = min(bounds) (every kept row has rn in 1..k, and the
+  /** Extract (rnAttr, k, residual conjuncts, window, mode) when `f` is
+    * the rewritable idiom — over row_number(), rank() or dense_rank()
+    * (mode picks the matching tie semantics in the heap operator).
+    * `residual` are the conjuncts of the filter that are NOT rank
+    * bounds — bounds themselves are all subsumed by the chosen
+    * k = min(bounds) (every kept row has rank in 1..k, and the
     * `rn == 1` form only extracts when k would be 1), so dropping the
     * Filter is safe exactly when `residual` is empty. */
   private object TopKIdiom {
-    def unapply(f: Filter): Option[(Attribute, Int, Seq[Expression], Window)] =
+    def unapply(f: Filter): Option[(Attribute, Int, Seq[Expression], Window, TopKMode)] =
       f match {
         case Filter(cond,
-            w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+            w @ Window(Seq(alias @ Alias(WindowExpression(rankFn, _), _)),
               _, order, child, _))
             if order.nonEmpty && order.forall(_.deterministic) &&
               !alreadyRewritten(child) =>
-          val rn = alias.toAttribute
-          val conjuncts = splitConjunctivePredicates(cond)
-          val (bounds, residual) =
-            conjuncts.partition(p => bound(p, rn).isDefined)
-          bounds.flatMap(p => bound(p, rn)).sorted.headOption
-            .filter(k => k > 0 && k <= MaxK)
-            .map(k => (rn, k, residual, w))
+          val mode = rankFn match {
+            case RowNumber() => Some(TopKMode.RowNum)
+            case _: Rank => Some(TopKMode.Rank)
+            case _: DenseRank => Some(TopKMode.Dense)
+            case _ => None
+          }
+          mode.flatMap { m =>
+            val rn = alias.toAttribute
+            val conjuncts = splitConjunctivePredicates(cond)
+            val (bounds, residual) =
+              conjuncts.partition(p => bound(p, rn).isDefined)
+            bounds.flatMap(p => bound(p, rn)).sorted.headOption
+              .filter(k => k > 0 && k <= MaxK)
+              .map(k => (rn, k, residual, w, m))
+          }
         case _ => None
       }
   }
@@ -101,22 +113,24 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     // Non-bound conjuncts survive as a residual Filter above the heap;
     // a residual that references rn cannot be evaluated without the
     // window, so that shape falls through to the Filter case below.
-    case p @ Project(plist, TopKIdiom(rn, k, residual, w))
+    case p @ Project(plist, TopKIdiom(rn, k, residual, w, mode))
         if w.partitionSpec.nonEmpty &&
           !plist.exists(_.references.contains(rn)) &&
           !residual.exists(_.references.contains(rn)) &&
           plist.forall(_.references.subsetOf(w.child.outputSet)) &&
           residual.forall(_.references.subsetOf(w.child.outputSet)) =>
-      val pruned = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, w.child)
+      val pruned = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, w.child, mode)
       p.copy(child =
         residual.reduceOption(And).map(Filter(_, pruned)).getOrElse(pruned))
 
-    case f @ TopKIdiom(_, k, _, w) if w.partitionSpec.nonEmpty =>
+    case f @ TopKIdiom(_, k, _, w, mode) if w.partitionSpec.nonEmpty =>
       f.copy(child = w.copy(child =
-        TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, w.child)))
+        TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, w.child, mode)))
 
-    case f @ TopKIdiom(_, k, _, w) =>
-      // global top-k: Sort + Limit plans as TakeOrderedAndProject
+    case f @ TopKIdiom(_, k, _, w, TopKMode.RowNum) =>
+      // global top-k: Sort + Limit plans as TakeOrderedAndProject.
+      // RowNumber ONLY: Limit(k) would drop boundary ties that a global
+      // rank()/dense_rank() bound must keep.
       f.copy(child = w.copy(child =
         Limit(Literal(k), Sort(w.orderSpec, global = true, w.child))))
   }

@@ -42,9 +42,9 @@ object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   import graft.plans.{TopKPerKeyExec, TopKPerKeyNode}
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, so, k, child) =>
-      val partial = TopKPerKeyExec(keys, so, k, partial = true, planLater(child))
-      TopKPerKeyExec(keys, so, k, partial = false, partial) :: Nil
+    case TopKPerKeyNode(keys, so, k, child, mode) =>
+      val partial = TopKPerKeyExec(keys, so, k, partial = true, planLater(child), mode)
+      TopKPerKeyExec(keys, so, k, partial = false, partial, mode) :: Nil
     case _ => Nil
   }
 }

@@ -75,6 +75,12 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not bucketed:\n$p")
   }
 
+  test("q_rank_topk routes through the tie-keeping heap operator") {
+    val df = SparkEntry.queries("q_rank_topk")(spark, Dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("TopKPerKey"), s"rank rewrite did not fire:\n$opt")
+  }
+
   test("whole-stage codegen spans the aggregation pipeline") {
     // AQE hides codegen spans until the final plan exists — execute first
     val df = SparkEntry.queries("q1_pricing_summary")(spark, Dir)

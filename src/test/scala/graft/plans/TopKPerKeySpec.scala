@@ -192,15 +192,59 @@ class TopKPerKeySpec extends SparkSpec {
 
   test("optimizer rule leaves non-matching windows alone") {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
-    // rank() is not row_number; filter on a non-window column; no filter
+    // percent_rank is not a row-count limiter; filter on a non-window
+    // column; no filter at all
     val r1 = Tables.orders(spark, Dir)
-      .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+      .withColumn("pr", percent_rank().over(w)).filter(col("pr") <= 0.5)
     assert(!r1.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
     val r2 = Tables.orders(spark, Dir)
       .withColumn("rn", row_number().over(w)).filter(col("o_totalprice") > 0)
     assert(!r2.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
     val r3 = Tables.orders(spark, Dir).withColumn("rn", row_number().over(w))
     assert(!r3.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+  }
+
+  test("rank()/dense_rank() idioms rewrite with tie-keeping semantics") {
+    // o_orderpriority has few distinct values → guaranteed heavy ties
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderpriority"))
+    for ((fn, name) <- Seq((rank(), "rank"), (dense_rank(), "dense_rank"))) {
+      val idiom = Tables.orders(spark, Dir)
+        .withColumn("rk", fn.over(w)).filter(col("rk") <= 2)
+      val opt = idiom.queryExecution.optimizedPlan.toString
+      assert(opt.contains("TopKPerKey"), s"$name rewrite did not fire:\n$opt")
+      // ground truth: full builtin window (no rank filter → no rewrite),
+      // bound applied driver-side
+      val ref = Tables.orders(spark, Dir)
+        .withColumn("rk", fn.over(w))
+        .select("o_custkey", "o_orderkey", "rk")
+        .collect().filter(_.getInt(2) <= 2)
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val got = idiom.select("o_custkey", "o_orderkey", "rk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === ref, s"$name results diverge from builtin window")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("rank mode keeps boundary ties; dense mode keeps top distinct values") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10), ("a", 10), ("a", 9), ("a", 9), ("a", 8),
+      ("b", 5), ("b", 5), ("b", 5), ("b", 4)
+    ).toDF("k", "v")
+    // rank() <= 2 over v desc: a → ranks 1,1,3,3,5 keeps the two 10s;
+    // b → ranks 1,1,1,4 keeps the three tied 5s (boundary ties kept)
+    val byRank = TopKPerKey.perKey(df, Seq("k"), Seq(("v", false)), 2,
+        TopKMode.Rank)
+      .groupBy("k").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byRank === Map("a" -> 2L, "b" -> 3L))
+    // dense_rank() <= 2: top two DISTINCT values per key
+    val byDense = TopKPerKey.perKey(df, Seq("k"), Seq(("v", false)), 2,
+        TopKMode.Dense)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(byDense.toSet === Set(("a", 10), ("a", 9), ("b", 5), ("b", 4)))
+    assert(byDense.length === 8) // 10,10,9,9 for a; 5,5,5,4 for b
   }
 
   test("unknown column raises a clear error") {
