@@ -538,18 +538,25 @@ object StarQueries {
       FROM per GROUP BY user_id ORDER BY user_id""")
   )
 
-  /** P9 bounded deterministic sample (rows-only check: pandas' seeded RNG
-    * is engine-specific; rand(seed) here is stable for a fixed input
-    * partitioning). */
+  /** P9 bounded deterministic sample, fully oracle-able: a multiplicative
+    * congruential hash of the key (h = key·48271 mod 2³¹−1, Lehmer/MINSTD
+    * — plain integer arithmetic, overflow-free for any event_id, so both
+    * engines compute it bit-identically) selects ~5% of rows, bounded to
+    * the first 1000 by key. Unlike the previous rand(seed) ordering this
+    * is stable under repartitioning AND map-only — no full sort of the
+    * corpus, just a pushable filter and a bounded TakeOrdered. */
   val qSampleEvents = GraftQuery(
     "q_sample_events",
     (s, dir) => {
       import s.implicits._
       Tables.events(s, dir)
+        .filter(pmod($"event_id" * lit(48271L), lit(2147483647L)) % 20 === 7)
         .select($"event_id", $"user_id", $"event_type")
-        .orderBy(rand(42)).limit(1000)
+        .orderBy($"event_id").limit(1000)
     },
-    None
+    Some("""SELECT event_id, user_id, event_type FROM events
+      WHERE ((event_id * 48271) % 2147483647) % 20 = 7
+      ORDER BY event_id LIMIT 1000""")
   )
 
   /** Flagship composite: scan → broadcast dim joins → grouped decimal

@@ -30,8 +30,15 @@ object EventsStream {
     * a single file (the file source needs a directory basePath, so a bare
     * file path gets one basename character wrapped in a one-element glob
     * class — choosing a character that is NOT a class metacharacter, so
-    * names ending in '!', '^', ']' etc. still resolve literally). */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    * names ending in '!', '^', ']' etc. still resolve literally).
+    *
+    * `maxFilesPerTrigger` bounds how many files each micro-batch ingests
+    * (the ingest-path rate limit). The single-file default matches the
+    * one-micro-batch precondition of the q_stream_sessions oracle; a
+    * real deployment tunes it to the landing rate. */
+  def readEvents(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    require(maxFilesPerTrigger > 0, s"maxFilesPerTrigger=$maxFilesPerTrigger must be positive")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val hasGlob = path.exists("*?[{".contains(_))
     val src =
@@ -39,7 +46,7 @@ object EventsStream {
       else path
     spark.readStream
       .schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(src)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }

@@ -105,6 +105,48 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(out.count() === total) // 2N delivered, N emitted
   }
 
+  test("streaming sessionization over 3 time-ordered files matches the single-file run") {
+    import graft.streaming.Sessionize
+    // split the raw events file into 3 chronological parquet files with
+    // increasing mtimes (the file source's processing order); ts stays a
+    // raw nanos long so readEvents' declared schema applies unchanged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventsStream.eventsRawSchema)
+      .parquet(s"$Dir/events.parquet")
+    val Array(q1, q2) = raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    val srcDir = s"$tmp/events_split"
+    new java.io.File(srcDir).mkdirs()
+    val parts = Seq(
+      raw.filter(col("ts") <= q1),
+      raw.filter(col("ts") > q1 && col("ts") <= q2),
+      raw.filter(col("ts") > q2))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val stage = s"$tmp/events_split_stage_$i"
+      p.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"events_$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    def run(path: String, maxFiles: Int): Set[(Long, Long, Long, Long)] = {
+      val ev = EventsStream.readEvents(spark, path, maxFilesPerTrigger = maxFiles)
+      val sess = Sessionize.sessions(
+        ev.select(col("user_id"), col("ts")), withTimeout = false)
+      EventsStream.runAvailableNow(spark, sess.toDF(),
+          s"sess_multi_${path.hashCode.abs}_$maxFiles", s"$tmp/ckpt_m${path.hashCode.abs}_$maxFiles")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    }
+    val single = run(s"$Dir/events.parquet", 1)
+    val multi = run(srcDir, 1)     // 3 micro-batches, state carried across
+    val onebatch = run(srcDir, 3)  // all files in one micro-batch
+    assert(single.nonEmpty)
+    assert(multi === single,
+      "time-ordered multi-file ingest must emit the same closed sessions")
+    assert(onebatch === single)
+  }
+
   test("sessionize: flatMapGroupsWithState closes sessions on 30-min gaps") {
     import spark.implicits._
     import graft.streaming.Sessionize
