@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Stale JUnit XML from renamed/deleted specs otherwise survives in
+// target/test-reports and reads as failures to report-only auditors —
+// clear the directory before every test run.
+Test / testOptions += Tests.Setup { () =>
+  val dir = (Test / target).value / "test-reports"
+  if (dir.exists) sbt.IO.delete(dir.listFiles.toSeq)
+}

@@ -17,10 +17,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    // SPARK_GRAFT_CONF="k=v;k=v" extra confs (local experiment aid)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k=v" extra confs (local experiment aid).
+    // Applied AFTER getOrCreate: builder configs are silently ignored
+    // when a session already exists in the JVM, while conf.set applies
+    // to any runtime-settable key (and throws on static ones — the
+    // honest behavior for a bench override that would otherwise not
+    // take effect). Values must not contain ';'.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/codegen warmup outside the timed region

@@ -67,11 +67,34 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** S4 read side — JSONL scan with a DECLARED schema (the twin of
+    * [[readRawCsv]]; never inferSchema — a schema-inference pass over
+    * 100 TB of JSONL is a full extra scan). */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S5 — DB-table sink (the reference's SQLite `to_sql("products",
     * if_exists="replace")`, etl.py:428-435): a managed catalog table,
     * replace ≡ overwrite. */
   def writeTable(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+
+  /** S5 literal variant — JDBC sink (the reference writes through a DB
+    * driver; `saveAsTable` above maps the SEMANTICS, this maps the
+    * mechanism). `overwrite` + truncate-off reproduces
+    * `if_exists="replace"` exactly: drop, recreate, insert. No JDBC
+    * driver ships in this environment, so the spec covers the builder
+    * wiring via the writer's format/options (the execution path is
+    * Spark's own jdbc connector). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    props.foldLeft(w) { case (b, (k, v)) => b.option(k, v) }.save()
+  }
 
   /** S6 — SQL scan over the catalog (check_db.py:7-16). */
   def tableCounts(spark: SparkSession, table: String): (Long, DataFrame) = {

@@ -57,6 +57,30 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(lines.length === 1 && lines(0).startsWith("{"))
   }
 
+  test("S4 JSONL declared-schema read round-trips the sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("id", "v")
+    Sources.writeJsonl(df, s"$tmp/jsonl_rt")
+    val back = Sources.readJsonl(spark, s"$tmp/jsonl_rt",
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    assert(back.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(back.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      === Set((1L, Some("x")), (2L, None)))
+  }
+
+  test("S5 JDBC sink reaches Spark's jdbc connector") {
+    import spark.implicits._
+    // no JDBC driver ships here: reaching driver resolution proves the
+    // writer is wired through the jdbc data source, not a silent no-op
+    val e = intercept[Exception] {
+      Sources.writeJdbc(Seq((1L, "x")).toDF("id", "v"),
+        "jdbc:graftnone://nowhere/db", "products")
+    }
+    val msg = (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")).toLowerCase
+    assert(msg.contains("driver") || msg.contains("connection"), s"unexpected: $e")
+  }
+
   test("S5/S6 managed table replace + SQL scan (to_sql/check_db shape)") {
     import spark.implicits._
     Sources.writeTable(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), "products")
