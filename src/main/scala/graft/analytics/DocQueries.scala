@@ -199,15 +199,18 @@ object DocQueries {
     * Threshold 0.4: the synthetic gaussian embeddings top out around
     * cosine 0.5 (no planted vector dups), so 0.4 exercises the full
     * block→probe→verify path with a non-empty result; recall against
-    * brute force is asserted on planted near-dups in
-    * DedupSimilaritySpec. */
+    * brute force is asserted on planted near-dups in DedupSimilaritySpec.
+    * nPlanes = 5: the bucket id is the JOIN key, so plane count sets both
+    * candidate volume (N²(p+1)/2^p) and join-key cardinality (2^p = 32
+    * keys keeps every local core busy; at cluster scale pick p ≈
+    * log2(corpus/target_bucket) the same way). */
   val qEmbedDupPairs = GraftQuery(
     "q_embed_dup_pairs",
     (s, dir) => {
       import s.implicits._
       Similarity.embeddingDupPairs(
           Tables.embeddings(s, dir).withColumn("embedding", $"embedding".cast("array<double>")),
-          "vec_id", "embedding", threshold = 0.4, nPlanes = 3, probeRadius = 1)
+          "vec_id", "embedding", threshold = 0.4, nPlanes = 5, probeRadius = 1)
         .orderBy($"id_a", $"id_b")
     },
     None

@@ -36,6 +36,15 @@ object Similarity {
         org.apache.spark.sql.graftshim.ColumnShim.expression(a.cast("array<double>")),
         org.apache.spark.sql.graftshim.ColumnShim.expression(b.cast("array<double>"))))
 
+  /** Native codegen'd dot product — for pair pipelines with PRECOMPUTED
+    * row norms, where cosine's per-pair norm recomputation is 2/3 of the
+    * inner-loop work. */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(a.cast("array<double>")),
+        org.apache.spark.sql.graftshim.ColumnShim.expression(b.cast("array<double>"))))
+
   /** Exact top-k by cosine against one literal query vector — the
     * brute-force baseline. Map-only scoring + TakeOrderedAndProject. */
   def bruteForceTopK(
@@ -103,18 +112,22 @@ object Similarity {
     require(probeRadius >= 0 && probeRadius <= nPlanes,
       s"probeRadius=$probeRadius must be in [0, nPlanes=$nPlanes]")
     val planes = hyperplanes(dim, nPlanes, seed)
-    // cached: bucket assignment feeds both sides of the self-join; the
-    // fused native cosine computes dot + both norms in one pass per pair
+    // cached: bucket assignment + PRECOMPUTED norm feed both sides of the
+    // self-join, so the per-pair verify is just the fused dot kernel and
+    // a divide (cosine would redo both norms on every candidate pair)
     val b = Caches.register(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshBucket(col(vecCol), planes).as("bucket")))
+      lshBucket(col(vecCol), planes).as("bucket"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_n")))
     val masks = (0L until (1L << nPlanes))
       .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
     val probed = b.withColumn("_mask", explode(typedLit(masks)))
       .withColumn("_pbucket", col("bucket").bitwiseXOR(col("_mask")))
+    val denom = col("a._n") * col("b._n")
     probed.as("a").join(b.as("b"),
         col("a._pbucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosineNative(col("a.vec"), col("b.vec")), 6).as("cos_sim"))
+        round(when(denom === 0.0, 0.0)
+          .otherwise(dotNative(col("a.vec"), col("b.vec")) / denom), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

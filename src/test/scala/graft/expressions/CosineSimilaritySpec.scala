@@ -48,6 +48,29 @@ class CosineSimilaritySpec extends SparkSpec {
       }
   }
 
+  test("graft_dot matches the declarative dot; cosine == dot/norms bit-for-bit") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val q = emb.orderBy("vec_id").limit(1).select("v").collect()(0).getSeq[Double](0)
+    val rows = emb.withColumn("qv", typedLit(q))
+      .select(col("vec_id"),
+        Similarity.dot(col("v"), col("qv")).as("declarative"),
+        Similarity.dotNative(col("v"), col("qv")).as("native"),
+        Similarity.cosineNative(col("v"), col("qv")).as("cos"),
+        (Similarity.dotNative(col("v"), col("qv")) /
+          (sqrt(Similarity.dotNative(col("v"), col("v"))) *
+           sqrt(Similarity.dotNative(col("qv"), col("qv"))))).as("cos_via_dot"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12)
+      // the precomputed-norm pipeline must be BIT-identical to the fused
+      // cosine (same operation order), not merely close — the dup-pair
+      // operator's threshold behavior depends on it
+      assert(r.getDouble(3) === r.getDouble(4),
+        s"vec ${r.getLong(0)}: ${r.getDouble(3)} vs ${r.getDouble(4)}")
+    }
+  }
+
   test("native expression is at least as fast as the declarative chain") {
     register()
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
