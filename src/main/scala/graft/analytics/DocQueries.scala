@@ -131,6 +131,47 @@ object DocQueries {
       ORDER BY id_a, id_b""")
   )
 
+  /** Dedup CLUSTER assembly: connected components over the exact-Jaccard
+    * pair graph — (id, component) with component = min reachable id, the
+    * canonical survivor. The whole chain (shingle → df-cap → pair →
+    * closure) is SQL-expressible, so DuckDB validates the iterative
+    * min-label propagation against a recursive CTE. */
+  val qDedupComponents = GraftQuery(
+    "q_dedup_components",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", k = 3, minJaccard = 0.5, maxDf = 100)
+      Dedup.connectedComponents(pairs)
+        .select($"id", $"label".as("component"))
+        .orderBy($"id")
+    },
+    Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, CASE WHEN LEN(ts) < 3 THEN [array_to_string(ts, ' ')]
+          ELSE [array_to_string(ts[i+1:i+3], ' ') for i in range(0, LEN(ts)-2)] END AS ss
+        FROM toks), UNNEST(ss) AS u(s)),
+      freq AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq USING (s) WHERE freq.df <= 100),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b
+        FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        WHERE inter * 100 >= (na.n + nb.n - inter) * 50),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.src, e.b FROM walk w JOIN edges e ON w.dst = e.a)
+      SELECT src AS id, MIN(dst) AS component FROM walk GROUP BY src
+      ORDER BY id""")
+  )
+
   /** Brute-force cosine top-20 against the min-vec_id query vector —
     * exact ANN baseline. Sequential double math both engines. */
   val qEmbedTopK = GraftQuery(
@@ -362,8 +403,8 @@ object DocQueries {
   )
 
   val all: Seq[GraftQuery] = Seq(
-    qTextStats, qLangId, qDedupExact, qJaccardPairs, qEmbedTopK,
-    qMinhashPairs, qSimhashPairs, qAnnTopK, qEmbedDupPairs, qIvfTopK,
-    qApproxDistinct, qAsofJoin, qRangeJoin, qKmvDistinct, qQualityScore,
-    qSourceSimilarity)
+    qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
+    qEmbedTopK, qMinhashPairs, qSimhashPairs, qAnnTopK, qEmbedDupPairs,
+    qIvfTopK, qApproxDistinct, qAsofJoin, qRangeJoin, qKmvDistinct,
+    qQualityScore, qSourceSimilarity)
 }

@@ -199,6 +199,47 @@ object Dedup {
       .filter(col("shared_fp") >= minShared)
   }
 
+  /** Connected components over a near-dup pair list: assembles the pairs
+    * any of the generators above emit into DEDUP CLUSTERS — (id,
+    * component) where component = the minimum id reachable through the
+    * pair graph. The min-id member is the canonical survivor; everything
+    * else in the component is a duplicate to drop.
+    *
+    * Min-label propagation: each round every vertex takes the min of its
+    * own label and its neighbors' labels — one join + one partial-
+    * aggregated groupBy per round, converging in graph-diameter rounds.
+    * Near-dup graphs have tiny diameters (clusters are quasi-cliques), so
+    * the loop typically stops after 2-3 rounds via the convergence count;
+    * `maxIter` bounds adversarial chains. Per-round results are cached
+    * and the previous round unpersisted — lineage stays one round deep.
+    * Only ids appearing in `pairs` are labeled (singletons are their own
+    * component trivially). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    require(maxIter > 0, s"maxIter=$maxIter must be positive")
+    val edges = Caches.register(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val next = Caches.register(
+        edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"))
+          .union(labels)
+          .groupBy(col("id")).agg(min(col("label")).as("label")))
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash sketch as FOUR 16-bit chunks (array<long>). Per
     * token, bit i's ±1 vote is bit i of the token's xxhash64 (64
     * independent vote streams from one hash); sketch bit i is set when

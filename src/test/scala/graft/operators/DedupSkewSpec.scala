@@ -87,6 +87,22 @@ class DedupSkewSpec extends SparkSpec {
     assert(capped.contains((200L, 201L)), s"planted exact-dup lost: $capped")
   }
 
+  test("connected components assemble pair chains into clusters") {
+    import spark.implicits._
+    // a 5-chain (diameter 4 → several propagation rounds) + a 2-clique
+    val pairChain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairChain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      7L -> 7L, 8L -> 7L))
+    // maxIter caps propagation: one round moves labels one hop
+    val partial = Dedup.connectedComponents(pairChain, maxIter = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(partial(2L) === 1L)
+    assert(partial(5L) === 4L, "one round should only reach one hop")
+  }
+
   test("simhash: hot chunk buckets capped, planted exact-dup survives") {
     val uncapped = pairs(Dedup.simhashPairs(corpus, "doc_id", "text",
       maxHamming = 3, maxBucket = 0))
