@@ -559,6 +559,33 @@ object StarQueries {
       ORDER BY event_id LIMIT 1000""")
   )
 
+  /** P9 stratified variant: a DETERMINISTIC per-class sample — 50 events
+    * per event_type, selected by the portable Lehmer hash of the key (so
+    * both engines pick the same rows) through the TopKPerKey heap
+    * operator: the partial phase prunes each partition to ≤50 rows per
+    * class BEFORE the shuffle — the class-balanced downsample for
+    * training pipelines, with no full sort and no skew (a 90%-class
+    * contributes the same 50 rows as a 1%-class). */
+  val qStratifiedSample = GraftQuery(
+    "q_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      val hashed = Tables.events(s, dir)
+        .withColumn("h", pmod($"event_id" * lit(48271L), lit(2147483647L)))
+        .select($"event_id", $"event_type", $"h")
+      graft.plans.TopKPerKey.perKey(hashed, Seq("event_type"),
+          Seq(("h", true), ("event_id", true)), 50)
+        .select($"event_id", $"event_type")
+        .orderBy($"event_type", $"event_id")
+    },
+    Some("""SELECT event_id, event_type
+      FROM (SELECT event_id, event_type,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY (event_id * 48271) % 2147483647, event_id) AS rn
+            FROM events) t
+      WHERE rn <= 50 ORDER BY event_type, event_id""")
+  )
+
   /** Flagship composite: scan → broadcast dim joins → grouped decimal
     * aggregate → window rank → top-10 (the TPC-H Q10 shape; exercises the
     * whole relational stack in one plan).
@@ -706,5 +733,6 @@ object StarQueries {
     qQuantiles, qHistogram, qCorr, qWinsorize, qDedupFirst, qDistinctValues,
     qFilterCi, qTopk, qCumsum, qPriorityOrder, qJoinSegmentRevenue,
     qJoinNationRevenue, qJoinRegionRevenue, qEventsHourly, qJsonExtract,
-    qProfileOrders, qRevenueByYear, qSessionize, qSampleEvents)
+    qProfileOrders, qRevenueByYear, qSessionize, qSampleEvents,
+    qStratifiedSample)
 }
