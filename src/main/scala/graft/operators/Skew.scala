@@ -59,7 +59,12 @@ object Skew {
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite")
+    // pre-cluster by the bucket hash: without this every write task emits
+    // a file per bucket it sees (tasks × buckets small files, and multi-
+    // file buckets force a sort on read); with it, each bucket is one
+    // sorted file and bucketed reads satisfy ordering too
+    df.repartition(buckets, col(bucketCol))
+      .write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
