@@ -430,6 +430,32 @@ object ExtendedQueries {
       WHERE rk <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")
   )
 
+  /** The dense_rank() member of the idiom family: keep every order from
+    * the top-2 DISTINCT order years per priority — heavy ties by
+    * construction (a whole year shares one rank), routed through
+    * TopKPerKey in Dense mode by the optimizer rule. */
+  val qDenseTopk = GraftQuery(
+    "q_dense_topk",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority").orderBy($"yr".desc)
+      Tables.orders(s, dir)
+        .withColumn("yr", year($"o_orderdate"))
+        .withColumn("rk", dense_rank().over(w))
+        .filter($"rk" <= 2)
+        .select($"o_orderpriority", $"o_orderkey", $"yr", $"rk")
+        .orderBy($"o_orderpriority", $"yr".desc, $"o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, yr, rk
+      FROM (SELECT o_orderpriority, o_orderkey,
+              CAST(YEAR(o_orderdate) AS INT) AS yr,
+              CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                ORDER BY CAST(YEAR(o_orderdate) AS INT) DESC) AS INT) AS rk
+            FROM orders) t
+      WHERE rk <= 2 ORDER BY o_orderpriority, yr DESC, o_orderkey""")
+  )
+
   /** Custom streaming STATE in the contract: flatMapGroupsWithState
     * sessionization (30-min gap) run as a real streaming job. In a
     * single AvailableNow batch exactly the gap-CLOSED sessions emit —
@@ -612,5 +638,6 @@ object ExtendedQueries {
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
-    qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk)
+    qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
+    qDenseTopk)
 }

@@ -75,10 +75,12 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not bucketed:\n$p")
   }
 
-  test("q_rank_topk routes through the tie-keeping heap operator") {
-    val df = SparkEntry.queries("q_rank_topk")(spark, Dir)
-    val opt = df.queryExecution.optimizedPlan.toString
-    assert(opt.contains("TopKPerKey"), s"rank rewrite did not fire:\n$opt")
+  test("q_rank_topk and q_dense_topk route through the tie-keeping heap operator") {
+    for (q <- Seq("q_rank_topk", "q_dense_topk")) {
+      val df = SparkEntry.queries(q)(spark, Dir)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("TopKPerKey"), s"$q rewrite did not fire:\n$opt")
+    }
   }
 
   test("whole-stage codegen spans the aggregation pipeline") {
