@@ -19,4 +19,12 @@ private[analytics] object Agg {
     * division, one round — the same three steps the oracle SQL does. */
   def avgDec(c: Column, scale: Int = 2): Column =
     round(sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(lit(1)), 6)
+
+  /** TPC-H revenue: exact decimal sum of price·(1−discount), as double.
+    * One definition — a precision change here reaches every query AND
+    * must be mirrored in each query's oracle SQL. */
+  def revenueDec(price: Column, discount: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - discount.cast(DecimalType(18, 2))))
+      .cast(DoubleType)
 }

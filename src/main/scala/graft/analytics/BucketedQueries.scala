@@ -1,9 +1,9 @@
 package graft.analytics
 
 import graft.{GraftQuery, Tables}
+import graft.analytics.Agg.revenueDec
 import graft.operators.Skew
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** The bucketed-layout contract: fact tables written once bucketed by the
   * join key join co-located forever after — a SortMergeJoin with NO
@@ -43,10 +43,7 @@ object BucketedQueries {
       // hide the co-located-join property being demonstrated
       l.hint("merge").join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
         .groupBy($"o_orderpriority")
-        .agg(
-          sum($"l_extendedprice".cast(DecimalType(18, 2)) *
-            (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
-            .cast(DoubleType).as("revenue"),
+        .agg(revenueDec($"l_extendedprice", $"l_discount").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"o_orderpriority")
     },

@@ -539,23 +539,26 @@ object StarQueries {
   )
 
   /** P9 bounded deterministic sample, fully oracle-able: a multiplicative
-    * congruential hash of the key (h = key·48271 mod 2³¹−1, Lehmer/MINSTD
-    * — plain integer arithmetic, overflow-free for any event_id, so both
-    * engines compute it bit-identically) selects ~5% of rows, bounded to
-    * the first 1000 by key. Unlike the previous rand(seed) ordering this
-    * is stable under repartitioning AND map-only — no full sort of the
-    * corpus, just a pushable filter and a bounded TakeOrdered. */
+    * congruential hash of the key (h = (key mod 2³¹−1)·48271 mod 2³¹−1,
+    * Lehmer/MINSTD — plain integer arithmetic; the INNER mod keeps the
+    * product under 2⁴⁷ so no 64-bit overflow for ANY key, including
+    * snowflake-style ids near 2⁶³ that would otherwise throw under ANSI)
+    * selects ~5% of rows, bounded to the first 1000 by key. Unlike the
+    * previous rand(seed) ordering this is stable under repartitioning AND
+    * map-only — no full sort of the corpus, just a pushable filter and a
+    * bounded TakeOrdered. */
   val qSampleEvents = GraftQuery(
     "q_sample_events",
     (s, dir) => {
       import s.implicits._
       Tables.events(s, dir)
-        .filter(pmod($"event_id" * lit(48271L), lit(2147483647L)) % 20 === 7)
+        .filter(pmod(pmod($"event_id", lit(2147483647L)) * lit(48271L),
+          lit(2147483647L)) % 20 === 7)
         .select($"event_id", $"user_id", $"event_type")
         .orderBy($"event_id").limit(1000)
     },
     Some("""SELECT event_id, user_id, event_type FROM events
-      WHERE ((event_id * 48271) % 2147483647) % 20 = 7
+      WHERE (((event_id % 2147483647) * 48271) % 2147483647) % 20 = 7
       ORDER BY event_id LIMIT 1000""")
   )
 
@@ -571,7 +574,8 @@ object StarQueries {
     (s, dir) => {
       import s.implicits._
       val hashed = Tables.events(s, dir)
-        .withColumn("h", pmod($"event_id" * lit(48271L), lit(2147483647L)))
+        .withColumn("h", pmod(pmod($"event_id", lit(2147483647L)) * lit(48271L),
+          lit(2147483647L)))
         .select($"event_id", $"event_type", $"h")
       graft.plans.TopKPerKey.perKey(hashed, Seq("event_type"),
           Seq(("h", true), ("event_id", true)), 50)
@@ -581,7 +585,7 @@ object StarQueries {
     Some("""SELECT event_id, event_type
       FROM (SELECT event_id, event_type,
               ROW_NUMBER() OVER (PARTITION BY event_type
-                ORDER BY (event_id * 48271) % 2147483647, event_id) AS rn
+                ORDER BY ((event_id % 2147483647) * 48271) % 2147483647, event_id) AS rn
             FROM events) t
       WHERE rn <= 50 ORDER BY event_type, event_id""")
   )

@@ -1,8 +1,8 @@
 package graft.analytics
 
 import graft.{GraftQuery, Tables}
+import graft.analytics.Agg.revenueDec
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Classic TPC-H join topologies adapted to the testdata's column subset,
   * widening the join/filter oracle surface beyond the star-schema rollups:
@@ -21,12 +21,6 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * the same backbone PlanAuditSpec pins for the flagship query.
   */
 object TpchQueries {
-
-  private def revenueDec(price: org.apache.spark.sql.Column,
-      discount: org.apache.spark.sql.Column) =
-    sum(price.cast(DecimalType(18, 2)) *
-      (lit(1).cast(DecimalType(18, 2)) - discount.cast(DecimalType(18, 2))))
-      .cast(DoubleType)
 
   /** Q3: top-10 unshipped-revenue orders in one segment at a date pivot. */
   val qTpchQ3 = GraftQuery(

@@ -1,8 +1,7 @@
 package graft.operators
 
-import java.lang.ref.WeakReference
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Registry for DataFrames the operators cache internally (minhash/simhash
   * sketches, shingle sets, LSH buckets). The pair operators cache an
@@ -12,39 +11,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (Verify and Bench do) — otherwise cached partitions accumulate until
   * memory/disk pressure evicts them.
   *
-  * The registry is keyed per SparkSession (weakly — it must never pin a
-  * stopped session) and holds WEAK references to the DataFrames: a user
-  * who never calls unpersistAll leaks no plans through this object, and
-  * collected DataFrames' cached blocks are reclaimed by Spark's
-  * ContextCleaner as usual.
+  * What the registry holds matters: the Dataset object an operator caches
+  * is often unreachable the moment the operator returns (the returned
+  * plan references only its LOGICAL PLAN), while Spark's CacheManager
+  * pins the cached data regardless — so a weak reference to the Dataset
+  * would silently make unpersistAll a no-op after any GC. The registry
+  * therefore keeps the logical plan (small, strongly held) and uncaches
+  * by plan through the cache manager. Sessions are weak KEYS only — a
+  * stopped session must not be pinned.
   */
 object Caches {
 
   private val refs =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.ArrayBuffer[WeakReference[DataFrame]]]()
+      scala.collection.mutable.ArrayBuffer[LogicalPlan]]()
 
-  /** Cache `df` and remember it for later [[unpersistAll]]. */
+  /** Cache `df` and remember its plan for later [[unpersistAll]]. */
   def register(df: DataFrame): DataFrame = synchronized {
     var buf = refs.get(df.sparkSession)
     if (buf == null) {
-      buf = scala.collection.mutable.ArrayBuffer.empty[WeakReference[DataFrame]]
+      buf = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
       refs.put(df.sparkSession, buf)
     }
-    buf += new WeakReference(df)
+    // the ANALYZED plan — CacheManager matches cache entries by analyzed-
+    // plan sameResult, which is what Dataset.unpersist passes it too
+    buf += df.queryExecution.analyzed
     df.cache()
   }
 
-  /** Unpersist every still-reachable operator-cached DataFrame of every
-    * session registered so far. */
+  /** Uncache every operator-cached plan of every live session registered
+    * so far. */
   def unpersistAll(blocking: Boolean = false): Unit = synchronized {
-    refs.values.forEach(_.foreach(r => Option(r.get).foreach(_.unpersist(blocking))))
+    refs.forEach { (spark, plans) =>
+      plans.foreach(p =>
+        org.apache.spark.sql.graftshim.ColumnShim.uncache(spark, p, blocking))
+    }
     refs.clear()
   }
 
-  /** Unpersist only the given session's operator caches. */
+  /** Uncache only the given session's operator caches. */
   def unpersistAll(spark: SparkSession, blocking: Boolean): Unit = synchronized {
     val buf = refs.remove(spark)
-    if (buf != null) buf.foreach(r => Option(r.get).foreach(_.unpersist(blocking)))
+    if (buf != null) buf.foreach(p =>
+      org.apache.spark.sql.graftshim.ColumnShim.uncache(spark, p, blocking))
   }
 }

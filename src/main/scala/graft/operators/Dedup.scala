@@ -215,7 +215,8 @@ object Dedup {
     * groupBy on the (tiny relative to the corpus) pair graph, converging
     * in graph-diameter rounds. Near-dup graphs are quasi-cliques, so the
     * convergence count typically stops the loop after 2-3 rounds;
-    * `maxIter` bounds adversarial chains. (Pointer-jumping would give
+    * `maxIter` bounds adversarial chains — hitting it THROWS, because
+    * unconverged labels split real clusters. (Pointer-jumping would give
     * O(log d) rounds but requires a self-join of the checkpointed round
     * result, which trips Spark's relation dedup on LogicalRDD constraint
     * rewrite — not worth it at these diameters.) Only ids appearing in
@@ -250,6 +251,12 @@ object Dedup {
       labels = next
       i += 1
     }
+    // unconverged labels are WRONG labels (one cluster reported as
+    // several) — a dedup pipeline must fail loudly, not keep duplicates
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — the pair graph has chains " +
+        s"longer than maxIter; raise maxIter")
     labels
   }
 

@@ -51,12 +51,23 @@ object Skew {
   def writeBucketed(
       df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
     val spark = df.sparkSession
+    require(!table.contains("."),
+      s"table '$table' must be unqualified — it is created in the CURRENT database")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // an in-memory catalog forgets its tables at session end but the
     // managed location survives in the warehouse dir; saveAsTable then
-    // refuses with LOCATION_ALREADY_EXISTS — remove the orphan first
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    // refuses with LOCATION_ALREADY_EXISTS — remove the orphan first.
+    // The location is database-qualified (default db sits at the
+    // warehouse root, others under <db>.db/) so a non-default current
+    // database neither misses its own orphan nor deletes default's
+    // table of the same name
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val db = spark.catalog.currentDatabase
+    val dbDir =
+      if (db == "default") warehouse
+      else new org.apache.hadoop.fs.Path(warehouse, s"$db.db")
+    val loc = new org.apache.hadoop.fs.Path(dbDir, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     // pre-cluster by the bucket hash: without this every write task emits

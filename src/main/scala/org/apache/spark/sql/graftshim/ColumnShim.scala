@@ -30,6 +30,19 @@ object ColumnShim {
       : Seq[org.apache.spark.sql.execution.SparkStrategy] =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.planner.strategies
+
+  /** Uncache by LOGICAL PLAN (CacheManager is private[sql]): lets a cache
+    * registry drop entries it holds only plans for — a Dataset reference
+    * may be long gone (GC'd) while the CacheManager still pins the
+    * cached data, so `df.unpersist()` is not always available. */
+  def uncache(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      blocking: Boolean): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sharedState.cacheManager.uncacheQuery(
+      classic, plan, cascade = false, blocking = blocking)
+  }
 }
 
 /** Planner strategy for [[graft.plans.TopKPerKeyNode]]: partial heap →

@@ -96,11 +96,12 @@ class DedupSkewSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       7L -> 7L, 8L -> 7L))
-    // maxIter caps propagation: one round moves labels one hop
-    val partial = Dedup.connectedComponents(pairChain, maxIter = 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(partial(2L) === 1L)
-    assert(partial(5L) === 4L, "one round should only reach one hop")
+    // an under-provisioned maxIter fails LOUDLY — unconverged labels
+    // would split one real cluster into several, silently keeping dups
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairChain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("simhash: hot chunk buckets capped, planted exact-dup survives") {
