@@ -131,6 +131,71 @@ object DocQueries {
       ORDER BY id_a, id_b""")
   )
 
+  /** Benchmark DECONTAMINATION: flag corpus documents sharing any 5-gram
+    * with a held-out eval set (docs with doc_id % 50 == 0 stand in for
+    * the benchmark). The standard n-gram-overlap contamination check in
+    * training pipelines: eval shingles are few → broadcast; corpus
+    * shingles stream map-side through the hash join, one shuffle for the
+    * per-doc rollup. Shingle hashes are distinct per doc (kernel
+    * contract), so n_shared counts distinct contaminated n-grams. */
+  val qDecontaminate = GraftQuery(
+    "q_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      def sh(d: org.apache.spark.sql.DataFrame) = d.select($"doc_id",
+        explode(graft.expressions.TextHashExprs.shingleHashes64(
+          TextAnalysis.tokens($"text"), 5)).as("sh"))
+      val evalSh = sh(docs.filter($"doc_id" % 50 === 0))
+        .select($"sh").distinct()
+      sh(docs.filter($"doc_id" % 50 =!= 0))
+        .join(broadcast(evalSh), "sh")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      sh AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, CASE WHEN LEN(ts) < 5 THEN [array_to_string(ts, ' ')]
+          ELSE [array_to_string(ts[i+1:i+5], ' ') for i in range(0, LEN(ts)-4)] END AS ss
+        FROM toks), UNNEST(ss) AS u(s)),
+      ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+      SELECT doc_id, COUNT(*) AS n_shared
+      FROM sh JOIN ev USING (s) WHERE doc_id % 50 <> 0
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** Repetition scoring: distinct-5-gram share of each document's 5-gram
+    * positions — boilerplate/loop-generated text scores low. Map-only
+    * (two array expressions per row, no shuffle at all). */
+  val qRepetition = GraftQuery(
+    "q_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TextAnalysis.tokens($"text")
+      val positions = when(size(toks) < 5, 1).otherwise(size(toks) - 4)
+      val distinctSh = size(graft.expressions.TextHashExprs.shingleHashes64(toks, 5))
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          positions.as("positions"),
+          distinctSh.as("distinct_5grams"),
+          round(distinctSh.cast("double") / positions, 6).as("uniq_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      m AS (SELECT doc_id,
+        CAST(CASE WHEN LEN(ts) < 5 THEN 1 ELSE LEN(ts) - 4 END AS INT) AS positions,
+        CAST(LEN(list_distinct(CASE WHEN LEN(ts) < 5 THEN [array_to_string(ts, ' ')]
+          ELSE [array_to_string(ts[i+1:i+5], ' ') for i in range(0, LEN(ts)-4)] END)) AS INT) AS distinct_5grams
+      FROM toks)
+      SELECT doc_id, positions, distinct_5grams,
+        ROUND(CAST(distinct_5grams AS DOUBLE) / positions, 6) AS uniq_ratio
+      FROM m ORDER BY doc_id""")
+  )
+
   /** Dedup CLUSTER assembly: connected components over the exact-Jaccard
     * pair graph — (id, component) with component = min reachable id, the
     * canonical survivor. The whole chain (shingle → df-cap → pair →
@@ -404,7 +469,7 @@ object DocQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
-    qEmbedTopK, qMinhashPairs, qSimhashPairs, qAnnTopK, qEmbedDupPairs,
-    qIvfTopK, qApproxDistinct, qAsofJoin, qRangeJoin, qKmvDistinct,
-    qQualityScore, qSourceSimilarity)
+    qDecontaminate, qRepetition, qEmbedTopK, qMinhashPairs, qSimhashPairs,
+    qAnnTopK, qEmbedDupPairs, qIvfTopK, qApproxDistinct, qAsofJoin,
+    qRangeJoin, qKmvDistinct, qQualityScore, qSourceSimilarity)
 }
