@@ -83,6 +83,56 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H topologies broadcast their dims; only the orderkey join shuffles") {
+    for (q <- Seq("q_tpch_q3", "q_tpch_q7", "q_tpch_q12")) {
+      // pre-execution plan: at tiny SFs AQE can collapse an empty result
+      // to EmptyRelation, erasing the join nodes this test audits
+      val p = SparkEntry.queries(q)(spark, Dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      if (q != "q_tpch_q12") // q12 joins no dims
+        assert(p.contains("BroadcastHashJoin"), s"$q lost its dim broadcast:\n$p")
+    }
+  }
+
+  test("decontamination broadcasts the eval shingle set") {
+    val df = SparkEntry.queries("q_decontaminate")(spark, Dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval set not broadcast — corpus shingles would shuffle:\n$p")
+  }
+
+  test("LSH-bucket-partitioned layout prunes probe scans to probed partitions") {
+    // the SCALING.md claim made real: write embeddings partitioned by
+    // LSH bucket, read back, filter to the probe set — the scan must
+    // show a partition filter and read only the probed partitions
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_layout").toString
+    val emb = Tables.embeddings(spark, Dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val planes = Similarity.hyperplanes(64, 3)
+    emb.withColumn("bucket", Similarity.lshBucket(col("embedding"), planes))
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+    val probes = Seq(0L, 1L) // any 2 of the 8 buckets
+    val probed = spark.read.parquet(tmp).filter(col("bucket").isin(probes: _*))
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("FileScan"))
+      .getOrElse(fail("no file scan"))
+    assert(scan.contains("PartitionFilters: [bucket"),
+      s"bucket filter did not become a partition filter:\n$scan")
+    // only rows from the probed buckets were read at all
+    val total = spark.read.parquet(tmp).count()
+    assert(probed.count() < total)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(tmp))
+  }
+
   test("whole-stage codegen spans the aggregation pipeline") {
     // AQE hides codegen spans until the final plan exists — execute first
     val df = SparkEntry.queries("q1_pricing_summary")(spark, Dir)
