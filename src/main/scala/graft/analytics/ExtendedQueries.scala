@@ -259,9 +259,7 @@ object ExtendedQueries {
         .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(count(lit(1)).as("n_items"),
-          sum($"l_extendedprice".cast(DecimalType(18, 2)) *
-            (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
-            .cast(DoubleType).as("revenue"))
+          Agg.revenueDec($"l_extendedprice", $"l_discount").as("revenue"))
         .orderBy($"n_name")
     },
     Some("""SELECT n_name, COUNT(*) AS n_items,

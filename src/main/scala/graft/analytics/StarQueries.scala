@@ -34,9 +34,7 @@ object StarQueries {
         .agg(
           sumDec($"l_quantity").as("sum_qty"),
           sumDec($"l_extendedprice").as("sum_base_price"),
-          sum($"l_extendedprice".cast(DecimalType(18, 2)) *
-            (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
-            .cast(DoubleType).as("sum_disc_price"),
+          Agg.revenueDec($"l_extendedprice", $"l_discount").as("sum_disc_price"),
           avgDec($"l_quantity").as("avg_qty"),
           avgDec($"l_extendedprice").as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -371,9 +369,7 @@ object StarQueries {
         .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(
-          sum($"l_extendedprice".cast(DecimalType(18, 2)) *
-            (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
-            .cast(DoubleType).as("revenue"),
+          Agg.revenueDec($"l_extendedprice", $"l_discount").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"n_name")
     },
@@ -542,7 +538,10 @@ object StarQueries {
     * congruential hash of the key (h = (key mod 2³¹−1)·48271 mod 2³¹−1,
     * Lehmer/MINSTD — plain integer arithmetic; the INNER mod keeps the
     * product under 2⁴⁷ so no 64-bit overflow for ANY key, including
-    * snowflake-style ids near 2⁶³ that would otherwise throw under ANSI)
+    * snowflake-style ids near 2⁶³ that would otherwise throw under ANSI;
+    * the oracle adds `(+M) % M` because DuckDB's % follows the dividend
+    * sign where Spark's pmod is always non-negative — negative keys
+    * would otherwise sample different rows per engine)
     * selects ~5% of rows, bounded to the first 1000 by key. Unlike the
     * previous rand(seed) ordering this is stable under repartitioning AND
     * map-only — no full sort of the corpus, just a pushable filter and a
@@ -558,7 +557,7 @@ object StarQueries {
         .orderBy($"event_id").limit(1000)
     },
     Some("""SELECT event_id, user_id, event_type FROM events
-      WHERE (((event_id % 2147483647) * 48271) % 2147483647) % 20 = 7
+      WHERE ((((event_id % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) % 20 = 7
       ORDER BY event_id LIMIT 1000""")
   )
 
@@ -585,7 +584,7 @@ object StarQueries {
     Some("""SELECT event_id, event_type
       FROM (SELECT event_id, event_type,
               ROW_NUMBER() OVER (PARTITION BY event_type
-                ORDER BY ((event_id % 2147483647) * 48271) % 2147483647, event_id) AS rn
+                ORDER BY (((event_id % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647, event_id) AS rn
             FROM events) t
       WHERE rn <= 50 ORDER BY event_type, event_id""")
   )

@@ -1,58 +1,65 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Registry for DataFrames the operators cache internally (minhash/simhash
   * sketches, shingle sets, LSH buckets). The pair operators cache an
   * intermediate that feeds both sides of a self-join; the returned plan is
   * lazy, so the operator itself can never know when it is safe to
   * unpersist. Long-lived sessions call [[unpersistAll]] between queries
-  * (Verify and Bench do) — otherwise cached partitions accumulate until
-  * memory/disk pressure evicts them.
+  * (Verify and Bench do).
   *
-  * What the registry holds matters: the Dataset object an operator caches
-  * is often unreachable the moment the operator returns (the returned
-  * plan references only its LOGICAL PLAN), while Spark's CacheManager
-  * pins the cached data regardless — so a weak reference to the Dataset
-  * would silently make unpersistAll a no-op after any GC. The registry
-  * therefore keeps the logical plan (small, strongly held) and uncaches
-  * by plan through the cache manager. Sessions are weak KEYS only — a
-  * stopped session must not be pinned.
+  * Lifetime design — two earlier designs both leaked:
+  * weak references to the Datasets made unpersistAll a silent no-op after
+  * any GC (the operator's Dataset is unreachable the moment it returns,
+  * while the CacheManager pins the cached data regardless), and holding
+  * logical plans in a weak-keyed session map pins the session forever
+  * (plans reach their session through HadoopFsRelation, so the value
+  * resurrects the weak key). So: STRONG references, with growth bounded
+  * instead — at most [[MaxPerSession]] entries per session, evicting
+  * (and unpersisting) the oldest beyond that, and entries of stopped
+  * sessions are purged on every registry access. A user who never calls
+  * unpersistAll is capped at MaxPerSession cached relations, which the
+  * operators churn through naturally.
   */
 object Caches {
 
-  private val refs =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.ArrayBuffer[LogicalPlan]]()
+  /** Upper bound on remembered caches per session; the oldest entry is
+    * unpersisted when a new registration would exceed it. Operator
+    * caches are consumed within one query, so 64 is generous headroom
+    * for even deeply composed pipelines. */
+  val MaxPerSession = 64
 
-  /** Cache `df` and remember its plan for later [[unpersistAll]]. */
+  private val refs =
+    scala.collection.mutable.LinkedHashMap.empty[SparkSession,
+      scala.collection.mutable.ArrayBuffer[DataFrame]]
+
+  private def purgeStopped(): Unit =
+    refs.filterInPlace((spark, _) => !spark.sparkContext.isStopped)
+
+  /** Cache `df` and remember it for later [[unpersistAll]]. */
   def register(df: DataFrame): DataFrame = synchronized {
-    var buf = refs.get(df.sparkSession)
-    if (buf == null) {
-      buf = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
-      refs.put(df.sparkSession, buf)
+    purgeStopped()
+    val buf = refs.getOrElseUpdate(df.sparkSession,
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+    if (buf.size >= MaxPerSession) {
+      buf.remove(0).unpersist()
     }
-    // the ANALYZED plan — CacheManager matches cache entries by analyzed-
-    // plan sameResult, which is what Dataset.unpersist passes it too
-    buf += df.queryExecution.analyzed
+    buf += df
     df.cache()
   }
 
-  /** Uncache every operator-cached plan of every live session registered
-    * so far. */
+  /** Unpersist every operator-cached DataFrame of every live session
+    * registered so far. */
   def unpersistAll(blocking: Boolean = false): Unit = synchronized {
-    refs.forEach { (spark, plans) =>
-      plans.foreach(p =>
-        org.apache.spark.sql.graftshim.ColumnShim.uncache(spark, p, blocking))
-    }
+    purgeStopped()
+    refs.valuesIterator.foreach(_.foreach(_.unpersist(blocking)))
     refs.clear()
   }
 
-  /** Uncache only the given session's operator caches. */
+  /** Unpersist only the given session's operator caches. */
   def unpersistAll(spark: SparkSession, blocking: Boolean): Unit = synchronized {
-    val buf = refs.remove(spark)
-    if (buf != null) buf.foreach(p =>
-      org.apache.spark.sql.graftshim.ColumnShim.uncache(spark, p, blocking))
+    purgeStopped()
+    refs.remove(spark).foreach(_.foreach(_.unpersist(blocking)))
   }
 }

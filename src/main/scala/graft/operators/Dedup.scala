@@ -239,7 +239,10 @@ object Dedup {
       .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    // maxIter bounds LABEL-MOVING rounds; one extra round runs to CONFIRM
+    // convergence (a graph of diameter exactly maxIter converges on its
+    // final permitted round, which is only observable one round later)
+    while (changed > 0 && i < maxIter + 1) {
       val next = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
         .union(labels)

@@ -57,17 +57,12 @@ object Skew {
     // an in-memory catalog forgets its tables at session end but the
     // managed location survives in the warehouse dir; saveAsTable then
     // refuses with LOCATION_ALREADY_EXISTS — remove the orphan first.
-    // The location is database-qualified (default db sits at the
-    // warehouse root, others under <db>.db/) so a non-default current
-    // database neither misses its own orphan nor deletes default's
-    // table of the same name
-    val warehouse = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"))
-    val db = spark.catalog.currentDatabase
-    val dbDir =
-      if (db == "default") warehouse
-      else new org.apache.hadoop.fs.Path(warehouse, s"$db.db")
-    val loc = new org.apache.hadoop.fs.Path(dbDir, table.toLowerCase)
+    // The CATALOG resolves the location (current database, including
+    // databases created with a custom LOCATION) — re-deriving it from
+    // the warehouse dir by naming convention would miss those and could
+    // delete another database's table of the same name
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.graftshim.ColumnShim.defaultTablePath(spark, table))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     // pre-cluster by the bucket hash: without this every write task emits

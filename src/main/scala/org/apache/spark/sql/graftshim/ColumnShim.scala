@@ -31,18 +31,16 @@ object ColumnShim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.planner.strategies
 
-  /** Uncache by LOGICAL PLAN (CacheManager is private[sql]): lets a cache
-    * registry drop entries it holds only plans for — a Dataset reference
-    * may be long gone (GC'd) while the CacheManager still pins the
-    * cached data, so `df.unpersist()` is not always available. */
-  def uncache(
-      spark: org.apache.spark.sql.SparkSession,
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      blocking: Boolean): Unit = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.sharedState.cacheManager.uncacheQuery(
-      classic, plan, cascade = false, blocking = blocking)
-  }
+  /** The MANAGED location the catalog would give a table of this name in
+    * the current database (SessionCatalog is private[sql]) — respects
+    * databases created with a custom LOCATION, unlike re-deriving the
+    * path from the warehouse dir by naming convention. */
+  def defaultTablePath(
+      spark: org.apache.spark.sql.SparkSession, table: String): java.net.URI =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+
 }
 
 /** Planner strategy for [[graft.plans.TopKPerKeyNode]]: partial heap →
