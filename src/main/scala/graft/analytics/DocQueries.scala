@@ -196,6 +196,36 @@ object DocQueries {
       FROM m ORDER BY doc_id""")
   )
 
+  /** Corpus bigram frequency table (language-model data stats): top-50
+    * bigrams by multiset count. One explode + one partial-aggregated
+    * groupBy + a bounded TakeOrdered — the n-gram count shape that at
+    * 100 TB feeds tokenizer/LM training; counts shuffle, text does not
+    * (map-side combine reduces each partition to its distinct bigrams
+    * first). */
+  val qBigramStats = GraftQuery(
+    "q_bigram_stats",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TextAnalysis.tokens($"text")
+      val bigrams = transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+      Tables.documents(s, dir)
+        .filter(size(toks) >= 2)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram")
+        .limit(50)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      e AS (SELECT u.b FROM (
+          SELECT [array_to_string(ts[i+1:i+2], ' ') for i in range(0, LEN(ts)-1)] AS bs
+          FROM toks WHERE LEN(ts) >= 2), UNNEST(bs) AS u(b))
+      SELECT b AS bigram, COUNT(*) AS n FROM e
+      GROUP BY b ORDER BY n DESC, bigram LIMIT 50""")
+  )
+
   /** Dedup CLUSTER assembly: connected components over the exact-Jaccard
     * pair graph — (id, component) with component = min reachable id, the
     * canonical survivor. The whole chain (shingle → df-cap → pair →
@@ -469,7 +499,8 @@ object DocQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
-    qDecontaminate, qRepetition, qEmbedTopK, qMinhashPairs, qSimhashPairs,
+    qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
+    qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qIvfTopK, qApproxDistinct, qAsofJoin,
     qRangeJoin, qKmvDistinct, qQualityScore, qSourceSimilarity)
 }
