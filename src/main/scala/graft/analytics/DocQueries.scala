@@ -207,8 +207,11 @@ object DocQueries {
     (s, dir) => {
       import s.implicits._
       val toks = TextAnalysis.tokens($"text")
-      val bigrams = transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+      // one fused pass over two shifted views — no index array, no
+      // per-element element_at lookups
+      val bigrams = zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))
       Tables.documents(s, dir)
         .filter(size(toks) >= 2)
         .select(explode(bigrams).as("bigram"))
