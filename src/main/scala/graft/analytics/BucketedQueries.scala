@@ -27,10 +27,19 @@ object BucketedQueries {
     (s, dir) => {
       import s.implicits._
       // table names carry a dir tag: a shared test session may run this
-      // query against several SFs — stale buckets must never cross SFs
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      // query against several SFs — stale buckets must never cross SFs.
+      // The tag is the hex of the FULL path bytes (collision-free, unlike
+      // hashCode): two dirs can never share a table name.
+      val tag = dir.getBytes("UTF-8").map(b => f"$b%02x").mkString
       val lt = s"graft_bkt_lineitem_$tag"
       val ot = s"graft_bkt_orders_$tag"
+      // each dir would otherwise leave a full bucketed copy of
+      // lineitem+orders in the warehouse forever — drop other dirs' tag
+      // tables (managed, so DROP removes their data) before writing ours
+      s.catalog.listTables().collect()
+        .map(_.name)
+        .filter(n => n.startsWith("graft_bkt_") && n != lt && n != ot)
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
       Skew.writeBucketed(
         Tables.lineitem(s, dir).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
         lt, "l_orderkey", Buckets)

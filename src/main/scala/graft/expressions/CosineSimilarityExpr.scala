@@ -79,7 +79,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * cosine recomputes both norms for every candidate pair (3 FMAs per
   * element), while norm(v) is a per-ROW quantity computed once in the
   * blocked relation; the per-PAIR work then drops to this single-FMA
-  * loop plus one divide. Same null semantics as cosine. */
+  * loop plus one divide. Same null/length semantics as cosine,
+  * including the sharp edge: a null ELEMENT contributes 0, and
+  * mismatched array lengths are silently TRUNCATED to the shorter
+  * array — a dimension-mismatch bug upstream yields a plausible (too
+  * small) dot product, not an error. Callers that need strict
+  * dimensions should guard with `size(a) = size(b)` in the plan. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 

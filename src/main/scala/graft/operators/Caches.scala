@@ -24,11 +24,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Caches {
 
-  /** Upper bound on remembered caches per session; the oldest entry is
-    * unpersisted when a new registration would exceed it. Operator
-    * caches are consumed within one query, so 64 is generous headroom
-    * for even deeply composed pipelines. */
+  /** Default upper bound on remembered caches per session; the oldest
+    * entry is unpersisted when a new registration would exceed it.
+    * Operator caches are consumed within one query, so 64 is generous
+    * headroom for even deeply composed pipelines. Override per session
+    * with conf [[CapConf]]. */
   val MaxPerSession = 64
+
+  /** Session conf key overriding [[MaxPerSession]] for that session. */
+  val CapConf = "spark.graft.caches.maxPerSession"
+
+  private def cap(spark: SparkSession): Int =
+    spark.conf.getOption(CapConf).map(_.toInt).getOrElse(MaxPerSession)
 
   private val refs =
     scala.collection.mutable.LinkedHashMap.empty[SparkSession,
@@ -42,8 +49,16 @@ object Caches {
     purgeStopped()
     val buf = refs.getOrElseUpdate(df.sparkSession,
       scala.collection.mutable.ArrayBuffer.empty[DataFrame])
-    if (buf.size >= MaxPerSession) {
-      buf.remove(0).unpersist()
+    if (buf.size >= cap(df.sparkSession)) {
+      // a long composed pipeline can still hold a lazy plan over the
+      // evicted cache — that plan silently recomputes, so say which one
+      val evicted = buf.remove(0)
+      System.err.println(
+        s"[caches] cap (${cap(df.sparkSession)}, conf $CapConf) reached — " +
+          s"unpersisting oldest cached plan; later reuse of it will recompute: " +
+          evicted.queryExecution.logical.nodeName + " " +
+          evicted.schema.fieldNames.take(6).mkString("(", ", ", ", ...)"))
+      evicted.unpersist()
     }
     buf += df
     df.cache()

@@ -53,6 +53,7 @@ object Skew {
     val spark = df.sparkSession
     require(!table.contains("."),
       s"table '$table' must be unqualified — it is created in the CURRENT database")
+    val existedInCatalog = spark.catalog.tableExists(table)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // an in-memory catalog forgets its tables at session end but the
     // managed location survives in the warehouse dir; saveAsTable then
@@ -60,11 +61,33 @@ object Skew {
     // The CATALOG resolves the location (current database, including
     // databases created with a custom LOCATION) — re-deriving it from
     // the warehouse dir by naming convention would miss those and could
-    // delete another database's table of the same name
+    // delete another database's table of the same name.
+    // Deletion is restricted to TRUE orphans: if the catalog knew the
+    // table, DROP above already removed managed data (and an EXTERNAL
+    // table's data is deliberately left — saveAsTable then fails loudly
+    // with LOCATION_ALREADY_EXISTS instead of us destroying it). An
+    // orphan directory is only removed when it is table-shaped
+    // (empty, or holding _SUCCESS / part files / parquet), so unrelated
+    // files that coincidentally live at the default location survive.
     val loc = new org.apache.hadoop.fs.Path(
       org.apache.spark.sql.graftshim.ColumnShim.defaultTablePath(spark, table))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (!existedInCatalog && fs.exists(loc)) {
+      val children = fs.listStatus(loc)
+      val tableShaped = children.isEmpty || children.exists { st =>
+        val n = st.getPath.getName
+        n == "_SUCCESS" || n.startsWith("part-") || n.startsWith("_temporary") ||
+          n.endsWith(".parquet")
+      }
+      if (tableShaped) {
+        System.err.println(s"[skew] removing orphan table location $loc")
+        fs.delete(loc, true)
+      } else {
+        System.err.println(
+          s"[skew] NOT deleting $loc — contents do not look like a table; " +
+            "saveAsTable will fail with LOCATION_ALREADY_EXISTS")
+      }
+    }
     // pre-cluster by the bucket hash: without this every write task emits
     // a file per bucket it sees (tasks × buckets small files, and multi-
     // file buckets force a sort on read); with it, each bucket is one
