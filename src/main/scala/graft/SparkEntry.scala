@@ -14,7 +14,8 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     analytics.StarQueries.all ++ analytics.DocQueries.all ++
       analytics.FuncQueries.all ++ analytics.ExtendedQueries.all ++
-      analytics.BucketedQueries.all ++ analytics.TpchQueries.all
+      analytics.BucketedQueries.all ++ analytics.TpchQueries.all ++
+      analytics.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Top-10 customers by revenue: scan → broadcast dim joins → grouped

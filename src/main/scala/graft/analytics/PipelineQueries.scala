@@ -1,0 +1,244 @@
+package graft.analytics
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextAnalysis
+import graft.operators.Bloom
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** Training-data-pipeline operators beyond the dedup/similarity family:
+  * PII redaction, fixed-stride chunking with chunk-level dedup, composed
+  * quality-rule filtering (Gopher-style), corpus length histograms,
+  * URL-domain rollups, and Bloom-prefiltered decontamination.
+  *
+  * All map-side expression work except the (tiny) final aggregates —
+  * each of these runs over 100 TB of documents with one shuffle or none.
+  *
+  * Oracle notes: the testdata carries no PII or URLs, so q_pii_redact /
+  * q_url_domains SYNTHESIZE their input deterministically from table
+  * columns — in BOTH engines, from the same columns — and then verify
+  * the extraction/redaction math on it. The operators under test are the
+  * regex pipelines, not the synthesis.
+  */
+object PipelineQueries {
+
+  /** PII redaction: mask emails, long digit IDs, and phone numbers.
+    * The masking chain is ordered most-specific-first (emails carry
+    * digits; IDs are longer than phone bodies) so each rule sees only
+    * what earlier rules left. Pure regexp_replace — codegen'd,
+    * shuffle-free. */
+  val qPiiRedact = GraftQuery(
+    "q_pii_redact",
+    (s, dir) => {
+      import s.implicits._
+      val digits10 = lpad(((($"c_custkey" * 7919) + 12345) % 10000000000L).cast("string"), 10, "0")
+      val digits12 = lpad((($"c_custkey" * 104729 + 7) % 1000000000000L).cast("string"), 12, "0")
+      val raw = concat(
+        lit("Contact "), $"c_name",
+        lit(" <user"), $"c_custkey".cast("string"), lit("@mail.example.com> or call +91 "),
+        digits10, lit(" id "), digits12, lit(" end"))
+      Tables.customer(s, dir)
+        .select($"c_custkey",
+          graft.functions.Redaction.redactPii(raw).as("redacted"),
+          graft.functions.Redaction.emailCount(raw).as("n_emails"),
+          graft.functions.Redaction.longDigitRunCount(raw).as("n_digit_runs"))
+        .orderBy($"c_custkey")
+    },
+    Some("""WITH t AS (SELECT c_custkey,
+        'Contact ' || c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@mail.example.com> or call +91 '
+          || lpad(CAST((c_custkey * 7919 + 12345) % 10000000000 AS VARCHAR), 10, '0')
+          || ' id ' || lpad(CAST((c_custkey * 104729 + 7) % 1000000000000 AS VARCHAR), 12, '0')
+          || ' end' AS raw
+      FROM customer)
+      SELECT c_custkey,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '[0-9]{12}', '[ID]', 'g'),
+          '\+[0-9][0-9 \-]{7,}[0-9]', '[PHONE]', 'g') AS redacted,
+        CAST(LEN(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        CAST(LEN(regexp_extract_all(raw, '[0-9]{10,}')) AS INT) AS n_digit_runs
+      FROM t ORDER BY c_custkey""")
+  )
+
+  /** Fixed-stride token chunking (size 32, stride 24 — 8-token overlap)
+    * with chunk-level exact-dup counts: the standard pre-training prep
+    * step of splitting documents into model-window pieces, then deduping
+    * at CHUNK granularity (boilerplate repeats chunk-wise even when the
+    * enclosing docs differ). Explode is per-chunk, not per-token; the
+    * only shuffle is the md5-fingerprint dup-count. */
+  val qChunkDedup = GraftQuery(
+    "q_chunk_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val chunk = 32
+      val stride = 24
+      val extra = TextAnalysis.chunkCount($"toks", chunk, stride) - 1
+      val piece = TextAnalysis.chunkAt($"toks", $"chunk_idx", chunk, stride)
+      Tables.documents(s, dir)
+        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+        .withColumn("chunk_idx", explode(sequence(lit(0), extra)))
+        .select($"doc_id", $"chunk_idx",
+          size(piece).as("n_tokens"),
+          md5(array_join(piece, " ")).as("fp"))
+        .withColumn("n_dup", count(lit(1)).over(Window.partitionBy($"fp")))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      c AS (SELECT doc_id, ts,
+        GREATEST(CAST(CEIL((LEN(ts) - 32) / 24.0) AS INT), 0) AS extra FROM t),
+      e AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        ts[i*24 + 1 : i*24 + 32] AS piece
+        FROM c, UNNEST([j FOR j IN range(0, extra + 1)]) AS u(i))
+      SELECT doc_id, chunk_idx, CAST(LEN(piece) AS INT) AS n_tokens,
+        md5(array_to_string(piece, ' ')) AS fp,
+        COUNT(*) OVER (PARTITION BY md5(array_to_string(piece, ' '))) AS n_dup
+      FROM e ORDER BY doc_id, chunk_idx""")
+  )
+
+  /** Gopher-style composed quality filter: each heuristic rule emitted as
+    * its own 0/1 column plus the conjunction — pipelines tune thresholds
+    * by inspecting PER-RULE kill rates, so the breakdown is the product,
+    * not just the keep bit. Reuses the exact formulas of q_text_stats /
+    * q_repetition (oracle-proven) plus a mean-token-length rule. */
+  val qGopherFilter = GraftQuery(
+    "q_gopher_filter",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TextAnalysis.tokens($"text")
+      val nToks = greatest(size(toks), lit(1))
+      val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / nToks
+      val stopRatio = TextAnalysis.stopwordRatio($"text", TextAnalysis.Stopwords("en"))
+      val positions = when(size(toks) < 5, 1).otherwise(size(toks) - 4)
+      val uniqRatio = size(graft.expressions.TextHashExprs.shingleHashes64(toks, 5))
+        .cast(DoubleType) / positions
+      val ws = TextAnalysis.wsTokenCount($"text")
+      val rLen = (ws >= 30 && ws <= 50000).cast(IntegerType)
+      val rMean = (meanLen >= 2.0 && meanLen <= 12.0).cast(IntegerType)
+      val rStop = (stopRatio >= 0.02).cast(IntegerType)
+      val rUniq = (uniqRatio >= 0.3).cast(IntegerType)
+      val rSym = (TextAnalysis.punctRatio($"text") <= 0.1).cast(IntegerType)
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          rLen.as("r_len"), rMean.as("r_mean_len"), rStop.as("r_stop"),
+          rUniq.as("r_uniq"), rSym.as("r_sym"),
+          (rLen * rMean * rStop * rUniq * rSym).as("keep"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT doc_id, text, toks,
+        CASE WHEN TRIM(text) = '' THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS ws,
+        CAST(COALESCE(list_sum(list_transform(toks, x -> LENGTH(x))), 0) AS DOUBLE) / GREATEST(LEN(toks), 1) AS mean_len,
+        CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+        CAST(LEN(list_distinct(CASE WHEN LEN(toks) < 5 THEN [array_to_string(toks, ' ')]
+          ELSE [array_to_string(toks[i+1:i+5], ' ') FOR i IN range(0, LEN(toks)-4)] END)) AS DOUBLE)
+          / (CASE WHEN LEN(toks) < 5 THEN 1 ELSE LEN(toks) - 4 END) AS uniq_ratio,
+        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM t),
+      r AS (SELECT doc_id,
+        CAST(ws >= 30 AND ws <= 50000 AS INT) AS r_len,
+        CAST(mean_len >= 2.0 AND mean_len <= 12.0 AS INT) AS r_mean_len,
+        CAST(stop_ratio >= 0.02 AS INT) AS r_stop,
+        CAST(uniq_ratio >= 0.3 AS INT) AS r_uniq,
+        CAST(punct_ratio <= 0.1 AS INT) AS r_sym
+      FROM m)
+      SELECT doc_id, r_len, r_mean_len, r_stop, r_uniq, r_sym,
+        r_len * r_mean_len * r_stop * r_uniq * r_sym AS keep
+      FROM r ORDER BY doc_id""")
+  )
+
+  /** Corpus length histogram: doc counts per 16-token bucket of the
+    * whitespace token count — the first chart every data run looks at.
+    * Map-side bin + one tiny rollup shuffle. */
+  val qDocLengthHist = GraftQuery(
+    "q_doc_length_hist",
+    (s, dir) => {
+      import s.implicits._
+      val ws = TextAnalysis.wsTokenCount($"text")
+      Tables.documents(s, dir)
+        .select(floor(ws / lit(16.0)).cast(IntegerType).as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"))
+        .select($"bin", ($"bin" * 16).as("lo"), ($"bin" * 16 + 15).as("hi"), $"n_docs")
+        .orderBy($"bin")
+    },
+    Some("""WITH t AS (SELECT CAST(FLOOR(
+        (CASE WHEN TRIM(text) = '' THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END) / 16.0) AS INT) AS bin
+      FROM documents)
+      SELECT bin, bin * 16 AS lo, bin * 16 + 15 AS hi, COUNT(*) AS n_docs
+      FROM t GROUP BY bin ORDER BY bin""")
+  )
+
+  /** URL host / registrable-domain rollup: the grouping key of
+    * URL-level filtering and per-site quotas in web-scale corpora.
+    * URLs are synthesized from (source, doc_id) in both engines; the
+    * operator under test is the two-stage regex extraction. */
+  val qUrlDomains = GraftQuery(
+    "q_url_domains",
+    (s, dir) => {
+      import s.implicits._
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        ($"doc_id" % 3 + 1).cast(IntegerType))
+      val url = concat(lit("https://www."), $"source", lit(".example."), tld,
+        lit("/item/"), $"doc_id".cast("string"))
+      val host = regexp_extract(url, "^https://([^/]+)/", 1)
+      Tables.documents(s, dir)
+        .select(host.as("host"),
+          regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("reg_domain"))
+        .groupBy($"host", $"reg_domain")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"host")
+    },
+    Some("""WITH t AS (SELECT
+        'https://www.' || source || '.example.' || (['com','org','net'])[CAST(doc_id % 3 AS INT) + 1]
+          || '/item/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+      h AS (SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host FROM t)
+      SELECT host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS reg_domain,
+        COUNT(*) AS n_docs
+      FROM h GROUP BY host, reg_domain ORDER BY host""")
+  )
+
+  /** Bloom-prefiltered decontamination: identical RESULT to
+    * q_decontaminate (same oracle SQL — that identity is the point), but
+    * through [[Bloom.semiJoinLong]]: the eval 5-gram set becomes a
+    * ~1.2 B/item broadcast bitset probed map-side, and only probe
+    * survivors reach the exact confirm join. At 100 TB this discards
+    * ~all clean shingles before any join machinery runs. */
+  val qBloomDecontaminate = GraftQuery(
+    "q_bloom_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      def sh(d: org.apache.spark.sql.DataFrame) = d.select($"doc_id",
+        explode(graft.expressions.TextHashExprs.shingleHashes64(
+          TextAnalysis.tokens($"text"), 5)).as("sh"))
+      val evalSh = sh(docs.filter($"doc_id" % 50 === 0)).select($"sh").distinct()
+      Bloom.semiJoinLong(
+          sh(docs.filter($"doc_id" % 50 =!= 0)), "sh", evalSh, "sh",
+          expectedItems = 1 << 18, fpp = 0.01)
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      sh AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, CASE WHEN LEN(ts) < 5 THEN [array_to_string(ts, ' ')]
+          ELSE [array_to_string(ts[i+1:i+5], ' ') FOR i IN range(0, LEN(ts)-4)] END AS ss
+        FROM toks), UNNEST(ss) AS u(s)),
+      ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+      SELECT doc_id, COUNT(*) AS n_shared
+      FROM sh JOIN ev USING (s) WHERE doc_id % 50 <> 0
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(
+    qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
+    qBloomDecontaminate)
+}

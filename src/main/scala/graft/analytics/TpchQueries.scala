@@ -109,5 +109,97 @@ object TpchQueries {
       GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qTpchQ3, qTpchQ7, qTpchQ12)
+  /** Q4 shape: order-priority counts over orders with at least one
+    * late-shipping lineitem (EXISTS → left-semi; l_commitdate doesn't
+    * exist in this testdata, so ship-more-than-30-days-after-order
+    * stands in). The semi-join keeps only o_orderkey+predicate columns
+    * flowing — no lineitem payload survives the join. */
+  val qTpchQ4 = GraftQuery(
+    "q_tpch_q4",
+    (s, dir) => {
+      import s.implicits._
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-10-01").cast("timestamp")
+      val l = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+      Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .join(l, $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" + expr("INTERVAL 30 DAYS"), "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** Q14 shape: promo revenue share in one ship month — conditional
+    * decimal aggregation over the lineitem⋈part broadcast join, two
+    * exact sums divided once at the end (no per-row division). */
+  val qTpchQ14 = GraftQuery(
+    "q_tpch_q14",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val rev = $"l_extendedprice".cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2)))
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-09-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        .agg(
+          round(lit(100.0) *
+            sum(when($"p_type" === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 2))))
+              .cast(DoubleType) /
+            sum(rev).cast(DoubleType), 6).as("promo_share"),
+          sum(rev).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT
+        ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_share,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""")
+  )
+
+  /** Q19 shape: disjunction of brand×size×quantity predicate blocks —
+    * the classic OR-of-ANDs that tests predicate pushdown through a
+    * join (part side pushes the brand/size disjunction into the scan,
+    * quantity bounds stay on the fact side). */
+  val qTpchQ19 = GraftQuery(
+    "q_tpch_q19",
+    (s, dir) => {
+      import s.implicits._
+      val cond =
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#15" && $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#18" && $"p_size".between(1, 15) && $"l_quantity".between(20, 30))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        .filter(cond)
+        .groupBy($"p_brand")
+        .agg(revenueDec($"l_extendedprice", $"l_discount").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"p_brand")
+    },
+    Some("""SELECT p_brand,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+      GROUP BY p_brand ORDER BY p_brand""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qTpchQ3, qTpchQ7, qTpchQ12, qTpchQ4, qTpchQ14, qTpchQ19)
 }

@@ -110,4 +110,20 @@ object TextAnalysis {
   /** 64-bit rolling-hash fingerprints of the k-shingles (xxhash64). */
   def shingleHashes(c: Column, k: Int): Column =
     transform(shingles(c, k), s => xxhash64(s))
+
+  /** Number of fixed-stride chunks covering a token array: 1 chunk when
+    * the array fits in `size` tokens, plus one per `stride` beyond that
+    * (the final chunk may be short). Always ≥ 1 — an empty array still
+    * yields one (empty) chunk, keeping per-doc chunk accounting total. */
+  def chunkCount(toks: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride=$stride <= size=$size (stride > size would skip tokens)")
+    greatest(ceil((org.apache.spark.sql.functions.size(toks) - lit(size))
+      .cast(DoubleType) / stride).cast("int"), lit(0)) + 1
+  }
+
+  /** The `idx`-th (0-based) chunk of a token array under (size, stride)
+    * windowing: tokens [idx·stride, idx·stride + size). */
+  def chunkAt(toks: Column, idx: Column, size: Int, stride: Int): Column =
+    slice(toks, idx * stride + 1, lit(size))
 }
