@@ -270,6 +270,66 @@ object DocQueries {
       ORDER BY id""")
   )
 
+  /** End-to-end corpus dedup: near-dup pairs → connected components →
+    * ONE SURVIVOR per cluster (longest doc, ties to the smallest id),
+    * every document labeled kept/dropped. This is the full "dedup the
+    * corpus" pipeline a training-data run executes; singletons survive
+    * trivially via the left join + coalesce. One extra shuffle beyond
+    * the closure (the per-component window); the window partitions by
+    * component, which is ~one row per doc for singleton-heavy corpora —
+    * no skew. */
+  val qDedupSurvivors = GraftQuery(
+    "q_dedup_survivors",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        "doc_id", "text", k = 3, minJaccard = 0.5, maxDf = 100)
+      val comp = Dedup.connectedComponents(pairs)
+      val labeled = docs.select($"doc_id", $"n_chars")
+        .join(comp, $"doc_id" === $"id", "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("component"), $"n_chars")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"component").orderBy($"n_chars".desc, $"doc_id")
+      labeled
+        .withColumn("survivor_id", first($"doc_id").over(w))
+        .select($"doc_id", $"component", $"survivor_id",
+          ($"doc_id" === $"survivor_id").cast("int").as("is_kept"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, CASE WHEN LEN(ts) < 3 THEN [array_to_string(ts, ' ')]
+          ELSE [array_to_string(ts[i+1:i+3], ' ') for i in range(0, LEN(ts)-2)] END AS ss
+        FROM toks), UNNEST(ss) AS u(s)),
+      freq AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq USING (s) WHERE freq.df <= 100),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b
+        FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        WHERE inter * 100 >= (na.n + nb.n - inter) * 50),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.src, e.b FROM walk w JOIN edges e ON w.dst = e.a),
+      comp AS (SELECT src AS id, MIN(dst) AS component FROM walk GROUP BY src),
+      lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      ranked AS (SELECT doc_id, component,
+        FIRST_VALUE(doc_id) OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS survivor_id
+      FROM lab)
+      SELECT doc_id, component, survivor_id,
+        CAST(doc_id = survivor_id AS INT) AS is_kept
+      FROM ranked ORDER BY doc_id""")
+  )
+
   /** Brute-force cosine top-20 against the min-vec_id query vector —
     * exact ANN baseline. Sequential double math both engines. */
   val qEmbedTopK = GraftQuery(
@@ -502,6 +562,7 @@ object DocQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
+    qDedupSurvivors,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qIvfTopK, qApproxDistinct, qAsofJoin,

@@ -141,4 +141,48 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*(") || p.contains("WholeStageCodegen"), s"no codegen span:\n$p")
   }
+
+  test("q19 disjunction splits: part-side brand filter pushes to the part scan") {
+    val df = SparkEntry.queries("q_tpch_q19")(spark, Dir)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val partScan = scans.find(_.contains("p_brand")).getOrElse(fail("no part scan"))
+    // Catalyst must extract the per-side OR from the DNF predicate: the
+    // brand/size disjunction belongs to part's scan, not post-join
+    assert(partScan.contains("Or") && partScan.contains("Brand#12"),
+      s"brand disjunction not pushed to part scan:\n$partScan")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"part not broadcast:\n$p")
+  }
+
+  test("bloom decontamination probes map-side BEFORE the confirm join") {
+    val p = SparkEntry.queries("q_bloom_decontaminate")(spark, Dir)
+      .queryExecution.executedPlan.toString
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, s"confirm join missing or not broadcast:\n$p")
+    // the UDF probe must appear BELOW the join (later in the plan string),
+    // i.e. on the scan side — filtering before any join machinery
+    val udfIdx = p.indexOf("pythonUDF").max(p.indexOf("UDF"))
+    assert(udfIdx > joinIdx, s"bloom probe not below the confirm join:\n$p")
+  }
+
+  test("pii redaction / quality filter are single-pass map plans") {
+    for (q <- Seq("q_pii_redact", "q_gopher_filter")) {
+      val p = SparkEntry.queries(q)(spark, Dir).queryExecution.executedPlan.toString
+      // the only exchange permitted is the final presentation sort's range
+      // partitioning — no aggregation/join shuffle anywhere
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q shuffles where a map-only plan should run:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q grew a join:\n$p")
+    }
+  }
+
+  test("chunking reads only (doc_id, text) from documents") {
+    val scans = SparkEntry.queries("q_chunk_dedup")(spark, Dir)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val scan = scans.find(_.contains("ReadSchema")).getOrElse(fail("no scan"))
+    assert(scan.contains("doc_id") && scan.contains("text"))
+    Seq("lang", "source", "n_chars").foreach(c =>
+      assert(!scan.contains(c), s"unpruned column $c in chunking scan"))
+  }
 }
