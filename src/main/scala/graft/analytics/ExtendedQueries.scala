@@ -158,6 +158,37 @@ object ExtendedQueries {
       FROM events GROUP BY 1 ORDER BY hour""")
   )
 
+  /** Stream-static enrichment join — the remaining core Structured
+    * Streaming shape: a micro-batched event stream joined to a STATIC
+    * broadcast dimension (no state, no watermark — the static side is
+    * re-resolvable per batch), then a Complete-mode rollup. At scale
+    * this is the ingest-enrich path: events land, pick up dimension
+    * attributes map-side, and only (type, segment) aggregates hold
+    * state. Oracle = the equivalent batch join, which streaming must
+    * match exactly. */
+  val qStreamEnrich = GraftQuery(
+    "q_stream_enrich",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_enrich_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+      val cust = broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment"))
+      val agg = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+        .join(cust, $"user_id" === $"c_custkey")
+        .groupBy($"event_type", $"c_mktsegment")
+        .agg(count(lit(1)).as("n"), sumDec($"value", 6).as("sum_value"))
+      graft.streaming.EventsStream
+        .runAvailableNow(s, agg, name, checkpoint, OutputMode.Complete())
+        .orderBy($"event_type", $"c_mktsegment")
+    },
+    Some("""SELECT event_type, c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2 ORDER BY event_type, c_mktsegment""")
+  )
+
   /** Exact k-NN join with a full DuckDB oracle (list_cosine_similarity):
     * 50 query vectors × the corpus, top-3 neighbours each. Ranking is on
     * the ROUNDED similarity in both engines so order can't diverge on
@@ -637,5 +668,5 @@ object ExtendedQueries {
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
-    qDenseTopk)
+    qDenseTopk, qStreamEnrich)
 }

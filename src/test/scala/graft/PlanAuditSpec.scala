@@ -178,6 +178,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("chunking reads only (doc_id, text) from documents") {
+    // an earlier suite may have cached the full documents table — the
+    // audit is about the PARQUET scan, so drop caches first
+    spark.catalog.clearCache()
     val scans = SparkEntry.queries("q_chunk_dedup")(spark, Dir)
       .queryExecution.executedPlan.collectLeaves().map(_.toString)
     val scan = scans.find(_.contains("ReadSchema")).getOrElse(fail("no scan"))
