@@ -535,6 +535,48 @@ object ExtendedQueries {
       ORDER BY user_id, session_start""")
   )
 
+  /** STREAM-STREAM interval join: view→click attribution — each view
+    * joined to the same user's clicks within the following 30 minutes.
+    * Both sides are watermarked and the join condition bounds the time
+    * range, so state for either side is dropped once the other side's
+    * watermark passes the range — the canonical bounded-state
+    * stream-stream join. Inner joins emit eagerly per micro-batch;
+    * with AvailableNow over the finite input the emitted set equals the
+    * batch join, which is exactly what the oracle checks (ts compared
+    * at the stream's microsecond precision on both sides). */
+  val qStreamJoin = GraftQuery(
+    "q_stream_join",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_join_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+      val views = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id", $"ts".as("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+      val clicks = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = views.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"c_ts" >= $"v_ts" && $"c_ts" <= $"v_ts" + expr("interval 30 minutes"))
+      graft.streaming.EventsStream
+        .runAvailableNow(s, joined, name, checkpoint, OutputMode.Append())
+        .select($"view_id", $"click_id", $"user_id",
+          date_format($"v_ts", "yyyy-MM-dd HH:mm:ss").as("v_ts"))
+        .orderBy($"view_id", $"click_id")
+    },
+    Some("""SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+        STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') AS v_ts
+      FROM events v JOIN events c ON v.user_id = c.user_id
+        AND v.event_type = 'view' AND c.event_type = 'click'
+        AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      ORDER BY view_id, click_id""")
+  )
+
   /** Unpivot/melt (the reshape inverse of q_pivot_status): wide
     * per-priority status counts back to long (priority, status, n) rows
     * via stack — completes the pivot/unpivot reshape family. */
@@ -668,5 +710,5 @@ object ExtendedQueries {
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
-    qDenseTopk, qStreamEnrich)
+    qDenseTopk, qStreamEnrich, qStreamJoin)
 }

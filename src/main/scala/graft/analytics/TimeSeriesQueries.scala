@@ -1,0 +1,114 @@
+package graft.analytics
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Time-series operators over the events stream: spine generation with
+  * gap fill / forward fill, and deterministic anomaly flagging — the
+  * monitoring layer a production ingest pipeline runs next to its
+  * aggregates.
+  *
+  * Scale notes: both queries aggregate first (one shuffle on
+  * (type, hour/day) — partial-aggregated, so raw events never shuffle),
+  * then do all window work over the AGGREGATE relation, which is
+  * O(types × periods) — thousands of rows at any corpus size. The spine
+  * cross-join is types × one-row bounds, broadcast. Windows partition by
+  * event_type — never a global single-partition sort.
+  *
+  * Determinism: every mean/variance is computed from DECIMAL window sums
+  * (exact, order-independent) with the identical double expression tree
+  * in both engines — stddev/avg builtins are deliberately NOT used, as
+  * their accumulation order differs across engines.
+  */
+object TimeSeriesQueries {
+
+  /** Hourly spine per event type with zero-filled counts and
+    * forward-filled (last non-null) hourly sums. */
+  val qGapFill = GraftQuery(
+    "q_gap_fill",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("n"), sum($"value".cast(DecimalType(18, 6))).as("sv"))
+      val bounds = ev.agg(date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+      val spine = ev.select($"event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"event_type",
+          explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("hour"))
+      val w = Window.partitionBy($"event_type").orderBy($"hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .withColumn("n_filled", coalesce($"n", lit(0L)))
+        .withColumn("filled_value",
+          round(last($"sv", ignoreNulls = true).over(w).cast(DoubleType), 6))
+        .select($"event_type", date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"n_filled", $"filled_value")
+        .orderBy($"event_type", $"hour")
+    },
+    Some("""WITH b AS (SELECT DATE_TRUNC('hour', MIN(ts)) AS lo, DATE_TRUNC('hour', MAX(ts)) AS hi FROM events),
+      ty AS (SELECT DISTINCT event_type FROM events),
+      spine AS (SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM ty, b),
+      hourly AS (SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+        COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
+      FROM events GROUP BY 1, 2)
+      SELECT s.event_type, STRFTIME(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        COALESCE(h.n, 0) AS n_filled,
+        ROUND(CAST(LAST_VALUE(h.sv IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS filled_value
+      FROM spine s LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour
+      ORDER BY s.event_type, hour""")
+  )
+
+  /** Daily-total z-score anomaly flags per event type. Variance is
+    * derived from exact decimal window sums via the explicit
+    * (Σx² − (Σx)²/n)/(n−1) form — identical float ops in both engines,
+    * no engine-specific Welford accumulation. */
+  val qZscoreOutliers = GraftQuery(
+    "q_zscore_outliers",
+    (s, dir) => {
+      import s.implicits._
+      val day = Tables.events(s, dir)
+        .groupBy($"event_type",
+          date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum($"value".cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("dsum"))
+      val w = Window.partitionBy($"event_type")
+      val sumAll = sum($"dsum").over(w).cast(DoubleType)
+      val cnt = count(lit(1)).over(w).cast(DoubleType)
+      val sumSq = sum($"dsum" * $"dsum").over(w).cast(DoubleType)
+      val mean = sumAll / cnt
+      val variance = (sumSq - sumAll * sumAll / cnt) / (cnt - 1)
+      val std = sqrt(greatest(variance, lit(0.0)))
+      val z = when(std === 0.0, 0.0).otherwise(($"dsum".cast(DoubleType) - mean) / std)
+      day
+        .withColumn("z", round(z, 6))
+        .select($"event_type", $"day", $"dsum".cast(DoubleType).as("day_sum"),
+          $"z", (abs($"z") > 2.0).cast("int").as("is_outlier"))
+        .orderBy($"event_type", $"day")
+    },
+    Some("""WITH day AS (SELECT event_type, STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS dsum
+      FROM events GROUP BY 1, 2),
+      s AS (SELECT event_type, day, dsum,
+        CAST(SUM(dsum) OVER (PARTITION BY event_type) AS DOUBLE) AS sum_all,
+        CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS cnt,
+        -- DECIMAL(19) storage is int128 in DuckDB: the (18,6)×(18,6)
+        -- product overflows the int64 fast path otherwise. Exact either way
+        CAST(SUM(CAST(dsum AS DECIMAL(19,6)) * dsum) OVER (PARTITION BY event_type) AS DOUBLE) AS sum_sq
+      FROM day),
+      zc AS (SELECT event_type, day, dsum,
+        SQRT(GREATEST((sum_sq - sum_all * sum_all / cnt) / (cnt - 1), 0.0)) AS std,
+        sum_all / cnt AS mean
+      FROM s)
+      SELECT event_type, day, CAST(dsum AS DOUBLE) AS day_sum,
+        ROUND(CASE WHEN std = 0.0 THEN 0.0 ELSE (CAST(dsum AS DOUBLE) - mean) / std END, 6) AS z,
+        CAST(ABS(ROUND(CASE WHEN std = 0.0 THEN 0.0 ELSE (CAST(dsum AS DOUBLE) - mean) / std END, 6)) > 2.0 AS INT) AS is_outlier
+      FROM zc ORDER BY event_type, day""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qGapFill, qZscoreOutliers)
+}
