@@ -96,6 +96,26 @@ object Sources {
     props.foldLeft(w) { case (b, (k, v)) => b.option(k, v) }.save()
   }
 
+  /** Columnar-sink alternative — ORC (same writer surface as parquet;
+    * useful when the downstream warehouse is ORC-native). Round-trips
+    * through the declared schema like every other source here. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** The 100 TB fact-table layout: write partitioned by a low-cardinality
+    * derived key (e.g. event date) so date-bounded queries PRUNE
+    * partitions at planning time instead of scanning and filtering.
+    * `PartitionedLayoutSpec` asserts the pruning (PartitionFilters
+    * non-empty, unselected partitions never read). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** S6 — SQL scan over the catalog (check_db.py:7-16). */
   def tableCounts(spark: SparkSession, table: String): (Long, DataFrame) = {
     val n = spark.sql(s"SELECT COUNT(*) AS n FROM $table").collect()(0).getLong(0)
