@@ -330,6 +330,42 @@ object DocQueries {
       FROM ranked ORDER BY doc_id""")
   )
 
+  /** Heavy-hitter tokens via the Misra-Gries sketch + exact confirm:
+    * pass 1 streams every token occurrence through ≤ 40 counters per
+    * partition (NO shuffle by token — only sketch states merge); the
+    * ≤ 40 candidates then get ONE exact counting pass and the true
+    * threshold. The MG guarantee (every item with freq > n/(k+1)
+    * survives the sketch) makes the two-pass result EXACTLY the true
+    * heavy hitters — which is what the oracle's full groupBy computes.
+    * The scale win: the full-vocabulary shuffle is replaced by a
+    * 40-key one. */
+  val qHeavyHitters = GraftQuery(
+    "q_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val toks = graft.operators.Caches.register(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens($"text")).as("tok")))
+      val n = toks.count()
+      val cands = toks
+        .agg(graft.expressions.MisraGries.mgCandidates($"tok", 40).as("c"))
+        .first().getSeq[String](0)
+      toks.filter($"tok".isin(cands: _*))
+        .groupBy($"tok").agg(count(lit(1)).as("n_tok"))
+        .filter($"n_tok" * 40 > n)
+        .withColumn("share", round($"n_tok".cast("double") / n, 6))
+        .orderBy($"n_tok".desc, $"tok")
+    },
+    Some("""WITH t AS (SELECT u.tok FROM (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+        FROM documents), UNNEST(ts) AS u(tok)),
+      tot AS (SELECT COUNT(*) AS n FROM t),
+      c AS (SELECT tok, COUNT(*) AS n_tok FROM t GROUP BY tok)
+      SELECT tok, n_tok, ROUND(CAST(n_tok AS DOUBLE) / tot.n, 6) AS share
+      FROM c, tot WHERE n_tok * 40 > tot.n
+      ORDER BY n_tok DESC, tok""")
+  )
+
   /** Brute-force cosine top-20 against the min-vec_id query vector —
     * exact ANN baseline. Sequential double math both engines. */
   val qEmbedTopK = GraftQuery(
@@ -562,7 +598,7 @@ object DocQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
-    qDedupSurvivors,
+    qDedupSurvivors, qHeavyHitters,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qIvfTopK, qApproxDistinct, qAsofJoin,
