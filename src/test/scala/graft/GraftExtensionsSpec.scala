@@ -49,6 +49,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) > 0)
   }
 
+  test("graft_mg_candidates aggregates in SQL and keeps the dominant value") {
+    val r = spark.sql("""SELECT graft_mg_candidates(v, 4) AS c FROM (
+        SELECT CASE WHEN id % 2 = 0 THEN 'dominant' ELSE CONCAT('t', id) END AS v
+        FROM RANGE(1000))""").collect()(0).getSeq[String](0)
+    assert(r.length <= 4)
+    assert(r.contains("dominant"))
+  }
+
   test("registerAll + extensions = full SQL surface over the star schema") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val r = spark.sql("""
