@@ -238,7 +238,79 @@ object PipelineQueries {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Sequence packing: assign documents to fixed token-budget bins
+    * (2048 tokens) in deterministic id order WITHIN EACH SOURCE — the
+    * pre-training sample-packing step. The running token cumsum is a
+    * per-source window (sources pack independently and in parallel; a
+    * global packing order would be a single-partition sort at scale).
+    * offset = where the doc starts inside its bin's budget line. */
+  val qPackSequences = GraftQuery(
+    "q_pack_sequences",
+    (s, dir) => {
+      import s.implicits._
+      val budget = 2048
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source", TextAnalysis.tokenCount($"text").as("n_tokens"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"source", $"n_tokens",
+          (($"cum" - $"n_tokens") / budget).cast(IntegerType).as("bin"),
+          // "offset" is a reserved word in the oracle engine — bin_offset
+          (($"cum" - $"n_tokens") % budget).cast(IntegerType).as("bin_offset"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+        LEN(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+      FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+      SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+        CAST((cum - n_tokens) // 2048 AS INT) AS bin,
+        CAST((cum - n_tokens) % 2048 AS INT) AS bin_offset
+      FROM c ORDER BY doc_id""")
+  )
+
+  /** Source-quota mixture selection: the top 30 documents per source by
+    * quality score — the per-domain quota step of corpus mixing. Runs
+    * through the TopKPerKey heap operator (each partition prunes to
+    * ≤ 30 rows per source map-side; no per-source sort of the corpus).
+    * Ranking ties broken by doc_id; the score is rounded BEFORE ranking
+    * in both engines so order cannot diverge on sub-1e-6 noise. */
+  val qSourceQuota = GraftQuery(
+    "q_source_quota",
+    (s, dir) => {
+      import s.implicits._
+      val scored = Tables.documents(s, dir)
+        .select($"doc_id", $"source", TextAnalysis.qualityScore($"text").as("q"))
+      graft.plans.TopKPerKey.perKey(scored, Seq("source"),
+          Seq(("q", false), ("doc_id", true)), k = 30)
+        .select($"source", $"doc_id", $"q")
+        .orderBy($"source", $"q".desc, $"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, source, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT doc_id, source,
+        CAST(LENGTH(text) AS DOUBLE) AS len,
+        CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM t),
+      sc AS (SELECT doc_id, source,
+        ROUND(LEAST(len / 50.0, 1.0) * (CASE WHEN len > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+              + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+              + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) AS q
+      FROM m),
+      r AS (SELECT source, doc_id, q,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+      FROM sc)
+      SELECT source, doc_id, q FROM r WHERE rn <= 30
+      ORDER BY source, q DESC, doc_id""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
-    qBloomDecontaminate)
+    qBloomDecontaminate, qPackSequences, qSourceQuota)
 }
