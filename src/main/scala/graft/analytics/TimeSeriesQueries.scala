@@ -110,5 +110,70 @@ object TimeSeriesQueries {
       FROM zc ORDER BY event_type, day""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qGapFill, qZscoreOutliers)
+  /** 7-day rolling daily totals per event type — a RANGE frame over the
+    * day index (range, not rows: the window is defined by day DISTANCE,
+    * so it stays correct if a day has no events). All rolling work runs
+    * over the per-day aggregate relation. */
+  val qRolling7d = GraftQuery(
+    "q_rolling_7d",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+        .agg(sum($"value".cast(DecimalType(18, 6))).as("dsum"))
+        .withColumn("day_idx", datediff($"d", lit("2024-01-01").cast("date")))
+      val w = Window.partitionBy($"event_type").orderBy($"day_idx")
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("rolling_7d", sum($"dsum").over(w).cast(DoubleType))
+        .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"),
+          $"dsum".cast(DoubleType).as("day_sum"), $"rolling_7d")
+        .orderBy($"event_type", $"day")
+    },
+    Some("""WITH daily AS (SELECT event_type, DATE_TRUNC('day', ts) AS d,
+        SUM(CAST(value AS DECIMAL(18,6))) AS dsum
+      FROM events GROUP BY 1, 2),
+      idx AS (SELECT event_type, d, dsum,
+        DATEDIFF('day', DATE '2024-01-01', CAST(d AS DATE)) AS day_idx
+      FROM daily)
+      SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day,
+        CAST(dsum AS DOUBLE) AS day_sum,
+        CAST(SUM(dsum) OVER (PARTITION BY event_type ORDER BY day_idx
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+      FROM idx ORDER BY event_type, day""")
+  )
+
+  /** Median absolute deviation per event type — the robust dispersion
+    * statistic (outlier-insensitive, unlike stddev). Two exact-quantile
+    * passes: per-type median (broadcast back — one row per type), then
+    * the median of absolute deviations. The unrounded median feeds the
+    * deviation in both engines; only outputs are rounded. */
+  val qMad = GraftQuery(
+    "q_mad",
+    (s, dir) => {
+      import s.implicits._
+      val med = Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(element_at(graft.expressions.ExactQuantiles.quantiles(
+          $"value", Seq(0.5)), 1).as("med"))
+      Tables.events(s, dir)
+        .join(broadcast(med), "event_type")
+        .withColumn("dev", abs($"value" - $"med"))
+        .groupBy($"event_type")
+        .agg(
+          round(first($"med"), 6).as("median"),
+          round(element_at(graft.expressions.ExactQuantiles.quantiles(
+            $"dev", Seq(0.5)), 1), 6).as("mad"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH med AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+        FROM events GROUP BY 1)
+      SELECT e.event_type,
+        ROUND(ANY_VALUE(m.med), 6) AS median,
+        ROUND(QUANTILE_CONT(ABS(e.value - m.med), 0.5), 6) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type ORDER BY e.event_type""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qGapFill, qZscoreOutliers, qRolling7d, qMad)
 }
