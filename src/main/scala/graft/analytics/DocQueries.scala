@@ -346,10 +346,13 @@ object DocQueries {
       val toks = graft.operators.Caches.register(
         Tables.documents(s, dir)
           .select(explode(TextAnalysis.tokens($"text")).as("tok")))
-      val n = toks.count()
-      val cands = toks
-        .agg(graft.expressions.MisraGries.mgCandidates($"tok", 40).as("c"))
-        .first().getSeq[String](0)
+      // one pass for BOTH the stream length and the sketch
+      val row = toks
+        .agg(count(lit(1)).as("n"),
+          graft.expressions.MisraGries.mgCandidates($"tok", 40).as("c"))
+        .first()
+      val n = row.getLong(0)
+      val cands = row.getSeq[String](1)
       toks.filter($"tok".isin(cands: _*))
         .groupBy($"tok").agg(count(lit(1)).as("n_tok"))
         .filter($"n_tok" * 40 > n)

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -27,10 +27,16 @@ case class MisraGries(
     k: Int = 64,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+    extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+    with ImplicitCastInputTypes {
 
   require(k > 0, s"k=$k must be positive")
 
+  // analysis-time coercion: numeric/date inputs arrive as their string
+  // form instead of a runtime ClassCastException from the blind
+  // UTF8String cast in update(). (Seq[DataType] covariantly satisfies
+  // the Seq[AbstractDataType] signature; AbstractDataType is private[sql].)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

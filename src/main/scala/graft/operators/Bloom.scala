@@ -45,8 +45,10 @@ object Bloom {
     // so a UDF-evaluation quirk could only cost speed, never correctness.
     val mightContain = udf((x: java.lang.Long) =>
       x != null && bcast.value.mightContainLong(x))
+    // no .distinct() on the build side: left-semi ignores build-side
+    // duplicates, so deduplicating here would only add an exchange
     big.filter(mightContain(col(keyCol)))
-      .join(broadcast(small.select(col(smallKey).as(keyCol)).distinct()),
+      .join(broadcast(small.select(col(smallKey).as(keyCol))),
         Seq(keyCol), "left_semi")
   }
 }

@@ -35,7 +35,14 @@ object Caches {
   val CapConf = "spark.graft.caches.maxPerSession"
 
   private def cap(spark: SparkSession): Int =
-    spark.conf.getOption(CapConf).map(_.toInt).getOrElse(MaxPerSession)
+    spark.conf.getOption(CapConf).map { v =>
+      val n =
+        try v.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$CapConf must be an integer, got '$v'") }
+      require(n >= 1, s"$CapConf must be >= 1, got $n")
+      n
+    }.getOrElse(MaxPerSession)
 
   private val refs =
     scala.collection.mutable.LinkedHashMap.empty[SparkSession,

@@ -15,19 +15,43 @@ object Maintenance {
   /** Rewrite the parquet directory at `path` into ~`targetFileBytes`
     * files (estimated from the CURRENT compressed on-disk size, which
     * already reflects this data's encoding — not raw row width).
-    * Two-phase for crash safety: write to a sibling temp dir, then
-    * atomically swap via rename — a reader never sees a half-compacted
-    * directory. Returns (filesBefore, filesAfter). */
+    * Two-phase: write to a sibling temp dir, then swap via two renames.
+    * The swap is NOT atomic (plain filesystems have no atomic directory
+    * replace): a crash between the renames leaves the data intact at
+    * `<path>_compact_old`, and the next compactParquet call on the same
+    * path RECOVERS it automatically before proceeding. Readers racing
+    * the swap window can fail with path-not-found and should retry —
+    * run compaction behind the ingest watermark; true reader isolation
+    * needs a transactional table format on top. Returns
+    * (filesBefore, filesAfter).
+    *
+    * Flat directories only: a PARTITIONED layout must be compacted per
+    * partition directory (compact the leaves, not the root) — passing a
+    * partitioned root throws rather than silently reporting
+    * "already compact". */
   def compactParquet(
       spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes=$targetFileBytes must be positive")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(dir).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    val bakEarly = new org.apache.hadoop.fs.Path(path + "_compact_old")
+    // crash recovery: a previous run that died between its two renames
+    // left the original at _compact_old and nothing at path
+    if (!fs.exists(dir) && fs.exists(bakEarly)) {
+      if (!fs.rename(bakEarly, dir))
+        throw new java.io.IOException(s"recovery rename $bakEarly -> $dir failed")
+      System.err.println(s"[maintenance] recovered $dir from interrupted compaction")
     }
+    val children = fs.listStatus(dir).filterNot { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    val subDirs = children.filter(_.isDirectory)
+    require(subDirs.isEmpty,
+      s"$path contains subdirectories (${subDirs.take(3).map(_.getPath.getName).mkString(", ")}...) — " +
+        "compact each partition directory individually, not the partitioned root")
+    val dataFiles = children.filter(_.isFile)
     val before = dataFiles.length
     val totalBytes = dataFiles.map(_.getLen).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)

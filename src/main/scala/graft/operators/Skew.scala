@@ -74,10 +74,13 @@ object Skew {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!existedInCatalog && fs.exists(loc)) {
       val children = fs.listStatus(loc)
-      val tableShaped = children.isEmpty || children.exists { st =>
+      // ALL children must look like table output (forall, not exists):
+      // one stray part- file next to a user's unrelated files must not
+      // condemn the whole directory
+      val tableShaped = children.forall { st =>
         val n = st.getPath.getName
         n == "_SUCCESS" || n.startsWith("part-") || n.startsWith("_temporary") ||
-          n.endsWith(".parquet")
+          n.startsWith(".") || n.endsWith(".parquet")
       }
       if (tableShaped) {
         System.err.println(s"[skew] removing orphan table location $loc")
