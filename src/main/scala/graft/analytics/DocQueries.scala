@@ -270,6 +270,79 @@ object DocQueries {
       ORDER BY id""")
   )
 
+  /** Contamination accounting BY SOURCE: which corpus sources leak the
+    * eval set, and how badly — the per-provider report that decides
+    * whether to drop a source or just the contaminated docs. Same
+    * broadcast-eval-shingles shape as q_decontaminate, rolled up to
+    * (source, docs_hit, shared n-grams). */
+  val qContaminationBySource = GraftQuery(
+    "q_contamination_by_source",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      def sh(d: org.apache.spark.sql.DataFrame) = d.select($"doc_id", $"source",
+        explode(graft.expressions.TextHashExprs.shingleHashes64(
+          TextAnalysis.tokens($"text"), 5)).as("sh"))
+      val evalSh = sh(docs.filter($"doc_id" % 50 === 0)).select($"sh").distinct()
+      sh(docs.filter($"doc_id" % 50 =!= 0))
+        .join(broadcast(evalSh), "sh")
+        .groupBy($"source")
+        .agg(countDistinct($"doc_id").as("docs_hit"), count(lit(1)).as("n_shared"))
+        .orderBy($"source")
+    },
+    Some("""WITH toks AS (SELECT doc_id, source,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      sh AS (SELECT DISTINCT doc_id, source, s FROM (
+        SELECT doc_id, source, CASE WHEN LEN(ts) < 5 THEN [array_to_string(ts, ' ')]
+          ELSE [array_to_string(ts[i+1:i+5], ' ') FOR i IN range(0, LEN(ts)-4)] END AS ss
+        FROM toks), UNNEST(ss) AS u(s)),
+      ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+      SELECT source, COUNT(DISTINCT doc_id) AS docs_hit, COUNT(*) AS n_shared
+      FROM sh JOIN ev USING (s) WHERE doc_id % 50 <> 0
+      GROUP BY source ORDER BY source""")
+  )
+
+  /** Unigram cross-entropy per document — the perplexity proxy quality
+    * signal (loop-generated/templated text scores LOW entropy, gibberish
+    * scores HIGH): H(doc) = mean over token POSITIONS of −ln p(token),
+    * with p from the corpus unigram table. One aggregate builds the
+    * (tiny) frequency table, which BROADCASTS back onto the map-side
+    * token stream; one rollup shuffle per doc. Rounded at 6 — the only
+    * cross-engine float risk is ln's last ulp, orders below the
+    * rounding. */
+  val qUnigramXent = GraftQuery(
+    "q_unigram_xent",
+    (s, dir) => {
+      import s.implicits._
+      val toks = graft.operators.Caches.register(
+        Tables.documents(s, dir)
+          .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok")))
+      val n = toks.count()
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("n_tok"))
+      // each term goes through DECIMAL(18,12) before summing: the sum is
+      // then order-independent (Spark's partial-agg order varies run to
+      // run) and ln's cross-engine last-ulp noise sits 6 digits below
+      // the rounding
+      toks.join(broadcast(freq), "tok")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_positions"),
+          round((sum((-log($"n_tok".cast("double") / n))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+            .cast("double") / count(lit(1))), 6).as("xent"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, u.tok FROM (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+        FROM documents), UNNEST(ts) AS u(tok)),
+      tot AS (SELECT COUNT(*) AS n FROM t),
+      f AS (SELECT tok, COUNT(*) AS n_tok FROM t GROUP BY tok)
+      SELECT doc_id, COUNT(*) AS n_positions,
+        ROUND(CAST(SUM(CAST(-LN(CAST(f.n_tok AS DOUBLE) / tot.n) AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS xent
+      FROM t JOIN f USING (tok), tot
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   /** End-to-end corpus dedup: near-dup pairs → connected components →
     * ONE SURVIVOR per cluster (longest doc, ties to the smallest id),
     * every document labeled kept/dropped. This is the full "dedup the
@@ -601,7 +674,7 @@ object DocQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
-    qDedupSurvivors, qHeavyHitters,
+    qDedupSurvivors, qHeavyHitters, qContaminationBySource, qUnigramXent,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qIvfTopK, qApproxDistinct, qAsofJoin,
