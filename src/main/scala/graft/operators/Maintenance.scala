@@ -79,6 +79,32 @@ object Maintenance {
     (before, after)
   }
 
+  /** Compact every leaf partition directory under a partitionBy root
+    * (`k=v` path segments, arbitrarily nested). Each leaf compacts
+    * independently — the unit of both the write and any crash recovery
+    * is one partition, so a failure mid-sweep leaves every other
+    * partition untouched and the sweep is safely re-runnable. Returns
+    * (leaves visited, leaves actually rewritten). */
+  def compactPartitioned(
+      spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val subDirs = fs.listStatus(p).filter(st =>
+        st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      if (subDirs.isEmpty) Seq(p) else subDirs.toSeq.flatMap(st => leaves(st.getPath))
+    }
+    val leafDirs = leaves(rootPath).filterNot(_ == rootPath)
+    var rewritten = 0
+    leafDirs.foreach { leaf =>
+      val (before, after) = compactParquet(spark, leaf.toString, targetFileBytes)
+      if (after < before) rewritten += 1
+    }
+    (leafDirs.size, rewritten)
+  }
+
   /** Read a parquet directory whose files have EVOLVED schemas (columns
     * added over time) as the union schema, older files padding the new
     * columns with null — the append-only ingest reality at scale.

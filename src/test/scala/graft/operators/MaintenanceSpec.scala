@@ -28,6 +28,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(b == 2 && a == 2) // target smaller than files: nothing to gain
   }
 
+  test("compactPartitioned compacts each leaf, preserving partition values") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    spark.range(3000)
+      .select($"id", ($"id" % 3).cast("string").as("part"), md5($"id".cast("string")).as("payload"))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("part").parquet(out)
+    val expected = spark.read.parquet(out).orderBy($"id").collect()
+
+    val (visited, rewritten) = Maintenance.compactPartitioned(spark, out, targetFileBytes = 1L << 30)
+    assert(visited == 3 && rewritten == 3, s"visited=$visited rewritten=$rewritten")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq("0", "1", "2")) {
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/part=$p"))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      assert(files.length == 1, s"part=$p has ${files.length} files after compaction")
+    }
+    // rows AND partition-column values survive (partition value lives in
+    // the directory name, which the swap preserves)
+    assert(spark.read.parquet(out).orderBy($"id").collect().sameElements(expected))
+  }
+
   test("readEvolved unions evolved schemas, padding old files with null") {
     val out = java.nio.file.Files.createTempDirectory("graft_evolve").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$out/f1")
