@@ -141,6 +141,43 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("redactPii leaves no email-shaped or 12-digit substring behind") {
+    import graft.functions.Redaction
+    val local = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val gen = for {
+      l <- local; d <- local; tld <- Gen.listOfN(3, Gen.alphaChar).map(_.mkString)
+      digits <- Gen.listOfN(12, Gen.numChar).map(_.mkString)
+      pre <- Gen.alphaStr; post <- Gen.alphaStr
+    } yield s"$pre $l@$d.$tld $digits $post"
+    forAll(gen) { s =>
+      val out = evalOn(Seq(s), Redaction.redactPii).head.asInstanceOf[String]
+      assert(!out.matches(s".*${Redaction.EmailPattern}.*"), s"email survives: $out")
+      assert(!out.matches(".*[0-9]{12}.*"), s"12-digit run survives: $out")
+      assert(out.contains("[EMAIL]") && out.contains("[ID]"))
+    }
+  }
+
+  test("chunking is total and loss-free for any token list under (size, stride)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(0, 200)
+      size <- Gen.chooseNum(1, 64)
+      stride <- Gen.chooseNum(1, 64) if stride <= size
+    } yield (n, size, stride)
+    forAll(gen, reps = 12) { case (n, size, stride) =>
+      val toks = (1 to n).map(i => s"t$i")
+      val df = Seq(Tuple1(toks)).toDF("toks")
+        .withColumn("nc", TextAnalysis.chunkCount(col("toks"), size, stride))
+        .withColumn("idx", explode(sequence(lit(0), col("nc") - 1)))
+        .withColumn("piece", TextAnalysis.chunkAt(col("toks"), col("idx"), size, stride))
+      val pieces = df.select(col("piece")).collect().map(_.getSeq[String](0))
+      assert(pieces.nonEmpty) // ≥1 chunk even for the empty list
+      assert(pieces.forall(_.length <= size))
+      // loss-free: the union of chunks is exactly the token set
+      assert(pieces.flatten.toSet == toks.toSet, s"n=$n size=$size stride=$stride")
+    }
+  }
+
   test("profile invariant: non_null + nulls = rows for any frame") {
     import spark.implicits._
     forAll(Gen.listOfN(25, Gen.option(Gen.alphaStr))) { xs =>
