@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.expressions.KmvSketch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Equi-join output-size estimation from KMV sketches — the planning
+  * utility behind "should this join broadcast / can we afford it":
+  * one cheap aggregate per side (count + a k-min hash set, both
+  * partial-aggregated), then pure driver-side arithmetic on 2·k longs.
+  * Nothing joins, nothing shuffles beyond the two tiny aggregates —
+  * at 100 TB this answers in the time of two column scans.
+  *
+  * Model: |A ⋈ B| ≈ |keys(A) ∩ keys(B)| · mult(A) · mult(B), where
+  * mult = rows / distinct-keys (uniform-multiplicity assumption — the
+  * estimate degrades on skewed multiplicity, which is exactly when you
+  * should also be running [[Skew]] mitigations). The distinct
+  * intersection comes from the classic KMV combination: take the k
+  * smallest of the union of the two k-min sets; the fraction of those
+  * present in BOTH sketches times the union-cardinality estimate is the
+  * intersection estimate (Beyer et al., SIGMOD'07). Standard error
+  * ~1/sqrt(k).
+  */
+object JoinSizeEstimator {
+
+  /** Per-side sketch: row count, KMV k-min set, distinct estimate. */
+  final case class SideSketch(rows: Long, kminSet: Array[Long], k: Int) {
+    /** (k-1)/frac estimate, exact when fewer than k distinct values. */
+    def distinctEstimate: Long =
+      if (kminSet.length < k) kminSet.length.toLong
+      else {
+        val frac = (kminSet.last.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+        math.max(1L, math.round((k - 1) / frac))
+      }
+  }
+
+  /** One pass over `df`: total rows + the k-min set of `keyCol`. */
+  def sketchSide(df: DataFrame, keyCol: String, k: Int = 1024): SideSketch = {
+    val row = df.agg(
+      count(col(keyCol)).as("n"),
+      KmvSketch.kmvSet(col(keyCol), k).as("s")).first()
+    SideSketch(row.getLong(0), row.getSeq[Long](1).toArray, k)
+  }
+
+  /** Distinct-key INTERSECTION estimate from two same-k sketches. */
+  def intersectionEstimate(a: SideSketch, b: SideSketch): Long = {
+    require(a.k == b.k, s"sketches built with different k: ${a.k} vs ${b.k}")
+    val aSet = a.kminSet.toSet
+    val bSet = b.kminSet.toSet
+    val union = (a.kminSet ++ b.kminSet).distinct.sorted.take(a.k)
+    if (union.isEmpty) return 0L
+    val inBoth = union.count(x => aSet.contains(x) && bSet.contains(x))
+    // union-cardinality estimate from the combined sketch (exact when
+    // the union fits under k), scaled by the both-fraction
+    val unionEst =
+      if (union.length < a.k) union.length.toLong
+      else {
+        val frac = (union.last.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+        math.max(1L, math.round((a.k - 1) / frac))
+      }
+    math.round(unionEst * (inBoth.toDouble / union.length))
+  }
+
+  /** Estimated |A ⋈ B| on aKey = bKey. */
+  def estimateJoinRows(
+      a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      k: Int = 1024): Long = {
+    val sa = sketchSide(a, aKey, k)
+    val sb = sketchSide(b, bKey, k)
+    val inter = intersectionEstimate(sa, sb)
+    val multA = sa.rows.toDouble / math.max(1L, sa.distinctEstimate)
+    val multB = sb.rows.toDouble / math.max(1L, sb.distinctEstimate)
+    math.round(inter * multA * multB)
+  }
+}
