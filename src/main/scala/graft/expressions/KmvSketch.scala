@@ -67,18 +67,12 @@ case class KmvSketch(
     a
   }
 
-  override def eval(buf: java.util.TreeSet[Long]): Any = estimate(buf)
-
-  private def estimate(buf: java.util.TreeSet[Long]): Long = {
-    val n = buf.size
-    if (n < k) n.toLong // exact below k
-    else {
-      // stored keys are already in unsigned order: position in [0, 2^64)
-      // is key - Long.MinValue
-      val kth = buf.last().toDouble - Long.MinValue.toDouble
-      val frac = kth / math.pow(2.0, 64)
-      math.round((k - 1) / frac)
-    }
+  override def eval(buf: java.util.TreeSet[Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    KmvSketch.estimateFromSortedKeys(arr, k)
   }
 
   override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
@@ -110,6 +104,22 @@ case class KmvSketch(
 object KmvSketch {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
+
+  /** THE estimator formula, shared by the aggregate's eval and every
+    * driver-side consumer of a kmvSet array (JoinSizeEstimator): exact
+    * count below sketch capacity, else (k−1)/frac of the k-th minimum.
+    * `keys` must be the sign-flipped unsigned-order k-min set, sorted
+    * ascending — exactly what [[kmvSet]] evaluates to. One definition:
+    * a change to the key encoding or the estimator lands everywhere. */
+  def estimateFromSortedKeys(keys: Array[Long], k: Int): Long =
+    if (keys.length < k) keys.length.toLong
+    else {
+      // stored keys are already in unsigned order: position in [0, 2^64)
+      // is key - Long.MinValue
+      val kth = keys.last.toDouble - Long.MinValue.toDouble
+      val frac = kth / math.pow(2.0, 64)
+      math.max(1L, math.round((k - 1) / frac))
+    }
 
   /** Column API: kmv_distinct(col, k). */
   def kmvDistinct(c: Column, k: Int = 256): Column =

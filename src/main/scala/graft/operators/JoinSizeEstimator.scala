@@ -25,13 +25,7 @@ object JoinSizeEstimator {
 
   /** Per-side sketch: row count, KMV k-min set, distinct estimate. */
   final case class SideSketch(rows: Long, kminSet: Array[Long], k: Int) {
-    /** (k-1)/frac estimate, exact when fewer than k distinct values. */
-    def distinctEstimate: Long =
-      if (kminSet.length < k) kminSet.length.toLong
-      else {
-        val frac = (kminSet.last.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
-        math.max(1L, math.round((k - 1) / frac))
-      }
+    def distinctEstimate: Long = KmvSketch.estimateFromSortedKeys(kminSet, k)
   }
 
   /** One pass over `df`: total rows + the k-min set of `keyCol`. */
@@ -52,19 +46,23 @@ object JoinSizeEstimator {
     val inBoth = union.count(x => aSet.contains(x) && bSet.contains(x))
     // union-cardinality estimate from the combined sketch (exact when
     // the union fits under k), scaled by the both-fraction
-    val unionEst =
-      if (union.length < a.k) union.length.toLong
-      else {
-        val frac = (union.last.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
-        math.max(1L, math.round((a.k - 1) / frac))
-      }
+    val unionEst = KmvSketch.estimateFromSortedKeys(union, a.k)
     math.round(unionEst * (inBoth.toDouble / union.length))
   }
 
-  /** Estimated |A ⋈ B| on aKey = bKey. */
+  /** Estimated |A ⋈ B| on aKey = bKey. The key COLUMNS must share one
+    * data type: XxHash64 hashes an int and a long of equal value to
+    * UNRELATED hashes, so a type mismatch would estimate ~0 for a join
+    * Spark would happily coerce and execute large — the utility whose
+    * job is that decision must refuse rather than mislead. */
   def estimateJoinRows(
       a: DataFrame, aKey: String, b: DataFrame, bKey: String,
       k: Int = 1024): Long = {
+    val at = a.schema(aKey).dataType
+    val bt = b.schema(bKey).dataType
+    require(at == bt,
+      s"join key types differ ($aKey: ${at.simpleString} vs $bKey: ${bt.simpleString}) — " +
+        "hashes of equal values diverge across types; cast one side explicitly first")
     val sa = sketchSide(a, aKey, k)
     val sb = sketchSide(b, bKey, k)
     val inter = intersectionEstimate(sa, sb)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Table-maintenance operators: the operational half of the 100 TB
   * story. Streaming ingest and per-keyword appends (the reference's
@@ -15,32 +16,38 @@ object Maintenance {
   /** Rewrite the parquet directory at `path` into ~`targetFileBytes`
     * files (estimated from the CURRENT compressed on-disk size, which
     * already reflects this data's encoding — not raw row width).
-    * Two-phase: write to a sibling temp dir, then swap via two renames.
+    * Two-phase: write to a temp dir, then swap via two renames. Helper
+    * dirs live under `scratch` when given (REQUIRED when `path` is a
+    * partition leaf — siblings of a leaf are inside the dataset root
+    * and would be read as bogus partitions); default is the
+    * `<path>_compact_*` siblings, fine for flat standalone dirs.
     * The swap is NOT atomic (plain filesystems have no atomic directory
     * replace): a crash between the renames leaves the data intact at
-    * `<path>_compact_old`, and the next compactParquet call on the same
-    * path RECOVERS it automatically before proceeding. Readers racing
-    * the swap window can fail with path-not-found and should retry —
-    * run compaction behind the ingest watermark; true reader isolation
-    * needs a transactional table format on top. Returns
-    * (filesBefore, filesAfter).
+    * the backup location, and the next compactParquet call on the same
+    * path + scratch RECOVERS it automatically before proceeding.
+    * Readers racing the swap window can fail with path-not-found and
+    * should retry — run compaction behind the ingest watermark; true
+    * reader isolation needs a transactional table format on top.
+    * Returns (filesBefore, filesAfter).
     *
-    * Flat directories only: a PARTITIONED layout must be compacted per
-    * partition directory (compact the leaves, not the root) — passing a
-    * partitioned root throws rather than silently reporting
-    * "already compact". */
+    * Flat directories only: a PARTITIONED layout must go through
+    * [[compactPartitioned]] — passing a partitioned root here throws
+    * rather than silently reporting "already compact". */
   def compactParquet(
       spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      scratch: Option[String] = None): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes=$targetFileBytes must be positive")
-    val dir = new org.apache.hadoop.fs.Path(path)
+    val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bakEarly = new org.apache.hadoop.fs.Path(path + "_compact_old")
+    val base = scratch.getOrElse(path + "_compact")
+    val bak = new Path(base + "_old")
+    val tmp = new Path(base + "_tmp")
     // crash recovery: a previous run that died between its two renames
-    // left the original at _compact_old and nothing at path
-    if (!fs.exists(dir) && fs.exists(bakEarly)) {
-      if (!fs.rename(bakEarly, dir))
-        throw new java.io.IOException(s"recovery rename $bakEarly -> $dir failed")
+    // left the original at the backup location and nothing at path
+    if (!fs.exists(dir) && fs.exists(bak)) {
+      if (!fs.rename(bak, dir))
+        throw new java.io.IOException(s"recovery rename $bak -> $dir failed")
       System.err.println(s"[maintenance] recovered $dir from interrupted compaction")
     }
     val children = fs.listStatus(dir).filterNot { st =>
@@ -50,21 +57,20 @@ object Maintenance {
     val subDirs = children.filter(_.isDirectory)
     require(subDirs.isEmpty,
       s"$path contains subdirectories (${subDirs.take(3).map(_.getPath.getName).mkString(", ")}...) — " +
-        "compact each partition directory individually, not the partitioned root")
+        "use compactPartitioned on the partitioned root")
     val dataFiles = children.filter(_.isFile)
     val before = dataFiles.length
     val totalBytes = dataFiles.map(_.getLen).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     if (targetFiles >= before) return (before, before) // already compact
 
-    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
+    fs.mkdirs(tmp.getParent)
     // repartition (not coalesce): coalesce would fuse the READ tasks and
     // lose scan parallelism; compaction is I/O bound, keep the scan wide
     spark.read.parquet(path)
       .repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + "_compact_old")
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(dir, bak)) throw new java.io.IOException(s"rename $dir -> $bak failed")
     if (!fs.rename(tmp, dir)) {
@@ -80,29 +86,93 @@ object Maintenance {
   }
 
   /** Compact every leaf partition directory under a partitionBy root
-    * (`k=v` path segments, arbitrarily nested). Each leaf compacts
-    * independently — the unit of both the write and any crash recovery
-    * is one partition, so a failure mid-sweep leaves every other
-    * partition untouched and the sweep is safely re-runnable. Returns
+    * (`k=v` path segments, arbitrarily nested), or a flat directory
+    * (delegates to [[compactParquet]]). Each leaf compacts
+    * independently — the unit of both the write and crash recovery is
+    * one partition, so a failure mid-sweep leaves every other partition
+    * untouched and the sweep is safely re-runnable.
+    *
+    * All helper state lives under `<root>_compact_scratch` — a SIBLING
+    * of the root, never inside it, so concurrent readers of the root
+    * can never discover temp/backup data as extra partitions (they can
+    * only see a leaf briefly missing during its swap window). Each
+    * leaf's scratch area is keyed by the hex of its root-relative path
+    * and carries a LEAF marker recording that path, which the recovery
+    * sweep at the start of every run uses to restore interrupted leaves
+    * before compacting further. Returns
     * (leaves visited, leaves actually rewritten). */
   def compactPartitioned(
       spark: SparkSession, root: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val scratchRoot = new Path(root.stripSuffix("/") + "_compact_scratch")
+    recoverInterrupted(fs, rootPath, scratchRoot)
+    def leaves(p: Path): Seq[Path] = {
       val subDirs = fs.listStatus(p).filter(st =>
         st.isDirectory && !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
       if (subDirs.isEmpty) Seq(p) else subDirs.toSeq.flatMap(st => leaves(st.getPath))
     }
-    val leafDirs = leaves(rootPath).filterNot(_ == rootPath)
+    val leafDirs = leaves(rootPath)
+    if (leafDirs == Seq(rootPath)) { // flat dir: no partitions — delegate
+      val (b, a) = compactParquet(spark, root, targetFileBytes)
+      return (1, if (a < b) 1 else 0)
+    }
     var rewritten = 0
     leafDirs.foreach { leaf =>
-      val (before, after) = compactParquet(spark, leaf.toString, targetFileBytes)
+      val rel = rootPath.toUri.relativize(leaf.toUri).getPath
+      val key = rel.getBytes("UTF-8").map(b => f"$b%02x").mkString
+      val leafScratch = new Path(scratchRoot, key)
+      fs.mkdirs(leafScratch)
+      writeMarker(fs, new Path(leafScratch, "LEAF"), rel)
+      val (before, after) = compactParquet(spark, leaf.toString, targetFileBytes,
+        scratch = Some(new Path(leafScratch, "swap").toString))
+      fs.delete(leafScratch, true)
       if (after < before) rewritten += 1
     }
+    // empty scratch root left behind only if every leaf cleaned up
+    if (fs.exists(scratchRoot) && fs.listStatus(scratchRoot).isEmpty)
+      fs.delete(scratchRoot, false)
     (leafDirs.size, rewritten)
+  }
+
+  /** Restore any leaf whose previous compaction died mid-swap: its
+    * scratch area still holds `swap_old` (the original data) and the
+    * LEAF marker naming where it belongs. Partial new output at the
+    * leaf path (no swap_old consumed → the write never committed its
+    * rename) is discarded in favor of the original. */
+  private def recoverInterrupted(fs: FileSystem, rootPath: Path, scratchRoot: Path): Unit = {
+    if (!fs.exists(scratchRoot)) return
+    fs.listStatus(scratchRoot).filter(_.isDirectory).foreach { st =>
+      val old = new Path(st.getPath, "swap_old")
+      val marker = new Path(st.getPath, "LEAF")
+      if (fs.exists(old) && fs.exists(marker)) {
+        val rel = readMarker(fs, marker)
+        val leaf = new Path(rootPath, rel)
+        if (fs.exists(leaf)) fs.delete(leaf, true) // incomplete replacement
+        if (!fs.rename(old, leaf))
+          throw new java.io.IOException(s"recovery rename $old -> $leaf failed")
+        System.err.println(s"[maintenance] recovered partition $rel from interrupted sweep")
+      }
+      fs.delete(st.getPath, true)
+    }
+  }
+
+  private def writeMarker(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMarker(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
   }
 
   /** Read a parquet directory whose files have EVOLVED schemas (columns

@@ -159,10 +159,12 @@ class PropertiesSpec extends SparkSpec {
 
   test("chunking is total and loss-free for any token list under (size, stride)") {
     import spark.implicits._
+    // stride depends on size (no filter: a filtered Gen yields None and
+    // the seeded sampler would silently skip that rep)
     val gen = for {
       n <- Gen.chooseNum(0, 200)
       size <- Gen.chooseNum(1, 64)
-      stride <- Gen.chooseNum(1, 64) if stride <= size
+      stride <- Gen.chooseNum(1, size)
     } yield (n, size, stride)
     forAll(gen, reps = 12) { case (n, size, stride) =>
       val toks = (1 to n).map(i => s"t$i")

@@ -47,6 +47,49 @@ class MaintenanceSpec extends SparkSpec {
     // rows AND partition-column values survive (partition value lives in
     // the directory name, which the swap preserves)
     assert(spark.read.parquet(out).orderBy($"id").collect().sameElements(expected))
+    // helper state never lives INSIDE the root (readers would see it as
+    // partitions) and the sibling scratch is cleaned up on success
+    assert(spark.read.parquet(out).select($"part").distinct().count() == 3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out + "_compact_scratch")))
+  }
+
+  test("compactPartitioned recovers a leaf whose previous sweep died mid-swap") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
+    spark.range(600)
+      .select($"id", ($"id" % 2).cast("string").as("part"))
+      .repartition(4)
+      .write.mode("overwrite").partitionBy("part").parquet(out)
+    val expected = spark.read.parquet(out).orderBy($"id").collect()
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+    // simulate the crash window: part=1 renamed out to its scratch area,
+    // nothing (or partial junk) left at the leaf
+    val rel = "part=1"
+    val key = rel.getBytes("UTF-8").map(b => f"$b%02x").mkString
+    val leafScratch = new org.apache.hadoop.fs.Path(s"${out}_compact_scratch/$key")
+    fs.mkdirs(leafScratch)
+    val m = fs.create(new org.apache.hadoop.fs.Path(leafScratch, "LEAF"), true)
+    m.write(rel.getBytes("UTF-8")); m.close()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$out/$rel"),
+      new org.apache.hadoop.fs.Path(leafScratch, "swap_old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/$rel")) // partial junk dir
+
+    val (visited, _) = Maintenance.compactPartitioned(spark, out, targetFileBytes = 1L << 30)
+    assert(visited == 2)
+    assert(spark.read.parquet(out).orderBy($"id").collect().sameElements(expected),
+      "recovered table does not match the original")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out + "_compact_scratch")))
+  }
+
+  test("compactPartitioned on a flat directory delegates to compactParquet") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_flat").toString
+    spark.range(500).repartition(6).write.mode("overwrite").parquet(out)
+    val (visited, rewritten) = Maintenance.compactPartitioned(spark, out, targetFileBytes = 1L << 30)
+    assert(visited == 1 && rewritten == 1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    assert(files.length == 1)
   }
 
   test("readEvolved unions evolved schemas, padding old files with null") {
