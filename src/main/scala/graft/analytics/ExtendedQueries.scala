@@ -577,6 +577,54 @@ object ExtendedQueries {
       ORDER BY view_id, click_id""")
   )
 
+  /** MERGE-INTO semantics on plain parquet: apply a CDC batch (updates
+    * + inserts) to a base table via full-outer join + coalesce — the
+    * upsert pattern for stores without a transactional table format.
+    * The CDC batch is synthesized deterministically in both engines:
+    * every 10th order flips status and reprices (update), every 97th
+    * key spawns a new order id beyond the base domain (insert). One
+    * shuffle on the merge key; with both sides bucketed by the key
+    * (Skew.writeBucketed) even that goes away. Update math runs in
+    * DECIMAL so repricing is exact in both engines. */
+  val qMergeUpsert = GraftQuery(
+    "q_merge_upsert",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val base = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val updates = base.filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey".as("u_key"), lit("X").as("u_status"),
+          round($"o_totalprice".cast(DecimalType(18, 2)) * lit(1.1).cast(DecimalType(3, 1)), 2)
+            .cast(DoubleType).as("u_price"))
+      val inserts = base.filter($"o_orderkey" % 97 === 0)
+        .select(($"o_orderkey" + 10000000L).as("u_key"), lit("N").as("u_status"),
+          lit(100.0).as("u_price"))
+      val cdc = updates.unionAll(inserts)
+      base.join(cdc, $"o_orderkey" === $"u_key", "full_outer")
+        .select(
+          coalesce($"o_orderkey", $"u_key").as("o_orderkey"),
+          coalesce($"u_status", $"o_orderstatus").as("o_orderstatus"),
+          coalesce($"u_price", $"o_totalprice").as("o_totalprice"),
+          $"u_key".isNotNull.cast("int").as("was_upserted"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      cdc AS (
+        SELECT o_orderkey AS u_key, 'X' AS u_status,
+          CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE) AS u_price
+        FROM base WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS u_key, 'N' AS u_status, 100.0 AS u_price
+        FROM base WHERE o_orderkey % 97 = 0)
+      SELECT COALESCE(o_orderkey, u_key) AS o_orderkey,
+        COALESCE(u_status, o_orderstatus) AS o_orderstatus,
+        COALESCE(u_price, o_totalprice) AS o_totalprice,
+        CAST(u_key IS NOT NULL AS INT) AS was_upserted
+      FROM base FULL OUTER JOIN cdc ON o_orderkey = u_key
+      ORDER BY o_orderkey""")
+  )
+
   /** Unpivot/melt (the reshape inverse of q_pivot_status): wide
     * per-priority status counts back to long (priority, status, n) rows
     * via stack — completes the pivot/unpivot reshape family. */
@@ -710,5 +758,5 @@ object ExtendedQueries {
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
-    qDenseTopk, qStreamEnrich, qStreamJoin)
+    qDenseTopk, qStreamEnrich, qStreamJoin, qMergeUpsert)
 }
