@@ -35,7 +35,11 @@ object BucketedQueries {
       val ot = s"graft_bkt_orders_$tag"
       // each dir would otherwise leave a full bucketed copy of
       // lineitem+orders in the warehouse forever — drop other dirs' tag
-      // tables (managed, so DROP removes their data) before writing ours
+      // tables (managed, so DROP removes their data) before writing ours.
+      // SINGLE-WRITER assumption: the Verify/Bench harness runs queries
+      // sequentially; a concurrent run of this query against a different
+      // SF in the SAME session/warehouse would have its tables dropped
+      // mid-query. Concurrent use needs per-run warehouse dirs instead.
       s.catalog.listTables().collect()
         .map(_.name)
         .filter(n => n.startsWith("graft_bkt_") && n != lt && n != ot)

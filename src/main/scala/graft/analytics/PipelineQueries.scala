@@ -55,8 +55,8 @@ object PipelineQueries {
         regexp_replace(
           regexp_replace(
             regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-            '[0-9]{12}', '[ID]', 'g'),
-          '\+[0-9][0-9 \-]{7,}[0-9]', '[PHONE]', 'g') AS redacted,
+            '\+[0-9][0-9 \-]{7,}[0-9]', '[PHONE]', 'g'),
+          '[0-9]{12}', '[ID]', 'g') AS redacted,
         CAST(LEN(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
         CAST(LEN(regexp_extract_all(raw, '[0-9]{10,}')) AS INT) AS n_digit_runs
       FROM t ORDER BY c_custkey""")

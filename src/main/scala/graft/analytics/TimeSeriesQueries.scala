@@ -79,7 +79,16 @@ object TimeSeriesQueries {
       val w = Window.partitionBy($"event_type")
       val sumAll = sum($"dsum").over(w).cast(DoubleType)
       val cnt = count(lit(1)).over(w).cast(DoubleType)
-      val sumSq = sum($"dsum" * $"dsum").over(w).cast(DoubleType)
+      // Σdsum² accumulates Decimal(38,12): exact while the per-type total
+      // stays under 10^26, i.e. |dsum| ≲ 10^12 over ~100 days. Past that,
+      // non-ANSI Spark yields a silent null while the DuckDB oracle (int128
+      // storage) keeps going — so overflow must FAIL here, not diverge.
+      val sumSqRaw = sum($"dsum" * $"dsum").over(w)
+      val sumSq = when(sumSqRaw.isNull && max($"dsum").over(w).isNotNull,
+        raise_error(lit("q_zscore_outliers: sum(dsum^2) overflowed Decimal(38,12) " +
+          "— daily totals exceed the documented 1e12 magnitude bound"))
+          .cast(DoubleType))
+        .otherwise(sumSqRaw.cast(DoubleType))
       val mean = sumAll / cnt
       val variance = (sumSq - sumAll * sumAll / cnt) / (cnt - 1)
       val std = sqrt(greatest(variance, lit(0.0)))

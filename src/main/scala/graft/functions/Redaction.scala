@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * chains (codegen'd, map-side, shuffle-free at any scale).
   *
   * The chain is ordered most-specific-first: emails are masked before
-  * digit rules (addresses may embed digits), long digit IDs before
-  * phone bodies (a 12-digit ID would otherwise half-match a phone
-  * pattern). Patterns use explicit [0-9] classes so Java (Spark) and
-  * RE2 (DuckDB oracle) agree without unicode-digit surprises.
+  * digit rules (addresses may embed digits), then phone-shaped runs
+  * (anchored on the leading '+', so a bare digit ID can never match),
+  * then 12-digit IDs — a '+'-prefixed 12-digit run is thus labeled
+  * [PHONE], not '+[ID]', keeping downstream audit counts honest.
+  * Patterns use explicit [0-9] classes so Java (Spark) and RE2
+  * (DuckDB oracle) agree without unicode-digit surprises.
   */
 object Redaction {
 
@@ -18,14 +20,14 @@ object Redaction {
   val LongIdPattern = "[0-9]{12}"
   val PhonePattern = "\\+[0-9][0-9 \\-]{7,}[0-9]"
 
-  /** Mask emails → [EMAIL], 12-digit IDs → [ID], +international
-    * phone-shaped runs → [PHONE]. */
+  /** Mask emails → [EMAIL], +international phone-shaped runs → [PHONE],
+    * 12-digit IDs → [ID]. */
   def redactPii(c: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(c, EmailPattern, "[EMAIL]"),
-        LongIdPattern, "[ID]"),
-      PhonePattern, "[PHONE]")
+        PhonePattern, "[PHONE]"),
+      LongIdPattern, "[ID]")
 
   /** Count of email-shaped substrings (pre-redaction audit metric). */
   def emailCount(c: Column): Column =

@@ -49,6 +49,13 @@ object Maintenance {
       if (!fs.rename(bak, dir))
         throw new java.io.IOException(s"recovery rename $bak -> $dir failed")
       System.err.println(s"[maintenance] recovered $dir from interrupted compaction")
+    } else if (fs.exists(dir) && fs.exists(bak)) {
+      // prior run crashed after the tmp->dir rename but before delete(bak):
+      // dir holds the committed result and the backup is a stale full copy.
+      // Without this, a now-compact dir takes the early return below and the
+      // duplicate lives forever.
+      fs.delete(bak, true)
+      System.err.println(s"[maintenance] removed stale backup $bak from completed compaction")
     }
     val children = fs.listStatus(dir).filterNot { st =>
       val n = st.getPath.getName

@@ -17,6 +17,8 @@ class RedactionChunkingSpec extends SparkSpec {
     // order matters: the email keeps its digits, the id is not phone-eaten
     assert(redactOne("a@b.io 123456789012 +44 7700 900123") ==
       "[EMAIL] [ID] [PHONE]")
+    // a '+'-prefixed separator-free 12-digit run is a phone, not '+[ID]'
+    assert(redactOne("dial +123456789012 now") == "dial [PHONE] now")
   }
 
   test("redactPii leaves clean text and short digit runs alone") {

@@ -81,6 +81,22 @@ class MaintenanceSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(out + "_compact_scratch")))
   }
 
+  test("compactParquet deletes a stale backup left by a crash after the swap") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_stale").toString
+    spark.range(200).write.mode("overwrite").parquet(out)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // simulate a run that committed its tmp->dir rename but died before
+    // delete(bak): dir is already compact, bak is a full duplicate
+    val bak = new org.apache.hadoop.fs.Path(out + "_compact_old")
+    spark.range(200).write.mode("overwrite").parquet(bak.toString)
+    assert(fs.exists(bak))
+
+    val (b, a) = Maintenance.compactParquet(spark, out, targetFileBytes = 1L)
+    assert(b == a) // already-compact early return still taken
+    assert(!fs.exists(bak), "stale backup must be removed even on the early-return path")
+    assert(spark.read.parquet(out).count() == 200)
+  }
+
   test("compactPartitioned on a flat directory delegates to compactParquet") {
     val out = java.nio.file.Files.createTempDirectory("graft_compact_flat").toString
     spark.range(500).repartition(6).write.mode("overwrite").parquet(out)
