@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g on the 128 GiB bench machine: the dedup/similarity queries cache
+  // exploded shingle relations, and an 8g heap put steady-state timings
+  // at the mercy of full-GC pauses (±3x run-to-run swings measured)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 
 // Stale JUnit XML from renamed/deleted specs otherwise survives in

@@ -237,29 +237,41 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
+    // convergence detection without a per-round join: the id set is fixed
+    // (the union keeps every labeled id in play) and labels only ever
+    // DECREASE under min-propagation, so "any label moved" ⇔ "the exact
+    // decimal sum of all labels strictly dropped". One tiny aggregate on
+    // the just-checkpointed relation replaces a join+filter+count job per
+    // round. Decimal(38,0), not long: at corpus scale, billions of ids ×
+    // 10^12 magnitudes overflow an int64 sum.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("label").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // empty graph
+    }
+    var prevSum = labelSum(labels)
+    var changed = true
     var i = 0
     // maxIter bounds LABEL-MOVING rounds; one extra round runs to CONFIRM
     // convergence (a graph of diameter exactly maxIter converges on its
     // final permitted round, which is only observable one round later)
-    while (changed > 0 && i < maxIter + 1) {
+    while (changed && i < maxIter + 1) {
       val next = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
       i += 1
     }
     // unconverged labels are WRONG labels (one cluster reported as
     // several) — a dedup pipeline must fail loudly, not keep duplicates
-    if (changed > 0) throw new IllegalStateException(
+    if (changed) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing) — the pair graph has chains " +
-        s"longer than maxIter; raise maxIter")
+        "— the pair graph has chains longer than maxIter; raise maxIter")
     labels
   }
 
