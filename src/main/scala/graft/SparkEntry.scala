@@ -15,7 +15,8 @@ object SparkEntry {
     analytics.StarQueries.all ++ analytics.DocQueries.all ++
       analytics.FuncQueries.all ++ analytics.ExtendedQueries.all ++
       analytics.BucketedQueries.all ++ analytics.TpchQueries.all ++
-      analytics.PipelineQueries.all ++ analytics.TimeSeriesQueries.all
+      analytics.PipelineQueries.all ++ analytics.TimeSeriesQueries.all ++
+      analytics.WarehouseQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Top-10 customers by revenue: scan → broadcast dim joins → grouped

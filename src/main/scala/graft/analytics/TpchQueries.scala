@@ -200,6 +200,144 @@ object TpchQueries {
       GROUP BY p_brand ORDER BY p_brand""")
   )
 
+  /** Q2 shape: correlated minimum — per part, the supplier(s) offering
+    * the lowest price. The testdata has no partsupp table, so the
+    * (part, supplier) cost relation derives from lineitem (min observed
+    * extendedprice per pair). The selective part filter broadcasts INTO
+    * the lineitem scan before the aggregate — only matching lines are
+    * grouped — and the correlated min is a window over the per-pair
+    * aggregate (tiny), never a re-scan. Decimal min/equality keeps the
+    * tie set exact in both engines. */
+  val qTpchQ2 = GraftQuery(
+    "q_tpch_q2",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val ps = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter($"p_size" === 30)
+          .select($"p_partkey", $"p_name")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_partkey", $"p_name", $"l_suppkey")
+        .agg(min($"l_extendedprice".cast(DecimalType(18, 2))).as("cost"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"p_partkey")
+      ps.withColumn("min_cost", min($"cost").over(w))
+        .filter($"cost" === $"min_cost")
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .select($"p_partkey", $"p_name", $"s_name", $"n_name".as("s_nation"),
+          $"cost".cast(DoubleType).as("min_price"))
+        .orderBy($"p_partkey", $"s_name")
+    },
+    Some("""WITH ps AS (SELECT p_partkey, p_name, l_suppkey,
+          MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size = 30 GROUP BY 1, 2, 3),
+      best AS (SELECT *, MIN(cost) OVER (PARTITION BY p_partkey) AS min_cost FROM ps)
+      SELECT p_partkey, p_name, s_name, n_name AS s_nation, CAST(cost AS DOUBLE) AS min_price
+      FROM best JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+      WHERE cost = min_cost
+      ORDER BY p_partkey, s_name""")
+  )
+
+  /** Q10 shape: returned-item revenue per customer in one quarter —
+    * fact-fact join on orderkey, then broadcast dims, top-20 by revenue.
+    * customer broadcasts here; at warehouse scale where customer exceeds
+    * the broadcast threshold this becomes a shuffle join on custkey,
+    * which AQE picks automatically once the size estimate crosses over. */
+  val qTpchQ10 = GraftQuery(
+    "q_tpch_q10",
+    (s, dir) => {
+      import s.implicits._
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+        .join(Tables.orders(s, dir).filter($"o_orderdate" >= lo && $"o_orderdate" < hi),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name", $"c_acctbal")
+        .agg(revenueDec($"l_extendedprice", $"l_discount").as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name, c_acctbal,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      GROUP BY c_custkey, c_name, n_name, c_acctbal
+      ORDER BY revenue DESC, c_custkey LIMIT 20""")
+  )
+
+  /** Q18 shape: large-quantity orders — HAVING on a grouped fact
+    * aggregate, then join back to orders + customer. The aggregate and
+    * the join share the orderkey shuffle key; quantity sums run in
+    * decimal so the HAVING threshold cuts identically in both engines. */
+  val qTpchQ18 = GraftQuery(
+    "q_tpch_q18",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val big = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast(DecimalType(18, 2))).as("qdec"))
+        .filter($"qdec" > lit(250).cast(DecimalType(18, 2)))
+      Tables.orders(s, dir).join(big, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+          $"o_totalprice", $"qdec".cast(DoubleType).as("sum_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    },
+    Some("""WITH big AS (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qdec
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        o_totalprice, CAST(qdec AS DOUBLE) AS sum_qty
+      FROM big JOIN orders ON o_orderkey = l_orderkey
+               JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+  )
+
+  /** Q22 shape: scalar-subquery threshold + anti join — customers above
+    * the average positive balance with no orders in the final window.
+    * The threshold compares EXACTLY via decimal cross-multiplication
+    * (bal·n > Σbal) instead of dividing first: double division would
+    * round differently per engine exactly at the boundary. The 1-row
+    * aggregate broadcasts; the anti join shuffles only custkeys. */
+  val qTpchQ22 = GraftQuery(
+    "q_tpch_q22",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val pos = Tables.customer(s, dir).filter($"c_acctbal" > 0.0)
+        .agg(sum($"c_acctbal".cast(DecimalType(18, 2))).as("s_bal"),
+          count(lit(1)).as("n_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      Tables.customer(s, dir).crossJoin(broadcast(pos))
+        .filter($"c_acctbal".cast(DecimalType(18, 2)) * $"n_bal" > $"s_bal")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("numcust"), Agg.sumDec($"c_acctbal").as("totacctbal"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""WITH pos AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s_bal, COUNT(*) AS n_bal
+        FROM customer WHERE c_acctbal > 0.0)
+      SELECT c_nationkey, COUNT(*) AS numcust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer, pos
+      WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_bal > s_bal
+        AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qTpchQ3, qTpchQ7, qTpchQ12, qTpchQ4, qTpchQ14, qTpchQ19)
+    Seq(qTpchQ3, qTpchQ7, qTpchQ12, qTpchQ4, qTpchQ14, qTpchQ19,
+      qTpchQ2, qTpchQ10, qTpchQ18, qTpchQ22)
 }

@@ -1,0 +1,132 @@
+package graft.analytics
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Warehouse-maintenance query shapes: type-2 history assembly, corpus
+  * duplication accounting, and embedding-space health stats — the
+  * periodic jobs that run NEXT to an ingest pipeline rather than inside
+  * a single query.
+  *
+  * Scale notes: SCD2 windows partition by customer (never global);
+  * duplication accounting shuffles only (source, 16-byte fingerprint);
+  * norm stats are map-side per-vector folds with a tiny per-label
+  * rollup.
+  */
+object WarehouseQueries {
+
+  /** Slowly-changing-dimension TYPE-2 build from an order event log:
+    * collapse each customer's consecutive same-status runs into
+    * versioned validity intervals (valid_from inclusive, valid_to
+    * exclusive, open interval = '9999-12-31'). The run-id is the
+    * classic gaps-and-islands double window: change flag via lag, then
+    * a running sum — both over (o_orderdate, o_orderkey), a total
+    * order, so versions are deterministic under any partitioning. */
+  val qScd2History = GraftQuery(
+    "q_scd2_history",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val prev = lag($"o_orderstatus", 1).over(w)
+      val per = Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_orderkey")
+        .withColumn("chg", when(prev.isNull || prev =!= $"o_orderstatus", 1).otherwise(0))
+        .withColumn("version", sum($"chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"o_custkey", $"version")
+        .agg(min($"o_orderstatus").as("o_orderstatus"), // constant within a run
+          min($"o_orderdate").as("vf"), count(lit(1)).as("n_orders"))
+      val wv = Window.partitionBy($"o_custkey").orderBy($"version")
+      per
+        .withColumn("valid_to",
+          coalesce(date_format(lead($"vf", 1).over(wv), "yyyy-MM-dd"), lit("9999-12-31")))
+        .select($"o_custkey", $"version", $"o_orderstatus",
+          date_format($"vf", "yyyy-MM-dd").as("valid_from"), $"valid_to", $"n_orders")
+        .orderBy($"o_custkey", $"version")
+    },
+    Some("""WITH seq AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+               OR LAG(o_orderstatus) OVER w <> o_orderstatus THEN 1 ELSE 0 END AS chg
+      FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      per AS (SELECT o_custkey, o_orderstatus, o_orderdate,
+        SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      FROM seq),
+      g AS (SELECT o_custkey, CAST(version AS BIGINT) AS version,
+        MIN(o_orderstatus) AS o_orderstatus,
+        MIN(o_orderdate) AS vf, COUNT(*) AS n_orders
+      FROM per GROUP BY 1, 2)
+      SELECT o_custkey, version, o_orderstatus,
+        STRFTIME(vf, '%Y-%m-%d') AS valid_from,
+        COALESCE(STRFTIME(LEAD(vf) OVER (PARTITION BY o_custkey ORDER BY version), '%Y-%m-%d'),
+          '9999-12-31') AS valid_to,
+        n_orders
+      FROM g ORDER BY o_custkey, version""")
+  )
+
+  /** Corpus duplication accounting per source: docs, distinct content
+    * fingerprints, and the inflation factor — the "how much of this
+    * provider is copies" report that decides dedup priority. Only
+    * (source, md5) pairs shuffle. Exact countDistinct here; at corpus
+    * scale the KMV sketch (q_kmv_distinct) is the approximate twin. */
+  val qDupInflation = GraftQuery(
+    "q_dup_inflation",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"source", TextAnalysis.fingerprint($"text").as("fp"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"fp").as("n_unique"))
+        .withColumn("n_dup_docs", $"n_docs" - $"n_unique")
+        .withColumn("inflation", round($"n_docs".cast(DoubleType) / $"n_unique", 6))
+        .orderBy($"source")
+    },
+    Some("""WITH f AS (SELECT source,
+        md5(array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp
+      FROM documents)
+      SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+        COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs,
+        ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT fp), 6) AS inflation
+      FROM f GROUP BY source ORDER BY source""")
+  )
+
+  /** Per-label embedding norm health: n, min/max/mean of ‖v‖² — the
+    * drift check run over every embedding batch (an off-scale norm
+    * cluster means a broken encoder or un-normalized shard). The fold
+    * runs left-to-right over the array in BOTH engines (Spark aggregate
+    * ≡ DuckDB list_reduce seeded via prepend), float→double widening is
+    * exact, so the per-row norm is bit-identical; the per-label mean
+    * then sums 6dp-rounded decimals — order-independent. Map-only until
+    * the tiny per-label rollup. */
+  val qEmbedNorms = GraftQuery(
+    "q_embed_norms",
+    (s, dir) => {
+      import s.implicits._
+      val norm2 = aggregate(
+        transform($"embedding", x => x.cast(DoubleType) * x.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+      Tables.embeddings(s, dir)
+        .select($"label", round(norm2, 6).as("r6"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min($"r6").as("min_norm2"), max($"r6").as("max_norm2"),
+          round(sum($"r6".cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1)), 6)
+            .as("avg_norm2"))
+        .orderBy($"label")
+    },
+    Some("""WITH n AS (SELECT label,
+        ROUND(list_reduce(
+          list_prepend(CAST(0 AS DOUBLE),
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (a, b) -> a + b), 6) AS r6
+      FROM embeddings)
+      SELECT label, COUNT(*) AS n_vecs, MIN(r6) AS min_norm2, MAX(r6) AS max_norm2,
+        ROUND(CAST(SUM(CAST(r6 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm2
+      FROM n GROUP BY label ORDER BY label""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qScd2History, qDupInflation, qEmbedNorms)
+}
