@@ -1,0 +1,128 @@
+package graft.analytics
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Event-sequence analytics over the events stream: ordered funnel
+  * conversion, weekly cohort retention, and the event-type transition
+  * matrix — the product-analytics layer over an ingest pipeline.
+  *
+  * Scale notes: every query reduces events to per-user aggregates FIRST
+  * (one shuffle on user_id, partial-aggregated), then works on the
+  * ~n_users relation; the funnel's stage joins are per-user 1-row
+  * relations, the retention matrix is O(users × active-weeks), the
+  * transition matrix is O(types²). No global sort except the final
+  * few-row ORDER BY.
+  *
+  * Timestamp semantics: Spark reads events at microsecond precision
+  * (nanos DIV 1000); DuckDB oracles CAST TIMESTAMP_NS to TIMESTAMP,
+  * the same floor-to-micros, so strict inequalities agree. */
+object FunnelQueries {
+
+  /** Ordered view→click→purchase funnel: a user converts a stage only
+    * with an event STRICTLY AFTER their entry into the previous stage
+    * (first view < first subsequent click < first subsequent purchase).
+    * One row: stage user-counts + conversion rates. */
+  val qFunnel = GraftQuery(
+    "q_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, "user_id").filter($"ts" > $"v_ts")
+        .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, "user_id").filter($"ts" > $"c_ts")
+        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+      // one plan, one job: per-user stage relations outer-joined on the
+      // shared user_id shuffle key, counted in a single 1-row aggregate
+      ev.select($"user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_users"), count($"v_ts").as("n_viewed"),
+          count($"c_ts").as("n_clicked"), count($"p_ts").as("n_purchased"))
+        .select($"n_users", $"n_viewed", $"n_clicked", $"n_purchased",
+          round($"n_viewed".cast(DoubleType) / $"n_users", 6).as("view_rate"),
+          round($"n_clicked".cast(DoubleType) / greatest($"n_viewed", lit(1L)), 6)
+            .as("click_conv"),
+          round($"n_purchased".cast(DoubleType) / greatest($"n_clicked", lit(1L)), 6)
+            .as("purchase_conv"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      v AS (SELECT user_id, MIN(ts) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+      SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+        (SELECT COUNT(*) FROM v) AS n_viewed,
+        (SELECT COUNT(*) FROM c) AS n_clicked,
+        (SELECT COUNT(*) FROM p) AS n_purchased,
+        ROUND(CAST((SELECT COUNT(*) FROM v) AS DOUBLE) / (SELECT COUNT(DISTINCT user_id) FROM e), 6) AS view_rate,
+        ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / GREATEST((SELECT COUNT(*) FROM v), 1), 6) AS click_conv,
+        ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / GREATEST((SELECT COUNT(*) FROM c), 1), 6) AS purchase_conv""")
+  )
+
+  /** Weekly cohort retention: users grouped by first-activity week,
+    * counted distinct per (cohort_week, weeks-since-cohort offset). */
+  val qRetention = GraftQuery(
+    "q_retention",
+    (s, dir) => {
+      import s.implicits._
+      val wk = floor(datediff(to_date($"ts"), lit("2024-01-01").cast("date")) / 7)
+      val uw = Tables.events(s, dir)
+        .select($"user_id", wk.cast("long").as("week"))
+        .distinct()
+      val first = uw.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+      uw.join(first, "user_id")
+        .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+        .agg(countDistinct($"user_id").as("n_active"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some("""WITH uw AS (SELECT DISTINCT user_id,
+        CAST(FLOOR(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+      FROM events),
+      first AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+      SELECT f.cohort_week, u.week - f.cohort_week AS week_offset,
+        COUNT(DISTINCT u.user_id) AS n_active
+      FROM uw u JOIN first f ON u.user_id = f.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  /** Event-type transition matrix: per user, consecutive event pairs in
+    * (ts, event_id) order; counts and per-source probabilities. The lead
+    * window partitions by user (bounded rows per partition); the final
+    * matrix is O(types²). */
+  val qTransitions = GraftQuery(
+    "q_transitions",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wf = Window.partitionBy($"from_type")
+      pairs
+        .withColumn("p", round($"n".cast(DoubleType) / sum($"n").over(wf), 6))
+        .orderBy($"from_type", $"to_type")
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type,
+        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      FROM events),
+      m AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+      FROM m ORDER BY from_type, to_type""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qFunnel, qRetention, qTransitions)
+}
