@@ -1,0 +1,111 @@
+package graft.analytics
+
+import graft.{GraftQuery, Tables}
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink CONTRACT queries: SURVEY.md §2.1 operators exercised
+  * end-to-end inside the driver's oracle gate, not just in specs —
+  * each writes through the real sink, reads back through the declared
+  * schema scan, and aggregates; the DuckDB oracle computes the same
+  * aggregate from the original parquet, so any round-trip loss (type
+  * coercion, quoting, NaN sentinels, JSON escaping) breaks the hash.
+  *
+  * Scratch layout: a deterministic per-SF-dir path under the JVM temp
+  * dir, overwrite mode — re-runs replace rather than accumulate, and
+  * the read-back DataFrame stays valid for the caller's later action
+  * (a delete-after-build would race Bench/Verify's lazy execution).
+  */
+object SourceQueries {
+
+  private def scratch(prefix: String, dir: String): String = {
+    val tag = dir.getBytes("UTF-8").map(b => f"$b%02x").mkString
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_${prefix}_$tag")
+      .getAbsolutePath
+  }
+
+  /** S6 — the SQL text entry point: registered catalog views + a pure
+    * `spark.sql` program (fact-fact join, decimal rollup). Proves a SQL
+    * user of the engine gets the same plans and numbers as the
+    * DataFrame API. */
+  val qSqlCatalog = GraftQuery(
+    "q_sql_catalog",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderpriority,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** S2+S1 — CSV sink with the "NaN" sentinel, read back through a
+    * DECLARED schema (never inferSchema), aggregated. Doubles survive
+    * because Spark writes shortest-round-trip decimal strings; the
+    * formatted-date min matches chronological min lexicographically. */
+  val qCsvRoundtrip = GraftQuery(
+    "q_csv_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val out = scratch("csv_rt", dir)
+      Sources.writeCsvNaN(
+        Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice",
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("o_orderdate_s"),
+          $"o_orderpriority"),
+        out)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate_s", StringType), StructField("o_orderpriority", StringType)))
+      s.read
+        .option("header", "true").option("nullValue", "NaN")
+        .option("quote", "\"").option("escape", "\"")
+        .schema(schema).csv(out)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast(DecimalType(18, 2))).cast(DoubleType).as("total"),
+          min($"o_orderdate_s").as("first_date"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        STRFTIME(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_date
+      FROM orders GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** S4 — JSONL sink + declared-schema JSONL scan round trip over the
+    * documents table (newlines/quotes exercise JSON escaping); the
+    * content-hash min proves the text column itself survived, not just
+    * the numerics. */
+  val qJsonlRoundtrip = GraftQuery(
+    "q_jsonl_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val out = scratch("jsonl_rt", dir)
+      Sources.writeJsonl(Tables.documents(s, dir), out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      Sources.readJsonl(s, out, schema)
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+          min(md5($"text")).as("min_md5"))
+        .orderBy($"source", $"lang")
+    },
+    Some("""SELECT source, lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        MIN(md5(text)) AS min_md5
+      FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qSqlCatalog, qCsvRoundtrip, qJsonlRoundtrip)
+}

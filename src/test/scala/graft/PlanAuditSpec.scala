@@ -95,6 +95,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-5 TPC-H topologies: broadcasts intact, anti join present, no cartesian") {
+    for (q <- Seq("q_tpch_q2", "q_tpch_q10", "q_tpch_q18")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its dim broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+    val p22 = plan("q_tpch_q22")
+    // the 1-row threshold aggregate broadcasts (nested-loop over one row
+    // is the intended shape, NOT a cartesian of two real relations)
+    assert(p22.contains("LeftAnti"), s"q_tpch_q22 lost the anti join:\n$p22")
+    assert(!p22.contains("CartesianProduct"), s"q_tpch_q22 has a cartesian product")
+  }
+
+  test("warehouse/event additions: keyed shuffles only, no cartesian") {
+    for (q <- Seq("q_scd2_history", "q_funnel", "q_retention", "q_transitions",
+        "q_dup_inflation", "q_embed_norms")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+    // q_embed_norms is map-only up to its tiny per-label rollup: exactly
+    // one hash exchange (the groupBy); the per-vector fold never shuffles
+    val pn = plan("q_embed_norms")
+    assert("Exchange hashpartitioning".r.findAllIn(pn).length <= 1,
+      s"q_embed_norms shuffles more than the rollup:\n$pn")
+  }
+
   test("decontamination broadcasts the eval shingle set") {
     val df = SparkEntry.queries("q_decontaminate")(spark, Dir)
     df.collect()
