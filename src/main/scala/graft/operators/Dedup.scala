@@ -235,6 +235,17 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
+    // size the ROUND shuffles to the graph, not the corpus: the pair
+    // graph is orders of magnitude smaller than the documents it came
+    // from, and each of the ~diameter rounds pays per-partition task
+    // overhead on every shuffle. One partition per ~250k edges (the
+    // count is free — edges is already materialized), capped at the
+    // session setting so a genuinely huge graph still spreads out.
+    val spark = pairs.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val graphParts = math.max(1L, math.min(sessionParts.toLong,
+      edges.count() / 250000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     // convergence detection without a per-round join: the id set is fixed
@@ -255,18 +266,21 @@ object Dedup {
     // maxIter bounds LABEL-MOVING rounds; one extra round runs to CONFIRM
     // convergence (a graph of diameter exactly maxIter converges on its
     // final permitted round, which is only observable one round later)
-    while (changed && i < maxIter + 1) {
-      val next = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-        .union(labels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      changed = nextSum.compareTo(prevSum) != 0
-      prevSum = nextSum
-      labels = next
-      i += 1
-    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+      while (changed && i < maxIter + 1) {
+        val next = edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"))
+          .union(labels)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        val nextSum = labelSum(next)
+        changed = nextSum.compareTo(prevSum) != 0
+        prevSum = nextSum
+        labels = next
+        i += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // unconverged labels are WRONG labels (one cluster reported as
     // several) — a dedup pipeline must fail loudly, not keep duplicates
     if (changed) throw new IllegalStateException(
