@@ -128,5 +128,44 @@ object WarehouseQueries {
       FROM n GROUP BY label ORDER BY label""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qScd2History, qDupInflation, qEmbedNorms)
+  /** Incremental aggregate maintenance: the 100 TB pattern where history
+    * is never recomputed — a MATERIALIZED per-(type, day) aggregate of
+    * everything before the pivot is written once (here: to scratch
+    * parquet, standing in for the nightly job's output), and each refresh
+    * merges it with the aggregate of the small delta. Works because
+    * count/decimal-sum are MERGEABLE: re-aggregating partial aggregates
+    * equals aggregating raw rows, which is exactly what the oracle (a
+    * direct aggregate over all events) checks. The delta scan's pivot
+    * filter pushes down; history never rescans raw events. */
+  val qIncrementalAgg = GraftQuery(
+    "q_incremental_agg",
+    (s, dir) => {
+      import s.implicits._
+      val pivot = lit("2024-01-25").cast("timestamp")
+      val tag = dir.getBytes("UTF-8").map(b => f"$b%02x").mkString
+      val mat = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_incr_agg_$tag").getAbsolutePath
+      def dayAgg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy($"event_type", date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), sum($"value".cast(DecimalType(18, 6))).as("sv"))
+      // the "nightly" half: materialized once, read back columnar
+      dayAgg(Tables.events(s, dir).filter($"ts" < pivot))
+        .write.mode("overwrite").parquet(mat)
+      val history = s.read.parquet(mat)
+      val delta = dayAgg(Tables.events(s, dir).filter($"ts" >= pivot))
+      history.unionByName(delta)
+        .groupBy($"event_type", $"day")
+        .agg(sum($"n").as("n"), sum($"sv").cast(DecimalType(18, 6)).as("sv"))
+        .select($"event_type", $"day", $"n",
+          round($"sv".cast(DoubleType), 6).as("sum_value"))
+        .orderBy($"event_type", $"day")
+    },
+    Some("""SELECT event_type, STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+        COUNT(*) AS n,
+        ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE), 6) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qScd2History, qDupInflation, qEmbedNorms, qIncrementalAgg)
 }
