@@ -29,22 +29,15 @@ object WarehouseQueries {
     "q_scd2_history",
     (s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
-      val prev = lag($"o_orderstatus", 1).over(w)
-      val per = Tables.orders(s, dir)
-        .select($"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_orderkey")
-        .withColumn("chg", when(prev.isNull || prev =!= $"o_orderstatus", 1).otherwise(0))
-        .withColumn("version", sum($"chg").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"o_custkey", $"version")
-        .agg(min($"o_orderstatus").as("o_orderstatus"), // constant within a run
-          min($"o_orderdate").as("vf"), count(lit(1)).as("n_orders"))
-      val wv = Window.partitionBy($"o_custkey").orderBy($"version")
-      per
-        .withColumn("valid_to",
-          coalesce(date_format(lead($"vf", 1).over(wv), "yyyy-MM-dd"), lit("9999-12-31")))
+      graft.operators.History.scd2(
+        Tables.orders(s, dir)
+          .select($"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_orderkey"),
+        keyCol = "o_custkey", valueCol = "o_orderstatus",
+        orderCols = Seq("o_orderdate", "o_orderkey"))
         .select($"o_custkey", $"version", $"o_orderstatus",
-          date_format($"vf", "yyyy-MM-dd").as("valid_from"), $"valid_to", $"n_orders")
+          date_format($"valid_from", "yyyy-MM-dd").as("valid_from"),
+          coalesce(date_format($"valid_to", "yyyy-MM-dd"), lit("9999-12-31")).as("valid_to"),
+          $"n_rows".as("n_orders"))
         .orderBy($"o_custkey", $"version")
     },
     Some("""WITH seq AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimension-history operators: assemble slowly-changing-dimension
+  * views from append-only event logs.
+  */
+object History {
+
+  /** Type-2 history: collapse consecutive equal values of `valueCol`
+    * per `keyCol` into versioned validity runs. Rows are sequenced by
+    * `orderCols` — pass a TOTAL order (e.g. timestamp + unique id):
+    * under a partial order, run boundaries depend on physical row order,
+    * which is not a distributed concept.
+    *
+    * Returns (keyCol, version, valueCol, valid_from, valid_to, n_rows):
+    * version numbers runs 1..k per key, valid_from is the run's first
+    * `orderCols.head` value, valid_to the NEXT run's (null for the open
+    * current run — gaps-and-islands with exclusive upper bounds).
+    *
+    * Scale: two windows and one aggregate, all partitioned by `keyCol` —
+    * per-key data volume bounds the sort, never the corpus. The second
+    * window runs over the collapsed (key, version) relation, which is at
+    * most runs-per-key rows. */
+  def scd2(df: DataFrame, keyCol: String, valueCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must name at least one sequencing column")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val prev = lag(col(valueCol), 1).over(w)
+    val runs = df
+      .withColumn("_chg", when(prev.isNull || prev =!= col(valueCol), 1).otherwise(0))
+      .withColumn("version",
+        sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("version"))
+      .agg(min(col(valueCol)).as(valueCol), // constant within a run
+        min(col(orderCols.head)).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+    val wv = Window.partitionBy(col(keyCol)).orderBy(col("version"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .select(col(keyCol), col("version"), col(valueCol),
+        col("valid_from"), col("valid_to"), col("n_rows"))
+  }
+}
