@@ -220,9 +220,14 @@ object Dedup {
     * O(log d) rounds but requires a self-join of the checkpointed round
     * result, which trips Spark's relation dedup on LogicalRDD constraint
     * rewrite — not worth it at these diameters.) Only ids appearing in
-    * `pairs` are labeled (singletons are their own component
-    * trivially). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * `pairs` are labeled (singletons are their own component trivially).
+    *
+    * Graphs of at most `driverMaxEdges` edges close on the DRIVER via
+    * union-find instead (identical labels, O(E α(E)), no rounds) — see
+    * [[driverComponents]]; the distributed loop is the above-bound
+    * path. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      driverMaxEdges: Long = 5000000L): DataFrame = {
     require(maxIter > 0, s"maxIter=$maxIter must be positive")
     // LINEAGE TRUNCATION is the load-bearing detail of the loop: a cached
     // DataFrame still carries its full logical plan, and each round
@@ -235,16 +240,26 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
-    // size the ROUND shuffles to the graph, not the corpus: the pair
-    // graph is orders of magnitude smaller than the documents it came
-    // from, and each of the ~diameter rounds pays per-partition task
-    // overhead on every shuffle. One partition per ~250k edges (the
-    // count is free — edges is already materialized), capped at the
-    // session setting so a genuinely huge graph still spreads out.
     val spark = pairs.sparkSession
+    val nEdges = edges.count() // free — edges is already materialized
+    // SMALL-GRAPH FAST PATH: the pair graph is a post-blocking artifact,
+    // orders of magnitude smaller than the corpus (a df-capped near-dup
+    // pair list, not the documents). Below `driverMaxEdges` (~80 MB of
+    // long pairs at the default) a driver-side union-find closes it in
+    // one collect + O(E α(E)) — versus ~diameter distributed rounds each
+    // paying multi-stage job overhead. Same bounded-driver-state pattern
+    // as IvfIndex's sampled Lloyd; the distributed loop below remains the
+    // path for graphs that outgrow the bound (specs pin both paths to
+    // identical output via driverMaxEdges = 0).
+    if (nEdges <= driverMaxEdges)
+      return driverComponents(spark, edges)
+    // size the ROUND shuffles to the graph, not the corpus: each of the
+    // ~diameter rounds pays per-partition task overhead on every shuffle.
+    // One partition per ~250k edges, capped at the session setting so a
+    // genuinely huge graph still spreads out.
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val graphParts = math.max(1L, math.min(sessionParts.toLong,
-      edges.count() / 250000L + 1L)).toInt
+      nEdges / 250000L + 1L)).toInt
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
@@ -287,6 +302,38 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds " +
         "— the pair graph has chains longer than maxIter; raise maxIter")
     labels
+  }
+
+  /** Driver-side closure of a small pair graph: union-find with path
+    * compression, unioning the larger root UNDER the smaller — so every
+    * root is its component's minimum id by construction, matching the
+    * distributed loop's min-label semantics exactly. Ids surface as
+    * LongType (every caller keys by a long doc id). */
+  private def driverComponents(
+      spark: org.apache.spark.sql.SparkSession, edges: DataFrame): DataFrame = {
+    val rows = edges.select(
+      col("src").cast(LongType), col("dst").cast(LongType)).collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val a = find(r.getLong(0)); val b = find(r.getLong(1))
+      if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+    }
+    // edges carry both directions, so the src column covers every vertex
+    val verts = scala.collection.mutable.SortedSet.empty[Long]
+    rows.foreach(r => verts += r.getLong(0))
+    val out: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(verts.toSeq.map(v =>
+        org.apache.spark.sql.Row(v, find(v))): _*)
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("label", LongType, nullable = false))))
   }
 
   /** 64-bit SimHash sketch as FOUR 16-bit chunks (array<long>). Per

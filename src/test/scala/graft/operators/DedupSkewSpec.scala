@@ -87,19 +87,27 @@ class DedupSkewSpec extends SparkSpec {
     assert(capped.contains((200L, 201L)), s"planted exact-dup lost: $capped")
   }
 
-  test("connected components assemble pair chains into clusters") {
+  test("connected components assemble pair chains into clusters (both paths)") {
     import spark.implicits._
     // a 5-chain (diameter 4 → several propagation rounds) + a 2-clique
     val pairChain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
       .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      7L -> 7L, 8L -> 7L)
+    // default: small graph takes the driver union-find fast path
     val comp = Dedup.connectedComponents(pairChain)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      7L -> 7L, 8L -> 7L))
-    // an under-provisioned maxIter fails LOUDLY — unconverged labels
-    // would split one real cluster into several, silently keeping dups
+    assert(comp === expected)
+    // driverMaxEdges = 0 forces the distributed min-label loop — both
+    // paths must produce identical labels
+    val loop = Dedup.connectedComponents(pairChain, driverMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(loop === expected)
+    // an under-provisioned maxIter fails LOUDLY on the loop path —
+    // unconverged labels would split one real cluster into several,
+    // silently keeping dups (the driver path needs no iteration bound)
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(pairChain, maxIter = 1).collect()
+      Dedup.connectedComponents(pairChain, maxIter = 1, driverMaxEdges = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
