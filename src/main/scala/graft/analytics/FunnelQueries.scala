@@ -47,7 +47,8 @@ object FunnelQueries {
         .agg(count(lit(1)).as("n_users"), count($"v_ts").as("n_viewed"),
           count($"c_ts").as("n_clicked"), count($"p_ts").as("n_purchased"))
         .select($"n_users", $"n_viewed", $"n_clicked", $"n_purchased",
-          round($"n_viewed".cast(DoubleType) / $"n_users", 6).as("view_rate"),
+          round($"n_viewed".cast(DoubleType) / greatest($"n_users", lit(1L)), 6)
+            .as("view_rate"),
           round($"n_clicked".cast(DoubleType) / greatest($"n_viewed", lit(1L)), 6)
             .as("click_conv"),
           round($"n_purchased".cast(DoubleType) / greatest($"n_clicked", lit(1L)), 6)
@@ -63,7 +64,7 @@ object FunnelQueries {
         (SELECT COUNT(*) FROM v) AS n_viewed,
         (SELECT COUNT(*) FROM c) AS n_clicked,
         (SELECT COUNT(*) FROM p) AS n_purchased,
-        ROUND(CAST((SELECT COUNT(*) FROM v) AS DOUBLE) / (SELECT COUNT(DISTINCT user_id) FROM e), 6) AS view_rate,
+        ROUND(CAST((SELECT COUNT(*) FROM v) AS DOUBLE) / GREATEST((SELECT COUNT(DISTINCT user_id) FROM e), 1), 6) AS view_rate,
         ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / GREATEST((SELECT COUNT(*) FROM v), 1), 6) AS click_conv,
         ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / GREATEST((SELECT COUNT(*) FROM c), 1), 6) AS purchase_conv""")
   )

@@ -19,11 +19,7 @@ import org.apache.spark.sql.types._
   */
 object SourceQueries {
 
-  private def scratch(prefix: String, dir: String): String = {
-    val tag = dir.getBytes("UTF-8").map(b => f"$b%02x").mkString
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_${prefix}_$tag")
-      .getAbsolutePath
-  }
+  private def scratch(prefix: String, dir: String): String = Scratch.dir(prefix, dir)
 
   /** S6 — the SQL text entry point: registered catalog views + a pure
     * `spark.sql` program (fact-fact join, decimal rollup). Proves a SQL

@@ -135,9 +135,7 @@ object WarehouseQueries {
     (s, dir) => {
       import s.implicits._
       val pivot = lit("2024-01-25").cast("timestamp")
-      val tag = dir.getBytes("UTF-8").map(b => f"$b%02x").mkString
-      val mat = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_incr_agg_$tag").getAbsolutePath
+      val mat = Scratch.dir("incr_agg", dir)
       def dayAgg(df: org.apache.spark.sql.DataFrame) = df
         .groupBy($"event_type", date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n"), sum($"value".cast(DecimalType(18, 6))).as("sv"))

@@ -222,10 +222,17 @@ object Dedup {
     * rewrite — not worth it at these diameters.) Only ids appearing in
     * `pairs` are labeled (singletons are their own component trivially).
     *
-    * Graphs of at most `driverMaxEdges` edges close on the DRIVER via
-    * union-find instead (identical labels, O(E α(E)), no rounds) — see
-    * [[driverComponents]]; the distributed loop is the above-bound
-    * path. */
+    * Graphs of at most `driverMaxEdges` UNDIRECTED edges close on the
+    * DRIVER via union-find instead (identical labels, O(E α(E)), no
+    * rounds, ~16 B of driver heap per edge) — see [[driverComponents]];
+    * the distributed loop is the above-bound path.
+    *
+    * SINGLE-WRITER session assumption (loop path only): the rounds run
+    * under a session-global spark.sql.shuffle.partitions override
+    * (restored in a finally) — a concurrent query planned on the SAME
+    * SparkSession during the loop would pick up the graph-sized value.
+    * The sequential Verify/Bench harness satisfies this; concurrent use
+    * needs a dedicated session. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       driverMaxEdges: Long = 5000000L): DataFrame = {
     require(maxIter > 0, s"maxIter=$maxIter must be positive")
@@ -244,14 +251,16 @@ object Dedup {
     val nEdges = edges.count() // free — edges is already materialized
     // SMALL-GRAPH FAST PATH: the pair graph is a post-blocking artifact,
     // orders of magnitude smaller than the corpus (a df-capped near-dup
-    // pair list, not the documents). Below `driverMaxEdges` (~80 MB of
-    // long pairs at the default) a driver-side union-find closes it in
-    // one collect + O(E α(E)) — versus ~diameter distributed rounds each
-    // paying multi-stage job overhead. Same bounded-driver-state pattern
-    // as IvfIndex's sampled Lloyd; the distributed loop below remains the
-    // path for graphs that outgrow the bound (specs pin both paths to
-    // identical output via driverMaxEdges = 0).
-    if (nEdges <= driverMaxEdges)
+    // pair list, not the documents). Up to `driverMaxEdges` UNDIRECTED
+    // edges (~80 MB of primitive longs at the 5M default — one direction
+    // streamed into two long arrays, boxing bounded to one partition at a
+    // time) a driver-side union-find closes it in one pass + O(E α(E)) —
+    // versus ~diameter distributed rounds each paying multi-stage job
+    // overhead. Same bounded-driver-state pattern as IvfIndex's sampled
+    // Lloyd; the distributed loop below remains the path for graphs that
+    // outgrow the bound (specs pin both paths to identical output via
+    // driverMaxEdges = 0).
+    if (nEdges / 2 <= driverMaxEdges)
       return driverComponents(spark, edges)
     // size the ROUND shuffles to the graph, not the corpus: each of the
     // ~diameter rounds pays per-partition task overhead on every shuffle.
@@ -311,8 +320,18 @@ object Dedup {
     * LongType (every caller keys by a long doc id). */
   private def driverComponents(
       spark: org.apache.spark.sql.SparkSession, edges: DataFrame): DataFrame = {
-    val rows = edges.select(
-      col("src").cast(LongType), col("dst").cast(LongType)).collect()
+    // one direction suffices for union-find (half the transfer); keep
+    // src == dst self-loops so their vertex still surfaces. The stream
+    // lands in primitive long arrays — toLocalIterator bounds the boxed
+    // Row footprint to one partition at a time, so peak driver heap is
+    // ~16 B/edge, not hundreds of bytes of GenericRow per edge.
+    val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+    val db = new scala.collection.mutable.ArrayBuilder.ofLong
+    val it = edges.filter(col("src") <= col("dst"))
+      .select(col("src").cast(LongType), col("dst").cast(LongType))
+      .toLocalIterator()
+    while (it.hasNext) { val r = it.next(); sb += r.getLong(0); db += r.getLong(1) }
+    val srcA = sb.result(); val dstA = db.result()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -321,13 +340,14 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    rows.foreach { r =>
-      val a = find(r.getLong(0)); val b = find(r.getLong(1))
+    var i = 0
+    while (i < srcA.length) {
+      val a = find(srcA(i)); val b = find(dstA(i))
       if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      i += 1
     }
-    // edges carry both directions, so the src column covers every vertex
     val verts = scala.collection.mutable.SortedSet.empty[Long]
-    rows.foreach(r => verts += r.getLong(0))
+    srcA.foreach(verts += _); dstA.foreach(verts += _)
     val out: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(verts.toSeq.map(v =>
         org.apache.spark.sql.Row(v, find(v))): _*)

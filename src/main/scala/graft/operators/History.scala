@@ -20,6 +20,11 @@ object History {
     * `orderCols.head` value, valid_to the NEXT run's (null for the open
     * current run — gaps-and-islands with exclusive upper bounds).
     *
+    * Null values are a DISTINCT state, not absorbed into neighbors:
+    * change detection is null-safe (`<=>`), so x→null→null→x yields four
+    * runs of sizes 1/2/1 — a nullable dimension value gets consistent
+    * history regardless of what precedes a null stretch.
+    *
     * Scale: two windows and one aggregate, all partitioned by `keyCol` —
     * per-key data volume bounds the sort, never the corpus. The second
     * window runs over the collapsed (key, version) relation, which is at
@@ -29,8 +34,12 @@ object History {
     require(orderCols.nonEmpty, "orderCols must name at least one sequencing column")
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
     val prev = lag(col(valueCol), 1).over(w)
+    // row_number distinguishes "first row of the key" from "previous
+    // value was null" — prev.isNull conflates them, silently folding a
+    // null run into its predecessor while splitting consecutive nulls
     val runs = df
-      .withColumn("_chg", when(prev.isNull || prev =!= col(valueCol), 1).otherwise(0))
+      .withColumn("_chg",
+        when(row_number().over(w) === 1 || !(prev <=> col(valueCol)), 1).otherwise(0))
       .withColumn("version",
         sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(keyCol), col("version"))

@@ -51,10 +51,15 @@ object Sources {
   }
 
   /** S2 — CSV sink with the reference's literal-"NaN" missing convention
-    * (etl.py:419). */
+    * (etl.py:419). Quotes escape by DOUBLING (escape = quote), matching
+    * both the pandas writer this mirrors and every reader in this file —
+    * Spark's default backslash escape would round-trip clean through
+    * Spark alone but mis-parse under readRawCsv/readCleanCsv and any
+    * RFC-4180 consumer. */
   def writeCsvNaN(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true").option("nullValue", "NaN")
+      .option("quote", "\"").option("escape", "\"")
       .csv(path)
 
   /** S3 — append-mode sink (the scraper's incremental per-keyword writes,

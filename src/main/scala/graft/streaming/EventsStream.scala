@@ -104,7 +104,13 @@ object EventsStream {
     * for these state sizes on local[32] (vs 32: q_stream_join 7.1→2.6 s
     * steady at sf0.1); a DURABLE deployment sizes this to peak state
     * volume instead — the count is baked into the checkpoint at first
-    * batch and cannot change across restarts. */
+    * batch and cannot change across restarts.
+    *
+    * SINGLE-WRITER session assumption: the override is session-global
+    * for the stream's duration (restored in a finally) — a concurrent
+    * query planned on the same SparkSession meanwhile would pick up the
+    * small value. The sequential Verify/Bench harness satisfies this;
+    * concurrent use needs a dedicated session. */
   def runAvailableNow(
       spark: SparkSession, query: DataFrame, name: String,
       checkpoint: String, mode: OutputMode = OutputMode.Append,

@@ -43,6 +43,23 @@ class HistorySpec extends SparkSpec {
       ("a", 2L, "y", 1L, None, 1L)))
   }
 
+  test("scd2 treats null values as a distinct state with null-safe run detection") {
+    // x → null → null → x: four rows, THREE runs (the null stretch is one
+    // run of its own — neither absorbed into the "x" before it, nor split
+    // into per-row runs)
+    val df = Seq(
+      ("a", 1L, Some("x")), ("a", 2L, None), ("a", 3L, None), ("a", 4L, Some("x")))
+      .toDF("k", "t", "v")
+    val got = History.scd2(df, "k", "v", Seq("t"))
+      .orderBy($"version")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("version")),
+        Option(r.getString(r.fieldIndex("v"))),
+        r.getLong(r.fieldIndex("n_rows"))))
+      .toSeq
+    assert(got == Seq((1L, Some("x"), 1L), (2L, None, 2L), (3L, Some("x"), 1L)))
+  }
+
   test("scd2 on an empty input returns an empty history") {
     val df = Seq.empty[(String, Long, String)].toDF("k", "t", "v")
     assert(History.scd2(df, "k", "v", Seq("t")).count() == 0)
