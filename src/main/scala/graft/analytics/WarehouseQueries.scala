@@ -157,6 +157,46 @@ object WarehouseQueries {
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** Incremental dedup of a NEW BATCH against the already-ingested
+    * corpus: the production flow at scale — history is never re-deduped;
+    * the pipeline maintains a fingerprint INDEX (16 bytes/doc, not the
+    * text) and each batch dedups within itself (keep-first) then
+    * anti-joins the index. Here the index half materializes to scratch
+    * parquet standing in for the maintained table; only fingerprints
+    * ever shuffle. */
+  val qDeltaDedup = GraftQuery(
+    "q_delta_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.TextAnalysis
+      val docs = Tables.documents(s, dir)
+      val idx = Scratch.dir("fp_index", dir)
+      docs.filter($"doc_id" % 5 =!= 0)
+        .select(TextAnalysis.fingerprint($"text").as("fp"))
+        .distinct()
+        .write.mode("overwrite").parquet(idx)
+      val corpusIndex = s.read.parquet(idx)
+      val delta = docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      val w = Window.partitionBy($"fp").orderBy($"doc_id")
+      delta
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+        .join(corpusIndex, Seq("fp"), "left_anti")
+        .select($"doc_id", $"fp")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+        md5(array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp
+      FROM documents),
+      corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0),
+      delta AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 = 0),
+      kept AS (SELECT doc_id, fp FROM (
+          SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM delta) WHERE rn = 1)
+      SELECT doc_id, fp FROM kept WHERE fp NOT IN (SELECT fp FROM corpus)
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qScd2History, qDupInflation, qEmbedNorms, qIncrementalAgg)
+    Seq(qScd2History, qDupInflation, qEmbedNorms, qIncrementalAgg, qDeltaDedup)
 }
