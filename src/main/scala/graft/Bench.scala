@@ -60,6 +60,14 @@ object Bench {
       def clear(): Unit = {
         operators.Caches.unpersistAll()
         spark.catalog.clearCache()
+        // collect BETWEEN runs (untimed region): ~100 queries of dropped
+        // cache blocks and broadcast relations otherwise accumulate until
+        // a multi-second full GC lands INSIDE some later query's timed
+        // run (measured: q_tpch_q10 at 6.8 s in full-suite context vs
+        // 0.6 s standalone, all three readings — not noise, collections).
+        // An explicit GC also lets the ContextCleaner actually release
+        // weakly-referenced broadcast/shuffle state each cycle.
+        System.gc()
       }
       // steady = MIN of two post-warmup runs: single-shot steady readings
       // on this host swing up to 3× from GC/CPU-frequency noise (measured:
