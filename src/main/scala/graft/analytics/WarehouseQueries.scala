@@ -41,8 +41,12 @@ object WarehouseQueries {
         .orderBy($"o_custkey", $"version")
     },
     Some("""WITH seq AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
-        CASE WHEN LAG(o_orderstatus) OVER w IS NULL
-               OR LAG(o_orderstatus) OVER w <> o_orderstatus THEN 1 ELSE 0 END AS chg
+        -- null-safe, mirroring History.scd2: first-row detection via
+        -- ROW_NUMBER (not LAG IS NULL, which conflates a null value with
+        -- the partition start) and IS DISTINCT FROM for the comparison
+        CASE WHEN ROW_NUMBER() OVER w = 1
+               OR LAG(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+             THEN 1 ELSE 0 END AS chg
       FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
       per AS (SELECT o_custkey, o_orderstatus, o_orderdate,
         SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -168,7 +172,6 @@ object WarehouseQueries {
     "q_delta_dedup",
     (s, dir) => {
       import s.implicits._
-      import graft.functions.TextAnalysis
       val docs = Tables.documents(s, dir)
       val idx = Scratch.dir("fp_index", dir)
       docs.filter($"doc_id" % 5 =!= 0)
@@ -193,7 +196,8 @@ object WarehouseQueries {
       kept AS (SELECT doc_id, fp FROM (
           SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
           FROM delta) WHERE rn = 1)
-      SELECT doc_id, fp FROM kept WHERE fp NOT IN (SELECT fp FROM corpus)
+      SELECT doc_id, fp FROM kept k
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = k.fp)
       ORDER BY doc_id""")
   )
 

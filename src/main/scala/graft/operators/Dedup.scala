@@ -224,7 +224,8 @@ object Dedup {
     *
     * Graphs of at most `driverMaxEdges` UNDIRECTED edges close on the
     * DRIVER via union-find instead (identical labels, O(E α(E)), no
-    * rounds, ~16 B of driver heap per edge) — see [[driverComponents]];
+    * rounds; ~16 B of driver heap per edge plus one output Row per
+    * vertex — the result relation itself) — see [[driverComponents]];
     * the distributed loop is the above-bound path.
     *
     * SINGLE-WRITER session assumption (loop path only): the rounds run
@@ -260,7 +261,10 @@ object Dedup {
     // Lloyd; the distributed loop below remains the path for graphs that
     // outgrow the bound (specs pin both paths to identical output via
     // driverMaxEdges = 0).
-    if (nEdges / 2 <= driverMaxEdges)
+    // ceil: self-loops appear once in the directed relation, and floor
+    // division would route a 1-edge graph down the driver path even
+    // under driverMaxEdges = 0 (the spec hook that pins the loop path)
+    if ((nEdges + 1) / 2 <= driverMaxEdges)
       return driverComponents(spark, edges)
     // size the ROUND shuffles to the graph, not the corpus: each of the
     // ~diameter rounds pays per-partition task overhead on every shuffle.
@@ -346,11 +350,21 @@ object Dedup {
       if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       i += 1
     }
-    val verts = scala.collection.mutable.SortedSet.empty[Long]
-    srcA.foreach(verts += _); dstA.foreach(verts += _)
-    val out: java.util.List[org.apache.spark.sql.Row] =
-      java.util.Arrays.asList(verts.toSeq.map(v =>
-        org.apache.spark.sql.Row(v, find(v))): _*)
+    // vertex set as a primitive sort + adjacent dedup — a boxed tree set
+    // here would cost ~50 B/vertex and dwarf the edge arrays. The output
+    // Rows (one per vertex) are the one unavoidable boxed allocation:
+    // they ARE the result relation handed to createDataFrame.
+    val all = new Array[Long](srcA.length + dstA.length)
+    System.arraycopy(srcA, 0, all, 0, srcA.length)
+    System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
+    java.util.Arrays.sort(all)
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    i = 0
+    while (i < all.length) {
+      if (i == 0 || all(i) != all(i - 1))
+        out.add(org.apache.spark.sql.Row(all(i), find(all(i))))
+      i += 1
+    }
     spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("label", LongType, nullable = false))))

@@ -21,9 +21,10 @@ object History {
     * current run — gaps-and-islands with exclusive upper bounds).
     *
     * Null values are a DISTINCT state, not absorbed into neighbors:
-    * change detection is null-safe (`<=>`), so x→null→null→x yields four
-    * runs of sizes 1/2/1 — a nullable dimension value gets consistent
-    * history regardless of what precedes a null stretch.
+    * change detection is null-safe (`<=>`), so the four rows
+    * x→null→null→x yield THREE runs of sizes 1/2/1 — a nullable
+    * dimension value gets consistent history regardless of what precedes
+    * a null stretch.
     *
     * Scale: two windows and one aggregate, all partitioned by `keyCol` —
     * per-key data volume bounds the sort, never the corpus. The second
