@@ -103,5 +103,41 @@ object SourceQueries {
       FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qSqlCatalog, qCsvRoundtrip, qJsonlRoundtrip)
+  /** §2.10 — the CUSTOM expressions through their SQL registrations
+    * (GraftExtensions), driven purely as SQL text: graft_cosine (native
+    * codegen'd scalar) over lead-paired embeddings and
+    * graft_exact_quantiles (TypedImperativeAggregate) for the per-label
+    * median, oracled against DuckDB's list_cosine_similarity +
+    * quantile_cont. The quantile runs over INTEGER MICRO-UNITS
+    * (round(cos·10⁶)): integer-valued doubles interpolate bit-exactly
+    * under ANY formula — over 6dp-rounded raw cosines, an even-count
+    * median lands exactly on the 5·10⁻⁷ half-way grid, where the two
+    * engines' different interpolation expressions diverge by 1 ulp
+    * (observed at sf0.001). */
+  val qSqlFunctions = GraftQuery(
+    "q_sql_functions",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""WITH c AS (
+          SELECT label,
+            ROUND(graft_cosine(CAST(embedding AS ARRAY<DOUBLE>),
+              LEAD(CAST(embedding AS ARRAY<DOUBLE>)) OVER (PARTITION BY label ORDER BY vec_id)) * 1000000.0D) AS cos_micro
+          FROM embeddings)
+        SELECT label, COUNT(cos_micro) AS n_pairs,
+          ROUND(element_at(graft_exact_quantiles(cos_micro, 0.5D), 1) / 1000000.0D, 6) AS median_cos
+        FROM c WHERE cos_micro IS NOT NULL
+        GROUP BY label ORDER BY label""")
+    },
+    Some("""WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT label,
+          ROUND(list_cosine_similarity(v, LEAD(v) OVER (PARTITION BY label ORDER BY vec_id)) * 1000000.0) AS cos_micro
+        FROM e)
+      SELECT label, COUNT(cos_micro) AS n_pairs,
+        ROUND(quantile_cont(cos_micro, 0.5) / 1000000.0, 6) AS median_cos
+      FROM c WHERE cos_micro IS NOT NULL
+      GROUP BY label ORDER BY label""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qSqlCatalog, qCsvRoundtrip, qJsonlRoundtrip, qSqlFunctions)
 }
