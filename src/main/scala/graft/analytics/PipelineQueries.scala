@@ -310,7 +310,96 @@ object PipelineQueries {
       ORDER BY source, q DESC, doc_id""")
   )
 
+  /** The COMPOSED curation pipeline — quality rules → language gate →
+    * exact dedup keep-first → token/chunk accounting, per source, in ONE
+    * plan. This is the report a training-data run produces end-to-end:
+    * how many documents each stage kills and what survives as trainable
+    * tokens/chunks. Every stage reuses the exact oracle-proven formulas
+    * of its standalone query (q_gopher_filter, q_lang_id, q_dedup_exact,
+    * q_chunk_dedup); the dedup keep-bit avoids a separate filtered
+    * relation via MIN(qualifying doc_id) OVER fingerprint. Map-side
+    * expression work + one fingerprint window + the final per-source
+    * rollup — two shuffles at any corpus size. */
+  val qCurationPipeline = GraftQuery(
+    "q_curation_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TextAnalysis.tokens($"text")
+      val nToks = greatest(size(toks), lit(1))
+      val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / nToks
+      val stopRatio = TextAnalysis.stopwordRatio($"text", TextAnalysis.Stopwords("en"))
+      val positions = when(size(toks) < 5, 1).otherwise(size(toks) - 4)
+      val uniqRatio = size(graft.expressions.TextHashExprs.shingleHashes64(toks, 5))
+        .cast(DoubleType) / positions
+      val ws = TextAnalysis.wsTokenCount($"text")
+      val q = ((ws >= 30 && ws <= 50000) && (meanLen >= 2.0 && meanLen <= 12.0) &&
+        (stopRatio >= 0.02) && (uniqRatio >= 0.3) &&
+        (TextAnalysis.punctRatio($"text") <= 0.1)).cast(IntegerType)
+      // language gate: argmax over 6dp-rounded scores, de-before-en tie
+      // order — the exact q_lang_id contract ("en" wins iff it matches
+      // the max, de does not, and the max is nonzero)
+      val scores = TextAnalysis.langScores($"text").map { case (l, c) => l -> round(c, 6) }
+      val best = scores.map(_._2).reduce(greatest(_, _))
+      val sm = scores.toMap
+      val lBit = (best =!= 0.0 && !(sm("de") === best) && sm("en") === best)
+        .cast(IntegerType)
+      val base = Tables.documents(s, dir).select($"source", $"doc_id",
+        q.as("q"), lBit.as("l"),
+        TextAnalysis.fingerprint($"text").as("fp"),
+        size(toks).as("n_toks"),
+        TextAnalysis.chunkCount(toks, 32, 24).as("n_chunks"))
+      val keptMin = min(when($"q" * $"l" === 1, $"doc_id"))
+        .over(Window.partitionBy($"fp"))
+      base
+        .withColumn("d", ($"q" * $"l" === 1 && $"doc_id" === keptMin).cast(IntegerType))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("docs_in"),
+          sum($"q").as("after_quality"),
+          sum($"q" * $"l").as("after_lang"),
+          sum($"d").as("after_dedup"),
+          sum($"d" * $"n_toks").as("tokens_kept"),
+          sum($"d" * $"n_chunks").as("chunks_kept"))
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (SELECT doc_id, source, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT doc_id, source, toks,
+        CASE WHEN TRIM(text) = '' THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS ws,
+        CAST(COALESCE(list_sum(list_transform(toks, x -> LENGTH(x))), 0) AS DOUBLE) / GREATEST(LEN(toks), 1) AS mean_len,
+        CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+        CAST(LEN(list_distinct(CASE WHEN LEN(toks) < 5 THEN [array_to_string(toks, ' ')]
+          ELSE [array_to_string(toks[i+1:i+5], ' ') FOR i IN range(0, LEN(toks)-4)] END)) AS DOUBLE)
+          / (CASE WHEN LEN(toks) < 5 THEN 1 ELSE LEN(toks) - 4 END) AS uniq_ratio,
+        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','den','von','sich','auf','für'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_de,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_en,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','por','con','no','los','las','para'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_es,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour','dans','qui','pas','sur','avec'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_fr,
+        ROUND(CAST(LEN(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / GREATEST(LENGTH(text),1), 6) AS s_zh,
+        md5(array_to_string(toks, ' ')) AS fp,
+        LEN(toks) AS n_toks,
+        GREATEST(CAST(CEIL(CAST(LEN(toks) - 32 AS DOUBLE) / 24) AS INT), 0) + 1 AS n_chunks
+      FROM t),
+      f AS (SELECT *,
+        CAST(ws BETWEEN 30 AND 50000 AND mean_len BETWEEN 2.0 AND 12.0
+          AND stop_ratio >= 0.02 AND uniq_ratio >= 0.3 AND punct_ratio <= 0.1 AS INT) AS q,
+        CAST(GREATEST(s_de,s_en,s_es,s_fr,s_zh) <> 0
+          AND s_de <> GREATEST(s_de,s_en,s_es,s_fr,s_zh)
+          AND s_en = GREATEST(s_de,s_en,s_es,s_fr,s_zh) AS INT) AS l
+      FROM m),
+      k AS (SELECT *, MIN(CASE WHEN q*l = 1 THEN doc_id END) OVER (PARTITION BY fp) AS kept_min FROM f),
+      kd AS (SELECT *, CAST(q*l = 1 AND doc_id = kept_min AS INT) AS d FROM k)
+      SELECT source, COUNT(*) AS docs_in,
+        CAST(SUM(q) AS BIGINT) AS after_quality,
+        CAST(SUM(q*l) AS BIGINT) AS after_lang,
+        CAST(SUM(d) AS BIGINT) AS after_dedup,
+        CAST(SUM(d*n_toks) AS BIGINT) AS tokens_kept,
+        CAST(SUM(d*n_chunks) AS BIGINT) AS chunks_kept
+      FROM kd GROUP BY source ORDER BY source""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
-    qBloomDecontaminate, qPackSequences, qSourceQuota)
+    qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline)
 }
