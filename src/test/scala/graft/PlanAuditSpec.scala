@@ -121,6 +121,16 @@ class PlanAuditSpec extends SparkSpec {
       s"q_embed_norms shuffles more than the rollup:\n$pn")
   }
 
+  test("curation pipeline: two keyed shuffles (fingerprint window + source rollup)") {
+    val p = plan("q_curation_pipeline")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // map-side expressions + the fingerprint window + the per-source
+    // aggregate: at most two hash exchanges regardless of corpus size
+    // (the final orderBy adds a range exchange, not a hash one)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"curation pipeline shuffles more than fingerprint+rollup:\n$p")
+  }
+
   test("decontamination broadcasts the eval shingle set") {
     val df = SparkEntry.queries("q_decontaminate")(spark, Dir)
     df.collect()
