@@ -399,7 +399,57 @@ object PipelineQueries {
       FROM kd GROUP BY source ORDER BY source""")
   )
 
+  /** Quality-WEIGHTED deterministic downsampling: each document is kept
+    * with probability quality/2, decided by comparing the portable
+    * Lehmer hash of its id (uniform in [0, 1e6)) against the scaled
+    * score — no RNG, so both engines (and any two cluster runs) keep
+    * identical rows. The 6dp-rounded score times a constant truncated to
+    * a long is deterministic double math. Map-only + the per-source
+    * rollup; expected_rate (decimal-exact mean quality / 2) sits next to
+    * realized_rate as the sampling-sanity report. */
+  val qWeightedSample = GraftQuery(
+    "q_weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val qs = TextAnalysis.qualityScore($"text")
+      val lehmer = pmod(pmod($"doc_id", lit(2147483647L)) * lit(48271L),
+        lit(2147483647L)) % 1000000L
+      val kept = (lehmer < (qs * 500000.0).cast("long")).cast(IntegerType)
+      Tables.documents(s, dir)
+        .select($"source", kept.as("kept"), qs.as("quality"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"kept").as("n_kept"),
+          round(sum($"quality".cast(DecimalType(18, 6))).cast(DoubleType)
+            / (count(lit(1)) * 2), 6).as("expected_rate"),
+          round(sum($"kept").cast(DoubleType) / count(lit(1)), 6).as("realized_rate"))
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (SELECT doc_id, source, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT doc_id, source,
+        CAST(LENGTH(text) AS DOUBLE) AS len,
+        CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM t),
+      q AS (SELECT doc_id, source,
+        ROUND(LEAST(len / 50.0, 1.0) * (CASE WHEN len > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+              + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+              + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) AS quality
+      FROM m),
+      k AS (SELECT source, quality,
+        CAST(((((doc_id % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) % 1000000
+          < CAST(quality * 500000.0 AS BIGINT) AS INT) AS kept
+      FROM q)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept,
+        ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / (COUNT(*) * 2), 6) AS expected_rate,
+        ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS realized_rate
+      FROM k GROUP BY source ORDER BY source""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
-    qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline)
+    qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
+    qWeightedSample)
 }
