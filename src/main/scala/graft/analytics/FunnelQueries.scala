@@ -30,22 +30,15 @@ object FunnelQueries {
     (s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
-      val v = ev.filter($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
-      val c = ev.filter($"event_type" === "click")
-        .join(v, "user_id").filter($"ts" > $"v_ts")
-        .groupBy($"user_id").agg(min($"ts").as("c_ts"))
-      val p = ev.filter($"event_type" === "purchase")
-        .join(c, "user_id").filter($"ts" > $"c_ts")
-        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
-      // one plan, one job: per-user stage relations outer-joined on the
-      // shared user_id shuffle key, counted in a single 1-row aggregate
+      // one plan, one job: the operator's per-user stage relation
+      // outer-joined to the user universe on the shared user_id shuffle
+      // key, counted in a single 1-row aggregate
+      val stages = graft.operators.Funnels.orderedStages(
+        ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
       ev.select($"user_id").distinct()
-        .join(v, Seq("user_id"), "left")
-        .join(c, Seq("user_id"), "left")
-        .join(p, Seq("user_id"), "left")
-        .agg(count(lit(1)).as("n_users"), count($"v_ts").as("n_viewed"),
-          count($"c_ts").as("n_clicked"), count($"p_ts").as("n_purchased"))
+        .join(stages, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_users"), count($"ts_view").as("n_viewed"),
+          count($"ts_click").as("n_clicked"), count($"ts_purchase").as("n_purchased"))
         .select($"n_users", $"n_viewed", $"n_clicked", $"n_purchased",
           round($"n_viewed".cast(DoubleType) / greatest($"n_users", lit(1L)), 6)
             .as("view_rate"),
