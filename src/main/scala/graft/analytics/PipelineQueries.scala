@@ -108,24 +108,10 @@ object PipelineQueries {
     "q_gopher_filter",
     (s, dir) => {
       import s.implicits._
-      val toks = TextAnalysis.tokens($"text")
-      val nToks = greatest(size(toks), lit(1))
-      val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / nToks
-      val stopRatio = TextAnalysis.stopwordRatio($"text", TextAnalysis.Stopwords("en"))
-      val positions = when(size(toks) < 5, 1).otherwise(size(toks) - 4)
-      val uniqRatio = size(graft.expressions.TextHashExprs.shingleHashes64(toks, 5))
-        .cast(DoubleType) / positions
-      val ws = TextAnalysis.wsTokenCount($"text")
-      val rLen = (ws >= 30 && ws <= 50000).cast(IntegerType)
-      val rMean = (meanLen >= 2.0 && meanLen <= 12.0).cast(IntegerType)
-      val rStop = (stopRatio >= 0.02).cast(IntegerType)
-      val rUniq = (uniqRatio >= 0.3).cast(IntegerType)
-      val rSym = (TextAnalysis.punctRatio($"text") <= 0.1).cast(IntegerType)
+      val bits = TextAnalysis.gopherRuleBits($"text")
       Tables.documents(s, dir)
-        .select($"doc_id",
-          rLen.as("r_len"), rMean.as("r_mean_len"), rStop.as("r_stop"),
-          rUniq.as("r_uniq"), rSym.as("r_sym"),
-          (rLen * rMean * rStop * rUniq * rSym).as("keep"))
+        .select(($"doc_id" +: bits.map { case (n, c) => c.as(n) } :+
+          bits.map(_._2).reduce(_ * _).as("keep")): _*)
         .orderBy($"doc_id")
     },
     Some("""WITH t AS (SELECT doc_id, text,
@@ -325,26 +311,9 @@ object PipelineQueries {
     (s, dir) => {
       import s.implicits._
       val toks = TextAnalysis.tokens($"text")
-      val nToks = greatest(size(toks), lit(1))
-      val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / nToks
-      val stopRatio = TextAnalysis.stopwordRatio($"text", TextAnalysis.Stopwords("en"))
-      val positions = when(size(toks) < 5, 1).otherwise(size(toks) - 4)
-      val uniqRatio = size(graft.expressions.TextHashExprs.shingleHashes64(toks, 5))
-        .cast(DoubleType) / positions
-      val ws = TextAnalysis.wsTokenCount($"text")
-      val q = ((ws >= 30 && ws <= 50000) && (meanLen >= 2.0 && meanLen <= 12.0) &&
-        (stopRatio >= 0.02) && (uniqRatio >= 0.3) &&
-        (TextAnalysis.punctRatio($"text") <= 0.1)).cast(IntegerType)
-      // language gate: argmax over 6dp-rounded scores, de-before-en tie
-      // order — the exact q_lang_id contract ("en" wins iff it matches
-      // the max, de does not, and the max is nonzero)
-      val scores = TextAnalysis.langScores($"text").map { case (l, c) => l -> round(c, 6) }
-      val best = scores.map(_._2).reduce(greatest(_, _))
-      val sm = scores.toMap
-      val lBit = (best =!= 0.0 && !(sm("de") === best) && sm("en") === best)
-        .cast(IntegerType)
       val base = Tables.documents(s, dir).select($"source", $"doc_id",
-        q.as("q"), lBit.as("l"),
+        TextAnalysis.gopherKeepBit($"text").as("q"),
+        TextAnalysis.langGateEn($"text").as("l"),
         TextAnalysis.fingerprint($"text").as("fp"),
         size(toks).as("n_toks"),
         TextAnalysis.chunkCount(toks, 32, 24).as("n_chunks"))
@@ -439,8 +408,11 @@ object PipelineQueries {
               + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) AS quality
       FROM m),
       k AS (SELECT source, quality,
+        -- FLOOR before the cast: DuckDB's double->BIGINT cast rounds to
+        -- nearest while Spark's truncates, and quality*500000.0 lands
+        -- exactly on k+0.5 for every score with an odd 6th decimal digit
         CAST(((((doc_id % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) % 1000000
-          < CAST(quality * 500000.0 AS BIGINT) AS INT) AS kept
+          < CAST(FLOOR(quality * 500000.0) AS BIGINT) AS INT) AS kept
       FROM q)
       SELECT source, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept,
         ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / (COUNT(*) * 2), 6) AS expected_rate,

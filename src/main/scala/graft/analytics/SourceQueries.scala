@@ -109,11 +109,12 @@ object SourceQueries {
     * graft_exact_quantiles (TypedImperativeAggregate) for the per-label
     * median, oracled against DuckDB's list_cosine_similarity +
     * quantile_cont. The quantile runs over INTEGER MICRO-UNITS
-    * (round(cos·10⁶)): integer-valued doubles interpolate bit-exactly
-    * under ANY formula — over 6dp-rounded raw cosines, an even-count
-    * median lands exactly on the 5·10⁻⁷ half-way grid, where the two
-    * engines' different interpolation expressions diverge by 1 ulp
-    * (observed at sf0.001). */
+    * (round(cos·10⁶)) and the median is EMITTED in micro-units too:
+    * integer-valued doubles interpolate bit-exactly under ANY formula
+    * (midpoints are exact .5 halves), whereas dividing back by 10⁶ and
+    * re-rounding diverges between Spark's shortest-repr HALF_UP and
+    * DuckDB's scaled std::round on ~1% of half-grid midpoints — both
+    * failure modes observed at sf0.001. */
   val qSqlFunctions = GraftQuery(
     "q_sql_functions",
     (s, dir) => {
@@ -124,7 +125,7 @@ object SourceQueries {
               LEAD(CAST(embedding AS ARRAY<DOUBLE>)) OVER (PARTITION BY label ORDER BY vec_id)) * 1000000.0D) AS cos_micro
           FROM embeddings)
         SELECT label, COUNT(cos_micro) AS n_pairs,
-          ROUND(element_at(graft_exact_quantiles(cos_micro, 0.5D), 1) / 1000000.0D, 6) AS median_cos
+          element_at(graft_exact_quantiles(cos_micro, 0.5D), 1) AS median_cos_micro
         FROM c WHERE cos_micro IS NOT NULL
         GROUP BY label ORDER BY label""")
     },
@@ -133,7 +134,7 @@ object SourceQueries {
           ROUND(list_cosine_similarity(v, LEAD(v) OVER (PARTITION BY label ORDER BY vec_id)) * 1000000.0) AS cos_micro
         FROM e)
       SELECT label, COUNT(cos_micro) AS n_pairs,
-        ROUND(quantile_cont(cos_micro, 0.5) / 1000000.0, 6) AS median_cos
+        quantile_cont(cos_micro, 0.5) AS median_cos_micro
       FROM c WHERE cos_micro IS NOT NULL
       GROUP BY label ORDER BY label""")
   )

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** Text-analysis operator family for large-scale training-data pipelines
   * (the generalization of the reference's token report, SURVEY.md F19):
@@ -90,6 +90,42 @@ object TextAnalysis {
     val stopScore = least(stopwordRatio(c, stops) * lit(4.0), lit(1.0))
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 4.0)
     round(lenScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 6)
+  }
+
+  /** The five Gopher-style quality-rule BITS as (name, 0/1 column) —
+    * the single source of truth composed by q_gopher_filter (per-rule
+    * kill-rate report) and the curation pipeline (conjunction). A
+    * threshold tuned here reaches both; their oracle SQL must follow in
+    * lockstep. */
+  def gopherRuleBits(c: Column): Seq[(String, Column)] = {
+    val toks = tokens(c)
+    val nToks = greatest(size(toks), lit(1))
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast(DoubleType) / nToks
+    val stops = stopwordRatio(c, Stopwords("en"))
+    val positions = when(size(toks) < 5, 1).otherwise(size(toks) - 4)
+    val uniqRatio = size(graft.expressions.TextHashExprs.shingleHashes64(toks, 5))
+      .cast(DoubleType) / positions
+    val ws = wsTokenCount(c)
+    Seq(
+      "r_len" -> (ws >= 30 && ws <= 50000).cast(IntegerType),
+      "r_mean_len" -> (meanLen >= 2.0 && meanLen <= 12.0).cast(IntegerType),
+      "r_stop" -> (stops >= 0.02).cast(IntegerType),
+      "r_uniq" -> (uniqRatio >= 0.3).cast(IntegerType),
+      "r_sym" -> (punctRatio(c) <= 0.1).cast(IntegerType))
+  }
+
+  /** Conjunction of [[gopherRuleBits]] as a 0/1 keep bit. */
+  def gopherKeepBit(c: Column): Column = gopherRuleBits(c).map(_._2).reduce(_ * _)
+
+  /** 0/1 gate: the rounded-argmax language-ID predicts 'en' — the exact
+    * q_lang_id contract (6dp-rounded scores, de-before-en tie order,
+    * 'und' when every score is zero). */
+  def langGateEn(c: Column): Column = {
+    val scores = langScores(c).map { case (l, s) => l -> round(s, 6) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val m = scores.toMap
+    (best =!= 0.0 && !(m("de") === best) && m("en") === best).cast(IntegerType)
   }
 
   /** Normalized-content fingerprint: md5 of the space-joined token stream.

@@ -21,6 +21,13 @@ object Funnels {
     require(stages.nonEmpty, "stages must name at least one event type")
     require(stages.distinct == stages, s"stages repeat: $stages")
     def stageTs(s: String) = s"ts_$s"
+    // fail fast, not with an AMBIGUOUS_REFERENCE mid-chain: a pre-
+    // enriched log already carrying a ts_<stage> column would collide
+    // with the generated stage columns at the join
+    val clash = stages.map(stageTs).filter(events.columns.contains)
+    require(clash.isEmpty,
+      s"events already has column(s) ${clash.mkString(", ")} — rename them " +
+        "or the generated stage columns would be ambiguous")
     val first = events.filter(col(typeCol) === stages.head)
       .groupBy(col(keyCol)).agg(min(col(tsCol)).as(stageTs(stages.head)))
     stages.sliding(2).foldLeft(first) {
