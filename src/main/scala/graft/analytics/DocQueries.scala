@@ -465,43 +465,116 @@ object DocQueries {
       SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 20""")
   )
 
-  // ----- engine-specific hashing: rows-only driver check, cross-validated
-  // ----- against exact operators in ScalaTest
+  // ----- sketch queries in the PORTABLE hash family (polynomial mod
+  // ----- 1000000007 — see TextHashKernels.PortableMod): DuckDB computes
+  // ----- the IDENTICAL signatures, so these carry full hash oracles.
+  // ----- The xxhash64 family stays the production default and is
+  // ----- cross-validated against exact operators in ScalaTest.
 
-  /** MinHash+LSH near-dup pairs (est. Jaccard ≥ 0.5). */
+  /** MinHash+LSH near-dup pairs (est. Jaccard ≥ 0.5), portable family. */
   val qMinhashPairs = GraftQuery(
     "q_minhash_pairs",
     (s, dir) => {
       import s.implicits._
       Dedup.minhashDedupPairs(Tables.documents(s, dir), "doc_id", "text",
-          k = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucket = 100)
+          k = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucket = 100,
+          portable = true)
         .orderBy($"id_a", $"id_b")
     },
-    None
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      sg AS (SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
+      FROM t),
+      hs AS (SELECT doc_id,
+        list_distinct(list_transform(shingles, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007))) AS hv
+      FROM sg),
+      sig AS (SELECT doc_id,
+        list_transform(range(32), j ->
+          list_min(list_transform(hv, h -> ((48271 + 2*j) * h + j) % 1000000007))) AS sig
+      FROM hs),
+      banded AS (SELECT doc_id, band,
+        list_reduce(list_prepend(CAST(band AS BIGINT), sig[band*4+1 : band*4+4]),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS bhash
+      FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
+      kept AS (SELECT band, bhash FROM banded GROUP BY band, bhash HAVING COUNT(*) <= 100),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN kept k ON a.band = k.band AND a.bhash = k.bhash
+        JOIN banded b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+      ver AS (SELECT id_a, id_b,
+        ROUND(CAST(list_sum(list_transform(range(32),
+          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 32, 6)
+          AS est_jaccard
+      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
+      SELECT id_a, id_b, est_jaccard FROM ver WHERE est_jaccard >= 0.5
+      ORDER BY id_a, id_b""")
   )
 
-  /** SimHash near-dup pairs (hamming ≤ 3 on the 64-bit sketch). */
+  /** SimHash near-dup pairs (hamming ≤ 3 on the 64-bit sketch), portable
+    * family (token hash = h31 | h131 << 32; 4 of 64 bits structurally
+    * zero — see TextHashKernels.portableSimhashChunks). */
   val qSimhashPairs = GraftQuery(
     "q_simhash_pairs",
     (s, dir) => {
       import s.implicits._
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxHamming = 3, maxBucket = 100)
+          maxHamming = 3, maxBucket = 100, portable = true)
         .orderBy($"id_a", $"id_b")
     },
-    None
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      th AS (SELECT doc_id,
+        list_transform(toks, tok ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007)
+          + list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS BIGINT))),
+            (acc, x) -> (acc * 131 + x) % 1000000007) * 4294967296) AS hv
+      FROM t),
+      sk AS (SELECT doc_id,
+        list_transform(range(4), c ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(16), b ->
+              CASE WHEN COALESCE(list_sum(list_transform(hv, h ->
+                  CASE WHEN (h >> CAST(c*16 + b AS BIGINT)) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+            (acc, x) -> acc * 2 + x)) AS sk
+      FROM th),
+      e AS (SELECT doc_id, sk, band, sk[band+1] AS chunk
+        FROM sk CROSS JOIN (SELECT unnest(range(4)) AS band)),
+      kept AS (SELECT band, chunk FROM e GROUP BY band, chunk HAVING COUNT(*) <= 100),
+      ek AS (SELECT e.* FROM e JOIN kept USING (band, chunk)),
+      p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(list_sum(list_transform(range(4),
+            i -> bit_count(xor(a.sk[i+1], b.sk[i+1])))) AS INTEGER) AS hamming
+        FROM ek a JOIN ek b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""")
   )
 
-  /** LSH-bucketed ANN top-20 (same query vector as q_embed_topk). */
+  /** LSH-bucketed ANN top-20 (same query vector as q_embed_topk), with a
+    * SELF-CERTIFYING recall_at_k column vs the brute-force exact top-20
+    * computed in the same plan — the harness row check doubles as a
+    * quality gate (recall threshold asserted in DedupSimilaritySpec). */
   val qAnnTopK = GraftQuery(
     "q_ann_topk",
     (s, dir) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("embedding", $"embedding".cast("array<double>"))
+      val emb = graft.operators.Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
       val q = emb.orderBy($"vec_id").limit(1)
         .select($"embedding").collect()(0).getSeq[Double](0)
-      Similarity.annTopK(emb, "vec_id", "embedding", q, k = 20, nPlanes = 3)
+      val ann = Similarity.annTopK(emb, "vec_id", "embedding", q, k = 20, nPlanes = 3)
+      Similarity.withRecall(ann,
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20), "vec_id", 20)
+        .orderBy($"cos_sim".desc, $"vec_id")
     },
     None
   )
@@ -528,9 +601,10 @@ object DocQueries {
   )
 
   /** IVF ANN top-20 (KMeans coarse quantizer, 2-probe; same query vector
-    * as q_embed_topk). Rows-only check — KMeans centroids are
-    * engine-specific; recall is asserted against the exact top-k in
-    * ScalaTest. */
+    * as q_embed_topk), with the same self-certifying recall_at_k column
+    * as q_ann_topk. KMeans centroids are engine-specific so there is no
+    * SQL oracle, but the row check now carries the recall-vs-brute-force
+    * number (threshold asserted in DedupSimilaritySpec). */
   val qIvfTopK = GraftQuery(
     "q_ivf_topk",
     (s, dir) => {
@@ -540,8 +614,11 @@ object DocQueries {
       val q = emb.orderBy($"vec_id").limit(1)
         .select($"embedding").collect()(0).getSeq[Double](0)
       val model = graft.operators.IvfIndex.fit(emb, "embedding", k = 8)
-      graft.operators.IvfIndex.search(emb, "vec_id", "embedding", model, q,
+      val ivf = graft.operators.IvfIndex.search(emb, "vec_id", "embedding", model, q,
         k = 20, nProbe = 2)
+      Similarity.withRecall(ivf,
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20), "vec_id", 20)
+        .orderBy($"cos_sim".desc, $"vec_id")
     },
     None
   )

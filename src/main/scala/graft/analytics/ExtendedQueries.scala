@@ -224,18 +224,48 @@ object ExtendedQueries {
       SELECT id_l, id_r, cos_sim, rk FROM ranked WHERE rk <= 3 ORDER BY id_l, rk""")
   )
 
-  /** Winnowing-fingerprint candidate pairs (rows-only: the fingerprints
-    * are xxhash64 values DuckDB cannot reproduce; the kernel's guarantees
-    * are property-tested in TextHashSpec instead). */
+  /** Winnowing-fingerprint candidate pairs in the PORTABLE hash family
+    * (polynomial mod 1000000007): DuckDB reproduces the fingerprints, so
+    * this is fully hash-oracled. The window-minimum SET is independent of
+    * the kernel's rightmost-tie rule, so the SQL mirror is plain
+    * distinct-of-window-minima. xxhash64 remains the production default
+    * (property-tested in TextHashSpec). */
   val qWinnowPairs = GraftQuery(
     "q_winnow_pairs",
     (s, dir) => {
       import s.implicits._
       graft.operators.Dedup.winnowPairs(Tables.documents(s, dir),
-          "doc_id", "text", k = 3, w = 4, minShared = 2, maxDf = 100)
+          "doc_id", "text", k = 3, w = 4, minShared = 2, maxDf = 100,
+          portable = true)
         .orderBy($"id_a", $"id_b")
     },
-    None
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      sg AS (SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
+      FROM t),
+      hp AS (SELECT doc_id,
+        list_transform(shingles, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv
+      FROM sg),
+      fps AS (SELECT doc_id,
+        CASE WHEN len(hv) <= 4 THEN [list_min(hv)]
+             ELSE list_distinct(list_transform(range(len(hv) - 3),
+               w -> list_min(hv[w+1 : w+4]))) END AS fp
+      FROM hp),
+      e AS (SELECT doc_id, unnest(fp) AS fp FROM fps),
+      kept AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 100),
+      ek AS (SELECT e.doc_id, e.fp FROM e JOIN kept USING (fp)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+        FROM ek a JOIN ek b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, shared_fp FROM p WHERE shared_fp >= 2
+      ORDER BY id_a, id_b""")
   )
 
   /** F13 as a REAL MapType round-trip (the reference flattens its isq

@@ -24,15 +24,36 @@ object TextHashKernels {
 
   private val Seed = 42L
 
-  /** Distinct xxhash64 fingerprints of the k-shingles of `tokens`
-    * (space-joined, matching xxhash64(concat_ws(" ", slice(tokens,i,k)))).
-    * n < k degrades to ONE shingle = all tokens joined (matching
-    * TextAnalysis.shingles). Output sorted ascending (set semantics — no
-    * consumer is order-sensitive). */
-  def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
-    val hashes = positionalShingleHashes(tokens, k)
+  /** Modulus of the PORTABLE hash family: the classic prime just below
+    * 2^30. Every portable hash value sits in [0, 2^30), so products with
+    * multipliers < ~2^34 stay inside a signed 64-bit long — which is the
+    * whole point: the family is expressible in ANSI-ish SQL (DuckDB) with
+    * plain BIGINT arithmetic, no overflow, no unsigned tricks. The
+    * xxhash64 family stays the default (better mixing, one pass over raw
+    * bytes); the portable family exists so the sketch queries can carry a
+    * cross-engine oracle. Precondition shared with the SQL mirror: tokens
+    * are ASCII (TextAnalysis.tokens emits [a-z0-9]+ only), so iterating
+    * bytes here equals iterating `ord(char)` there. */
+  val PortableMod = 1000000007L
+
+  /** Polynomial rolling hash of `len` bytes of `buf` in base 31 mod
+    * [[PortableMod]] — SQL mirror:
+    * list_reduce(list_prepend(0, codes), (acc, x) -> (acc*31 + x) % 1000000007). */
+  private def polyHash(buf: Array[Byte], len: Int, base: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < len) { h = (h * base + (buf(i) & 0xffL)) % PortableMod; i += 1 }
+    h
+  }
+
+  private def polyHashUTF8(s: UTF8String, base: Long): Long = {
+    val b = s.getBytes
+    polyHash(b, b.length, base)
+  }
+
+  /** Sort + in-place unique (set semantics for fingerprint arrays). */
+  private def sortedDistinct(hashes: Array[Long]): ArrayData = {
     java.util.Arrays.sort(hashes)
-    // in-place unique
     var out = 0
     var i = 1
     while (i < hashes.length) {
@@ -41,6 +62,19 @@ object TextHashKernels {
     }
     ArrayData.toArrayData(java.util.Arrays.copyOf(hashes, out + 1))
   }
+
+  /** Distinct xxhash64 fingerprints of the k-shingles of `tokens`
+    * (space-joined, matching xxhash64(concat_ws(" ", slice(tokens,i,k)))).
+    * n < k degrades to ONE shingle = all tokens joined (matching
+    * TextAnalysis.shingles). Output sorted ascending (set semantics — no
+    * consumer is order-sensitive). */
+  def shingleHashes(tokens: ArrayData, k: Int): ArrayData =
+    sortedDistinct(positionalShingleHashes(tokens, k))
+
+  /** [[shingleHashes]] in the portable family (base-31 polynomial over
+    * the shingle bytes mod [[PortableMod]]). */
+  def portableShingleHashes(tokens: ArrayData, k: Int): ArrayData =
+    sortedDistinct(portablePositionalShingleHashes(tokens, k))
 
   /** MinHash signature over shingle hashes: slot j = min over shingles of
     * hashInt(j, hashLong(h, 42)) — bit-identical to the declarative
@@ -63,16 +97,53 @@ object TextHashKernels {
     ArrayData.toArrayData(sig)
   }
 
+  /** MinHash signature in the portable family: slot j = min over shingle
+    * hashes h of ((48271 + 2j)·h + j) mod [[PortableMod]] — an
+    * odd-multiplier affine universal hash whose products stay < 2^47
+    * (SQL mirror: ((48271 + 2*j) * h + j) % 1000000007). */
+  def portableMinhashSignature(shingleHashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = shingleHashes.numElements()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = shingleHashes.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val g = ((48271L + 2L * j) * h + j) % PortableMod
+        if (g < sig(j)) sig(j) = g
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
   /** 64-bit SimHash as four 16-bit chunks (same layout as the declarative
     * Dedup.simhashChunks: vote bit i = bit i of hashString(token); chunk c
     * folds votes[16c..16c+15] MSB-first). */
-  def simhashChunks(tokens: ArrayData): ArrayData = {
+  def simhashChunks(tokens: ArrayData): ArrayData =
+    simhashChunksImpl(tokens, portable = false)
+
+  /** [[simhashChunks]] in the portable family. The 64-bit token hash is
+    * two independent 30-bit polynomial hashes packed as h31 | (h131 << 32)
+    * — bits 30-31 and 62-63 are structurally zero (every doc votes the
+    * same way there), costing 4 of 64 sketch bits of discrimination in
+    * exchange for SQL expressibility. */
+  def portableSimhashChunks(tokens: ArrayData): ArrayData =
+    simhashChunksImpl(tokens, portable = true)
+
+  private def portableTokenHash64(s: UTF8String): Long =
+    polyHashUTF8(s, 31L) | (polyHashUTF8(s, 131L) << 32)
+
+  private def simhashChunksImpl(tokens: ArrayData, portable: Boolean): ArrayData = {
     val n = tokens.numElements()
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = hashString(tokens.getUTF8String(i))
+        val t = tokens.getUTF8String(i)
+        val h = if (portable) portableTokenHash64(t) else hashString(t)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -106,8 +177,18 @@ object TextHashKernels {
     * with ~2/(w+1) of the shingles kept — the scalable subset for
     * fingerprint-join dedup. Unsigned comparison so fingerprints follow
     * the same order DuckDB/Spark would sort the raw hashes. */
-  def winnowFingerprints(tokens: ArrayData, k: Int, w: Int): ArrayData = {
-    val hs = positionalShingleHashes(tokens, k)
+  def winnowFingerprints(tokens: ArrayData, k: Int, w: Int): ArrayData =
+    winnowFromPositional(positionalShingleHashes(tokens, k), w)
+
+  /** [[winnowFingerprints]] in the portable family. The window-minimum
+    * SET is tie-rule-independent (every window's min VALUE is recorded
+    * regardless of which position is picked), so the SQL mirror is just
+    * distinct-of-window-minima. Portable values are non-negative, so the
+    * unsigned comparison below coincides with signed/SQL order. */
+  def portableWinnowFingerprints(tokens: ArrayData, k: Int, w: Int): ArrayData =
+    winnowFromPositional(portablePositionalShingleHashes(tokens, k), w)
+
+  private def winnowFromPositional(hs: Array[Long], w: Int): ArrayData = {
     if (hs.length <= w) {
       var m = hs(0)
       var i = 1
@@ -145,7 +226,14 @@ object TextHashKernels {
 
   /** Positional (unsorted, duplicate-preserving) k-shingle hashes — the
     * winnowing input. Same bytes/seed as [[shingleHashes]]. */
-  def positionalShingleHashes(tokens: ArrayData, k: Int): Array[Long] = {
+  def positionalShingleHashes(tokens: ArrayData, k: Int): Array[Long] =
+    positionalShingleHashesImpl(tokens, k, portable = false)
+
+  def portablePositionalShingleHashes(tokens: ArrayData, k: Int): Array[Long] =
+    positionalShingleHashesImpl(tokens, k, portable = true)
+
+  private def positionalShingleHashesImpl(
+      tokens: ArrayData, k: Int, portable: Boolean): Array[Long] = {
     val n = tokens.numElements()
     if (n < k) {
       val parts = new Array[UTF8String](n)
@@ -155,7 +243,8 @@ object TextHashKernels {
           else tokens.getUTF8String(i)
         i += 1
       }
-      return Array(hashString(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)))
+      val joined = UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+      return Array(if (portable) polyHashUTF8(joined, 31L) else hashString(joined))
     }
     val hashes = new Array[Long](n - k + 1)
     var buf = new Array[Byte](256)
@@ -177,7 +266,8 @@ object TextHashKernels {
         len += tb
         j += 1
       }
-      hashes(s) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed)
+      hashes(s) = if (portable) polyHash(buf, len, 31L)
+        else XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed)
       s += 1
     }
     hashes
@@ -202,54 +292,65 @@ abstract class TextHashExpr extends UnaryExpression {
 
 /** Native shingle fingerprints: array<string> tokens → sorted distinct
   * array<long> of xxhash64(k-shingle). */
-case class ShingleHashes64(child: Expression, k: Int) extends TextHashExpr {
+case class ShingleHashes64(child: Expression, k: Int, portable: Boolean = false)
+    extends TextHashExpr {
   require(k > 0, s"k=$k must be positive")
   override protected def elemType: DataType = StringType
   override def prettyName: String = "graft_shingle_hashes"
   override def nullSafeEval(in: Any): Any =
-    TextHashKernels.shingleHashes(in.asInstanceOf[ArrayData], k)
+    if (portable) TextHashKernels.portableShingleHashes(in.asInstanceOf[ArrayData], k)
+    else TextHashKernels.shingleHashes(in.asInstanceOf[ArrayData], k)
   override protected def kernelCall(c: String): String =
-    s"graft.expressions.TextHashKernels.shingleHashes($c, $k)"
+    if (portable) s"graft.expressions.TextHashKernels.portableShingleHashes($c, $k)"
+    else s"graft.expressions.TextHashKernels.shingleHashes($c, $k)"
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes64 =
     copy(child = newChild)
 }
 
 /** Native MinHash signature: array<long> shingle hashes → array<long>
   * of numHashes minima. */
-case class MinHashSignature(child: Expression, numHashes: Int) extends TextHashExpr {
+case class MinHashSignature(child: Expression, numHashes: Int, portable: Boolean = false)
+    extends TextHashExpr {
   require(numHashes > 0, s"numHashes=$numHashes must be positive")
   override protected def elemType: DataType = LongType
   override def prettyName: String = "graft_minhash_sig"
   override def nullSafeEval(in: Any): Any =
-    TextHashKernels.minhashSignature(in.asInstanceOf[ArrayData], numHashes)
+    if (portable) TextHashKernels.portableMinhashSignature(in.asInstanceOf[ArrayData], numHashes)
+    else TextHashKernels.minhashSignature(in.asInstanceOf[ArrayData], numHashes)
   override protected def kernelCall(c: String): String =
-    s"graft.expressions.TextHashKernels.minhashSignature($c, $numHashes)"
+    if (portable) s"graft.expressions.TextHashKernels.portableMinhashSignature($c, $numHashes)"
+    else s"graft.expressions.TextHashKernels.minhashSignature($c, $numHashes)"
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
 
 /** Winnowing fingerprints: array<string> tokens → sorted distinct
   * array<long> of window-minimum shingle hashes. */
-case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends TextHashExpr {
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, portable: Boolean = false)
+    extends TextHashExpr {
   require(k > 0 && w > 0, s"k=$k w=$w must be positive")
   override protected def elemType: DataType = StringType
   override def prettyName: String = "graft_winnow"
   override def nullSafeEval(in: Any): Any =
-    TextHashKernels.winnowFingerprints(in.asInstanceOf[ArrayData], k, w)
+    if (portable) TextHashKernels.portableWinnowFingerprints(in.asInstanceOf[ArrayData], k, w)
+    else TextHashKernels.winnowFingerprints(in.asInstanceOf[ArrayData], k, w)
   override protected def kernelCall(c: String): String =
-    s"graft.expressions.TextHashKernels.winnowFingerprints($c, $k, $w)"
+    if (portable) s"graft.expressions.TextHashKernels.portableWinnowFingerprints($c, $k, $w)"
+    else s"graft.expressions.TextHashKernels.winnowFingerprints($c, $k, $w)"
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
 
 /** Native SimHash: array<string> tokens → array<long> of 4 16-bit chunks. */
-case class SimHashChunks(child: Expression) extends TextHashExpr {
+case class SimHashChunks(child: Expression, portable: Boolean = false) extends TextHashExpr {
   override protected def elemType: DataType = StringType
   override def prettyName: String = "graft_simhash"
   override def nullSafeEval(in: Any): Any =
-    TextHashKernels.simhashChunks(in.asInstanceOf[ArrayData])
+    if (portable) TextHashKernels.portableSimhashChunks(in.asInstanceOf[ArrayData])
+    else TextHashKernels.simhashChunks(in.asInstanceOf[ArrayData])
   override protected def kernelCall(c: String): String =
-    s"graft.expressions.TextHashKernels.simhashChunks($c)"
+    if (portable) s"graft.expressions.TextHashKernels.portableSimhashChunks($c)"
+    else s"graft.expressions.TextHashKernels.simhashChunks($c)"
   override protected def withNewChildInternal(newChild: Expression): SimHashChunks =
     copy(child = newChild)
 }
@@ -258,12 +359,14 @@ object TextHashExprs {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftshim.ColumnShim.{column, expression}
 
-  def shingleHashes64(tokens: Column, k: Int): Column =
-    column(ShingleHashes64(expression(tokens), k))
-  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
-    column(MinHashSignature(expression(shingleHashes), numHashes))
-  def winnowFingerprints(tokens: Column, k: Int, w: Int): Column =
-    column(WinnowFingerprints(expression(tokens), k, w))
-  def simhashChunks(tokens: Column): Column =
-    column(SimHashChunks(expression(tokens)))
+  def shingleHashes64(tokens: Column, k: Int, portable: Boolean = false): Column =
+    column(ShingleHashes64(expression(tokens), k, portable))
+  def minhashSignature(shingleHashes: Column, numHashes: Int,
+      portable: Boolean = false): Column =
+    column(MinHashSignature(expression(shingleHashes), numHashes, portable))
+  def winnowFingerprints(tokens: Column, k: Int, w: Int,
+      portable: Boolean = false): Column =
+    column(WinnowFingerprints(expression(tokens), k, w, portable))
+  def simhashChunks(tokens: Column, portable: Boolean = false): Column =
+    column(SimHashChunks(expression(tokens), portable))
 }

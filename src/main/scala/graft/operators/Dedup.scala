@@ -70,11 +70,12 @@ object Dedup {
     * but without its per-element interpretation cost. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int): DataFrame =
+      k: Int, numHashes: Int, portable: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"),
         graft.expressions.TextHashExprs.minhashSignature(
           graft.expressions.TextHashExprs.shingleHashes64(
-            TextAnalysis.tokens(col(textCol)), k), numHashes).as("sig"))
+            TextAnalysis.tokens(col(textCol)), k, portable),
+          numHashes, portable).as("sig"))
 
   /** LSH candidate pairs from a signature DF: band the signature (`bands`
     * bands of rowsPerBand rows), bucket-join docs sharing any band hash.
@@ -84,13 +85,22 @@ object Dedup {
     * degenerated (boilerplate corpus) — it no longer separates near-dups
     * from the crowd. Returns (id_a, id_b) with id_a < id_b, distinct. */
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucket: Int = DefaultMaxDf): DataFrame = {
+      maxBucket: Int = DefaultMaxDf, portable: Boolean = false): DataFrame = {
     require(bands > 0 && rowsPerBand > 0,
       s"bands=$bands rowsPerBand=$rowsPerBand must be positive")
+    // band key: xxhash64 of the slice by default; in PORTABLE mode a
+    // base-131 fold of the slots seeded with the band index — the same
+    // arithmetic DuckDB runs as list_reduce(list_prepend(band, slice),
+    // (acc, s) -> (acc*131 + s) % 1000000007)
+    val bandKey: Int => Column =
+      if (portable) b =>
+        aggregate(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          lit(b.toLong),
+          (acc, v) => (acc * lit(131L) + v) % lit(graft.expressions.TextHashKernels.PortableMod))
+      else b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
     val banded = dropHotKeys(
-      sig.select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      sig.select(col("id"), posexplode(array((0 until bands).map(bandKey): _*)))
         .toDF("id", "band", "bhash"),
       Seq("band", "bhash"), maxBucket)
     banded.as("a").join(banded.as("b"),
@@ -104,11 +114,11 @@ object Dedup {
   def minhashLshCandidates(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      maxBucket: Int = DefaultMaxDf): DataFrame = {
+      maxBucket: Int = DefaultMaxDf, portable: Boolean = false): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes (trailing slots would be silently ignored)")
-    lshCandidates(minhashSignatures(df, idCol, textCol, k, numHashes), bands,
-      numHashes / bands, maxBucket)
+    lshCandidates(minhashSignatures(df, idCol, textCol, k, numHashes, portable), bands,
+      numHashes / bands, maxBucket, portable)
   }
 
   /** MinHash-estimated Jaccard for candidate pairs (fraction of agreeing
@@ -119,11 +129,12 @@ object Dedup {
   def minhashDedupPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.6, maxBucket: Int = DefaultMaxDf): DataFrame = {
+      threshold: Double = 0.6, maxBucket: Int = DefaultMaxDf,
+      portable: Boolean = false): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes (trailing slots would be silently ignored)")
-    val sig = Caches.register(minhashSignatures(df, idCol, textCol, k, numHashes))
-    val cand = lshCandidates(sig, bands, numHashes / bands, maxBucket)
+    val sig = Caches.register(minhashSignatures(df, idCol, textCol, k, numHashes, portable))
+    val cand = lshCandidates(sig, bands, numHashes / bands, maxBucket, portable)
     cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -189,13 +200,13 @@ object Dedup {
   def winnowPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
-      maxDf: Int = DefaultMaxDf): DataFrame = {
+      maxDf: Int = DefaultMaxDf, portable: Boolean = false): DataFrame = {
     // fingerprints in > maxDf docs are boilerplate, not near-dup signal —
     // drop them before the self-join (see dropHotKeys). The raw explode
     // is cached too: it feeds the df pass and the semi-join left side
     val raw = Caches.register(df.select(col(idCol).as("id"),
       explode(graft.expressions.TextHashExprs.winnowFingerprints(
-        TextAnalysis.tokens(col(textCol)), k, w)).as("fp")))
+        TextAnalysis.tokens(col(textCol)), k, w, portable)).as("fp")))
     val fp = Caches.register(dropHotKeys(raw, Seq("fp"), maxDf))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
@@ -235,8 +246,32 @@ object Dedup {
     * The sequential Verify/Bench harness satisfies this; concurrent use
     * needs a dedicated session. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
-      driverMaxEdges: Long = 5000000L): DataFrame = {
+      driverMaxEdges: Long = 5000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter > 0, s"maxIter=$maxIter must be positive")
+    // `checkpointDir = Some(dir)` switches the loop's lineage truncation
+    // from executor-memory localCheckpoint to DURABLE checkpoint() on
+    // cluster storage: a long multi-round job on a real cluster survives
+    // executor loss (localCheckpoint blocks die with their executor and
+    // the truncated plan cannot recompute them). Identical labels either
+    // way — only the storage of the per-round materialization moves.
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // ids normalize to LongType UP FRONT so both closure paths (driver
+    // union-find and distributed loop) return the identical (id long,
+    // label long) schema — without this the output type would depend on
+    // which path the GRAPH SIZE selected. Non-integral id columns are
+    // rejected loudly: a string→long cast yields nulls, which would
+    // silently corrupt labels instead of failing.
+    Seq("id_a", "id_b").foreach { c =>
+      val t = pairs.schema(c).dataType
+      require(Seq[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType, LongType).contains(t),
+        s"connectedComponents: pair column $c must be an integral id type, got $t")
+    }
     // LINEAGE TRUNCATION is the load-bearing detail of the loop: a cached
     // DataFrame still carries its full logical plan, and each round
     // references the previous round TWICE (jump join) — without
@@ -245,11 +280,13 @@ object Dedup {
     // 256-pair graph). Eager localCheckpoint() pins the rows and cuts
     // the plan to the materialized RDD; a durable `checkpoint()` to
     // cluster storage is the fault-tolerant variant for long jobs.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint()
-    val spark = pairs.sparkSession
-    val nEdges = edges.count() // free — edges is already materialized
+    val edges = pairs.select(col("id_a").cast(LongType).as("src"),
+        col("id_b").cast(LongType).as("dst"))
+      .union(pairs.select(col("id_b").cast(LongType).as("src"),
+        col("id_a").cast(LongType).as("dst")))
+      .distinct()
+    val edgesCk = ckpt(edges)
+    val nEdges = edgesCk.count() // free — edges is already materialized
     // SMALL-GRAPH FAST PATH: the pair graph is a post-blocking artifact,
     // orders of magnitude smaller than the corpus (a df-capped near-dup
     // pair list, not the documents). Up to `driverMaxEdges` UNDIRECTED
@@ -265,7 +302,7 @@ object Dedup {
     // division would route a 1-edge graph down the driver path even
     // under driverMaxEdges = 0 (the spec hook that pins the loop path)
     if ((nEdges + 1) / 2 <= driverMaxEdges)
-      return driverComponents(spark, edges)
+      return driverComponents(spark, edgesCk)
     // size the ROUND shuffles to the graph, not the corpus: each of the
     // ~diameter rounds pays per-partition task overhead on every shuffle.
     // One partition per ~250k edges, capped at the session setting so a
@@ -274,8 +311,8 @@ object Dedup {
     val graphParts = math.max(1L, math.min(sessionParts.toLong,
       nEdges / 250000L + 1L)).toInt
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    var labels = ckpt(edgesCk.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     // convergence detection without a per-round join: the id set is fixed
     // (the union keeps every labeled id in play) and labels only ever
     // DECREASE under min-propagation, so "any label moved" ⇔ "the exact
@@ -284,9 +321,19 @@ object Dedup {
     // round. Decimal(38,0), not long: at corpus scale, billions of ids ×
     // 10^12 magnitudes overflow an int64 sum.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("label").cast(
-        org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d // empty graph
+      val row = df.agg(count(lit(1)),
+        sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+      val d = row.getDecimal(1)
+      // a null SUM means EITHER an empty graph OR a Decimal(38,0)
+      // overflow (sum semantics return null on overflow here) — only the
+      // former may read as ZERO: two consecutive overflowed rounds would
+      // compare equal and report convergence with wrong labels
+      if (d == null) {
+        if (row.getLong(0) == 0L) java.math.BigDecimal.ZERO
+        else throw new ArithmeticException(
+          "connectedComponents: label sum overflowed Decimal(38,0) — " +
+            "id magnitudes are too large for sum-based convergence detection")
+      } else d
     }
     var prevSum = labelSum(labels)
     var changed = true
@@ -297,11 +344,10 @@ object Dedup {
     try {
       spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
       while (changed && i < maxIter + 1) {
-        val next = edges.join(labels, edges("src") === labels("id"))
+        val next = ckpt(edgesCk.join(labels, edgesCk("src") === labels("id"))
           .select(col("dst").as("id"), col("label"))
           .union(labels)
-          .groupBy(col("id")).agg(min(col("label")).as("label"))
-          .localCheckpoint()
+          .groupBy(col("id")).agg(min(col("label")).as("label")))
         val nextSum = labelSum(next)
         changed = nextSum.compareTo(prevSum) != 0
         prevSum = nextSum
@@ -332,9 +378,14 @@ object Dedup {
     val sb = new scala.collection.mutable.ArrayBuilder.ofLong
     val db = new scala.collection.mutable.ArrayBuilder.ofLong
     val it = edges.filter(col("src") <= col("dst"))
-      .select(col("src").cast(LongType), col("dst").cast(LongType))
+      .select(col("src"), col("dst"))
       .toLocalIterator()
-    while (it.hasNext) { val r = it.next(); sb += r.getLong(0); db += r.getLong(1) }
+    while (it.hasNext) {
+      val r = it.next()
+      if (r.isNullAt(0) || r.isNullAt(1)) throw new IllegalArgumentException(
+        "connectedComponents: null id in pair list — drop null-id rows upstream")
+      sb += r.getLong(0); db += r.getLong(1)
+    }
     val srcA = sb.result(); val dstA = db.result()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
@@ -378,8 +429,8 @@ object Dedup {
     * 64-int vote array, no per-token allocation; the equivalent
     * declarative aggregate/zip_with tree cost ~7 s interpreted per 5k
     * docs. Map-only. */
-  def simhashChunks(textCol: Column): Column =
-    graft.expressions.TextHashExprs.simhashChunks(TextAnalysis.tokens(textCol))
+  def simhashChunks(textCol: Column, portable: Boolean = false): Column =
+    graft.expressions.TextHashExprs.simhashChunks(TextAnalysis.tokens(textCol), portable)
 
   /** The declarative HOF formulation of [[simhashChunks]], kept as the
     * cross-check oracle for the native kernel (DedupSimilaritySpec
@@ -410,10 +461,11 @@ object Dedup {
     * probability), verify with the exact hamming distance. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = DefaultMaxDf): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxDf,
+      portable: Boolean = false): DataFrame = {
     // cache: the sketch feeds both sides of the self-join (8 longs/doc)
     val sk = Caches.register(
-      df.select(col(idCol).as("id"), simhashChunks(col(textCol)).as("sk")))
+      df.select(col(idCol).as("id"), simhashChunks(col(textCol), portable).as("sk")))
     // over-full (band, chunk) buckets are degenerate blocking keys
     // (boilerplate corpus) — drop before the f² self-join
     val chunks = dropHotKeys(

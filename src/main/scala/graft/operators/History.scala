@@ -13,7 +13,13 @@ object History {
     * per `keyCol` into versioned validity runs. Rows are sequenced by
     * `orderCols` — pass a TOTAL order (e.g. timestamp + unique id):
     * under a partial order, run boundaries depend on physical row order,
-    * which is not a distributed concept.
+    * which is not a distributed concept. Sequencing values must also be
+    * NON-NULL: nulls sort FIRST under Spark's ascending order while
+    * `min(orderCols.head)` skips them, so a run whose first row has a
+    * null sequencing value would report a later valid_from than its
+    * actual start (and the neighboring run's exclusive valid_to bound
+    * would disagree with the run boundary). Filter or coalesce null
+    * timestamps upstream.
     *
     * Returns (keyCol, version, valueCol, valid_from, valid_to, n_rows):
     * version numbers runs 1..k per key, valid_from is the run's first

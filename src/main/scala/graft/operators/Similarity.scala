@@ -104,20 +104,33 @@ object Similarity {
     * One side explodes to its XOR-neighborhood (masks with ≤ radius bits
     * set), the other keeps its exact bucket; for a qualifying pair
     * exactly one mask matches (mask = bucketA ^ bucketB) and the id_a <
-    * id_b guard keeps one orientation, so no distinct is needed. */
+    * id_b guard keeps one orientation, so no distinct is needed.
+    *
+    * Buckets holding more than `maxBucket` docs are dropped BEFORE the
+    * self-join ([[Dedup.dropHotKeys]], same cap as every blocked pair
+    * generator in [[Dedup]]): a bucket of f docs emits O(f²) candidate
+    * rows on one reducer, and a degenerate bucket (zero vectors, a
+    * boilerplate embedding cluster, too few planes) is exactly where f
+    * explodes. The cap is the safety net, not the sizing mechanism —
+    * pick nPlanes ≈ log₂(corpus / targetBucketSize) so the EXPECTED
+    * bucket is small (e.g. 1B docs, 4k-doc target buckets → p ≈ 18);
+    * `maxBucket <= 0` disables the cap. */
   def embeddingDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 4, seed: Long = 42L,
-      dim: Int = 64, probeRadius: Int = 1): DataFrame = {
+      dim: Int = 64, probeRadius: Int = 1,
+      maxBucket: Int = Dedup.DefaultMaxDf): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= nPlanes,
       s"probeRadius=$probeRadius must be in [0, nPlanes=$nPlanes]")
     val planes = hyperplanes(dim, nPlanes, seed)
-    // cached: bucket assignment + PRECOMPUTED norm feed both sides of the
-    // self-join, so the per-pair verify is just the fused dot kernel and
-    // a divide (cosine would redo both norms on every candidate pair)
-    val b = Caches.register(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // cached: bucket assignment + PRECOMPUTED norm feed the df-cap pass
+    // and both sides of the self-join, so the per-pair verify is just the
+    // fused dot kernel and a divide (cosine would redo both norms on
+    // every candidate pair)
+    val raw = Caches.register(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshBucket(col(vecCol), planes).as("bucket"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_n")))
+    val b = Caches.register(Dedup.dropHotKeys(raw, Seq("bucket"), maxBucket))
     val masks = (0L until (1L << nPlanes))
       .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
     val probed = b.withColumn("_mask", explode(typedLit(masks)))
@@ -129,6 +142,18 @@ object Similarity {
         round(when(denom === 0.0, 0.0)
           .otherwise(dotNative(col("a.vec"), col("b.vec")) / denom), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Attach a SELF-CERTIFYING `recall_at_k` column to an approximate
+    * top-k result: the fraction of `exact`'s ids that `approx` found,
+    * computed IN THE SAME PLAN (semi-join + 1-row aggregate broadcast
+    * back over the k result rows — no second action, no driver math).
+    * Makes the correctness of an ANN result visible in the result itself:
+    * a rows-only harness check now also gates on recall. */
+  def withRecall(approx: DataFrame, exact: DataFrame, idCol: String, k: Int): DataFrame = {
+    val hits = approx.join(exact.select(col(idCol)), Seq(idCol), "left_semi")
+      .agg(round(count(lit(1)).cast(DoubleType) / k, 6).as("recall_at_k"))
+    approx.crossJoin(hits)
   }
 
   /** Exact k-NN join: for each left row, top-k right rows by cosine.

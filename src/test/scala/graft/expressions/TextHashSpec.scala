@@ -90,6 +90,50 @@ class TextHashSpec extends SparkSpec {
     assert(fps(0).intersect(fps(1)).nonEmpty)
   }
 
+  test("PORTABLE kernels match a hand-rolled reference fold (DuckDB-mirror arithmetic)") {
+    import spark.implicits._
+    val P = 1000000007L
+    // the independent reference: fold over CHARACTERS, exactly what the
+    // oracle SQL runs as list_reduce over ord(c) — tokens are ASCII so
+    // chars == bytes == DuckDB codepoints
+    def poly(s: String, base: Long): Long =
+      s.foldLeft(0L)((a, ch) => (a * base + ch.toLong) % P)
+    val df = Seq("alpha beta gamma delta").toDF("text")
+    val want = Seq("alpha beta gamma", "beta gamma delta")
+      .map(poly(_, 31L)).distinct.sorted
+    val got = df.select(TextHashExprs.shingleHashes64(
+        TextAnalysis.tokens(col("text")), 3, portable = true))
+      .collect()(0).getSeq[Long](0)
+    assert(got === want)
+    // minhash slots: ((48271 + 2j)·h + j) mod P over the shingle set
+    val sig = df.select(TextHashExprs.minhashSignature(
+        TextHashExprs.shingleHashes64(TextAnalysis.tokens(col("text")), 3, portable = true),
+        4, portable = true))
+      .collect()(0).getSeq[Long](0)
+    val wantSig = (0 until 4).map(j => want.map(h => ((48271L + 2 * j) * h + j) % P).min)
+    assert(sig === wantSig)
+    // winnow: distinct window minima over POSITIONAL hashes
+    val toks = "alpha beta gamma delta epsilon zeta".split(" ").toSeq
+    val pos = toks.sliding(3).map(_.mkString(" ")).map(poly(_, 31L)).toArray
+    val wantFp = pos.sliding(2).map(_.min).toSeq.distinct.sorted
+    val gotFp = Seq(toks.mkString(" ")).toDF("text")
+      .select(TextHashExprs.winnowFingerprints(
+        TextAnalysis.tokens(col("text")), 3, 2, portable = true))
+      .collect()(0).getSeq[Long](0)
+    assert(gotFp === wantFp)
+    // simhash on a ONE-token doc: sketch bits == token-hash bits, so the
+    // chunk fold pins both the h31 | h131<<32 packing and the MSB-first
+    // chunk layout
+    val sk = Seq("ab").toDF("text")
+      .select(Dedup.simhashChunks(col("text"), portable = true))
+      .collect()(0).getSeq[Long](0)
+    val h64 = poly("ab", 31L) | (poly("ab", 131L) << 32)
+    val wantChunks = (0 until 4).map { c =>
+      (0 until 16).foldLeft(0L)((acc, b) => acc * 2 + ((h64 >>> (c * 16 + b)) & 1L))
+    }
+    assert(sk === wantChunks)
+  }
+
   test("kernels survive whole-stage codegen (larger-than-one-row batch)") {
     // exercise the doGenCode path explicitly: a projection over many rows
     // inside one stage, grouped after — would throw on bad generated Java

@@ -24,6 +24,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall over ${exact.size} exact pairs")
   }
 
+  test("PORTABLE minhash family recovers the high-Jaccard pairs too") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val mh = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5, portable = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(mh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"portable minhash recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("PORTABLE winnow family keeps the planted near-dups pairable") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wp = Dedup.winnowPairs(docs, "doc_id", "text", k = 3, w = 4,
+        minShared = 2, portable = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(wp.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"portable winnow recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("PORTABLE simhash family finds near-dup pairs (4 structural-zero bits)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6, portable = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && sh.nonEmpty)
+    val recall = exact.count(sh.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"portable simhash recall $recall over ${exact.size} exact pairs")
+  }
+
   test("simhash finds near-dup pairs consistent with exact Jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.9)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -56,6 +87,16 @@ class DedupSimilaritySpec extends SparkSpec {
     val overlap = brute.count(ann.contains).toDouble / brute.size
     assert(overlap >= 0.35, s"ann overlap $overlap")
     assert(ann.size === 20)
+    // the self-certifying recall column reports exactly this overlap
+    val rec = Similarity.withRecall(
+        Similarity.annTopK(emb, "vec_id", "embedding", q, k = 20,
+          nPlanes = 3, probeRadius = 1),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20),
+        "vec_id", 20)
+      .select("recall_at_k").distinct().collect()
+    assert(rec.length === 1, "recall_at_k must be constant over the result")
+    assert(math.abs(rec(0).getDouble(0) - overlap) < 1e-6,
+      s"recall column ${rec(0).getDouble(0)} != measured overlap $overlap")
   }
 
   test("IVF search beats plain LSH recall on the same budget") {

@@ -112,6 +112,78 @@ class DedupSkewSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("embedding dup pairs: degenerate bucket capped, planted pairs survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    // 10 planted near-dup pairs + 20% degenerate all-zero embeddings
+    // (every zero vector lands in the all-ones LSH bucket: dot >= 0)
+    val planted = Seq.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+      .zipWithIndex.flatMap { case (b, i) =>
+        Seq((i.toLong * 2, unit(b)), (i.toLong * 2 + 1, unit(b.map(_ + rnd.nextGaussian() * 0.02))))
+      }
+    val zeros = (1000L until 1005L).map(i => (i, Seq.fill(64)(0.0)))
+    val df = (planted ++ zeros).toDF("vec_id", "embedding")
+    // threshold 0.0 makes the zero-zero candidates VISIBLE (their cosine
+    // is defined as 0.0): the uncapped run must surface all C(5,2) of
+    // them, the capped run none — the observable bound on candidates
+    def run(maxBucket: Int): Set[(Long, Long)] =
+      Similarity.embeddingDupPairs(df, "vec_id", "embedding",
+          threshold = 0.0, nPlanes = 3, probeRadius = 0, maxBucket = maxBucket)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def zeroPair(p: (Long, Long)): Boolean = p._1 >= 1000L && p._2 >= 1000L
+    val uncapped = run(0)
+    assert(uncapped.count(zeroPair) === 10, "all-zero docs must collide uncapped")
+    val capped = run(4) // 5 zero docs > cap → their bucket is dropped
+    assert(capped.count(zeroPair) === 0, s"hot bucket survived the cap: $capped")
+    assert(capped.subsetOf(uncapped))
+    // planted pairs outside the dropped bucket still pair up
+    val plantedFound = capped.count(p => p._1 < 1000L && p._2 == p._1 + 1)
+    assert(plantedFound >= 5, s"capped run lost too many planted pairs: $capped")
+  }
+
+  test("connected components: durable checkpoint() path matches localCheckpoint") {
+    import spark.implicits._
+    val pairChain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairChain, driverMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    try {
+      val durable = Dedup.connectedComponents(pairChain, driverMaxEdges = 0L,
+          checkpointDir = Some(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(durable === local)
+      // the durable path actually wrote RDD checkpoints to cluster storage
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(wrote > 0, "no rdd checkpoint directories written")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("connected components: integral ids normalize to long on BOTH paths") {
+    import spark.implicits._
+    val intPairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b") // IntegerType in
+    val driver = Dedup.connectedComponents(intPairs)
+    val loop = Dedup.connectedComponents(intPairs, driverMaxEdges = 0L)
+    // output schema is (id long, label long) regardless of path
+    assert(driver.schema.map(_.dataType).forall(_ ===
+      org.apache.spark.sql.types.LongType))
+    assert(driver.schema.map(_.dataType) === loop.schema.map(_.dataType))
+    assert(driver.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      loop.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+    // non-integral id columns are rejected loudly, not silently nulled
+    val bad = Seq(("a", "b")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(bad)
+    }
+    assert(e.getMessage.contains("integral id type"))
+  }
+
   test("simhash: hot chunk buckets capped, planted exact-dup survives") {
     val uncapped = pairs(Dedup.simhashPairs(corpus, "doc_id", "text",
       maxHamming = 3, maxBucket = 0))
