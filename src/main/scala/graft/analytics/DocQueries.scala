@@ -561,8 +561,10 @@ object DocQueries {
 
   /** LSH-bucketed ANN top-20 (same query vector as q_embed_topk), with a
     * SELF-CERTIFYING recall_at_k column vs the brute-force exact top-20
-    * computed in the same plan — the harness row check doubles as a
-    * quality gate (recall threshold asserted in DedupSimilaritySpec). */
+    * computed in the same plan — and a FULL DuckDB oracle: the portable
+    * quantized-Rademacher planes (Similarity.rademacherPlanes) make the
+    * bucket assignment integer arithmetic, so the oracle reproduces the
+    * probe set, the scores AND the recall column bit-for-bit. */
   val qAnnTopK = GraftQuery(
     "q_ann_topk",
     (s, dir) => {
@@ -571,12 +573,46 @@ object DocQueries {
         .withColumn("embedding", $"embedding".cast("array<double>")))
       val q = emb.orderBy($"vec_id").limit(1)
         .select($"embedding").collect()(0).getSeq[Double](0)
-      val ann = Similarity.annTopK(emb, "vec_id", "embedding", q, k = 20, nPlanes = 3)
+      val ann = Similarity.annTopK(emb, "vec_id", "embedding", q, k = 20,
+        nPlanes = 3, portablePlanes = true)
       Similarity.withRecall(ann,
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20), "vec_id", 20)
         .orderBy($"cos_sim".desc, $"vec_id")
     },
-    None
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT v AS qvec FROM e ORDER BY vec_id LIMIT 1),
+      qb AS (SELECT list_transform(qvec, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qq FROM q),
+      bv AS (SELECT vec_id, v,
+        list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
+      b AS (SELECT vec_id, v,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(3), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qv[d+1] * (CASE WHEN (48271 * ((48271 * (p*64 + d + 1)) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) AS bucket
+      FROM bv),
+      qbkt AS (SELECT
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(3), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qq[d+1] * (CASE WHEN (48271 * ((48271 * (p*64 + d + 1)) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) AS qbucket
+      FROM qb),
+      ann AS (SELECT vec_id,
+          ROUND(list_dot_product(v, qvec) /
+            (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qvec, qvec))), 6) AS cos_sim
+        FROM b, qbkt, q WHERE bit_count(xor(bucket, qbucket)) <= 1
+        ORDER BY cos_sim DESC, vec_id LIMIT 20),
+      brute AS (SELECT vec_id FROM (SELECT vec_id,
+          ROUND(list_dot_product(v, qvec) /
+            (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(qvec, qvec))), 6) AS c
+        FROM e, q) scored ORDER BY c DESC, vec_id LIMIT 20),
+      rec AS (SELECT ROUND(COUNT(*) / 20.0, 6) AS recall_at_k
+        FROM ann JOIN brute USING (vec_id))
+      SELECT ann.vec_id, ann.cos_sim, rec.recall_at_k FROM ann, rec
+      ORDER BY cos_sim DESC, vec_id""")
   )
 
   /** Embedding-cosine near-dup pairs, LSH-blocked with 1-bit multi-probe.
@@ -594,10 +630,35 @@ object DocQueries {
       import s.implicits._
       Similarity.embeddingDupPairs(
           Tables.embeddings(s, dir).withColumn("embedding", $"embedding".cast("array<double>")),
-          "vec_id", "embedding", threshold = 0.4, nPlanes = 5, probeRadius = 1)
+          "vec_id", "embedding", threshold = 0.4, nPlanes = 5, probeRadius = 1,
+          portablePlanes = true)
         .orderBy($"id_a", $"id_b")
     },
-    None
+    // the portable quantized-Rademacher planes make the blocking decision
+    // integer arithmetic, so the oracle reproduces block → probe → verify
+    // end to end (the ≤1-bit bucket-distance join IS the mask explode);
+    // the df-cap (HAVING COUNT(*) <= 10000) mirrors dropHotKeys
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bv AS (SELECT vec_id, v,
+        list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
+      b AS (SELECT vec_id, v,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(5), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qv[d+1] * (CASE WHEN (48271 * ((48271 * (p*64 + d + 1)) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) AS bucket
+      FROM bv),
+      kept AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 10000),
+      bk AS (SELECT b.* FROM b JOIN kept USING (bucket)),
+      p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+          ROUND(CASE WHEN SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v)) = 0
+            THEN 0.0
+            ELSE list_dot_product(a.v, c.v) /
+              (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v))) END, 6) AS cos_sim
+        FROM bk a JOIN bk c ON a.vec_id < c.vec_id
+          AND bit_count(xor(a.bucket, c.bucket)) <= 1)
+      SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""")
   )
 
   /** IVF ANN top-20 (KMeans coarse quantizer, 2-probe; same query vector
@@ -688,8 +749,10 @@ object DocQueries {
       GROUP BY 1 ORDER BY key""")
   )
 
-  /** KMV sketch (custom TypedImperativeAggregate) group-wise distinct —
-    * rows-only (sketch internals engine-specific; accuracy pinned in
+  /** KMV sketch (custom TypedImperativeAggregate) group-wise distinct,
+    * PORTABLE hash family — DuckDB reproduces the k-min sets and the
+    * (k−1)/frac estimator exactly, so the sketch aggregate itself is
+    * hash-oracled (xxhash64-family accuracy stays pinned in
     * KmvSketchSpec). */
   val qKmvDistinct = GraftQuery(
     "q_kmv_distinct",
@@ -697,10 +760,26 @@ object DocQueries {
       import s.implicits._
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag")
-        .agg(graft.expressions.KmvSketch.kmvDistinct($"l_orderkey", 512).as("approx_orders"))
+        .agg(graft.expressions.KmvSketch.kmvDistinct($"l_orderkey", 512, portable = true)
+          .as("approx_orders"))
         .orderBy($"l_returnflag")
     },
-    None
+    // hv = two Lehmer steps of (l_orderkey mod P + 1); per group the
+    // DISTINCT hashes' 512th minimum drives the estimator — below
+    // capacity the estimate is the exact distinct-hash count
+    Some("""WITH h AS (SELECT DISTINCT l_returnflag,
+        (48271 * ((48271 * ((l_orderkey % 1000000007 + 1) % 1000000007)) % 1000000007)) % 1000000007 AS hv
+      FROM lineitem),
+      r AS (SELECT l_returnflag, hv,
+        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+        COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+      FROM h)
+      SELECT l_returnflag,
+        CAST(CASE WHEN nd < 512 THEN nd
+          ELSE GREATEST(1, CAST(ROUND(511 / (hv / 1000000007.0)) AS BIGINT)) END AS BIGINT)
+          AS approx_orders
+      FROM r WHERE rn = CASE WHEN nd < 512 THEN nd ELSE 512 END
+      ORDER BY l_returnflag""")
   )
 
   /** Composite document quality score (deterministic double math —
@@ -731,7 +810,8 @@ object DocQueries {
   /** Pairwise source-corpus vocabulary similarity estimated from KMV
     * sketches alone: one scan builds a token sketch per source, the pair
     * stage touches only k-long arrays — never re-reading the corpus.
-    * Rows-only (hash-seeded sketch; accuracy pinned in KmvSketchSpec). */
+    * PORTABLE hash family → the k-min sets, the union-overlap Jaccard
+    * and therefore the whole query are DuckDB-oracled. */
   val qSourceSimilarity = GraftQuery(
     "q_source_similarity",
     (s, dir) => {
@@ -739,14 +819,33 @@ object DocQueries {
       import graft.expressions.KmvSketch
       val sk = Tables.documents(s, dir)
         .select($"source", explode(TextAnalysis.tokens($"text")).as("token"))
-        .groupBy($"source").agg(KmvSketch.kmvSet($"token", 256).as("sk"))
+        .groupBy($"source").agg(KmvSketch.kmvSet($"token", 256, portable = true).as("sk"))
       sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
         .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
           round(KmvSketch.kmvJaccard(col("a.sk"), col("b.sk"), 256), 6)
             .as("est_vocab_jaccard"))
         .orderBy($"source_a", $"source_b")
     },
-    None
+    // token hash = two Lehmer steps of (poly31(token) + 1); per source
+    // the 256 smallest distinct hashes form the sketch; pair similarity
+    // = overlap share of the union's 256 smallest (kmvJaccard mirrored)
+    Some("""WITH tok AS (SELECT DISTINCT source,
+        (48271 * ((48271 * ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(regexp_extract_all(token, '.'), c -> CAST(ord(c) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % 1000000007) + 1) % 1000000007)) % 1000000007)) % 1000000007 AS hv
+      FROM (SELECT source,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      FROM documents) t),
+      sk AS (SELECT source, list_sort(list(hv))[1:256] AS sk
+        FROM tok GROUP BY source),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+          a.sk AS ska, b.sk AS skb,
+          list_sort(list_distinct(a.sk || b.sk))[1:256] AS u
+        FROM sk a JOIN sk b ON a.source < b.source)
+      SELECT source_a, source_b,
+        ROUND(CAST(len(list_filter(u, x -> list_contains(ska, x) AND list_contains(skb, x))) AS DOUBLE)
+          / GREATEST(len(u), 1), 6) AS est_vocab_jaccard
+      FROM p ORDER BY source_a, source_b""")
   )
 
   val all: Seq[GraftQuery] = Seq(

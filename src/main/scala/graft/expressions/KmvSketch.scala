@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class KmvSketch(
     child: Expression,
     k: Int = 256,
+    portable: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
@@ -41,7 +42,8 @@ case class KmvSketch(
       buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = hasher.eval(input).asInstanceOf[Long]
+      val h = if (portable) KmvSketch.portableHash(v)
+        else hasher.eval(input).asInstanceOf[Long]
       add(buf, h)
     }
     buf
@@ -72,7 +74,8 @@ case class KmvSketch(
     val it = buf.iterator()
     var i = 0
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
-    KmvSketch.estimateFromSortedKeys(arr, k)
+    if (portable) KmvSketch.portableEstimateFromSortedKeys(arr, k)
+    else KmvSketch.estimateFromSortedKeys(arr, k)
   }
 
   override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
@@ -122,17 +125,51 @@ object KmvSketch {
     }
 
   /** Column API: kmv_distinct(col, k). */
-  def kmvDistinct(c: Column, k: Int = 256): Column =
+  def kmvDistinct(c: Column, k: Int = 256, portable: Boolean = false): Column =
     org.apache.spark.sql.graftshim.ColumnShim.column(
-      KmvSketch(org.apache.spark.sql.graftshim.ColumnShim.expression(c), k)
+      KmvSketch(org.apache.spark.sql.graftshim.ColumnShim.expression(c), k, portable)
         .toAggregateExpression())
 
   /** The k-min SET itself (sorted array<long>) — the mergeable sketch
     * value, enabling set-overlap estimates HLL cannot do. */
-  def kmvSet(c: Column, k: Int = 256): Column =
+  def kmvSet(c: Column, k: Int = 256, portable: Boolean = false): Column =
     org.apache.spark.sql.graftshim.ColumnShim.column(
-      KmvSetSketch(org.apache.spark.sql.graftshim.ColumnShim.expression(c), k)
+      KmvSetSketch(org.apache.spark.sql.graftshim.ColumnShim.expression(c), k, portable)
         .toAggregateExpression())
+
+  /** PORTABLE hash of a value into [0, PortableMod) — the SQL-mirrorable
+    * family (see TextHashKernels.PortableMod): strings go through the
+    * base-31 polynomial, integers reduce mod P; both then take two
+    * Lehmer steps (x -> 48271·x mod P) to scatter — one step of a
+    * multiplicative congruence maps arithmetic progressions to
+    * arithmetic progressions, which would bias k-min order statistics.
+    * The +1 avoids the 0 fixed point. Accuracy vs xxhash64 is pinned in
+    * KmvSketchSpec. */
+  def portableHash(v: Any): Long = {
+    val P = TextHashKernels.PortableMod
+    val base = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        TextHashKernels.portableStringHash(s)
+      case l: Long => ((l % P) + P) % P
+      case i: Int => ((i.toLong % P) + P) % P
+      case other => throw new IllegalArgumentException(
+        s"portable KMV supports long/int/string values, got ${other.getClass}")
+    }
+    val x0 = (base + 1) % P
+    (48271L * ((48271L * x0) % P)) % P
+  }
+
+  /** Estimator for the portable family: hash domain is [0, P), so the
+    * k-th minimum maps to (0,1) by /P instead of /2^64. Keys arrive
+    * sign-flipped like the xxhash64 path (the flip is order-preserving
+    * and value-recoverable). */
+  def portableEstimateFromSortedKeys(keys: Array[Long], k: Int): Long =
+    if (keys.length < k) keys.length.toLong
+    else {
+      val kth = (keys.last ^ Long.MinValue).toDouble
+      val frac = kth / TextHashKernels.PortableMod.toDouble
+      math.max(1L, math.round((k - 1) / frac))
+    }
 
   /** Jaccard estimate between two KMV sets (both built with the same k):
     * take the k smallest of the union, measure the overlap fraction —
@@ -150,11 +187,12 @@ object KmvSketch {
 case class KmvSetSketch(
     child: Expression,
     k: Int = 256,
+    portable: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
 
-  private val inner = KmvSketch(child, k)
+  private val inner = KmvSketch(child, k, portable)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

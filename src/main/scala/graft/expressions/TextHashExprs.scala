@@ -51,6 +51,10 @@ object TextHashKernels {
     polyHash(b, b.length, base)
   }
 
+  /** Public base-31 polynomial string hash for non-kernel consumers of
+    * the portable family (KmvSketch's portable mode). */
+  def portableStringHash(s: UTF8String): Long = polyHashUTF8(s, 31L)
+
   /** Sort + in-place unique (set semantics for fingerprint arrays). */
   private def sortedDistinct(hashes: Array[Long]): ArrayData = {
     java.util.Arrays.sort(hashes)

@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed batch-wise with mapPartitions (the Scala
   * analogue of the mapInPandas batch shape).
   *
-  * The actual media decode is STUBBED — image/audio codecs are not in
-  * this container — behind [[FakeDecoder]], a deterministic stand-in that
-  * derives plausible metadata from the bytes. Everything around it (the
-  * schema, the partition-wise batch processing, null handling, the typed
-  * Dataset API) is real and tested; swapping FakeDecoder for a JNI/JavaCV
-  * decoder changes one function.
+  * Two decoders behind one function signature: [[ImageIoDecoder]] does
+  * REAL PNG/JPEG/GIF/BMP header extraction via javax.imageio (pure JVM),
+  * and [[FakeDecoder]] is the deterministic stand-in for kinds whose
+  * codecs are not in this container (audio/video) and for reproducible
+  * tests. Everything around them (the schema, the partition-wise batch
+  * processing, null handling, the typed Dataset API) is shared and
+  * tested; swapping in a JNI/JavaCV video decoder changes one function.
   */
 object Multimodal {
 
@@ -56,15 +57,55 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder: javax.imageio header probe for PNG/JPEG/GIF/BMP
+    * — pure JVM, no native deps. Reads ONLY the header (ImageReader
+    * .getWidth/getHeight never decode pixel data), which is the 100 TB
+    * story: dimension extraction costs a few hundred bytes of IO per
+    * image, not a full pixel decode.
+    *
+    * Failure policy: an undecodable payload (or a non-image kind) yields
+    * width = height = -1 rather than throwing — one corrupt object among
+    * billions must not kill the job; downstream filters on the sentinel.
+    * byte_size and sha256 are always real. */
+  object ImageIoDecoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(row.payload).map("%02x".format(_)).mkString
+      var w = -1
+      var h = -1
+      if (row.kind == "image") {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              w = r.getWidth(0)
+              h = r.getHeight(0)
+            } catch { case _: java.io.IOException => () } // sentinel stays
+            finally r.dispose()
+          }
+        } finally iis.close()
+      }
+      MediaFeatures(row.media_id, row.kind, row.payload.length.toLong, hex,
+        w, h, if (w >= 0) 1 else 0, 0L)
+    }
+  }
+
   /** Batch feature extraction: mapPartitions so any real decoder can
     * amortize per-batch init (model load, codec context) exactly like
     * mapInPandas batches — one decoder instance per partition, streaming
-    * through rows without materializing the partition. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * through rows without materializing the partition. `decode` defaults
+    * to the deterministic [[FakeDecoder]] (no codecs needed); pass
+    * [[ImageIoDecoder.decode]] for real PNG/JPEG header extraction. */
+  def extractFeatures(media: Dataset[MediaRow],
+      decode: MediaRow => MediaFeatures = FakeDecoder.decode): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real impl: init decoder/codec once here
-      rows.map(FakeDecoder.decode)
+      rows.map(decode)
     }
   }
 

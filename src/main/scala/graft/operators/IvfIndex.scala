@@ -114,6 +114,32 @@ object IvfIndex {
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("ivf_cell", cellOf(col(vecCol), model))
 
+  /** Persist the corpus as a CELL-PARTITIONED parquet layout — the IVF
+    * "inverted file" realized as Spark partition directories. This is the
+    * scale path the header describes: after this one map-only pass plus
+    * write, every probe of c cells is a partition-pruned scan of c
+    * directories (asserted in PlanAuditSpec), so query cost is
+    * O(corpus × c / k_cells), not O(corpus). */
+  def writeIndex(df: DataFrame, vecCol: String, model: Model, path: String): Unit =
+    assign(df, vecCol, model).write.partitionBy("ivf_cell")
+      .mode("overwrite").parquet(path)
+
+  /** ANN top-k over a [[writeIndex]] layout: the cell predicate is a
+    * PartitionFilter (directory pruning at planning time), never a
+    * row-level scan filter. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, model: Model,
+      query: Seq[Double], k: Int, nProbe: Int = 2): DataFrame = {
+    val cells = model.nearestCells(query, nProbe)
+    spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(cells: _*))
+      .select(col(idCol),
+        round(Similarity.cosineNative(col(vecCol).cast("array<double>"), typedLit(query)), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k: exact cosine within the query's nProbe nearest cells. */
   def search(
       df: DataFrame, idCol: String, vecCol: String, model: Model,

@@ -70,6 +70,44 @@ object Similarity {
       acc * 2 + when(dot(vecCol, typedLit(p)) >= 0, 1L).otherwise(0L)
     }
 
+  /** PORTABLE ±1 (Rademacher) hyperplanes from a double-step Lehmer hash
+    * — integer arithmetic only, so any SQL engine generates the IDENTICAL
+    * planes (the single-step parity would alternate with the index; the
+    * second step decorrelates it). Sign-random-projection with Rademacher
+    * directions is the standard sparse variant of gaussian LSH (Achlioptas
+    * '01): same collision-probability-vs-angle behavior in expectation. */
+  def rademacherPlanes(dim: Int, nPlanes: Int): Seq[Seq[Long]] =
+    Seq.tabulate(nPlanes)(p => Seq.tabulate(dim) { d =>
+      val x1 = (48271L * (p * dim + d + 1)) % 2147483647L
+      val x2 = (48271L * x1) % 2147483647L
+      if (x2 < 1073741824L) 1L else -1L
+    })
+
+  /** Micro-quantization: floor(x·10⁶) as long, map-only. The double
+    * multiply and floor are IEEE-exact and engine-independent — unlike
+    * float SUMMATION order, which no two engines promise to share. The
+    * 1e-6 resolution is far below embedding noise. */
+  def quantize(vecCol: Column): Column =
+    transform(vecCol, x => floor(x * lit(1000000.0)).cast("long"))
+
+  /** Sign-bit bucket over a QUANTIZED vector and ±1 planes: pure integer
+    * dot products (|dot| < dims·10⁸ ≪ 2⁶³), so the bucket id — and hence
+    * the whole LSH blocking decision — is bit-identical across engines.
+    * This is what lets the LSH pair/probe queries carry a DuckDB oracle. */
+  def portableBucket(qvecCol: Column, planes: Seq[Seq[Long]]): Column =
+    planes.foldLeft(lit(0L)) { (acc, p) =>
+      val d = aggregate(zip_with(qvecCol, typedLit(p), (x, s) => x * s),
+        lit(0L), (a, v) => a + v)
+      acc * 2 + when(d >= 0, 1L).otherwise(0L)
+    }
+
+  private def portableQueryBucket(query: Seq[Double], planes: Seq[Seq[Long]]): Long = {
+    val qq = query.map(x => math.floor(x * 1000000.0).toLong)
+    planes.foldLeft(0L) { (acc, p) =>
+      acc * 2 + (if (p.zip(qq).map { case (s, x) => s * x }.sum >= 0) 1L else 0L)
+    }
+  }
+
   /** ANN top-k with multi-probe: score only the docs in the query's bucket
     * plus all buckets within `probeRadius` bit flips (exact cosine within).
     * Recall/cost is tuned by nPlanes (bucket granularity) and probeRadius
@@ -78,15 +116,23 @@ object Similarity {
   def annTopK(
       df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, nPlanes: Int = 4, probeRadius: Int = 1,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, portablePlanes: Boolean = false): DataFrame = {
     val dim = query.length
-    val planes = hyperplanes(dim, nPlanes, seed)
-    val qBucket = planes.foldLeft(0L) { (acc, p) =>
-      acc * 2 + (if (p.zip(query).map { case (x, y) => x * y }.sum >= 0) 1L else 0L)
-    }
+    val (bucketExpr, qBucket) =
+      if (portablePlanes) {
+        val planes = rademacherPlanes(dim, nPlanes)
+        (portableBucket(quantize(col(vecCol)), planes),
+          portableQueryBucket(query, planes))
+      } else {
+        val planes = hyperplanes(dim, nPlanes, seed)
+        (lshBucket(col(vecCol), planes),
+          planes.foldLeft(0L) { (acc, p) =>
+            acc * 2 + (if (p.zip(query).map { case (x, y) => x * y }.sum >= 0) 1L else 0L)
+          })
+      }
     val probes = (0L until (1L << nPlanes))
       .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= probeRadius)
-    df.withColumn("_bucket", lshBucket(col(vecCol), planes))
+    df.withColumn("_bucket", bucketExpr)
       .filter(col("_bucket").isin(probes: _*))
       .select(col(idCol), round(cosineNative(col(vecCol), typedLit(query)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
@@ -119,16 +165,23 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 4, seed: Long = 42L,
       dim: Int = 64, probeRadius: Int = 1,
-      maxBucket: Int = Dedup.DefaultMaxDf): DataFrame = {
+      maxBucket: Int = Dedup.DefaultMaxDf,
+      portablePlanes: Boolean = false): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= nPlanes,
       s"probeRadius=$probeRadius must be in [0, nPlanes=$nPlanes]")
-    val planes = hyperplanes(dim, nPlanes, seed)
+    // portablePlanes switches gaussian hyperplanes for the deterministic
+    // quantized-Rademacher scheme ([[portableBucket]]) — identical join
+    // topology, but the blocking decision becomes integer arithmetic a
+    // SQL oracle can reproduce bit-for-bit
+    val bucketExpr =
+      if (portablePlanes) portableBucket(quantize(col(vecCol)), rademacherPlanes(dim, nPlanes))
+      else lshBucket(col(vecCol), hyperplanes(dim, nPlanes, seed))
     // cached: bucket assignment + PRECOMPUTED norm feed the df-cap pass
     // and both sides of the self-join, so the per-pair verify is just the
     // fused dot kernel and a divide (cosine would redo both norms on
     // every candidate pair)
     val raw = Caches.register(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshBucket(col(vecCol), planes).as("bucket"),
+      bucketExpr.as("bucket"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_n")))
     val b = Caches.register(Dedup.dropHotKeys(raw, Seq("bucket"), maxBucket))
     val masks = (0L until (1L << nPlanes))

@@ -169,6 +169,39 @@ class PlanAuditSpec extends SparkSpec {
     rm(new java.io.File(tmp))
   }
 
+  test("IVF index layout: a probe of c cells scans only c cell partitions") {
+    // writeIndex/searchIndex end-to-end: the cell predicate must prune
+    // DIRECTORIES at planning time (PartitionFilters), and the pruned
+    // scan must return exactly what the in-memory search returns
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+    val emb = Tables.embeddings(spark, Dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val model = IvfIndex.fit(emb, "embedding", k = 8)
+    IvfIndex.writeIndex(emb, "embedding", model, tmp)
+    val q = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).collect()(0).getSeq[Double](0)
+    val res = IvfIndex.searchIndex(spark, tmp, "vec_id", "embedding", model,
+      q, k = 10, nProbe = 2)
+    val rows = res.collect()
+    assert(rows.length === 10)
+    val scan = res.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("FileScan"))
+      .getOrElse(fail("no file scan"))
+    assert(scan.contains("PartitionFilters: [ivf_cell"),
+      s"cell filter did not become a partition filter:\n$scan")
+    // identical result to the in-memory cell-filtered search
+    val mem = IvfIndex.search(emb, "vec_id", "embedding", model, q,
+      k = 10, nProbe = 2).collect()
+    assert(rows.toSeq === mem.toSeq)
+    def rmIvf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmIvf))
+      f.delete()
+    }
+    rmIvf(new java.io.File(tmp))
+  }
+
   test("whole-stage codegen spans the aggregation pipeline") {
     // AQE hides codegen spans until the final plan exists — execute first
     val df = SparkEntry.queries("q1_pricing_summary")(spark, Dir)

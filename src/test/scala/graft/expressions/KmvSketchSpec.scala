@@ -39,6 +39,29 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(j - 1.0 / 3.0) < 0.12, s"jaccard estimate $j vs 0.333")
   }
 
+  test("PORTABLE hash family: estimates stay accurate (long AND string values)") {
+    import spark.implicits._
+    val n = 50000
+    val df = (1 to n).toDF("v").repartition(8)
+    val k = 256
+    val se = 1.0 / math.sqrt(k - 2)
+    // sequential longs — the adversarial input for a congruential hash
+    val gotL = df.agg(KmvSketch.kmvDistinct(col("v"), k, portable = true).as("d"))
+      .collect()(0).getLong(0)
+    assert(math.abs(gotL - n).toDouble / n < 3 * se,
+      s"portable long estimate $gotL for $n")
+    // string values through the polynomial path
+    val gotS = df.select(concat(lit("tok_"), col("v")).as("s"))
+      .agg(KmvSketch.kmvDistinct(col("s"), k, portable = true).as("d"))
+      .collect()(0).getLong(0)
+    assert(math.abs(gotS - n).toDouble / n < 3 * se,
+      s"portable string estimate $gotS for $n")
+    // exactness below capacity is hash-family-independent
+    val small = (1 to 100).map(i => i % 37).toDF("v")
+    assert(small.agg(KmvSketch.kmvDistinct(col("v"), 256, portable = true))
+      .collect()(0).getLong(0) === 37L)
+  }
+
   test("group-wise sketches on the star schema vs exact") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val approx = li.groupBy(col("l_returnflag"))

@@ -147,6 +147,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"multi-probe recall $recall over ${truth.size} planted pairs")
     // multi-probe must dominate exact-bucket blocking
     assert(found(0).subsetOf(probed))
+    // the PORTABLE quantized-Rademacher planes (the oracle-able scheme)
+    // must find the planted pairs just as well
+    val portable = Similarity.embeddingDupPairs(df, "vec_id", "embedding",
+        threshold = 0.95, nPlanes = 3, probeRadius = 1, portablePlanes = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pRecall = truth.count(portable.contains).toDouble / truth.size
+    assert(pRecall >= 0.9, s"portable-plane recall $pRecall over ${truth.size} planted pairs")
   }
 
   test("cosine of a vector with itself is 1") {

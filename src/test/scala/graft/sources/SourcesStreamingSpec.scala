@@ -249,4 +249,33 @@ class SourcesStreamingSpec extends SparkSpec {
     val resized = Multimodal.resize(media, 16).collect()
     assert(resized.forall(_.payload.length <= 16))
   }
+
+  test("multimodal: ImageIoDecoder reads REAL PNG/JPEG dimensions through the Dataset path") {
+    implicit val s = spark
+    import s.implicits._
+    // a real 2x3 PNG and a 5x4 JPEG, encoded in-memory via javax.imageio
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", encode(2, 3, "png"), "test"),
+      Multimodal.MediaRow(2L, "image", encode(5, 4, "jpg"), "test"),
+      Multimodal.MediaRow(3L, "image", Array[Byte](1, 2, 3), "test"), // corrupt
+      Multimodal.MediaRow(4L, "audio", encode(2, 3, "png"), "test")   // wrong kind
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder.decode)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width === 2 && feats(1L).height === 3 && feats(1L).n_frames === 1)
+    assert(feats(2L).width === 5 && feats(2L).height === 4)
+    // corrupt payloads and non-image kinds surface the sentinel, not a crash
+    assert(feats(3L).width === -1 && feats(3L).n_frames === 0)
+    assert(feats(4L).width === -1)
+    // byte_size/sha256 are real regardless of decodability
+    assert(feats.values.forall(f => f.byte_size > 0 && f.sha256.length === 64))
+  }
 }
