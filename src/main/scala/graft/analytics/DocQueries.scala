@@ -684,15 +684,26 @@ object DocQueries {
     None
   )
 
-  /** A2 at scale: approximate distinct (HLL++) alongside the exact KPIs —
-    * rows-only (sketch internals are engine-specific). */
+  /** A2 at scale: approximate distinct (HLL++) alongside the exact KPIs.
+    * No SQL oracle (HLL internals are engine-specific), but the query
+    * SELF-CERTIFIES: the exact counts and relative errors ride along in
+    * the same plan, so the harness row check shows at a glance whether
+    * the sketch is within its 5% default-rsd contract. At 100 TB you would drop
+    * the exact columns — they are the certificate, not the product. */
   val qApproxDistinct = GraftQuery(
     "q_approx_distinct",
     (s, dir) => {
       import s.implicits._
       Tables.events(s, dir).agg(
-        approx_count_distinct($"user_id").as("approx_users"),
-        approx_count_distinct($"event_id").as("approx_events"))
+          approx_count_distinct($"user_id").as("approx_users"),
+          approx_count_distinct($"event_id").as("approx_events"),
+          countDistinct($"user_id").as("exact_users"),
+          countDistinct($"event_id").as("exact_events"))
+        .select($"approx_users", $"approx_events", $"exact_users", $"exact_events",
+          round(abs($"approx_users" - $"exact_users").cast("double") / $"exact_users", 6)
+            .as("rel_err_users"),
+          round(abs($"approx_events" - $"exact_events").cast("double") / $"exact_events", 6)
+            .as("rel_err_events"))
     },
     None
   )

@@ -70,5 +70,41 @@ object FuncQueries {
       FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qPriceParse, qHashDigits, qMultimodalMeta)
+  /** Multimodal REAL-decode roundtrip: synthesize a small PNG per doc
+    * (dimensions derived deterministically from doc_id), then decode it
+    * back DISTRIBUTED through Multimodal.ImageIoDecoder — the oracle
+    * checks the decoded dimensions against the formula, proving the
+    * encode → binary column → partition-wise header decode path end to
+    * end. Payload bytes never shuffle (encode and decode fuse into one
+    * map stage); only (id, width, height) leaves the executors. */
+  val qMultimodalDecode = GraftQuery(
+    "q_multimodal_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, dir)
+        .select($"doc_id").orderBy($"doc_id").limit(200).as[Long].map { id =>
+          val w = (id % 16 + 1).toInt
+          val h = (id % 9 + 1).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Multimodal.MediaRow(id, "image", bos.toByteArray, "synthetic")
+        }
+      Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder.decode)
+        .toDF()
+        .select($"media_id", $"width", $"height", $"n_frames")
+        .orderBy($"media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+        CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+        CAST(doc_id % 9 + 1 AS INTEGER) AS height,
+        CAST(1 AS INTEGER) AS n_frames
+      FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) t
+      ORDER BY media_id""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qPriceParse, qHashDigits, qMultimodalMeta,
+    qMultimodalDecode)
 }
