@@ -102,6 +102,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val k = if (c.length == 2) intLit(c(1), "graft_kmv_distinct", "k") else 256
       KmvSketch(c.head, k).toAggregateExpression()
     }
+    register("graft_quantize_stats", classOf[graft.expressions.QuantizeStats],
+        "graft_quantize_stats(vec)") { c =>
+      require(c.length == 1, "graft_quantize_stats(vec)")
+      graft.expressions.QuantizeStats(c.head)
+    }
     register("graft_mg_candidates", classOf[graft.expressions.MisraGries],
         "graft_mg_candidates(col[, k])") { c =>
       require(c.length == 1 || c.length == 2, "graft_mg_candidates(col[, k])")

@@ -38,12 +38,22 @@ object TextHashKernels {
 
   /** Polynomial rolling hash of `len` bytes of `buf` in base 31 mod
     * [[PortableMod]] — SQL mirror:
-    * list_reduce(list_prepend(0, codes), (acc, x) -> (acc*31 + x) % 1000000007). */
+    * list_reduce(list_prepend(0, codes), (acc, x) -> (acc*31 + x) % 1000000007).
+    *
+    * The mod is applied LAZILY every 3rd byte (and once at the end):
+    * residues are unchanged by when the reduction happens, and the 64-bit
+    * intermediate stays bounded — h < P·base³ + byte terms < 2^52 for
+    * base ≤ 131 — while the division (the expensive op here, ~20 cycles
+    * vs ~3 for the multiply-add) runs 3x less often. */
   private def polyHash(buf: Array[Byte], len: Int, base: Long): Long = {
     var h = 0L
     var i = 0
-    while (i < len) { h = (h * base + (buf(i) & 0xffL)) % PortableMod; i += 1 }
-    h
+    while (i < len) {
+      h = h * base + (buf(i) & 0xffL)
+      if (i % 3 == 2) h %= PortableMod
+      i += 1
+    }
+    h % PortableMod
   }
 
   private def polyHashUTF8(s: UTF8String, base: Long): Long = {

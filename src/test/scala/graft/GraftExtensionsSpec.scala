@@ -49,6 +49,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) > 0)
   }
 
+  test("graft_quantize_stats resolves in SQL and reports quantization error") {
+    val r = spark.sql("""SELECT graft_quantize_stats(CAST(ARRAY(0.0, 1.0, 0.5) AS ARRAY<DOUBLE>)) AS q""")
+      .selectExpr("q.v_min", "q.v_max", "q.mse").collect()(0)
+    assert(r.getDouble(0) === 0.0 && r.getDouble(1) === 1.0)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1e-5) // 8-bit error is tiny
+  }
+
   test("graft_mg_candidates aggregates in SQL and keeps the dominant value") {
     val r = spark.sql("""SELECT graft_mg_candidates(v, 4) AS c FROM (
         SELECT CASE WHEN id % 2 = 0 THEN 'dominant' ELSE CONCAT('t', id) END AS v

@@ -71,6 +71,38 @@ class CosineSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("QuantizeStats kernel matches a hand-rolled reference on fixtures") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val rows = Seq(
+      Seq(0.0, 1.0, 0.5, 0.25),            // spread values
+      Seq(3.0, 3.0, 3.0),                  // constant vector: sc = 0, mse = 0
+      Seq(-2.0, 2.0),                      // exact endpoints: codes 0/255, mse 0
+      Seq(0.1)                             // single element
+    ).toDF("v")
+    val got = rows.select(ColumnShim.column(
+        QuantizeStats(ColumnShim.expression(col("v")))).as("q"))
+      .select("q.v_min", "q.v_max", "q.mse").collect()
+    def ref(v: Seq[Double]): (Double, Double, Double) = {
+      val mn = v.min; val mx = v.max; val sc = (mx - mn) / 255.0
+      val mse = v.map { x =>
+        val e = if (sc == 0.0) x - mn
+          else x - (mn + math.floor((x - mn) / sc + 0.5) * sc)
+        e * e
+      }.sum / v.length
+      (mn, mx, mse)
+    }
+    Seq(Seq(0.0, 1.0, 0.5, 0.25), Seq(3.0, 3.0, 3.0), Seq(-2.0, 2.0), Seq(0.1))
+      .zip(got).foreach { case (v, r) =>
+        val (mn, mx, mse) = ref(v)
+        assert(r.getDouble(0) === mn && r.getDouble(1) === mx)
+        assert(math.abs(r.getDouble(2) - mse) < 1e-15, s"mse ${r.getDouble(2)} vs $mse")
+      }
+    // endpoints quantize exactly: mse 0 for the two-point vector
+    assert(got(2).getDouble(2) === 0.0)
+    assert(got(1).getDouble(2) === 0.0)
+  }
+
   test("native expression is at least as fast as the declarative chain") {
     register()
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
