@@ -144,6 +144,44 @@ object VectorKernels {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
+  /** Fused portable-LSH bucket: quantize to floor(x·10⁶) longs and fold
+    * the sign bits of the nPlanes Rademacher dot products — one pass per
+    * plane over primitive longs, replacing nPlanes interpreted
+    * aggregate/zip_with trees (each of which re-ran the quantize
+    * transform). Plane signs are generated INLINE from the same
+    * double-Lehmer formula as Similarity.rademacherPlanes — the kernel,
+    * the declarative fold, and the DuckDB oracle all derive the identical
+    * ±1 matrix from (p·dim + d + 1). */
+  def portableLshBucket(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      nPlanes: Int, dim: Int): Long = {
+    // `dim` parameterizes the plane formula (it must match the DECLARED
+    // dimension the oracle uses); vectors shorter than dim contribute
+    // only their elements, matching zip_with's truncation
+    val n = math.min(v.numElements(), dim)
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = if (v.isNullAt(i)) 0L
+        else math.floor(v.getDouble(i) * 1000000.0).toLong
+      i += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var d = 0L
+      i = 0
+      while (i < n) {
+        val x1 = (48271L * (p.toLong * dim + i + 1)) % 2147483647L
+        val x2 = (48271L * x1) % 2147483647L
+        d += (if (x2 < 1073741824L) q(i) else -q(i))
+        i += 1
+      }
+      bucket = bucket * 2 + (if (d >= 0) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
+
   /** Fused int8-quantization statistics: (v_min, v_max, mse) of the
     * per-vector affine uint8 quantization code = floor((x-mn)/sc + 0.5),
     * sc = (mx-mn)/255. Two passes over the array, zero allocation beyond
@@ -178,6 +216,33 @@ object VectorKernels {
     }
     new GenericInternalRow(Array[Any](mn, mx, s / n))
   }
+}
+
+/** Portable-LSH bucket id of a double vector — see
+  * [[VectorKernels.portableLshBucket]]. */
+case class PortableLshBucket(child: Expression, nPlanes: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nPlanes > 0 && nPlanes < 63 && dim > 0,
+    s"nPlanes=$nPlanes must be in (0, 63), dim=$dim positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bucket expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.portableLshBucket(
+      in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nPlanes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.VectorKernels.portableLshBucket($c, $nPlanes, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableLshBucket =
+    copy(child = newChild)
 }
 
 /** Int8-quantization report of a double vector:

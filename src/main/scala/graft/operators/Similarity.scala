@@ -101,6 +101,18 @@ object Similarity {
       acc * 2 + when(d >= 0, 1L).otherwise(0L)
     }
 
+  /** Fused-kernel portable bucket (graft.expressions.PortableLshBucket):
+    * quantization + all plane dots in one primitive pass, bit-identical
+    * to [[portableBucket]] over [[quantize]]+[[rademacherPlanes]] (spec
+    * cross-checked). The HOF formulation re-ran the quantize transform
+    * inside every plane's interpreted aggregate — nPlanes × dim
+    * re-evaluations per row. */
+  def portableBucketNative(vecCol: Column, nPlanes: Int, dim: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.expressions.PortableLshBucket(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(vecCol.cast("array<double>")),
+        nPlanes, dim))
+
   private def portableQueryBucket(query: Seq[Double], planes: Seq[Seq[Long]]): Long = {
     val qq = query.map(x => math.floor(x * 1000000.0).toLong)
     planes.foldLeft(0L) { (acc, p) =>
@@ -120,9 +132,8 @@ object Similarity {
     val dim = query.length
     val (bucketExpr, qBucket) =
       if (portablePlanes) {
-        val planes = rademacherPlanes(dim, nPlanes)
-        (portableBucket(quantize(col(vecCol)), planes),
-          portableQueryBucket(query, planes))
+        (portableBucketNative(col(vecCol), nPlanes, dim),
+          portableQueryBucket(query, rademacherPlanes(dim, nPlanes)))
       } else {
         val planes = hyperplanes(dim, nPlanes, seed)
         (lshBucket(col(vecCol), planes),
@@ -174,7 +185,7 @@ object Similarity {
     // topology, but the blocking decision becomes integer arithmetic a
     // SQL oracle can reproduce bit-for-bit
     val bucketExpr =
-      if (portablePlanes) portableBucket(quantize(col(vecCol)), rademacherPlanes(dim, nPlanes))
+      if (portablePlanes) portableBucketNative(col(vecCol), nPlanes, dim)
       else lshBucket(col(vecCol), hyperplanes(dim, nPlanes, seed))
     // cached: bucket assignment + PRECOMPUTED norm feed the df-cap pass
     // and both sides of the self-join, so the per-pair verify is just the

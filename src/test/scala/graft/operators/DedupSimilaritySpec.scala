@@ -156,6 +156,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pRecall >= 0.9, s"portable-plane recall $pRecall over ${truth.size} planted pairs")
   }
 
+  test("fused portable LSH bucket kernel equals the declarative fold") {
+    val native = emb.select(col("vec_id"),
+      Similarity.portableBucketNative(col("embedding"), 5, 64).as("b"))
+    val decl = emb.select(col("vec_id"),
+      Similarity.portableBucket(Similarity.quantize(col("embedding")),
+        Similarity.rademacherPlanes(64, 5)).as("b"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = decl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n === d)
+    assert(n.values.toSet.size > 1, "buckets should spread")
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(5)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
