@@ -202,6 +202,22 @@ class PlanAuditSpec extends SparkSpec {
     rmIvf(new java.io.File(tmp))
   }
 
+  test("self-certifying plans: 1-row certificates broadcast; quantization is join-free") {
+    // withRecall crossJoins a 1-row aggregate back over the k result
+    // rows — that must plan as a broadcast loop join, never a shuffled
+    // cartesian (the certificate is metadata, not a data join)
+    val ann = plan("q_ann_topk")
+    assert(ann.contains("BroadcastNestedLoopJoin"),
+      s"recall certificate is not broadcast:\n$ann")
+    assert(!ann.contains("CartesianProduct"), "recall join became a cartesian")
+    // the fused quantization kernel keeps q_embed_quantize a pure map
+    // plan (scan → project → sort); no join machinery anywhere
+    val qz = plan("q_embed_quantize")
+    assert(!qz.contains("Join"), s"quantization plan grew a join:\n$qz")
+    assert(qz.contains("graft_quantize_stats"),
+      s"fused kernel missing from the plan:\n$qz")
+  }
+
   test("whole-stage codegen spans the aggregation pipeline") {
     // AQE hides codegen spans until the final plan exists — execute first
     val df = SparkEntry.queries("q1_pricing_summary")(spark, Dir)
