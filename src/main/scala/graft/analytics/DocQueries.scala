@@ -529,7 +529,7 @@ object DocQueries {
     },
     Some("""WITH t AS (SELECT doc_id,
         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
       th AS (SELECT doc_id,
         list_transform(toks, tok ->
           list_reduce(list_prepend(CAST(0 AS BIGINT),

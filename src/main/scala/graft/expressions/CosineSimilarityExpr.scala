@@ -155,8 +155,13 @@ object VectorKernels {
   def portableLshBucket(v: org.apache.spark.sql.catalyst.util.ArrayData,
       nPlanes: Int, dim: Int): Long = {
     // `dim` parameterizes the plane formula (it must match the DECLARED
-    // dimension the oracle uses); vectors shorter than dim contribute
-    // only their elements, matching zip_with's truncation
+    // dimension the oracle uses). THIS KERNEL IS AUTHORITATIVE for the
+    // portable semantics: a shorter vector contributes only its
+    // elements and null elements read as 0. The declarative
+    // Similarity.portableBucket cross-check matches it only on
+    // well-formed input (length == dim, no nulls) — Spark's zip_with
+    // PADS the shorter side with nulls, which null-poisons the fold
+    // there rather than truncating.
     val n = math.min(v.numElements(), dim)
     val q = new Array[Long](n)
     var i = 0
@@ -198,7 +203,13 @@ object VectorKernels {
     var mx = Double.NegativeInfinity
     var i = 0
     while (i < n) {
-      val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
+      // fail LOUDLY on null elements: a fabricated 0.0 would silently
+      // corrupt the min/max/error report (this is a data-quality
+      // certificate), and no engine-consistent null semantics exist
+      // (DuckDB's list_min skips nulls but its error fold null-poisons)
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        "graft_quantize_stats: null embedding element — filter or impute upstream")
+      val x = v.getDouble(i)
       if (x < mn) mn = x
       if (x > mx) mx = x
       i += 1
@@ -207,7 +218,7 @@ object VectorKernels {
     var s = 0.0
     i = 0
     while (i < n) {
-      val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
+      val x = v.getDouble(i)
       val e =
         if (sc == 0.0) x - mn // constant vector: code 0, recon = mn
         else x - (mn + math.floor((x - mn) / sc + 0.5) * sc)

@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.XxHash64
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 
 /** KMV (k-minimum-values) distinct-count sketch as a
   * TypedImperativeAggregate — the custom-sketch extension point
@@ -32,6 +33,17 @@ case class KmvSketch(
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def prettyName: String = "kmv_distinct"
+
+  // portable mode supports only the types portableHash can mirror in
+  // SQL — reject others at ANALYSIS time, not per-row mid-stage
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!portable) TypeCheckResult.TypeCheckSuccess
+    else child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"portable kmv_distinct supports integral/string values, got ${other.simpleString}")
+    }
 
   private lazy val hasher = XxHash64(Seq(child), 42L)
 
@@ -152,8 +164,10 @@ object KmvSketch {
         TextHashKernels.portableStringHash(s)
       case l: Long => ((l % P) + P) % P
       case i: Int => ((i.toLong % P) + P) % P
-      case other => throw new IllegalArgumentException(
-        s"portable KMV supports long/int/string values, got ${other.getClass}")
+      case n: Short => ((n.toLong % P) + P) % P
+      case b: Byte => ((b.toLong % P) + P) % P
+      case other => throw new IllegalArgumentException( // unreachable: checkInputDataTypes gates
+        s"portable KMV supports integral/string values, got ${other.getClass}")
     }
     val x0 = (base + 1) % P
     (48271L * ((48271L * x0) % P)) % P
@@ -199,6 +213,7 @@ case class KmvSetSketch(
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "kmv_set"
+  override def checkInputDataTypes(): TypeCheckResult = inner.checkInputDataTypes()
 
   override def createAggregationBuffer(): java.util.TreeSet[Long] =
     inner.createAggregationBuffer()

@@ -80,11 +80,19 @@ object Multimodal {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
           if (readers.hasNext) {
             val r = readers.next()
+            // NonFatal, not just IOException: plugin readers throw
+            // IllegalArgumentException / ArrayIndexOutOfBounds on
+            // malformed headers whose magic bytes matched — any decode
+            // failure must yield the sentinel, never a task failure.
+            // Both dims assign atomically AFTER the probe so a failure
+            // between width and height cannot emit a half-sentinel row.
             try {
               r.setInput(iis)
-              w = r.getWidth(0)
-              h = r.getHeight(0)
-            } catch { case _: java.io.IOException => () } // sentinel stays
+              val pw = r.getWidth(0)
+              val ph = r.getHeight(0)
+              w = pw
+              h = ph
+            } catch { case scala.util.control.NonFatal(_) => () }
             finally r.dispose()
           }
         } finally iis.close()

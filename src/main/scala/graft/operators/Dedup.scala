@@ -255,10 +255,31 @@ object Dedup {
     // executor loss (localCheckpoint blocks die with their executor and
     // the truncated plan cannot recompute them). Identical labels either
     // way — only the storage of the per-round materialization moves.
+    //
+    // STORAGE HYGIENE: each checkpoint generation gets its own
+    // subdirectory (setCheckpointDir before every checkpoint) and a
+    // superseded generation is DELETED as soon as the next one is
+    // materialized — Spark never cleans reliable checkpoints itself
+    // (spark.cleaner...cleanCheckpoints defaults to false), so a
+    // d-round graph would otherwise leave d+2 copies of graph-sized
+    // state on cluster storage, unbounded across invocations. Only the
+    // returned relation's own checkpoint (and, while the loop runs, the
+    // edge set) stays on disk.
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    var ckptGen = 0
+    def ckptSubdir(gen: Int) = checkpointDir.map(d => s"$d/gen-$gen")
+    def rmCkptGen(gen: Int): Unit = ckptSubdir(gen).foreach { d =>
+      val path = new org.apache.hadoop.fs.Path(d)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(path, true) // idempotent; false if absent
+    }
     def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isEmpty) df.localCheckpoint()
+      else {
+        spark.sparkContext.setCheckpointDir(ckptSubdir(ckptGen).get)
+        ckptGen += 1
+        df.checkpoint()
+      }
     // ids normalize to LongType UP FRONT so both closure paths (driver
     // union-find and distributed loop) return the identical (id long,
     // label long) schema — without this the output type would depend on
@@ -301,8 +322,13 @@ object Dedup {
     // ceil: self-loops appear once in the directed relation, and floor
     // division would route a 1-edge graph down the driver path even
     // under driverMaxEdges = 0 (the spec hook that pins the loop path)
-    if ((nEdges + 1) / 2 <= driverMaxEdges)
-      return driverComponents(spark, edgesCk)
+    if ((nEdges + 1) / 2 <= driverMaxEdges) {
+      // driverComponents materializes into driver arrays and returns a
+      // local-rows relation — the edge checkpoint is dead once it returns
+      val out = driverComponents(spark, edgesCk)
+      rmCkptGen(0)
+      return out
+    }
     // size the ROUND shuffles to the graph, not the corpus: each of the
     // ~diameter rounds pays per-partition task overhead on every shuffle.
     // One partition per ~250k edges, capped at the session setting so a
@@ -313,6 +339,7 @@ object Dedup {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     var labels = ckpt(edgesCk.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
+    var labelsGen = ckptGen - 1 // the generation holding `labels`
     // convergence detection without a per-round join: the id set is fixed
     // (the union keeps every labeled id in play) and labels only ever
     // DECREASE under min-propagation, so "any label moved" ⇔ "the exact
@@ -352,6 +379,10 @@ object Dedup {
         changed = nextSum.compareTo(prevSum) != 0
         prevSum = nextSum
         labels = next
+        // `next` is materialized (checkpoint is eager) — the previous
+        // round's generation is now unreferenced; reclaim it
+        rmCkptGen(labelsGen)
+        labelsGen = ckptGen - 1
         i += 1
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -360,6 +391,10 @@ object Dedup {
     if (changed) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
         "— the pair graph has chains longer than maxIter; raise maxIter")
+    // the loop is done: the edge set's generation is dead too. Only the
+    // final labels' generation remains on disk — it backs the returned
+    // relation until the caller consumes it.
+    rmCkptGen(0)
     labels
   }
 

@@ -103,10 +103,13 @@ object Similarity {
 
   /** Fused-kernel portable bucket (graft.expressions.PortableLshBucket):
     * quantization + all plane dots in one primitive pass, bit-identical
-    * to [[portableBucket]] over [[quantize]]+[[rademacherPlanes]] (spec
-    * cross-checked). The HOF formulation re-ran the quantize transform
-    * inside every plane's interpreted aggregate — nPlanes × dim
-    * re-evaluations per row. */
+    * to [[portableBucket]] over [[quantize]]+[[rademacherPlanes]] on
+    * WELL-FORMED input — vectors of length exactly `dim` with no null
+    * elements (spec cross-checked). On malformed input the kernel is
+    * authoritative (truncate + null-as-0) while the declarative fold's
+    * zip_with null-pads and poisons the sum. The HOF formulation also
+    * re-ran the quantize transform inside every plane's interpreted
+    * aggregate — nPlanes × dim re-evaluations per row. */
   def portableBucketNative(vecCol: Column, nPlanes: Int, dim: Int): Column =
     org.apache.spark.sql.graftshim.ColumnShim.column(
       graft.expressions.PortableLshBucket(

@@ -17,6 +17,14 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  private def rmTree(root: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(root))
+  }
+
   test("dimension joins broadcast (never shuffle the fact side)") {
     Seq("q_join_segment_revenue", "q_join_nation_revenue",
         "q_join_region_revenue", "q_rollup").foreach { q =>
@@ -162,11 +170,7 @@ class PlanAuditSpec extends SparkSpec {
     // only rows from the probed buckets were read at all
     val total = spark.read.parquet(tmp).count()
     assert(probed.count() < total)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(tmp))
+    rmTree(tmp)
   }
 
   test("IVF index layout: a probe of c cells scans only c cell partitions") {
@@ -195,11 +199,7 @@ class PlanAuditSpec extends SparkSpec {
     val mem = IvfIndex.search(emb, "vec_id", "embedding", model, q,
       k = 10, nProbe = 2).collect()
     assert(rows.toSeq === mem.toSeq)
-    def rmIvf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmIvf))
-      f.delete()
-    }
-    rmIvf(new java.io.File(tmp))
+    rmTree(tmp)
   }
 
   test("self-certifying plans: 1-row certificates broadcast; quantization is join-free") {

@@ -156,10 +156,17 @@ class DedupSkewSpec extends SparkSpec {
           checkpointDir = Some(dir))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(durable === local)
-      // the durable path actually wrote RDD checkpoints to cluster storage
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
-      assert(wrote > 0, "no rdd checkpoint directories written")
+      // the durable path wrote RDD checkpoints AND reclaimed every
+      // superseded generation: only the final labels' generation may
+      // remain (edges + per-round label checkpoints are deleted as the
+      // loop advances — Spark itself never cleans reliable checkpoints)
+      def count(prefix: String): Long =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .filter(p => p.getFileName.toString.startsWith(prefix)).count()
+      assert(count("rdd-") === 1,
+        "expected exactly the final generation's rdd checkpoint to survive")
+      assert(count("gen-") === 1,
+        "superseded checkpoint generations were not reclaimed")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
