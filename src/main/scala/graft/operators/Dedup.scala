@@ -243,6 +243,9 @@ object Dedup {
     * under a session-global spark.sql.shuffle.partitions override
     * (restored in a finally) — a concurrent query planned on the SAME
     * SparkSession during the loop would pick up the graph-sized value.
+    * Durable mode additionally repoints the CONTEXT-global checkpoint
+    * directory per generation — a concurrent job's checkpoints would
+    * land in (and be reclaimed from) this operator's subdirectories.
     * The sequential Verify/Bench harness satisfies this; concurrent use
     * needs a dedicated session. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
