@@ -167,6 +167,17 @@ class DedupSkewSpec extends SparkSpec {
         "expected exactly the final generation's rdd checkpoint to survive")
       assert(count("gen-") === 1,
         "superseded checkpoint generations were not reclaimed")
+      // the DRIVER fast path materializes into local rows — with a
+      // checkpoint dir it must reclaim even the edge checkpoint
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_drv")
+      val viaDriver = Dedup.connectedComponents(pairChain,
+          checkpointDir = Some(dir2.toString))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaDriver === local)
+      val leftover = java.nio.file.Files.walk(dir2)
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(leftover === 0, "driver path left checkpoint state behind")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir2.toFile)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
