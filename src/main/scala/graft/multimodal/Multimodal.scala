@@ -133,6 +133,30 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))).as("frame_idx"))
 
+  /** REAL file ingestion via Spark's built-in `binaryFile` source — the
+    * 100 TB entry point for an image/audio corpus on object storage:
+    * each file becomes one row of (path, modificationTime, length,
+    * content) with the bytes read ONLY when the content column is
+    * actually consumed (column pruning applies; a metadata-only query
+    * never downloads payloads). media_id is the xxhash64 of the path
+    * (stable across runs), kind derives from the extension, and the
+    * path itself rides along as `source` for lineage. */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+      glob: String = "*"): Dataset[MediaRow] = {
+    import spark.implicits._
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val kind = when(ext.isin("png", "jpg", "jpeg", "gif", "bmp", "webp"), "image")
+      .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+      .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+      .otherwise("binary")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(xxhash64(col("path")).as("media_id"), kind.as("kind"),
+        col("content").as("payload"), col("path").as("source"))
+      .as[MediaRow]
+  }
+
   /** Build a media table from any string column (test/demo helper):
     * payload = utf-8 bytes. At 100 TB the payload column stays in parquet
     * binary chunks; only projected metadata shuffles. */

@@ -250,6 +250,41 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(resized.forall(_.payload.length <= 16))
   }
 
+  test("multimodal: binaryFile ingestion reads real files into the decode path") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("graft_media")
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    Files.write(dir.resolve("a.png"), png(3, 2))
+    Files.write(dir.resolve("b.PNG"), png(7, 5))
+    Files.write(dir.resolve("notes.txt"), "not an image".getBytes)
+    try {
+      val media = Multimodal.readBinaryFiles(spark, dir.toString)
+      val idOf = media.collect().map(r => r.source.split("/").last -> r.media_id).toMap
+      assert(idOf.size === 3)
+      val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder.decode)
+        .collect().map(f => f.media_id -> f).toMap
+      // extension-derived kind is case-insensitive; dimensions are real
+      assert(feats(idOf("a.png")).kind === "image" && feats(idOf("a.png")).width === 3
+        && feats(idOf("a.png")).height === 2)
+      assert(feats(idOf("b.PNG")).kind === "image" && feats(idOf("b.PNG")).width === 7)
+      // non-media files ingest as opaque binary with the sentinel dims
+      assert(feats(idOf("notes.txt")).kind === "binary"
+        && feats(idOf("notes.txt")).width === -1)
+      // media_id is the stable path hash — re-reading yields identical ids
+      val again = Multimodal.readBinaryFiles(spark, dir.toString)
+        .collect().map(_.media_id).sorted
+      assert(again.toSeq === media.collect().map(_.media_id).sorted.toSeq)
+      // glob filter prunes at the listing level
+      assert(Multimodal.readBinaryFiles(spark, dir.toString, "*.txt").count() === 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("multimodal: ImageIoDecoder reads REAL PNG/JPEG dimensions through the Dataset path") {
     implicit val s = spark
     import s.implicits._
