@@ -229,6 +229,55 @@ object VectorKernels {
   }
 }
 
+/** Codegen'd Bloom-bitset probe over a long key: `false` for null keys
+  * (a null can't be a member), never null — so it can sit directly in a
+  * Filter. Holds the SERIALIZED filter and deserializes once per
+  * executor-side instance (@transient lazy); the bytes ship inside the
+  * stage's task binary, which Spark broadcasts once per stage — same
+  * distribution cost as an explicit broadcast variable, without the UDF
+  * boxing (the ScalaUDF formulation boxed every key to java.lang.Long).
+  * Spark's own BloomFilterMightContain is not public API; this is the
+  * same idea on the public sketch class. */
+case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_might_contain expects bigint, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  def probe(v: Long): Boolean = filter.mightContainLong(v)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && filter.mightContainLong(v.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("bloomProbe", this,
+      classOf[BloomMightContainLong].getName)
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        boolean ${ev.value} = !${c.isNull} && $ref.probe(${c.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}
+
 /** Portable-LSH bucket id of a double vector — see
   * [[VectorKernels.portableLshBucket]]. */
 case class PortableLshBucket(child: Expression, nPlanes: Int, dim: Int)

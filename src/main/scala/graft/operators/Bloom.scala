@@ -38,16 +38,21 @@ object Bloom {
       small: DataFrame, smallKey: String,
       expectedItems: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bcast = big.sparkSession.sparkContext.broadcast(bf)
-    // the one UDF in the repo that earns its keep: the probe needs the
-    // broadcast sketch object, which no Column expression can reach.
-    // It is a PREFILTER only — the confirm join below restores exactness,
-    // so a UDF-evaluation quirk could only cost speed, never correctness.
-    val mightContain = udf((x: java.lang.Long) =>
-      x != null && bcast.value.mightContainLong(x))
+    // the probe is a native codegen'd expression over the SERIALIZED
+    // filter (graft.expressions.BloomMightContainLong): the bytes ride
+    // the stage's broadcast task binary, and the per-row probe runs
+    // unboxed inside WholeStageCodegen (the previous ScalaUDF boxed
+    // every key). PREFILTER only — the confirm join below restores
+    // exactness, so a probe quirk could only cost speed, never rows.
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.expressions.BloomMightContainLong(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(col(keyCol).cast("long")),
+        bos.toByteArray))
     // no .distinct() on the build side: left-semi ignores build-side
     // duplicates, so deduplicating here would only add an exchange
-    big.filter(mightContain(col(keyCol)))
+    big.filter(probe)
       .join(broadcast(small.select(col(smallKey).as(keyCol))),
         Seq(keyCol), "left_semi")
   }

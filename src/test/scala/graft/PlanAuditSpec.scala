@@ -244,10 +244,12 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val joinIdx = p.indexOf("BroadcastHashJoin")
     assert(joinIdx >= 0, s"confirm join missing or not broadcast:\n$p")
-    // the UDF probe must appear BELOW the join (later in the plan string),
-    // i.e. on the scan side — filtering before any join machinery
-    val udfIdx = p.indexOf("pythonUDF").max(p.indexOf("UDF"))
-    assert(udfIdx > joinIdx, s"bloom probe not below the confirm join:\n$p")
+    // the native probe must appear BELOW the join (later in the plan
+    // string), i.e. on the scan side — filtering before any join
+    // machinery — and there must be no UDF left in the plan
+    val probeIdx = p.indexOf("graft_bloom_might_contain")
+    assert(probeIdx > joinIdx, s"bloom probe not below the confirm join:\n$p")
+    assert(!p.contains("UDF"), s"UDF survived the native probe swap:\n$p")
   }
 
   test("pii redaction / quality filter are single-pass map plans") {
