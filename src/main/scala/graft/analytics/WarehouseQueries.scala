@@ -125,6 +125,40 @@ object WarehouseQueries {
       FROM n GROUP BY label ORDER BY label""")
   )
 
+  /** Per-label embedding CENTROIDS, flat (label, pos, centroid) rows —
+    * the class-mean report behind drift detection, coarse clustering
+    * seeds, and nearest-class-mean baselines. One posexplode + one
+    * grouped aggregate: (labels × dims) output rows regardless of corpus
+    * size, and the shuffle carries (label, pos, partial-sum) partials,
+    * never vectors. Parity is FIXED-POINT end to end: components
+    * quantize to integer micro-units via floor(x·10⁶ + 0.5) (pure IEEE
+    * multiply/add/floor — identical in any engine), the sum is exact
+    * BIGINT (order-independent), and the mean re-quantizes the same way.
+    * ROUND-on-double is deliberately avoided: its half-up behavior
+    * differs across engines exactly at representation boundaries (one
+    * 6th-decimal mismatch per ~10⁵ roundings, measured at sf0.1). */
+  val qEmbedCentroids = GraftQuery(
+    "q_embed_centroids",
+    (s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"label", posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
+        .withColumn("q", floor($"x" * 1000000.0 + 0.5))
+        .groupBy($"label", ($"pos" + 1).as("pos"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (floor(sum($"q").cast(DoubleType) / count(lit(1)) + 0.5) / 1000000.0)
+            .as("centroid"))
+        .orderBy($"label", $"pos")
+    },
+    Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      x AS (SELECT label, t.i + 1 AS pos,
+          CAST(FLOOR(v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM e, UNNEST(range(len(v))) AS t(i))
+      SELECT label, pos, COUNT(*) AS n_vecs,
+        FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS centroid
+      FROM x GROUP BY label, pos ORDER BY label, pos""")
+  )
+
   /** Int8 embedding quantization with per-vector affine scaling — the
     * 4x storage/bandwidth lever for embedding tables at 100 TB (the
     * quantized vectors ship to ANN serving; this query reports the
@@ -248,6 +282,6 @@ object WarehouseQueries {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(qScd2History, qDupInflation, qEmbedNorms, qEmbedQuantize,
-      qIncrementalAgg, qDeltaDedup)
+    Seq(qScd2History, qDupInflation, qEmbedNorms, qEmbedCentroids,
+      qEmbedQuantize, qIncrementalAgg, qDeltaDedup)
 }
