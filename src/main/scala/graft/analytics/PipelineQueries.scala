@@ -368,6 +368,44 @@ object PipelineQueries {
       FROM kd GROUP BY source ORDER BY source""")
   )
 
+  /** Deterministic train/val/test SPLIT ASSIGNMENT (80/10/10) by the
+    * portable Lehmer hash of doc_id — the split a doc lands in is a pure
+    * function of its id, so it is reproducible across engines, runs and
+    * cluster sizes, and STABLE under corpus growth (new docs never move
+    * existing ones between splits, unlike randomSplit or any
+    * count-based partitioning). Map-only assignment + one
+    * (source, split) rollup; the per-source share rides along as the
+    * leakage/imbalance report. Share uses the floor fixed-point idiom,
+    * not ROUND — high-volume double rounding diverges across engines at
+    * representation boundaries. */
+  val qSplitAssign = GraftQuery(
+    "q_split_assign",
+    (s, dir) => {
+      import s.implicits._
+      val h = pmod(pmod($"doc_id", lit(2147483647L)) * lit(48271L),
+        lit(2147483647L)) % 1000000L
+      val split = when(h < 800000L, "train").when(h < 900000L, "val").otherwise("test")
+      val w = Window.partitionBy($"source")
+      Tables.documents(s, dir)
+        .select($"source", split.as("split"), $"n_chars")
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+        .withColumn("share",
+          floor($"n_docs" * 1000000.0 / sum($"n_docs").over(w) + 0.5) / 1000000.0)
+        .orderBy($"source", $"split")
+    },
+    Some("""WITH a AS (SELECT source,
+        CASE WHEN ((((doc_id % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) % 1000000 < 800000 THEN 'train'
+             WHEN ((((doc_id % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) % 1000000 < 900000 THEN 'val'
+             ELSE 'test' END AS split, n_chars
+      FROM documents),
+      g AS (SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM a GROUP BY 1, 2)
+      SELECT source, split, n_docs, n_chars,
+        FLOOR(n_docs * 1000000.0 / SUM(n_docs) OVER (PARTITION BY source) + 0.5) / 1000000.0 AS share
+      FROM g ORDER BY source, split""")
+  )
+
   /** Quality-WEIGHTED deterministic downsampling: each document is kept
     * with probability quality/2, decided by comparing the portable
     * Lehmer hash of its id (uniform in [0, 1e6)) against the scaled
@@ -423,5 +461,5 @@ object PipelineQueries {
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
-    qWeightedSample)
+    qSplitAssign, qWeightedSample)
 }

@@ -90,6 +90,58 @@ object WarehouseQueries {
       FROM f GROUP BY source ORDER BY source""")
   )
 
+  /** Near-dup CLUSTER SIZE histogram — the dedup-observability report
+    * behind retention planning: how many 2-clusters vs giant blobs the
+    * pair graph produces (a fat tail means the similarity threshold or
+    * df-cap needs tightening BEFORE survivors are picked). Reuses the
+    * shingle→df-cap→pair→closure chain of q_dedup_components and rolls
+    * the (id, label) relation up twice: label→size, then size→count.
+    * Both rollups shuffle rows bounded by the CLUSTERED doc count (≪
+    * corpus), and the histogram itself is at most max-cluster-size rows.
+    * The DuckDB oracle validates the full chain via a recursive CTE. */
+  val qDupClusterSizes = GraftQuery(
+    "q_dup_cluster_sizes",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", k = 3, minJaccard = 0.5, maxDf = 100)
+      graft.operators.Dedup.connectedComponents(pairs)
+        .groupBy($"label")
+        .agg(count(lit(1)).as("sz"))
+        .groupBy($"sz".as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", $"cluster_size" * $"n_clusters")
+        .orderBy($"cluster_size")
+    },
+    Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, CASE WHEN LEN(ts) < 3 THEN [array_to_string(ts, ' ')]
+          ELSE [array_to_string(ts[i+1:i+3], ' ') for i in range(0, LEN(ts)-2)] END AS ss
+        FROM toks), UNNEST(ss) AS u(s)),
+      freq AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq USING (s) WHERE freq.df <= 100),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b
+        FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        WHERE inter * 100 >= (na.n + nb.n - inter) * 50),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.src, e.b FROM walk w JOIN edges e ON w.dst = e.a),
+      comp AS (SELECT src AS id, MIN(dst) AS label FROM walk GROUP BY src),
+      cs AS (SELECT label, COUNT(*) AS sz FROM comp GROUP BY label)
+      SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+        CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+      FROM cs GROUP BY sz ORDER BY sz""")
+  )
+
   /** Per-label embedding norm health: n, min/max/mean of ‖v‖² — the
     * drift check run over every embedding batch (an off-scale norm
     * cluster means a broken encoder or un-normalized shard). The fold
@@ -157,6 +209,65 @@ object WarehouseQueries {
       SELECT label, pos, COUNT(*) AS n_vecs,
         FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS centroid
       FROM x GROUP BY label, pos ORDER BY label, pos""")
+  )
+
+  /** Embedding COVARIANCE (upper triangle, flat (i, j, cov) rows) — the
+    * whitening / PCA-prep statistic: off-diagonal mass says whether the
+    * encoder's dimensions are correlated (and a near-zero diagonal says a
+    * dimension is dead). Plan shape: one generator chain explodes each
+    * vector into its d(d+1)/2 index pairs — map-side, inside whole-stage
+    * codegen — and hash aggregation collapses them to d(d+1)/2 partials
+    * PER PARTITION before the shuffle, so the exchange carries ~2080
+    * rows per task regardless of corpus size. The centering means ride
+    * in the SAME aggregate (each (i,j) group sees every row exactly
+    * once, so sum-of-x over the group IS n·mean_i) — one corpus pass,
+    * one tiny shuffle, zero joins. CPU is the inherent O(N·d²) of a
+    * covariance matrix; nothing else grows with N. Dims beyond ~512
+    * would want a fused Gram-matrix aggregate instead of the explode
+    * (state d² doubles), same shape as QuantizeStats.
+    *
+    * Parity is fixed-point end to end (same argument as
+    * q_embed_centroids): per-pair products quantize to integer
+    * micro-units via floor(x·y·10⁶ + 0.5), sums are exact BIGINT, and
+    * the centering term multiplies two identically-quantized doubles —
+    * every op is order-independent or identically-ordered IEEE, so
+    * DuckDB reproduces the bits. */
+  val qEmbedCovariance = GraftQuery(
+    "q_embed_covariance",
+    (s, dir) => {
+      import s.implicits._
+      def m6(c: org.apache.spark.sql.Column) =
+        floor(c.cast(DoubleType) / count(lit(1)) + 0.5) / 1000000.0
+      Tables.embeddings(s, dir)
+        .select($"embedding".cast("array<double>").as("v"))
+        .select($"v", posexplode($"v").as(Seq("i0", "x")))
+        .select($"i0", $"x",
+          posexplode(slice($"v", $"i0" + 1, size($"v") - $"i0")).as(Seq("dj", "y")))
+        .select(($"i0" + 1).as("i"), ($"i0" + 1 + $"dj").as("j"),
+          floor($"x" * $"y" * 1000000.0 + 0.5).as("qxy"),
+          floor($"x" * 1000000.0 + 0.5).as("qx"),
+          floor($"y" * 1000000.0 + 0.5).as("qy"))
+        .groupBy($"i", $"j")
+        .agg(count(lit(1)).as("n_vecs"), m6(sum($"qxy")).as("m2"),
+          m6(sum($"qx")).as("mean_i"), m6(sum($"qy")).as("mean_j"))
+        .select($"i", $"j", $"n_vecs", $"m2",
+          (floor(($"m2" - $"mean_i" * $"mean_j") * 1000000.0 + 0.5) / 1000000.0).as("cov"))
+        .orderBy($"i", $"j")
+    },
+    Some("""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      x AS (SELECT t.i + 1 AS i, t.i + 1 + u.dj AS j,
+          CAST(FLOOR(v[t.i + 1] * v[t.i + 1 + u.dj] * 1000000.0 + 0.5) AS BIGINT) AS qxy,
+          CAST(FLOOR(v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT) AS qx,
+          CAST(FLOOR(v[t.i + 1 + u.dj] * 1000000.0 + 0.5) AS BIGINT) AS qy
+        FROM e, UNNEST(range(len(v))) AS t(i), UNNEST(range(len(v) - t.i)) AS u(dj)),
+      g AS (SELECT i, j, COUNT(*) AS n_vecs,
+          FLOOR(CAST(SUM(qxy) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS m2,
+          FLOOR(CAST(SUM(qx) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS mean_i,
+          FLOOR(CAST(SUM(qy) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS mean_j
+        FROM x GROUP BY i, j)
+      SELECT i, j, n_vecs, m2,
+        FLOOR((m2 - mean_i * mean_j) * 1000000.0 + 0.5) / 1000000.0 AS cov
+      FROM g ORDER BY i, j""")
   )
 
   /** Int8 embedding quantization with per-vector affine scaling — the
@@ -282,6 +393,7 @@ object WarehouseQueries {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(qScd2History, qDupInflation, qEmbedNorms, qEmbedCentroids,
-      qEmbedQuantize, qIncrementalAgg, qDeltaDedup)
+    Seq(qScd2History, qDupInflation, qDupClusterSizes, qEmbedNorms,
+      qEmbedCentroids, qEmbedCovariance, qEmbedQuantize, qIncrementalAgg,
+      qDeltaDedup)
 }

@@ -1,0 +1,85 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property coverage for the corpus-report queries beyond the DuckDB
+  * hash gate: invariants the oracle comparison can't see (split
+  * stability under growth, covariance math vs a direct computation,
+  * histogram/partition consistency). */
+class CorpusReportsSpec extends SparkSpec {
+
+  private val Dir = "/root/testdata/sf0.01"
+
+  test("q_split_assign partitions the corpus and shares sum to 1 per source") {
+    val df = PipelineQueries.qSplitAssign.run(spark, Dir).cache()
+    val total = df.agg(sum("n_docs")).first().getLong(0)
+    val corpus = graft.Tables.documents(spark, Dir).count()
+    assert(total === corpus, "every doc lands in exactly one split")
+    val badShare = df.groupBy("source")
+      .agg(sum("share").as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-4)
+      .count()
+    assert(badShare === 0, "per-source shares sum to 1")
+    // global mix near 80/10/10 (hash uniformity; wide tolerance for sf0.01's 500 docs)
+    val bySplit = df.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit("train").toDouble / total > 0.7 && bySplit("train").toDouble / total < 0.9)
+    df.unpersist()
+  }
+
+  test("q_split_assign is stable under corpus growth: assignment is a pure function of doc_id") {
+    // the same doc_id must land in the same split whether it arrives in a
+    // 100-doc corpus or a 10x one — the property randomSplit lacks
+    import spark.implicits._
+    def assign(ids: Seq[Long]): Map[Long, String] = {
+      val h = pmod(pmod($"doc_id", lit(2147483647L)) * lit(48271L),
+        lit(2147483647L)) % 1000000L
+      ids.toDF("doc_id")
+        .select($"doc_id",
+          when(h < 800000L, "train").when(h < 900000L, "val").otherwise("test").as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val small = assign(1L to 100L)
+    val grown = assign(1L to 1000L)
+    (1L to 100L).foreach(id => assert(small(id) === grown(id)))
+  }
+
+  test("q_embed_covariance matches a direct per-cell computation and has non-negative variance") {
+    import spark.implicits._
+    val out = WarehouseQueries.qEmbedCovariance.run(spark, Dir).cache()
+    assert(out.count() === 64L * 65 / 2)
+    assert(out.filter($"i" === $"j" && $"cov" < -1e-12).count() === 0,
+      "diagonal of a covariance matrix is non-negative")
+    // spot-check cell (1,1) and (2,5) against a direct quantized computation
+    val vecs = graft.Tables.embeddings(spark, Dir)
+      .select($"embedding".cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def cell(i: Int, j: Int): Double = {
+      val n = vecs.length
+      val sq = vecs.map(v => math.floor(v(i - 1) * v(j - 1) * 1e6 + 0.5).toLong).sum
+      val m2 = math.floor(sq.toDouble / n + 0.5) / 1e6
+      def mean(k: Int): Double = {
+        val s = vecs.map(v => math.floor(v(k - 1) * 1e6 + 0.5).toLong).sum
+        math.floor(s.toDouble / n + 0.5) / 1e6
+      }
+      math.floor((m2 - mean(i) * mean(j)) * 1e6 + 0.5) / 1e6
+    }
+    Seq((1, 1), (2, 5)).foreach { case (i, j) =>
+      val got = out.filter($"i" === i && $"j" === j).select($"cov").first().getDouble(0)
+      assert(got === cell(i, j), s"cell ($i,$j)")
+    }
+    out.unpersist()
+  }
+
+  test("q_dup_cluster_sizes is consistent with the component relation") {
+    import spark.implicits._
+    val hist = WarehouseQueries.qDupClusterSizes.run(spark, Dir).cache()
+    assert(hist.filter($"cluster_size" < 2).count() === 0,
+      "components come from a pair graph — no singletons")
+    val docsFromHist = hist.agg(sum("n_docs")).first().getLong(0)
+    val comp = DocQueries.qDedupComponents.run(spark, Dir)
+    assert(docsFromHist === comp.count(), "histogram covers every clustered doc")
+    hist.unpersist()
+  }
+}
