@@ -859,11 +859,44 @@ object DocQueries {
       FROM p ORDER BY source_a, source_b""")
   )
 
+  /** EXACT cross-source content overlap (df-capped 3-shingle sets) —
+    * the ground truth the KMV estimate above approximates: which
+    * providers mirror each other's content, at the source grain. One
+    * shingle-hash shuffle + a df-cap-bounded self-join; set sizes
+    * broadcast back ([[graft.operators.Dedup.sourceOverlap]]). */
+  val qSourceOverlap = GraftQuery(
+    "q_source_overlap",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Dedup.sourceOverlap(Tables.documents(s, dir),
+          "doc_id", "text", "source", k = 3, maxDf = 100)
+        .orderBy($"src_a", $"src_b")
+    },
+    Some("""WITH toks AS (SELECT doc_id, source,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id, source, s FROM (
+        SELECT doc_id, source, CASE WHEN LEN(ts) < 3 THEN [array_to_string(ts, ' ')]
+          ELSE [array_to_string(ts[i+1:i+3], ' ') for i in range(0, LEN(ts)-2)] END AS ss
+        FROM toks), UNNEST(ss) AS u(s)),
+      freq AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      srcsh AS (SELECT DISTINCT source, s
+        FROM sh0 JOIN freq USING (s) WHERE freq.df <= 100),
+      sizes AS (SELECT source, COUNT(*) AS n FROM srcsh GROUP BY 1),
+      ov AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM srcsh a JOIN srcsh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, n_shared, na.n AS n_a, nb.n AS n_b,
+        FLOOR(n_shared * 1000000.0 / (na.n + nb.n - n_shared) + 0.5) / 1000000.0 AS jaccard
+      FROM ov JOIN sizes na ON na.source = src_a JOIN sizes nb ON nb.source = src_b
+      ORDER BY src_a, src_b""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qContaminationBySource, qUnigramXent,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qIvfTopK, qApproxDistinct, qAsofJoin,
-    qRangeJoin, qKmvDistinct, qQualityScore, qSourceSimilarity)
+    qRangeJoin, qKmvDistinct, qQualityScore, qSourceSimilarity, qSourceOverlap)
 }

@@ -190,6 +190,46 @@ object Dedup {
         col("uni").cast(LongType))
   }
 
+  /** Cross-source content overlap matrix: for every pair of sources, the
+    * exact Jaccard of their df-capped k-shingle sets — which providers
+    * mirror each other (and therefore double-count under per-source
+    * quotas), reported at the SOURCE grain rather than the doc grain of
+    * [[ngramJaccardPairs]]. The ground-truth counterpart of the
+    * KMV-sketch estimate (q_source_similarity): run this exactly on a
+    * sample or per-shard, the sketch everywhere.
+    *
+    * Scale: the (source, shingle-hash) relation after the doc-level
+    * df-cap and per-source distinct is AT MOST sources × distinct
+    * shingles but in practice ~the shingle vocabulary; the self-join
+    * shuffles on the 8-byte hash, and a shingle surviving the cap joins
+    * at most min(maxDf, sources)² source pairs — the same bound that
+    * protects the pair generators. Output is ≤ sources²/2 rows; the
+    * per-source set sizes broadcast back for the union term. */
+  def sourceOverlap(
+      df: DataFrame, idCol: String, textCol: String, srcCol: String,
+      k: Int = 3, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val raw = df.select(col(idCol).as("id"), col(srcCol).as("src"),
+      explode(graft.expressions.TextHashExprs.shingleHashes64(
+        TextAnalysis.tokens(col(textCol)), k)).as("shingle"))
+    // the cap counts DOC-frequency (raw is distinct (doc, shingle) by
+    // kernel construction), exactly like the pair generators
+    val srcSh = Caches.register(
+      dropHotKeys(raw, Seq("shingle"), maxDf)
+        .select(col("src"), col("shingle")).distinct())
+    val sizes = srcSh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    srcSh.as("a").join(srcSh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn("jaccard",
+        floor(col("n_shared") * lit(1000000.0) / (col("n_a") + col("n_b") - col("n_shared"))
+          + lit(0.5)) / 1000000.0)
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
+
   /** Winnowing-fingerprint near-dup pairs (Schleimer et al., SIGMOD'03):
     * each doc keeps only its window-minimum shingle hashes (~2/(w+1) of
     * them), pairs form on shared fingerprints — the same explode-join as

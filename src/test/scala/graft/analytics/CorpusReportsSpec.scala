@@ -72,6 +72,25 @@ class CorpusReportsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sourceOverlap ranks a mirrored source pair above unrelated ones") {
+    import spark.implicits._
+    // srcA and srcB share 8 of 10 docs (mirrors); srcC is disjoint content
+    val mirrored = (1 to 8).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta $i eta theta"))
+    val docs = (
+      mirrored.map { case (id, t) => (id, t, "srcA") } ++
+        mirrored.map { case (id, t) => (id + 100, t, "srcB") } ++
+        (1 to 2).map(i => (200L + i, s"unique alpha content number $i for a", "srcA")) ++
+        (1 to 2).map(i => (300L + i, s"unique beta content number $i for b", "srcB")) ++
+        (1 to 10).map(i => (400L + i, s"totally different words entirely $i here now", "srcC"))
+      ).toDF("doc_id", "text", "source")
+    val ov = graft.operators.Dedup.sourceOverlap(docs, "doc_id", "text", "source", k = 3, maxDf = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val ab = ov(("srcA", "srcB"))
+    assert(ab > 0.5, s"mirrored pair should overlap heavily, got $ab")
+    ov.filterKeys(_ != ("srcA", "srcB")).values.foreach(j =>
+      assert(j < ab, "unrelated pairs rank below the mirrored pair"))
+  }
+
   test("q_dup_cluster_sizes is consistent with the component relation") {
     import spark.implicits._
     val hist = WarehouseQueries.qDupClusterSizes.run(spark, Dir).cache()
