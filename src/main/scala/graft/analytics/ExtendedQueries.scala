@@ -158,6 +158,35 @@ object ExtendedQueries {
       FROM events GROUP BY 1 ORDER BY hour""")
   )
 
+  /** Streaming incremental dedup (D2) under AT-LEAST-ONCE delivery: the
+    * same event files arrive on TWO source streams (every event delivered
+    * twice — the redelivery pattern of any retrying ingester), and
+    * watermarked dropDuplicatesWithinWatermark collapses them before a
+    * Complete-mode rollup. State holds event keys only within the
+    * 1-hour watermark horizon — bounded by arrival rate, not corpus
+    * size. The oracle is the single-delivery batch rollup: streaming
+    * dedup must make the double delivery invisible. */
+  val qStreamDedup = GraftQuery(
+    "q_stream_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_dedup_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+      def src = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+      val deduped = graft.streaming.EventsStream.dedupedEvents(src.unionByName(src))
+      val agg = deduped
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sumDec($"value", 6).as("sum_value"))
+      graft.streaming.EventsStream
+        .runAvailableNow(s, agg, name, checkpoint, OutputMode.Complete())
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY event_type""")
+  )
+
   /** Stream-static enrichment join — the remaining core Structured
     * Streaming shape: a micro-batched event stream joined to a STATIC
     * broadcast dimension (no state, no watermark — the static side is
@@ -788,5 +817,5 @@ object ExtendedQueries {
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
-    qDenseTopk, qStreamEnrich, qStreamJoin, qMergeUpsert)
+    qDenseTopk, qStreamEnrich, qStreamDedup, qStreamJoin, qMergeUpsert)
 }
