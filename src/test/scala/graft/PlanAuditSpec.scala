@@ -129,6 +129,27 @@ class PlanAuditSpec extends SparkSpec {
       s"q_embed_norms shuffles more than the rollup:\n$pn")
   }
 
+  test("corpus reports: covariance is one corpus pass, split is one rollup, overlap broadcasts sizes") {
+    // q_embed_covariance: single aggregation exchange (d² rows) + the
+    // final sort's range exchange — no joins, one scan of the corpus
+    val pc = plan("q_embed_covariance")
+    assert("Exchange hashpartitioning".r.findAllIn(pc).length === 1,
+      s"covariance should shuffle once (d² partials):\n$pc")
+    assert(!pc.contains("Join"), s"covariance must not join:\n$pc")
+    val scans = "Scan parquet".r.findAllIn(pc).length
+    assert(scans === 1, s"covariance should scan the corpus once, saw $scans:\n$pc")
+    // q_split_assign: map-only assignment, one rollup + the share window
+    val ps = plan("q_split_assign")
+    assert(!ps.contains("Join"), s"split assignment must not join:\n$ps")
+    assert("Exchange hashpartitioning".r.findAllIn(ps).length <= 2,
+      s"split assignment shuffles more than rollup+window:\n$ps")
+    // q_source_overlap: per-source set sizes broadcast back onto the
+    // source-pair rollup — the overlap join itself is keyed, not cartesian
+    val po = plan("q_source_overlap")
+    assert(po.contains("BroadcastHashJoin"), s"overlap sizes not broadcast:\n$po")
+    assert(!po.contains("CartesianProduct"), s"overlap has a cartesian product:\n$po")
+  }
+
   test("curation pipeline: two keyed shuffles (fingerprint window + source rollup)") {
     val p = plan("q_curation_pipeline")
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
