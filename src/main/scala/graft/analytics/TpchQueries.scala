@@ -337,7 +337,118 @@ object TpchQueries {
       GROUP BY c_nationkey ORDER BY c_nationkey""")
   )
 
+  /** Q13 shape: customer order-count DISTRIBUTION through a left outer
+    * join — the topology whose point is the customers with ZERO orders.
+    * Scale shape: orders pre-aggregate to one (custkey, count) row
+    * BEFORE the join (map-side combine on the fact), so the outer join
+    * input is customers ⋈ per-customer counts, never raw orders; the
+    * distribution rollup then runs over distinct counts (tiny). */
+  val qTpchQ13 = GraftQuery(
+    "q_tpch_q13",
+    (s, dir) => {
+      import s.implicits._
+      val cnt = Tables.orders(s, dir)
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      Tables.customer(s, dir).select($"c_custkey")
+        .join(cnt, $"c_custkey" === $"o_custkey", "left")
+        .select(coalesce($"n", lit(0L)).as("c_count"))
+        .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+    Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+  )
+
+  /** Q17 shape: revenue of SMALL-quantity lines — each line compared to
+    * 20% of its part's average quantity (the correlated-scalar-subquery
+    * topology). The correlation runs as a WINDOW over l_partkey — one
+    * shuffle, no self-join — after the brand filter broadcasts into the
+    * lineitem scan. The per-part average goes through DECIMAL (exact,
+    * order-independent) so the 0.2·avg threshold is the same double in
+    * both engines and the strict < cannot flip at the boundary. */
+  val qTpchQ17 = GraftQuery(
+    "q_tpch_q17",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val pt = broadcast(Tables.part(s, dir)
+        .filter($"p_brand" === "Brand#1").select($"p_partkey"))
+      val w = Window.partitionBy($"l_partkey")
+      Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        .join(pt, $"l_partkey" === $"p_partkey")
+        .withColumn("avg_qty",
+          sum($"l_quantity".cast(DecimalType(18, 6))).over(w).cast(DoubleType)
+            / count(lit(1)).over(w))
+        .filter($"l_quantity" < $"avg_qty" * 0.2)
+        .agg((sum($"l_extendedprice".cast(DecimalType(18, 2))).cast(DoubleType) / 7.0)
+          .as("avg_yearly"), count(lit(1)).as("n_small_lines"))
+    },
+    Some("""WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#1'),
+      t AS (SELECT l_quantity, l_extendedprice,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+            / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+        FROM li)
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        COUNT(*) AS n_small_lines
+      FROM t WHERE l_quantity < avg_qty * 0.2""")
+  )
+
+  /** Q21 shape: suppliers who kept F-status orders waiting — the
+    * EXISTS / NOT-EXISTS chain topology, rewritten as per-order
+    * aggregates: "another supplier has a line" ⇔ the order has ≥ 2
+    * distinct suppliers, "no OTHER supplier was late" ⇔ exactly one
+    * distinct late supplier (the candidate's own late line makes it a
+    * member). Late = shipped > 90 days after order date (this testdata
+    * has no commit/receipt dates). One orderkey backbone shuffle feeds
+    * the join AND the per-order aggregate (co-partitioned re-join, no
+    * second data shuffle); supplier names broadcast at the end. */
+  val qTpchQ21 = GraftQuery(
+    "q_tpch_q21",
+    (s, dir) => {
+      import s.implicits._
+      val f = graft.operators.Caches.register(
+        Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+          .join(Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+            .select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
+          .select($"l_orderkey", $"l_suppkey",
+            ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+              .cast("int").as("late")))
+      val per = f.groupBy($"l_orderkey")
+        .agg(countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct(when($"late" === 1, $"l_suppkey")).as("n_late"))
+      f.filter($"late" === 1)
+        .join(per, "l_orderkey")
+        .filter($"n_supp" >= 2 && $"n_late" === 1)
+        .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_name")),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(10)
+    },
+    Some("""WITH f AS (SELECT l_orderkey, l_suppkey,
+        CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'),
+      o AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+          COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+        FROM f GROUP BY 1),
+      w AS (SELECT f.l_suppkey FROM f JOIN o USING (l_orderkey)
+        WHERE f.late = 1 AND o.n_supp >= 2 AND o.n_late = 1)
+      SELECT s_name, COUNT(*) AS numwait
+      FROM w JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTpchQ3, qTpchQ7, qTpchQ12, qTpchQ4, qTpchQ14, qTpchQ19,
-      qTpchQ2, qTpchQ10, qTpchQ18, qTpchQ22)
+      qTpchQ2, qTpchQ10, qTpchQ18, qTpchQ22, qTpchQ13, qTpchQ17, qTpchQ21)
 }
