@@ -116,6 +116,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p22.contains("CartesianProduct"), s"q_tpch_q22 has a cartesian product")
   }
 
+  test("round-6 TPC-H topologies: pre-aggregated outer join, windowed correlation, one backbone shuffle") {
+    // Q13: the aggregate must sit BELOW the outer join (orders collapse
+    // to one row per customer before joining)
+    val p13 = plan("q_tpch_q13")
+    assert(!p13.contains("CartesianProduct"), s"q_tpch_q13 has a cartesian product")
+    val outerIdx = p13.indexOf("LeftOuter")
+    assert(outerIdx >= 0, s"q_tpch_q13 lost the outer join:\n$p13")
+    assert(p13.substring(outerIdx).contains("HashAggregate"),
+      s"q_tpch_q13 joins raw orders instead of pre-aggregated counts:\n$p13")
+    // Q17: correlation via window, not a self-join — exactly one join
+    // (the broadcast brand filter)
+    val p17 = plan("q_tpch_q17")
+    assert(p17.contains("BroadcastHashJoin"), s"q_tpch_q17 lost the part broadcast:\n$p17")
+    assert("Join".r.findAllIn(p17).length <= 2, // one join printed as "BroadcastHashJoin ... Join" tokens
+      s"q_tpch_q17 self-joins instead of windowing:\n$p17")
+    assert(p17.contains("Window"), s"q_tpch_q17 lost the window correlation:\n$p17")
+    // Q21: supplier names broadcast; no cartesian anywhere
+    val p21 = plan("q_tpch_q21")
+    assert(p21.contains("BroadcastHashJoin"), s"q_tpch_q21 lost the supplier broadcast:\n$p21")
+    assert(!p21.contains("CartesianProduct"), s"q_tpch_q21 has a cartesian product")
+  }
+
   test("warehouse/event additions: keyed shuffles only, no cartesian") {
     for (q <- Seq("q_scd2_history", "q_funnel", "q_retention", "q_transitions",
         "q_dup_inflation", "q_embed_norms")) {
