@@ -214,17 +214,16 @@ object WarehouseQueries {
   /** Embedding COVARIANCE (upper triangle, flat (i, j, cov) rows) — the
     * whitening / PCA-prep statistic: off-diagonal mass says whether the
     * encoder's dimensions are correlated (and a near-zero diagonal says a
-    * dimension is dead). Plan shape: one generator chain explodes each
-    * vector into its d(d+1)/2 index pairs — map-side, inside whole-stage
-    * codegen — and hash aggregation collapses them to d(d+1)/2 partials
-    * PER PARTITION before the shuffle, so the exchange carries ~2080
-    * rows per task regardless of corpus size. The centering means ride
-    * in the SAME aggregate (each (i,j) group sees every row exactly
-    * once, so sum-of-x over the group IS n·mean_i) — one corpus pass,
-    * one tiny shuffle, zero joins. CPU is the inherent O(N·d²) of a
-    * covariance matrix; nothing else grows with N. Dims beyond ~512
-    * would want a fused Gram-matrix aggregate instead of the explode
-    * (state d² doubles), same shape as QuantizeStats.
+    * dimension is dead). Runs as ONE fused TypedImperativeAggregate
+    * ([[graft.expressions.GramMatrix]]): per row a tight d²/2
+    * multiply-add loop updates fixed-point BIGINT sums — no per-pair row
+    * generation, d(d+3)/2 longs of state (~17 KB at d=64) merging across
+    * partitions, and the centering means accumulate in the same state.
+    * One corpus pass, one tiny state-merge exchange, zero joins; CPU is
+    * the inherent O(N·d²) of a covariance matrix and nothing else grows
+    * with N. The declarative explode+aggregate formulation lives on in
+    * GramMatrixSpec, which pins the kernel cell-for-cell bit-identical
+    * to it (the kernel is a physical swap, never a numeric one).
     *
     * Parity is fixed-point end to end (same argument as
     * q_embed_centroids): per-pair products quantize to integer
@@ -236,22 +235,10 @@ object WarehouseQueries {
     "q_embed_covariance",
     (s, dir) => {
       import s.implicits._
-      def m6(c: org.apache.spark.sql.Column) =
-        floor(c.cast(DoubleType) / count(lit(1)) + 0.5) / 1000000.0
       Tables.embeddings(s, dir)
         .select($"embedding".cast("array<double>").as("v"))
-        .select($"v", posexplode($"v").as(Seq("i0", "x")))
-        .select($"i0", $"x",
-          posexplode(slice($"v", $"i0" + 1, size($"v") - $"i0")).as(Seq("dj", "y")))
-        .select(($"i0" + 1).as("i"), ($"i0" + 1 + $"dj").as("j"),
-          floor($"x" * $"y" * 1000000.0 + 0.5).as("qxy"),
-          floor($"x" * 1000000.0 + 0.5).as("qx"),
-          floor($"y" * 1000000.0 + 0.5).as("qy"))
-        .groupBy($"i", $"j")
-        .agg(count(lit(1)).as("n_vecs"), m6(sum($"qxy")).as("m2"),
-          m6(sum($"qx")).as("mean_i"), m6(sum($"qy")).as("mean_j"))
-        .select($"i", $"j", $"n_vecs", $"m2",
-          (floor(($"m2" - $"mean_i" * $"mean_j") * 1000000.0 + 0.5) / 1000000.0).as("cov"))
+        .agg(graft.expressions.GramMatrix.gram($"v").as("g"))
+        .select(inline($"g"))
         .orderBy($"i", $"j")
     },
     Some("""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -152,11 +152,18 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("corpus reports: covariance is one corpus pass, split is one rollup, overlap broadcasts sizes") {
-    // q_embed_covariance: single aggregation exchange (d² rows) + the
-    // final sort's range exchange — no joins, one scan of the corpus
+    // q_embed_covariance: the fused Gram aggregate — only the
+    // state-merge exchange (SinglePartition of ~17 KB states) plus the
+    // final sort; no hash exchange, no generator, no joins, one scan
     val pc = plan("q_embed_covariance")
-    assert("Exchange hashpartitioning".r.findAllIn(pc).length === 1,
-      s"covariance should shuffle once (d² partials):\n$pc")
+    assert("Exchange hashpartitioning".r.findAllIn(pc).isEmpty,
+      s"covariance should only merge states, not hash-shuffle rows:\n$pc")
+    assert(pc.contains("gram_matrix"), s"covariance lost the fused kernel:\n$pc")
+    // the only allowed Generate is the inline() of the ONE finished row —
+    // a posexplode marks a regression to the per-pair explode plan
+    assert(!pc.contains("posexplode"), s"covariance regressed to the explode plan:\n$pc")
+    assert("Generate".r.findAllIn(pc).length === 1 && pc.contains("inline"),
+      s"covariance should only inline the finished report:\n$pc")
     assert(!pc.contains("Join"), s"covariance must not join:\n$pc")
     val scans = "Scan parquet".r.findAllIn(pc).length
     assert(scans === 1, s"covariance should scan the corpus once, saw $scans:\n$pc")
