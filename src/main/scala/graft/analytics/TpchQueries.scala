@@ -448,7 +448,46 @@ object TpchQueries {
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""")
   )
 
+  /** Q15 shape: top supplier(s) by quarterly revenue — the
+    * max-of-aggregate join-back topology (the original's revenue VIEW).
+    * The per-supplier revenue stays DECIMAL through the max and the
+    * equality join-back, so "equals the maximum" is exact arithmetic in
+    * both engines, never a double comparison. The 1-row max broadcasts;
+    * the max-filtered relation (≈1 row) then drives the supplier name
+    * join — nothing supplier-sized ever re-shuffles. */
+  val qTpchQ15 = GraftQuery(
+    "q_tpch_q15",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val rev = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
+          .as("total_dec"))
+      val mx = rev.agg(max($"total_dec").as("mx"))
+      rev.join(broadcast(mx), $"total_dec" === $"mx")
+        .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_name")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          $"total_dec".cast(DoubleType).as("total_revenue"))
+        .orderBy($"s_suppkey")
+    },
+    Some("""WITH rev AS (SELECT l_suppkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+      GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_dec = (SELECT MAX(total_dec) FROM rev)
+      ORDER BY s_suppkey""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTpchQ3, qTpchQ7, qTpchQ12, qTpchQ4, qTpchQ14, qTpchQ19,
-      qTpchQ2, qTpchQ10, qTpchQ18, qTpchQ22, qTpchQ13, qTpchQ17, qTpchQ21)
+      qTpchQ2, qTpchQ10, qTpchQ18, qTpchQ22, qTpchQ13, qTpchQ17, qTpchQ21,
+      qTpchQ15)
 }
