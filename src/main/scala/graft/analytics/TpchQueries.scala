@@ -486,8 +486,67 @@ object TpchQueries {
       ORDER BY s_suppkey""")
   )
 
+  /** Q8 shape: one nation's market share inside one region for one
+    * product type, by order year — the widest dim fan of the set
+    * (part + supplier + customer + nation×2 + region all broadcast onto
+    * the lineitem⋈orders backbone). The share is a conditional decimal
+    * sum over the total decimal sum — both exact, one double division,
+    * deterministic in both engines. */
+  val qTpchQ8 = GraftQuery(
+    "q_tpch_q8",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val rev = $"l_extendedprice".cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2)))
+      val custNation = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey".as("cnk"))
+      val suppNation = Tables.nation(s, dir)
+        .select($"n_nationkey".as("snk"), $"n_name".as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.part(s, dir).filter($"p_type" === "PROMO")
+          .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+        .join(broadcast(Tables.customer(s, dir)
+          .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(custNation), $"c_nationkey" === $"cnk")
+        .join(broadcast(Tables.supplier(s, dir)
+          .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(suppNation), $"s_nationkey" === $"snk")
+        .groupBy(year($"o_orderdate").as("o_year"))
+        .agg(
+          sum(when($"supp_nation" === "NATION_1", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType)
+            .as("nation_revenue"),
+          sum(rev).cast(DoubleType).as("total_revenue"))
+        .withColumn("mkt_share",
+          floor($"nation_revenue" * 1000000.0 / $"total_revenue" + 0.5) / 1000000.0)
+        .orderBy($"o_year")
+    },
+    Some("""SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+          THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+        FLOOR(CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 1000000.0
+          / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) + 0.5) / 1000000.0 AS mkt_share
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN part ON l_partkey = p_partkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                    JOIN region ON n1.n_regionkey = r_regionkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+      GROUP BY 1 ORDER BY o_year""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTpchQ3, qTpchQ7, qTpchQ12, qTpchQ4, qTpchQ14, qTpchQ19,
       qTpchQ2, qTpchQ10, qTpchQ18, qTpchQ22, qTpchQ13, qTpchQ17, qTpchQ21,
-      qTpchQ15)
+      qTpchQ15, qTpchQ8)
 }
