@@ -545,8 +545,33 @@ object TpchQueries {
       GROUP BY 1 ORDER BY o_year""")
   )
 
+  /** Q6 shape: forecast-revenue-change — a pure scan-side filter
+    * (date range × discount band × quantity cap) into one global decimal
+    * sum. The point at scale is that every predicate reaches the parquet
+    * scan as a pushed filter: zero joins, zero row-level compute beyond
+    * the product, one 1-row result. */
+  val qTpchQ6 = GraftQuery(
+    "q_tpch_q6",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .agg(sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+          $"l_discount".cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTpchQ3, qTpchQ7, qTpchQ12, qTpchQ4, qTpchQ14, qTpchQ19,
       qTpchQ2, qTpchQ10, qTpchQ18, qTpchQ22, qTpchQ13, qTpchQ17, qTpchQ21,
-      qTpchQ15, qTpchQ8)
+      qTpchQ15, qTpchQ8, qTpchQ6)
 }
