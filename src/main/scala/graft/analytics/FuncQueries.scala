@@ -105,6 +105,49 @@ object FuncQueries {
       ORDER BY media_id""")
   )
 
+  /** Audio REAL-decode roundtrip, mirror of q_multimodal_decode for the
+    * WAV path: synthesize a PCM WAV per doc (sample rate / channels /
+    * frame count derived from doc_id), decode DISTRIBUTED through the
+    * kind-dispatching HeaderDecoder (which must route audio to the RIFF
+    * chunk walk), and oracle the recovered frame count and duration
+    * against the generating formulas. Payloads never shuffle; only
+    * (id, n_frames, duration_ms) leaves the executors. */
+  val qWavDecode = GraftQuery(
+    "q_wav_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, dir)
+        .select($"doc_id").orderBy($"doc_id").limit(200).as[Long].map { id =>
+          val sampleRate = 8000 + (id % 4).toInt * 4000
+          val channels = 1 + (id % 2).toInt
+          val nFrames = 100 + (id % 900).toInt
+          val blockAlign = channels * 2 // 16-bit PCM
+          val dataSize = nFrames * blockAlign
+          val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+            .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+            .putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(dataSize)
+          Multimodal.MediaRow(id, "audio", bb.array(), "synthetic")
+        }
+      Multimodal.extractFeatures(media, Multimodal.HeaderDecoder.decode)
+        .toDF()
+        .select($"media_id", $"n_frames", $"duration_ms")
+        .orderBy($"media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+        CAST(100 + doc_id % 900 AS INTEGER) AS n_frames,
+        ((100 + doc_id % 900) * (1 + doc_id % 2) * 2 * 1000)
+          // ((8000 + (doc_id % 4) * 4000) * (1 + doc_id % 2) * 2) AS duration_ms
+      FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) t
+      ORDER BY media_id""")
+  )
+
   val all: Seq[GraftQuery] = Seq(qPriceParse, qHashDigits, qMultimodalMeta,
-    qMultimodalDecode)
+    qMultimodalDecode, qWavDecode)
 }

@@ -102,6 +102,76 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder: RIFF/WAVE header walk — pure JVM byte parsing,
+    * no codec dependency. Extracts channel count, byte rate and data
+    * size from the fmt/data chunks (a proper chunk walk, not a fixed
+    * 44-byte offset: WAV files legally carry LIST/fact chunks before
+    * data) and derives PCM frame count and duration. Header-only, same
+    * 100 TB story as the image probe: a few dozen bytes of IO per file.
+    *
+    * Failure policy matches [[ImageIoDecoder]]: malformed/truncated
+    * headers (or a non-audio kind) yield the sentinel (n_frames = 0,
+    * duration_ms = 0) — one corrupt object must not kill the job.
+    * width/height are always -1 for audio. */
+  object WavDecoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(row.payload).map("%02x".format(_)).mkString
+      var frames = 0L
+      var durMs = 0L
+      if (row.kind == "audio") try {
+        val bb = java.nio.ByteBuffer.wrap(row.payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(): String = {
+          val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+        }
+        if (tag() == "RIFF") {
+          bb.getInt // RIFF size
+          if (tag() == "WAVE") {
+            var byteRate = 0
+            var blockAlign = 0
+            var dataSize = -1L
+            while (bb.remaining() >= 8 && dataSize < 0) {
+              val id = tag()
+              val sz = bb.getInt
+              if (id == "fmt ") {
+                val start = bb.position()
+                bb.getShort // audio format
+                bb.getShort // channels
+                bb.getInt   // sample rate
+                byteRate = bb.getInt
+                blockAlign = bb.getShort & 0xffff
+                bb.position(start + sz + (sz & 1))
+              } else if (id == "data") {
+                dataSize = sz.toLong & 0xffffffffL
+              } else {
+                bb.position(bb.position() + sz + (sz & 1))
+              }
+            }
+            if (dataSize >= 0 && blockAlign > 0 && byteRate > 0) {
+              frames = dataSize / blockAlign
+              durMs = dataSize * 1000L / byteRate
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => frames = 0L; durMs = 0L }
+      MediaFeatures(row.media_id, row.kind, row.payload.length.toLong, hex,
+        -1, -1, math.min(frames, Int.MaxValue).toInt, durMs)
+    }
+  }
+
+  /** Kind-dispatching header decoder: image → [[ImageIoDecoder]],
+    * audio → [[WavDecoder]], anything else → the deterministic stub.
+    * The per-partition batch shape means ONE dispatcher instance serves
+    * the whole partition regardless of kind mix. */
+  object HeaderDecoder {
+    def decode(row: MediaRow): MediaFeatures = row.kind match {
+      case "image" => ImageIoDecoder.decode(row)
+      case "audio" => WavDecoder.decode(row)
+      case _       => FakeDecoder.decode(row)
+    }
+  }
+
   /** Batch feature extraction: mapPartitions so any real decoder can
     * amortize per-batch init (model load, codec context) exactly like
     * mapInPandas batches — one decoder instance per partition, streaming

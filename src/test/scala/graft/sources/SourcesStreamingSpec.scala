@@ -313,4 +313,44 @@ class SourcesStreamingSpec extends SparkSpec {
     // byte_size/sha256 are real regardless of decodability
     assert(feats.values.forall(f => f.byte_size > 0 && f.sha256.length === 64))
   }
+
+  test("multimodal: WavDecoder walks RIFF chunks (extra chunks, truncation, dispatch)") {
+    implicit val s = spark
+    import s.implicits._
+    def wav(sampleRate: Int, channels: Int, nFrames: Int,
+        extraChunk: Boolean = false): Array[Byte] = {
+      val blockAlign = channels * 2
+      val dataSize = nFrames * blockAlign
+      val extra = if (extraChunk) 12 else 0 // "LIST" + size + 4 payload bytes
+      val bb = java.nio.ByteBuffer.allocate(44 + extra + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+      if (extraChunk) bb.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      bb.array()
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(8000, 1, 4000), "test"),
+      // a LIST chunk between fmt and data must not derail the walk
+      Multimodal.MediaRow(2L, "audio", wav(16000, 2, 1600, extraChunk = true), "test"),
+      Multimodal.MediaRow(3L, "audio", Array[Byte](82, 73, 70), "test"), // truncated
+      Multimodal.MediaRow(4L, "image", wav(8000, 1, 100), "test")        // wrong kind
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media, Multimodal.HeaderDecoder.decode)
+      .collect().map(f => f.media_id -> f).toMap
+    // 4000 frames at 8 kHz mono = 500 ms
+    assert(feats(1L).n_frames === 4000 && feats(1L).duration_ms === 500L)
+    // 1600 frames at 16 kHz stereo = 100 ms, despite the LIST chunk
+    assert(feats(2L).n_frames === 1600 && feats(2L).duration_ms === 100L)
+    // truncated header surfaces the sentinel, not a crash
+    assert(feats(3L).n_frames === 0 && feats(3L).duration_ms === 0L)
+    // HeaderDecoder routes by kind: a WAV payload declared "image" goes to
+    // the image probe and gets ITS sentinel
+    assert(feats(4L).width === -1 && feats(4L).n_frames === 0)
+    assert(feats.values.forall(f => f.sha256.length === 64))
+  }
 }
