@@ -107,6 +107,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(c.length == 1, "graft_quantize_stats(vec)")
       graft.expressions.QuantizeStats(c.head)
     }
+    register("graft_gram_matrix", classOf[graft.expressions.GramMatrix],
+        "graft_gram_matrix(vec)") { c =>
+      require(c.length == 1, "graft_gram_matrix(vec)")
+      graft.expressions.GramMatrix(c.head).toAggregateExpression()
+    }
     register("graft_mg_candidates", classOf[graft.expressions.MisraGries],
         "graft_mg_candidates(col[, k])") { c =>
       require(c.length == 1 || c.length == 2, "graft_mg_candidates(col[, k])")

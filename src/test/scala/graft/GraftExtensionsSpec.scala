@@ -56,6 +56,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1e-5) // 8-bit error is tiny
   }
 
+  test("graft_gram_matrix aggregates in SQL and inlines the covariance report") {
+    val rows = spark.sql("""SELECT inline(g) FROM (
+        SELECT graft_gram_matrix(CAST(v AS ARRAY<DOUBLE>)) AS g FROM (
+          SELECT ARRAY(1.0, 2.0) AS v UNION ALL SELECT ARRAY(3.0, 4.0)))""")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    assert(rows.size === 3)
+    // var of {1,3} = E[x²]−E[x]² = 5−4 = 1; cov({1,3},{2,4}) = 1
+    assert(rows((1, 1)) === 1.0 && rows((1, 2)) === 1.0 && rows((2, 2)) === 1.0)
+  }
+
   test("graft_mg_candidates aggregates in SQL and keeps the dominant value") {
     val r = spark.sql("""SELECT graft_mg_candidates(v, 4) AS c FROM (
         SELECT CASE WHEN id % 2 = 0 THEN 'dominant' ELSE CONCAT('t', id) END AS v

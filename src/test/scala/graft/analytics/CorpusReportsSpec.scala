@@ -91,6 +91,29 @@ class CorpusReportsSpec extends SparkSpec {
       assert(j < ab, "unrelated pairs rank below the mirrored pair"))
   }
 
+  test("sourceOverlap: corpus-wide boilerplate is df-capped out of the overlap") {
+    import spark.implicits._
+    // every doc carries the same boilerplate shingle run; two sources
+    // share NOTHING else. With the cap the boilerplate must not count —
+    // uncapped it would make every source pair look near-identical AND
+    // put all docs in one join bucket (the O(N²)-at-skew shape).
+    val boiler = "all rights reserved unauthorized reproduction strictly " +
+      "prohibited terms of service apply everywhere"
+    val docs = (
+      (1 to 30).map(i => (i.toLong, s"$boiler a$i", "srcA")) ++
+        (1 to 30).map(i => (100L + i, s"$boiler b$i", "srcB"))
+      ).toDF("doc_id", "text", "source")
+    val capped = graft.operators.Dedup.sourceOverlap(
+      docs, "doc_id", "text", "source", k = 3, maxDf = 20).collect()
+    val uncapped = graft.operators.Dedup.sourceOverlap(
+      docs, "doc_id", "text", "source", k = 3, maxDf = 0).collect()
+    assert(uncapped.nonEmpty && uncapped.head.getDouble(5) > 0.1,
+      "sanity: without the cap the boilerplate dominates the overlap")
+    val cappedJ = capped.headOption.map(_.getDouble(5)).getOrElse(0.0)
+    assert(cappedJ < 0.05,
+      s"boilerplate shingles must be capped out, got jaccard $cappedJ")
+  }
+
   test("q_dup_cluster_sizes is consistent with the component relation") {
     import spark.implicits._
     val hist = WarehouseQueries.qDupClusterSizes.run(spark, Dir).cache()
