@@ -379,8 +379,84 @@ object WarehouseQueries {
       ORDER BY doc_id""")
   )
 
+  /** Incremental NEAR-dup dedup of a new batch against the ingested
+    * corpus — the near-dup analogue of [[qDeltaDedup]], and the actual
+    * production flow for fuzzy dedup at scale: history is never
+    * re-shingled; the pipeline maintains a minhash SIGNATURE index
+    * (numHashes longs per doc), the batch computes its own signatures,
+    * and banding runs over index + batch signatures together
+    * ([[graft.operators.Dedup.minhashPairsFromSignatures]]). A batch doc
+    * is dropped when it near-matches ANY history doc (regardless of id
+    * order — history is already ingested and immutable) or an EARLIER
+    * batch doc (keep-first within the batch). Portable hash family →
+    * the whole chain is DuckDB-oracled. */
+  val qDeltaNearDup = GraftQuery(
+    "q_delta_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, Dedup}
+      val docs = Tables.documents(s, dir)
+      val isBatch = (c: org.apache.spark.sql.Column) => c % 5 === 0
+      val idx = Scratch.dir("minhash_index", dir)
+      Dedup.minhashSignatures(docs.filter(!isBatch($"doc_id")), "doc_id", "text",
+          k = 3, numHashes = 32, portable = true)
+        .write.mode("overwrite").parquet(idx)
+      val batchSig = Dedup.minhashSignatures(docs.filter(isBatch($"doc_id")),
+        "doc_id", "text", k = 3, numHashes = 32, portable = true)
+      val allSig = Caches.register(s.read.parquet(idx).unionByName(batchSig))
+      val pairs = Dedup.minhashPairsFromSignatures(allSig, numHashes = 32,
+        bands = 8, threshold = 0.5, maxBucket = 100, portable = true)
+      val dups = pairs
+        .filter(isBatch($"id_a") || isBatch($"id_b"))
+        .select(when(isBatch($"id_a") && !isBatch($"id_b"), $"id_a")
+          .otherwise($"id_b").as("doc_id"))
+        .distinct()
+      docs.filter(isBatch($"doc_id")).select($"doc_id")
+        .join(dups, Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      sg AS (SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
+      FROM t),
+      hs AS (SELECT doc_id,
+        list_distinct(list_transform(shingles, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007))) AS hv
+      FROM sg),
+      sig AS (SELECT doc_id,
+        list_transform(range(32), j ->
+          list_min(list_transform(hv, h -> ((48271 + 2*j) * h + j) % 1000000007))) AS sig
+      FROM hs),
+      banded AS (SELECT doc_id, band,
+        list_reduce(list_prepend(CAST(band AS BIGINT), sig[band*4+1 : band*4+4]),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS bhash
+      FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
+      kept AS (SELECT band, bhash FROM banded GROUP BY band, bhash HAVING COUNT(*) <= 100),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN kept k ON a.band = k.band AND a.bhash = k.bhash
+        JOIN banded b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+      ver AS (SELECT id_a, id_b,
+        CAST(list_sum(list_transform(range(32),
+          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 32
+          AS est_jaccard
+      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id),
+      dups AS (SELECT DISTINCT
+          CASE WHEN id_a % 5 = 0 AND id_b % 5 <> 0 THEN id_a ELSE id_b END AS doc_id
+        FROM ver
+        WHERE est_jaccard >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0))
+      SELECT doc_id FROM documents
+      WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dups)
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qDupInflation, qDupClusterSizes, qEmbedNorms,
       qEmbedCentroids, qEmbedCovariance, qEmbedQuantize, qIncrementalAgg,
-      qDeltaDedup)
+      qDeltaDedup, qDeltaNearDup)
 }

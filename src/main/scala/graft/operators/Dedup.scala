@@ -134,6 +134,21 @@ object Dedup {
     require(bands > 0 && numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes (trailing slots would be silently ignored)")
     val sig = Caches.register(minhashSignatures(df, idCol, textCol, k, numHashes, portable))
+    minhashPairsFromSignatures(sig, numHashes, bands, threshold, maxBucket, portable)
+  }
+
+  /** Banding + verification over an EXISTING signature relation (id,
+    * sig) — the path a maintained minhash INDEX takes: signatures are
+    * the persisted artifact (numHashes longs per doc, not the text), so
+    * an incremental batch bands against index + batch signatures without
+    * ever re-shingling history. Same candidate/verify semantics as
+    * [[minhashDedupPairs]], which now delegates here. */
+  def minhashPairsFromSignatures(
+      sig: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int = DefaultMaxDf,
+      portable: Boolean = false): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes (trailing slots would be silently ignored)")
     val cand = lshCandidates(sig, bands, numHashes / bands, maxBucket, portable)
     cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
