@@ -368,6 +368,70 @@ object PipelineQueries {
       FROM kd GROUP BY source ORDER BY source""")
   )
 
+  /** Token-BUDGET source selection: rank sources by mean quality and
+    * greedily take whole sources until half the corpus tokens are
+    * committed — the planning report that decides WHICH providers make
+    * the training mix before any per-doc filtering runs. One shuffle
+    * (the per-source rollup); both windows — running total and corpus
+    * total — run over the sources-sized aggregate relation, never the
+    * corpus. `selected` marks a source iff the budget was not already
+    * exhausted when its turn came (the crossing source is included, the
+    * classic greedy rule). Mean quality goes through DECIMAL so the
+    * ordering (and therefore the cumulative sums) cannot diverge between
+    * engines; shares use the floor fixed-point idiom. */
+  val qTokenBudget = GraftQuery(
+    "q_token_budget",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val per = Tables.documents(s, dir)
+        .select($"source", size(TextAnalysis.tokens($"text")).as("n_toks"),
+          TextAnalysis.qualityScore($"text").as("q"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
+          round(sum($"q".cast(DecimalType(18, 6))).cast(DoubleType)
+            / count(lit(1)), 6).as("avg_quality"))
+      val order = Window.orderBy($"avg_quality".desc, $"source")
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per
+        .withColumn("cum_tokens", sum($"n_tokens").over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum($"n_tokens").over(all))
+        .withColumn("cum_share",
+          floor($"cum_tokens" * 1000000.0 / $"total" + 0.5) / 1000000.0)
+        .withColumn("selected",
+          (($"cum_tokens" - $"n_tokens") * 2 < $"total").cast("int"))
+        .select($"source", $"n_docs", $"n_tokens", $"avg_quality",
+          $"cum_tokens", $"cum_share", $"selected")
+        .orderBy($"avg_quality".desc, $"source")
+    },
+    Some("""WITH t AS (SELECT doc_id, source, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT doc_id, source, LEN(toks) AS n_toks,
+        CAST(LENGTH(text) AS DOUBLE) AS len,
+        CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM t),
+      sc AS (SELECT source, n_toks,
+        ROUND(LEAST(len / 50.0, 1.0) * (CASE WHEN len > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+              + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+              + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) AS q
+      FROM m),
+      per AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        ROUND(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+      FROM sc GROUP BY source),
+      w AS (SELECT source, n_docs, n_tokens, avg_quality,
+        CAST(SUM(n_tokens) OVER (ORDER BY avg_quality DESC, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+      FROM per)
+      SELECT source, n_docs, n_tokens, avg_quality, cum_tokens,
+        FLOOR(cum_tokens * 1000000.0 / total + 0.5) / 1000000.0 AS cum_share,
+        CAST((cum_tokens - n_tokens) * 2 < total AS INT) AS selected
+      FROM w ORDER BY avg_quality DESC, source""")
+  )
+
   /** Deterministic train/val/test SPLIT ASSIGNMENT (80/10/10) by the
     * portable Lehmer hash of doc_id — the split a doc lands in is a pure
     * function of its id, so it is reproducible across engines, runs and
@@ -461,5 +525,5 @@ object PipelineQueries {
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
-    qSplitAssign, qWeightedSample)
+    qSplitAssign, qTokenBudget, qWeightedSample)
 }
