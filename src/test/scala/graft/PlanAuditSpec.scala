@@ -177,6 +177,16 @@ class PlanAuditSpec extends SparkSpec {
     val po = plan("q_source_overlap")
     assert(po.contains("BroadcastHashJoin"), s"overlap sizes not broadcast:\n$po")
     assert(!po.contains("CartesianProduct"), s"overlap has a cartesian product:\n$po")
+    // q_token_budget: ONE corpus shuffle (the per-source rollup); the
+    // global windows run over the sources-sized aggregate above it
+    val pt = plan("q_token_budget")
+    assert(!pt.contains("Join"), s"token budget must not join:\n$pt")
+    val rollupIdx = pt.lastIndexOf("Exchange hashpartitioning")
+    assert(rollupIdx >= 0 && !pt.substring(0, rollupIdx).contains("Exchange hashpartitioning"),
+      s"token budget should hash-shuffle only for the per-source rollup:\n$pt")
+    // q_delta_neardup: keyed band-bucket joins only, never a cartesian
+    val pd = plan("q_delta_neardup")
+    assert(!pd.contains("CartesianProduct"), s"delta neardup has a cartesian product:\n$pd")
   }
 
   test("curation pipeline: two keyed shuffles (fingerprint window + source rollup)") {

@@ -114,6 +114,24 @@ class CorpusReportsSpec extends SparkSpec {
       s"boilerplate shingles must be capped out, got jaccard $cappedJ")
   }
 
+  test("minhashPairsFromSignatures over a persisted index equals the direct pair generator") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, Dir)
+    val direct = graft.operators.Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucket = 100,
+        portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // round-trip the signatures through parquet (the index path) first
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sig_idx").toString
+    graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text",
+      k = 3, numHashes = 32, portable = true).write.mode("overwrite").parquet(tmp)
+    val viaIndex = graft.operators.Dedup.minhashPairsFromSignatures(
+        spark.read.parquet(tmp), numHashes = 32, bands = 8,
+        threshold = 0.5, maxBucket = 100, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex === direct, "the persisted-index path must be a pure refactor")
+  }
+
   test("q_dup_cluster_sizes is consistent with the component relation") {
     import spark.implicits._
     val hist = WarehouseQueries.qDupClusterSizes.run(spark, Dir).cache()
