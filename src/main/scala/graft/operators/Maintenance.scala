@@ -182,6 +182,61 @@ object Maintenance {
     } finally in.close()
   }
 
+  /** Z-ORDER clustered rewrite: lay the table out along a Morton
+    * (bit-interleaved) curve over `cols` so range predicates on ANY of
+    * the clustered columns touch few files / row groups — the
+    * multi-column generalization of sort-by-one-key, and the standard
+    * data-clustering lever for 100 TB scan pruning (parquet min/max
+    * stats do the skipping at read time; this write makes those stats
+    * selective for every clustered column at once, where a plain sort
+    * makes them selective for the FIRST column only).
+    *
+    * Column values map to `2^bits` rank buckets via approx-quantile
+    * boundaries (one bounded driver collect of 2^bits doubles per
+    * column — never a global sort of the data), the bucket indices
+    * bit-interleave into the Morton code as a pure Column expression,
+    * and `repartitionByRange(numFiles, morton)` + an in-partition sort
+    * write the curve order. NULLs rank in bucket 0 (they cluster
+    * together at the curve start). Returns the written file count. */
+  def writeZOrdered(
+      spark: SparkSession, df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 8): Int = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2, "z-ordering one column is just a sort — use sortWithinPartitions")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits=$bits x ${cols.size} cols must fit a long")
+    val nb = 1 << bits
+    // approx-quantile bucket boundaries per column: (nb - 1) inner cuts.
+    // relativeError 1/(4·nb) keeps bucket occupancy near-uniform; the
+    // collect is 2^bits doubles per column of DRIVER state, nothing more.
+    val bounds: Map[String, Array[Double]] = cols.map { c =>
+      val ps = (1 until nb).map(_.toDouble / nb).toArray
+      c -> df.stat.approxQuantile(c, ps, 1.0 / (4 * nb))
+    }.toMap
+    def bucket(c: String): org.apache.spark.sql.Column = {
+      // binary-search-free rank: a chain of <= comparisons summed — nb-1
+      // codegen'd integer adds per row, no UDF
+      val x = col(c).cast("double")
+      bounds(c).foldLeft(lit(0)) { (acc, b) =>
+        acc + when(x.isNotNull && x > lit(b), 1).otherwise(0)
+      }
+    }
+    val morton = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, ci)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(bucket(c).cast("long"), i).bitwiseAND(lit(1L)),
+          i * cols.size + ci))
+      }
+    }
+    df.withColumn("_z", morton)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(path)).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Read a parquet directory whose files have EVOLVED schemas (columns
     * added over time) as the union schema, older files padding the new
     * columns with null — the append-only ingest reality at scale.

@@ -108,6 +108,54 @@ class MaintenanceSpec extends SparkSpec {
     assert(files.length == 1)
   }
 
+  test("writeZOrdered clusters BOTH columns; a plain sort clusters only the first") {
+    // two independent uniform columns: after z-ordering, a range slice on
+    // EITHER column should overlap a minority of files' min/max spans —
+    // that span selectivity is exactly what parquet row-group skipping
+    // consumes at scale. The single-column-sort baseline proves the
+    // assertion has teeth: its second column spans every file.
+    val n = 20000
+    val df = spark.range(n).select(
+      $"id",
+      (hash($"id") % 10000 + 10000).cast("double").as("x"),
+      (hash($"id" * 7 + 3) % 10000 + 10000).cast("double").as("y"))
+    def fileSpans(dir: String, c: String): Seq[(Double, Double)] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val r = spark.read.parquet(st.getPath.toString)
+            .agg(min(col(c)), max(col(c))).collect()(0)
+          (r.getDouble(0), r.getDouble(1))
+        }.toSeq
+    }
+    // fraction of files whose [min,max] span overlaps a fixed 1/8 slice
+    def overlapFrac(spans: Seq[(Double, Double)]): Double = {
+      val (lo, hi) = (11000.0, 13500.0)
+      spans.count { case (mn, mx) => mx >= lo && mn <= hi }.toDouble / spans.size
+    }
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    val nFiles = Maintenance.writeZOrdered(spark, df, Seq("x", "y"), zdir,
+      numFiles = 16, bits = 4)
+    assert(nFiles >= 8, s"expected a multi-file layout, got $nFiles")
+    assert(spark.read.parquet(zdir).count() === n, "row parity")
+    val zx = overlapFrac(fileSpans(zdir, "x"))
+    val zy = overlapFrac(fileSpans(zdir, "y"))
+    assert(zx <= 0.5, s"x not clustered under z-order: $zx of files overlap a 1/8 slice")
+    assert(zy <= 0.5, s"y not clustered under z-order: $zy of files overlap a 1/8 slice")
+    // baseline: range-partition + sort on x alone — y spans everything
+    val sdir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/t"
+    df.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(sdir)
+    val sy = overlapFrac(fileSpans(sdir, "y"))
+    assert(sy >= 0.9, s"baseline sanity: single-sort leaves y unclustered, got $sy")
+    // z-ordering one column must be rejected
+    intercept[IllegalArgumentException] {
+      Maintenance.writeZOrdered(spark, df, Seq("x"), zdir, numFiles = 4)
+    }
+  }
+
   test("readEvolved unions evolved schemas, padding old files with null") {
     val out = java.nio.file.Files.createTempDirectory("graft_evolve").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$out/f1")
