@@ -257,6 +257,40 @@ object WarehouseQueries {
       FROM g ORDER BY i, j""")
   )
 
+  /** Per-LABEL per-dimension variance (the diagonal of the grouped Gram
+    * report): which dimensions are dead or degenerate within a class —
+    * the drill-down behind q_embed_covariance when drift is suspected in
+    * one label. Exercises [[graft.expressions.GramMatrix]] as a GROUPED
+    * aggregate: one ~17 KB state per label, partials merging per group
+    * (the ObjectHashAggregate fallback path), labels × d output rows.
+    * Identical fixed-point arithmetic → same DuckDB parity story. */
+  val qEmbedVarianceByLabel = GraftQuery(
+    "q_embed_variance_by_label",
+    (s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"label", $"embedding".cast("array<double>").as("v"))
+        .groupBy($"label")
+        .agg(graft.expressions.GramMatrix.gram($"v").as("g"))
+        .select($"label", inline($"g"))
+        .filter($"i" === $"j")
+        .select($"label", $"i".as("pos"), $"n_vecs", $"cov".as("variance"))
+        .orderBy($"label", $"pos")
+    },
+    Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      x AS (SELECT label, t.i + 1 AS pos,
+          CAST(FLOOR(v[t.i + 1] * v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT) AS q2,
+          CAST(FLOOR(v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT) AS q1
+        FROM e, UNNEST(range(len(v))) AS t(i)),
+      g AS (SELECT label, pos, COUNT(*) AS n_vecs,
+          FLOOR(CAST(SUM(q2) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS m2,
+          FLOOR(CAST(SUM(q1) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS mean
+        FROM x GROUP BY 1, 2)
+      SELECT label, pos, n_vecs,
+        FLOOR((m2 - mean * mean) * 1000000.0 + 0.5) / 1000000.0 AS variance
+      FROM g ORDER BY label, pos""")
+  )
+
   /** Int8 embedding quantization with per-vector affine scaling — the
     * 4x storage/bandwidth lever for embedding tables at 100 TB (the
     * quantized vectors ship to ANN serving; this query reports the
@@ -457,6 +491,6 @@ object WarehouseQueries {
 
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qDupInflation, qDupClusterSizes, qEmbedNorms,
-      qEmbedCentroids, qEmbedCovariance, qEmbedQuantize, qIncrementalAgg,
-      qDeltaDedup, qDeltaNearDup)
+      qEmbedCentroids, qEmbedCovariance, qEmbedVarianceByLabel,
+      qEmbedQuantize, qIncrementalAgg, qDeltaDedup, qDeltaNearDup)
 }

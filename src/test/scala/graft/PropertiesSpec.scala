@@ -22,6 +22,33 @@ class PropertiesSpec extends SparkSpec {
     values.map(Option(_)).toDF("c").select(f(col("c")).as("r")).collect().map(_.get(0)).toSeq
   }
 
+  test("GramMatrix matches a plain Scala fold on random corpora") {
+    import spark.implicits._
+    val gen = for {
+      d <- Gen.chooseNum(1, 6)
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, Gen.listOfN(d, Gen.chooseNum(-3.0, 3.0)))
+    } yield rows
+    forAll(gen, reps = 6) { rows =>
+      val d = rows.head.size
+      val n = rows.size
+      val got = rows.map(_.toArray).toDF("v")
+        .select($"v".cast("array<double>").as("v"))
+        .agg(graft.expressions.GramMatrix.gram($"v").as("g"))
+        .select(org.apache.spark.sql.functions.inline($"g"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(4))).toMap
+      assert(got.size === d * (d + 1) / 2)
+      def mean(i: Int) = math.floor(
+        rows.map(v => math.floor(v(i - 1) * 1e6 + 0.5).toLong).sum.toDouble / n + 0.5) / 1e6
+      for (i <- 1 to d; j <- i to d) {
+        val m2 = math.floor(rows.map(v =>
+          math.floor(v(i - 1) * v(j - 1) * 1e6 + 0.5).toLong).sum.toDouble / n + 0.5) / 1e6
+        val cov = math.floor((m2 - mean(i) * mean(j)) * 1e6 + 0.5) / 1e6
+        assert(got((i, j)) === ((n.toLong, cov)), s"cell ($i,$j) of d=$d n=$n")
+      }
+    }
+  }
+
   test("priceBucket is total: every double lands in exactly one bucket") {
     import spark.implicits._
     forAll(Gen.listOfN(50, Gen.option(Gen.chooseNum(-1e9, 1e9)))) { xs =>
