@@ -407,7 +407,7 @@ object Dedup {
     // 10^12 magnitudes overflow an int64 sum.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val row = df.agg(count(lit(1)),
-        sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+        sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
       val d = row.getDecimal(1)
       // a null SUM means EITHER an empty graph OR a Decimal(38,0)
       // overflow (sum semantics return null on overflow here) — only the
