@@ -129,6 +129,57 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(out.count() === total) // 2N delivered, N emitted
   }
 
+  test("streaming: APPEND-mode windows emit exactly the watermark-closed set") {
+    // Complete mode re-emits everything; Append is the at-scale mode — a
+    // window emits ONCE, when the advancing watermark closes it, and
+    // in-flight windows stay in state. Three chronological files force
+    // real watermark progression across micro-batches.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventsStream.eventsRawSchema)
+      .parquet(s"$Dir/events.parquet")
+    val Array(c1, c2) = raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    val srcDir = s"$tmp/events_append_split"
+    new java.io.File(srcDir).mkdirs()
+    Seq(raw.filter(col("ts") <= c1),
+        raw.filter(col("ts") > c1 && col("ts") <= c2),
+        raw.filter(col("ts") > c2)).zipWithIndex.foreach { case (p, i) =>
+      val stage = s"$tmp/events_append_stage_$i"
+      p.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"events_$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1800000000000L + i * 60000L))
+    }
+    val ev = EventsStream.readEvents(spark, srcDir, maxFilesPerTrigger = 1)
+    val out = EventsStream.runAvailableNow(spark,
+      EventsStream.hourlyCounts(ev), "append_windows", s"$tmp/ckpt_append")
+    // ground truth: the batch hourly aggregate
+    val batch = Tables.events(spark, Dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+    val maxTs = Tables.events(spark, Dir).agg(max(col("ts"))).collect()(0)
+      .getTimestamp(0).getTime
+    val emitted = out.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2))
+    assert(emitted.nonEmpty, "append mode must emit the closed windows")
+    // 1. nothing newer than the final watermark (2h delay) may emit
+    emitted.foreach { case ((start, _), _) =>
+      assert(start + 3600000L <= maxTs - 2L * 3600000L + 3600000L,
+        s"window starting $start emitted past the watermark horizon")
+    }
+    assert(!emitted.exists(_._1._1 > maxTs - 3600000L), "the live window must stay in state")
+    // 2. every emitted row matches the batch aggregate exactly (a window
+    // emitted once, after ALL its data arrived — no partial emissions)
+    emitted.foreach { case (k, n) =>
+      assert(batch(k) === n, s"window $k emitted $n, batch truth ${batch(k)}")
+    }
+    // 3. and it emitted nearly all closed windows, not a token few
+    assert(emitted.length >= batch.size - 10,
+      s"append emitted ${emitted.length} of ${batch.size} windows")
+  }
+
   test("streaming sessionization over 3 time-ordered files matches the single-file run") {
     import graft.streaming.Sessionize
     // split the raw events file into 3 chronological parquet files with
