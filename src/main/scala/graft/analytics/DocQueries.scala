@@ -166,6 +166,71 @@ object DocQueries {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** SPAN-level decontamination accounting: instead of dropping a
+    * contaminated document wholesale (q_decontaminate's grain), count
+    * exactly which TOKEN POSITIONS sit under an eval-set 5-gram — the
+    * report behind surgical span excision, which preserves the clean
+    * remainder of long documents. Position-aware: every 5-gram start
+    * index joins the broadcast eval set (8-byte xxhash64 of the shingle
+    * string — counts are hash-agnostic, so the string-based oracle
+    * matches), matched starts explode to their 5 covered offsets, and a
+    * distinct-position rollup yields covered-token counts. Overlapping
+    * matches never double-count (the distinct), and the shuffle carries
+    * (doc, position) pairs bounded by matched spans — not the corpus
+    * token stream. */
+  val qContaminationSpans = GraftQuery(
+    "q_contamination_spans",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      def withToks(d: org.apache.spark.sql.DataFrame) =
+        d.select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      def spans(d: org.apache.spark.sql.DataFrame) = withToks(d)
+        .filter(size($"toks") >= 5)
+        .select($"doc_id", size($"toks").as("n_tokens"),
+          posexplode(expr("transform(sequence(0, size(toks) - 5), " +
+            "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 5))))"))
+            .as(Seq("start", "sh")))
+      val evalSh = spans(docs.filter($"doc_id" % 50 === 0))
+        .select($"sh").distinct()
+      val covered = spans(docs.filter($"doc_id" % 50 =!= 0))
+        .join(broadcast(evalSh), "sh")
+        .select($"doc_id", explode(sequence($"start", $"start" + 4)).as("pos"))
+        .distinct()
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+      withToks(docs.filter($"doc_id" % 50 =!= 0))
+        .select($"doc_id", size($"toks").as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"n_contaminated", lit(0L)).as("n_contaminated"))
+        .withColumn("pct_contaminated",
+          floor($"n_contaminated" * 1000000.0 / $"n_tokens" + 0.5) / 1000000.0)
+        .filter($"n_contaminated" > 0)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      sp AS (SELECT doc_id, LEN(ts) AS n_tokens, u.i AS start,
+          array_to_string(ts[u.i+1:u.i+5], ' ') AS s
+        FROM toks, UNNEST(range(LEN(ts) - 4)) AS u(i)
+        WHERE LEN(ts) >= 5),
+      ev AS (SELECT DISTINCT s FROM sp WHERE doc_id % 50 = 0),
+      cov AS (SELECT DISTINCT sp.doc_id, sp.start + o.o AS pos
+        FROM sp JOIN ev USING (s), UNNEST(range(5)) AS o(o)
+        WHERE sp.doc_id % 50 <> 0),
+      agg AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM cov GROUP BY doc_id),
+      base AS (SELECT doc_id, CAST(LEN(ts) AS INTEGER) AS n_tokens FROM toks
+        WHERE doc_id % 50 <> 0)
+      SELECT base.doc_id, base.n_tokens,
+        CAST(agg.n_contaminated AS BIGINT) AS n_contaminated,
+        FLOOR(agg.n_contaminated * 1000000.0 / base.n_tokens + 0.5) / 1000000.0
+          AS pct_contaminated
+      FROM base JOIN agg USING (doc_id)
+      WHERE agg.n_contaminated > 0
+      ORDER BY doc_id""")
+  )
+
   /** Repetition scoring: distinct-5-gram share of each document's 5-gram
     * positions — boilerplate/loop-generated text scores low. Map-only
     * (two array expressions per row, no shuffle at all). */
@@ -894,7 +959,8 @@ object DocQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
-    qDedupSurvivors, qHeavyHitters, qContaminationBySource, qUnigramXent,
+    qDedupSurvivors, qHeavyHitters, qContaminationBySource, qContaminationSpans,
+    qUnigramXent,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qIvfTopK, qApproxDistinct, qAsofJoin,
