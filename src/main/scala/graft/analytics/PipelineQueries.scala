@@ -368,6 +368,65 @@ object PipelineQueries {
       FROM kd GROUP BY source ORDER BY source""")
   )
 
+  /** Canonical-URL dedup groups — the web-corpus dedup that runs BEFORE
+    * any content hashing: the same page arrives under case-noised hosts,
+    * `www.` prefixes, fragments, tracking parameters and trailing
+    * slashes, and `Cleaning.canonicalUrl` (a pure codegen'd expression
+    * chain) collapses them. URLs are synthesized from doc_id with all
+    * five noise classes; the oracle re-implements the SAME
+    * canonicalization in DuckDB, so the group structure — not just a
+    * formula — is what's verified. One groupBy on the canonical string;
+    * at scale the canonical fingerprints, never the raw URLs, are the
+    * shuffle key. */
+  val qUrlCanonicalize = GraftQuery(
+    "q_url_canonicalize",
+    (s, dir) => {
+      import s.implicits._
+      val scheme = when($"doc_id" % 2 === 0, "HTTPS://WWW.").otherwise("https://")
+      val qs = when($"doc_id" % 3 === 0, "?utm_source=feed&id=7")
+        .when($"doc_id" % 3 === 1, "?id=7").otherwise("")
+      val url = concat(scheme, $"source", lit(".Example.com/Item/"),
+        ($"doc_id" % 50).cast("string"),
+        when($"doc_id" % 7 === 0, "/").otherwise(""),
+        qs,
+        when($"doc_id" % 5 === 0, "#sec").otherwise(""))
+      Tables.documents(s, dir)
+        .select(url.as("url"),
+          graft.functions.Cleaning.canonicalUrl(url).as("canonical"))
+        .groupBy($"canonical")
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"url").as("n_variants"))
+        .filter($"n_docs" > 1)
+        .orderBy($"canonical")
+    },
+    Some("""WITH raw AS (SELECT
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+          || source || '.Example.com/Item/' || CAST(doc_id % 50 AS VARCHAR)
+          || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=7'
+                   WHEN doc_id % 3 = 1 THEN '?id=7' ELSE '' END)
+          || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM documents),
+      st AS (SELECT url, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+      parts AS (SELECT url,
+        lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) AS head,
+        regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS rest
+      FROM st),
+      comp AS (SELECT url,
+        regexp_replace(head, '^(https?://)www\.', '\1') AS nowww,
+        regexp_replace(regexp_replace(rest, '\?.*$', ''), '/+$', '') AS noslash,
+        CASE WHEN contains(rest, '?') THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS qs
+      FROM parts),
+      canon AS (SELECT url, nowww || noslash ||
+        (CASE WHEN LEN(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) AS canonical
+      FROM (SELECT url, nowww, noslash,
+          list_filter(string_split(qs, '&'),
+            p -> NOT regexp_matches(p, '^(utm_|fbclid=|gclid=)') AND p <> '') AS kept
+        FROM comp))
+      SELECT canonical, COUNT(*) AS n_docs, COUNT(DISTINCT url) AS n_variants
+      FROM canon GROUP BY canonical HAVING COUNT(*) > 1
+      ORDER BY canonical""")
+  )
+
   /** Token-BUDGET source selection: rank sources by mean quality and
     * greedily take whole sources until half the corpus tokens are
     * committed — the planning report that decides WHICH providers make
@@ -525,5 +584,5 @@ object PipelineQueries {
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
-    qSplitAssign, qTokenBudget, qWeightedSample)
+    qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample)
 }

@@ -190,4 +190,31 @@ object Cleaning {
   /** to_snake_case (etl.py:92-96) — driver-side column renaming. */
   def toSnakeCase(name: String): String =
     name.trim.replaceAll("[^\\w\\s]", "").replaceAll("\\s+", "_").toLowerCase
+
+  /** URL canonicalization for web-corpus dedup: two pages are the SAME
+    * document when their URLs differ only by case of scheme/host, a
+    * `www.` prefix, a fragment, tracking query parameters
+    * (utm_-prefixed, fbclid, gclid), or a trailing slash on the path. Pure
+    * expression chain (regexps + array HOFs over the split query
+    * string — a handful of params per URL, never corpus-sized), so
+    * canonical-URL dedup is one fingerprint groupBy at scale. The
+    * path's case is PRESERVED (paths are case-sensitive); only scheme
+    * and authority lowercase. */
+  def canonicalUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c.cast(StringType), "#.*$", "")
+    // lowercase scheme://authority, leave path+query untouched
+    val head = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    val noWww = regexp_replace(head, "^(https?://)www\\.", "$1")
+    // drop tracking params from the query string, keep the others in order
+    val path = regexp_replace(rest, "\\?.*$", "")
+    val qs = when(rest.contains("?"), regexp_replace(rest, "^[^?]*\\?", ""))
+      .otherwise(lit(""))
+    val keptParams = filter(split(qs, "&"),
+      p => !(p.rlike("^(utm_|fbclid=|gclid=)") || p === ""))
+    val cleanQs = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    val noSlash = regexp_replace(path, "/+$", "")
+    concat(noWww, noSlash, cleanQs)
+  }
 }

@@ -146,4 +146,22 @@ class CleaningSpec extends SparkSpec {
     assert(toSnakeCase("Search Keyword") == "search_keyword")
     assert(toSnakeCase("  Price (INR)  ") == "price_inr")
   }
+
+  test("canonicalUrl: all five noise classes collapse; path case and real params survive") {
+    def c(u: String) = eval1(canonicalUrl, u)
+    // scheme/host case + www + fragment + tracking + trailing slash
+    assert(c("HTTPS://WWW.Foo.COM/A/B/?utm_source=x&id=7&fbclid=z#frag")
+      === "https://foo.com/A/B?id=7")
+    // path case is PRESERVED; parameter order of survivors preserved
+    assert(c("https://foo.com/CaseSensitive?b=2&utm_medium=m&a=1")
+      === "https://foo.com/CaseSensitive?b=2&a=1")
+    // bare host, no path/query — unchanged modulo case
+    assert(c("HTTP://Example.ORG") === "http://example.org")
+    // only tracking params -> no query string at all
+    assert(c("https://foo.com/x?utm_source=a&gclid=b") === "https://foo.com/x")
+    // idempotent: canonical of canonical is itself
+    assert(c("https://foo.com/A/B?id=7") === "https://foo.com/A/B?id=7")
+    // www on a non-http scheme is NOT stripped (ftp://www.x is a real host)
+    assert(c("ftp://www.Files.NET/pub/") === "ftp://www.files.net/pub")
+  }
 }
