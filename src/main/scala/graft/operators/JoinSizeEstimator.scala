@@ -70,4 +70,27 @@ object JoinSizeEstimator {
     val multB = sb.rows.toDouble / math.max(1L, sb.distinctEstimate)
     math.round(inter * multA * multB)
   }
+
+  /** The estimator made ACTIONABLE: refuse to launch a join whose
+    * estimated output explodes past `maxBlowup` × the larger input.
+    * At 100 TB an unnoticed many-to-many key (a "both sides keyed by
+    * country" mistake) turns a 1-hour job into a cluster-filling
+    * incident; this guard costs two sketch aggregates and fails in
+    * seconds instead. The estimate carries ~1/sqrt(k) error and
+    * degrades on skewed multiplicity, so `maxBlowup` is a safety rail
+    * (an order of magnitude), not a precision budget — legitimate
+    * fan-out joins pass a higher threshold explicitly. */
+  def guardedJoin(
+      a: DataFrame, b: DataFrame, aKey: String, bKey: String,
+      maxBlowup: Double = 4.0, k: Int = 1024): DataFrame = {
+    require(maxBlowup > 0, s"maxBlowup=$maxBlowup must be positive")
+    val est = estimateJoinRows(a, aKey, b, bKey, k)
+    val bigger = math.max(
+      a.select(aKey).count(), b.select(bKey).count())
+    require(est <= maxBlowup * math.max(1L, bigger),
+      f"guardedJoin: estimated output $est%,d rows exceeds $maxBlowup%.1fx the " +
+        f"larger input ($bigger%,d) — a many-to-many key explosion. " +
+        "Pre-aggregate a side, join on a finer key, or raise maxBlowup explicitly.")
+    a.join(b, col(aKey) === col(bKey))
+  }
 }

@@ -46,4 +46,24 @@ class JoinSizeEstimatorSpec extends SparkSpec {
     val est = JoinSizeEstimator.estimateJoinRows(a, "k", b, "k", k = 1024)
     assert(est == 101L, s"expected exact 101 below sketch capacity, got $est")
   }
+
+  test("guardedJoin launches sane joins and refuses many-to-many explosions") {
+    import spark.implicits._
+    // one-to-one: passes, and the result is the real join
+    val a = (1L to 5000L).toDF("ka")
+    val b = (2501L to 7500L).toDF("kb")
+    val joined = JoinSizeEstimator.guardedJoin(a, b, "ka", "kb")
+    assert(joined.count() === 2500L)
+    // both sides keyed by a 10-value column: 20k x 20k rows over 10 keys
+    // -> ~40M output vs 20k inputs — the guard must refuse BEFORE joining
+    val fatA = (1L to 20000L).map(i => i % 10).toDF("ka")
+    val fatB = (1L to 20000L).map(i => i % 10).toDF("kb")
+    val e = intercept[IllegalArgumentException] {
+      JoinSizeEstimator.guardedJoin(fatA, fatB, "ka", "kb")
+    }
+    assert(e.getMessage.contains("explosion"))
+    // the same join passes when the caller raises the rail explicitly
+    assert(JoinSizeEstimator.guardedJoin(fatA, fatB, "ka", "kb",
+      maxBlowup = 1e7).count() === 40000000L)
+  }
 }
