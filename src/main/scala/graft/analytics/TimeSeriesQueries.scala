@@ -184,5 +184,48 @@ object TimeSeriesQueries {
       GROUP BY e.event_type ORDER BY e.event_type""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qGapFill, qZscoreOutliers, qRolling7d, qMad)
+  /** Population Stability Index between the first and second half of the
+    * month — the standard drift alarm for a numeric feature: bucket
+    * `value` into fixed-width bins, compare the two periods' bin shares,
+    * PSI = Σ (p−q)·ln(p/q). One shuffle (the bin×period rollup runs with
+    * map-side combine); everything after operates on ≤ bins rows.
+    * Counts get +0.5 smoothing so empty bins stay finite (deterministic,
+    * mirrored in the oracle); shares divide exact integer-derived
+    * doubles, so the single ln per BIN is low-volume and its last-ulp
+    * noise sits far below the 6dp rounding. */
+  val qDriftPsi = GraftQuery(
+    "q_drift_psi",
+    (s, dir) => {
+      import s.implicits._
+      val pivot = lit("2024-01-16").cast("timestamp")
+      val bin = least(floor($"value" / 50.0), lit(9.0)).cast("int")
+      val per = Tables.events(s, dir)
+        .select(bin.as("bin"), ($"ts" >= pivot).cast("int").as("cur"))
+        .groupBy($"bin")
+        .agg(sum(lit(1) - $"cur").as("n_ref"), sum($"cur").as("n_cur"))
+      val tot = per.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("p", ($"n_ref" + 0.5) / ($"t_ref" + 5.0))
+        .withColumn("q", ($"n_cur" + 0.5) / ($"t_cur" + 5.0))
+        .select($"bin", $"n_ref", $"n_cur",
+          round(($"p" - $"q") * log($"p" / $"q"), 6).as("psi_contrib"))
+        .orderBy($"bin")
+    },
+    Some("""WITH b AS (SELECT LEAST(CAST(FLOOR(value / 50.0) AS INT), 9) AS bin,
+        CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS cur
+      FROM events),
+      per AS (SELECT bin, CAST(SUM(1 - cur) AS BIGINT) AS n_ref,
+          CAST(SUM(cur) AS BIGINT) AS n_cur
+        FROM b GROUP BY bin),
+      tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+          CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM per)
+      SELECT bin, n_ref, n_cur,
+        ROUND(((n_ref + 0.5) / (t_ref + 5.0) - (n_cur + 0.5) / (t_cur + 5.0))
+          * LN(((n_ref + 0.5) / (t_ref + 5.0)) / ((n_cur + 0.5) / (t_cur + 5.0))), 6)
+          AS psi_contrib
+      FROM per CROSS JOIN tot ORDER BY bin""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qGapFill, qZscoreOutliers, qRolling7d, qMad, qDriftPsi)
 }
