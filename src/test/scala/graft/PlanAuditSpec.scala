@@ -136,6 +136,26 @@ class PlanAuditSpec extends SparkSpec {
     val p21 = plan("q_tpch_q21")
     assert(p21.contains("BroadcastHashJoin"), s"q_tpch_q21 lost the supplier broadcast:\n$p21")
     assert(!p21.contains("CartesianProduct"), s"q_tpch_q21 has a cartesian product")
+    // Q6: every predicate reaches the parquet scan — the whole point
+    val df6 = SparkEntry.queries("q_tpch_q6")(spark, Dir)
+    // plain toString truncates scan metadata; FormattedMode prints the
+    // full PushedFilters list
+    val scan6 = df6.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity").foreach(f =>
+      assert(scan6.contains(f), s"q_tpch_q6 lost pushdown of $f:\n$scan6"))
+    assert(!plan("q_tpch_q6").contains("Join"), "q_tpch_q6 must not join")
+    // Q15: the 1-row max and the supplier dim both broadcast
+    val p15 = plan("q_tpch_q15")
+    assert("BroadcastHashJoin".r.findAllIn(p15).length >= 2,
+      s"q_tpch_q15 lost a broadcast (max or supplier):\n$p15")
+    // Q8: widest dim fan — all five dims broadcast, one orderkey shuffle
+    val p8 = plan("q_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p8).length >= 5,
+      s"q_tpch_q8 should broadcast part+customer+supplier+nation x2:\n$p8")
+    assert(!p8.contains("CartesianProduct"), s"q_tpch_q8 has a cartesian product")
   }
 
   test("warehouse/event additions: keyed shuffles only, no cartesian") {
