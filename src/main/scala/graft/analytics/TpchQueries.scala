@@ -570,8 +570,153 @@ object TpchQueries {
         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
   )
 
+  /** Q9 shape: product-type profit by supplier nation and order year —
+    * the five-table star with a substring part filter and a SIGNED
+    * decimal measure (revenue minus cost can go negative, exercising
+    * decimal subtraction in the rollup; this testdata has no
+    * ps_supplycost, so p_retailprice × quantity stands in). part
+    * filters before broadcasting, so the fact backbone shrinks at the
+    * first join; the only shuffle is lineitem⋈orders + the rollup. */
+  val qTpchQ9 = GraftQuery(
+    "q_tpch_q9",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val profit = $"l_extendedprice".cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))) -
+        $"p_retailprice".cast(DecimalType(18, 2)) * $"l_quantity".cast(DecimalType(18, 2))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter($"p_name".contains("widget"))
+          .select($"p_partkey", $"p_retailprice")), $"l_partkey" === $"p_partkey")
+        .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", year($"o_orderdate").as("o_year"))
+        .agg(sum(profit).cast(DoubleType).as("profit"))
+        .orderBy($"n_name", $"o_year")
+    },
+    Some("""SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN part ON l_partkey = p_partkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  /** Q11 shape: important parts by traded value among one nation's
+    * suppliers — grouped aggregate filtered against a GLOBAL-FRACTION
+    * threshold (the original's scalar subquery). The threshold compare
+    * is value×1000 > total, pure decimal integer arithmetic, so the
+    * cut is exact in both engines — never a double epsilon. The 1-row
+    * total broadcasts back over the per-part relation. */
+  val qTpchQ11 = GraftQuery(
+    "q_tpch_q11",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val rev = $"l_extendedprice".cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2)))
+      val v = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir).filter($"n_name" === "NATION_3")),
+            $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey")), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey")
+        .agg(sum(rev).as("value_dec"))
+      val total = v.agg(sum($"value_dec").as("total_dec"))
+      v.join(broadcast(total), $"value_dec" * 1000 > $"total_dec")
+        .select($"l_partkey", $"value_dec".cast(DoubleType).as("part_value"))
+        .orderBy($"part_value".desc, $"l_partkey")
+    },
+    Some("""WITH v AS (SELECT l_partkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3' GROUP BY 1)
+      SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value FROM v
+      WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM v)
+      ORDER BY part_value DESC, l_partkey""")
+  )
+
+  /** Q16 shape: supplier diversity per part class — distinct-count over
+    * an ANTI-JOINED exclusion list (the original's NOT IN complaint
+    * subquery; negative account balance stands in for complaints). The
+    * part-supplier association comes from lineitem projected to its two
+    * key columns and deduped map-side; the 6-row exclusion list
+    * broadcasts as an anti-join ABOVE the scan, so excluded suppliers
+    * never reach the distinct-count shuffle. */
+  val qTpchQ16 = GraftQuery(
+    "q_tpch_q16",
+    (s, dir) => {
+      import s.implicits._
+      val excl = Tables.supplier(s, dir).filter($"s_acctbal" < 0).select($"s_suppkey")
+      Tables.lineitem(s, dir).select($"l_partkey", $"l_suppkey").distinct()
+        .join(broadcast(excl), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .join(broadcast(Tables.part(s, dir)
+          .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+            $"p_size".isin(1, 4, 9, 14, 19, 24, 29, 34))
+          .select($"p_partkey", $"p_brand", $"p_type", $"p_size")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    },
+    Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM ps JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  )
+
+  /** Q20 shape: suppliers with excess shipped volume of one part family
+    * in one year — the NESTED SEMI-JOIN CHAIN topology (part-name filter
+    * → per-(supplier, part) HAVING aggregate → supplier semi-join →
+    * nation filter). Quantities are integer-valued, so the HAVING
+    * boundary is exact under any summation order. Only supplier keys
+    * flow out of the aggregate; supplier/nation broadcast. */
+  val qTpchQ20 = GraftQuery(
+    "q_tpch_q20",
+    (s, dir) => {
+      import s.implicits._
+      val excess = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir).filter($"p_name".startsWith("small"))
+          .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_suppkey", $"l_partkey")
+        .agg(sum($"l_quantity").as("qty"))
+        .filter($"qty" > 50)
+        .select($"l_suppkey")
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .filter($"n_name".isin("NATION_3", "NATION_5"))),
+          $"s_nationkey" === $"n_nationkey")
+        .join(excess, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_name", $"s_suppkey")
+        .orderBy($"s_name")
+    },
+    Some("""WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+      agg AS (SELECT l_suppkey FROM lineitem JOIN fp ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50)
+      SELECT s_name, s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_5')
+        AND s_suppkey IN (SELECT l_suppkey FROM agg)
+      ORDER BY s_name""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTpchQ3, qTpchQ7, qTpchQ12, qTpchQ4, qTpchQ14, qTpchQ19,
       qTpchQ2, qTpchQ10, qTpchQ18, qTpchQ22, qTpchQ13, qTpchQ17, qTpchQ21,
-      qTpchQ15, qTpchQ8, qTpchQ6)
+      qTpchQ15, qTpchQ8, qTpchQ6, qTpchQ9, qTpchQ11, qTpchQ16, qTpchQ20)
 }

@@ -158,6 +158,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p8.contains("CartesianProduct"), s"q_tpch_q8 has a cartesian product")
   }
 
+  test("completing TPC-H topologies: Q9/Q11/Q16/Q20 plan shapes") {
+    // Q9: five-table star — part/supplier/nation all broadcast onto the
+    // lineitem⋈orders backbone; only keyed shuffles
+    val p9 = plan("q_tpch_q9")
+    assert("BroadcastHashJoin".r.findAllIn(p9).length >= 3,
+      s"q_tpch_q9 should broadcast part+supplier+nation:\n$p9")
+    assert(!p9.contains("CartesianProduct"), s"q_tpch_q9 has a cartesian product")
+    // Q11: the global-fraction threshold is a 1-ROW broadcast compared
+    // under a non-equi condition (BroadcastNestedLoopJoin over one row is
+    // the right plan — never a shuffle); the nation-filtered supplier
+    // list broadcasts as a hash join
+    val p11 = plan("q_tpch_q11")
+    assert(p11.contains("BroadcastNestedLoopJoin"),
+      s"q_tpch_q11 lost the 1-row threshold broadcast:\n$p11")
+    assert(p11.contains("BroadcastHashJoin"),
+      s"q_tpch_q11 lost the supplier-list broadcast:\n$p11")
+    // Q16: the exclusion list applies as a BROADCAST ANTI join above the
+    // scan — excluded suppliers never reach the distinct-count shuffle
+    val p16 = plan("q_tpch_q16")
+    assert(p16.contains("LeftAnti"), s"q_tpch_q16 lost the anti join:\n$p16")
+    assert("BroadcastHashJoin".r.findAllIn(p16).length >= 1,
+      s"q_tpch_q16 lost the part broadcast:\n$p16")
+    assert(!p16.contains("CartesianProduct"), s"q_tpch_q16 has a cartesian product")
+    // Q20: nested semi-chain — the HAVING aggregate feeds supplier as a
+    // SEMI join (only supplier keys flow out of the aggregate)
+    val p20 = plan("q_tpch_q20")
+    assert(p20.contains("LeftSemi"), s"q_tpch_q20 lost the semi join:\n$p20")
+    assert(!p20.contains("CartesianProduct"), s"q_tpch_q20 has a cartesian product")
+  }
+
   test("warehouse/event additions: keyed shuffles only, no cartesian") {
     for (q <- Seq("q_scd2_history", "q_funnel", "q_retention", "q_transitions",
         "q_dup_inflation", "q_embed_norms")) {
