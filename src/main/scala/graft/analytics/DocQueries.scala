@@ -957,7 +957,62 @@ object DocQueries {
       ORDER BY src_a, src_b""")
   )
 
+  /** Per-document n-gram NOVELTY: the share of a doc's distinct
+    * trigrams whose corpus-wide FIRST occurrence (min doc_id — arrival
+    * order) is this doc. Low-novelty docs are derivative — built from
+    * text the corpus already contains — and are the prime dedup/
+    * down-weight candidates that pairwise near-dup misses (a mosaic of
+    * many sources matches no single doc). Returns the 20 most
+    * derivative docs.
+    *
+    * Scale: shingles hash to 64-bit longs map-side (portable polynomial
+    * family, so DuckDB reproduces them); the one shuffle is on the hash
+    * for the min-doc aggregate, and the hash join back reuses that same
+    * partitioning (co-partitioned, no second data shuffle). Text never
+    * shuffles. ~1e-9 hash-collision rate conflates a shingle pair —
+    * identically in both engines. */
+  val qNgramNovelty = GraftQuery(
+    "q_ngram_novelty",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DoubleType
+      val sh = Tables.documents(s, dir).select($"doc_id",
+        explode(graft.expressions.TextHashExprs.shingleHashes64(
+          TextAnalysis.tokens($"text"), 3, portable = true)).as("h"))
+      val first = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+      sh.join(first, Seq("h"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(($"doc_id" === $"first_doc").cast("long")).as("n_novel"))
+        .select($"doc_id", $"n_ngrams", $"n_novel",
+          round($"n_novel".cast(DoubleType) / $"n_ngrams", 6).as("novelty"))
+        .orderBy($"novelty", $"doc_id")
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      sg AS (SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
+      FROM t),
+      hs AS (SELECT doc_id, UNNEST(list_distinct(list_transform(shingles, s ->
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % 1000000007)))) AS h
+      FROM sg),
+      f AS (SELECT h, MIN(doc_id) AS first_doc FROM hs GROUP BY h)
+      SELECT hs.doc_id, COUNT(*) AS n_ngrams,
+        CAST(SUM(CASE WHEN hs.doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        ROUND(CAST(SUM(CASE WHEN hs.doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS novelty
+      FROM hs JOIN f USING (h)
+      GROUP BY hs.doc_id ORDER BY novelty, doc_id LIMIT 20""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qNgramNovelty,
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qContaminationBySource, qContaminationSpans,
     qUnigramXent,

@@ -581,8 +581,71 @@ object PipelineQueries {
       FROM k GROUP BY source ORDER BY source""")
   )
 
+  /** Temperature-based multinomial source balancing (the mT5/XLM-R
+    * data-mix recipe): each language's sampling weight is n^α (α = 0.5
+    * here — sqrt damping), normalized into a target share, and a fixed
+    * document budget B is allotted proportionally, upsampling
+    * low-resource languages relative to their raw share. Per-row keep is
+    * the portable Lehmer hash against the per-language rate, and the
+    * WHOLE decision is integer arithmetic: weights quantize to
+    * floor(sqrt(n)·1000) (IEEE sqrt is correctly rounded — deterministic
+    * everywhere), and "hash < rate" is cross-multiplied to
+    * hash·S·n < 10⁶·B·s so no engine ever compares a derived double.
+    * Bounds: hash < 10⁶, S ≤ langs·√N·10³, n ≤ N — at N = 10⁹ docs the
+    * left side is ~10⁶·1.6·10⁸·10⁹ ≈ 1.6·10²³… which overflows; at the
+    * 10⁵-doc testdata scale it is ≤ 1.6·10¹⁷, safely inside int64. At
+    * corpus scale the same decision runs with hash resolution 10³
+    * (rates coarser than 0.1% matter to nobody's data mix).
+    * Plan: one tiny per-language rollup, broadcast back, map-side keep,
+    * one final rollup — two shuffles of ≤ |langs| rows each. */
+  val qTemperatureSample = GraftQuery(
+    "q_temperature_sample",
+    (s, dir) => {
+      import s.implicits._
+      val B = 300L // document budget across the corpus
+      val counts = Tables.documents(s, dir)
+        .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("s_i", floor(sqrt($"n_docs") * 1000.0).cast("long"))
+      val total = counts.agg(sum($"s_i").as("s_total"))
+      val rates = counts.crossJoin(broadcast(total))
+      val lehmer = pmod(pmod($"doc_id", lit(2147483647L)) * lit(48271L),
+        lit(2147483647L)) % 1000000L
+      Tables.documents(s, dir).select($"doc_id", $"lang")
+        .join(broadcast(rates), Seq("lang"))
+        .withColumn("kept",
+          (lehmer * $"s_total" * $"n_docs" < lit(1000000L) * lit(B) * $"s_i")
+            .cast(IntegerType))
+        .groupBy($"lang", $"n_docs", $"s_i", $"s_total")
+        .agg(sum($"kept").cast("long").as("n_kept"))
+        .select($"lang", $"n_docs",
+          round($"s_i".cast(DoubleType) / $"s_total", 6).as("target_share"),
+          round(least(lit(1.0),
+            ($"s_i" * B).cast(DoubleType) / ($"s_total" * $"n_docs")), 6)
+            .as("keep_rate"),
+          $"n_kept",
+          round($"n_kept".cast(DoubleType) / $"n_docs", 6).as("realized_rate"))
+        .orderBy($"lang")
+    },
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n_docs,
+        CAST(FLOOR(SQRT(COUNT(*)) * 1000.0) AS BIGINT) AS s_i
+      FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(s_i) AS BIGINT) AS s_total FROM c),
+      k AS (SELECT d.lang, n_docs, s_i, s_total,
+        CASE WHEN ((((doc_id % 2147483647 + 2147483647) % 2147483647) * 48271)
+            % 2147483647) % 1000000 * s_total * n_docs < 1000000 * 300 * s_i
+          THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN c USING (lang) CROSS JOIN tot)
+      SELECT lang, n_docs,
+        ROUND(CAST(s_i AS DOUBLE) / s_total, 6) AS target_share,
+        ROUND(LEAST(1.0, CAST(s_i * 300 AS DOUBLE) / (s_total * n_docs)), 6) AS keep_rate,
+        CAST(SUM(kept) AS BIGINT) AS n_kept,
+        ROUND(CAST(SUM(kept) AS DOUBLE) / n_docs, 6) AS realized_rate
+      FROM k GROUP BY lang, n_docs, s_i, s_total ORDER BY lang""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
-    qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample)
+    qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,
+    qTemperatureSample)
 }
