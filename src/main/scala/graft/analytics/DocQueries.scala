@@ -1011,8 +1011,74 @@ object DocQueries {
       GROUP BY hs.doc_id ORDER BY novelty, doc_id LIMIT 20""")
   )
 
+  /** Corpus-level REPEATED-SPAN detection — the substring-granular
+    * dedup signal (suffix-array "dedup training data" style,
+    * approximated with fixed k-token windows): hash every 8-token
+    * window positionally, keep windows whose hash occurs ≥ 2 times
+    * corpus-wide, and merge ADJACENT repeated positions per doc into
+    * maximal spans (gaps-and-islands on pos − row_number). A run of r
+    * consecutive repeated windows certifies a repeated span of
+    * r + k − 1 tokens. Returns the 20 longest spans. Docs under k
+    * tokens are excluded (no full window exists).
+    *
+    * Scale: windows hash map-side to longs (portable polynomial family
+    * — DuckDB reproduces them); the df pass and the repeat join shuffle
+    * the SAME (hash) key, so the exchange is reused; the only other
+    * shuffle is per-doc for the island window. Text never shuffles.
+    * Window df has no hot-key cap because the join is key-to-AGGREGATE
+    * (≥2 filter output is one row per hash), never pair-expanding. */
+  val qRepeatedSpans = GraftQuery(
+    "q_repeated_spans",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val K = 8
+      val ph = Tables.documents(s, dir)
+        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+        .filter(size($"toks") >= K)
+        .select($"doc_id", posexplode(
+          graft.expressions.TextHashExprs.positionalShingleHashes64(
+            $"toks", K, portable = true)))
+        .toDF("doc_id", "pos", "h")
+      val rep = ph.groupBy($"h").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 2).select($"h")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      ph.join(rep, Seq("h"))
+        .withColumn("grp", $"pos" - row_number().over(w))
+        .groupBy($"doc_id", $"grp")
+        .agg(min($"pos").cast("long").as("start_pos"),
+          count(lit(1)).as("n_windows"))
+        .select($"doc_id", $"start_pos", $"n_windows",
+          ($"n_windows" + (K - 1)).as("span_tokens"))
+        .orderBy($"span_tokens".desc, $"doc_id", $"start_pos")
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      ph AS (SELECT doc_id,
+        list_transform(range(len(toks) - 7), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(array_to_string(toks[i+1:i+8], ' '), '.'),
+              c -> CAST(ord(c) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+      FROM t WHERE len(toks) >= 8),
+      p AS (SELECT doc_id, i AS pos, hs[i+1] AS h
+        FROM ph, UNNEST(range(len(hs))) AS u(i)),
+      rep AS (SELECT h FROM p GROUP BY h HAVING COUNT(*) >= 2),
+      r AS (SELECT p.doc_id, p.pos FROM p JOIN rep USING (h)),
+      g AS (SELECT doc_id, pos,
+        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM r),
+      spans AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+        CAST(COUNT(*) AS BIGINT) AS n_windows,
+        CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+      FROM g GROUP BY doc_id, grp)
+      SELECT doc_id, start_pos, n_windows, span_tokens FROM spans
+      ORDER BY span_tokens DESC, doc_id, start_pos LIMIT 20""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qNgramNovelty,
+    qNgramNovelty, qRepeatedSpans,
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qContaminationBySource, qContaminationSpans,
     qUnigramXent,

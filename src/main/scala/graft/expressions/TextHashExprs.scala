@@ -246,6 +246,15 @@ object TextHashKernels {
   def portablePositionalShingleHashes(tokens: ArrayData, k: Int): Array[Long] =
     positionalShingleHashesImpl(tokens, k, portable = true)
 
+  /** [[positionalShingleHashes]] boxed for expression consumers: slot i
+    * hashes the window starting at token i — order and duplicates
+    * preserved (the repeated-span detector's input). */
+  def positionalShingleHashesData(tokens: ArrayData, k: Int): ArrayData =
+    ArrayData.toArrayData(positionalShingleHashes(tokens, k))
+
+  def portablePositionalShingleHashesData(tokens: ArrayData, k: Int): ArrayData =
+    ArrayData.toArrayData(portablePositionalShingleHashes(tokens, k))
+
   private def positionalShingleHashesImpl(
       tokens: ArrayData, k: Int, portable: Boolean): Array[Long] = {
     val n = tokens.numElements()
@@ -323,6 +332,25 @@ case class ShingleHashes64(child: Expression, k: Int, portable: Boolean = false)
 
 /** Native MinHash signature: array<long> shingle hashes → array<long>
   * of numHashes minima. */
+/** Positional k-shingle window hashes: array<string> tokens →
+  * array<long> where slot i hashes the k-token window starting at token
+  * i — duplicates and order preserved, unlike [[ShingleHashes64]]'s set
+  * semantics. */
+case class PositionalShingleHashes64(child: Expression, k: Int, portable: Boolean = false)
+    extends TextHashExpr {
+  require(k > 0, s"k=$k must be positive")
+  override protected def elemType: DataType = StringType
+  override def prettyName: String = "graft_positional_shingle_hashes"
+  override def nullSafeEval(in: Any): Any =
+    if (portable) TextHashKernels.portablePositionalShingleHashesData(in.asInstanceOf[ArrayData], k)
+    else TextHashKernels.positionalShingleHashesData(in.asInstanceOf[ArrayData], k)
+  override protected def kernelCall(c: String): String =
+    if (portable) s"graft.expressions.TextHashKernels.portablePositionalShingleHashesData($c, $k)"
+    else s"graft.expressions.TextHashKernels.positionalShingleHashesData($c, $k)"
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashes64 =
+    copy(child = newChild)
+}
+
 case class MinHashSignature(child: Expression, numHashes: Int, portable: Boolean = false)
     extends TextHashExpr {
   require(numHashes > 0, s"numHashes=$numHashes must be positive")
@@ -375,6 +403,8 @@ object TextHashExprs {
 
   def shingleHashes64(tokens: Column, k: Int, portable: Boolean = false): Column =
     column(ShingleHashes64(expression(tokens), k, portable))
+  def positionalShingleHashes64(tokens: Column, k: Int, portable: Boolean = false): Column =
+    column(PositionalShingleHashes64(expression(tokens), k, portable))
   def minhashSignature(shingleHashes: Column, numHashes: Int,
       portable: Boolean = false): Column =
     column(MinHashSignature(expression(shingleHashes), numHashes, portable))

@@ -37,6 +37,25 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("PositionalShingleHashes64 equals the declarative per-window hash, in order") {
+    val k = 3
+    val ts = TextAnalysis.tokens(col("text"))
+    val n = size(ts)
+    // declarative mirror: hash of the space-joined window at each start
+    val decl = when(n < k, array(xxhash64(concat_ws(" ", ts))))
+      .otherwise(transform(sequence(lit(0), n - k),
+        i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(k))))))
+    val rows = docs.select(
+        TextHashExprs.positionalShingleHashes64(ts, k).as("native"),
+        decl.as("decl"), n.as("n"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1)) // order-sensitive
+      assert(r.getSeq[Long](0).length === math.max(r.getInt(2) - k + 1, 1))
+    }
+  }
+
   test("MinHashSignature equals the declarative per-seed array_min") {
     val numHashes = 8
     val base = docs.select(col("doc_id"),
