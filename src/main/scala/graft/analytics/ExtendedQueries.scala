@@ -636,6 +636,59 @@ object ExtendedQueries {
       ORDER BY view_id, click_id""")
   )
 
+  /** Watermarked stream-stream LEFT OUTER interval join: views with no
+    * click within 30 minutes surface as null-click rows — but only once
+    * the watermark passes their state-eviction boundary (outer emission
+    * is an EVICTION byproduct in Structured Streaming, not a per-batch
+    * result; the terminal no-data micro-batch flushes it). The emitted
+    * set near the watermark frontier is therefore time-of-run dependent,
+    * so BOTH engines restrict to views at least 3h30m older than the max
+    * event time (2h delay + 30m range + 1h safety) — every such view is
+    * guaranteed evicted, making the streaming result row-for-row equal
+    * to the batch left join under the same cutoff. The cutoff is a
+    * 1-row broadcast from the static table, never a collect. */
+  val qStreamOuterJoin = GraftQuery(
+    "q_stream_outer_join",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_outer_join_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+      val views = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id", $"ts".as("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+      val clicks = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+        .filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = views.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"c_ts" >= $"v_ts" && $"c_ts" <= $"v_ts" + expr("interval 30 minutes"),
+        "left_outer")
+      val cutoff = Tables.events(s, dir)
+        .agg((max($"ts") - expr("interval 3 hours 30 minutes")).as("cutoff"))
+      graft.streaming.EventsStream
+        .runAvailableNow(s, joined, name, checkpoint, OutputMode.Append())
+        .crossJoin(broadcast(cutoff))
+        .filter($"v_ts" <= $"cutoff")
+        .select($"view_id", $"click_id", $"user_id",
+          date_format($"v_ts", "yyyy-MM-dd HH:mm:ss").as("v_ts"))
+        .orderBy($"view_id", $"click_id")
+    },
+    Some("""WITH cut AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL '3 hours 30 minutes' AS cutoff
+        FROM events)
+      SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+        STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') AS v_ts
+      FROM events v LEFT JOIN events c ON v.user_id = c.user_id
+        AND c.event_type = 'click'
+        AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      CROSS JOIN cut
+      WHERE v.event_type = 'view' AND CAST(v.ts AS TIMESTAMP) <= cutoff
+      ORDER BY view_id, click_id""")
+  )
+
   /** MERGE-INTO semantics on plain parquet: apply a CDC batch (updates
     * + inserts) to a base table via full-outer join + coalesce — the
     * upsert pattern for stores without a transactional table format.
@@ -817,5 +870,6 @@ object ExtendedQueries {
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
-    qDenseTopk, qStreamEnrich, qStreamDedup, qStreamJoin, qMergeUpsert)
+    qDenseTopk, qStreamEnrich, qStreamDedup, qStreamJoin, qStreamOuterJoin,
+    qMergeUpsert)
 }
