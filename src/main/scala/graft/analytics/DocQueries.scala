@@ -773,6 +773,82 @@ object DocQueries {
     None
   )
 
+  /** SELF-CERTIFYING approximate quantiles: percentile_approx's
+    * GK-sketch estimates next to the exact quantiles (one fused
+    * ExactQuantiles sort for all three points) IN THE SAME PLAN, with a
+    * rank-error column per point. The sketch answer is engine-specific
+    * (no SQL oracle possible), but the co-computed error makes the
+    * harness row check a real quality gate — exactly the
+    * q_approx_distinct pattern. rel_err is bounded by the sketch
+    * accuracy parameter (1/1000 rank error), spec-asserted. At 100 TB
+    * the approx path is the one to run: bounded sketch state merges
+    * map-side vs the exact aggregate's full value buffer. */
+  val qApproxQuantiles = GraftQuery(
+    "q_approx_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .agg(
+          percentile_approx($"value", typedLit(Seq(0.5, 0.9, 0.99)), lit(1000))
+            .as("approx"),
+          graft.expressions.ExactQuantiles.quantiles(
+            $"value", Seq(0.5, 0.9, 0.99)).as("exact"))
+        .select(
+          round(element_at($"approx", 1), 6).as("approx_p50"),
+          round(element_at($"approx", 2), 6).as("approx_p90"),
+          round(element_at($"approx", 3), 6).as("approx_p99"),
+          round(element_at($"exact", 1), 6).as("exact_p50"),
+          round(element_at($"exact", 2), 6).as("exact_p90"),
+          round(element_at($"exact", 3), 6).as("exact_p99"),
+          round(abs(element_at($"approx", 1) - element_at($"exact", 1))
+            / greatest(abs(element_at($"exact", 1)), lit(1e-9)), 6).as("rel_err_p50"),
+          round(abs(element_at($"approx", 2) - element_at($"exact", 2))
+            / greatest(abs(element_at($"exact", 2)), lit(1e-9)), 6).as("rel_err_p90"),
+          round(abs(element_at($"approx", 3) - element_at($"exact", 3))
+            / greatest(abs(element_at($"exact", 3)), lit(1e-9)), 6).as("rel_err_p99"))
+    },
+    None
+  )
+
+  /** First-iteration BPE merge candidates — the vocabulary-induction
+    * primitive: the most frequent ADJACENT CHARACTER pairs, weighted by
+    * corpus token frequency. The pair counting runs over the DISTINCT
+    * vocabulary (the classic BPE trick — a corpus of billions of tokens
+    * folds to a vocab of ~10⁵ types first), so the explode fans out per
+    * TYPE, not per occurrence: one vocab-sized rollup shuffle, then a
+    * pair rollup over ≤ 36² keys. Single-char tokens carry no pair and
+    * are filtered before the explode. */
+  val qBpeMerges = GraftQuery(
+    "q_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      val vocab = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("freq"))
+        .filter(length($"token") >= 2)
+      vocab
+        .select($"freq", explode(expr(
+          "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+          .as("pair"))
+        .groupBy($"pair")
+        .agg(sum($"freq").as("weighted_count"), count(lit(1)).as("n_positions"))
+        .orderBy($"weighted_count".desc, $"pair")
+        .limit(20)
+    },
+    Some("""WITH tok AS (SELECT UNNEST(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        FROM documents),
+      vocab AS (SELECT token, COUNT(*) AS freq FROM tok
+        GROUP BY token HAVING LENGTH(token) >= 2),
+      pairs AS (SELECT freq, UNNEST(list_transform(range(length(token) - 1),
+          i -> token[i+1:i+2])) AS pair
+        FROM vocab)
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS weighted_count,
+        COUNT(*) AS n_positions
+      FROM pairs GROUP BY pair
+      ORDER BY weighted_count DESC, pair LIMIT 20""")
+  )
+
   /** As-of join: each event matched to its user's latest prior order —
     * ONE shuffle (union + window), not an inequality-join explosion.
     * Orders pre-deduped per (custkey, orderdate) so the match is unique
@@ -1078,7 +1154,7 @@ object DocQueries {
   )
 
   val all: Seq[GraftQuery] = Seq(
-    qNgramNovelty, qRepeatedSpans,
+    qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges,
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qContaminationBySource, qContaminationSpans,
     qUnigramXent,

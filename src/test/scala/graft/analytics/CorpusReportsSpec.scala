@@ -11,6 +11,24 @@ class CorpusReportsSpec extends SparkSpec {
 
   private val Dir = "/root/testdata/sf0.01"
 
+  test("q_approx_quantiles: sketch estimates stay within 5% of exact") {
+    val r = graft.SparkEntry.queries("q_approx_quantiles")(spark, Dir).head()
+    Seq("rel_err_p50", "rel_err_p90", "rel_err_p99").foreach { c =>
+      val e = r.getDouble(r.fieldIndex(c))
+      assert(e >= 0.0 && e < 0.05, s"$c = $e out of bound")
+    }
+  }
+
+  test("q_bpe_merges: pair weight never exceeds total weighted pair positions") {
+    val rows = graft.SparkEntry.queries("q_bpe_merges")(spark, Dir).collect()
+    assert(rows.length === 20)
+    // every pair is two [a-z0-9] chars by construction of the tokenizer
+    rows.foreach { r =>
+      assert(r.getString(0).matches("[a-z0-9]{2}"), s"bad pair ${r.getString(0)}")
+      assert(r.getLong(1) >= r.getLong(2), "weighted count below position count")
+    }
+  }
+
   test("q_split_assign partitions the corpus and shares sum to 1 per source") {
     val df = PipelineQueries.qSplitAssign.run(spark, Dir).cache()
     val total = df.agg(sum("n_docs")).first().getLong(0)
