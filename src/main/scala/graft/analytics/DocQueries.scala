@@ -581,6 +581,77 @@ object DocQueries {
       ORDER BY id_a, id_b""")
   )
 
+  /** MinHash estimator PRECISION audit: every emitted pair carries its
+    * signature estimate AND the exact shingle-set Jaccard, computed in
+    * the same plan by joining the (already cached) per-doc fingerprint
+    * arrays back onto the pair list — set math is two sorted-array ops
+    * map-side, bounded by PAIR count (tiny), never corpus-squared. The
+    * abs_err column makes estimator drift visible to the harness row
+    * check, and the whole thing is DuckDB-oracled through the portable
+    * hash family (both the estimate and the truth). */
+  val qMinhashPrecision = GraftQuery(
+    "q_minhash_precision",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DoubleType
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucket = 100,
+        portable = true)
+      val sh = graft.operators.Caches.register(docs.select($"doc_id",
+        graft.expressions.TextHashExprs.shingleHashes64(
+          TextAnalysis.tokens($"text"), 3, portable = true).as("hs")))
+      val inter = size(array_intersect($"hs_a", $"hs_b"))
+      val uni = size($"hs_a") + size($"hs_b") - inter
+      pairs
+        .join(sh.select($"doc_id".as("id_a"), $"hs".as("hs_a")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"hs".as("hs_b")), "id_b")
+        .select($"id_a", $"id_b", $"est_jaccard",
+          round(inter.cast(DoubleType) / uni, 6).as("exact_jaccard"),
+          round(abs($"est_jaccard" - inter.cast(DoubleType) / uni), 6).as("abs_err"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      sg AS (SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
+      FROM t),
+      hs AS (SELECT doc_id,
+        list_distinct(list_transform(shingles, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007))) AS hv
+      FROM sg),
+      sig AS (SELECT doc_id,
+        list_transform(range(32), j ->
+          list_min(list_transform(hv, h -> ((48271 + 2*j) * h + j) % 1000000007))) AS sig
+      FROM hs),
+      banded AS (SELECT doc_id, band,
+        list_reduce(list_prepend(CAST(band AS BIGINT), sig[band*4+1 : band*4+4]),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS bhash
+      FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
+      kept AS (SELECT band, bhash FROM banded GROUP BY band, bhash HAVING COUNT(*) <= 100),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN kept k ON a.band = k.band AND a.bhash = k.bhash
+        JOIN banded b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+      ver AS (SELECT id_a, id_b,
+        ROUND(CAST(list_sum(list_transform(range(32),
+          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 32, 6)
+          AS est_jaccard
+      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id),
+      px AS (SELECT id_a, id_b, est_jaccard,
+        CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
+          / (len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv))) AS ex
+      FROM ver JOIN hs ha ON ver.id_a = ha.doc_id JOIN hs hb ON ver.id_b = hb.doc_id
+      WHERE est_jaccard >= 0.5)
+      SELECT id_a, id_b, est_jaccard, ROUND(ex, 6) AS exact_jaccard,
+        ROUND(ABS(est_jaccard - ex), 6) AS abs_err
+      FROM px ORDER BY id_a, id_b""")
+  )
+
   /** SimHash near-dup pairs (hamming ≤ 3 on the 64-bit sketch), portable
     * family (token hash = h31 | h131 << 32; 4 of 64 bits structurally
     * zero — see TextHashKernels.portableSimhashChunks). */
@@ -1159,7 +1230,7 @@ object DocQueries {
     qDedupSurvivors, qHeavyHitters, qContaminationBySource, qContaminationSpans,
     qUnigramXent,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
-    qSimhashPairs,
+    qMinhashPrecision, qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qIvfTopK, qApproxDistinct, qAsofJoin,
     qRangeJoin, qKmvDistinct, qQualityScore, qSourceSimilarity, qSourceOverlap)
 }

@@ -489,8 +489,70 @@ object WarehouseQueries {
       ORDER BY doc_id""")
   )
 
+  /** Snapshot DIFF audit — the inverse of q_merge_upsert's apply: given
+    * two versions of a keyed table, classify every key as added /
+    * removed / changed / unchanged and report counts with key ranges.
+    * v2 is synthesized deterministically in both engines (every 10th
+    * order repriced, every 13th deleted, every 97th key re-inserted
+    * beyond the base domain). One full-outer join on the key (with both
+    * versions bucketed by key it degrades to a co-located zip);
+    * change detection is null-safe so a null-vs-value flip counts as
+    * changed, not unchanged. Counts roll up to ≤4 rows. */
+  val qSnapshotDiff = GraftQuery(
+    "q_snapshot_diff",
+    (s, dir) => {
+      import s.implicits._
+      val v1 = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val v2 = v1.filter($"o_orderkey" % 13 =!= 0)
+        .select($"o_orderkey".as("k2"),
+          when($"o_orderkey" % 10 === 0, lit("X")).otherwise($"o_orderstatus")
+            .as("s2"),
+          when($"o_orderkey" % 10 === 0,
+            round($"o_totalprice".cast(DecimalType(18, 2)) * lit(1.1).cast(DecimalType(3, 1)), 2)
+              .cast(DoubleType))
+            .otherwise($"o_totalprice").as("p2"))
+        .unionAll(v1.filter($"o_orderkey" % 97 === 0)
+          .select(($"o_orderkey" + 10000000L).as("k2"), lit("N").as("s2"),
+            lit(100.0).as("p2")))
+      v1.join(v2, $"o_orderkey" === $"k2", "full_outer")
+        .select(when($"o_orderkey".isNull, "added")
+          .when($"k2".isNull, "removed")
+          .when(!($"o_orderstatus" <=> $"s2") || !($"o_totalprice" <=> $"p2"),
+            "changed")
+          .otherwise("unchanged").as("change_type"),
+          coalesce($"o_orderkey", $"k2").as("key"))
+        .groupBy($"change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"key").as("min_key"), max($"key").as("max_key"))
+        .orderBy($"change_type")
+    },
+    Some("""WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      v2 AS (SELECT o_orderkey AS k2,
+          CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS s2,
+          CASE WHEN o_orderkey % 10 = 0
+            THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE)
+            ELSE o_totalprice END AS p2
+        FROM v1 WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS k2, 'N' AS s2, 100.0 AS p2
+        FROM v1 WHERE o_orderkey % 97 = 0),
+      d AS (SELECT CASE
+          WHEN v1.o_orderkey IS NULL THEN 'added'
+          WHEN v2.k2 IS NULL THEN 'removed'
+          WHEN v1.o_orderstatus IS DISTINCT FROM v2.s2
+            OR v1.o_totalprice IS DISTINCT FROM v2.p2 THEN 'changed'
+          ELSE 'unchanged' END AS change_type,
+          COALESCE(v1.o_orderkey, v2.k2) AS key
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.k2)
+      SELECT change_type, COUNT(*) AS n_rows,
+        MIN(key) AS min_key, MAX(key) AS max_key
+      FROM d GROUP BY change_type ORDER BY change_type""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qDupInflation, qDupClusterSizes, qEmbedNorms,
       qEmbedCentroids, qEmbedCovariance, qEmbedVarianceByLabel,
-      qEmbedQuantize, qIncrementalAgg, qDeltaDedup, qDeltaNearDup)
+      qEmbedQuantize, qIncrementalAgg, qDeltaDedup, qDeltaNearDup,
+      qSnapshotDiff)
 }

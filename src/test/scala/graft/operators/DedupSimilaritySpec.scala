@@ -35,6 +35,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"portable minhash recall $recall over ${exact.size} exact pairs")
   }
 
+  test("q_minhash_precision: estimates track exact Jaccard on emitted pairs") {
+    val rows = graft.SparkEntry.queries("q_minhash_precision")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty, "precision audit should see the planted near-dups")
+    val errs = rows.map(r => r.getDouble(r.fieldIndex("abs_err")))
+    // 32-slot signatures: per-pair sd ≈ sqrt(J(1-J)/32) ≤ 0.09 — mean
+    // abs err across pairs stays well under 0.15, individual under 0.35
+    assert(errs.sum / errs.length <= 0.15,
+      s"mean |est - exact| = ${errs.sum / errs.length}")
+    assert(errs.max <= 0.35, s"worst pair error ${errs.max}")
+  }
+
   test("PORTABLE winnow family keeps the planted near-dups pairable") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
