@@ -188,6 +188,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p20.contains("CartesianProduct"), s"q_tpch_q20 has a cartesian product")
   }
 
+  test("corpus additions: bounded shuffles, no cartesian, right join shapes") {
+    // novelty / repeated spans: hash-keyed rollup + join + per-doc
+    // window — nothing beyond the keyed exchanges (at this SF, AQE
+    // broadcasts the aggregate side of the join back; at corpus scale it
+    // degrades to an SMJ sharing the hash partitioning — either way the
+    // raw text never shuffles and nothing goes cartesian)
+    for (q <- Seq("q_ngram_novelty", "q_repeated_spans")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3,
+        s"$q shuffles more than hash-rollup + islands:\n$p")
+    }
+    // temperature sample: the |langs|-row totals relation joins as a
+    // 1-ROW BroadcastNestedLoopJoin (the crossJoin) + a broadcast hash
+    // join of the rates — the corpus never shuffles for either
+    val pt = plan("q_temperature_sample")
+    assert(pt.contains("BroadcastNestedLoopJoin"),
+      s"q_temperature_sample lost the 1-row total broadcast:\n$pt")
+    assert(pt.contains("BroadcastHashJoin"),
+      s"q_temperature_sample lost the rates broadcast:\n$pt")
+    // bpe merges: join-free — vocab rollup + pair rollup, two exchanges
+    val pb = plan("q_bpe_merges")
+    assert(!pb.contains("Join"), s"q_bpe_merges must not join:\n$pb")
+    assert("Exchange hashpartitioning".r.findAllIn(pb).length <= 2,
+      s"q_bpe_merges shuffles more than vocab + pair rollups:\n$pb")
+    // snapshot diff: the version join is a FULL-OUTER SMJ on the key
+    // (not broadcastable by semantics), and nothing else joins
+    val ps = plan("q_snapshot_diff")
+    assert(ps.contains("SortMergeJoin") && ps.contains("FullOuter"),
+      s"q_snapshot_diff lost the full-outer key join:\n$ps")
+    assert(!ps.contains("CartesianProduct"), s"q_snapshot_diff has a cartesian product")
+  }
+
   test("warehouse/event additions: keyed shuffles only, no cartesian") {
     for (q <- Seq("q_scd2_history", "q_funnel", "q_retention", "q_transitions",
         "q_dup_inflation", "q_embed_norms")) {
