@@ -477,6 +477,80 @@ object DocQueries {
     * heavy hitters — which is what the oracle's full groupBy computes.
     * The scale win: the full-vocabulary shuffle is replaced by a
     * 40-key one. */
+  /** Count-Min Sketch point-frequency estimation as a RELATIONAL
+    * program: d=4 hash rows × w=16 counters built from the portable
+    * base-31 token hashes, probed for the top-30 tokens with the exact
+    * count riding along — est ≥ exact ALWAYS (deterministic CMS
+    * guarantee, spec-asserted), overcount bounded by corpus/w in
+    * expectation. w=16 is deliberately small for this 31-token vocab so
+    * real collisions are visible in the result; size w ≈ e/ε at scale.
+    *
+    * Why relational: the counter table is d·w rows REGARDLESS of
+    * vocabulary, and building it through the vocab rollup reuses the
+    * one corpus shuffle the exact certificate needs anyway. The
+    * certificate-free production variant aggregates (row, bucket) keys
+    * straight off the token stream — partial aggregation bounds the
+    * shuffle to d·w rows per task, no vocab-sized state anywhere.
+    * The portable hash family makes build AND probe bit-identical in
+    * DuckDB, so the sketch CONTENTS are under the hash gate — unlike
+    * engine-internal CMS implementations. */
+  val qCmsCounts = GraftQuery(
+    "q_cms_counts",
+    (s, dir) => {
+      import s.implicits._
+      val P = 1000000007L
+      val d = 4
+      val w = 16
+      val toks = TextAnalysis.tokens($"text")
+      // (token, portable-hash) stream folded to the vocab ONCE; k=1
+      // positional hashes align index-for-index with the token array
+      val cnt = graft.operators.Caches.register(
+        Tables.documents(s, dir).filter($"text".isNotNull)
+          .select(explode(arrays_zip(toks.as("tok"),
+            graft.expressions.TextHashExprs.positionalShingleHashes64(
+              toks, 1, portable = true).as("hv"))).as("z"))
+          .select($"z.tok".as("tok"), $"z.hv".as("hv"))
+          .groupBy($"tok", $"hv").agg(count(lit(1)).as("n")))
+      def bucket(hv: Column, i: Column): Column =
+        ((hv * (lit(48271L) + lit(2L) * i) + i) % P) % w
+      val counters = cnt
+        .select($"hv", $"n", explode(typedLit((0 until d).map(_.toLong))).as("i"))
+        .groupBy($"i", bucket($"hv", $"i").as("bucket"))
+        .agg(sum($"n").as("c"))
+      val top = cnt
+        .select($"tok", $"hv", $"n".as("exact_n"))
+        .orderBy($"exact_n".desc, $"tok").limit(30)
+      top
+        .withColumn("i", explode(typedLit((0 until d).map(_.toLong))))
+        .withColumn("bucket", bucket($"hv", $"i"))
+        .join(broadcast(counters), Seq("i", "bucket"))
+        .groupBy($"tok", $"exact_n")
+        .agg(min($"c").as("cms_est"))
+        .select($"tok", $"exact_n", $"cms_est",
+          ($"cms_est" - $"exact_n").as("overcount"))
+        .orderBy($"exact_n".desc, $"tok")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL),
+      tok AS (SELECT unnest(toks) AS tok FROM t),
+      h AS (SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS BIGINT))),
+          (acc, x) -> (acc*31 + x) % 1000000007) AS hv, COUNT(*) AS n
+        FROM tok GROUP BY tok),
+      counters AS (SELECT i, ((hv*(48271+2*i)+i) % 1000000007) % 16 AS bucket, SUM(n) AS c
+        FROM h CROSS JOIN (SELECT unnest(range(4)) AS i) ti GROUP BY 1, 2),
+      top AS (SELECT tok, hv, n AS exact_n FROM h ORDER BY n DESC, tok LIMIT 30),
+      est AS (SELECT tok, exact_n, MIN(c) AS cms_est
+        FROM top CROSS JOIN (SELECT unnest(range(4)) AS i) ti
+        JOIN counters ON counters.i = ti.i
+          AND counters.bucket = ((top.hv*(48271+2*ti.i)+ti.i) % 1000000007) % 16
+        GROUP BY tok, exact_n)
+      SELECT tok, CAST(exact_n AS BIGINT) AS exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+        CAST(cms_est - exact_n AS BIGINT) AS overcount
+      FROM est ORDER BY exact_n DESC, tok""")
+  )
+
   val qHeavyHitters = GraftQuery(
     "q_heavy_hitters",
     (s, dir) => {
@@ -795,6 +869,50 @@ object DocQueries {
         FROM bk a JOIN bk c ON a.vec_id < c.vec_id
           AND bit_count(xor(a.bucket, c.bucket)) <= 1)
       SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""")
+  )
+
+  /** SemDeDup-style semantic dedup survivors: same blocked pair
+    * generator (and parameters) as q_embed_dup_pairs, composed into a
+    * corpus TRANSFORM — every vector with a smaller-id near-dup is
+    * dropped, the rest survive with their labels. The portable planes
+    * make the full block → probe → verify → anti-join pipeline
+    * reproducible in DuckDB, so the greedy pruning SEMANTICS (not just
+    * the pair list) are under the hash gate. */
+  val qSemanticDedup = GraftQuery(
+    "q_semantic_dedup",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.semanticDedup(
+          Tables.embeddings(s, dir).withColumn("embedding", $"embedding".cast("array<double>")),
+          "vec_id", "embedding", threshold = 0.4, nPlanes = 5, probeRadius = 1,
+          portablePlanes = true)
+        .select($"vec_id", $"label")
+        .orderBy($"vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bv AS (SELECT vec_id, v,
+        list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
+      b AS (SELECT vec_id, v,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(5), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qv[d+1] * (CASE WHEN (48271 * ((48271 * (p*64 + d + 1)) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) AS bucket
+      FROM bv),
+      kept AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 10000),
+      bk AS (SELECT b.* FROM b JOIN kept USING (bucket)),
+      p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+          ROUND(CASE WHEN SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v)) = 0
+            THEN 0.0
+            ELSE list_dot_product(a.v, c.v) /
+              (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v))) END, 6) AS cos_sim
+        FROM bk a JOIN bk c ON a.vec_id < c.vec_id
+          AND bit_count(xor(a.bucket, c.bucket)) <= 1),
+      dropped AS (SELECT DISTINCT id_b FROM p WHERE cos_sim >= 0.4)
+      SELECT vec_id, label FROM e
+      WHERE vec_id NOT IN (SELECT id_b FROM dropped)
+      ORDER BY vec_id""")
   )
 
   /** IVF ANN top-20 (KMeans coarse quantizer, 2-probe; same query vector
@@ -1227,10 +1345,10 @@ object DocQueries {
   val all: Seq[GraftQuery] = Seq(
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges,
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
-    qDedupSurvivors, qHeavyHitters, qContaminationBySource, qContaminationSpans,
+    qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
     qUnigramXent,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,
-    qAnnTopK, qEmbedDupPairs, qIvfTopK, qApproxDistinct, qAsofJoin,
+    qAnnTopK, qEmbedDupPairs, qSemanticDedup, qIvfTopK, qApproxDistinct, qAsofJoin,
     qRangeJoin, qKmvDistinct, qQualityScore, qSourceSimilarity, qSourceOverlap)
 }

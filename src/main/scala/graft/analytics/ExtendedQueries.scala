@@ -865,11 +865,32 @@ object ExtendedQueries {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** Contiguous global row ids (0..N-1) in o_orderkey order, via the
+    * range-partition + per-partition-offset enumeration of
+    * [[graft.operators.Ids.contiguousRowIds]] — the scalable replacement
+    * for a single-partition global-window row_number. Verified against
+    * the oracle's row_number over the full 15k-row table, so the
+    * CONTIGUITY AND ORDER of the distributed enumeration (8 range
+    * partitions at sf0.01) are both under the hash gate. */
+  val qContiguousIds = GraftQuery(
+    "q_contiguous_ids",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Ids.contiguousRowIds(
+          Tables.orders(s, dir).select($"o_orderkey"),
+          Seq($"o_orderkey"), numPartitions = 8)
+        .orderBy($"row_id")
+    },
+    Some("""SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id,
+        o_orderkey
+      FROM orders ORDER BY row_id""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
     qDenseTopk, qStreamEnrich, qStreamDedup, qStreamJoin, qStreamOuterJoin,
-    qMergeUpsert)
+    qMergeUpsert, qContiguousIds)
 }

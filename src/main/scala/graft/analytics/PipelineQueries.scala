@@ -643,9 +643,39 @@ object PipelineQueries {
       FROM k GROUP BY lang, n_docs, s_i, s_total ORDER BY lang""")
   )
 
+  /** Cross-document boilerplate-span removal (line-level dedup over
+    * 16-token windows, df > 2 → boilerplate): the corpus TRANSFORM —
+    * cleaned text plus removal accounting per doc — with the reassembly
+    * itself under the hash gate. See Dedup.stripBoilerplateSpans for the
+    * shuffle story (hot-window set broadcasts; one corpus shuffle). */
+  val qBoilerplateStrip = GraftQuery(
+    "q_boilerplate_strip",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Dedup.stripBoilerplateSpans(
+          Tables.documents(s, dir), "doc_id", "text", span = 16, maxDf = 2)
+        .select($"id".as("doc_id"), $"n_spans", $"n_removed", $"cleaned")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL),
+      ix AS (SELECT doc_id, toks,
+        unnest(range(GREATEST(CAST(CEIL((len(toks) - 16) / 16.0) AS BIGINT), 0) + 1)) AS idx
+      FROM t),
+      sp AS (SELECT doc_id, idx,
+        array_to_string(toks[idx*16+1 : idx*16+16], ' ') AS span FROM ix),
+      hot AS (SELECT span FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) > 2),
+      f AS (SELECT doc_id, idx, span,
+        CASE WHEN span IN (SELECT span FROM hot) THEN 1 ELSE 0 END AS is_hot FROM sp)
+      SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(is_hot) AS BIGINT) AS n_removed,
+        COALESCE(array_to_string(list(span ORDER BY idx) FILTER (is_hot = 0), ' '), '') AS cleaned
+      FROM f GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,
-    qTemperatureSample)
+    qTemperatureSample, qBoilerplateStrip)
 }

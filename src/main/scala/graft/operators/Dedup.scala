@@ -514,6 +514,52 @@ object Dedup {
       org.apache.spark.sql.types.StructField("label", LongType, nullable = false))))
   }
 
+  /** Cross-document boilerplate-span removal (the line-level dedup of
+    * CCNet/RefinedWeb, over fixed token windows since this corpus has no
+    * newlines): split each doc into non-overlapping `span`-token windows,
+    * count each window's DOCUMENT frequency across the corpus, strip
+    * windows present in more than `maxDf` docs, and reassemble the doc
+    * from the surviving windows in order. Navigation chrome, cookie
+    * banners, and license headers repeat verbatim across pages — at the
+    * window grain they are removable without dropping the whole doc.
+    *
+    * Returns (id, n_spans, n_removed, cleaned) — the TRANSFORMED corpus
+    * with its removal accounting, not just a report.
+    *
+    * Scale: the df aggregate shuffles one small row per (window, doc);
+    * the hot-window set (df > maxDf) is tiny by construction — it is
+    * the boilerplate vocabulary, not the corpus — so it BROADCASTS into
+    * the flagging join, and the only corpus-sized shuffle is the per-doc
+    * reassembly groupBy. Window text itself shuffles once (reassembly
+    * needs it); the df pass could key on xxhash64(window) instead, but
+    * the reassembly shuffle dominates either way. */
+  def stripBoilerplateSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      span: Int = 16, maxDf: Int = 2): DataFrame = {
+    require(span > 0, s"span=$span must be positive")
+    require(maxDf >= 1, s"maxDf=$maxDf must be at least 1 (0 would strip everything)")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val spans = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(transform(
+          sequence(lit(0), TextAnalysis.chunkCount(toks, span, span) - 1),
+          i => array_join(slice(toks, i * span + 1, lit(span)), " "))))
+      .toDF("id", "idx", "span")
+    val hot = spans.groupBy(col("span"))
+      .agg(countDistinct(col("id")).as("_df"))
+      .filter(col("_df") > maxDf)
+      .select(col("span"), lit(1).as("_hot"))
+    spans.join(broadcast(hot), Seq("span"), "left")
+      .withColumn("is_hot", coalesce(col("_hot"), lit(0)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("is_hot")).cast(LongType).as("n_removed"),
+        array_join(transform(
+          filter(sort_array(collect_list(struct(col("idx"), col("span"), col("is_hot")))),
+            s => s.getField("is_hot") === 0),
+          s => s.getField("span")), " ").as("cleaned"))
+  }
+
   /** 64-bit SimHash sketch as FOUR 16-bit chunks (array<long>). Per
     * token, bit i's ±1 vote is bit i of the token's xxhash64 (64
     * independent vote streams from one hash); sketch bit i is set when

@@ -211,6 +211,40 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication: drop every document that has
+    * an embedding-cosine near-duplicate with a SMALLER id, keep the rest.
+    * Candidate pairs come from [[embeddingDupPairs]] (LSH-blocked,
+    * multi-probed, df-capped), so the whole operator is one blocked
+    * self-join plus one anti-join — never O(N²).
+    *
+    * SEMANTICS — greedy ε-net pruning, not component collapse: a doc
+    * survives iff no lower-id doc sits within the cosine threshold. On a
+    * chain a–b–c where only ADJACENT pairs are near-dups, b and c are
+    * both dropped (c's witness b was itself dropped) — the survivor set
+    * is a maximal subset in doc order with pairwise distance > ε among
+    * DETECTED pairs, which over-prunes chains relative to keep-one-per-
+    * connected-component. That is the standard SemDeDup trade: the
+    * anti-join closes in ONE pass, while component collapse needs the
+    * iterative [[Dedup.connectedComponents]] — compose that with
+    * [[embeddingDupPairs]] instead when chain-preserving semantics
+    * matter more than a single-pass plan.
+    *
+    * Scale: the pair list is a post-blocking artifact (orders of
+    * magnitude smaller than the corpus) and the dropped-id relation is
+    * smaller still, so the anti-join broadcasts at any realistic dup
+    * rate; the corpus itself is scanned once and never shuffled. */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 4, seed: Long = 42L,
+      dim: Int = 64, probeRadius: Int = 1,
+      maxBucket: Int = Dedup.DefaultMaxDf,
+      portablePlanes: Boolean = false): DataFrame = {
+    val pairs = embeddingDupPairs(df, idCol, vecCol, threshold, nPlanes, seed,
+      dim, probeRadius, maxBucket, portablePlanes)
+    val dropped = pairs.select(col("id_b")).distinct()
+    df.join(broadcast(dropped), df(idCol) === dropped("id_b"), "left_anti")
+  }
+
   /** Attach a SELF-CERTIFYING `recall_at_k` column to an approximate
     * top-k result: the fraction of `exact`'s ids that `approx` found,
     * computed IN THE SAME PLAN (semi-join + 1-row aggregate broadcast

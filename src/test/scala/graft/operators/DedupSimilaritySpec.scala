@@ -186,4 +186,43 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(one.forall(math.abs(_) > 0.999999))
   }
+
+  test("semanticDedup: survivors = corpus minus higher-id near-dup members") {
+    // self-consistency on the real corpus: the survivor set must be
+    // exactly the anti-join of the pair generator's id_b side, under the
+    // SAME parameters
+    val params = (0.4, 5, 42L, 64, 1)
+    val pairs = Similarity.embeddingDupPairs(emb, "vec_id", "embedding",
+      params._1, params._2, params._3, params._4, params._5)
+    val dropped = pairs.select(col("id_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val survivors = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        params._1, params._2, params._3, params._4, params._5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === allIds -- dropped)
+    assert(survivors.nonEmpty && survivors.size < allIds.size,
+      "threshold 0.4 should drop at least one planted/near pair member")
+  }
+
+  test("semanticDedup greedy chain semantics: adjacent-only chain drops b AND c") {
+    // a–b and b–c are near-dups, a–c is not: greedy lower-id pruning
+    // drops BOTH b and c (c's witness b is itself dropped) — documented
+    // over-pruning vs connected-component collapse. probeRadius = nPlanes
+    // makes the blocking exhaustive so the semantics, not LSH recall,
+    // are under test. cos θ = 0.95 ≥ 0.9; cos 2θ ≈ 0.805 < 0.9.
+    val theta = math.acos(0.95)
+    def vec(ang: Double): Seq[Double] =
+      Seq(math.cos(ang), math.sin(ang)) ++ Seq.fill(62)(0.0)
+    val rows = Seq((0L, vec(0)), (1L, vec(theta)), (2L, vec(2 * theta)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val survivors = Similarity.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.9, nPlanes = 2, probeRadius = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(0L),
+      s"greedy pruning keeps only the chain head, got $survivors")
+    // component collapse over the same pairs keeps the same head here
+    // (one component) — the semantics differ on SURVIVOR COUNT only for
+    // multi-component chains; this pins the greedy behavior
+  }
 }
