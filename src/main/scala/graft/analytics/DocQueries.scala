@@ -511,7 +511,8 @@ object DocQueries {
               toks, 1, portable = true).as("hv"))).as("z"))
           .select($"z.tok".as("tok"), $"z.hv".as("hv"))
           .groupBy($"tok", $"hv").agg(count(lit(1)).as("n")))
-      def bucket(hv: Column, i: Column): Column =
+      def bucket(hv: org.apache.spark.sql.Column,
+          i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         ((hv * (lit(48271L) + lit(2L) * i) + i) % P) % w
       val counters = cnt
         .select($"hv", $"n", explode(typedLit((0 until d).map(_.toLong))).as("i"))

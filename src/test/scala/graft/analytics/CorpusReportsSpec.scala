@@ -19,6 +19,21 @@ class CorpusReportsSpec extends SparkSpec {
     }
   }
 
+  test("q_cms_counts: sketch estimate dominates the exact count (CMS guarantee)") {
+    val rows = graft.SparkEntry.queries("q_cms_counts")(spark, Dir).collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("exact_n"))
+      val over = r.getLong(r.fieldIndex("overcount"))
+      assert(over >= 0L, s"CMS estimate under exact for ${r.getString(0)}")
+      assert(exact > 0L)
+    }
+    // at w=16 on this 31-token vocab, collisions must actually occur —
+    // a zero-overcount-everywhere result would mean the sketch is
+    // vacuously oversized for the demo
+    assert(rows.exists(_.getLong(3) > 0L), "expected visible collisions at w=16")
+  }
+
   test("q_bpe_merges: pair weight never exceeds total weighted pair positions") {
     val rows = graft.SparkEntry.queries("q_bpe_merges")(spark, Dir).collect()
     assert(rows.length === 20)
