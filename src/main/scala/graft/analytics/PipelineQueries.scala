@@ -673,9 +673,41 @@ object PipelineQueries {
       FROM f GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Training-shard manifest from CONTIGUOUS row ids: shard = row_id
+    * div 64, with per-shard row ranges, char budget, and source spread.
+    * This is why contiguity matters downstream — shard membership is
+    * pure id arithmetic (no extra shuffle, resumable by offset), which
+    * monotonically_increasing_id's 2³³ gaps break outright. The oracle
+    * reproduces the enumeration with row_number, so equal-size shards
+    * AND the exact id ranges are under the hash gate (last_row −
+    * first_row + 1 = n_rows is visible in the result). */
+  val qShardManifest = GraftQuery(
+    "q_shard_manifest",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Ids.contiguousRowIds(
+          Tables.documents(s, dir).select($"doc_id", $"n_chars", $"source"),
+          Seq($"doc_id"), numPartitions = 8)
+        .withColumn("shard", floor($"row_id" / 64).cast("long"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"row_id").as("first_row"), max($"row_id").as("last_row"),
+          sum($"n_chars").as("chars"),
+          countDistinct($"source").as("n_sources"))
+        .orderBy($"shard")
+    },
+    Some("""WITH ids AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id,
+        n_chars, source FROM documents)
+      SELECT CAST(row_id // 64 AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        MIN(row_id) AS first_row, MAX(row_id) AS last_row,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM ids GROUP BY 1 ORDER BY shard""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,
-    qTemperatureSample, qBoilerplateStrip)
+    qTemperatureSample, qBoilerplateStrip, qShardManifest)
 }

@@ -179,6 +179,42 @@ object StarQueries {
       FROM lineitem, b GROUP BY 1 ORDER BY bucket""")
   )
 
+  /** Equi-DEPTH histogram (the complement of q_histogram's equi-width):
+    * bucket boundaries are the 1/8..7/8 quantiles — one fused
+    * ExactQuantiles aggregate, one sort — broadcast back as a 1-row
+    * relation; assignment is a map-side fold over the 7 boundaries
+    * (bucket = #boundaries strictly below the value, ties DOWN), then a
+    * ≤8-key rollup. Near-equal bucket counts are the self-certificate,
+    * visible in the result. At 100 TB swap the exact boundary aggregate
+    * for percentile_approx — the q_approx_quantiles rel_err columns are
+    * the evidence that swap is safe. */
+  val qEquidepthHist = GraftQuery(
+    "q_equidepth_hist",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val bounds = li.agg(graft.expressions.ExactQuantiles.quantiles(
+        $"l_extendedprice", (1 to 7).map(_ / 8.0)).as("bs"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          aggregate($"bs", lit(0),
+            (acc, b) => acc + when($"l_extendedprice".cast("double") > b, 1).otherwise(0))
+            .cast(LongType))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"l_extendedprice").as("lo"), max($"l_extendedprice").as("hi"))
+        .orderBy($"bucket")
+    },
+    Some("""WITH b AS (SELECT [QUANTILE_CONT(l_extendedprice, 0.125),
+        QUANTILE_CONT(l_extendedprice, 0.25), QUANTILE_CONT(l_extendedprice, 0.375),
+        QUANTILE_CONT(l_extendedprice, 0.5), QUANTILE_CONT(l_extendedprice, 0.625),
+        QUANTILE_CONT(l_extendedprice, 0.75), QUANTILE_CONT(l_extendedprice, 0.875)] AS bs
+      FROM lineitem)
+      SELECT CAST(len(list_filter(bs, x -> l_extendedprice > x)) AS BIGINT) AS bucket,
+        COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem, b GROUP BY 1 ORDER BY bucket""")
+  )
+
   /** A13 Pearson correlation (EDA_INSIGHTS.md:19-20). */
   val qCorr = GraftQuery(
     "q_corr",
@@ -733,7 +769,7 @@ object StarQueries {
   val all: Seq[GraftQuery] = Seq(
     qTopCustomers, qSemiAnti, qRollup, qPivotStatus, qSetOps,
     q1PricingSummary, qSummaryKpis, qGroupMean, qValueCounts, qTopnOthers,
-    qQuantiles, qHistogram, qCorr, qWinsorize, qDedupFirst, qDistinctValues,
+    qQuantiles, qHistogram, qEquidepthHist, qCorr, qWinsorize, qDedupFirst, qDistinctValues,
     qFilterCi, qTopk, qCumsum, qPriorityOrder, qJoinSegmentRevenue,
     qJoinNationRevenue, qJoinRegionRevenue, qEventsHourly, qJsonExtract,
     qProfileOrders, qRevenueByYear, qSessionize, qSampleEvents,
