@@ -221,6 +221,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!ps.contains("CartesianProduct"), s"q_snapshot_diff has a cartesian product")
   }
 
+  test("round-6 additions: broadcasts where expected, no global window, no cartesian") {
+    // boilerplate strip: the hot-window set must BROADCAST into the
+    // flagging join (it is the boilerplate vocabulary, not the corpus);
+    // the corpus-sized shuffles are the df pass and the reassembly only
+    val pb = plan("q_boilerplate_strip")
+    assert(pb.contains("BroadcastHashJoin"), s"hot-window set stopped broadcasting:\n$pb")
+    assert(!pb.contains("SortMergeJoin") && !pb.contains("CartesianProduct"),
+      s"q_boilerplate_strip grew a corpus-sized join:\n$pb")
+    // semantic dedup: the dropped-id relation is pair-graph-sized — the
+    // final anti-join must be a broadcast, and nothing may go cartesian
+    val ps = plan("q_semantic_dedup")
+    assert(ps.contains("BroadcastHashJoin") && ps.contains("LeftAnti"),
+      s"q_semantic_dedup lost the broadcast anti-join:\n$ps")
+    assert(!ps.contains("CartesianProduct"), s"q_semantic_dedup went cartesian:\n$ps")
+    // CMS: the d·w counter table broadcasts into the probe join
+    val pc = plan("q_cms_counts")
+    assert(pc.contains("BroadcastHashJoin"), s"counter table stopped broadcasting:\n$pc")
+    assert(!pc.contains("CartesianProduct"), s"q_cms_counts went cartesian:\n$pc")
+    // equi-depth histogram: the 1-row boundary relation joins as a
+    // BroadcastNestedLoopJoin (same shape as q_histogram's bounds)
+    val pe = plan("q_equidepth_hist")
+    assert(pe.contains("BroadcastNestedLoopJoin"),
+      s"q_equidepth_hist lost the 1-row boundary broadcast:\n$pe")
+    // contiguous ids / shard manifest: the WHOLE POINT is no global
+    // window — a Window node in either plan means the enumeration
+    // regressed to the single-partition formulation
+    for (q <- Seq("q_contiguous_ids", "q_shard_manifest")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q regressed to a global window sort:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q no longer runs the zipWithIndex enumeration:\n$p")
+    }
+  }
+
   test("warehouse/event additions: keyed shuffles only, no cartesian") {
     for (q <- Seq("q_scd2_history", "q_funnel", "q_retention", "q_transitions",
         "q_dup_inflation", "q_embed_norms")) {
