@@ -594,6 +594,55 @@ object ExtendedQueries {
       ORDER BY user_id, session_start""")
   )
 
+  /** Built-in `session_window` aggregation as the SECOND sessionization
+    * path (the first is Sessionize's hand-rolled flatMapGroupsWithState):
+    * Spark merges per-user event windows within a 30-min gap natively,
+    * and append mode emits a session once the GLOBAL watermark passes
+    * its end (= last event + gap; half-open, so an event AT the gap
+    * boundary starts a new session — note the ≥-gap split vs
+    * Sessionize's >-gap). With a 0-second delay the final AvailableNow
+    * watermark is the corpus max ts, so the oracle is the batch islands
+    * computation gated on s_last + gap <= max(ts) — sessions still open
+    * at the frontier stay in state, exactly like q_stream_sessions.
+    * Same single-file precondition as q_stream_sessions. */
+  val qStreamSessionWindow = GraftQuery(
+    "q_stream_session_window",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_sw_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+      val ev = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+        .withWatermark("ts", "0 seconds")
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.streaming.EventsStream
+        .runAvailableNow(s, ev, name, checkpoint, OutputMode.Append())
+        .select($"user_id",
+          date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format($"session_window.end", "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH mx AS (SELECT MAX(ts) AS wm FROM events),
+      g AS (SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events),
+      se AS (SELECT user_id, ts,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM g),
+      per AS (SELECT user_id, session_idx, MIN(ts) AS s_start, MAX(ts) AS s_last,
+          COUNT(*) AS n_events
+        FROM se GROUP BY user_id, session_idx)
+      SELECT user_id, STRFTIME(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+        STRFTIME(s_last + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        n_events
+      FROM per, mx WHERE s_last + INTERVAL 30 MINUTE <= wm
+      ORDER BY user_id, session_start""")
+  )
+
   /** STREAM-STREAM interval join: view→click attribution — each view
     * joined to the same user's clicks within the following 30 minutes.
     * Both sides are watermarked and the join condition bounds the time
@@ -892,5 +941,5 @@ object ExtendedQueries {
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
     qDenseTopk, qStreamEnrich, qStreamDedup, qStreamJoin, qStreamOuterJoin,
-    qMergeUpsert, qContiguousIds)
+    qMergeUpsert, qContiguousIds, qStreamSessionWindow)
 }
