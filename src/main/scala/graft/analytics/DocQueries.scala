@@ -1039,6 +1039,53 @@ object DocQueries {
       ORDER BY weighted_count DESC, pair LIMIT 20""")
   )
 
+  /** TRUE sequential BPE learning, 10 rounds (q_bpe_merges is round
+    * one's candidate table; this runs the actual algorithm — each merge
+    * changes what the next round counts). The oracle replays all ten
+    * rounds in SQL: stage CTEs generated mechanically, one (count →
+    * argmax → sentinel-space replace) block per round, so the ENTIRE
+    * merge sequence — tie-breaks, overlap resolution, boundary safety —
+    * is under the hash gate. COALESCE to a never-matching needle keeps
+    * an exhausted stage from poisoning later ones with a NULL replace. */
+  val qBpeLearn: GraftQuery = {
+    val rounds = 10
+    val stages = (1 to rounds).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT pair, REPLACE(pair, ' ', '') AS merged, c FROM (
+        SELECT pair, SUM(n) AS c FROM (
+          SELECT UNNEST(list_transform(range(len(s) - 1), j -> s[j+1] || ' ' || s[j+2])) AS pair, n
+          FROM (SELECT string_split(trim(sym), ' ') AS s, n FROM v${i - 1}))
+        GROUP BY pair ORDER BY c DESC, pair LIMIT 1)),
+      v$i AS MATERIALIZED (SELECT REPLACE(sym,
+          ' ' || COALESCE((SELECT pair FROM m$i), '~~') || ' ',
+          ' ' || COALESCE((SELECT merged FROM m$i), '~~') || ' ') AS sym, n
+        FROM v${i - 1})"""
+    }.mkString(",\n      ")
+    val unions = (1 to rounds).map(i =>
+      s"SELECT $i AS rank, pair, merged, CAST(c AS BIGINT) AS n_pair FROM m$i")
+      .mkString("\n      UNION ALL ")
+    GraftQuery(
+      "q_bpe_learn",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("freq"))
+          .filter(length($"token") >= 2)
+        graft.operators.Bpe.learnMerges(vocab, "token", "freq", rounds)
+          .orderBy($"rank")
+      },
+      Some(s"""WITH tok AS (SELECT UNNEST(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        FROM documents),
+      w AS (SELECT token, COUNT(*) AS n FROM tok
+        GROUP BY token HAVING LENGTH(token) >= 2),
+      v0 AS MATERIALIZED (SELECT ' ' || array_to_string(regexp_extract_all(token, '.'), ' ') || ' ' AS sym,
+        CAST(n AS BIGINT) AS n FROM w),
+      $stages
+      SELECT * FROM ($unions) ORDER BY rank""")
+    )
+  }
+
   /** As-of join: each event matched to its user's latest prior order —
     * ONE shuffle (union + window), not an inequality-join explosion.
     * Orders pre-deduped per (custkey, orderdate) so the match is unique
@@ -1344,7 +1391,7 @@ object DocQueries {
   )
 
   val all: Seq[GraftQuery] = Seq(
-    qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges,
+    qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
     qUnigramXent,
