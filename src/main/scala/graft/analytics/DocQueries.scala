@@ -1047,9 +1047,13 @@ object DocQueries {
     * merge sequence — tie-breaks, overlap resolution, boundary safety —
     * is under the hash gate. COALESCE to a never-matching needle keeps
     * an exhausted stage from poisoning later ones with a NULL replace. */
-  val qBpeLearn: GraftQuery = {
-    val rounds = 10
-    val stages = (1 to rounds).map { i =>
+  private val BpeRounds = 10
+
+  /** The learn prologue + per-round stage CTEs, shared by q_bpe_learn
+    * and q_bpe_encode. MATERIALIZED is load-bearing: m_i and v_i both
+    * reference v_{i-1}, so inlined CTEs would expand 2^rounds scans. */
+  private val bpeLearnSql: String = {
+    val stages = (1 to BpeRounds).map { i =>
       s"""m$i AS MATERIALIZED (SELECT pair, REPLACE(pair, ' ', '') AS merged, c FROM (
         SELECT pair, SUM(n) AS c FROM (
           SELECT UNNEST(list_transform(range(len(s) - 1), j -> s[j+1] || ' ' || s[j+2])) AS pair, n
@@ -1060,7 +1064,28 @@ object DocQueries {
           ' ' || COALESCE((SELECT merged FROM m$i), '~~') || ' ') AS sym, n
         FROM v${i - 1})"""
     }.mkString(",\n      ")
-    val unions = (1 to rounds).map(i =>
+    s"""tok AS (SELECT UNNEST(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        FROM documents),
+      w AS (SELECT token, COUNT(*) AS n FROM tok
+        GROUP BY token HAVING LENGTH(token) >= 2),
+      v0 AS MATERIALIZED (SELECT ' ' || array_to_string(regexp_extract_all(token, '.'), ' ') || ' ' AS sym,
+        CAST(n AS BIGINT) AS n FROM w),
+      $stages"""
+  }
+
+  /** The 10-fold replace chain applying m1..m10 to a symbolized token,
+    * as SQL — the oracle mirror of [[graft.operators.Bpe.applyMerges]]. */
+  private val bpeEncodeExprSql: String =
+    (1 to BpeRounds).foldLeft(
+      "' ' || array_to_string(regexp_extract_all(token, '.'), ' ') || ' '") { (acc, i) =>
+      s"""REPLACE($acc,
+          ' ' || COALESCE((SELECT pair FROM m$i), '~~') || ' ',
+          ' ' || COALESCE((SELECT merged FROM m$i), '~~') || ' ')"""
+    }
+
+  val qBpeLearn: GraftQuery = {
+    val unions = (1 to BpeRounds).map(i =>
       s"SELECT $i AS rank, pair, merged, CAST(c AS BIGINT) AS n_pair FROM m$i")
       .mkString("\n      UNION ALL ")
     GraftQuery(
@@ -1071,20 +1096,57 @@ object DocQueries {
           .select(explode(TextAnalysis.tokens($"text")).as("token"))
           .groupBy($"token").agg(count(lit(1)).as("freq"))
           .filter(length($"token") >= 2)
-        graft.operators.Bpe.learnMerges(vocab, "token", "freq", rounds)
+        graft.operators.Bpe.learnMerges(vocab, "token", "freq", BpeRounds)
           .orderBy($"rank")
       },
-      Some(s"""WITH tok AS (SELECT UNNEST(list_filter(
-          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
-        FROM documents),
-      w AS (SELECT token, COUNT(*) AS n FROM tok
-        GROUP BY token HAVING LENGTH(token) >= 2),
-      v0 AS MATERIALIZED (SELECT ' ' || array_to_string(regexp_extract_all(token, '.'), ' ') || ' ' AS sym,
-        CAST(n AS BIGINT) AS n FROM w),
-      $stages
+      Some(s"""WITH $bpeLearnSql
       SELECT * FROM ($unions) ORDER BY rank""")
     )
   }
+
+  /** BPE ENCODE under the learned merges: the corpus token stream priced
+    * in subword symbols — the number you budget a 100 TB training run
+    * with. The distinct VOCABULARY is encoded once (map-side replace
+    * chain, merges inlined as literals) and the per-token symbol counts
+    * broadcast-join back to the stream; the rollup is per source. The
+    * oracle re-learns the merges AND replays the encode chain in SQL, so
+    * learn and apply are hash-gated END TO END. */
+  val qBpeEncode = GraftQuery(
+    "q_bpe_encode",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val tokSrc = graft.operators.Caches.register(
+        docs.select($"source", explode(TextAnalysis.tokens($"text")).as("token")))
+      val learnVocab = tokSrc.groupBy($"token").agg(count(lit(1)).as("freq"))
+        .filter(length($"token") >= 2)
+      val merges = graft.operators.Bpe
+        .learnMerges(learnVocab, "token", "freq", BpeRounds)
+        .orderBy($"rank").select($"pair", $"merged")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val enc = tokSrc.select($"token").distinct()
+        .withColumn("n_sym", size(split(trim(
+          graft.operators.Bpe.applyMerges(
+            graft.operators.Bpe.symbolize("token"), merges)), " ")))
+      tokSrc.join(broadcast(enc), Seq("token"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"), sum($"n_sym").as("n_symbols"))
+        .select($"source", $"n_tokens", $"n_symbols",
+          round($"n_symbols".cast("double") / $"n_tokens", 6).as("symbols_per_token"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH $bpeLearnSql,
+      ts AS (SELECT source, UNNEST(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        FROM documents),
+      ev AS MATERIALIZED (SELECT token,
+          len(string_split(trim($bpeEncodeExprSql), ' ')) AS n_sym
+        FROM (SELECT DISTINCT token FROM ts))
+      SELECT source, COUNT(*) AS n_tokens, CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+        ROUND(CAST(SUM(n_sym) AS DOUBLE) / COUNT(*), 6) AS symbols_per_token
+      FROM ts JOIN ev USING (token)
+      GROUP BY source ORDER BY source""")
+  )
 
   /** As-of join: each event matched to its user's latest prior order —
     * ONE shuffle (union + window), not an inequality-join explosion.
@@ -1392,6 +1454,7 @@ object DocQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
+    qBpeEncode,
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
     qUnigramXent,

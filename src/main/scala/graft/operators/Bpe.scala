@@ -29,6 +29,26 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Space-sentinel symbolization of a word column: " a b c ". */
+  def symbolize(wordColName: String): org.apache.spark.sql.Column =
+    concat(lit(" "),
+      array_join(expr(
+        s"transform(sequence(1, length($wordColName)), i -> substring($wordColName, i, 1))"), " "),
+      lit(" "))
+
+  /** Apply a learned merge list (rank order!) to a symbolized column —
+    * a pure MAP-SIDE replace chain: the merge table rides into the plan
+    * as `rounds` string literals, so encoding a 100 TB token stream is
+    * shuffle-free. In practice encode the DISTINCT vocabulary once and
+    * broadcast-join the symbol counts back to the stream (q_bpe_encode
+    * does exactly that) — encode cost then scales with the vocabulary,
+    * not the corpus. */
+  def applyMerges(sym: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    merges.foldLeft(sym) { case (c, (pair, merged)) =>
+      org.apache.spark.sql.functions.replace(c, lit(s" $pair "), lit(s" $merged "))
+    }
+
   /** Learn `rounds` merges from (wordCol, freqCol); returns the merge
     * table (rank, pair, merged, n_pair) — fewer than `rounds` rows if
     * the vocabulary runs out of pairs first. The vocab relation is
