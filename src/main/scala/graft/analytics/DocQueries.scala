@@ -1039,6 +1039,33 @@ object DocQueries {
       ORDER BY weighted_count DESC, pair LIMIT 20""")
   )
 
+  /** Dictionary encoding of a categorical column: the vocabulary gets
+    * CONTIGUOUS integer codes (0..V-1) in lexicographic order via the
+    * distributed enumeration of [[graft.operators.Ids]] — the feature-
+    * encoding step that precedes embedding lookup tables, where code
+    * gaps waste table rows. The stream side then broadcast-joins the
+    * (tiny relative to the corpus) code table. Oracle = row_number over
+    * the vocab, so contiguity AND order are hash-gated. */
+  val qDictEncode = GraftQuery(
+    "q_dict_encode",
+    (s, dir) => {
+      import s.implicits._
+      val vocab = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+      graft.operators.Ids.contiguousRowIds(vocab, Seq($"token"),
+          idName = "code", numPartitions = 4)
+        .select($"code", $"token", $"n")
+        .orderBy($"code")
+    },
+    Some("""WITH tok AS (SELECT UNNEST(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        FROM documents),
+      v AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+      SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS code, token, n
+      FROM v ORDER BY code""")
+  )
+
   /** TRUE sequential BPE learning, 10 rounds (q_bpe_merges is round
     * one's candidate table; this runs the actual algorithm — each merge
     * changes what the next round counts). The oracle replays all ten
@@ -1454,7 +1481,7 @@ object DocQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
-    qBpeEncode,
+    qBpeEncode, qDictEncode,
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
     qUnigramXent,

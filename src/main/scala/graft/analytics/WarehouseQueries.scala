@@ -257,6 +257,25 @@ object WarehouseQueries {
       FROM g ORDER BY i, j""")
   )
 
+  /** Covariance SPECTRUM of the embedding space (PCA eigenvalues):
+    * effective dimensionality / anisotropy diagnostics before
+    * clustering or ANN-indexing. One fused Gram pass over the corpus;
+    * only the d×d covariance reaches the driver's Jacobi sweep. No SQL
+    * oracle (iterative eigensolver) — instead the TRACE IDENTITY rides
+    * along: eig_sum must equal trace (spectral theorem), and trace_gap
+    * ≈ 0 in the result certifies the decomposition. Eigenvalue accuracy
+    * itself is spec-pinned on known matrices (PcaSpec). */
+  val qEmbedPca = GraftQuery(
+    "q_embed_pca",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Pca.covarianceSpectrum(
+          Tables.embeddings(s, dir).select($"embedding"), "embedding", topK = 8)
+        .orderBy($"rank")
+    },
+    None
+  )
+
   /** Per-LABEL per-dimension variance (the diagonal of the grouped Gram
     * report): which dimensions are dead or degenerate within a class —
     * the drill-down behind q_embed_covariance when drift is suspected in
@@ -552,7 +571,7 @@ object WarehouseQueries {
 
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qDupInflation, qDupClusterSizes, qEmbedNorms,
-      qEmbedCentroids, qEmbedCovariance, qEmbedVarianceByLabel,
+      qEmbedCentroids, qEmbedCovariance, qEmbedVarianceByLabel, qEmbedPca,
       qEmbedQuantize, qIncrementalAgg, qDeltaDedup, qDeltaNearDup,
       qSnapshotDiff)
 }

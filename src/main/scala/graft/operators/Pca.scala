@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+
+/** Embedding-space PCA diagnostics: eigen-decompose the covariance of an
+  * embedding column and report the spectrum — effective dimensionality,
+  * dead directions, anisotropy — the standard health check before
+  * clustering or ANN-indexing a corpus's embeddings.
+  *
+  * Scale split: the CORPUS work is one pass through the fused
+  * [[graft.expressions.GramMatrix]] aggregate (bounded d(d+3)/2-long
+  * state per partition, partials merge map-side — the same machinery as
+  * q_embed_covariance); only the finished d×d covariance — d(d+1)/2
+  * doubles, ~17 KB at d=64 — lands on the driver, where a cyclic Jacobi
+  * sweep (O(d³) per sweep on a TINY matrix) extracts eigenvalues. The
+  * same bounded-driver-state pattern as IvfIndex's centroids.
+  *
+  * No SQL oracle is possible (the eigensolver is iterative), so the
+  * result SELF-CERTIFIES: the trace of the covariance and the sum of
+  * ALL eigenvalues ride along as columns — they are equal by the
+  * spectral theorem, and `trace_gap` ≈ 0 certifies the decomposition
+  * without trusting it. Eigenvalue accuracy is spec-pinned on known
+  * matrices. */
+object Pca {
+
+  /** Cyclic Jacobi eigenvalues of a symmetric matrix, descending.
+    * Converges quadratically; `maxSweeps` bounds degenerate input. */
+  private[operators] def jacobiEigenvalues(
+      a0: Array[Array[Double]], maxSweeps: Int = 100): Array[Double] = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off += 2 * a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+          // sign(0) must be 1 (the 45-degree rotation) — math.signum(0)=0
+          // would make the equal-diagonal case a no-op and never converge
+          val sgn = if (theta >= 0) 1.0 else -1.0
+          val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1))
+          val c = 1 / math.sqrt(t * t + 1)
+          val s = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+        }
+      }
+      sweep += 1
+    }
+    (0 until d).map(i => a(i)(i)).toArray.sorted(Ordering[Double].reverse)
+  }
+
+  /** Top-`topK` covariance eigenvalues of `vecCol` with explained-share
+    * and the trace-identity certificate. Output: (rank, eigenvalue,
+    * explained_share, trace, eig_sum, trace_gap). */
+  def covarianceSpectrum(df: DataFrame, vecCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK=$topK must be positive")
+    val spark = df.sparkSession
+    // one corpus pass; d(d+1)/2 rows to the driver (~2k at d=64)
+    val cells = df.select(col(vecCol).cast("array<double>").as("v"))
+      .agg(graft.expressions.GramMatrix.gram(col("v")).as("g"))
+      .select(inline(col("g")))
+      .select(col("i"), col("j"), col("cov"))
+      .collect()
+    require(cells.nonEmpty, "covarianceSpectrum: empty input")
+    val d = cells.iterator.map(_.getInt(1)).max
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1; val c = r.getDouble(2)
+      m(i)(j) = c; m(j)(i) = c
+    }
+    val trace = (0 until d).map(i => m(i)(i)).sum
+    val eig = jacobiEigenvalues(m)
+    val eigSum = eig.sum
+    val rows = new java.util.ArrayList[Row]()
+    eig.take(topK).zipWithIndex.foreach { case (ev, idx) =>
+      rows.add(Row(idx + 1, math.rint(ev * 1e6) / 1e6,
+        math.rint(ev / trace * 1e6) / 1e6,
+        math.rint(trace * 1e6) / 1e6, math.rint(eigSum * 1e6) / 1e6,
+        math.rint(math.abs(eigSum - trace) * 1e9) / 1e9))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("eigenvalue", DoubleType, nullable = false),
+      StructField("explained_share", DoubleType, nullable = false),
+      StructField("trace", DoubleType, nullable = false),
+      StructField("eig_sum", DoubleType, nullable = false),
+      StructField("trace_gap", DoubleType, nullable = false))))
+  }
+}
