@@ -705,9 +705,64 @@ object PipelineQueries {
       FROM ids GROUP BY 1 ORDER BY shard""")
   )
 
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor doc draws 4 hash-derived candidate partners from the DENSE
+    * id space (ids 0..N-1 — at scale, run Ids.contiguousRowIds first;
+    * that contiguity is what makes `hash mod N` a valid sampler), drops
+    * candidates that are the anchor itself or an exact-content copy of
+    * it, and keeps the first 2 survivors in probe order. A seeded-RNG
+    * formulation would be partition-order-dependent; the arithmetic one
+    * is reproducible anywhere — including the DuckDB oracle, which
+    * replays sampling, exclusion, and selection end to end.
+    *
+    * Scale: candidates are a 4× map-side explode of (anchor, cand-id)
+    * pairs; content exclusion joins the 16-byte md5 relation on the
+    * candidate id (one keyed shuffle — the md5s are corpus-cardinality,
+    * not broadcastable at corpus scale — AQE broadcasts it at test SF);
+    * per-anchor selection is `rank <= 2`, group-limit-pruned map-side
+    * (Spark's InferWindowGroupLimit claims this shape; TopKRewriteRule
+    * defers to it by design — either way no full per-key sort). */
+  val qNegativeSample = GraftQuery(
+    "q_negative_sample",
+    (s, dir) => {
+      import s.implicits._
+      val docs = graft.operators.Caches.register(
+        Tables.documents(s, dir).select($"doc_id", md5($"text").as("f")))
+      val n = docs.agg(count(lit(1)).as("nn"))
+      val cands = docs.select($"doc_id", $"f".as("f_a"))
+        .crossJoin(broadcast(n))
+        .withColumn("j", explode(typedLit(Seq(1L, 2L, 3L, 4L))))
+        .withColumn("cand", ($"doc_id" * 48271L + $"j" * 104729L) % $"nn")
+        .filter($"cand" =!= $"doc_id")
+      val valid = cands
+        .join(docs.select($"doc_id".as("cand"), $"f".as("f_c")), Seq("cand"))
+        .filter($"f_a" =!= $"f_c")
+      val w = Window.partitionBy($"doc_id").orderBy($"j")
+      valid
+        .withColumn("neg_rank", row_number().over(w))
+        .filter($"neg_rank" <= 2)
+        .select($"doc_id", $"neg_rank", $"cand".as("neg_id"))
+        .orderBy($"doc_id", $"neg_rank")
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+      fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+      c AS (SELECT a.doc_id, t.j, ((a.doc_id * 48271 + t.j * 104729) % nn) AS cand
+        FROM documents a, n, UNNEST([1, 2, 3, 4]) AS t(j)
+        WHERE ((a.doc_id * 48271 + t.j * 104729) % nn) <> a.doc_id),
+      v AS (SELECT c.doc_id, c.j, c.cand FROM c
+        JOIN fp fa ON fa.doc_id = c.doc_id
+        JOIN fp fc ON fc.doc_id = c.cand
+        WHERE fa.f <> fc.f),
+      r AS (SELECT doc_id, j, cand,
+          row_number() OVER (PARTITION BY doc_id ORDER BY j) AS neg_rank
+        FROM v)
+      SELECT doc_id, CAST(neg_rank AS INT) AS neg_rank, cand AS neg_id
+      FROM r WHERE neg_rank <= 2 ORDER BY doc_id, neg_rank""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,
-    qTemperatureSample, qBoilerplateStrip, qShardManifest)
+    qTemperatureSample, qBoilerplateStrip, qShardManifest, qNegativeSample)
 }
