@@ -157,6 +157,56 @@ object TimeSeriesQueries {
     * passes: per-type median (broadcast back — one row per type), then
     * the median of absolute deviations. The unrounded median feeds the
     * deviation in both engines; only outputs are rounded. */
+  /** EWMA smoothing of the daily event-count series (α = 0.3), with the
+    * per-day deviation |n − ewma| — the classic online anomaly baseline.
+    *
+    * The recurrence ewma_t = α·x_t + (1−α)·ewma_{t−1} is SEQUENTIAL by
+    * definition, which makes windowed-sum formulations float-fragile
+    * (engines disagree on summation association for window frames). So
+    * each group's ordered series folds EXPLICITLY: prefix t re-folds
+    * elements 1..t left-to-right — O(days²) scalar ops per group over
+    * the (types × days)-sized AGGREGATE relation, bit-identical in any
+    * engine that folds left-to-right, which is what puts an iterative
+    * smoother under the hash gate at all. Counts are exact in double;
+    * the corpus shuffles once into the daily rollup. */
+  val qEwma = GraftQuery(
+    "q_ewma",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+        .agg(count(lit(1)).as("n"))
+      daily
+        .groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"d", $"n"))).as("s"))
+        .select($"event_type",
+          expr("transform(s, p -> p.d)").as("days"),
+          expr("transform(s, p -> CAST(p.n AS DOUBLE))").as("xs"))
+        .select($"event_type", posexplode($"days").as(Seq("t", "d")), $"xs")
+        .withColumn("ewma", expr(
+          "aggregate(slice(xs, 2, t), element_at(xs, 1), " +
+            "(acc, x) -> 0.3 * x + 0.7 * acc)"))
+        .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"),
+          element_at($"xs", $"t" + 1).as("n"),
+          round($"ewma", 6).as("ewma"),
+          round(abs(element_at($"xs", $"t" + 1) - $"ewma"), 6).as("deviation"))
+        .orderBy($"event_type", $"day")
+    },
+    Some("""WITH daily AS (SELECT event_type, DATE_TRUNC('day', ts) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+      g AS (SELECT event_type,
+          list(d ORDER BY d) AS days,
+          list(CAST(n AS DOUBLE) ORDER BY d) AS xs
+        FROM daily GROUP BY event_type)
+      SELECT event_type, STRFTIME(days[t.i + 1], '%Y-%m-%d') AS day,
+        xs[t.i + 1] AS n,
+        ROUND(list_reduce(xs[1 : t.i + 1], (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
+        ROUND(ABS(xs[t.i + 1] -
+          list_reduce(xs[1 : t.i + 1], (acc, x) -> 0.3 * x + 0.7 * acc)), 6) AS deviation
+      FROM g, UNNEST(range(len(xs))) AS t(i)
+      ORDER BY event_type, day""")
+  )
+
   val qMad = GraftQuery(
     "q_mad",
     (s, dir) => {
@@ -227,5 +277,5 @@ object TimeSeriesQueries {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(qGapFill, qZscoreOutliers, qRolling7d, qMad, qDriftPsi)
+    Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qMad, qDriftPsi)
 }
