@@ -1039,6 +1039,39 @@ object DocQueries {
       ORDER BY weighted_count DESC, pair LIMIT 20""")
   )
 
+  /** Inverted-index build (term → postings): per-term document
+    * frequency, total term frequency, and the head of the sorted
+    * postings list — the IR-side counterpart of the dedup family's
+    * shingle joins, and the layout a corpus-scale search/dedup service
+    * actually persists. The per-(term, doc) rollup is the one
+    * corpus-sized shuffle (partial-aggregated: raw token rows fold
+    * map-side); the term rollup shuffles one row per (term, doc). At
+    * scale the FULL postings write out partitioned by term shard; the
+    * capped head here keeps the verifiable result bounded while the df
+    * column still covers every posting. */
+  val qInvertedIndex = GraftQuery(
+    "q_inverted_index",
+    (s, dir) => {
+      import s.implicits._
+      val perDoc = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("token"))
+        .groupBy($"token", $"doc_id").agg(count(lit(1)).as("tf"))
+      perDoc.groupBy($"token")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("total_tf"),
+          array_join(expr(
+            "transform(slice(sort_array(collect_list(doc_id)), 1, 10), x -> CAST(x AS STRING))"),
+            ",").as("postings_head"))
+        .orderBy($"token")
+    },
+    Some("""WITH tok AS (SELECT doc_id, UNNEST(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        FROM documents),
+      pd AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+      SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+        array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings_head
+      FROM pd GROUP BY token ORDER BY token""")
+  )
+
   /** Dictionary encoding of a categorical column: the vocabulary gets
     * CONTIGUOUS integer codes (0..V-1) in lexicographic order via the
     * distributed enumeration of [[graft.operators.Ids]] — the feature-
@@ -1481,7 +1514,7 @@ object DocQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
-    qBpeEncode, qDictEncode,
+    qBpeEncode, qDictEncode, qInvertedIndex,
     qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
     qUnigramXent,
