@@ -139,6 +139,34 @@ object SourceQueries {
       GROUP BY label ORDER BY label""")
   )
 
+  /** ORC round trip: lineitem's decimals/dates/strings written to ORC,
+    * read back, and rolled up — the oracle computes the same rollup from
+    * the PARQUET table, so a hash match proves the format conversion is
+    * lossless (DuckDB never sees the ORC side). Spark's ORC path keeps
+    * the same pushdown/pruning plan properties as parquet. */
+  val qOrcRoundtrip = GraftQuery(
+    "q_orc_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val out = scratch("orc_rt", dir)
+      val sel = Tables.lineitem(s, dir).select($"l_orderkey", $"l_linenumber",
+        $"l_returnflag", $"l_quantity", $"l_extendedprice", $"l_shipdate")
+      graft.sources.Sources.writeOrc(sel, out)
+      graft.sources.Sources.readOrc(s, out, sel.schema)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum($"l_extendedprice".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+          date_format(min($"l_shipdate"), "yyyy-MM-dd").as("first_ship"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        STRFTIME(MIN(l_shipdate), '%Y-%m-%d') AS first_ship
+      FROM lineitem GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qSqlCatalog, qCsvRoundtrip, qJsonlRoundtrip, qSqlFunctions)
+    Seq(qSqlCatalog, qCsvRoundtrip, qJsonlRoundtrip, qSqlFunctions, qOrcRoundtrip)
 }
