@@ -255,6 +255,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("late round-6 additions: index/sampling/smoothing plan shapes") {
+    // inverted index: two keyed rollups, join-free
+    val pi = plan("q_inverted_index")
+    assert(!pi.contains("Join"), s"q_inverted_index must not join:\n$pi")
+    assert("Exchange hashpartitioning".r.findAllIn(pi).length <= 2,
+      s"q_inverted_index shuffles more than (term,doc) + term rollups:\n$pi")
+    // negative sampling: the 1-row count broadcasts (BNLJ), the md5
+    // relation joins keyed, and rank<=2 is group-limit-pruned — never a
+    // full per-key sort without a limit node
+    val pn = plan("q_negative_sample")
+    assert(pn.contains("BroadcastNestedLoopJoin"),
+      s"q_negative_sample lost the 1-row count broadcast:\n$pn")
+    assert(pn.contains("WindowGroupLimit") || pn.contains("TopKPerKey"),
+      s"q_negative_sample rank<=2 is not group-limit pruned:\n$pn")
+    assert(!pn.contains("CartesianProduct"), s"q_negative_sample went cartesian:\n$pn")
+    // EWMA: join-free — daily rollup + per-type collect + explode
+    val pe = plan("q_ewma")
+    assert(!pe.contains("Join"), s"q_ewma must not join:\n$pe")
+    // BPE encode: the per-token symbol counts broadcast back to the stream
+    val pb = plan("q_bpe_encode")
+    assert(pb.contains("BroadcastHashJoin"),
+      s"q_bpe_encode lost the encoded-vocab broadcast:\n$pb")
+    assert(!pb.contains("CartesianProduct"), s"q_bpe_encode went cartesian:\n$pb")
+  }
+
   test("warehouse/event additions: keyed shuffles only, no cartesian") {
     for (q <- Seq("q_scd2_history", "q_funnel", "q_retention", "q_transitions",
         "q_dup_inflation", "q_embed_norms")) {
