@@ -914,6 +914,33 @@ object ExtendedQueries {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** Entity-resolution fuzzy match over customer names: levenshtein ≤ 1
+    * pairs under prefix blocking (tail-edit duplicates — the dominant
+    * class for serial-numbered registries). Both the blocking decision
+    * AND the edit-distance verify are integer-deterministic, so the
+    * whole operator is under the hash gate. */
+  val qFuzzyMatch = GraftQuery(
+    "q_fuzzy_match",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.FuzzyMatch.nameDupPairs(
+          Tables.customer(s, dir), "c_custkey", "c_name",
+          maxDist = 1, tailDrop = 2)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_name,
+        substring(c_name, 1, GREATEST(length(c_name) - 2, 1)) AS blk
+      FROM customer WHERE c_name IS NOT NULL),
+      kept AS (SELECT blk FROM c GROUP BY blk HAVING COUNT(*) <= 10000),
+      b AS (SELECT c.* FROM c JOIN kept USING (blk))
+      SELECT a.c_custkey AS id_a, d.c_custkey AS id_b,
+        a.c_name AS name_a, d.c_name AS name_b,
+        CAST(levenshtein(a.c_name, d.c_name) AS INT) AS dist
+      FROM b a JOIN b d ON a.blk = d.blk AND a.c_custkey < d.c_custkey
+      WHERE levenshtein(a.c_name, d.c_name) <= 1
+      ORDER BY id_a, id_b""")
+  )
+
   /** Contiguous global row ids (0..N-1) in o_orderkey order, via the
     * range-partition + per-partition-offset enumeration of
     * [[graft.operators.Ids.contiguousRowIds]] — the scalable replacement
@@ -941,5 +968,5 @@ object ExtendedQueries {
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
     qDenseTopk, qStreamEnrich, qStreamDedup, qStreamJoin, qStreamOuterJoin,
-    qMergeUpsert, qContiguousIds, qStreamSessionWindow)
+    qMergeUpsert, qContiguousIds, qStreamSessionWindow, qFuzzyMatch)
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution fuzzy matching: near-duplicate NAMES by edit
+  * distance, made tractable by blocking — the classic record-linkage
+  * shape (dedupe customer/supplier registries where serials and typos
+  * produce almost-equal strings).
+  *
+  * Blocking: names sharing their prefix (all but the last `tailDrop`
+  * characters) land in one block; pairs verify with exact levenshtein
+  * inside the block only. This catches TAIL-edit duplicates — the
+  * dominant class for numbered/serial entity names — by construction;
+  * head-edit or indel duplicates that change the prefix need a
+  * complementary pass (suffix or q-gram blocking, same machinery).
+  * Recall is a property of the BLOCKING KEY choice, never silently of
+  * data volume.
+  *
+  * Scale: one shuffle on the block key for the df-cap + self-join
+  * (reused partitioning); blocks over `maxBlock` names are dropped
+  * before the join ([[Dedup.dropHotKeys]] — a degenerate key, e.g. a
+  * constant name column, would otherwise go O(N²) on one reducer).
+  * levenshtein is evaluated per CANDIDATE pair, not per corpus pair. */
+object FuzzyMatch {
+
+  def nameDupPairs(
+      df: DataFrame, idCol: String, nameCol: String,
+      maxDist: Int = 1, tailDrop: Int = 2,
+      maxBlock: Int = Dedup.DefaultMaxDf): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist must be non-negative")
+    require(tailDrop >= 1, s"tailDrop=$tailDrop must be at least 1")
+    val keyed = df.filter(col(nameCol).isNotNull)
+      .select(col(idCol).as("id"), col(nameCol).as("name"),
+        expr(s"substring($nameCol, 1, greatest(length($nameCol) - $tailDrop, 1))")
+          .as("blk"))
+    val b = Caches.register(Dedup.dropHotKeys(keyed, Seq("blk"), maxBlock))
+    b.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+}
