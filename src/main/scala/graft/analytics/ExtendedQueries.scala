@@ -715,8 +715,18 @@ object ExtendedQueries {
         $"user_id" === $"c_user" &&
           $"c_ts" >= $"v_ts" && $"c_ts" <= $"v_ts" + expr("interval 30 minutes"),
         "left_outer")
+      // the GLOBAL watermark is the MIN of the two sides' watermarks —
+      // a side whose stream ends early (here: clicks stop hours before
+      // views at small SF) stalls eviction for BOTH sides. So the
+      // determinism cutoff must key on the min per-side max, not the
+      // overall max: cutoff = least(max v_ts, max c_ts) − delay(2h)
+      // − range(30m) − 1m strictness guard. (The earlier overall-max
+      // formulation silently included one unevicted view at sf0.001.)
       val cutoff = Tables.events(s, dir)
-        .agg((max($"ts") - expr("interval 3 hours 30 minutes")).as("cutoff"))
+        .agg(least(
+          max(when($"event_type" === "view", $"ts")),
+          max(when($"event_type" === "click", $"ts"))).as("m"))
+        .select(($"m" - expr("interval 2 hours 31 minutes")).as("cutoff"))
       graft.streaming.EventsStream
         .runAvailableNow(s, joined, name, checkpoint, OutputMode.Append())
         .crossJoin(broadcast(cutoff))
@@ -725,7 +735,10 @@ object ExtendedQueries {
           date_format($"v_ts", "yyyy-MM-dd HH:mm:ss").as("v_ts"))
         .orderBy($"view_id", $"click_id")
     },
-    Some("""WITH cut AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL '3 hours 30 minutes' AS cutoff
+    Some("""WITH cut AS (SELECT LEAST(
+          MAX(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END),
+          MAX(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END))
+          - INTERVAL '2 hours 31 minutes' AS cutoff
         FROM events)
       SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
         STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') AS v_ts
