@@ -215,6 +215,48 @@ object StarQueries {
       FROM lineitem, b GROUP BY 1 ORDER BY bucket""")
   )
 
+  /** Benford leading-digit audit on order totals — the fraud/garbage
+    * screen for any money column: observed first-digit shares vs the
+    * Benford expectation ln(1+1/d)/ln(10), with each digit's chi-square
+    * contribution. One map-side digit extraction + a 9-key rollup;
+    * n broadcasts back as a 1-row relation. (TPC-H prices are uniform-ish,
+    * so this corpus legitimately FAILS Benford — large chi2 is the
+    * correct output here, which is exactly what makes it a useful
+    * screen: conformity is a property of the data, the query only
+    * measures it.) */
+  val qBenford = GraftQuery(
+    "q_benford",
+    (s, dir) => {
+      import s.implicits._
+      val digits = Tables.orders(s, dir)
+        .filter($"o_totalprice" > 0)
+        .select(substring(floor($"o_totalprice").cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      val n = digits.agg(count(lit(1)).as("total"))
+      digits.groupBy($"digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(n))
+        .withColumn("obs_share", $"n".cast("double") / $"total")
+        .withColumn("exp_share", log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)))
+        .select($"digit", $"n",
+          round($"obs_share", 6).as("obs_share"),
+          round($"exp_share", 6).as("exp_share"),
+          round(($"obs_share" - $"exp_share") * ($"obs_share" - $"exp_share") /
+            $"exp_share" * $"total", 6).as("chi2_contrib"))
+        .orderBy($"digit")
+    },
+    Some("""WITH d AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+      t AS (SELECT COUNT(*) AS total FROM d),
+      g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+      SELECT digit, n,
+        ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+        ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) AS exp_share,
+        ROUND((CAST(n AS DOUBLE) / total - LN(1.0 + 1.0 / digit) / LN(10.0))
+          * (CAST(n AS DOUBLE) / total - LN(1.0 + 1.0 / digit) / LN(10.0))
+          / (LN(1.0 + 1.0 / digit) / LN(10.0)) * total, 6) AS chi2_contrib
+      FROM g, t ORDER BY digit""")
+  )
+
   /** A13 Pearson correlation (EDA_INSIGHTS.md:19-20). */
   val qCorr = GraftQuery(
     "q_corr",
@@ -769,7 +811,7 @@ object StarQueries {
   val all: Seq[GraftQuery] = Seq(
     qTopCustomers, qSemiAnti, qRollup, qPivotStatus, qSetOps,
     q1PricingSummary, qSummaryKpis, qGroupMean, qValueCounts, qTopnOthers,
-    qQuantiles, qHistogram, qEquidepthHist, qCorr, qWinsorize, qDedupFirst, qDistinctValues,
+    qQuantiles, qHistogram, qEquidepthHist, qBenford, qCorr, qWinsorize, qDedupFirst, qDistinctValues,
     qFilterCi, qTopk, qCumsum, qPriorityOrder, qJoinSegmentRevenue,
     qJoinNationRevenue, qJoinRegionRevenue, qEventsHourly, qJsonExtract,
     qProfileOrders, qRevenueByYear, qSessionize, qSampleEvents,

@@ -207,6 +207,46 @@ object TimeSeriesQueries {
       ORDER BY event_type, day""")
   )
 
+  /** Per-series linear TREND (OLS slope/intercept of daily counts over
+    * the day index) — "is this event type growing?" as closed-form
+    * arithmetic over exact integer sums: slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²). Every sum is integer-exact in both engines, the
+    * one float division is identical, so a REGRESSION is hash-gated.
+    * All computation after the daily rollup is O(types × days). */
+  val qTrend = GraftQuery(
+    "q_trend",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x", datediff($"d", lit("2024-01-01").cast("date")).cast("long"))
+      daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+        .select($"event_type", $"n",
+          round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+          round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 6).as("intercept"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, DATE_TRUNC('day', ts) AS d, COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+      xy AS (SELECT event_type,
+          CAST(DATEDIFF('day', DATE '2024-01-01', CAST(d AS DATE)) AS BIGINT) AS x, y
+        FROM daily),
+      a AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM xy GROUP BY event_type)
+      SELECT event_type, n,
+        ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) AS slope,
+        ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx) / n, 6)
+          AS intercept
+      FROM a ORDER BY event_type""")
+  )
+
   val qMad = GraftQuery(
     "q_mad",
     (s, dir) => {
@@ -277,5 +317,5 @@ object TimeSeriesQueries {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qMad, qDriftPsi)
+    Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi)
 }
