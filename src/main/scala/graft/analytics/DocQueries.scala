@@ -939,6 +939,39 @@ object DocQueries {
     None
   )
 
+  /** HLL sketch REUSE across grains — the warehouse pattern that makes
+    * sketch columns worth persisting: per-type DataSketches HLL sketches
+    * of the user set are built ONCE, then the corpus-level distinct
+    * estimate comes from MERGING those sketches (hll_union_agg), never
+    * from rescanning the events — exactly how a 100 TB deployment rolls
+    * daily sketch partitions into monthly uniques. No SQL oracle (sketch
+    * internals are engine-specific); every row carries its exact count
+    * and rel_err as the certificate, and the ALL row's estimate is the
+    * one that came through the merge path. */
+  val qHllRollup = GraftQuery(
+    "q_hll_rollup",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val sk = graft.operators.Caches.register(
+        ev.groupBy($"event_type")
+          .agg(hll_sketch_agg($"user_id").as("sk"),
+            countDistinct($"user_id").as("exact_users")))
+      val per = sk.select($"event_type",
+        hll_sketch_estimate($"sk").as("approx_users"), $"exact_users")
+      val allExact = ev.agg(countDistinct($"user_id").as("exact_users"))
+      val all = sk.agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+        .crossJoin(broadcast(allExact))
+        .select(lit("ALL").as("event_type"), $"approx_users", $"exact_users")
+      per.unionByName(all)
+        .select($"event_type", $"approx_users", $"exact_users",
+          round(abs($"approx_users" - $"exact_users").cast("double") / $"exact_users", 6)
+            .as("rel_err"))
+        .orderBy($"event_type")
+    },
+    None
+  )
+
   /** A2 at scale: approximate distinct (HLL++) alongside the exact KPIs.
     * No SQL oracle (HLL internals are engine-specific), but the query
     * SELF-CERTIFIES: the exact counts and relative errors ride along in
@@ -1520,6 +1553,6 @@ object DocQueries {
     qUnigramXent,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,
-    qAnnTopK, qEmbedDupPairs, qSemanticDedup, qIvfTopK, qApproxDistinct, qAsofJoin,
+    qAnnTopK, qEmbedDupPairs, qSemanticDedup, qIvfTopK, qApproxDistinct, qHllRollup, qAsofJoin,
     qRangeJoin, qKmvDistinct, qQualityScore, qSourceSimilarity, qSourceOverlap)
 }

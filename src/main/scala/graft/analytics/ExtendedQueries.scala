@@ -598,9 +598,12 @@ object ExtendedQueries {
     * path (the first is Sessionize's hand-rolled flatMapGroupsWithState):
     * Spark merges per-user event windows within a 30-min gap natively,
     * and append mode emits a session once the GLOBAL watermark passes
-    * its end (= last event + gap; half-open, so an event AT the gap
-    * boundary starts a new session — note the ≥-gap split vs
-    * Sessionize's >-gap). With a 0-second delay the final AvailableNow
+    * its end (= last event + gap). ADJACENT windows coalesce: an event
+    * at EXACTLY the gap extends the session (split is strictly >gap,
+    * same as Sessionize — pinned empirically in SourcesStreamingSpec,
+    * since microsecond corpus timestamps never hit the boundary and the
+    * oracle alone would tolerate either convention). With a 0-second
+    * delay the final AvailableNow
     * watermark is the corpus max ts, so the oracle is the batch islands
     * computation gated on s_last + gap <= max(ts) — sessions still open
     * at the frontier stay in state, exactly like q_stream_sessions.
@@ -626,7 +629,7 @@ object ExtendedQueries {
     },
     Some("""WITH mx AS (SELECT MAX(ts) AS wm FROM events),
       g AS (SELECT user_id, ts, event_id,
-        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
              THEN 1 ELSE 0 END AS new_s
       FROM events),
       se AS (SELECT user_id, ts,

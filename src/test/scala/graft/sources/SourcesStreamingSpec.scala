@@ -404,4 +404,29 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(feats(4L).width === -1 && feats(4L).n_frames === 0)
     assert(feats.values.forall(f => f.sha256.length === 64))
   }
+
+  test("session_window gap boundary: an event AT the gap EXTENDS the session") {
+    // Spark merges ADJACENT windows: [t, t+gap) and [t+gap, t+2gap)
+    // coalesce, so the split condition is diff > gap, not >= gap —
+    // empirically pinned here because the corpus (microsecond
+    // timestamps) never exercises an exact boundary and the oracle
+    // would silently tolerate either convention
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")), // exactly gap later -> SAME session
+      (2L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:30:01"))  // past the gap -> new session
+    ).toDF("user_id", "t")
+    val sessions = df
+      .groupBy($"user_id", session_window($"t", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .sorted
+    assert(sessions === Seq((1L, 2L), (2L, 1L), (2L, 1L)),
+      s"boundary semantics drifted: $sessions")
+  }
 }
