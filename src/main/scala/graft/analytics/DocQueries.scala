@@ -131,6 +131,39 @@ object DocQueries {
       ORDER BY id_a, id_b""")
   )
 
+  /** Containment (asymmetric Jaccard) near-dup pairs: inter ≥ 0.8 of
+    * the SMALLER doc's shingle set — catches inclusion duplicates
+    * (quoting, expansion) that symmetric Jaccard structurally misses.
+    * Same df-capped blocking and integer arithmetic as q_jaccard_pairs;
+    * threshold 0.8 against least(n_a, n_b), cross-multiplied. */
+  val qContainmentPairs = GraftQuery(
+    "q_containment_pairs",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, minContainment = 0.8, maxDf = 100)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, CASE WHEN LEN(ts) < 3 THEN [array_to_string(ts, ' ')]
+          ELSE [array_to_string(ts[i+1:i+3], ' ') for i in range(0, LEN(ts)-2)] END AS ss
+        FROM toks), UNNEST(ss) AS u(s)),
+      freq AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq USING (s) WHERE freq.df <= 100),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b
+      FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+      WHERE inter * 100 >= LEAST(na.n, nb.n) * 80
+      ORDER BY id_a, id_b""")
+  )
+
   /** Benchmark DECONTAMINATION: flag corpus documents sharing any 5-gram
     * with a held-out eval set (docs with doc_id % 50 == 0 stand in for
     * the benchmark). The standard n-gram-overlap contamination check in
@@ -1548,7 +1581,7 @@ object DocQueries {
   val all: Seq[GraftQuery] = Seq(
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
     qBpeEncode, qDictEncode, qInvertedIndex,
-    qTextStats, qLangId, qDedupExact, qJaccardPairs, qDedupComponents,
+    qTextStats, qLangId, qDedupExact, qJaccardPairs, qContainmentPairs, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
     qUnigramXent,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,

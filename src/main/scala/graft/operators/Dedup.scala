@@ -205,6 +205,37 @@ object Dedup {
         col("uni").cast(LongType))
   }
 
+  /** CONTAINMENT near-dup pairs (asymmetric Jaccard): inter/|smaller| —
+    * detects a document INCLUDED in a larger one (quoting, expansion,
+    * aggregation pages), which symmetric Jaccard structurally misses: a
+    * 100-shingle doc fully contained in a 10000-shingle doc has
+    * containment 1.0 but Jaccard < 0.01. Same df-capped shared-shingle
+    * blocking and integer arithmetic as [[ngramJaccardPairs]] (the
+    * filter cross-multiplies, so no engine compares a derived float);
+    * emits (id_a, id_b, inter, n_a, n_b) with id_a < id_b and
+    * containment = inter / least(n_a, n_b) ≥ minContainment. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minContainment: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val raw = Caches.register(df.select(col(idCol).as("id"),
+      explode(graft.expressions.TextHashExprs.shingleHashes64(
+        TextAnalysis.tokens(col(textCol)), k)).as("shingle")))
+    val sh = Caches.register(dropHotKeys(raw, Seq("shingle"), maxDf))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(col("inter") * lit(100) >=
+        least(col("n_a"), col("n_b")) * lit((minContainment * 100).toInt))
+      .select(col("id_a"), col("id_b"), col("inter").cast(LongType),
+        col("n_a").cast(LongType), col("n_b").cast(LongType))
+  }
+
   /** Cross-source content overlap matrix: for every pair of sources, the
     * exact Jaccard of their df-capped k-shingle sets — which providers
     * mirror each other (and therefore double-count under per-source

@@ -187,6 +187,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(one.forall(math.abs(_) > 0.999999))
   }
 
+  test("containment catches an included doc that symmetric Jaccard misses") {
+    import spark.implicits._
+    val big = (1 to 300).map(i => s"w$i").mkString(" ") // 298 3-shingles
+    val small = (1 to 30).map(i => s"w$i").mkString(" ") // fully contained
+    val other = (1000 to 1300).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 3, minContainment = 0.8, maxDf = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont === Set((1L, 2L)), s"inclusion pair must surface: $cont")
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, minJaccard = 0.5, maxDf = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)),
+      "symmetric Jaccard must miss the inclusion (that asymmetry is the point)")
+  }
+
   test("semanticDedup: survivors = corpus minus higher-id near-dup members") {
     // self-consistency on the real corpus: the survivor set must be
     // exactly the anti-join of the pair generator's id_b side, under the
