@@ -86,6 +86,59 @@ object DocQueries {
       FROM s ORDER BY doc_id""")
   )
 
+  /** Language-ID CONFUSION MATRIX: declared `lang` vs the n-gram
+    * classifier's prediction, with per-cell share of the declared
+    * language — the evaluation rollup that tells you whether the
+    * classifier is good enough to filter on before you let it gate a
+    * 100 TB corpus. Same deterministic scoring as q_lang_id (rounded
+    * argmax), so the whole evaluation is hash-verifiable; the rollup is
+    * |langs|² rows. */
+  val qLangConfusion = GraftQuery(
+    "q_lang_confusion",
+    (s, dir) => {
+      import s.implicits._
+      val scored = TextAnalysis.langScores($"text").foldLeft(Tables.documents(s, dir)) {
+        case (d, (l, c)) => d.withColumn(s"s_$l", round(c, 6))
+      }
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val best = langs.map(l => col(s"s_$l")).reduce(greatest(_, _))
+      val predicted = langs.foldLeft(when(best === 0.0, "und")) { (acc, l) =>
+        acc.when(col(s"s_$l") === best, l)
+      }.otherwise("und")
+      val cells = scored.withColumn("predicted", predicted)
+        .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy($"lang").agg(sum($"n").as("lang_total"))
+      cells.join(broadcast(totals), Seq("lang"))
+        .select($"lang", $"predicted", $"n",
+          round($"n".cast("double") / $"lang_total", 6).as("share_of_lang"))
+        .orderBy($"lang", $"predicted")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      s AS (SELECT doc_id, lang,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','den','von','sich','auf','für'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_de,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_en,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','por','con','no','los','las','para'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_es,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour','dans','qui','pas','sur','avec'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_fr,
+        ROUND(CAST(LEN(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / GREATEST(LENGTH(text),1), 6) AS s_zh
+      FROM t),
+      p AS (SELECT doc_id, lang,
+        CASE WHEN GREATEST(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+             WHEN s_de = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+             WHEN s_en = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+             WHEN s_es = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+             WHEN s_fr = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+             ELSE 'zh' END AS predicted
+      FROM s),
+      cells AS (SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2),
+      tot AS (SELECT lang, SUM(n) AS lang_total FROM cells GROUP BY lang)
+      SELECT cells.lang AS lang, predicted, n,
+        ROUND(CAST(n AS DOUBLE) / lang_total, 6) AS share_of_lang
+      FROM cells JOIN tot ON cells.lang = tot.lang
+      ORDER BY cells.lang, predicted""")
+  )
+
   /** Exact dedup groups via normalized md5 fingerprint. */
   val qDedupExact = GraftQuery(
     "q_dedup_exact",
@@ -1581,7 +1634,7 @@ object DocQueries {
   val all: Seq[GraftQuery] = Seq(
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
     qBpeEncode, qDictEncode, qInvertedIndex,
-    qTextStats, qLangId, qDedupExact, qJaccardPairs, qContainmentPairs, qDedupComponents,
+    qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
     qUnigramXent,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
