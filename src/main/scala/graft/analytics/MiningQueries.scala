@@ -1,0 +1,367 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.operators.Graphs
+
+/** Data-mining operators over the star schema: iterative graph
+  * analytics (fixed-point PageRank), market-basket association rules,
+  * skyline/Pareto extraction, and referential-integrity auditing.
+  *
+  * The reference's analytics layer is chart-shaped aggregation
+  * (`analysis.py:159-520`); this module carries the mining operators a
+  * 100 TB curation/BI workload adds on top. All four queries carry full
+  * DuckDB oracles — the PageRank one by replaying the integer fixed-point
+  * iterations as unrolled SQL CTEs (same trick as the BPE oracle,
+  * `DocQueries.bpeLearnSql`).
+  */
+object MiningQueries {
+
+  private val PrIters = 5
+
+  /** The shared fixed-point PageRank prologue + one CTE per iteration.
+    * MATERIALIZED keeps each generation evaluated once (r_i is read by
+    * the contribution join, the dangling scan, and r_{i+1}). */
+  private val pagerankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      val p = i - 1
+      s"""r$i AS MATERIALIZED (
+        SELECT v.id,
+          (15 * (1000000000000 // cnt.n)) // 100
+          + (85 * (COALESCE(c.contrib, 0) + d.dang // cnt.n)) // 100 AS rank_fp
+        FROM nodes v
+        CROSS JOIN cnt
+        CROSS JOIN (SELECT CAST(COALESCE(SUM(rank_fp), 0) AS BIGINT) AS dang
+          FROM r$p WHERE id NOT IN (SELECT src FROM shares)) d
+        LEFT JOIN (SELECT sh.dst AS id,
+            CAST(SUM(rank_fp * sh.share_ppm // 1000000) AS BIGINT) AS contrib
+          FROM r$p JOIN shares sh ON sh.src = r$p.id GROUP BY sh.dst) c
+          ON c.id = v.id)"""
+    }.mkString(",\n      ")
+    s"""WITH e AS MATERIALIZED (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+      outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
+      shares AS MATERIALIZED (SELECT e.src, e.dst, e.w * 1000000 // o.outw AS share_ppm
+        FROM e JOIN outw o ON e.src = o.src),
+      nodes AS MATERIALIZED (SELECT DISTINCT id
+        FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+      cnt AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS MATERIALIZED (SELECT id, 1000000000000 // cnt.n AS rank_fp FROM nodes, cnt),
+      $iters
+      SELECT n.n_name, r$PrIters.rank_fp,
+        ROUND(CAST(r$PrIters.rank_fp AS DOUBLE) / 1000000000000, 6) AS rank
+      FROM r$PrIters JOIN nation n ON n.n_nationkey = r$PrIters.id
+      ORDER BY rank_fp DESC, n_name"""
+  }
+
+  /** Fixed-point PageRank over the nation trade graph: supplier nation →
+    * customer nation, weighted by lineitem count. Integer arithmetic end
+    * to end ([[Graphs.pagerank]]), so the 5-round ranks hash-match the
+    * SQL replay bit for bit. */
+  val qPagerank = GraftQuery(
+    "q_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val edges = li
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy($"s_nationkey".as("src"), $"c_nationkey".as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val ranks = Graphs.pagerank(edges, "src", "dst", "w", iterations = PrIters)
+      val nation = Tables.nation(s, dir)
+      ranks.join(broadcast(nation), ranks("id") === nation("n_nationkey"))
+        .select($"n_name", $"rank_fp", $"rank")
+        .orderBy($"rank_fp".desc, $"n_name")
+    },
+    Some(pagerankSql)
+  )
+
+  /** Market-basket association rules over order baskets: for part pairs
+    * co-occurring in >= 2 orders, support / confidence / lift. The
+    * per-order pair explosion is bounded by basket size (never corpus
+    * size), and the self-join runs on the orderkey both sides are
+    * already partitioned by — one SMJ, no broadcast of the fact table.
+    * Counts are exact integers; each ratio is a single per-row division
+    * (no float summation), so rounded values match any engine. */
+  val qAssocRules = GraftQuery(
+    "q_assoc_rules",
+    (s, dir) => {
+      import s.implicits._
+      val li = graft.operators.Caches.register(
+        Tables.lineitem(s, dir)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct())
+      val nOrders = li.select($"ok").distinct().agg(count(lit(1)).as("n_orders"))
+      val itemCnt = li.groupBy($"pk").agg(count(lit(1)).as("cnt"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pk_a"), col("b.pk").as("pk_b"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .filter($"pair_cnt" >= 2)
+      pairs
+        .join(broadcast(itemCnt.select($"pk".as("pk_a"), $"cnt".as("cnt_a"))), "pk_a")
+        .join(broadcast(itemCnt.select($"pk".as("pk_b"), $"cnt".as("cnt_b"))), "pk_b")
+        .crossJoin(broadcast(nOrders))
+        .select($"pk_a", $"pk_b", $"pair_cnt", $"cnt_a", $"cnt_b",
+          round($"pair_cnt".cast("double") / $"n_orders", 6).as("support"),
+          round($"pair_cnt".cast("double") / $"cnt_a", 6).as("confidence"),
+          round($"pair_cnt".cast("double") * $"n_orders" / ($"cnt_a" * $"cnt_b"), 6)
+            .as("lift"))
+        .orderBy($"lift".desc, $"pk_a", $"pk_b")
+        .limit(25)
+    },
+    Some("""WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+      ic AS (SELECT pk, COUNT(*) AS cnt FROM li GROUP BY pk),
+      pairs AS (SELECT a.pk AS pk_a, b.pk AS pk_b, COUNT(*) AS pair_cnt
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT pk_a, pk_b, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        ROUND(CAST(pair_cnt AS DOUBLE) / n.n_orders, 6) AS support,
+        ROUND(CAST(pair_cnt AS DOUBLE) / ca.cnt, 6) AS confidence,
+        ROUND(CAST(pair_cnt AS DOUBLE) * n.n_orders / (ca.cnt * cb.cnt), 6) AS lift
+      FROM pairs JOIN ic ca ON ca.pk = pairs.pk_a
+      JOIN ic cb ON cb.pk = pairs.pk_b
+      CROSS JOIN n
+      ORDER BY lift DESC, pk_a, pk_b LIMIT 25""")
+  )
+
+  /** 2-D skyline (Pareto frontier) of parts: minimize retail price,
+    * maximize size. A part is dominated iff some part is no worse on
+    * both axes and strictly better on one. Computed without a self-join:
+    * collapse to per-price max size, one running-max window over the
+    * DISTINCT prices (tiny relation), broadcast the frontier verdict
+    * back onto the corpus — O(N) + a window over |distinct prices|,
+    * versus the naive O(N²) dominance join. */
+  val qPareto = GraftQuery(
+    "q_pareto",
+    (s, dir) => {
+      import s.implicits._
+      val part = Tables.part(s, dir)
+      val perPrice = part.groupBy($"p_retailprice")
+        .agg(max($"p_size").as("best_size"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"p_retailprice")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      // prev_best = best size among STRICTLY cheaper prices (the rows
+      // frame is safe because perPrice has one row per distinct price)
+      val frontier = perPrice
+        .withColumn("prev_best", max($"best_size").over(w))
+      part.join(broadcast(frontier), "p_retailprice")
+        .filter($"p_size" === $"best_size" &&
+          ($"prev_best".isNull || $"prev_best" < $"p_size"))
+        .select($"p_partkey", $"p_name", $"p_retailprice", $"p_size")
+        .orderBy($"p_retailprice", $"p_partkey")
+    },
+    Some("""WITH pp AS (SELECT p_retailprice, MAX(p_size) AS best_size
+        FROM part GROUP BY p_retailprice),
+      f AS (SELECT p_retailprice, best_size,
+        MAX(best_size) OVER (ORDER BY p_retailprice
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+        FROM pp)
+      SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+      FROM part p JOIN f ON f.p_retailprice = p.p_retailprice
+      WHERE p.p_size = f.best_size
+        AND (f.prev_best IS NULL OR f.prev_best < p.p_size)
+      ORDER BY p.p_retailprice, p.p_partkey""")
+  )
+
+  /** Referential-integrity audit across the star schema: orphan fact
+    * rows per foreign key (anti-join counts + distinct orphan keys).
+    * Each check is one anti-join on the fk column — the natural shuffle
+    * key — so the audit scales as four fact scans, no driver state. */
+  val qRiAudit = GraftQuery(
+    "q_ri_audit",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      def audit(fact: org.apache.spark.sql.DataFrame, fkCol: String,
+          dim: org.apache.spark.sql.DataFrame, pkCol: String,
+          label: String) = {
+        fact.join(dim, fact(fkCol) === dim(pkCol), "left_anti")
+          .agg(count(lit(1)).as("orphan_rows"),
+            countDistinct(col(fkCol)).as("orphan_keys"))
+          .select(lit(label).as("fk"), $"orphan_rows", $"orphan_keys")
+      }
+      audit(li, "l_orderkey", ord, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(audit(li, "l_partkey", Tables.part(s, dir), "p_partkey",
+          "lineitem.l_partkey->part"))
+        .unionAll(audit(li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey",
+          "lineitem.l_suppkey->supplier"))
+        .unionAll(audit(ord, "o_custkey", Tables.customer(s, dir), "c_custkey",
+          "orders.o_custkey->customer"))
+        .orderBy($"fk")
+    },
+    Some("""SELECT fk, orphan_rows, orphan_keys FROM (
+        SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS orphan_rows,
+          COUNT(DISTINCT l_orderkey) AS orphan_keys
+        FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', COUNT(*), COUNT(DISTINCT l_partkey)
+        FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier', COUNT(*), COUNT(DISTINCT l_suppkey)
+        FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', COUNT(*), COUNT(DISTINCT o_custkey)
+        FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+      ORDER BY fk""")
+  )
+
+  /** Sequential pattern mining: the 25 most frequent event-type trigrams
+    * per user timeline. Two leads over one (user, time)-partitioned
+    * window — per-user data volume bounds the sort; the trigram space is
+    * |event_types|³, so the aggregate output is tiny at any corpus size.
+    * Tie-broken by event_id so the sequence is a total order. */
+  val qEventTrigrams = GraftQuery(
+    "q_event_trigrams",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("e2", lead($"event_type", 1).over(w))
+        .withColumn("e3", lead($"event_type", 2).over(w))
+        .filter($"e3".isNotNull)
+        .groupBy($"event_type".as("e1"), $"e2", $"e3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"e1", $"e2", $"e3")
+        .limit(25)
+    },
+    Some("""WITH t AS (SELECT event_type AS e1,
+        LEAD(event_type, 1) OVER w AS e2,
+        LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT e1, e2, e3, COUNT(*) AS n FROM t WHERE e3 IS NOT NULL
+      GROUP BY e1, e2, e3 ORDER BY n DESC, e1, e2, e3 LIMIT 25""")
+  )
+
+  /** Collocation mining: adjacent-token bigrams ranked by LIFT =
+    * p(ab) / (p(a)·p(b)) — the monotone transform of PMI (PMI = ln lift),
+    * kept as the raw ratio because ln is not correctly-rounded-guaranteed
+    * across engines while multiply/divide are. High-lift bigrams are
+    * phrases ("et al", "new york"); lift ~1 is chance co-occurrence.
+    * One corpus pass for bigram counts + a broadcast unigram join. */
+  val qCollocations = GraftQuery(
+    "q_collocations",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.TextAnalysis
+      val toks = TextAnalysis.tokens($"text")
+      val docs = graft.operators.Caches.register(
+        Tables.documents(s, dir).select(toks.as("ts")))
+      val uni = docs.select(explode($"ts").as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("n_tok"))
+      val uniTotal = uni.agg(sum($"n_tok").as("n_unigrams"))
+      val bi = docs.filter(size($"ts") >= 2)
+        .select(explode(zip_with(
+          slice($"ts", lit(1), size($"ts") - 1), slice($"ts", lit(2), size($"ts") - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 5)
+      val biTotal = docs.filter(size($"ts") >= 2)
+        .agg(sum(size($"ts") - 1).as("n_bigrams"))
+      bi
+        .withColumn("w1", split($"bigram", " ")(0))
+        .withColumn("w2", split($"bigram", " ")(1))
+        .join(broadcast(uni.select($"tok".as("w1"), $"n_tok".as("n_a"))), "w1")
+        .join(broadcast(uni.select($"tok".as("w2"), $"n_tok".as("n_b"))), "w2")
+        .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(biTotal))
+        .select($"bigram", $"n_ab", $"n_a", $"n_b",
+          round($"n_ab".cast("double") * $"n_unigrams" * $"n_unigrams" /
+            ($"n_bigrams".cast("double") * $"n_a" * $"n_b"), 6).as("lift"))
+        .orderBy($"lift".desc, $"bigram")
+        .limit(25)
+    },
+    Some("""WITH toks AS (SELECT
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      uni AS (SELECT u.tok, COUNT(*) AS n_tok
+        FROM toks, UNNEST(ts) AS u(tok) GROUP BY u.tok),
+      ut AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_unigrams FROM uni),
+      bi AS (SELECT u.b AS bigram, COUNT(*) AS n_ab FROM (
+          SELECT [array_to_string(ts[i+1:i+2], ' ') for i in range(0, LEN(ts)-1)] AS bs
+          FROM toks WHERE LEN(ts) >= 2), UNNEST(bs) AS u(b)
+        GROUP BY u.b HAVING COUNT(*) >= 5),
+      bt AS (SELECT CAST(SUM(LEN(ts) - 1) AS BIGINT) AS n_bigrams
+        FROM toks WHERE LEN(ts) >= 2)
+      SELECT bigram, n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+        ROUND(CAST(n_ab AS DOUBLE) * ut.n_unigrams * ut.n_unigrams /
+          (CAST(bt.n_bigrams AS DOUBLE) * ua.n_tok * ub.n_tok), 6) AS lift
+      FROM bi
+      JOIN uni ua ON ua.tok = string_split(bigram, ' ')[1]
+      JOIN uni ub ON ub.tok = string_split(bigram, ' ')[2]
+      CROSS JOIN ut CROSS JOIN bt
+      ORDER BY lift DESC, bigram LIMIT 25""")
+  )
+
+  /** Interval → concurrency curve: per hour, how many sessions were
+    * ACTIVE (started before the hour ended, ended after it began).
+    * Sessions are the same 30-min-gap islands as q_sessionize; each
+    * session then explodes to the hour buckets it spans — the interval
+    * version of a gap-fill. The explode factor is the session length in
+    * hours (gap-bounded), never the corpus; the concurrency rollup key
+    * space is the time range in hours. The naive formulation is an
+    * hour × session inequality join — quadratic and unshuffleable. */
+  val qSessionConcurrency = GraftQuery(
+    "q_session_concurrency",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val newSession = when(
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) > 30L * 60 * 1000000,
+        1).otherwise(0)
+      Tables.events(s, dir)
+        .withColumn("new_s", coalesce(newSession, lit(0)))
+        .withColumn("session_idx", sum($"new_s").over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(min($"ts").as("st"), max($"ts").as("en"))
+        .select(explode(sequence(
+          date_trunc("hour", $"st"), date_trunc("hour", $"en"),
+          expr("interval 1 hour"))).as("hour"))
+        .groupBy($"hour")
+        .agg(count(lit(1)).as("active_sessions"))
+        .select(date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"active_sessions")
+        .orderBy($"hour")
+    },
+    Some("""WITH g AS (SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      se AS (SELECT user_id, ts,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM g),
+      sess AS (SELECT user_id, session_idx, MIN(ts) AS st, MAX(ts) AS en
+        FROM se GROUP BY 1, 2),
+      hours AS (SELECT u.hour FROM (
+          SELECT generate_series(date_trunc('hour', st), date_trunc('hour', en),
+            INTERVAL 1 HOUR) AS hs
+          FROM sess), UNNEST(hs) AS u(hour))
+      SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        COUNT(*) AS active_sessions
+      FROM hours GROUP BY 1 ORDER BY hour""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qPagerank, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
+      qCollocations, qSessionConcurrency)
+}

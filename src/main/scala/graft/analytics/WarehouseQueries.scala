@@ -569,9 +569,70 @@ object WarehouseQueries {
       FROM d GROUP BY change_type ORDER BY change_type""")
   )
 
+  /** Johnson-Lindenstrauss random projection 64 → 16 dims with the
+    * PORTABLE quantized-Rademacher scheme: inputs fixed-point at 1e-6
+    * ([[graft.operators.Similarity.quantize]]), signs from the same
+    * double-step Lehmer hash as the LSH planes
+    * ([[graft.operators.Similarity.rademacherPlanes]]) — so every
+    * projected coordinate is an exact integer any engine reproduces.
+    * Each row carries a SELF-CERTIFYING `jl_distortion` column:
+    * ‖proj‖² / (k·‖qv‖²), whose expectation is 1 under Rademacher
+    * projections — a per-row norm-preservation certificate.
+    *
+    * Scale: map-only (no shuffle at all before the output sort); the
+    * plane matrix is 16×64 literals. The declarative HOF fold is the
+    * portability reference; a fused codegen kernel (same shape as
+    * `PortableLshBucket`) is the drop-in hot path if projection ever
+    * dominates a profile. */
+  val qJlProject = GraftQuery(
+    "q_jl_project",
+    (s, dir) => {
+      import s.implicits._
+      val planes = graft.operators.Similarity.rademacherPlanes(dim = 64, nPlanes = 16)
+      val withQ = Tables.embeddings(s, dir)
+        .select($"vec_id",
+          graft.operators.Similarity.quantize($"embedding".cast("array<double>"))
+            .as("qv"))
+      val proj = array(planes.map(p =>
+        aggregate(zip_with($"qv", typedLit(p), (x, sgn) => x * sgn),
+          lit(0L), (acc, v) => acc + v)): _*)
+      withQ
+        .select($"vec_id", proj.as("proj"),
+          aggregate($"qv", lit(0L), (a, x) => a + x * x).as("q2"))
+        .select($"vec_id",
+          // stringified: the harness compare sorts rows by every column,
+          // which needs scalar cells (same convention as q_array_agg)
+          array_join($"proj", ",").as("proj"),
+          when($"q2" === 0L, lit(0.0)).otherwise(
+            round(aggregate($"proj", lit(0.0), (a, x) => a + x.cast("double") * x) /
+              (lit(16.0) * $"q2"), 6)).as("jl_distortion"))
+        .orderBy($"vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings),
+      p AS (SELECT vec_id, qv,
+        list_transform(range(16), j ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(64), d ->
+              (CASE WHEN ((48271 * ((48271 * (j * 64 + d + 1)) % 2147483647)) % 2147483647)
+                    < 1073741824 THEN 1 ELSE -1 END) * qv[d + 1])),
+            (a, b) -> a + b)) AS proj
+      FROM v),
+      n AS (SELECT vec_id, proj,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(qv, x -> x * x)), (a, b) -> a + b) AS q2,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(proj, x -> CAST(x AS DOUBLE) * x)), (a, b) -> a + b) AS p2
+      FROM p)
+      SELECT vec_id, array_to_string(proj, ',') AS proj,
+        CASE WHEN q2 = 0 THEN 0.0 ELSE ROUND(p2 / (16.0 * q2), 6) END AS jl_distortion
+      FROM n ORDER BY vec_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qDupInflation, qDupClusterSizes, qEmbedNorms,
       qEmbedCentroids, qEmbedCovariance, qEmbedVarianceByLabel, qEmbedPca,
       qEmbedQuantize, qIncrementalAgg, qDeltaDedup, qDeltaNearDup,
-      qSnapshotDiff)
+      qSnapshotDiff, qJlProject)
 }

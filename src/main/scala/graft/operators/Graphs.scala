@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge-list DataFrames.
+  *
+  * The flagship here is a FIXED-POINT PageRank: every quantity is a
+  * scaled 64-bit integer and every step is integer multiply / integer
+  * (truncating) division / integer sum — so the result is bit-identical
+  * across engines AND across partitionings (integer addition commutes;
+  * float summation order does not). That is what lets a PageRank carry a
+  * full DuckDB hash oracle, the same trick the portable-hash dedup
+  * family uses ([[Dedup]], `TextHashExprs`).
+  *
+  * Scale design: one iteration = one equi-join of the rank relation with
+  * the (pre-normalized, cached) edge relation + one partial-aggregated
+  * groupBy on dst + one broadcast of a 1-row dangling-mass aggregate.
+  * Rank state is O(V), edges O(E); both stay fully distributed — the
+  * driver never sees a vertex. Iterations are data-independent plans over
+  * a cached previous generation, so lineage stays flat (each generation
+  * is cached via [[Caches.register]]).
+  */
+object Graphs {
+
+  /** 1e12 fixed-point scale: total rank mass = [[RankScale]], so a
+    * per-vertex rank is exact to 12 decimal digits. */
+  val RankScale: Long = 1000000000000L
+
+  /** Per-edge transition shares are parts-per-million of the source's
+    * outgoing weight. 1e6 keeps rank*share products under 1e18 < 2^63. */
+  val ShareScale: Long = 1000000L
+
+  /** Largest per-source total weight for which `w * ShareScale` cannot
+    * overflow: Long.MaxValue / ShareScale. Checked at runtime with a
+    * raise_error column so a too-heavy graph fails loudly, not wrongly.
+    * At 100 TB pre-aggregate weights (e.g. bucket raw event counts) so
+    * per-source totals stay under ~9.2e12. */
+  val MaxSafeOutWeight: Long = Long.MaxValue / ShareScale
+
+  /** Weighted PageRank with damping `dampingPct`/100 over `iterations`
+    * synchronous rounds, in pure integer arithmetic.
+    *
+    * Semantics per round (all divisions truncating, all values >= 0):
+    * {{{
+    *   share_ppm(e)  = w(e) * 1e6 DIV outw(src(e))          // precomputed
+    *   contrib(v)    = sum over in-edges e: rank(src(e)) * share_ppm(e) DIV 1e6
+    *   dangling      = sum of rank over vertices with no out-edge
+    *   rank'(v)      = ((100-d) * (SCALE DIV n)) DIV 100
+    *                 + (d * (contrib(v) + dangling DIV n)) DIV 100
+    * }}}
+    * Truncation leaks a sub-ppm mass per round (documented, deterministic,
+    * identical in any engine); ranks are reported both as the raw
+    * fixed-point `rank_fp` and as `rank` = rank_fp/1e12 rounded to 6dp.
+    *
+    * The vertex set is the distinct union of both edge endpoints;
+    * multi-edges are pre-summed. `n` (vertex count) is the single driver
+    * scalar — one count() on the cached vertex relation.
+    */
+  def pagerank(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      iterations: Int, dampingPct: Int = 85,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct=$dampingPct must be in [0, 100]")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), col(weightCol).cast("long").as("w"))
+    val summed = e.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val outw = summed.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    // shares cached: they feed every iteration's join. The raise_error
+    // guard keeps the overflow bound a runtime contract, not a comment.
+    val shares = Caches.register(summed.join(outw, "src")
+      .select(col("src"), col("dst"),
+        when(col("outw") > MaxSafeOutWeight,
+          raise_error(concat(lit(s"Graphs.pagerank: per-source weight exceeds $MaxSafeOutWeight; " +
+            "pre-scale edge weights"), col("outw").cast("string"))))
+          .otherwise(expr(s"w * $ShareScale DIV outw")).as("share_ppm")))
+    val vertices = Caches.register(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val n = vertices.count()
+    require(n > 0, "Graphs.pagerank: empty edge list")
+    val srcSet = shares.select(col("src").as("id")).distinct()
+    val base = lit((100L - dampingPct) * (RankScale / n) / 100L)
+
+    // each generation is CHECKPOINTED, not merely cached: rank_i reads
+    // rank_{i-1} twice (dangling scan + contribution join), so an uncut
+    // lineage doubles per round and Catalyst analysis goes exponential
+    // in `iterations` — the same blowup connectedComponents cuts
+    // (Dedup.scala). localCheckpoint by default; a durable checkpointDir
+    // survives executor loss on long cluster jobs, with superseded
+    // generations reclaimed as the loop advances.
+    val spark = edges.sparkSession
+    var ckptGen = 0
+    def ckptSubdir(gen: Int) = checkpointDir.map(d => s"$d/gen-$gen")
+    def rmCkptGen(gen: Int): Unit = ckptSubdir(gen).foreach { d =>
+      val path = new org.apache.hadoop.fs.Path(d)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+    }
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isEmpty) df.localCheckpoint()
+      else {
+        spark.sparkContext.setCheckpointDir(ckptSubdir(ckptGen).get)
+        ckptGen += 1
+        df.checkpoint()
+      }
+
+    var ranks = ckpt(vertices.select(col("id"), lit(RankScale / n).as("rank_fp")))
+    for (_ <- 1 to iterations) {
+      // 1-row dangling-mass aggregate, broadcast back over all vertices;
+      // coalesce covers the no-dangling-vertex case (empty sum is null)
+      val dangling = ranks.join(srcSet, Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
+      val contribs = ranks.join(shares, ranks("id") === shares("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr(s"rank_fp * share_ppm DIV $ShareScale")).as("contrib"))
+      ranks = ckpt(vertices
+        .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (base + expr(s"$dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) + dang DIV $n) DIV 100"))
+            .as("rank_fp")))
+      if (ckptGen >= 3) rmCkptGen(ckptGen - 3) // keep current + parent
+    }
+    ranks.select(col("id"), col("rank_fp"),
+      round(col("rank_fp").cast("double") / RankScale, 6).as("rank"))
+  }
+}

@@ -477,4 +477,40 @@ class PlanAuditSpec extends SparkSpec {
     Seq("lang", "source", "n_chars").foreach(c =>
       assert(!scan.contains(c), s"unpruned column $c in chunking scan"))
   }
+
+  test("mining additions: pagerank/assoc/pareto/collocation plan shapes") {
+    // pagerank: the only nested-loop join is the documented 1-row
+    // dangling-mass broadcast — a CartesianProduct anywhere means a
+    // rank-relation join lost its equi-key
+    val pp = plan("q_pagerank")
+    assert(!pp.contains("CartesianProduct"), s"q_pagerank went cartesian:\n$pp")
+    // iterations run from checkpointed generations, not raw lineage
+    assert(pp.contains("Scan ExistingRDD") || pp.contains("LocalTableScan"),
+      s"q_pagerank lost its generation checkpoint:\n$pp")
+    // association rules: the basket self-join must co-partition on the
+    // orderkey (SMJ/shuffled hash), never broadcast the fact table side
+    // of itself, and the item-count joins must broadcast
+    val pa = plan("q_assoc_rules")
+    assert(!pa.contains("CartesianProduct"), s"q_assoc_rules went cartesian:\n$pa")
+    assert(pa.contains("BroadcastHashJoin"),
+      s"q_assoc_rules item counts stopped broadcasting:\n$pa")
+    // pareto: the frontier verdict joins back by BROADCAST (it is
+    // distinct-price-sized, not corpus-sized)
+    val pf = plan("q_pareto")
+    assert(pf.contains("BroadcastHashJoin"),
+      s"q_pareto frontier stopped broadcasting:\n$pf")
+    assert(!pf.contains("SortMergeJoin"),
+      s"q_pareto grew a corpus-sized join:\n$pf")
+    // collocations: unigram counts broadcast into the bigram relation
+    val pc = plan("q_collocations")
+    assert(pc.contains("BroadcastHashJoin"),
+      s"q_collocations unigram join stopped broadcasting:\n$pc")
+    assert(!pc.contains("CartesianProduct"), s"q_collocations went cartesian:\n$pc")
+    // jl projection: map-only before the presentation sort — no joins,
+    // no aggregation exchange
+    val pj = plan("q_jl_project")
+    assert(!pj.contains("Exchange hashpartitioning"),
+      s"q_jl_project shuffles where a map-only plan should run:\n$pj")
+    assert(!pj.contains("Join"), s"q_jl_project grew a join:\n$pj")
+  }
 }

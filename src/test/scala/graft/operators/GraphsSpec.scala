@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long, Long)], iters: Int = 12): Map[Long, Long] =
+    Graphs.pagerank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("uniform cycle converges to uniform ranks") {
+    // 0→1→2→0: perfectly symmetric, so every vertex keeps mass/3
+    val r = ranks(Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 0L, 1L)))
+    assert(r.size === 3)
+    // each round truncates a couple of units of mass per vertex; the
+    // deviation is bounded by ~2 units per iteration, never more
+    val third = Graphs.RankScale / 3
+    r.values.foreach(v => assert(math.abs(v - third) <= 24,
+      s"cycle rank $v deviates from uniform $third"))
+  }
+
+  test("hub-and-spoke: sink outranks sources; dangling mass is recycled") {
+    // three sources each point at one sink; the sink has NO out-edges, so
+    // without dangling redistribution its mass would leak every round and
+    // total mass would collapse toward (1-d) — with it, totals stay ~1.
+    val r = ranks(Seq((1L, 9L, 1L), (2L, 9L, 1L), (3L, 9L, 1L)))
+    assert(r(9L) > r(1L) * 3, s"sink ${r(9L)} should dominate a source ${r(1L)}")
+    val total = r.values.sum
+    // integer truncation leaks sub-ppm mass per round, nothing more
+    assert(total > massFloor(0.999) && total <= Graphs.RankScale,
+      s"mass not conserved: $total of ${Graphs.RankScale}")
+  }
+
+  private def massFloor(frac: Double): Long = (Graphs.RankScale * frac).toLong
+
+  test("edge weights steer rank: heavier edge carries more mass") {
+    // 0 splits 9:1 between 1 and 2; both return to 0
+    // stationary solution: r1/r2 = (0.15/4 + 0.765·r0)/(0.15/4 + 0.085·r0)
+    // with r0 ≈ 0.365 → ratio ≈ 4.6
+    val r = ranks(Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L)))
+    assert(r(1L) > r(2L) * 4, s"9:1 split should separate ranks: ${r(1L)} vs ${r(2L)}")
+  }
+
+  test("multi-edges pre-sum: duplicate edge rows equal one summed edge") {
+    val a = ranks(Seq((0L, 1L, 2L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L)))
+    val b = ranks(Seq((0L, 1L, 1L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (2L, 0L, 1L)))
+    assert(a === b)
+  }
+
+  test("deterministic across partitionings: 1 vs 32 shuffle partitions") {
+    val edges = (0L until 200L).map(i => (i, (i * 7 + 3) % 200L, 1L + i % 5))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val one = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      ranks(edges, iters = 5)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    val many = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      ranks(edges, iters = 5)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(one === many, "fixed-point ranks must be partitioning-independent")
+  }
+
+  test("per-source weight overflow fails loudly") {
+    val huge = Graphs.MaxSafeOutWeight
+    val e = intercept[Exception] {
+      ranks(Seq((0L, 1L, huge), (0L, 2L, huge), (1L, 0L, 1L), (2L, 0L, 1L)))
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("empty edge list is rejected") {
+    intercept[IllegalArgumentException] {
+      Graphs.pagerank(Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"),
+        "src", "dst", "w", 3)
+    }
+  }
+
+  test("durable checkpoint path: identical ranks, superseded generations reclaimed") {
+    val edges = (0L until 50L).map(i => (i, (i * 13 + 1) % 50L, 1L + i % 3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+    try {
+      val local = ranks(edges, iters = 6)
+      val durable = Graphs.pagerank(edges.toDF("src", "dst", "w"),
+          "src", "dst", "w", 6, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === durable,
+        "durable checkpoint() must produce the same fixed-point ranks")
+      // the loop reclaims generation g-2 as it advances (7 ckpt calls:
+      // init + 6 rounds) — at most the last two survive on disk
+      val gens = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("gen-")).map(_.getName).sorted
+      assert(gens.length <= 2, s"superseded generations not reclaimed: ${gens.mkString(",")}")
+      assert(gens.contains("gen-6"), s"final generation checkpoint missing: ${gens.mkString(",")}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+}
