@@ -66,7 +66,12 @@ object Graphs {
       s"dampingPct=$dampingPct must be in [0, 100]")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"), col(weightCol).cast("long").as("w"))
-    val summed = e.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    // the SUMMED edge relation is cached FIRST: it is graph-sized (small
+    // next to whatever joins produced `edges`), and shares, out-weights
+    // AND the vertex set all derive from it — without this, the vertex
+    // union would re-run the caller's edge-building joins once per branch
+    val summed = Caches.register(
+      e.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
     val outw = summed.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // shares cached: they feed every iteration's join. The raise_error
     // guard keeps the overflow bound a runtime contract, not a comment.
@@ -77,7 +82,8 @@ object Graphs {
             "pre-scale edge weights"), col("outw").cast("string"))))
           .otherwise(expr(s"w * $ShareScale DIV outw")).as("share_ppm")))
     val vertices = Caches.register(
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+      summed.select(col("src").as("id"))
+        .union(summed.select(col("dst").as("id"))).distinct())
     val n = vertices.count()
     require(n > 0, "Graphs.pagerank: empty edge list")
     val srcSet = shares.select(col("src").as("id")).distinct()
@@ -105,24 +111,49 @@ object Graphs {
         df.checkpoint()
       }
 
-    var ranks = ckpt(vertices.select(col("id"), lit(RankScale / n).as("rank_fp")))
-    for (_ <- 1 to iterations) {
-      // 1-row dangling-mass aggregate, broadcast back over all vertices;
-      // coalesce covers the no-dangling-vertex case (empty sum is null)
-      val dangling = ranks.join(srcSet, Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
-      val contribs = ranks.join(shares, ranks("id") === shares("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(expr(s"rank_fp * share_ppm DIV $ShareScale")).as("contrib"))
-      ranks = ckpt(vertices
-        .join(contribs, Seq("id"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("id"),
-          (base + expr(s"$dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) + dang DIV $n) DIV 100"))
-            .as("rank_fp")))
-      if (ckptGen >= 3) rmCkptGen(ckptGen - 3) // keep current + parent
-    }
-    ranks.select(col("id"), col("rank_fp"),
-      round(col("rank_fp").cast("double") / RankScale, 6).as("rank"))
+    // dangling vertices are a property of the GRAPH, not of a round —
+    // detect once on the cached vertex/source relations; a dangling-free
+    // graph (every vertex has an out-edge) then skips the per-round
+    // dangling aggregate + broadcast entirely (dang is exactly 0)
+    val hasDangling =
+      vertices.join(srcSet, Seq("id"), "left_anti").limit(1).count() > 0
+
+    // size the ROUND shuffles to the graph, not the session default:
+    // every round pays per-partition task overhead on the contribution
+    // shuffle, and the rank relation is graph-sized. Same session-global
+    // override + SINGLE-WRITER assumption as Dedup.connectedComponents
+    // (restored in a finally; a concurrent query planned on this session
+    // during the loop would pick up the graph-sized value).
+    val nEdges = summed.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val graphParts = math.max(1L, math.min(sessionParts.toLong,
+      nEdges / 250000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+      var ranks = ckpt(vertices.select(col("id"), lit(RankScale / n).as("rank_fp")))
+      for (_ <- 1 to iterations) {
+        val contribs = ranks.join(shares, ranks("id") === shares("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(expr(s"rank_fp * share_ppm DIV $ShareScale")).as("contrib"))
+        val joined = vertices.join(contribs, Seq("id"), "left")
+        val withDang =
+          if (!hasDangling) joined.withColumn("dang", lit(0L))
+          else {
+            // 1-row dangling-mass aggregate, broadcast back over all
+            // vertices; coalesce covers the empty-sum-is-null case
+            val dangling = ranks.join(srcSet, Seq("id"), "left_anti")
+              .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
+            joined.crossJoin(broadcast(dangling))
+          }
+        ranks = ckpt(withDang
+          .select(col("id"),
+            (base + expr(s"$dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) + dang DIV $n) DIV 100"))
+              .as("rank_fp")))
+        if (ckptGen >= 3) rmCkptGen(ckptGen - 3) // keep current + parent
+      }
+      ranks.select(col("id"), col("rank_fp"),
+        round(col("rank_fp").cast("double") / RankScale, 6).as("rank"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }
