@@ -94,7 +94,10 @@ object Bench {
     // the stdout line gets tail-truncated by log capture on big
     // registries — ALSO persist the complete per-query JSON so every
     // query's timing is diffable across rounds
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // a SPARK_GRAFT_ONLY-filtered run must not clobber the full-registry
+    // snapshot — route it to BENCH_PARTIAL.json unless explicitly targeted
+    val defaultOut = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>

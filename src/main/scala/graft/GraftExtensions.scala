@@ -107,6 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(c.length == 1, "graft_quantize_stats(vec)")
       graft.expressions.QuantizeStats(c.head)
     }
+    register("graft_jl_project", classOf[graft.expressions.JlProject],
+        "graft_jl_project(vec[, nPlanes, dim])") { c =>
+      require(c.length == 1 || c.length == 3, "graft_jl_project(vec[, nPlanes, dim])")
+      val p = if (c.length == 3) intLit(c(1), "graft_jl_project", "nPlanes") else 16
+      val d = if (c.length == 3) intLit(c(2), "graft_jl_project", "dim") else 64
+      graft.expressions.JlProject(c.head, p, d)
+    }
     register("graft_gram_matrix", classOf[graft.expressions.GramMatrix],
         "graft_gram_matrix(vec)") { c =>
       require(c.length == 1, "graft_gram_matrix(vec)")

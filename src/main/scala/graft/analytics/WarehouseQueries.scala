@@ -579,33 +579,27 @@ object WarehouseQueries {
     * ‖proj‖² / (k·‖qv‖²), whose expectation is 1 under Rademacher
     * projections — a per-row norm-preservation certificate.
     *
-    * Scale: map-only (no shuffle at all before the output sort); the
-    * plane matrix is 16×64 literals. The declarative HOF fold is the
-    * portability reference; a fused codegen kernel (same shape as
-    * `PortableLshBucket`) is the drop-in hot path if projection ever
-    * dominates a profile. */
+    * Scale: map-only (no shuffle at all before the output sort). Runs
+    * the FUSED codegen kernel (`graft.expressions.JlProject`: one pass —
+    * quantize, all 16 plane dots, both norms); the declarative HOF fold
+    * re-walks the vector once per plane in interpreted aggregates and is
+    * kept in `PropertiesSpec` as the cross-check of the kernel. */
   val qJlProject = GraftQuery(
     "q_jl_project",
     (s, dir) => {
       import s.implicits._
-      val planes = graft.operators.Similarity.rademacherPlanes(dim = 64, nPlanes = 16)
-      val withQ = Tables.embeddings(s, dir)
-        .select($"vec_id",
-          graft.operators.Similarity.quantize($"embedding".cast("array<double>"))
-            .as("qv"))
-      val proj = array(planes.map(p =>
-        aggregate(zip_with($"qv", typedLit(p), (x, sgn) => x * sgn),
-          lit(0L), (acc, v) => acc + v)): _*)
-      withQ
-        .select($"vec_id", proj.as("proj"),
-          aggregate($"qv", lit(0L), (a, x) => a + x * x).as("q2"))
+      val jl = org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.expressions.JlProject(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(
+            $"embedding".cast("array<double>")), 16, 64))
+      Tables.embeddings(s, dir)
+        .select($"vec_id", jl.as("jl"))
         .select($"vec_id",
           // stringified: the harness compare sorts rows by every column,
           // which needs scalar cells (same convention as q_array_agg)
-          array_join($"proj", ",").as("proj"),
-          when($"q2" === 0L, lit(0.0)).otherwise(
-            round(aggregate($"proj", lit(0.0), (a, x) => a + x.cast("double") * x) /
-              (lit(16.0) * $"q2"), 6)).as("jl_distortion"))
+          array_join($"jl.proj", ",").as("proj"),
+          when($"jl.q2" === 0L, lit(0.0)).otherwise(
+            round($"jl.p2" / (lit(16.0) * $"jl.q2"), 6)).as("jl_distortion"))
         .orderBy($"vec_id")
     },
     Some("""WITH v AS (SELECT vec_id,

@@ -227,6 +227,49 @@ object VectorKernels {
     }
     new GenericInternalRow(Array[Any](mn, mx, s / n))
   }
+
+  /** Fused Johnson-Lindenstrauss projection: quantize to 1e-6 fixed
+    * point (null elements as 0, truncate to `dim` — the PortableLshBucket
+    * conventions), dot against `nPlanes` Lehmer-hash Rademacher planes,
+    * and emit struct(proj array<long>, q2, p2) in ONE pass over the
+    * input: proj_p = Σ_d sign(p,d)·q_d, q2 = Σ q_d², p2 = Σ proj_p²
+    * (p2 in index-order double accumulation — bit-identical to the
+    * declarative left-to-right fold). The declarative HOF formulation
+    * re-walks the vector once per PLANE in interpreted aggregates —
+    * nPlanes × dim work per row plus per-element boxing. */
+  def jlProject(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      nPlanes: Int, dim: Int): InternalRow = {
+    val n = math.min(v.numElements(), dim)
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = if (v.isNullAt(i)) 0L
+        else math.floor(v.getDouble(i) * 1000000.0).toLong
+      i += 1
+    }
+    val proj = new Array[Long](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      var d = 0L
+      i = 0
+      while (i < n) {
+        val x1 = (48271L * (p.toLong * dim + i + 1)) % 2147483647L
+        val x2 = (48271L * x1) % 2147483647L
+        d += (if (x2 < 1073741824L) q(i) else -q(i))
+        i += 1
+      }
+      proj(p) = d
+      p += 1
+    }
+    var q2 = 0L
+    i = 0
+    while (i < n) { q2 += q(i) * q(i); i += 1 }
+    var p2 = 0.0
+    p = 0
+    while (p < nPlanes) { p2 += proj(p).toDouble * proj(p); p += 1 }
+    new GenericInternalRow(Array[Any](
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(proj), q2, p2))
+  }
 }
 
 /** Codegen'd Bloom-bitset probe over a long key: `false` for null keys
@@ -329,5 +372,39 @@ case class QuantizeStats(child: Expression)
       s"${ev.value} = graft.expressions.VectorKernels.quantizeStats($c);")
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeStats =
+    copy(child = newChild)
+}
+
+/** Fused JL projection of a double vector:
+  * struct(proj array<long>, q2 bigint, p2 double) — see
+  * [[VectorKernels.jlProject]]. */
+case class JlProject(child: Expression, nPlanes: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nPlanes > 0 && dim > 0,
+    s"nPlanes=$nPlanes and dim=$dim must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_jl_project expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("proj",
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("q2",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("p2", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_jl_project"
+
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.jlProject(
+      in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nPlanes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.VectorKernels.jlProject($c, $nPlanes, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): JlProject =
     copy(child = newChild)
 }

@@ -180,6 +180,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(n.values.toSet.size > 1, "buckets should spread")
   }
 
+  test("fused JL projection kernel equals the declarative fold") {
+    val jl = org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.expressions.JlProject(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(col("embedding")), 16, 64))
+    val native = emb.select(col("vec_id"), jl.as("jl"))
+      .select(col("vec_id"), col("jl.proj").as("proj"), col("jl.q2").as("q2"),
+        col("jl.p2").as("p2"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getLong(2), r.getDouble(3)))).toMap
+    val planes = Similarity.rademacherPlanes(dim = 64, nPlanes = 16)
+    val qv = Similarity.quantize(col("embedding"))
+    val projDecl = array(planes.map(p =>
+      aggregate(zip_with(qv, typedLit(p), (x, sgn) => x * sgn),
+        lit(0L), (acc, v) => acc + v)): _*)
+    val decl = emb.select(col("vec_id"), projDecl.as("proj"),
+        aggregate(qv, lit(0L), (a, x) => a + x * x).as("q2"))
+      .withColumn("p2",
+        aggregate(col("proj"), lit(0.0), (a, x) => a + x.cast("double") * x))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(native === decl)
+    // projections must actually vary across vectors
+    assert(native.values.map(_._1).toSet.size > 1)
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(5)
       .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9).as("c"))
