@@ -11,10 +11,11 @@ import graft.operators.Graphs
   *
   * The reference's analytics layer is chart-shaped aggregation
   * (`analysis.py:159-520`); this module carries the mining operators a
-  * 100 TB curation/BI workload adds on top. All four queries carry full
-  * DuckDB oracles — the PageRank one by replaying the integer fixed-point
-  * iterations as unrolled SQL CTEs (same trick as the BPE oracle,
-  * `DocQueries.bpeLearnSql`).
+  * 100 TB curation/BI workload adds on top. Every query here carries a
+  * full DuckDB oracle — the PageRank one by replaying the integer
+  * fixed-point iterations as unrolled SQL CTEs (same trick as the BPE
+  * oracle, `DocQueries.bpeLearnSql`), the entity-resolution one against
+  * levenshtein + a recursive-CTE closure.
   */
 object MiningQueries {
 
@@ -60,6 +61,30 @@ object MiningQueries {
       ORDER BY rank_fp DESC, n_name"""
   }
 
+  /** The nation trade graph: supplier nation → customer nation, weighted
+    * by lineitem count. Shared by q_pagerank and q_graph_degrees. */
+  private def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy($"s_nationkey".as("src"), $"c_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  private val tradeEdgesSql =
+    """e AS MATERIALIZED (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2)"""
+
   /** Fixed-point PageRank over the nation trade graph: supplier nation →
     * customer nation, weighted by lineitem count. Integer arithmetic end
     * to end ([[Graphs.pagerank]]), so the 5-round ranks hash-match the
@@ -68,17 +93,8 @@ object MiningQueries {
     "q_pagerank",
     (s, dir) => {
       import s.implicits._
-      val li = Tables.lineitem(s, dir)
-      val sup = Tables.supplier(s, dir)
-      val ord = Tables.orders(s, dir)
-      val cust = Tables.customer(s, dir)
-      val edges = li
-        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
-        .join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(cust, ord("o_custkey") === cust("c_custkey"))
-        .groupBy($"s_nationkey".as("src"), $"c_nationkey".as("dst"))
-        .agg(count(lit(1)).as("w"))
-      val ranks = Graphs.pagerank(edges, "src", "dst", "w", iterations = PrIters)
+      val ranks = Graphs.pagerank(tradeEdges(s, dir), "src", "dst", "w",
+        iterations = PrIters)
       val nation = Tables.nation(s, dir)
       ranks.join(broadcast(nation), ranks("id") === nation("n_nationkey"))
         .select($"n_name", $"rank_fp", $"rank")
@@ -361,7 +377,94 @@ object MiningQueries {
       FROM hours GROUP BY 1 ORDER BY hour""")
   )
 
+  /** Degree/strength profile of the trade graph: per nation, out/in
+    * degree (distinct counterparties), out/in strength (edge weight
+    * sums), and the self-loop share — the first-look graph health report
+    * before any iterative algorithm. One edge aggregate + two rollups
+    * over the graph-sized relation. */
+  val qGraphDegrees = GraftQuery(
+    "q_graph_degrees",
+    (s, dir) => {
+      import s.implicits._
+      val e = graft.operators.Caches.register(tradeEdges(s, dir))
+      val out = e.groupBy($"src".as("nk"))
+        .agg(count(lit(1)).as("out_deg"), sum($"w").as("out_w"))
+      val in = e.groupBy($"dst".as("nk"))
+        .agg(count(lit(1)).as("in_deg"), sum($"w").as("in_w"))
+      val self = e.filter($"src" === $"dst")
+        .select($"src".as("nk"), $"w".as("self_w"))
+      val nation = Tables.nation(s, dir)
+      nation
+        .join(out, nation("n_nationkey") === out("nk"), "left").drop("nk")
+        .join(in, nation("n_nationkey") === in("nk"), "left").drop("nk")
+        .join(self, nation("n_nationkey") === self("nk"), "left").drop("nk")
+        .select($"n_name",
+          coalesce($"out_deg", lit(0L)).as("out_deg"),
+          coalesce($"in_deg", lit(0L)).as("in_deg"),
+          coalesce($"out_w", lit(0L)).as("out_w"),
+          coalesce($"in_w", lit(0L)).as("in_w"),
+          coalesce($"self_w", lit(0L)).as("self_w"))
+        .orderBy($"n_name")
+    },
+    Some(s"""WITH $tradeEdgesSql,
+      o AS (SELECT src, COUNT(*) AS out_deg, CAST(SUM(w) AS BIGINT) AS out_w
+        FROM e GROUP BY src),
+      i AS (SELECT dst, COUNT(*) AS in_deg, CAST(SUM(w) AS BIGINT) AS in_w
+        FROM e GROUP BY dst),
+      sf AS (SELECT src, CAST(w AS BIGINT) AS self_w FROM e WHERE src = dst)
+      SELECT n.n_name,
+        COALESCE(o.out_deg, 0) AS out_deg, COALESCE(i.in_deg, 0) AS in_deg,
+        COALESCE(o.out_w, 0) AS out_w, COALESCE(i.in_w, 0) AS in_w,
+        COALESCE(sf.self_w, 0) AS self_w
+      FROM nation n
+      LEFT JOIN o ON o.src = n.n_nationkey
+      LEFT JOIN i ON i.dst = n.n_nationkey
+      LEFT JOIN sf ON sf.src = n.n_nationkey
+      ORDER BY n_name""")
+  )
+
+  /** Entity resolution end to end: fuzzy name-match pairs
+    * ([[graft.operators.FuzzyMatch]], prefix-blocked, df-capped) feed
+    * [[graft.operators.Dedup.connectedComponents]] — each cluster is one
+    * real-world entity, labeled by its minimum member id, with the
+    * cluster size attached. The composition is the point: the pair
+    * generator and the closure are the SAME operators the text-dedup
+    * family runs, on a different similarity. Oracled against
+    * levenshtein + a recursive-CTE closure in DuckDB. */
+  val qErClusters = GraftQuery(
+    "q_er_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.FuzzyMatch.nameDupPairs(
+        Tables.customer(s, dir), "c_custkey", "c_name",
+        maxDist = 1, tailDrop = 2)
+      val comp = graft.operators.Dedup.connectedComponents(
+        pairs.select($"id_a", $"id_b"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"entity")
+      comp.select($"label".as("entity"), $"id")
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .orderBy($"entity", $"id")
+    },
+    Some("""WITH RECURSIVE c AS (SELECT c_custkey, c_name,
+        substring(c_name, 1, GREATEST(length(c_name) - 2, 1)) AS blk
+      FROM customer WHERE c_name IS NOT NULL),
+      kept AS (SELECT blk FROM c GROUP BY blk HAVING COUNT(*) <= 10000),
+      b AS (SELECT c.* FROM c JOIN kept USING (blk)),
+      pairs AS (SELECT a.c_custkey AS id_a, d.c_custkey AS id_b
+        FROM b a JOIN b d ON a.blk = d.blk AND a.c_custkey < d.c_custkey
+        WHERE levenshtein(a.c_name, d.c_name) <= 1),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.src, e.b FROM walk w JOIN edges e ON w.dst = e.a),
+      comp AS (SELECT src AS id, MIN(dst) AS entity FROM walk GROUP BY src)
+      SELECT entity, id, COUNT(*) OVER (PARTITION BY entity) AS cluster_size
+      FROM comp ORDER BY entity, id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
-      qCollocations, qSessionConcurrency)
+      qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters)
 }
