@@ -464,7 +464,60 @@ object MiningQueries {
       FROM comp ORDER BY entity, id""")
   )
 
+  /** Triangle counts + local clustering coefficient per nation over the
+    * undirected trade graph. [[Graphs.triangles]] runs the DEGREE-ORDERED
+    * orientation (per-vertex wedge fan-out bounded O(√E) — the celebrity-
+    * vertex fix); the oracle enumerates with the simple LEAST/GREATEST
+    * orientation, which matches because the triangle SET is
+    * orientation-independent. Coefficient = 2T / (deg·(deg−1)) — one
+    * per-row division, engine-exact after rounding. */
+  val qTriangles = GraftQuery(
+    "q_triangles",
+    (s, dir) => {
+      import s.implicits._
+      val edges = tradeEdges(s, dir)
+      val tri = Graphs.triangles(edges, "src", "dst")
+      val e = edges.select($"src".as("a"), $"dst".as("b")).filter($"a" =!= $"b")
+      val und = e.union(e.select($"b".as("a"), $"a".as("b"))).distinct()
+      val deg = und.groupBy($"a".as("id")).agg(count(lit(1)).as("deg"))
+      val nation = Tables.nation(s, dir)
+      nation
+        .join(deg, nation("n_nationkey") === deg("id"), "left").drop("id")
+        .join(tri, nation("n_nationkey") === tri("id"), "left").drop("id")
+        .select($"n_name",
+          coalesce($"deg", lit(0L)).as("deg"),
+          coalesce($"triangles", lit(0L)).as("triangles"),
+          when(coalesce($"deg", lit(0L)) < 2, lit(0.0))
+            .otherwise(round(lit(2.0) * coalesce($"triangles", lit(0L)) /
+              ($"deg" * ($"deg" - 1)), 6)).as("clustering"))
+        .orderBy($"n_name")
+    },
+    Some(s"""WITH $tradeEdgesSql,
+      und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+      sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      verts AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri),
+      tc AS (SELECT id, COUNT(*) AS triangles FROM verts GROUP BY id)
+      SELECT n.n_name,
+        COALESCE(d.deg, 0) AS deg,
+        COALESCE(tc.triangles, 0) AS triangles,
+        CASE WHEN COALESCE(d.deg, 0) < 2 THEN 0.0
+             ELSE ROUND(2.0 * COALESCE(tc.triangles, 0) / (d.deg * (d.deg - 1)), 6)
+        END AS clustering
+      FROM nation n
+      LEFT JOIN deg d ON d.id = n.n_nationkey
+      LEFT JOIN tc ON tc.id = n.n_nationkey
+      ORDER BY n_name""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
-      qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters)
+      qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
+      qTriangles)
 }

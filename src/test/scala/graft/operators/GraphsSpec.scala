@@ -80,6 +80,20 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("triangles: K4 has 3 per vertex; path has none; directions/loops collapse") {
+    def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graphs.triangles(edges.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"),
+        "src", "dst").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: every vertex sits in C(3,2) = 3 triangles
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(tri(k4) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a path has no triangles — and vertices with none are absent
+    assert(tri(Seq((0L, 1L), (1L, 2L), (2L, 3L))) === Map.empty)
+    // reversed duplicates and self-loops do not fabricate triangles
+    val noisy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (0L, 0L), (2L, 2L))
+    assert(tri(noisy) === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("durable checkpoint path: identical ranks, superseded generations reclaimed") {
     val edges = (0L until 50L).map(i => (i, (i * 13 + 1) % 50L, 1L + i % 3))
     val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
