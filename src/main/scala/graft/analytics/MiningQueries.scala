@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.{GraftQuery, Tables}
 import graft.operators.Graphs
@@ -516,8 +517,93 @@ object MiningQueries {
       ORDER BY n_name""")
   )
 
+  /** Gini coefficient of customer revenue — the inequality KPI, computed
+    * WITHOUT a single-partition window: ranks come from the
+    * range-partitioned enumeration ([[graft.operators.Ids.contiguousRowIds]]),
+    * revenues stay exact DECIMAL until one final division, so the
+    * statistic is engine-exact: G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)
+    * over revenues sorted ascending with a custkey tie-break. */
+  val qGini = GraftQuery(
+    "q_gini",
+    (s, dir) => {
+      import s.implicits._
+      val rev = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
+      val ranked = graft.operators.Ids.contiguousRowIds(
+          rev, Seq(col("rev"), col("o_custkey")), numPartitions = 8)
+        .select(($"row_id" + 1).as("i"), $"rev")
+      ranked
+        .agg(count(lit(1)).as("n"),
+          sum($"rev").as("sx"),
+          sum($"i" * $"rev").as("six"))
+        .select($"n",
+          round($"sx".cast(DoubleType), 2).as("total_rev"),
+          round(
+            (lit(2.0) * $"six".cast(DoubleType) -
+              ($"n" + 1).cast(DoubleType) * $"sx".cast(DoubleType)) /
+              ($"n".cast(DoubleType) * $"sx".cast(DoubleType)), 6).as("gini"))
+    },
+    Some("""WITH rev AS (SELECT o_custkey,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey),
+      ranked AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i,
+        rev FROM rev),
+      agg AS (SELECT COUNT(*) AS n, SUM(rev) AS sx, SUM(i * rev) AS six FROM ranked)
+      SELECT n, ROUND(CAST(sx AS DOUBLE), 2) AS total_rev,
+        ROUND((2.0 * CAST(six AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+      FROM agg""")
+  )
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the document-
+    * length distributions of two sources: KS = max over values of
+    * |F₁(v) − F₂(v)|. The cumulative fronts run over the DISTINCT-value
+    * relation (domain-sized, same trick as q_pareto), never the corpus;
+    * each per-value term is two divisions and a subtraction — identical
+    * IEEE trees in both engines. Complements q_drift_psi (binned) with
+    * the binning-free test. */
+  val qKsDrift = GraftQuery(
+    "q_ks_drift",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val g1 = $"source" === "src0"
+      val counts = docs
+        .groupBy($"n_chars")
+        .agg(sum(when(g1, 1L).otherwise(0L)).as("c1"),
+          sum(when(!g1, 1L).otherwise(0L)).as("c2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"n_chars")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      counts
+        .select($"n_chars", sum($"c1").over(w).as("f1"), sum($"c2").over(w).as("f2"))
+        .crossJoin(broadcast(docs.agg(
+          sum(when(g1, 1L).otherwise(0L)).as("n1"),
+          sum(when(!g1, 1L).otherwise(0L)).as("n2"))))
+        .agg(max(abs($"f1".cast(DoubleType) / $"n1" - $"f2".cast(DoubleType) / $"n2"))
+          .as("ks"), first($"n1").as("n1"), first($"n2").as("n2"))
+        .select($"n1", $"n2", round($"ks", 6).as("ks_stat"))
+    },
+    Some("""WITH counts AS (SELECT n_chars,
+        SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c1,
+        SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS c2
+      FROM documents GROUP BY n_chars),
+      tot AS (SELECT
+        CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM documents),
+      fronts AS (SELECT n_chars,
+        SUM(c1) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        SUM(c2) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      FROM counts)
+      SELECT tot.n1, tot.n2,
+        ROUND(MAX(ABS(CAST(f1 AS DOUBLE) / tot.n1 - CAST(f2 AS DOUBLE) / tot.n2)), 6) AS ks_stat
+      FROM fronts, tot GROUP BY tot.n1, tot.n2""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
-      qTriangles)
+      qTriangles, qGini, qKsDrift)
 }
