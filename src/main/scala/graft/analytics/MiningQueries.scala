@@ -24,14 +24,26 @@ object MiningQueries {
 
   /** The shared fixed-point PageRank prologue + one CTE per iteration.
     * MATERIALIZED keeps each generation evaluated once (r_i is read by
-    * the contribution join, the dangling scan, and r_{i+1}). */
-  private val pagerankSql: String = {
+    * the contribution join, the dangling scan, and r_{i+1}).
+    *
+    * `teleport = Some(seeds)` replays the PERSONALIZED variant of
+    * [[Graphs.pagerank]]: restart mass + dangling recycle land only on
+    * the (literal) seed set, divided by |S| instead of n — the exact
+    * integer expressions mirror the Scala driver-side `RankScale / nT`
+    * (Long division by a literal) as `1000000000000 // |S|`. */
+  private def pagerankOracle(teleport: Option[Seq[Long]]): String = {
+    val nT = teleport.map(_.size.toString).getOrElse("cnt.n")
+    def seeded(idRef: String, e: String): String = teleport match {
+      case None => e
+      case Some(ss) =>
+        s"CASE WHEN $idRef IN (${ss.mkString(", ")}) THEN $e ELSE 0 END"
+    }
     val iters = (1 to PrIters).map { i =>
       val p = i - 1
       s"""r$i AS MATERIALIZED (
         SELECT v.id,
-          (15 * (1000000000000 // cnt.n)) // 100
-          + (85 * (COALESCE(c.contrib, 0) + d.dang // cnt.n)) // 100 AS rank_fp
+          ${seeded("v.id", s"(15 * (1000000000000 // $nT)) // 100")}
+          + (85 * (COALESCE(c.contrib, 0) + ${seeded("v.id", s"d.dang // $nT")})) // 100 AS rank_fp
         FROM nodes v
         CROSS JOIN cnt
         CROSS JOIN (SELECT CAST(COALESCE(SUM(rank_fp), 0) AS BIGINT) AS dang
@@ -54,13 +66,16 @@ object MiningQueries {
       nodes AS MATERIALIZED (SELECT DISTINCT id
         FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
       cnt AS (SELECT COUNT(*) AS n FROM nodes),
-      r0 AS MATERIALIZED (SELECT id, 1000000000000 // cnt.n AS rank_fp FROM nodes, cnt),
+      r0 AS MATERIALIZED (SELECT id, ${seeded("id", s"1000000000000 // $nT")} AS rank_fp
+        FROM nodes, cnt),
       $iters
       SELECT n.n_name, r$PrIters.rank_fp,
         ROUND(CAST(r$PrIters.rank_fp AS DOUBLE) / 1000000000000, 6) AS rank
       FROM r$PrIters JOIN nation n ON n.n_nationkey = r$PrIters.id
       ORDER BY rank_fp DESC, n_name"""
   }
+
+  private val pagerankSql: String = pagerankOracle(None)
 
   /** The nation trade graph: supplier nation → customer nation, weighted
     * by lineitem count. Shared by q_pagerank and q_graph_degrees. */
@@ -102,6 +117,31 @@ object MiningQueries {
         .orderBy($"rank_fp".desc, $"n_name")
     },
     Some(pagerankSql)
+  )
+
+  /** Seed nations for q_ppr (ARGENTINA, BRAZIL, CANADA): the Americas
+    * bloc, so rank reads as trade proximity to that bloc. Seeds ride as
+    * literals in both engines — `isin` in Spark, `IN (...)` in DuckDB. */
+  private val PprSeeds = Seq(1L, 2L, 3L)
+
+  /** PERSONALIZED PageRank over the same trade graph: restart mass and
+    * dangling recycle land uniformly on [[PprSeeds]] instead of on all
+    * vertices, so rank measures proximity to the seed bloc (the
+    * related-entity primitive). Same integer fixed point as q_pagerank —
+    * the 5-round ranks hash-match the unrolled-CTE replay bit for bit,
+    * including the zero mass on nations unreachable from the seeds. */
+  val qPpr = GraftQuery(
+    "q_ppr",
+    (s, dir) => {
+      import s.implicits._
+      val ranks = Graphs.pagerank(tradeEdges(s, dir), "src", "dst", "w",
+        iterations = PrIters, teleport = Some(PprSeeds))
+      val nation = Tables.nation(s, dir)
+      ranks.join(broadcast(nation), ranks("id") === nation("n_nationkey"))
+        .select($"n_name", $"rank_fp", $"rank")
+        .orderBy($"rank_fp".desc, $"n_name")
+    },
+    Some(pagerankOracle(Some(PprSeeds)))
   )
 
   /** Market-basket association rules over order baskets: for part pairs
@@ -603,7 +643,7 @@ object MiningQueries {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(qPagerank, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
+    Seq(qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift)
 }

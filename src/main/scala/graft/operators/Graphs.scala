@@ -56,14 +56,23 @@ object Graphs {
     * The vertex set is the distinct union of both edge endpoints;
     * multi-edges are pre-summed. `n` (vertex count) is the single driver
     * scalar — one count() on the cached vertex relation.
+    *
+    * `teleport = Some(seeds)` gives PERSONALIZED PageRank: restart mass
+    * and the dangling recycle land uniformly on the seed set instead of
+    * on all vertices, so rank measures proximity to the seeds (the
+    * related-entity / similar-host primitive). Seed sets are small by
+    * design (they ride as an `isin` literal); `n` is replaced by |S| in
+    * the base and dangling terms, nothing else changes.
     */
   def pagerank(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
       iterations: Int, dampingPct: Int = 85,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      teleport: Option[Seq[Long]] = None): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct=$dampingPct must be in [0, 100]")
+    require(teleport.forall(_.nonEmpty), "teleport set must be non-empty when given")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"), col(weightCol).cast("long").as("w"))
     // the SUMMED edge relation is cached FIRST: it is graph-sized (small
@@ -87,7 +96,16 @@ object Graphs {
     val n = vertices.count()
     require(n > 0, "Graphs.pagerank: empty edge list")
     val srcSet = shares.select(col("src").as("id")).distinct()
-    val base = lit((100L - dampingPct) * (RankScale / n) / 100L)
+    // PERSONALIZED variant: with a teleport set S, the restart mass and
+    // the dangling recycle land uniformly on S instead of on all
+    // vertices (rank becomes proximity to S). teleport = None is the
+    // uniform special case (S = V) — one code path, the `when` guards
+    // constant-fold away under a literal-true condition.
+    val nT = teleport.map(_.size.toLong).getOrElse(n)
+    def isTele = teleport
+      .map(ts => col("id").isin(ts.map(Long.box): _*)).getOrElse(lit(true))
+    val base = when(isTele,
+      lit((100L - dampingPct) * (RankScale / nT) / 100L)).otherwise(lit(0L))
 
     // each generation is CHECKPOINTED, not merely cached: rank_i reads
     // rank_{i-1} twice (dangling scan + contribution join), so an uncut
@@ -131,7 +149,8 @@ object Graphs {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
-      var ranks = ckpt(vertices.select(col("id"), lit(RankScale / n).as("rank_fp")))
+      var ranks = ckpt(vertices.select(col("id"),
+        when(isTele, lit(RankScale / nT)).otherwise(lit(0L)).as("rank_fp")))
       for (_ <- 1 to iterations) {
         val contribs = ranks.join(shares, ranks("id") === shares("src"))
           .groupBy(col("dst").as("id"))
@@ -147,9 +166,10 @@ object Graphs {
             joined.crossJoin(broadcast(dangling))
           }
         ranks = ckpt(withDang
+          .withColumn("_in", coalesce(col("contrib"), lit(0L)) +
+            when(isTele, expr(s"dang DIV $nT")).otherwise(lit(0L)))
           .select(col("id"),
-            (base + expr(s"$dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) + dang DIV $n) DIV 100"))
-              .as("rank_fp")))
+            (base + expr(s"$dampingPct * _in DIV 100")).as("rank_fp")))
         if (ckptGen >= 3) rmCkptGen(ckptGen - 3) // keep current + parent
       }
       ranks.select(col("id"), col("rank_fp"),

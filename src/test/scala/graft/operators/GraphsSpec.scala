@@ -80,6 +80,22 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("personalized pagerank: mass concentrates at the seed's neighborhood") {
+    // two disjoint cycles; teleport to {0} must leave cycle {10,11,12}
+    // with zero mass (unreachable, no restart lands there)
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 0L, 1L),
+      (10L, 11L, 1L), (11L, 12L, 1L), (12L, 10L, 1L))
+    val r = Graphs.pagerank(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        iterations = 12, teleport = Some(Seq(0L)))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(10L) === 0L && r(11L) === 0L && r(12L) === 0L,
+      s"unreachable cycle must hold zero mass: $r")
+    assert(r(0L) > r(1L) && r(1L) > r(2L),
+      s"mass must decay with distance from the seed: $r")
+    val total = r.values.sum
+    assert(total > massFloor(0.999) && total <= Graphs.RankScale)
+  }
+
   test("triangles: K4 has 3 per vertex; path has none; directions/loops collapse") {
     def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
       Graphs.triangles(edges.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"),
