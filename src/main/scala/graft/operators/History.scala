@@ -18,8 +18,9 @@ object History {
     * `min(orderCols.head)` skips them, so a run whose first row has a
     * null sequencing value would report a later valid_from than its
     * actual start (and the neighboring run's exclusive valid_to bound
-    * would disagree with the run boundary). Filter or coalesce null
-    * timestamps upstream.
+    * would disagree with the run boundary). A null sequencing value
+    * therefore FAILS LOUDLY at runtime (per-row raise_error guard, map
+    * side, no extra pass) — filter or coalesce null timestamps upstream.
     *
     * Returns (keyCol, version, valueCol, valid_from, valid_to, n_rows):
     * version numbers runs 1..k per key, valid_from is the run's first
@@ -39,12 +40,22 @@ object History {
   def scd2(df: DataFrame, keyCol: String, valueCol: String,
       orderCols: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must name at least one sequencing column")
+    // null sequencing values silently corrupt run boundaries (see doc
+    // above) — guard each order column with a raise_error that fires on
+    // the first null row it meets, before any window runs
+    val guarded = orderCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(col(c).isNull,
+        raise_error(lit(s"History.scd2: null in sequencing column '$c' — " +
+          "null order values are unsupported (nulls sort first and break " +
+          "run boundaries); filter or coalesce them upstream")))
+        .otherwise(col(c)))
+    }
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
     val prev = lag(col(valueCol), 1).over(w)
     // row_number distinguishes "first row of the key" from "previous
     // value was null" — prev.isNull conflates them, silently folding a
     // null run into its predecessor while splitting consecutive nulls
-    val runs = df
+    val runs = guarded
       .withColumn("_chg",
         when(row_number().over(w) === 1 || !(prev <=> col(valueCol)), 1).otherwise(0))
       .withColumn("version",

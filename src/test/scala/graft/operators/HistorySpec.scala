@@ -64,4 +64,19 @@ class HistorySpec extends SparkSpec {
     val df = Seq.empty[(String, Long, String)].toDF("k", "t", "v")
     assert(History.scd2(df, "k", "v", Seq("t")).count() == 0)
   }
+
+  test("scd2 fails loudly on a null sequencing value") {
+    // nulls sort FIRST under ascending order while min() skips them — a
+    // silent run would report a later valid_from than its actual start,
+    // so the operator must throw instead
+    val df = Seq(("a", Some(1L), "x"), ("a", None, "y"))
+      .toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      History.scd2(df, "k", "v", Seq("t")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null in sequencing column")),
+      s"expected the scd2 null-order guard, got: $e")
+  }
 }
