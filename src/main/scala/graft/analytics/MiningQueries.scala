@@ -557,6 +557,37 @@ object MiningQueries {
       ORDER BY n_name""")
   )
 
+  /** 25-core of the supplier↔part bipartite graph (an edge = "supplier
+    * ships this part", from distinct lineitem pairs; supplier ids offset
+    * by 10M to keep the two key spaces disjoint): [[Graphs.kcore]] peels
+    * low-degree vertices until fixpoint — the density primitive that
+    * isolates the heavily-cross-sourced core of a supply network (or the
+    * mirror-farm core of a host graph). Peeling is pure integer
+    * degree-counting, so the oracle replays it as unrolled CTE rounds —
+    * 5 unrolls ≥ the observed 2-round cascade at the gate SF, and extra
+    * rounds past the fixpoint are no-ops, so the replay is exact. */
+  val qKcore = GraftQuery(
+    "q_kcore",
+    (s, dir) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, dir)
+        .select((lit(10000000L) + $"l_suppkey").as("src"), $"l_partkey".cast("long").as("dst"))
+      Graphs.kcore(edges, "src", "dst", k = 25)
+        .orderBy($"id")
+    },
+    Some {
+      val rounds = (0 until 5).map { i =>
+        s"""k$i AS (SELECT a FROM r$i GROUP BY a HAVING COUNT(*) >= 25),
+      r${i + 1} AS (SELECT r$i.a, r$i.b FROM r$i
+        JOIN k$i x ON r$i.a = x.a JOIN k$i y ON r$i.b = y.a)"""
+      }.mkString(",\n      ")
+      s"""WITH e AS (SELECT DISTINCT 10000000 + l_suppkey AS a, l_partkey AS b FROM lineitem),
+      r0 AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      $rounds
+      SELECT CAST(a AS BIGINT) AS id, COUNT(*) AS deg FROM r5 GROUP BY a ORDER BY id"""
+    }
+  )
+
   /** Gini coefficient of customer revenue — the inequality KPI, computed
     * WITHOUT a single-partition window: ranks come from the
     * range-partitioned enumeration ([[graft.operators.Ids.contiguousRowIds]]),
@@ -645,5 +676,5 @@ object MiningQueries {
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
-      qTriangles, qGini, qKsDrift)
+      qTriangles, qGini, qKsDrift, qKcore)
 }

@@ -177,6 +177,65 @@ object Graphs {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** The k-CORE of the undirected simple graph induced by `edges`
+    * (directions merged, self-loops dropped, multi-edges collapsed):
+    * iteratively peel every vertex whose current degree is below `k`
+    * until no vertex peels — the standard density primitive (spam rings,
+    * mirror farms and boilerplate hubs live in high cores; the periphery
+    * peels away). Returns the surviving (id, deg) with degrees measured
+    * IN the core subgraph.
+    *
+    * One round = one degree aggregate + two semi-joins of the symmetric
+    * edge relation against the survivor set — all equi-shuffles on the
+    * vertex key, edge-relation-sized, fully distributed. Rounds are
+    * checkpointed (same lineage-truncation discipline as [[pagerank]] /
+    * Dedup.connectedComponents). Convergence = the survivor count stops
+    * falling (peeling is monotone decreasing, so equal counts mean a
+    * fixpoint); `maxIter` bounds adversarial chains — hitting it THROWS,
+    * because a partially-peeled graph is not a k-core. Peel-round count
+    * is bounded by the longest degeneracy chain, not corpus size —
+    * single digits on real graphs. */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(maxIter >= 1, s"maxIter=$maxIter must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val spark = edges.sparkSession
+    // graph-sized round shuffles, like pagerank (single-writer session
+    // assumption; restored in the finally)
+    var und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val nEdges = und.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val graphParts = math.max(1L, math.min(sessionParts.toLong,
+      nEdges / 250000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+      var prevCount = Long.MaxValue
+      var i = 0
+      var deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      while (i < maxIter) {
+        val keep = deg.filter(col("deg") >= k).localCheckpoint()
+        val n = keep.count()
+        if (n == prevCount) return keep // fixpoint: nothing peeled
+        if (n == 0L) return keep        // everything peeled: empty core
+        prevCount = n
+        und = und
+          .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint()
+        deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+        i += 1
+      }
+      throw new IllegalStateException(
+        s"Graphs.kcore: no fixpoint after maxIter=$maxIter peel rounds — " +
+          "raise maxIter (a partially-peeled graph is not a k-core)")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Per-vertex triangle counts of the UNDIRECTED simple graph induced
     * by `edges` (directions merged, self-loops dropped, multi-edges
     * collapsed). Returns (id, triangles).

@@ -134,4 +134,44 @@ class GraphsSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graphs.kcore(edges.toDF("src", "dst"), "src", "dst", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kcore: K5 survives a 3-core, pendant chain peels, degrees are in-core") {
+    val k5 = for (a <- 0L until 5L; b <- 0L until 5L if a < b) yield (a, b)
+    // vertex 10 hangs off K5 by a single edge; 11-12-13 is a tail chain
+    val edges = k5 ++ Seq((0L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val got = core(edges, k = 3)
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L),
+      s"3-core must be exactly the K5: $got")
+    // degrees are measured IN the core: vertex 0's pendant edge is gone
+    assert(got.values.toSet === Set(4L), s"in-core K5 degrees must all be 4: $got")
+  }
+
+  test("kcore: vertex clinging to K5 by 3 edges joins the 3-core") {
+    val k5 = for (a <- 0L until 5L; b <- 0L until 5L if a < b) yield (a, b)
+    val edges = k5 ++ Seq((20L, 0L), (20L, 1L), (20L, 2L))
+    val got = core(edges, k = 3)
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L, 20L))
+    assert(got(20L) === 3L && got(0L) === 5L && got(3L) === 4L,
+      s"in-core degrees wrong: $got")
+  }
+
+  test("kcore: over-demanding k peels everything (multi-round cascade to empty)") {
+    // a long path: every round peels both endpoints; fixpoint is empty
+    val path = (0L until 20L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(core(path, k = 2).isEmpty)
+    // and the whole graph survives k = 1 untouched (first-round fixpoint)
+    val all = core(path, k = 1)
+    assert(all.keySet === (0L until 20L).toSet)
+  }
+
+  test("kcore: directions and duplicate edges collapse before peeling") {
+    val tri = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 0L), (0L, 2L),
+      (0L, 0L)) // self-loop dropped
+    val got = core(tri, k = 2)
+    assert(got === Map(0L -> 2L, 1L -> 2L, 2L -> 2L), s"triangle 2-core: $got")
+  }
 }
