@@ -494,6 +494,131 @@ object DocQueries {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Bigram cross-entropy per document under an add-1-smoothed bigram
+    * model trained on the corpus itself: H(doc) = mean over bigram
+    * POSITIONS of −ln P(w₂|w₁), P = (c(w₁w₂)+1)/(c(w₁·)+V). The
+    * second-order companion of [[qUnigramXent]] — templated/looping text
+    * scores LOW (its bigrams repeat), shuffled-word salad scores HIGH
+    * even when its unigram profile looks natural; the gap between the
+    * two entropies is the word-order signal.
+    *
+    * Scale: the bigram and prefix count tables are vocabulary-sized
+    * (they BROADCAST here; at a 100 TB vocabulary the join flips to a
+    * shuffle on the bigram key — same plan shape, no driver state
+    * either way); the position stream is map-side explode. Per-term
+    * DECIMAL(18,12) summation makes the mean order-independent, same
+    * discipline as the unigram query. */
+  val qBigramXent = GraftQuery(
+    "q_bigram_xent",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val toks = graft.operators.Caches.register(
+        Tables.documents(s, dir)
+          .select($"doc_id", TextAnalysis.tokens($"text").as("ts")))
+      val pos = graft.operators.Caches.register(
+        toks.filter(size($"ts") >= 2)
+          .select($"doc_id", explode(zip_with(
+            slice($"ts", lit(1), size($"ts") - 1), slice($"ts", lit(2), size($"ts") - 1),
+            (a, b) => concat_ws(" ", a, b))).as("bigram")))
+      val bi = pos.groupBy($"bigram").agg(count(lit(1)).as("n12"))
+      val uni = bi.withColumn("w1", split($"bigram", " ")(0))
+        .groupBy($"w1").agg(sum($"n12").as("n1"))
+      val v = toks.select(explode($"ts").as("tok"))
+        .agg(countDistinct($"tok").as("v"))
+      pos
+        .withColumn("w1", split($"bigram", " ")(0))
+        .join(broadcast(bi), "bigram")
+        .join(broadcast(uni), "w1")
+        .crossJoin(broadcast(v))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum((-log(($"n12" + 1).cast("double") / ($"n1" + $"v").cast("double")))
+              .cast(DecimalType(18, 12)))
+            .cast("double") / count(lit(1)), 6).as("xent"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      pos AS (SELECT doc_id, u.bg FROM (
+          SELECT doc_id, [array_to_string(ts[i+1:i+2], ' ') FOR i IN range(0, LEN(ts)-1)] AS bs
+          FROM toks WHERE LEN(ts) >= 2), UNNEST(bs) AS u(bg)),
+      bi AS (SELECT bg, COUNT(*) AS n12 FROM pos GROUP BY bg),
+      uni AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(n12) AS BIGINT) AS n1
+        FROM bi GROUP BY 1),
+      vo AS (SELECT COUNT(DISTINCT u.tok) AS v FROM toks, UNNEST(ts) AS u(tok))
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        ROUND(CAST(SUM(CAST(-LN(CAST(n12 + 1 AS DOUBLE) / (n1 + vo.v)) AS DECIMAL(18,12))) AS DOUBLE)
+          / COUNT(*), 6) AS xent
+      FROM pos
+      JOIN bi USING (bg)
+      JOIN uni ON uni.w1 = string_split(bg, ' ')[1], vo
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** Vocabulary coverage curve: the smallest vocabulary (most-frequent-
+    * first) covering 50/90/95/99% of corpus token MASS — the tokenizer-
+    * sizing KPI (a Zipf corpus covers 90% with a tiny head; the long
+    * tail is where byte-fallback lives).
+    *
+    * Computed WITHOUT ranking the vocabulary: tokens collapse to the
+    * frequency-OF-frequency relation (one row per DISTINCT count value —
+    * thousands under any Zipf-ish distribution, regardless of corpus or
+    * vocab size), the cumulative front runs over THAT (same domain-sized
+    * window trick as q_pareto / q_ks_drift), and the crossing level's
+    * partial take is one integer ceiling-division — so the whole curve
+    * is integer-exact, order-independent, and never materializes a
+    * ranked vocabulary. */
+  val qVocabCoverage = GraftQuery(
+    "q_vocab_coverage",
+    (s, dir) => {
+      import s.implicits._
+      val counts = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens($"text")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+      val levels = counts.groupBy($"n".as("c"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("s", $"c" * $"m")
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"c".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val cum = levels
+        .withColumn("before_tokens", coalesce(sum($"m").over(w), lit(0L)))
+        .withColumn("before_mass", coalesce(sum($"s").over(w), lit(0L)))
+      val tot = counts.agg(sum($"n").as("total"), count(lit(1)).as("vocab"))
+      val targets = Seq(50, 90, 95, 99).toDF("coverage_pct")
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(targets))
+        .filter($"before_mass" * 100 < $"coverage_pct" * $"total" &&
+          ($"before_mass" + $"s") * 100 >= $"coverage_pct" * $"total")
+        .withColumn("vocab_size", $"before_tokens" +
+          expr("(coverage_pct * total - 100 * before_mass + 100 * c - 1) DIV (100 * c)"))
+        .select($"coverage_pct", $"vocab_size", $"vocab", $"total")
+        .orderBy($"coverage_pct")
+    },
+    Some("""WITH t AS (SELECT u.tok FROM (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+        FROM documents), UNNEST(ts) AS u(tok)),
+      c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+      lv AS (SELECT n AS c, COUNT(*) AS m, CAST(n * COUNT(*) AS BIGINT) AS s
+        FROM c GROUP BY n),
+      cum AS (SELECT c, m, s,
+        COALESCE(CAST(SUM(m) OVER (ORDER BY c DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before_tokens,
+        COALESCE(CAST(SUM(s) OVER (ORDER BY c DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before_mass
+      FROM lv),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS vocab FROM c),
+      tg AS (SELECT unnest([50, 90, 95, 99]) AS coverage_pct)
+      SELECT CAST(coverage_pct AS INTEGER) AS coverage_pct,
+        before_tokens + (coverage_pct * total - 100 * before_mass + 100 * c - 1) // (100 * c)
+          AS vocab_size,
+        vocab, total
+      FROM cum, tot, tg
+      WHERE before_mass * 100 < coverage_pct * total
+        AND (before_mass + s) * 100 >= coverage_pct * total
+      ORDER BY coverage_pct""")
+  )
+
   /** End-to-end corpus dedup: near-dup pairs → connected components →
     * ONE SURVIVOR per cluster (longest doc, ties to the smallest id),
     * every document labeled kept/dropped. This is the full "dedup the
@@ -1636,7 +1761,7 @@ object DocQueries {
     qBpeEncode, qDictEncode, qInvertedIndex,
     qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
-    qUnigramXent,
+    qUnigramXent, qBigramXent, qVocabCoverage,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qSemanticDedup, qIvfTopK, qApproxDistinct, qHllRollup, qAsofJoin,
