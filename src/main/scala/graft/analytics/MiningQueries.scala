@@ -557,6 +557,113 @@ object MiningQueries {
       ORDER BY n_name""")
   )
 
+  /** One unrolled HITS round per CTE pair: raw sums widened to HUGEINT,
+    * rescale = floor(raw·1e9 / Σraw) via 128-bit `//` — the exact mirror
+    * of [[Graphs.hits]]'s DECIMAL(38,0) DIV. */
+  private def hitsOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS id, CAST(SUM(h) AS HUGEINT) AS raw
+        FROM h$p JOIN e ON h$p.id = e.src GROUP BY e.dst),
+      a$i AS MATERIALIZED (SELECT id,
+        CAST((raw * 1000000000) // (SELECT SUM(raw) FROM ar$i) AS BIGINT) AS a
+        FROM ar$i),
+      hr$i AS MATERIALIZED (SELECT e.src AS id, CAST(SUM(a) AS HUGEINT) AS raw
+        FROM a$i JOIN e ON a$i.id = e.dst GROUP BY e.src),
+      h$i AS MATERIALIZED (SELECT id,
+        CAST((raw * 1000000000) // (SELECT SUM(raw) FROM hr$i) AS BIGINT) AS h
+        FROM hr$i)"""
+    }.mkString(",\n      ")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT 10000000 + l_suppkey AS src, l_partkey AS dst FROM lineitem),
+      verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+      h0 AS MATERIALIZED (SELECT id, CAST(1000000000 AS BIGINT) AS h FROM verts),
+      $rounds
+      SELECT CAST(v.id AS BIGINT) AS id,
+        COALESCE(h$iters.h, 0) AS hub_fp, COALESCE(a$iters.a, 0) AS auth_fp
+      FROM verts v
+      LEFT JOIN h$iters ON h$iters.id = v.id
+      LEFT JOIN a$iters ON a$iters.id = v.id
+      ORDER BY id"""
+  }
+
+  /** HITS hubs/authorities over the same supplier→part bipartite graph
+    * as q_kcore: suppliers are hubs (they ship many well-sourced parts),
+    * parts are authorities (they are shipped by many strong suppliers) —
+    * power iteration on AᵀA, four rounds, pure integer fixed point
+    * ([[Graphs.hits]]), hash-oracled against the unrolled CTE replay. */
+  val qHits = GraftQuery(
+    "q_hits",
+    (s, dir) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, dir)
+        .select((lit(10000000L) + $"l_suppkey").as("src"),
+          $"l_partkey".cast("long").as("dst"))
+      Graphs.hits(edges, "src", "dst", iterations = 4)
+        .orderBy($"id")
+    },
+    Some(hitsOracle(4))
+  )
+
+  /** Mutual information between two categorical columns (market segment
+    * × nation over customers) with both marginal entropies and the
+    * normalized MI — the feature-dependence / leakage-detection KPI (a
+    * near-zero MI says the dimensions are independent; NMI ≈ 1 says one
+    * determines the other, e.g. a split key leaking the label).
+    *
+    * MI = Σ_xy (n_xy/N)·ln(n_xy·N/(n_x·n_y)), H = −Σ (n/N)·ln(n/N).
+    * Every term derives from exact integer counts, goes through
+    * DECIMAL(18,12) before summing (order-independent, ln's last-ulp
+    * noise 6 digits under the rounding — same discipline as
+    * q_unigram_xent), and the contingency table is |X|·|Y| rows — domain-
+    * sized, never corpus-sized, so the final aggregate is a broadcast-
+    * joined map-side pass over a tiny relation. */
+  val qMutualInfo = GraftQuery(
+    "q_mutual_info",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val cust = Tables.customer(s, dir)
+        .select($"c_mktsegment".as("x"), $"c_nationkey".as("y"))
+      val xy = cust.groupBy($"x", $"y").agg(count(lit(1)).as("n_xy"))
+      val nx = cust.groupBy($"x").agg(count(lit(1)).as("n_x"))
+      val ny = cust.groupBy($"y").agg(count(lit(1)).as("n_y"))
+      val tot = cust.agg(count(lit(1)).as("n"))
+      def ent(df: org.apache.spark.sql.DataFrame, cnt: String, out: String) = df
+        .crossJoin(broadcast(tot))
+        .agg(round(sum((-(col(cnt).cast("double") / $"n") *
+            log(col(cnt).cast("double") / $"n"))
+          .cast(DecimalType(18, 12))).cast("double"), 6).as(out))
+      val mi = xy
+        .join(broadcast(nx), "x").join(broadcast(ny), "y")
+        .crossJoin(broadcast(tot))
+        .agg(round(sum((($"n_xy".cast("double") / $"n") *
+            log($"n_xy".cast("double") * $"n" / ($"n_x".cast("double") * $"n_y")))
+          .cast(DecimalType(18, 12))).cast("double"), 6).as("mi"))
+      // one plan: the three 1-row aggregates meet in broadcast crossJoins
+      mi.crossJoin(broadcast(ent(nx, "n_x", "h_segment")))
+        .crossJoin(broadcast(ent(ny, "n_y", "h_nation")))
+        .select($"mi", $"h_segment", $"h_nation",
+          round($"mi" / least($"h_segment", $"h_nation"), 6).as("nmi"))
+    },
+    Some("""WITH c AS (SELECT c_mktsegment AS x, c_nationkey AS y FROM customer),
+      xy AS (SELECT x, y, COUNT(*) AS n_xy FROM c GROUP BY x, y),
+      nx AS (SELECT x, COUNT(*) AS n_x FROM c GROUP BY x),
+      ny AS (SELECT y, COUNT(*) AS n_y FROM c GROUP BY y),
+      tot AS (SELECT COUNT(*) AS n FROM c),
+      hx AS (SELECT ROUND(CAST(SUM(CAST(-(CAST(n_x AS DOUBLE) / n) *
+          LN(CAST(n_x AS DOUBLE) / n) AS DECIMAL(18,12))) AS DOUBLE), 6) AS h
+        FROM nx, tot),
+      hy AS (SELECT ROUND(CAST(SUM(CAST(-(CAST(n_y AS DOUBLE) / n) *
+          LN(CAST(n_y AS DOUBLE) / n) AS DECIMAL(18,12))) AS DOUBLE), 6) AS h
+        FROM ny, tot),
+      mi AS (SELECT ROUND(CAST(SUM(CAST((CAST(n_xy AS DOUBLE) / n) *
+          LN(CAST(n_xy AS DOUBLE) * n / (CAST(n_x AS DOUBLE) * n_y)) AS DECIMAL(18,12))) AS DOUBLE), 6) AS mi
+        FROM xy JOIN nx USING (x) JOIN ny USING (y), tot)
+      SELECT mi.mi, hx.h AS h_segment, hy.h AS h_nation,
+        ROUND(mi.mi / LEAST(hx.h, hy.h), 6) AS nmi
+      FROM mi, hx, hy""")
+  )
+
   /** 25-core of the supplier↔part bipartite graph (an edge = "supplier
     * ships this part", from distinct lineitem pairs; supplier ids offset
     * by 10M to keep the two key spaces disjoint): [[Graphs.kcore]] peels
@@ -577,12 +684,12 @@ object MiningQueries {
     },
     Some {
       val rounds = (0 until 5).map { i =>
-        s"""k$i AS (SELECT a FROM r$i GROUP BY a HAVING COUNT(*) >= 25),
-      r${i + 1} AS (SELECT r$i.a, r$i.b FROM r$i
+        s"""k$i AS MATERIALIZED (SELECT a FROM r$i GROUP BY a HAVING COUNT(*) >= 25),
+      r${i + 1} AS MATERIALIZED (SELECT r$i.a, r$i.b FROM r$i
         JOIN k$i x ON r$i.a = x.a JOIN k$i y ON r$i.b = y.a)"""
       }.mkString(",\n      ")
       s"""WITH e AS (SELECT DISTINCT 10000000 + l_suppkey AS a, l_partkey AS b FROM lineitem),
-      r0 AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      r0 AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
       $rounds
       SELECT CAST(a AS BIGINT) AS id, COUNT(*) AS deg FROM r5 GROUP BY a ORDER BY id"""
     }
@@ -676,5 +783,5 @@ object MiningQueries {
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
-      qTriangles, qGini, qKsDrift, qKcore)
+      qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits)
 }

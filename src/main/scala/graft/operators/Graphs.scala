@@ -177,6 +177,73 @@ object Graphs {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** HITS fixed-point scale: 1e9 keeps every intermediate inside 64-bit
+    * comfortably — a raw authority sum is bounded by in-degree·1e9
+    * (overflows long only past ~9.2e9 in-edges on one vertex; pre-
+    * aggregate such graphs), and the rescale product goes through
+    * DECIMAL(38,0) (≤ 1e28 at a billion edges). */
+  val HitsScale: Long = 1000000000L
+
+  /** HITS hubs-and-authorities (Kleinberg '99) in pure integer
+    * arithmetic: per round, authority a'(v) = Σ_{u→v} h(u) then h'(u) =
+    * Σ_{u→v} a(v), each rescaled to total mass [[HitsScale]] via
+    * floor(raw·SCALE / Σraw) — the product widened through
+    * DECIMAL(38,0), so rounds are exactly replayable in any engine with
+    * 128-bit integer division (DuckDB: HUGEINT `//`). On a bipartite
+    * graph this is power iteration on AᵀA — suppliers score as hubs,
+    * parts as authorities.
+    *
+    * One round = two graph-sized equi-joins + two partial-aggregated
+    * groupBys + two 1-row total broadcasts; both score relations are
+    * checkpointed per round (the same lineage-truncation discipline as
+    * [[pagerank]]). Vertices without out-edges keep hub 0, without
+    * in-edges authority 0 (coalesced in the final left joins). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    val e = Caches.register(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val vertices = Caches.register(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val spark = edges.sparkSession
+    val nEdges = e.count()
+    require(nEdges > 0, "Graphs.hits: empty edge list")
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val graphParts = math.max(1L, math.min(sessionParts.toLong,
+      nEdges / 250000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // floor(raw·SCALE / Σraw), widened through DECIMAL(38,0); Spark's
+    // `div` on decimals is integral division returning BIGINT — the
+    // exact mirror of DuckDB's HUGEINT `//`
+    def rescale(raw: DataFrame, out: String): DataFrame = {
+      val tot = raw.agg(
+        sum(col("raw").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("id"),
+          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $HitsScale) DIV s AS BIGINT)").as(out))
+    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+      var h = vertices.select(col("id"), lit(HitsScale).as("h_fp")).localCheckpoint()
+      var a: DataFrame = null
+      for (_ <- 1 to iterations) {
+        val aRaw = h.join(e, h("id") === e("src"))
+          .groupBy(col("dst").as("id")).agg(sum(col("h_fp")).as("raw"))
+        a = rescale(aRaw, "a_fp").localCheckpoint()
+        val hRaw = a.join(e, a("id") === e("dst"))
+          .groupBy(col("src").as("id")).agg(sum(col("a_fp")).as("raw"))
+        h = rescale(hRaw, "h_fp").localCheckpoint()
+      }
+      vertices
+        .join(h, Seq("id"), "left")
+        .join(a, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("h_fp"), lit(0L)).as("hub_fp"),
+          coalesce(col("a_fp"), lit(0L)).as("auth_fp"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** The k-CORE of the undirected simple graph induced by `edges`
     * (directions merged, self-loops dropped, multi-edges collapsed):
     * iteratively peel every vertex whose current degree is below `k`

@@ -168,6 +168,35 @@ class GraphsSpec extends SparkSpec {
     assert(all.keySet === (0L until 20L).toSet)
   }
 
+  private def hubsAuths(edges: Seq[(Long, Long)], iters: Int = 4)
+      : Map[Long, (Long, Long)] =
+    Graphs.hits(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("hits: the broader supplier is the stronger hub, the shared part the stronger authority") {
+    // s1 ships three parts, s2 ships one; part 100 is shipped by both
+    val got = hubsAuths(Seq((1L, 100L), (1L, 101L), (1L, 102L), (2L, 100L)))
+    assert(got(1L)._1 > got(2L)._1, s"s1 must out-hub s2: $got")
+    assert(got(100L)._2 > got(101L)._2, s"shared part must out-rank: $got")
+    assert(got(101L)._2 === got(102L)._2, s"symmetric parts must tie: $got")
+    // pure sources have authority 0; pure sinks have hub 0
+    assert(got(1L)._2 === 0L && got(100L)._1 === 0L)
+    // each rescaled side carries total mass ~SCALE (floor-truncation only)
+    val hubs = got.values.map(_._1).sum
+    val auths = got.values.map(_._2).sum
+    assert(hubs > Graphs.HitsScale - 10 && hubs <= Graphs.HitsScale, s"hub mass $hubs")
+    assert(auths > Graphs.HitsScale - 10 && auths <= Graphs.HitsScale, s"auth mass $auths")
+  }
+
+  test("hits: a symmetric bipartite clique scores uniformly") {
+    val edges = for (s <- 0L until 3L; p <- 10L until 14L) yield (s, p)
+    val got = hubsAuths(edges)
+    assert(got.filterKeys(_ < 3L).values.map(_._1).toSet.size === 1,
+      s"hubs must tie: $got")
+    assert(got.filterKeys(_ >= 10L).values.map(_._2).toSet.size === 1,
+      s"authorities must tie: $got")
+  }
+
   test("kcore: directions and duplicate edges collapse before peeling") {
     val tri = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 0L), (0L, 2L),
       (0L, 0L)) // self-loop dropped
