@@ -978,11 +978,57 @@ object ExtendedQueries {
       FROM orders ORDER BY row_id""")
   )
 
+  /** Quantile normalization (midrank percentile transform) of order
+    * totals — the feature-scaling step that maps any distribution onto
+    * [0,1] — WITHOUT the global `percent_rank()` window (a single-
+    * partition sort of the corpus, the 100 TB anti-pattern). The
+    * cumulative front runs over the DISTINCT-value relation (domain-
+    * sized; same trick as q_pareto / q_vocab_coverage) and the verdict
+    * broadcasts back onto the corpus, which is scanned once and never
+    * globally sorted. pct = (2·below + ties + 1) / 2N from exact integer
+    * counts — one integer-over-integer division per row, engine-exact.
+    * Ties by construction share one percentile (the midrank), which the
+    * window formulation only achieves with an extra average-over-ties
+    * pass. */
+  val qQuantileNormalize = GraftQuery(
+    "q_quantile_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val ord = Tables.orders(s, dir)
+      val vc = ord.groupBy($"o_totalprice".as("v")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val fronts = vc
+        .withColumn("below", coalesce(sum($"cnt").over(w), lit(0L)))
+      val n = ord.agg(count(lit(1)).as("n"))
+      ord.select($"o_orderkey", $"o_totalprice")
+        .join(broadcast(fronts.select($"v".as("o_totalprice"), $"below", $"cnt")),
+          "o_totalprice")
+        .crossJoin(broadcast(n))
+        .select($"o_orderkey", $"o_totalprice",
+          round((lit(2) * $"below" + $"cnt" + 1).cast("double") / (lit(2) * $"n"), 6)
+            .as("pct_rank"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""WITH vc AS (SELECT o_totalprice AS v, COUNT(*) AS cnt
+        FROM orders GROUP BY o_totalprice),
+      fronts AS (SELECT v, cnt,
+        COALESCE(CAST(SUM(cnt) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
+      FROM vc),
+      n AS (SELECT COUNT(*) AS n FROM orders)
+      SELECT o_orderkey, o_totalprice,
+        ROUND(CAST(2 * below + cnt + 1 AS DOUBLE) / (2 * n.n), 6) AS pct_rank
+      FROM orders JOIN fronts ON fronts.v = o_totalprice, n
+      ORDER BY o_orderkey""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
     qDenseTopk, qStreamEnrich, qStreamDedup, qStreamJoin, qStreamOuterJoin,
-    qMergeUpsert, qContiguousIds, qStreamSessionWindow, qFuzzyMatch)
+    qMergeUpsert, qContiguousIds, qStreamSessionWindow, qFuzzyMatch,
+    qQuantileNormalize)
 }

@@ -624,9 +624,63 @@ object WarehouseQueries {
       FROM n ORDER BY vec_id""")
   )
 
+  /** Inter-class centroid cosine matrix: the label-geometry health
+    * report on top of [[qEmbedCentroids]] — near-1 off-diagonal entries
+    * say two classes are indistinguishable to the encoder (merge or
+    * relabel them); the full matrix is |labels|²/2 rows, domain-sized at
+    * any corpus scale. Parity is fixed-point end to end: centroids
+    * quantize to BIGINT micro-units exactly as q_embed_centroids, dot
+    * products and norms are exact integer sums, and the final cosine is
+    * one identically-ordered IEEE division per pair. The pairwise join
+    * runs on the (label, pos) centroid relation — labels × dims rows,
+    * never the corpus. */
+  val qCentroidSim = GraftQuery(
+    "q_centroid_sim",
+    (s, dir) => {
+      import s.implicits._
+      val cent = graft.operators.Caches.register(
+        Tables.embeddings(s, dir)
+          .select($"label", posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
+          .withColumn("q", floor($"x" * 1000000.0 + 0.5))
+          .groupBy($"label", $"pos")
+          .agg(floor(sum($"q").cast(DoubleType) / count(lit(1)) + 0.5)
+            .cast("long").as("cq")))
+      val norms = cent.groupBy($"label").agg(sum($"cq" * $"cq").as("n2"))
+      cent.as("a").join(cent.as("b"),
+          col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(col("a.cq") * col("b.cq")).as("dot"))
+        .join(broadcast(norms.select($"label".as("label_a"), $"n2".as("n2_a"))), "label_a")
+        .join(broadcast(norms.select($"label".as("label_b"), $"n2".as("n2_b"))), "label_b")
+        .select($"label_a", $"label_b",
+          round($"dot".cast(DoubleType) /
+            (sqrt($"n2_a".cast(DoubleType)) * sqrt($"n2_b".cast(DoubleType))), 6)
+            .as("cos_sim"))
+        .orderBy($"label_a", $"label_b")
+    },
+    Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      x AS (SELECT label, t.i AS pos,
+          CAST(FLOOR(v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM e, UNNEST(range(len(v))) AS t(i)),
+      cent AS (SELECT label, pos,
+          CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+        FROM x GROUP BY label, pos),
+      norms AS (SELECT label, CAST(SUM(cq * cq) AS BIGINT) AS n2 FROM cent GROUP BY label),
+      dots AS (SELECT a.label AS label_a, b.label AS label_b,
+          CAST(SUM(a.cq * b.cq) AS BIGINT) AS dot
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label)
+      SELECT label_a, label_b,
+        ROUND(CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
+      FROM dots
+      JOIN norms na ON na.label = dots.label_a
+      JOIN norms nb ON nb.label = dots.label_b
+      ORDER BY label_a, label_b""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qDupInflation, qDupClusterSizes, qEmbedNorms,
       qEmbedCentroids, qEmbedCovariance, qEmbedVarianceByLabel, qEmbedPca,
       qEmbedQuantize, qIncrementalAgg, qDeltaDedup, qDeltaNearDup,
-      qSnapshotDiff, qJlProject)
+      qSnapshotDiff, qJlProject, qCentroidSim)
 }
