@@ -118,5 +118,58 @@ object FunnelQueries {
       FROM m ORDER BY from_type, to_type""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qFunnel, qRetention, qTransitions)
+  /** First-touch / last-touch conversion attribution: every purchase
+    * credits the first (resp. most recent) preceding non-purchase event
+    * in the user's timeline; credit and DECIMAL-exact revenue roll up
+    * per (model, touch type), purchases with no prior touch land on
+    * 'none'. The classic inequality-join formulation ("latest touch
+    * before each conversion") is quadratic per user — here both models
+    * are ONE shared window frame (first/last IGNORE NULLS over the
+    * user-partitioned timeline), so the cost is the per-user sort the
+    * sessionizer already pays, and the rollup key space is
+    * models × touch types. */
+  val qAttribution = GraftQuery(
+    "q_attribution",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when($"event_type" =!= "purchase", $"event_type")
+      val conv = Tables.events(s, dir)
+        .withColumn("last_touch",
+          coalesce(last(touch, ignoreNulls = true).over(w), lit("none")))
+        .withColumn("first_touch",
+          coalesce(first(touch, ignoreNulls = true).over(w), lit("none")))
+        .filter($"event_type" === "purchase")
+      def roll(model: String, touchCol: String) = conv
+        .groupBy(col(touchCol).as("touch"))
+        .agg(count(lit(1)).as("conversions"),
+          round(sum($"value".cast(DecimalType(18, 2))).cast(DoubleType), 2)
+            .as("revenue"))
+        .select(lit(model).as("model"), $"touch", $"conversions", $"revenue")
+      roll("first", "first_touch").unionAll(roll("last", "last_touch"))
+        .orderBy($"model", $"touch")
+    },
+    Some("""WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+        CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+      FROM events),
+      a AS (SELECT event_type, value,
+        COALESCE(LAST_VALUE(touch IGNORE NULLS) OVER w, 'none') AS last_touch,
+        COALESCE(FIRST_VALUE(touch IGNORE NULLS) OVER w, 'none') AS first_touch
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      c AS (SELECT * FROM a WHERE event_type = 'purchase')
+      SELECT * FROM (
+        SELECT 'first' AS model, first_touch AS touch, COUNT(*) AS conversions,
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        FROM c GROUP BY 2
+        UNION ALL
+        SELECT 'last', last_touch, COUNT(*),
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        FROM c GROUP BY 2)
+      ORDER BY model, touch""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qFunnel, qRetention, qTransitions, qAttribution)
 }
