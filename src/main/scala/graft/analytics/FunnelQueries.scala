@@ -171,5 +171,54 @@ object FunnelQueries {
       ORDER BY model, touch""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qFunnel, qRetention, qTransitions, qAttribution)
+  /** Top conversion paths: the most common event-type sequences leading
+    * to a user's FIRST purchase (path capped at the last 5 pre-purchase
+    * steps; users who never purchase are out of scope). Ordering inside
+    * a user is pinned by sort_array over (ts, event_id) structs — a
+    * distributed-safe total order; collect_list alone would be
+    * partition-order-dependent and unverifiable. Per-user data volume
+    * bounds the sort; the path rollup key space is the (tiny) set of
+    * observed ≤5-step sequences. */
+  val qConversionPaths = GraftQuery(
+    "q_conversion_paths",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val firstPurchase = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(min(struct($"ts", $"event_id")).as("fp"))
+      ev.join(firstPurchase, "user_id")
+        .filter(struct($"ts", $"event_id") < $"fp")
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct($"ts", $"event_id", $"event_type")))
+          .as("steps"))
+        .withColumn("types", transform($"steps", x => x("event_type")))
+        // explicit short-array guard: negative-start slice semantics on
+        // arrays shorter than the window differ across engines
+        .select($"user_id", concat_ws(">",
+          when(size($"types") <= 5, $"types")
+            .otherwise(slice($"types", lit(-5), lit(5)))).as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_users".desc, $"path")
+        .limit(25)
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events),
+      fp AS (SELECT user_id, MIN(ROW(ts, event_id)) AS fp
+        FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+      pre AS (SELECT e.user_id, e.ts, e.event_id, e.event_type
+        FROM ev e JOIN fp ON e.user_id = fp.user_id
+        WHERE ROW(e.ts, e.event_id) < fp.fp),
+      paths AS (SELECT user_id,
+          CASE WHEN LEN(l) <= 5 THEN array_to_string(l, '>')
+               ELSE array_to_string(l[-5:], '>') END AS path
+        FROM (SELECT user_id, list(event_type ORDER BY ts, event_id) AS l
+          FROM pre GROUP BY user_id))
+      SELECT path, COUNT(*) AS n_users FROM paths
+      GROUP BY path ORDER BY n_users DESC, path LIMIT 25""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths)
 }
