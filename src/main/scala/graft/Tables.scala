@@ -24,14 +24,27 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by default;
-    * read nanos as long (legacy conf) and convert to a µs timestamp with
-    * exact integer arithmetic (DIV — a double division would lose precision
-    * at 1.7e18 ns). */
+  /** events.ts has shipped as TWO parquet physical layouts across data
+    * generations: TIMESTAMP(NANOS) (which Spark only reads as a long under
+    * the legacy conf) and plain TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (which Spark reads as TIMESTAMP_NTZ). Normalize BOTH to session-zoned
+    * TimestampType so every downstream query and oracle sees one shape:
+    * - nanos-long → exact integer DIV to µs (a double division would lose
+    *   precision at 1.7e18 ns), then timestamp_micros;
+    * - NTZ → cast to TimestampType (identical instants under the UTC
+    *   session zone every entry point pins). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = load(spark, sfDir, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — expected nanos long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

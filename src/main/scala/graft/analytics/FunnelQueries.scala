@@ -136,19 +136,28 @@ object FunnelQueries {
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val touch = when($"event_type" =!= "purchase", $"event_type")
+      // both window expressions in ONE projection → one Window operator
+      // (chained withColumn would stack two same-spec Windows with a
+      // Project between them, which CollapseWindow cannot merge)
       val conv = Tables.events(s, dir)
-        .withColumn("last_touch",
-          coalesce(last(touch, ignoreNulls = true).over(w), lit("none")))
-        .withColumn("first_touch",
-          coalesce(first(touch, ignoreNulls = true).over(w), lit("none")))
+        .select($"event_type", $"value",
+          coalesce(first(touch, ignoreNulls = true).over(w), lit("none"))
+            .as("first_touch"),
+          coalesce(last(touch, ignoreNulls = true).over(w), lit("none"))
+            .as("last_touch"))
         .filter($"event_type" === "purchase")
-      def roll(model: String, touchCol: String) = conv
-        .groupBy(col(touchCol).as("touch"))
+      // ONE pass over the windowed purchases: explode each conversion
+      // into its two (model, touch) credits and aggregate once — a
+      // union of per-model rollups would inline the corpus subtree
+      // twice (two scans, two window sorts) under Catalyst
+      conv.select(explode(array(
+          struct(lit("first").as("model"), $"first_touch".as("touch")),
+          struct(lit("last").as("model"), $"last_touch".as("touch")))).as("mt"),
+          $"value")
+        .groupBy($"mt.model".as("model"), $"mt.touch".as("touch"))
         .agg(count(lit(1)).as("conversions"),
           round(sum($"value".cast(DecimalType(18, 2))).cast(DoubleType), 2)
             .as("revenue"))
-        .select(lit(model).as("model"), $"touch", $"conversions", $"revenue")
-      roll("first", "first_touch").unionAll(roll("last", "last_touch"))
         .orderBy($"model", $"touch")
     },
     Some("""WITH t AS (SELECT user_id, ts, event_id, event_type, value,

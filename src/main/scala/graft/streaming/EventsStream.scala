@@ -18,11 +18,13 @@ import org.apache.spark.sql.Row
   */
 object EventsStream {
 
-  /** The events table schema with ts as LongType nanos (how the parquet
-    * file presents under nanosAsLong) — declared, not inferred, as
-    * readStream requires. */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** The events table schema parameterized by how the parquet files
+    * present `ts` — LongType nanos under the legacy nanosAsLong conf for
+    * the TIMESTAMP(NANOS) data generation, TIMESTAMP_NTZ for the
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) generation. Declared, not
+    * inferred, as readStream requires. */
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -44,11 +46,24 @@ object EventsStream {
     val src =
       if (!hasGlob && new java.io.File(path).isFile) wrapAsGlob(path)
       else path
-    spark.readStream
-      .schema(eventsRawSchema)
+    // one batch footer read sniffs which ts generation these files carry
+    // (nanos-long vs TIMESTAMP_NTZ — see Tables.events); the streaming
+    // declared schema and the normalizing projection both follow it.
+    // Sniff the ORIGINAL path — the batch reader takes files, dirs, and
+    // globs alike, and skipping the wrapped glob avoids a spurious logged
+    // listing miss on the literal `[t]` name.
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val stream = spark.readStream
+      .schema(eventsRawSchema(tsType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(src)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    tsType match {
+      case LongType         => stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => stream
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — expected nanos long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
 
   /** Turn a literal file path into an equivalent one-match glob by

@@ -542,10 +542,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(pa.split("Window \\[").length == 2,
       s"q_attribution must compute both touch models in ONE window operator:\n$pa")
     // vocab coverage: the only corpus-sized shuffle is the token rollup;
-    // the curve math (window + crossing filter) runs post-aggregate
+    // the curve math (window + crossing filter) runs post-aggregate (a
+    // 1-row total joined by broadcast-nested-loop is fine; a true
+    // cartesian over data-sized relations is not)
     val pv = plan("q_vocab_coverage")
-    assert(!pv.contains("CartesianProduct") || pv.contains("BroadcastNestedLoopJoin") ||
-      true, "")
+    assert(!pv.contains("CartesianProduct"),
+      s"q_vocab_coverage went cartesian:\n$pv")
     assert(!pv.contains("SortMergeJoin"),
       s"q_vocab_coverage grew a corpus-sized join:\n$pv")
   }

@@ -13,6 +13,22 @@ class SourcesStreamingSpec extends SparkSpec {
   private lazy val tmp = Files.createTempDirectory("graft_io").toString
   private val Dir = "/root/testdata/sf0.001"
 
+  /** The events file with its PHYSICAL ts shape intact (nanos long or
+    * TIMESTAMP_NTZ depending on the data generation) — re-written splits
+    * of it then carry the same shape readEvents sniffs for. */
+  private def rawEvents(): org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$Dir/events.parquet")
+  }
+
+  /** A numeric (long) view of raw ts for quantile-based chronological
+    * splits, valid for both physical generations. */
+  private def tsNum(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+
   test("S2 CSV NaN sink + S1 clean CSV scan round-trip") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("b", None)).toDF("product_name", "price_numeric")
@@ -134,15 +150,14 @@ class SourcesStreamingSpec extends SparkSpec {
     // window emits ONCE, when the advancing watermark closes it, and
     // in-flight windows stay in state. Three chronological files force
     // real watermark progression across micro-batches.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventsStream.eventsRawSchema)
-      .parquet(s"$Dir/events.parquet")
-    val Array(c1, c2) = raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    val raw0 = rawEvents()
+    val raw = raw0.withColumn("tsn", tsNum(raw0))
+    val Array(c1, c2) = raw.stat.approxQuantile("tsn", Array(0.33, 0.66), 0.0)
     val srcDir = s"$tmp/events_append_split"
     new java.io.File(srcDir).mkdirs()
-    Seq(raw.filter(col("ts") <= c1),
-        raw.filter(col("ts") > c1 && col("ts") <= c2),
-        raw.filter(col("ts") > c2)).zipWithIndex.foreach { case (p, i) =>
+    Seq(raw.filter(col("tsn") <= c1),
+        raw.filter(col("tsn") > c1 && col("tsn") <= c2),
+        raw.filter(col("tsn") > c2)).map(_.drop("tsn")).zipWithIndex.foreach { case (p, i) =>
       val stage = s"$tmp/events_append_stage_$i"
       p.coalesce(1).write.mode("overwrite").parquet(stage)
       val part = new java.io.File(stage).listFiles()
@@ -183,18 +198,17 @@ class SourcesStreamingSpec extends SparkSpec {
   test("streaming sessionization over 3 time-ordered files matches the single-file run") {
     import graft.streaming.Sessionize
     // split the raw events file into 3 chronological parquet files with
-    // increasing mtimes (the file source's processing order); ts stays a
-    // raw nanos long so readEvents' declared schema applies unchanged
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventsStream.eventsRawSchema)
-      .parquet(s"$Dir/events.parquet")
-    val Array(q1, q2) = raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    // increasing mtimes (the file source's processing order); ts keeps its
+    // physical shape so readEvents' sniffed schema applies unchanged
+    val raw0 = rawEvents()
+    val raw = raw0.withColumn("tsn", tsNum(raw0))
+    val Array(q1, q2) = raw.stat.approxQuantile("tsn", Array(0.33, 0.66), 0.0)
     val srcDir = s"$tmp/events_split"
     new java.io.File(srcDir).mkdirs()
     val parts = Seq(
-      raw.filter(col("ts") <= q1),
-      raw.filter(col("ts") > q1 && col("ts") <= q2),
-      raw.filter(col("ts") > q2))
+      raw.filter(col("tsn") <= q1),
+      raw.filter(col("tsn") > q1 && col("tsn") <= q2),
+      raw.filter(col("tsn") > q2)).map(_.drop("tsn"))
     parts.zipWithIndex.foreach { case (p, i) =>
       val stage = s"$tmp/events_split_stage_$i"
       p.coalesce(1).write.mode("overwrite").parquet(stage)
