@@ -215,8 +215,15 @@ object Graphs {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     // floor(raw·SCALE / Σraw), widened through DECIMAL(38,0); Spark's
     // `div` on decimals is integral division returning BIGINT — the
-    // exact mirror of DuckDB's HUGEINT `//`
-    def rescale(raw: DataFrame, out: String): DataFrame = {
+    // exact mirror of DuckDB's HUGEINT `//`.
+    // The CHECKPOINT sits on `raw` (the graph-sized join+groupBy), not on
+    // the rescaled projection: the total is a subquery over raw, so
+    // checkpointing downstream of it would execute the join twice per
+    // round (once for the total, once for the projection) — the rescale
+    // itself is a vertex-sized map over the materialized raw and stays
+    // lazy, its lineage already cut at the checkpoint.
+    def rescale(raw0: DataFrame, out: String): DataFrame = {
+      val raw = raw0.localCheckpoint()
       val tot = raw.agg(
         sum(col("raw").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
       raw.crossJoin(broadcast(tot))
@@ -230,10 +237,10 @@ object Graphs {
       for (_ <- 1 to iterations) {
         val aRaw = h.join(e, h("id") === e("src"))
           .groupBy(col("dst").as("id")).agg(sum(col("h_fp")).as("raw"))
-        a = rescale(aRaw, "a_fp").localCheckpoint()
+        a = rescale(aRaw, "a_fp")
         val hRaw = a.join(e, a("id") === e("dst"))
           .groupBy(col("src").as("id")).agg(sum(col("a_fp")).as("raw"))
-        h = rescale(hRaw, "h_fp").localCheckpoint()
+        h = rescale(hRaw, "h_fp")
       }
       vertices
         .join(h, Seq("id"), "left")
