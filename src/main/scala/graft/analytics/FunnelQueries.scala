@@ -228,6 +228,148 @@ object FunnelQueries {
       GROUP BY path ORDER BY n_users DESC, path LIMIT 25""")
   )
 
+  /** Conversion latency distribution: per user, seconds from first view
+    * to the first purchase STRICTLY after it; one row of exact quantiles
+    * over the converted users. Scale: one user-keyed shuffle per side,
+    * then the quantile aggregate runs on the ~n_users relation — latency
+    * is integer-micros subtraction (exact in both engines) divided by
+    * 1e6, so the oracle matches bit for bit. */
+  val qConversionLatency = GraftQuery(
+    "q_conversion_latency",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val firstView = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+      val lat = ev.filter($"event_type" === "purchase")
+        .join(firstView, "user_id")
+        .filter($"ts" > $"v_ts")
+        .groupBy($"user_id", $"v_ts").agg(min($"ts").as("p_ts"))
+        .select(((unix_micros($"p_ts") - unix_micros($"v_ts")) / lit(1000000.0))
+          .as("sec"))
+      lat.agg(count(lit(1)).as("n_converted"),
+          graft.expressions.ExactQuantiles.quantiles(
+            $"sec", Seq(0.25, 0.5, 0.75, 0.9)).as("qs"))
+        .select($"n_converted",
+          round(element_at($"qs", 1), 6).as("p25"),
+          round(element_at($"qs", 2), 6).as("p50"),
+          round(element_at($"qs", 3), 6).as("p75"),
+          round(element_at($"qs", 4), 6).as("p90"))
+    },
+    Some("""WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      p AS (SELECT e.user_id, v.v_ts, MIN(e.ts) AS p_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+        GROUP BY e.user_id, v.v_ts),
+      l AS (SELECT (epoch_us(p_ts) - epoch_us(v_ts)) / 1000000.0 AS sec FROM p)
+      SELECT COUNT(*) AS n_converted,
+        ROUND(QUANTILE_CONT(sec, 0.25), 6) AS p25,
+        ROUND(QUANTILE_CONT(sec, 0.5), 6) AS p50,
+        ROUND(QUANTILE_CONT(sec, 0.75), 6) AS p75,
+        ROUND(QUANTILE_CONT(sec, 0.9), 6) AS p90
+      FROM l""")
+  )
+
+  /** Kaplan-Meier survival curve for time-to-first-purchase, day
+    * granularity: each user enters at their first event; the "event" is
+    * their first purchase at t0 or later, users with no purchase are
+    * RIGHT-CENSORED at their last event. Per day t: d (events), c
+    * (censored), the risk set n = everyone whose event/censor day >= t,
+    * and S(t) = prod_{t' <= t, d > 0}(1 - d/n) — the churn/retention
+    * estimator that, unlike a naive conversion rate, is unbiased under
+    * censoring.
+    *
+    * Scale: one user-keyed shuffle builds the per-user (day, is_event)
+    * relation; everything after runs on the day-level rollup (≤ the
+    * observation window in days, never corpus-sized). Cross-engine FP
+    * discipline: each log-term is cast to DECIMAL(18,12) (kills libm
+    * last-ulp drift), the cumulative sum over the day order is then
+    * exact, and one EXP at the end is rounded to 6 — same trick as
+    * q_mutual_info. A day where the whole risk set converts (d = n)
+    * sends S to exactly 0 from then on (LN(0) is engine-hostile, so the
+    * zero is carried by a boolean flag, not by -inf arithmetic). */
+  val qSurvival = GraftQuery(
+    "q_survival",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, dir)
+      val u = ev.groupBy($"user_id")
+        .agg(min($"ts").as("t0"), max($"ts").as("tl"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(u.select($"user_id", $"t0"), "user_id")
+        .groupBy($"user_id").agg(min($"ts").as("tp"))
+      val perUser = u.join(p, Seq("user_id"), "left")
+        .select(
+          when($"tp".isNotNull,
+              floor((unix_micros($"tp") - unix_micros($"t0")) / lit(86400000000L)))
+            .otherwise(
+              floor((unix_micros($"tl") - unix_micros($"t0")) / lit(86400000000L)))
+            .as("day"),
+          when($"tp".isNotNull, lit(1L)).otherwise(lit(0L)).as("ev"))
+      val byDay = perUser.groupBy($"day")
+        .agg(sum($"ev").as("d"), sum(lit(1L) - $"ev").as("c"))
+      val wAll = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrev = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // the global (un-partitioned) windows below run on the DAY-level
+      // rollup — bounded by the observation window, never corpus-sized
+      byDay
+        .crossJoin(broadcast(perUser.agg(count(lit(1)).as("n_total"))))
+        .withColumn("n_risk",
+          $"n_total" - coalesce(sum($"d" + $"c").over(wPrev), lit(0L)))
+        .withColumn("term",
+          when($"d" === lit(0L), lit(BigDecimal(0)).cast(DecimalType(18, 12)))
+            .when($"d" < $"n_risk",
+              log(lit(1.0) - $"d".cast(DoubleType) / $"n_risk".cast(DoubleType))
+                .cast(DecimalType(18, 12)))
+            .otherwise(lit(null).cast(DecimalType(18, 12))))
+        .withColumn("dead",
+          max(when($"d" === $"n_risk", lit(1L)).otherwise(lit(0L))).over(wAll))
+        .withColumn("survival",
+          when($"dead" === lit(1L), lit(0.0))
+            .otherwise(round(exp(sum($"term").over(wAll).cast(DoubleType)), 6)))
+        .select($"day", $"n_risk", $"d".as("n_events"), $"c".as("n_censored"),
+          $"survival")
+        .orderBy($"day")
+    },
+    Some("""WITH u AS (SELECT user_id, MIN(ts) AS t0, MAX(ts) AS tl
+        FROM events GROUP BY user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN u ON e.user_id = u.user_id
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      pu AS (SELECT
+          CAST(CASE WHEN p.tp IS NOT NULL
+            THEN FLOOR((epoch_us(p.tp) - epoch_us(u.t0)) / 86400000000)
+            ELSE FLOOR((epoch_us(u.tl) - epoch_us(u.t0)) / 86400000000) END
+            AS BIGINT) AS day,
+          CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u LEFT JOIN p ON u.user_id = p.user_id),
+      bd AS (SELECT day, CAST(SUM(ev) AS BIGINT) AS d,
+          CAST(SUM(1 - ev) AS BIGINT) AS c FROM pu GROUP BY day),
+      tot AS (SELECT COUNT(*) AS n_total FROM pu),
+      r AS (SELECT day, d, c,
+          CAST(n_total - COALESCE(SUM(d + c) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM bd, tot),
+      t AS (SELECT day, d, c, n_risk,
+          CASE WHEN d = 0 THEN CAST(0 AS DECIMAL(18,12))
+            WHEN d < n_risk THEN CAST(LN(1 - CAST(d AS DOUBLE) / n_risk) AS DECIMAL(18,12))
+            ELSE NULL END AS term,
+          MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        FROM r)
+      SELECT day, n_risk, d AS n_events, c AS n_censored,
+        CASE WHEN dead = 1 THEN 0.0
+          ELSE ROUND(EXP(CAST(SUM(term) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) END
+          AS survival
+      FROM t ORDER BY day""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths)
+    Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
+      qConversionLatency, qSurvival)
 }

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -780,8 +781,117 @@ object MiningQueries {
       FROM fronts, tot GROUP BY tot.n1, tot.n2""")
   )
 
+  /** The four lineitem measure columns whose pairwise correlations
+    * q_corr_matrix reports, with their integer-cents views (every value
+    * has ≤ 2 decimals, so ROUND(x·100) is an exact integerization both
+    * engines agree on — the double never lands exactly between two
+    * integers). */
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Full Pearson correlation MATRIX over the four lineitem measures in
+    * ONE aggregate pass (4 + 4 + 6 sums + a count, all map-side partial)
+    * — where per-pair `corr()` calls would make 6 passes. All moment
+    * sums run on exact integer cents widened through DECIMAL(38,0)
+    * (DuckDB: HUGEINT), so the aggregate is order-independent and
+    * engine-exact; the final corr arithmetic casts the exact moments to
+    * DOUBLE once, after the n·Sxy − Sx·Sy combination (still exact, ≤
+    * ~10²⁶ ≪ 38 digits), with the two sqrt factors kept separate so the
+    * denominator product never overflows the decimal width. The 100×
+    * scaling cancels in corr (shift/scale invariance). */
+  val qCorrMatrix = GraftQuery(
+    "q_corr_matrix",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      def cents(c: String) =
+        round(col(c) * 100).cast("long").cast(DecimalType(38, 0))
+      val pairs = CorrCols.combinations(2).toSeq.map { case Seq(x, y) => (x, y) }
+      val aggs =
+        CorrCols.map(c => sum(cents(c)).as(s"s_$c")) ++
+        CorrCols.map(c => sum(cents(c) * cents(c)).as(s"ss_$c")) ++
+        pairs.map { case (x, y) => sum(cents(x) * cents(y)).as(s"sp_${x}_$y") }
+      val m = Tables.lineitem(s, dir)
+        .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"), aggs: _*)
+      def corr(x: String, y: String) = {
+        val num = ($"n" * col(s"sp_${x}_$y") - col(s"s_$x") * col(s"s_$y"))
+          .cast(DoubleType)
+        val dx = sqrt(($"n" * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")).cast(DoubleType))
+        val dy = sqrt(($"n" * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y")).cast(DoubleType))
+        round(num / (dx * dy), 6)
+      }
+      m.select(explode(array(pairs.map { case (x, y) =>
+          struct(lit(x).as("col_x"), lit(y).as("col_y"),
+            corr(x, y).as("corr")) }: _*)).as("r"))
+        .select($"r.col_x", $"r.col_y", $"r.corr")
+        .orderBy($"col_x", $"col_y")
+    },
+    Some {
+      val pairs = CorrCols.combinations(2).toSeq.map { case Seq(x, y) => (x, y) }
+      def cents(c: String) = s"CAST(ROUND($c * 100) AS BIGINT)"
+      val sums =
+        CorrCols.map(c => s"SUM(${cents(c)}) AS s_$c") ++
+        CorrCols.map(c => s"SUM(${cents(c)} * ${cents(c)}) AS ss_$c") ++
+        pairs.map { case (x, y) => s"SUM(${cents(x)} * ${cents(y)}) AS sp_${x}_$y" }
+      def corr(x: String, y: String) =
+        s"""ROUND(CAST(n * sp_${x}_$y - s_$x * s_$y AS DOUBLE) /
+           (SQRT(CAST(n * ss_$x - s_$x * s_$x AS DOUBLE)) *
+            SQRT(CAST(n * ss_$y - s_$y * s_$y AS DOUBLE))), 6)"""
+      val rows = pairs.map { case (x, y) =>
+        s"SELECT '$x' AS col_x, '$y' AS col_y, ${corr(x, y)} AS corr FROM m" }
+      s"""WITH m AS (SELECT COUNT(*) AS n, ${sums.mkString(", ")} FROM lineitem)
+        SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY col_x, col_y"""
+    }
+  )
+
+  /** Leakage-safe OUT-OF-FOLD target encoding of customer market segment
+    * against order value: orders split into 5 deterministic folds by
+    * o_orderkey % 5, and each (segment, fold) cell is encoded with the
+    * mean o_totalprice of the OTHER four folds — the standard trick that
+    * lets a categorical feature carry target signal without letting any
+    * row see its own target. Output is the (segments × folds) encoding
+    * grid — domain-sized, never row-sized.
+    *
+    * Scale: one join orders→customer (dim side broadcast), one grouped
+    * aggregate to the grid, then window subtraction ON the grid. Target
+    * sums go through DECIMAL(18,2) (exact, order-independent); the mean
+    * divides exact decimals as DOUBLE at the end. */
+  val qTargetEncode = GraftQuery(
+    "q_target_encode",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val cell = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment".as("segment"), (pmod($"o_orderkey", lit(5L))).as("fold"))
+        .agg(count(lit(1)).as("n_fold"),
+          sum($"o_totalprice".cast(DecimalType(18, 2))).as("sum_fold"))
+      val wSeg = Window.partitionBy($"segment")
+      cell
+        .withColumn("oof_mean",
+          // cast the EXACT decimal sum and count to DOUBLE before the
+          // division — decimal-division scale rules differ across
+          // engines, double division does not
+          round((sum($"sum_fold").over(wSeg) - $"sum_fold").cast(DoubleType) /
+            (sum($"n_fold").over(wSeg) - $"n_fold").cast(DoubleType), 6))
+        .select($"segment", $"fold", $"n_fold", $"oof_mean")
+        .orderBy($"segment", $"fold")
+    },
+    Some("""WITH cell AS (SELECT c.c_mktsegment AS segment,
+          o.o_orderkey % 5 AS fold, COUNT(*) AS n_fold,
+          SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS sum_fold
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2)
+      SELECT segment, fold, n_fold,
+        ROUND(CAST(SUM(sum_fold) OVER (PARTITION BY segment) - sum_fold AS DOUBLE) /
+          CAST(SUM(n_fold) OVER (PARTITION BY segment) - n_fold AS DOUBLE), 6)
+          AS oof_mean
+      FROM cell ORDER BY segment, fold""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
-      qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits)
+      qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
+      qCorrMatrix, qTargetEncode)
 }

