@@ -1023,6 +1023,52 @@ object ExtendedQueries {
       ORDER BY o_orderkey""")
   )
 
+  /** WEIGHTED median (and quartiles) of extended price weighted by
+    * quantity, per return flag — the order statistic where each row
+    * counts `weight` times (revenue-weighted price centers, token-
+    * weighted doc stats). No global or per-group corpus sort: weights
+    * roll up per DISTINCT (flag, value) first (the q_quantile_normalize
+    * trick), the cumulative front runs over that domain-sized relation,
+    * and the quantile is the first value whose front covers the target
+    * — exact integer-cents arithmetic end to end (2·cum ≥ q·tot cross-
+    * multiplied, no derived floats). */
+  val qWeightedMedian = GraftQuery(
+    "q_weighted_median",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_returnflag".as("flag"), $"l_extendedprice".as("v"),
+          round($"l_quantity" * 100).cast("long").as("w"))
+      val vc = li.groupBy($"flag", $"v").agg(sum($"w").as("wv"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy($"flag").orderBy($"v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val fronts = vc.withColumn("cum", sum($"wv").over(win))
+      val tot = vc.groupBy($"flag").agg(sum($"wv").as("tot"))
+      def firstAt(q: Int, name: String) =
+        min(when(lit(4) * $"cum" >= lit(q) * $"tot", $"v")).as(name)
+      fronts.join(broadcast(tot), "flag")
+        .groupBy($"flag")
+        .agg(firstAt(1, "wq1"), firstAt(2, "wmedian"), firstAt(3, "wq3"))
+        .orderBy($"flag")
+    },
+    Some("""WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+          CAST(ROUND(l_quantity * 100) AS BIGINT) AS w FROM lineitem),
+      vc AS (SELECT flag, v, CAST(SUM(w) AS BIGINT) AS wv
+        FROM li GROUP BY flag, v),
+      fronts AS (SELECT flag, v, wv,
+          CAST(SUM(wv) OVER (PARTITION BY flag ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM vc),
+      tot AS (SELECT flag, CAST(SUM(wv) AS BIGINT) AS tot FROM vc GROUP BY flag)
+      SELECT f.flag,
+        MIN(CASE WHEN 4 * f.cum >= 1 * t.tot THEN f.v END) AS wq1,
+        MIN(CASE WHEN 4 * f.cum >= 2 * t.tot THEN f.v END) AS wmedian,
+        MIN(CASE WHEN 4 * f.cum >= 3 * t.tot THEN f.v END) AS wq3
+      FROM fronts f JOIN tot t ON f.flag = t.flag
+      GROUP BY f.flag ORDER BY f.flag""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
@@ -1030,5 +1076,5 @@ object ExtendedQueries {
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
     qDenseTopk, qStreamEnrich, qStreamDedup, qStreamJoin, qStreamOuterJoin,
     qMergeUpsert, qContiguousIds, qStreamSessionWindow, qFuzzyMatch,
-    qQuantileNormalize)
+    qQuantileNormalize, qWeightedMedian)
 }

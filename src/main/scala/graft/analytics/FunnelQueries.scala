@@ -369,7 +369,109 @@ object FunnelQueries {
       FROM t ORDER BY day""")
   )
 
+  /** Two-arm experiment readout: users split deterministically by
+    * user_id parity (the portable stand-in for a bucketing hash),
+    * conversion = "first purchase within 24h of first activity" (a
+    * latency-bounded goal — mere eventual purchase saturates at 100%
+    * here and degenerates the statistic). One row: per-arm counts and
+    * rates, the pooled two-proportion z statistic, and Wilson 95% score
+    * intervals per arm (the interval that stays sane at small n and
+    * extreme rates, unlike the naive Wald CI). A saturated pooled rate
+    * (p̂ ∈ {0, 1}) yields z = NULL in both engines, never a
+    * divide-by-zero.
+    *
+    * Scale: ONE user-keyed shuffle reduces events to (user, arm,
+    * converted); the z/CI arithmetic runs on a 1-row aggregate of exact
+    * integer counts with the identical IEEE expression tree in both
+    * engines, rounded to 6. */
+  val qAbTest = GraftQuery(
+    "q_ab_test",
+    (s, dir) => {
+      import s.implicits._
+      val perUser = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(min($"ts").as("t0"),
+          min(when($"event_type" === "purchase", $"ts")).as("tp"))
+        .select(pmod($"user_id", lit(2L)).as("arm"),
+          when($"tp".isNotNull &&
+              unix_micros($"tp") - unix_micros($"t0") <= lit(86400000000L), 1L)
+            .otherwise(0L).as("conv"))
+      val m = perUser.agg(
+        sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 0L, $"conv").otherwise(0L)).as("c_a"),
+        sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === 1L, $"conv").otherwise(0L)).as("c_b"))
+      def rate(c: String, n: String) =
+        col(c).cast(DoubleType) / col(n).cast(DoubleType)
+      // Wilson 95% score interval at z = 1.96: (p + z²/2n ± z·sqrt(p(1−p)/n
+      // + z²/4n²)) / (1 + z²/n)
+      def wilson(c: String, n: String, lo: Boolean) = {
+        val z2 = lit(1.96 * 1.96)
+        val p = rate(c, n)
+        val nn = col(n).cast(DoubleType)
+        val center = p + z2 / (lit(2.0) * nn)
+        val spread = lit(1.96) * sqrt(p * (lit(1.0) - p) / nn +
+          z2 / (lit(4.0) * nn * nn))
+        round((if (lo) center - spread else center + spread) /
+          (lit(1.0) + z2 / nn), 6)
+      }
+      m.select($"n_a", $"c_a", $"n_b", $"c_b",
+        round(rate("c_a", "n_a"), 6).as("rate_a"),
+        round(rate("c_b", "n_b"), 6).as("rate_b"),
+        when($"c_a" + $"c_b" > 0 && $"c_a" + $"c_b" < $"n_a" + $"n_b",
+          round((rate("c_b", "n_b") - rate("c_a", "n_a")) /
+            sqrt((($"c_a" + $"c_b").cast(DoubleType) / ($"n_a" + $"n_b").cast(DoubleType)) *
+              (lit(1.0) - ($"c_a" + $"c_b").cast(DoubleType) / ($"n_a" + $"n_b").cast(DoubleType)) *
+              (lit(1.0) / $"n_a".cast(DoubleType) + lit(1.0) / $"n_b".cast(DoubleType))), 6))
+          .as("z_stat"),
+        wilson("c_a", "n_a", lo = true).as("ci_a_lo"),
+        wilson("c_a", "n_a", lo = false).as("ci_a_hi"),
+        wilson("c_b", "n_b", lo = true).as("ci_b_lo"),
+        wilson("c_b", "n_b", lo = false).as("ci_b_hi"))
+    },
+    Some("""WITH pu0 AS (SELECT user_id, MIN(ts) AS t0,
+          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events GROUP BY user_id),
+      pu AS (SELECT user_id % 2 AS arm,
+          CASE WHEN tp IS NOT NULL
+            AND epoch_us(tp) - epoch_us(t0) <= 86400000000
+            THEN 1 ELSE 0 END AS conv
+        FROM pu0),
+      m AS (SELECT
+          CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+          CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        FROM pu)
+      SELECT n_a, c_a, n_b, c_b,
+        ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+        ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+        CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+          ROUND((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+               - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+            SQRT((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+              (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+              (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) END AS z_stat,
+        ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n_a AS DOUBLE))
+             - 1.96 * SQRT(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) * (1.0 - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / CAST(n_a AS DOUBLE)
+               + (1.96 * 1.96) / (4.0 * CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))))
+          / (1.0 + (1.96 * 1.96) / CAST(n_a AS DOUBLE)), 6) AS ci_a_lo,
+        ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n_a AS DOUBLE))
+             + 1.96 * SQRT(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) * (1.0 - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / CAST(n_a AS DOUBLE)
+               + (1.96 * 1.96) / (4.0 * CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))))
+          / (1.0 + (1.96 * 1.96) / CAST(n_a AS DOUBLE)), 6) AS ci_a_hi,
+        ROUND((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n_b AS DOUBLE))
+             - 1.96 * SQRT(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) * (1.0 - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / CAST(n_b AS DOUBLE)
+               + (1.96 * 1.96) / (4.0 * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))))
+          / (1.0 + (1.96 * 1.96) / CAST(n_b AS DOUBLE)), 6) AS ci_b_lo,
+        ROUND((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n_b AS DOUBLE))
+             + 1.96 * SQRT(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) * (1.0 - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / CAST(n_b AS DOUBLE)
+               + (1.96 * 1.96) / (4.0 * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))))
+          / (1.0 + (1.96 * 1.96) / CAST(n_b AS DOUBLE)), 6) AS ci_b_hi
+      FROM m""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
-      qConversionLatency, qSurvival)
+      qConversionLatency, qSurvival, qAbTest)
 }

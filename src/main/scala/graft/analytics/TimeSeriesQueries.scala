@@ -316,6 +316,74 @@ object TimeSeriesQueries {
       FROM per CROSS JOIN tot ORDER BY bin""")
   )
 
+  /** Seasonal (day-of-week × hour) traffic baseline with per-cell
+    * anomaly headroom: hourly event counts roll up per calendar date,
+    * then each (dow, hour) cell reports its across-dates mean, sample
+    * stddev and the worst standardized excursion (max_z). The seasonal
+    * complement of q_zscore_outliers' global baseline — a Monday-9am
+    * spike is an anomaly against Monday-9am, not against 3am Sunday.
+    *
+    * Portability: dow derives from integer epoch-day arithmetic
+    * ((days + 4) % 7, Sunday = 0) — Spark's dayofweek() and DuckDB's
+    * dayofweek() disagree on numbering, integer DIV does not. Mean, sd
+    * and max_z come from exact integer count sums with the identical
+    * double expression tree in both engines (the module's stddev
+    * discipline); cells observed on a single date carry NULL sd/max_z
+    * rather than a divide-by-zero.
+    *
+    * Scale: one shuffle on (date, dow, hour) — partial-aggregated — then
+    * everything runs on the O(dates × 168) relation. */
+  val qSeasonalBaseline = GraftQuery(
+    "q_seasonal_baseline",
+    (s, dir) => {
+      import s.implicits._
+      val hourly = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) DIV 86400000000").as("eday"),
+          hour($"ts").as("hour"))
+        .groupBy($"eday", $"hour")
+        .agg(count(lit(1)).as("n"))
+        .select(pmod($"eday" + lit(4L), lit(7L)).as("dow"), $"hour", $"n")
+      hourly.groupBy($"dow", $"hour")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"n").as("s"), sum($"n" * $"n").as("ss"), max($"n").as("mx"))
+        .select($"dow", $"hour", $"n_days",
+          round($"s".cast(DoubleType) / $"n_days".cast(DoubleType), 6).as("mean_n"),
+          when($"n_days" > 1,
+            round(sqrt(($"n_days" * $"ss" - $"s" * $"s").cast(DoubleType) /
+              ($"n_days" * ($"n_days" - 1)).cast(DoubleType)), 6))
+            .as("sd_n"),
+          when($"n_days" > 1 && ($"n_days" * $"ss" - $"s" * $"s") > 0,
+            round(($"n_days" * $"mx" - $"s").cast(DoubleType) /
+              ($"n_days".cast(DoubleType) *
+                sqrt(($"n_days" * $"ss" - $"s" * $"s").cast(DoubleType) /
+                  ($"n_days" * ($"n_days" - 1)).cast(DoubleType))), 6))
+            .as("max_z"))
+        .orderBy($"dow", $"hour")
+    },
+    Some("""WITH hourly AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS eday,
+          hour(ts) AS hour, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      cells AS (SELECT (eday + 4) % 7 AS dow, hour, CAST(n AS BIGINT) AS n
+        FROM hourly),
+      agg AS (SELECT dow, hour, COUNT(*) AS n_days,
+          CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS ss,
+          MAX(n) AS mx
+        FROM cells GROUP BY dow, hour)
+      SELECT dow, hour, n_days,
+        ROUND(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_n,
+        CASE WHEN n_days > 1 THEN
+          ROUND(SQRT(CAST(n_days * ss - s * s AS DOUBLE) /
+            CAST(n_days * (n_days - 1) AS DOUBLE)), 6) END AS sd_n,
+        CASE WHEN n_days > 1 AND n_days * ss - s * s > 0 THEN
+          ROUND(CAST(n_days * mx - s AS DOUBLE) /
+            (CAST(n_days AS DOUBLE) *
+             SQRT(CAST(n_days * ss - s * s AS DOUBLE) /
+               CAST(n_days * (n_days - 1) AS DOUBLE))), 6) END AS max_z
+      FROM agg ORDER BY dow, hour""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi)
+    Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi,
+      qSeasonalBaseline)
 }

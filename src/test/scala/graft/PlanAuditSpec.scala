@@ -551,4 +551,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pv.contains("SortMergeJoin"),
       s"q_vocab_coverage grew a corpus-sized join:\n$pv")
   }
+
+  test("stat/survival additions: one-pass moments, grid windows, no corpus joins") {
+    // corr matrix: ALL moments in ONE aggregate — no join of any kind,
+    // no second scan of lineitem
+    val pc = plan("q_corr_matrix")
+    assert(!pc.contains("Join"), s"q_corr_matrix grew a join:\n$pc")
+    assert(pc.split("FileScan parquet").length == 2,
+      s"q_corr_matrix must scan lineitem exactly once:\n$pc")
+    // target encoding: the customer dim broadcasts; the window runs on
+    // the (segments x folds) grid, so no corpus-sized sort appears above
+    // the aggregate
+    val pt = plan("q_target_encode")
+    assert(pt.contains("BroadcastHashJoin"),
+      s"q_target_encode customer dim stopped broadcasting:\n$pt")
+    assert(!pt.contains("SortMergeJoin"),
+      s"q_target_encode grew a corpus-sized join:\n$pt")
+    // survival: the only corpus-sized shuffles key on user_id (the
+    // per-user reduction); day-level math must not join back to events
+    val ps = plan("q_survival")
+    assert(!ps.contains("CartesianProduct") || ps.contains("BroadcastNestedLoopJoin"),
+      s"q_survival has a data-sized cartesian:\n$ps")
+    assert(ps.contains("hashpartitioning(user_id"),
+      s"q_survival lost its per-user reduction:\n$ps")
+    // conversion latency: per-user reductions feed a 1-row aggregate;
+    // no corpus-sized window anywhere
+    val pl = plan("q_conversion_latency")
+    assert(!pl.contains("Window"), s"q_conversion_latency grew a window:\n$pl")
+    assert(!pl.contains("CartesianProduct"))
+    // A/B readout: one user-keyed reduction, then 1-row arithmetic —
+    // no join, no window
+    val pab = plan("q_ab_test")
+    assert(!pab.contains("Join"), s"q_ab_test grew a join:\n$pab")
+    assert(!pab.contains("Window"), s"q_ab_test grew a window:\n$pab")
+    // weighted median: the window runs over the DISTINCT (flag, value)
+    // rollup (HashAggregate below the Sort), never the raw corpus, and
+    // the per-flag totals broadcast
+    val pw = plan("q_weighted_median")
+    assert(pw.contains("BroadcastHashJoin"),
+      s"q_weighted_median totals stopped broadcasting:\n$pw")
+    assert(!pw.contains("SortMergeJoin"),
+      s"q_weighted_median grew a corpus-sized join:\n$pw")
+  }
 }

@@ -71,6 +71,53 @@ class StatQueriesSpec extends SparkSpec {
     assert(s(2L) === ((2L, 1L, 1L, 0.375)))
   }
 
+  test("q_ab_test: arms partition the users; Wilson CIs bracket the rates") {
+    val r = graft.SparkEntry.queries("q_ab_test")(spark, Dir).head()
+    def l(c: String) = r.getLong(r.fieldIndex(c))
+    def d(c: String) = r.getDouble(r.fieldIndex(c))
+    val users = graft.Tables.events(spark, Dir)
+      .select(col("user_id")).distinct().count()
+    assert(l("n_a") + l("n_b") === users)
+    assert(l("c_a") <= l("n_a") && l("c_b") <= l("n_b"))
+    assert(d("ci_a_lo") < d("rate_a") && d("rate_a") < d("ci_a_hi"))
+    assert(d("ci_b_lo") < d("rate_b") && d("rate_b") < d("ci_b_hi"))
+    // intervals stay inside [0,1] — the Wilson property the Wald CI lacks
+    Seq("ci_a_lo", "ci_a_hi", "ci_b_lo", "ci_b_hi").foreach { c =>
+      assert(d(c) >= 0.0 && d(c) <= 1.0, s"$c out of [0,1]")
+    }
+  }
+
+  test("q_weighted_median: matches a direct weighted-rank computation") {
+    val rows = graft.SparkEntry.queries("q_weighted_median")(spark, Dir).collect()
+    assert(rows.nonEmpty)
+    val li = graft.Tables.lineitem(spark, Dir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
+        round(col("l_quantity") * 100).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.foreach { r =>
+      val (flag, wm) = (r.getString(0), r.getDouble(r.fieldIndex("wmedian")))
+      val grp = li.filter(_._1 == flag).sortBy(_._2)
+      val tot = grp.map(_._3).sum
+      var cum = 0L
+      val direct = grp.find { case (_, _, w) => cum += w; 2 * cum >= tot }.get._2
+      assert(wm === direct, s"flag $flag: $wm vs direct $direct")
+    }
+  }
+
+  test("q_seasonal_baseline: cell means reproduce the total event count") {
+    val rows = graft.SparkEntry.queries("q_seasonal_baseline")(spark, Dir).collect()
+    assert(rows.length <= 168)
+    // sum over cells of mean*n_days recovers the corpus event count
+    val recovered = rows.map(r =>
+      r.getDouble(r.fieldIndex("mean_n")) * r.getLong(r.fieldIndex("n_days"))).sum
+    val total = graft.Tables.events(spark, Dir).count()
+    assert(math.abs(recovered - total) < 1e-3, s"$recovered vs $total")
+    rows.filter(!_.isNullAt(5)).foreach { r =>
+      val z = r.getDouble(r.fieldIndex("max_z"))
+      assert(z >= 0.0, s"max excursion must sit at or above the mean, got $z")
+    }
+  }
+
   test("q_conversion_latency: quantiles are ordered and n matches a direct count") {
     val r = graft.SparkEntry.queries("q_conversion_latency")(spark, Dir).head()
     val n = r.getLong(r.fieldIndex("n_converted"))
