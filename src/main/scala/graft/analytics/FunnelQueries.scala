@@ -471,7 +471,175 @@ object FunnelQueries {
       FROM m""")
   )
 
+  /** Fixed-point rounds for q_markov_attribution: partial absorption
+    * probabilities after this many steps. Identical in both engines by
+    * integer construction; the geometric tail beyond 12 steps sits below
+    * the 1e-6 output rounding for these journey lengths. */
+  private val MkRounds = 12
+
+  /** Markov-chain attribution with REMOVAL EFFECTS — the
+    * data-driven alternative to first/last-touch (q_attribution): user
+    * journeys become a first-order Markov chain over touch states
+    * (start → touches → conversion/null), and each channel's credit is
+    * how much the chain's start→conversion absorption probability DROPS
+    * when that channel is deleted from the graph (its edges removed,
+    * their mass falling through to null), normalized across channels.
+    *
+    * Engine-exact by the q_pagerank discipline: transition shares are
+    * integer ppm (n·1e6 DIV out), absorption runs [[MkRounds]] integer
+    * fixed-point rounds at 1e12 scale with per-term DIV, and ALL removal
+    * variants iterate together as one (removed, state)-keyed relation —
+    * the base chain rides along as removed = '__none__'. Monotonicity
+    * from p₀ = 0 makes every removal effect provably ≥ 0 at any horizon.
+    *
+    * Scale: journeys truncate at the first purchase via one user-keyed
+    * window; the transition rollup is O(states²) — domain-sized, as is
+    * everything after (the variant relation is (channels+1) × states
+    * rows; every join side broadcasts). */
+  val qMarkovAttribution = GraftQuery(
+    "q_markov_attribution",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+      // first purchase per user, by the (ts, event_id) total order
+      val firstP = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(min(struct($"ts", $"event_id")).as("fp"))
+      val kept = ev.join(firstP, Seq("user_id"), "left")
+        .filter($"fp".isNull || struct($"ts", $"event_id") <= $"fp")
+        .withColumn("state",
+          when($"event_type" === "purchase", lit("__conv__"))
+            .otherwise($"event_type"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val seq = kept
+        .withColumn("next", lead($"state", 1).over(w))
+        .withColumn("rn", row_number().over(w))
+      val edges = seq.filter($"next".isNotNull)
+          .select($"state".as("src"), $"next".as("dst"))
+        .unionAll(seq.filter($"rn" === 1)
+          .select(lit("__start__").as("src"), $"state".as("dst")))
+        .unionAll(seq.filter($"next".isNull && $"fp".isNull)
+          .select($"state".as("src"), lit("__null__").as("dst")))
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+      // the transition matrix is O(states²) — MATERIALIZE it (and the
+      // derived variant relations) so the corpus-sized journey subtree
+      // appears in NO loop plan, and cut each round's lineage: an
+      // unmaterialized 12-round nest re-plans a quadratically growing
+      // tree (measured 54 s at sf0.1; checkpointed: ~2 s)
+      val e = edges.localCheckpoint()
+      val out = e.groupBy($"src").agg(sum($"n").as("out"))
+      val states = e.select($"src".as("s")).distinct()
+      val variants = states.filter($"s" =!= "__start__")
+        .select($"s".as("removed"))
+        .unionAll(e.sparkSession.range(1).select(lit("__none__").as("removed")))
+      val redges = variants
+        .join(e, e("src") =!= variants("removed") && e("dst") =!= variants("removed"))
+        .join(out, "src")
+        .select($"removed", $"src", $"dst",
+          expr("n * 1000000 DIV out").as("share_ppm"))
+        .localCheckpoint()
+      val spine = variants.crossJoin(states).select($"removed", $"s")
+        .localCheckpoint()
+      var p = spine.withColumn("p", lit(0L))
+      for (_ <- 1 to MkRounds) {
+        val contrib = redges
+          .join(p.select($"removed", $"s".as("dst"), $"p".as("pv")),
+            Seq("removed", "dst"), "left")
+          .select($"removed", $"src",
+            expr("""share_ppm * (CASE WHEN dst = '__conv__' THEN 1000000000000
+                WHEN dst = '__null__' THEN 0
+                ELSE COALESCE(pv, 0) END) DIV 1000000""").as("term"))
+          .groupBy($"removed", $"src").agg(sum($"term").as("contrib"))
+        p = spine.join(contrib,
+            spine("removed") === contrib("removed") && spine("s") === contrib("src"),
+            "left")
+          .select(spine("removed"), spine("s"),
+            coalesce($"contrib", lit(0L)).as("p"))
+          .localCheckpoint()
+      }
+      val atStart = p.filter($"s" === "__start__")
+      val base = atStart.filter($"removed" === "__none__")
+        .select($"p".as("base_p"))
+      val rem = atStart.filter($"removed" =!= "__none__")
+        .crossJoin(broadcast(base))
+        .select($"removed".as("channel"), $"base_p",
+          ($"base_p" - $"p").as("removal_fp"))
+      val tot = rem.agg(sum($"removal_fp").as("t"))
+      rem.crossJoin(broadcast(tot))
+        .select($"channel",
+          round($"base_p".cast(DoubleType) / lit(1000000000000.0), 6)
+            .as("conv_prob"),
+          round($"removal_fp".cast(DoubleType) / lit(1000000000000.0), 6)
+            .as("removal_effect"),
+          when($"t" > 0,
+            round($"removal_fp".cast(DoubleType) / $"t".cast(DoubleType), 6))
+            .as("attribution"))
+        .orderBy($"channel")
+    },
+    Some {
+      val rounds = (1 to MkRounds).map { i =>
+        val prev = i - 1
+        s"""p$i AS MATERIALIZED (
+          SELECT sp.removed, sp.s, CAST(COALESCE(SUM(r.share_ppm *
+              (CASE WHEN r.dst = '__conv__' THEN 1000000000000
+                WHEN r.dst = '__null__' THEN 0
+                ELSE COALESCE(pp.p, 0) END) // 1000000), 0) AS BIGINT) AS p
+          FROM spine sp
+          LEFT JOIN redges r ON r.removed = sp.removed AND r.src = sp.s
+          LEFT JOIN p$prev pp ON pp.removed = r.removed AND pp.s = r.dst
+          GROUP BY sp.removed, sp.s)"""
+      }.mkString(",\n      ")
+      s"""WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+      fp AS (SELECT user_id, ts, event_id FROM (
+          SELECT user_id, ts, event_id,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+      kept AS (SELECT e.user_id, e.ts, e.event_id,
+          CASE WHEN e.event_type = 'purchase' THEN '__conv__'
+            ELSE e.event_type END AS state,
+          fp.ts AS fpts
+        FROM ev e LEFT JOIN fp ON e.user_id = fp.user_id
+        WHERE fp.ts IS NULL OR e.ts < fp.ts
+          OR (e.ts = fp.ts AND e.event_id <= fp.event_id)),
+      seq AS (SELECT user_id, state, fpts,
+          LEAD(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM kept),
+      edges AS MATERIALIZED (SELECT src, dst, COUNT(*) AS n FROM (
+          SELECT state AS src, next AS dst FROM seq WHERE next IS NOT NULL
+          UNION ALL
+          SELECT '__start__', state FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT state, '__null__' FROM seq WHERE next IS NULL AND fpts IS NULL)
+        GROUP BY src, dst),
+      outd AS (SELECT src, CAST(SUM(n) AS BIGINT) AS outn FROM edges GROUP BY src),
+      states AS (SELECT DISTINCT src AS s FROM edges),
+      variants AS (SELECT s AS removed FROM states WHERE s <> '__start__'
+        UNION ALL SELECT '__none__'),
+      redges AS MATERIALIZED (SELECT v.removed, e.src, e.dst,
+          e.n * 1000000 // o.outn AS share_ppm
+        FROM variants v
+        JOIN edges e ON e.src <> v.removed AND e.dst <> v.removed
+        JOIN outd o ON o.src = e.src),
+      spine AS MATERIALIZED (SELECT removed, s FROM variants CROSS JOIN states),
+      p0 AS (SELECT removed, s, CAST(0 AS BIGINT) AS p FROM spine),
+      $rounds,
+      base AS (SELECT p AS base_p FROM p$MkRounds
+        WHERE removed = '__none__' AND s = '__start__'),
+      rem AS (SELECT removed AS channel, base_p, base_p - p AS removal_fp
+        FROM p$MkRounds, base WHERE s = '__start__' AND removed <> '__none__'),
+      tot AS (SELECT CAST(SUM(removal_fp) AS BIGINT) AS t FROM rem)
+      SELECT channel,
+        ROUND(CAST(base_p AS DOUBLE) / 1000000000000.0, 6) AS conv_prob,
+        ROUND(CAST(removal_fp AS DOUBLE) / 1000000000000.0, 6) AS removal_effect,
+        CASE WHEN t > 0 THEN
+          ROUND(CAST(removal_fp AS DOUBLE) / CAST(t AS DOUBLE), 6) END AS attribution
+      FROM rem, tot ORDER BY channel"""
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
-      qConversionLatency, qSurvival, qAbTest)
+      qConversionLatency, qSurvival, qAbTest, qMarkovAttribution)
 }

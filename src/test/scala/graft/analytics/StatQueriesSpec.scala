@@ -118,6 +118,41 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("Markov attribution: effects non-negative, attribution sums to 1, " +
+      "single-channel chain takes full credit") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q_markov_attribution")(spark, Dir).collect()
+    assert(rows.nonEmpty)
+    val attrs = rows.filter(!_.isNullAt(3)).map(_.getDouble(3))
+    assert(math.abs(attrs.sum - 1.0) < 1e-4, s"attribution sums to ${attrs.sum}")
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("removal_effect")) >= 0.0,
+        "removal can only reduce absorption (monotone fixed point)")
+    }
+    // a chain with ONE channel: removing it must kill all conversion →
+    // attribution 1.0, and conv_prob is the exact share of converting users
+    def t(u: Long, sec: Long, typ: String) =
+      (u, u * 10 + sec, new java.sql.Timestamp(1700000000000L + sec * 1000L), typ)
+    val ev = Seq(
+      t(1, 0, "view"), t(1, 1, "purchase"),
+      t(2, 0, "view"), t(2, 1, "view"),
+      t(3, 0, "view"), t(3, 1, "purchase"),
+      t(4, 0, "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("mk").toString
+    ev.select($"user_id", $"ts", $"event_id", $"event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q_markov_attribution")(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "view")
+    assert(out(0).getDouble(out(0).fieldIndex("attribution")) === 1.0)
+    // start→view (4/4), view→conv 2/5, view→view 1/5, view→null 2/5:
+    // absorption = p where p = 0.4 + 0.2·p → 0.5 at the fixed point;
+    // 12 integer rounds land within 1e-4 of it
+    val cp = out(0).getDouble(out(0).fieldIndex("conv_prob"))
+    assert(math.abs(cp - 0.5) < 1e-4, s"conv_prob $cp")
+  }
+
   test("q_conversion_latency: quantiles are ordered and n matches a direct count") {
     val r = graft.SparkEntry.queries("q_conversion_latency")(spark, Dir).head()
     val n = r.getLong(r.fieldIndex("n_converted"))
