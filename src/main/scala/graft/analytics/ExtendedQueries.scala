@@ -158,6 +158,34 @@ object ExtendedQueries {
       FROM events GROUP BY 1 ORDER BY hour""")
   )
 
+  /** Streaming MERGE-upsert sink (foreachBatch): micro-batches fold into
+    * a keyed parquet state table — per user the latest (ts, event_id)-
+    * ordered value plus a running count — through
+    * [[graft.streaming.EventsStream.runUpsert]]'s generation-swapped
+    * read-merge-write. The oracle states the FOLD INVARIANT directly
+    * (last event per user + count over the whole input); the 3-file
+    * multi-batch equivalence is spec-pinned in SourcesStreamingSpec. */
+  val qStreamUpsert = GraftQuery(
+    "q_stream_upsert",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_upsert_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+      val ev = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+      graft.streaming.EventsStream
+        .runUpsert(s, ev, name, checkpoint, Scratch.dir("stream_upsert", dir))
+        .orderBy($"user_id")
+    },
+    Some("""WITH pu AS (SELECT user_id, ts, event_id, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events)
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        value AS last_value, CAST(n AS BIGINT) AS n_events
+      FROM pu WHERE rn = 1 ORDER BY user_id""")
+  )
+
   /** Streaming incremental dedup (D2) under AT-LEAST-ONCE delivery: the
     * same event files arrive on TWO source streams (every event delivered
     * twice — the redelivery pattern of any retrying ingester), and
@@ -1076,5 +1104,5 @@ object ExtendedQueries {
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
     qDenseTopk, qStreamEnrich, qStreamDedup, qStreamJoin, qStreamOuterJoin,
     qMergeUpsert, qContiguousIds, qStreamSessionWindow, qFuzzyMatch,
-    qQuantileNormalize, qWeightedMedian)
+    qQuantileNormalize, qWeightedMedian, qStreamUpsert)
 }

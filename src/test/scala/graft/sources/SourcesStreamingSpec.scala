@@ -236,6 +236,40 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(onebatch === single)
   }
 
+  test("streaming upsert: 3-micro-batch fold equals the single-batch state") {
+    // the fold invariant: any micro-batch partitioning of the input must
+    // produce the identical final state (latest value per user + count)
+    val raw0 = rawEvents()
+    val raw = raw0.withColumn("tsn", tsNum(raw0))
+    val Array(u1, u2) = raw.stat.approxQuantile("tsn", Array(0.33, 0.66), 0.0)
+    val srcDir = s"$tmp/events_upsert_split"
+    new java.io.File(srcDir).mkdirs()
+    Seq(raw.filter(col("tsn") <= u1),
+        raw.filter(col("tsn") > u1 && col("tsn") <= u2),
+        raw.filter(col("tsn") > u2)).map(_.drop("tsn")).zipWithIndex.foreach { case (p, i) =>
+      val stage = s"$tmp/events_upsert_stage_$i"
+      p.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"events_$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1900000000000L + i * 60000L))
+    }
+    def run(path: String, tag: String): Map[Long, (Long, Long, Double, Long)] = {
+      val ev = EventsStream.readEvents(spark, path, maxFilesPerTrigger = 1)
+      EventsStream.runUpsert(spark, ev, s"upsert_$tag",
+          s"$tmp/ckpt_upsert_$tag", s"$tmp/state_upsert_$tag")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3), r.getLong(4))))
+        .toMap
+    }
+    val single = run(s"$Dir/events.parquet", "single")
+    val multi = run(srcDir, "multi") // 3 files, 3 micro-batches
+    assert(single.nonEmpty)
+    assert(multi === single,
+      "multi-batch incremental merge must equal the single-batch fold")
+  }
+
   test("sessionize: flatMapGroupsWithState closes sessions on 30-min gaps") {
     import spark.implicits._
     import graft.streaming.Sessionize
