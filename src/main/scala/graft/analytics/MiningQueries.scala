@@ -889,9 +889,63 @@ object MiningQueries {
       FROM cell ORDER BY segment, fold""")
   )
 
+  /** Item-item co-purchase similarity — the collaborative-filtering
+    * primitive: parts appearing in the same order pair up, scored by
+    * cosine (n_ij / √(n_i·n_j)) and lift (n_ij·N / (n_i·n_j)), top 25
+    * by support then cosine. The within-order self-join is the scale
+    * story: fan-out is lines-per-order², BOUNDED by basket size (single
+    * digits in any order system) — never a global item² product; a
+    * pathological mega-basket would be df-capped like every other pair
+    * generator (baskets that large carry no similarity signal).
+    *
+    * Exactness: counts are integers; cosine/lift evaluate ONE fixed
+    * IEEE tree over them (√ of an exact integer product ≤ ~1e8 — exact
+    * double), so no decimal staging is needed. */
+  val qCopurchase = GraftQuery(
+    "q_copurchase",
+    (s, dir) => {
+      import s.implicits._
+      val basket = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val b = graft.operators.Caches.register(basket)
+      val itemN = b.groupBy($"pk").agg(count(lit(1)).as("ni"))
+      val orders = b.select($"ok").distinct().agg(count(lit(1)).as("n_orders"))
+      val pairs = b.as("a").join(b.as("b"), "ok")
+        .filter($"a.pk" < $"b.pk")
+        .groupBy($"a.pk".as("p1"), $"b.pk".as("p2"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter($"n_both" >= 2)
+      pairs
+        .join(broadcast(itemN.select($"pk".as("p1"), $"ni".as("n1"))), "p1")
+        .join(broadcast(itemN.select($"pk".as("p2"), $"ni".as("n2"))), "p2")
+        .crossJoin(broadcast(orders))
+        .select($"p1", $"p2", $"n_both", $"n1", $"n2",
+          round($"n_both".cast(DoubleType) /
+            sqrt(($"n1" * $"n2").cast(DoubleType)), 6).as("cosine"),
+          round($"n_both".cast(DoubleType) * $"n_orders".cast(DoubleType) /
+            ($"n1" * $"n2").cast(DoubleType), 6).as("lift"))
+        .orderBy($"n_both".desc, $"cosine".desc, $"p1", $"p2")
+        .limit(25)
+    },
+    Some("""WITH basket AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem),
+      itemn AS (SELECT pk, COUNT(*) AS ni FROM basket GROUP BY pk),
+      n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM basket),
+      pairs AS (SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_both
+        FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT p1, p2, n_both, i1.ni AS n1, i2.ni AS n2,
+        ROUND(CAST(n_both AS DOUBLE) / SQRT(CAST(i1.ni * i2.ni AS DOUBLE)), 6)
+          AS cosine,
+        ROUND(CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+          CAST(i1.ni * i2.ni AS DOUBLE), 6) AS lift
+      FROM pairs JOIN itemn i1 ON i1.pk = p1 JOIN itemn i2 ON i2.pk = p2, n
+      ORDER BY n_both DESC, cosine DESC, p1, p2 LIMIT 25""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
-      qCorrMatrix, qTargetEncode)
+      qCorrMatrix, qTargetEncode, qCopurchase)
 }

@@ -153,6 +153,26 @@ class StatQueriesSpec extends SparkSpec {
     assert(math.abs(cp - 0.5) < 1e-4, s"conv_prob $cp")
   }
 
+  test("q_copurchase: similarity bounds and a direct pair-count recount") {
+    val rows = graft.SparkEntry.queries("q_copurchase")(spark, Dir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      val (nb, n1, n2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nb >= 2 && nb <= math.min(n1, n2),
+        "co-occurrence cannot exceed either item's support")
+      val cos = r.getDouble(r.fieldIndex("cosine"))
+      assert(cos > 0.0 && cos <= 1.0)
+    }
+    // recount the top pair's co-occurrence straight off lineitem
+    val top = rows.head
+    val (p1, p2) = (top.getLong(0), top.getLong(1))
+    val li = graft.Tables.lineitem(spark, Dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val recount = li.filter(col("l_partkey") === p1)
+      .join(li.filter(col("l_partkey") === p2), "l_orderkey").count()
+    assert(recount === top.getLong(2), s"top pair recount $recount vs ${top.getLong(2)}")
+  }
+
   test("q_conversion_latency: quantiles are ordered and n matches a direct count") {
     val r = graft.SparkEntry.queries("q_conversion_latency")(spark, Dir).head()
     val n = r.getLong(r.fieldIndex("n_converted"))
