@@ -943,9 +943,103 @@ object MiningQueries {
       ORDER BY n_both DESC, cosine DESC, p1, p2 LIMIT 25""")
   )
 
+  /** 3×3 determinant over named double columns — the shared formula
+    * text both engines evaluate (Spark selectExpr and DuckDB parse the
+    * identical tree, so the IEEE result is bit-equal given exact-moment
+    * inputs). */
+  private def det3(a: String, b: String, c: String, d: String, e: String,
+      f: String, g: String, h: String, i: String): String =
+    s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+
+  /** Shared Spark/DuckDB formula fragments for q_multi_ols: Cramer-rule
+    * coefficients and R² over the double-cast exact moments. */
+  private val OlsDets: Seq[(String, String)] = {
+    val dM = det3("nd", "s1d", "s2d", "s1d", "s11d", "s12d", "s2d", "s12d", "s22d")
+    val d0 = det3("syd", "s1d", "s2d", "s1yd", "s11d", "s12d", "s2yd", "s12d", "s22d")
+    val d1 = det3("nd", "syd", "s2d", "s1d", "s1yd", "s12d", "s2d", "s2yd", "s22d")
+    val d2 = det3("nd", "s1d", "syd", "s1d", "s11d", "s1yd", "s2d", "s12d", "s2yd")
+    val b0 = s"($d0 / $dM)"
+    val b1 = s"($d1 / $dM)"
+    val b2 = s"($d2 / $dM)"
+    val sse = s"(syyd - ($b0 * syd + $b1 * s1yd + $b2 * s2yd))"
+    val sst = "(syyd - syd * syd / nd)"
+    Seq(
+      // intercept reported in natural units (moments are integer cents)
+      "b0" -> s"ROUND($b0 / 100.0, 6)",
+      "b1" -> s"ROUND($b1, 6)",
+      "b2" -> s"ROUND($b2, 6)",
+      "r2" -> s"CASE WHEN $sst > 0 THEN ROUND(1.0 - $sse / $sst, 6) END")
+  }
+
+  /** Grouped MULTIVARIATE OLS in closed form: per return flag, fit
+    * extendedprice = b0 + b1·quantity + b2·discount by solving the 3×3
+    * normal equations with Cramer's rule — ONE moment-aggregate pass
+    * (10 sums, map-side partial), then pure scalar arithmetic on the
+    * group-level relation. The multi-feature step up from q_trend's
+    * single-feature slope; at any corpus size the only shuffle is the
+    * group rollup.
+    *
+    * Engine exactness: all moments are integer-cents products summed
+    * through DECIMAL(38,0) (DuckDB HUGEINT) — exact and order-
+    * independent; the determinant arithmetic then runs on double casts
+    * of those exact integers through the IDENTICAL formula text in both
+    * engines ([[OlsDets]] is interpolated into the Spark selectExpr AND
+    * the oracle SQL), so even ill-conditioned groups agree bit-for-bit. */
+  val qMultiOls = GraftQuery(
+    "q_multi_ols",
+    (s, dir) => {
+      import s.implicits._
+      def cents(c: String) =
+        round(col(c) * 100).cast("long").cast(DecimalType(38, 0))
+      val (y, x1, x2) = (cents("l_extendedprice"), cents("l_quantity"),
+        cents("l_discount"))
+      val m = Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag".as("flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+          sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"),
+          sum(x2 * x2).as("s22"), sum(x1 * y).as("s1y"),
+          sum(x2 * y).as("s2y"), sum(y * y).as("syy"))
+        .selectExpr("flag", "n_rows",
+          "CAST(n_rows AS DOUBLE) AS nd",
+          "CAST(s1 AS DOUBLE) AS s1d", "CAST(s2 AS DOUBLE) AS s2d",
+          "CAST(sy AS DOUBLE) AS syd", "CAST(s11 AS DOUBLE) AS s11d",
+          "CAST(s12 AS DOUBLE) AS s12d", "CAST(s22 AS DOUBLE) AS s22d",
+          "CAST(s1y AS DOUBLE) AS s1yd", "CAST(s2y AS DOUBLE) AS s2yd",
+          "CAST(syy AS DOUBLE) AS syyd")
+      m.selectExpr(Seq("flag", "n_rows") ++
+          OlsDets.map { case (name, f) => s"$f AS $name" }: _*)
+        .orderBy($"flag")
+    },
+    Some {
+      val dets = OlsDets.map { case (name, f) => s"$f AS $name" }.mkString(",\n        ")
+      s"""WITH li AS (SELECT l_returnflag AS flag,
+          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+          CAST(ROUND(l_quantity * 100) AS BIGINT) AS x1,
+          CAST(ROUND(l_discount * 100) AS BIGINT) AS x2
+        FROM lineitem),
+      m AS (SELECT flag, COUNT(*) AS n_rows,
+          SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+          SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+          SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+        FROM li GROUP BY flag),
+      d AS (SELECT flag, n_rows,
+          CAST(n_rows AS DOUBLE) AS nd,
+          CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+          CAST(sy AS DOUBLE) AS syd, CAST(s11 AS DOUBLE) AS s11d,
+          CAST(s12 AS DOUBLE) AS s12d, CAST(s22 AS DOUBLE) AS s22d,
+          CAST(s1y AS DOUBLE) AS s1yd, CAST(s2y AS DOUBLE) AS s2yd,
+          CAST(syy AS DOUBLE) AS syyd
+        FROM m)
+      SELECT flag, n_rows,
+        $dets
+      FROM d ORDER BY flag"""
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
-      qCorrMatrix, qTargetEncode, qCopurchase)
+      qCorrMatrix, qTargetEncode, qCopurchase, qMultiOls)
 }

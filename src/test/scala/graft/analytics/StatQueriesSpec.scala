@@ -173,6 +173,25 @@ class StatQueriesSpec extends SparkSpec {
     assert(recount === top.getLong(2), s"top pair recount $recount vs ${top.getLong(2)}")
   }
 
+  test("q_multi_ols recovers a planted exact linear relationship") {
+    import spark.implicits._
+    // y = 3 + 2*q + 5*d exactly -> coefficients recover exactly, r2 = 1
+    val rows = for {
+      q <- 1 to 6
+      d <- Seq(0.00, 0.02, 0.04, 0.08)
+    } yield ("A", q.toDouble, d, 3.0 + 2.0 * q + 5.0 * d)
+    val dir = java.nio.file.Files.createTempDirectory("ols").toString
+    rows.toDF("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.SparkEntry.queries("q_multi_ols")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getDouble(r.fieldIndex("b0")) === 3.0)
+    assert(r.getDouble(r.fieldIndex("b1")) === 2.0)
+    assert(r.getDouble(r.fieldIndex("b2")) === 5.0)
+    assert(r.getDouble(r.fieldIndex("r2")) === 1.0)
+  }
+
   test("q_conversion_latency: quantiles are ordered and n matches a direct count") {
     val r = graft.SparkEntry.queries("q_conversion_latency")(spark, Dir).head()
     val n = r.getLong(r.fieldIndex("n_converted"))
