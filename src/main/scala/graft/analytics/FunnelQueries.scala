@@ -298,7 +298,6 @@ object FunnelQueries {
       val u = ev.groupBy($"user_id")
         .agg(min($"ts").as("t0"), max($"ts").as("tl"))
       val p = ev.filter($"event_type" === "purchase")
-        .join(u.select($"user_id", $"t0"), "user_id")
         .groupBy($"user_id").agg(min($"ts").as("tp"))
       val perUser = u.join(p, Seq("user_id"), "left")
         .select(
@@ -312,14 +311,15 @@ object FunnelQueries {
         .agg(sum($"ev").as("d"), sum(lit(1L) - $"ev").as("c"))
       val wAll = Window.orderBy($"day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wPrev = Window.orderBy($"day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // the global (un-partitioned) windows below run on the DAY-level
-      // rollup — bounded by the observation window, never corpus-sized
+      // risk set as the REVERSED cumulative sum (everyone whose event or
+      // censor day is >= t) — no user-count total, so the corpus subtree
+      // is never referenced twice. The global (un-partitioned) windows
+      // run on the DAY-level rollup — bounded by the observation window,
+      // never corpus-sized.
+      val wFwd = Window.orderBy($"day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       byDay
-        .crossJoin(broadcast(perUser.agg(count(lit(1)).as("n_total"))))
-        .withColumn("n_risk",
-          $"n_total" - coalesce(sum($"d" + $"c").over(wPrev), lit(0L)))
+        .withColumn("n_risk", sum($"d" + $"c").over(wFwd))
         .withColumn("term",
           when($"d" === lit(0L), lit(BigDecimal(0)).cast(DecimalType(18, 12)))
             .when($"d" < $"n_risk",
@@ -337,9 +337,8 @@ object FunnelQueries {
     },
     Some("""WITH u AS (SELECT user_id, MIN(ts) AS t0, MAX(ts) AS tl
         FROM events GROUP BY user_id),
-      p AS (SELECT e.user_id, MIN(e.ts) AS tp
-        FROM events e JOIN u ON e.user_id = u.user_id
-        WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      p AS (SELECT user_id, MIN(ts) AS tp
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
       pu AS (SELECT
           CAST(CASE WHEN p.tp IS NOT NULL
             THEN FLOOR((epoch_us(p.tp) - epoch_us(u.t0)) / 86400000000)
@@ -349,11 +348,10 @@ object FunnelQueries {
         FROM u LEFT JOIN p ON u.user_id = p.user_id),
       bd AS (SELECT day, CAST(SUM(ev) AS BIGINT) AS d,
           CAST(SUM(1 - ev) AS BIGINT) AS c FROM pu GROUP BY day),
-      tot AS (SELECT COUNT(*) AS n_total FROM pu),
       r AS (SELECT day, d, c,
-          CAST(n_total - COALESCE(SUM(d + c) OVER (ORDER BY day
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
-        FROM bd, tot),
+          CAST(SUM(d + c) OVER (ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        FROM bd),
       t AS (SELECT day, d, c, n_risk,
           CASE WHEN d = 0 THEN CAST(0 AS DECIMAL(18,12))
             WHEN d < n_risk THEN CAST(LN(1 - CAST(d AS DOUBLE) / n_risk) AS DECIMAL(18,12))
@@ -415,19 +413,23 @@ object FunnelQueries {
         round((if (lo) center - spread else center + spread) /
           (lit(1.0) + z2 / nn), 6)
       }
+      // an EMPTY arm (every user on one parity — tiny or adversarial
+      // splits) nulls out that arm's rate/CI and the z statistic rather
+      // than producing 0/0 NaNs with engine-divergent semantics
       m.select($"n_a", $"c_a", $"n_b", $"c_b",
-        round(rate("c_a", "n_a"), 6).as("rate_a"),
-        round(rate("c_b", "n_b"), 6).as("rate_b"),
-        when($"c_a" + $"c_b" > 0 && $"c_a" + $"c_b" < $"n_a" + $"n_b",
+        when($"n_a" > 0, round(rate("c_a", "n_a"), 6)).as("rate_a"),
+        when($"n_b" > 0, round(rate("c_b", "n_b"), 6)).as("rate_b"),
+        when($"n_a" > 0 && $"n_b" > 0 &&
+            $"c_a" + $"c_b" > 0 && $"c_a" + $"c_b" < $"n_a" + $"n_b",
           round((rate("c_b", "n_b") - rate("c_a", "n_a")) /
             sqrt((($"c_a" + $"c_b").cast(DoubleType) / ($"n_a" + $"n_b").cast(DoubleType)) *
               (lit(1.0) - ($"c_a" + $"c_b").cast(DoubleType) / ($"n_a" + $"n_b").cast(DoubleType)) *
               (lit(1.0) / $"n_a".cast(DoubleType) + lit(1.0) / $"n_b".cast(DoubleType))), 6))
           .as("z_stat"),
-        wilson("c_a", "n_a", lo = true).as("ci_a_lo"),
-        wilson("c_a", "n_a", lo = false).as("ci_a_hi"),
-        wilson("c_b", "n_b", lo = true).as("ci_b_lo"),
-        wilson("c_b", "n_b", lo = false).as("ci_b_hi"))
+        when($"n_a" > 0, wilson("c_a", "n_a", lo = true)).as("ci_a_lo"),
+        when($"n_a" > 0, wilson("c_a", "n_a", lo = false)).as("ci_a_hi"),
+        when($"n_b" > 0, wilson("c_b", "n_b", lo = true)).as("ci_b_lo"),
+        when($"n_b" > 0, wilson("c_b", "n_b", lo = false)).as("ci_b_hi"))
     },
     Some("""WITH pu0 AS (SELECT user_id, MIN(ts) AS t0,
           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
@@ -444,30 +446,37 @@ object FunnelQueries {
           CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
         FROM pu)
       SELECT n_a, c_a, n_b, c_b,
-        ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
-        ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
-        CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+        CASE WHEN n_a > 0 THEN
+          ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END AS rate_a,
+        CASE WHEN n_b > 0 THEN
+          ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END AS rate_b,
+        CASE WHEN n_a > 0 AND n_b > 0
+          AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
           ROUND((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
                - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
             SQRT((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
               (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
               (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) END AS z_stat,
-        ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n_a AS DOUBLE))
+        CASE WHEN n_a > 0 THEN
+          ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n_a AS DOUBLE))
              - 1.96 * SQRT(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) * (1.0 - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / CAST(n_a AS DOUBLE)
                + (1.96 * 1.96) / (4.0 * CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))))
-          / (1.0 + (1.96 * 1.96) / CAST(n_a AS DOUBLE)), 6) AS ci_a_lo,
-        ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n_a AS DOUBLE))
+          / (1.0 + (1.96 * 1.96) / CAST(n_a AS DOUBLE)), 6) END AS ci_a_lo,
+        CASE WHEN n_a > 0 THEN
+          ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n_a AS DOUBLE))
              + 1.96 * SQRT(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) * (1.0 - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / CAST(n_a AS DOUBLE)
                + (1.96 * 1.96) / (4.0 * CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))))
-          / (1.0 + (1.96 * 1.96) / CAST(n_a AS DOUBLE)), 6) AS ci_a_hi,
-        ROUND((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n_b AS DOUBLE))
+          / (1.0 + (1.96 * 1.96) / CAST(n_a AS DOUBLE)), 6) END AS ci_a_hi,
+        CASE WHEN n_b > 0 THEN
+          ROUND((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n_b AS DOUBLE))
              - 1.96 * SQRT(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) * (1.0 - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / CAST(n_b AS DOUBLE)
                + (1.96 * 1.96) / (4.0 * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))))
-          / (1.0 + (1.96 * 1.96) / CAST(n_b AS DOUBLE)), 6) AS ci_b_lo,
-        ROUND((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n_b AS DOUBLE))
+          / (1.0 + (1.96 * 1.96) / CAST(n_b AS DOUBLE)), 6) END AS ci_b_lo,
+        CASE WHEN n_b > 0 THEN
+          ROUND((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) + (1.96 * 1.96) / (2.0 * CAST(n_b AS DOUBLE))
              + 1.96 * SQRT(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) * (1.0 - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / CAST(n_b AS DOUBLE)
                + (1.96 * 1.96) / (4.0 * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))))
-          / (1.0 + (1.96 * 1.96) / CAST(n_b AS DOUBLE)), 6) AS ci_b_hi
+          / (1.0 + (1.96 * 1.96) / CAST(n_b AS DOUBLE)), 6) END AS ci_b_hi
       FROM m""")
   )
 

@@ -343,9 +343,14 @@ object TimeSeriesQueries {
         .groupBy($"eday", $"hour")
         .agg(count(lit(1)).as("n"))
         .select(pmod($"eday" + lit(4L), lit(7L)).as("dow"), $"hour", $"n")
+      // moment sums widen through DECIMAL(38,0) (DuckDB: HUGEINT) — the
+      // module's discipline; a cell at corpus scale can hold ~1e9 events
+      // and s*s would silently wrap a 64-bit sum
       hourly.groupBy($"dow", $"hour")
         .agg(count(lit(1)).as("n_days"),
-          sum($"n").as("s"), sum($"n" * $"n").as("ss"), max($"n").as("mx"))
+          sum($"n".cast(DecimalType(38, 0))).as("s"),
+          sum(($"n" * $"n").cast(DecimalType(38, 0))).as("ss"),
+          max($"n").as("mx"))
         .select($"dow", $"hour", $"n_days",
           round($"s".cast(DoubleType) / $"n_days".cast(DoubleType), 6).as("mean_n"),
           when($"n_days" > 1,
@@ -367,7 +372,7 @@ object TimeSeriesQueries {
       cells AS (SELECT (eday + 4) % 7 AS dow, hour, CAST(n AS BIGINT) AS n
         FROM hourly),
       agg AS (SELECT dow, hour, COUNT(*) AS n_days,
-          CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS ss,
+          SUM(n) AS s, SUM(n * n) AS ss,
           MAX(n) AS mx
         FROM cells GROUP BY dow, hour)
       SELECT dow, hour, n_days,

@@ -213,7 +213,17 @@ object EventsStream {
             .select(col("user_id"), col("last.ts").as("last_ts"),
               col("last.event_id").as("last_event_id"),
               col("last.value").as("last_value"), col("n").as("n_events"))
-          val prev = gens()
+          // REPLAY SAFETY (foreachBatch is at-least-once): previous state
+          // is the newest generation ≤ batchId — a gen > batchId is a
+          // half-committed write from a failed attempt of THIS batch and
+          // must be dropped, never read as state (double-count) and never
+          // overwritten while being scanned. The immediately-previous
+          // generation is kept until the NEXT batch commits (two gens on
+          // disk), so a crash between write and checkpoint-commit still
+          // finds batch b's input state when b replays.
+          gens().filter(_ > batchId)
+            .foreach(g => deleteRecursively(new java.io.File(s"$stateDir/gen-$g")))
+          val prev = gens().filter(_ <= batchId)
           val merged = prev.lastOption match {
             case None => delta
             case Some(g) =>
@@ -234,7 +244,10 @@ object EventsStream {
                   col("last.last_value").as("last_value"), col("n_events"))
           }
           merged.write.mode("overwrite").parquet(s"$stateDir/gen-${batchId + 1}")
-          prev.foreach(g => deleteRecursively(new java.io.File(s"$stateDir/gen-$g")))
+          // reclaim generations BEFORE the one this batch read — keeping
+          // gen-batchId alive is what makes the replay above possible
+          prev.filter(_ < batchId)
+            .foreach(g => deleteRecursively(new java.io.File(s"$stateDir/gen-$g")))
         }
         .queryName(name)
         .option("checkpointLocation", checkpoint)

@@ -568,12 +568,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pt.contains("SortMergeJoin"),
       s"q_target_encode grew a corpus-sized join:\n$pt")
     // survival: the only corpus-sized shuffles key on user_id (the
-    // per-user reduction); day-level math must not join back to events
+    // per-user reduction); day-level math must not join back to events,
+    // and the events scan must appear exactly twice (the u and p sides
+    // of one pass) — a third scan means a subtree got duplicated
     val ps = plan("q_survival")
-    assert(!ps.contains("CartesianProduct") || ps.contains("BroadcastNestedLoopJoin"),
+    assert(!ps.contains("CartesianProduct"),
       s"q_survival has a data-sized cartesian:\n$ps")
     assert(ps.contains("hashpartitioning(user_id"),
       s"q_survival lost its per-user reduction:\n$ps")
+    assert(ps.split("FileScan parquet").length == 3,
+      s"q_survival must scan events exactly twice (u + p), not more:\n$ps")
     // conversion latency: per-user reductions feed a 1-row aggregate;
     // no corpus-sized window anywhere
     val pl = plan("q_conversion_latency")
