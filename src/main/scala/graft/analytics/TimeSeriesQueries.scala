@@ -388,7 +388,79 @@ object TimeSeriesQueries {
       FROM agg ORDER BY dow, hour""")
   )
 
+  /** CUSUM changepoint detection on the daily event-count series: the
+    * classic mean-shift detector the z-score flags can't replace (a
+    * small sustained shift never crosses a per-point threshold but
+    * accumulates in the CUSUM). The textbook recursion C_t = max(0,
+    * C_{t-1} + x_t − μ − k) is NOT window-expressible — but it equals
+    * S_t − min_{t'≤t} S_{t'} for the drift-adjusted prefix sum S, so
+    * both one-sided statistics become a cumulative sum plus a running
+    * extremum over the DAY-level rollup (two frames of one ordered
+    * window; domain-sized, never corpus-sized). μ and σ come from exact
+    * integer day-count moments (1-row broadcast); slack k = σ/2 and
+    * threshold h = 4σ are the standard defaults; the per-day terms are
+    * one fixed IEEE tree evaluated in the deterministic day order, so
+    * both engines agree bit-for-bit. */
+  val qCusum = GraftQuery(
+    "q_cusum",
+    (s, dir) => {
+      import s.implicits._
+      val byDay = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("eday"))
+        .agg(count(lit(1)).as("x"))
+      val m = byDay.agg(count(lit(1)).as("nd"),
+        sum($"x".cast(DecimalType(38, 0))).as("sx"),
+        sum(($"x" * $"x").cast(DecimalType(38, 0))).as("sxx"))
+      val wCum = Window.orderBy($"eday")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byDay.crossJoin(broadcast(m))
+        .withColumn("mu", $"sx".cast(DoubleType) / $"nd".cast(DoubleType))
+        .withColumn("sd",
+          sqrt(($"nd" * $"sxx" - $"sx" * $"sx").cast(DoubleType) /
+            ($"nd" * ($"nd" - 1)).cast(DoubleType)))
+        .withColumn("s_hi",
+          sum($"x".cast(DoubleType) - $"mu" - $"sd" / 2).over(wCum))
+        .withColumn("s_lo",
+          sum($"x".cast(DoubleType) - $"mu" + $"sd" / 2).over(wCum))
+        // the running extremum must include the EMPTY prefix (S_0 = 0)
+        // or the first days' statistic degenerates to 0
+        .withColumn("cusum_hi",
+          round($"s_hi" - least(lit(0.0), min($"s_hi").over(wCum)), 6))
+        .withColumn("cusum_lo",
+          round(greatest(lit(0.0), max($"s_lo").over(wCum)) - $"s_lo", 6))
+        .select($"eday", $"x",
+          $"cusum_hi", $"cusum_lo",
+          ($"cusum_hi" > lit(4.0) * $"sd" || $"cusum_lo" > lit(4.0) * $"sd")
+            .as("shift_flag"))
+        .orderBy($"eday")
+    },
+    Some("""WITH byday AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS eday,
+          COUNT(*) AS x
+        FROM events GROUP BY 1),
+      m AS (SELECT COUNT(*) AS nd, SUM(x) AS sx, SUM(x * x) AS sxx FROM byday),
+      t AS (SELECT eday, CAST(x AS BIGINT) AS x,
+          CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE) AS mu,
+          SQRT(CAST(nd * sxx - sx * sx AS DOUBLE) /
+            CAST(nd * (nd - 1) AS DOUBLE)) AS sd
+        FROM byday, m),
+      c AS (SELECT eday, x, mu, sd,
+          SUM(CAST(x AS DOUBLE) - mu - sd / 2) OVER (ORDER BY eday
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_hi,
+          SUM(CAST(x AS DOUBLE) - mu + sd / 2) OVER (ORDER BY eday
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_lo
+        FROM t),
+      f AS (SELECT eday, x, sd,
+          ROUND(s_hi - LEAST(0.0, MIN(s_hi) OVER (ORDER BY eday
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS cusum_hi,
+          ROUND(GREATEST(0.0, MAX(s_lo) OVER (ORDER BY eday
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - s_lo, 6) AS cusum_lo
+        FROM c)
+      SELECT eday, x, cusum_hi, cusum_lo,
+        (cusum_hi > 4.0 * sd OR cusum_lo > 4.0 * sd) AS shift_flag
+      FROM f ORDER BY eday""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi,
-      qSeasonalBaseline)
+      qSeasonalBaseline, qCusum)
 }

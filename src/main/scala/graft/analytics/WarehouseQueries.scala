@@ -678,9 +678,45 @@ object WarehouseQueries {
       ORDER BY label_a, label_b""")
   )
 
+  /** CDC APPLY: the events stream read as change-data-capture on a
+    * per-user profile — signup = INSERT, error = DELETE, anything else
+    * = UPDATE — folded in (ts, event_id) order to the final table
+    * state. Last-writer-wins per key: a user whose LAST op is a delete
+    * is absent; delete-then-reinsert sequences survive with the later
+    * value (the tombstone resolution a naive "ignore deletes" upsert
+    * gets wrong). One user-keyed window; no self-joins; version = ops
+    * applied, so the output doubles as an apply audit. */
+  val qCdcApply = GraftQuery(
+    "q_cdc_apply",
+    (s, dir) => {
+      import s.implicits._
+      val op = when($"event_type" === "signup", lit("I"))
+        .when($"event_type" === "error", lit("D"))
+        .otherwise(lit("U"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"value", op.as("op"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_ops", count(lit(1)).over(Window.partitionBy($"user_id")))
+        .filter($"rn" === 1 && $"op" =!= "D")
+        .select($"user_id", $"op".as("last_op"), $"ts".as("last_ts"),
+          round($"value", 6).as("last_value"), $"n_ops")
+        .orderBy($"user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, ts, event_id, value,
+          CASE WHEN event_type = 'signup' THEN 'I'
+            WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM events)
+      SELECT user_id, op AS last_op, ts AS last_ts,
+        ROUND(value, 6) AS last_value, CAST(n_ops AS BIGINT) AS n_ops
+      FROM c WHERE rn = 1 AND op <> 'D' ORDER BY user_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qDupInflation, qDupClusterSizes, qEmbedNorms,
       qEmbedCentroids, qEmbedCovariance, qEmbedVarianceByLabel, qEmbedPca,
       qEmbedQuantize, qIncrementalAgg, qDeltaDedup, qDeltaNearDup,
-      qSnapshotDiff, qJlProject, qCentroidSim)
+      qSnapshotDiff, qJlProject, qCentroidSim, qCdcApply)
 }

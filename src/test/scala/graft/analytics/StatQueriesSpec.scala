@@ -192,6 +192,43 @@ class StatQueriesSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("r2")) === 1.0)
   }
 
+  test("CDC apply: last-writer-wins with tombstone resolution") {
+    import spark.implicits._
+    def t(u: Long, sec: Long, typ: String, v: Double) =
+      (u, u * 100 + sec, new java.sql.Timestamp(1700000000000L + sec * 1000L), typ, v)
+    val ev = Seq(
+      t(1, 0, "signup", 1.0), t(1, 1, "view", 2.0), t(1, 2, "error", 0.0), // ends deleted
+      t(2, 0, "signup", 1.0), t(2, 1, "error", 0.0), t(2, 2, "signup", 7.5), // reinserted
+      t(3, 0, "view", 3.25)) // update-only key
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString
+    ev.select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q_cdc_apply")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(3), r.getLong(4)))).toMap
+    assert(!out.contains(1L), "a key whose last op is DELETE must be absent")
+    assert(out(2L) === (("I", 7.5, 3L)), "delete-then-reinsert keeps the later value")
+    assert(out(3L) === (("U", 3.25, 1L)))
+  }
+
+  test("CUSUM window formulation equals the textbook recursion") {
+    val rows = graft.SparkEntry.queries("q_cusum")(spark, Dir).collect()
+    assert(rows.nonEmpty)
+    val xs = rows.map(_.getLong(1).toDouble)
+    val n = xs.length
+    val mu = xs.sum / n
+    val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+    var cHi = 0.0; var cLo = 0.0
+    rows.zip(xs).foreach { case (r, x) =>
+      cHi = math.max(0.0, cHi + x - mu - sd / 2)
+      cLo = math.max(0.0, cLo + mu - x - sd / 2)
+      assert(math.abs(r.getDouble(2) - cHi) < 1e-4,
+        s"day ${r.getLong(0)}: cusum_hi ${r.getDouble(2)} vs recursion $cHi")
+      assert(math.abs(r.getDouble(3) - cLo) < 1e-4,
+        s"day ${r.getLong(0)}: cusum_lo ${r.getDouble(3)} vs recursion $cLo")
+    }
+  }
+
   test("q_conversion_latency: quantiles are ordered and n matches a direct count") {
     val r = graft.SparkEntry.queries("q_conversion_latency")(spark, Dir).head()
     val n = r.getLong(r.fieldIndex("n_converted"))
