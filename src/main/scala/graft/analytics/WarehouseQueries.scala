@@ -714,9 +714,97 @@ object WarehouseQueries {
       FROM c WHERE rn = 1 AND op <> 'D' ORDER BY user_id""")
   )
 
+  /** RFM segmentation rollup: per customer, Recency (days from the
+    * corpus max order date to their last order), Frequency (#orders) and
+    * Monetary (decimal-exact spend) quintile-scored 1–5, rolled up to
+    * the ≤125 (r, f, m) segment cells with size and average spend.
+    *
+    * The quintile scoring deliberately avoids `ntile()` — a global
+    * single-partition window sort of the customer relation. Boundaries
+    * come from ONE fused exact-quantile aggregate per metric (1-row,
+    * broadcast back); a score is 1 + how many boundaries the value
+    * strictly clears — identical comparison trees in both engines, and
+    * ties get a deterministic score by construction. */
+  val qRfm = GraftQuery(
+    "q_rfm",
+    (s, dir) => {
+      import s.implicits._
+      val perCust = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(max($"o_orderdate").as("last_order"),
+          count(lit(1)).as("f"),
+          sum($"o_totalprice".cast(DecimalType(18, 2))).as("m_dec"))
+      val anchored = perCust
+        .crossJoin(broadcast(perCust.agg(max($"last_order").as("anchor"))))
+        .select($"o_custkey",
+          datediff($"anchor", $"last_order").cast("long").as("r"),
+          $"f", $"m_dec".cast(DoubleType).as("m"), $"m_dec")
+      val a = graft.operators.Caches.register(anchored)
+      val qs = Seq(0.2, 0.4, 0.6, 0.8)
+      val bounds = a.agg(
+        graft.expressions.ExactQuantiles.quantiles($"r".cast(DoubleType), qs).as("qr"),
+        graft.expressions.ExactQuantiles.quantiles($"f".cast(DoubleType), qs).as("qf"),
+        graft.expressions.ExactQuantiles.quantiles($"m", qs).as("qm"))
+      def clears(v: org.apache.spark.sql.Column, arr: String, i: Int) =
+        when(v > element_at(col(arr), i), 1).otherwise(0)
+      val scored = a.crossJoin(broadcast(bounds))
+        .select($"o_custkey", $"m_dec",
+          // recent = LOW r: 5 minus boundaries cleared
+          (lit(5) - (1 to 4).map(i => clears($"r".cast(DoubleType), "qr", i))
+            .reduce(_ + _)).as("r_score"),
+          (lit(1) + (1 to 4).map(i => clears($"f".cast(DoubleType), "qf", i))
+            .reduce(_ + _)).as("f_score"),
+          (lit(1) + (1 to 4).map(i => clears($"m", "qm", i))
+            .reduce(_ + _)).as("m_score"))
+      // average spend by exact integer cents with FLOOR division — a
+      // ROUND of sum/count lands on half-cent boundaries (…/2 = x.885)
+      // where Spark (HALF_UP) and DuckDB (half-even) disagree
+      scored.groupBy($"r_score", $"f_score", $"m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"m_dec").as("spend"))
+        .select($"r_score", $"f_score", $"m_score", $"n_customers",
+          (expr("CAST(CAST(spend * 100 AS DECIMAL(38,0)) DIV n_customers AS BIGINT)")
+            / lit(100.0)).as("avg_spend"))
+        .orderBy($"r_score", $"f_score", $"m_score")
+    },
+    Some("""WITH pc AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
+          COUNT(*) AS f, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m_dec
+        FROM orders GROUP BY o_custkey),
+      anch AS (SELECT MAX(last_order) AS anchor FROM pc),
+      a AS (SELECT o_custkey,
+          CAST(DATEDIFF('day', CAST(last_order AS DATE), CAST(anchor AS DATE)) AS BIGINT) AS r,
+          f, CAST(m_dec AS DOUBLE) AS m, m_dec
+        FROM pc, anch),
+      b AS (SELECT
+          [QUANTILE_CONT(CAST(r AS DOUBLE), 0.2), QUANTILE_CONT(CAST(r AS DOUBLE), 0.4),
+           QUANTILE_CONT(CAST(r AS DOUBLE), 0.6), QUANTILE_CONT(CAST(r AS DOUBLE), 0.8)] AS qr,
+          [QUANTILE_CONT(CAST(f AS DOUBLE), 0.2), QUANTILE_CONT(CAST(f AS DOUBLE), 0.4),
+           QUANTILE_CONT(CAST(f AS DOUBLE), 0.6), QUANTILE_CONT(CAST(f AS DOUBLE), 0.8)] AS qf,
+          [QUANTILE_CONT(m, 0.2), QUANTILE_CONT(m, 0.4),
+           QUANTILE_CONT(m, 0.6), QUANTILE_CONT(m, 0.8)] AS qm
+        FROM a),
+      scored AS (SELECT o_custkey, m_dec,
+          5 - (CASE WHEN CAST(r AS DOUBLE) > qr[1] THEN 1 ELSE 0 END
+             + CASE WHEN CAST(r AS DOUBLE) > qr[2] THEN 1 ELSE 0 END
+             + CASE WHEN CAST(r AS DOUBLE) > qr[3] THEN 1 ELSE 0 END
+             + CASE WHEN CAST(r AS DOUBLE) > qr[4] THEN 1 ELSE 0 END) AS r_score,
+          1 + (CASE WHEN CAST(f AS DOUBLE) > qf[1] THEN 1 ELSE 0 END
+             + CASE WHEN CAST(f AS DOUBLE) > qf[2] THEN 1 ELSE 0 END
+             + CASE WHEN CAST(f AS DOUBLE) > qf[3] THEN 1 ELSE 0 END
+             + CASE WHEN CAST(f AS DOUBLE) > qf[4] THEN 1 ELSE 0 END) AS f_score,
+          1 + (CASE WHEN m > qm[1] THEN 1 ELSE 0 END
+             + CASE WHEN m > qm[2] THEN 1 ELSE 0 END
+             + CASE WHEN m > qm[3] THEN 1 ELSE 0 END
+             + CASE WHEN m > qm[4] THEN 1 ELSE 0 END) AS m_score
+        FROM a, b)
+      SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+        CAST(CAST(SUM(m_dec) * 100 AS HUGEINT) // COUNT(*) AS BIGINT) / 100.0 AS avg_spend
+      FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qDupInflation, qDupClusterSizes, qEmbedNorms,
       qEmbedCentroids, qEmbedCovariance, qEmbedVarianceByLabel, qEmbedPca,
       qEmbedQuantize, qIncrementalAgg, qDeltaDedup, qDeltaNearDup,
-      qSnapshotDiff, qJlProject, qCentroidSim, qCdcApply)
+      qSnapshotDiff, qJlProject, qCentroidSim, qCdcApply, qRfm)
 }

@@ -229,6 +229,27 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_rfm: segment cells partition the customer base; scores in 1..5") {
+    val rows = graft.SparkEntry.queries("q_rfm")(spark, Dir).collect()
+    assert(rows.nonEmpty && rows.length <= 125)
+    val total = rows.map(_.getLong(3)).sum
+    val nCust = graft.Tables.orders(spark, Dir)
+      .select(col("o_custkey")).distinct().count()
+    assert(total === nCust, "every customer lands in exactly one segment")
+    rows.foreach { r =>
+      Seq(0, 1, 2).foreach { i =>
+        val sc = r.getInt(i)
+        assert(sc >= 1 && sc <= 5, s"score out of range: $sc")
+      }
+      assert(r.getDouble(4) > 0.0)
+    }
+    // quintile scoring must actually spread: each dimension uses >= 4
+    // distinct scores on this data
+    Seq(0, 1, 2).foreach { i =>
+      assert(rows.map(_.getInt(i)).distinct.length >= 4, s"dim $i collapsed")
+    }
+  }
+
   test("q_conversion_latency: quantiles are ordered and n matches a direct count") {
     val r = graft.SparkEntry.queries("q_conversion_latency")(spark, Dir).head()
     val n = r.getLong(r.fieldIndex("n_converted"))
