@@ -648,7 +648,62 @@ object FunnelQueries {
     }
   )
 
+  /** Cohort LTV curve: cumulative purchase revenue per (first-activity
+    * week cohort, weeks-since-cohort offset), divided by cohort size —
+    * the lifetime-value complement of q_retention's activity matrix.
+    * Revenue stays DECIMAL-exact through the cumulative window; the
+    * per-user LTV divides by FLOOR-cents (half-cent ROUND boundaries
+    * diverge across engines — the q_rfm lesson). Scale: one user-keyed
+    * reduction for cohorts, one (cohort, offset) rollup, cumulative
+    * window over that tiny matrix. */
+  val qCohortLtv = GraftQuery(
+    "q_cohort_ltv",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val wk = floor(datediff(to_date($"ts"), lit("2024-01-01").cast("date")) / 7)
+      val ev = Tables.events(s, dir).select($"user_id", $"ts",
+        $"event_type", $"value", wk.cast("long").as("week"))
+      val cohort = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+      val c = graft.operators.Caches.register(cohort)
+      val sizes = c.groupBy($"cohort_week").agg(count(lit(1)).as("n_cohort"))
+      val rev = ev.filter($"event_type" === "purchase")
+        .join(c, "user_id")
+        .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+        .agg(sum($"value".cast(DecimalType(18, 2))).as("rev"))
+      val wCum = Window.partitionBy($"cohort_week").orderBy($"week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev
+        .withColumn("cum_rev", sum($"rev").over(wCum))
+        .join(broadcast(sizes), "cohort_week")
+        .select($"cohort_week", $"week_offset", $"n_cohort",
+          $"cum_rev".cast(DoubleType).as("cum_revenue"),
+          (expr("CAST(CAST(cum_rev * 100 AS DECIMAL(38,0)) DIV n_cohort AS BIGINT)")
+            / lit(100.0)).as("ltv_per_user"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, value,
+        CAST(FLOOR(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+      FROM events),
+      cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+      sizes AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM cohort GROUP BY 1),
+      rev AS (SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+          SUM(CAST(e.value AS DECIMAL(18,2))) AS rev
+        FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+      cum AS (SELECT cohort_week, week_offset,
+          SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        FROM rev)
+      SELECT m.cohort_week, m.week_offset, s.n_cohort,
+        CAST(m.cum_rev AS DOUBLE) AS cum_revenue,
+        CAST(CAST(m.cum_rev * 100 AS HUGEINT) // s.n_cohort AS BIGINT) / 100.0
+          AS ltv_per_user
+      FROM cum m JOIN sizes s ON m.cohort_week = s.cohort_week
+      ORDER BY m.cohort_week, m.week_offset""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
-      qConversionLatency, qSurvival, qAbTest, qMarkovAttribution)
+      qConversionLatency, qSurvival, qAbTest, qMarkovAttribution, qCohortLtv)
 }

@@ -460,7 +460,70 @@ object TimeSeriesQueries {
       FROM f ORDER BY eday""")
   )
 
+  /** Laspeyres / Paasche / Fisher price indices per ship year against
+    * the base year, over the parts present in BOTH periods — the
+    * price-level report a marketplace runs on its own transaction log.
+    * Unit prices quantize to exact integer micro-units (price-cents ×
+    * 10000 DIV quantity-cents, floor) BEFORE the weighted sums, so every
+    * aggregate is order-independent integer arithmetic (a double unit
+    * price would make Σ p·q shuffle-order-dependent and unverifiable);
+    * the index ratios are one final IEEE division. Scale: one
+    * (year, part) rollup — partial-aggregated — then a year-level join
+    * against the broadcast base-year relation. */
+  val qPriceIndex = GraftQuery(
+    "q_price_index",
+    (s, dir) => {
+      import s.implicits._
+      val yp = Tables.lineitem(s, dir)
+        .groupBy(year($"l_shipdate").as("yr"), $"l_partkey")
+        .agg(sum(round($"l_extendedprice" * 100).cast("long")
+            .cast(DecimalType(38, 0))).as("pc"),
+          sum(round($"l_quantity" * 100).cast("long")
+            .cast(DecimalType(38, 0))).as("qc"))
+        .filter($"qc" > 0)
+        .select($"yr", $"l_partkey",
+          expr("CAST(pc * 10000 DIV qc AS BIGINT)").as("up"), $"qc")
+      val y = graft.operators.Caches.register(yp)
+      val base = y.filter($"yr" === 1995)
+        .select($"l_partkey", $"up".as("up0"), $"qc".as("qc0"))
+      y.filter($"yr" =!= 1995)
+        .join(broadcast(base), "l_partkey")
+        .groupBy($"yr")
+        .agg(count(lit(1)).as("n_parts"),
+          sum($"up" * $"qc0").as("l_num"), sum($"up0" * $"qc0").as("l_den"),
+          sum($"up" * $"qc").as("p_num"), sum($"up0" * $"qc").as("p_den"))
+        .select($"yr", $"n_parts",
+          round($"l_num".cast(DoubleType) / $"l_den".cast(DoubleType), 6)
+            .as("laspeyres"),
+          round($"p_num".cast(DoubleType) / $"p_den".cast(DoubleType), 6)
+            .as("paasche"),
+          round(sqrt(($"l_num".cast(DoubleType) / $"l_den".cast(DoubleType)) *
+            ($"p_num".cast(DoubleType) / $"p_den".cast(DoubleType))), 6)
+            .as("fisher"))
+        .orderBy($"yr")
+    },
+    Some("""WITH yp AS (SELECT CAST(YEAR(l_shipdate) AS INT) AS yr, l_partkey,
+          SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS pc,
+          SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qc
+        FROM lineitem GROUP BY 1, 2 HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 0),
+      u AS (SELECT yr, l_partkey,
+          CAST(pc * 10000 // qc AS BIGINT) AS up, CAST(qc AS BIGINT) AS qc
+        FROM yp),
+      base AS (SELECT l_partkey, up AS up0, qc AS qc0 FROM u WHERE yr = 1995)
+      SELECT u.yr, COUNT(*) AS n_parts,
+        ROUND(CAST(SUM(u.up * b.qc0) AS DOUBLE) / CAST(SUM(b.up0 * b.qc0) AS DOUBLE), 6)
+          AS laspeyres,
+        ROUND(CAST(SUM(u.up * u.qc) AS DOUBLE) / CAST(SUM(b.up0 * u.qc) AS DOUBLE), 6)
+          AS paasche,
+        ROUND(SQRT((CAST(SUM(u.up * b.qc0) AS DOUBLE) / CAST(SUM(b.up0 * b.qc0) AS DOUBLE)) *
+          (CAST(SUM(u.up * u.qc) AS DOUBLE) / CAST(SUM(b.up0 * u.qc) AS DOUBLE))), 6)
+          AS fisher
+      FROM u JOIN base b ON u.l_partkey = b.l_partkey
+      WHERE u.yr <> 1995
+      GROUP BY u.yr ORDER BY u.yr""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi,
-      qSeasonalBaseline, qCusum)
+      qSeasonalBaseline, qCusum, qPriceIndex)
 }

@@ -250,6 +250,48 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_price_index: Fisher between Laspeyres and Paasche; flat prices give 1.0") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q_price_index")(spark, Dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (l, p, f) = (r.getDouble(r.fieldIndex("laspeyres")),
+        r.getDouble(r.fieldIndex("paasche")), r.getDouble(r.fieldIndex("fisher")))
+      assert(f >= math.min(l, p) - 1e-6 && f <= math.max(l, p) + 1e-6,
+        s"Fisher $f outside [$l, $p]")
+      assert(l > 0 && p > 0)
+    }
+    // planted flat prices across two years -> all indices exactly 1.0
+    val li = Seq(
+      (1L, ts("1995-06-01"), 10.0, 100.0), (2L, ts("1995-06-01"), 5.0, 35.0),
+      (1L, ts("1996-06-01"), 4.0, 40.0), (2L, ts("1996-06-01"), 10.0, 70.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.SparkEntry.queries("q_price_index")(spark, dir).collect()
+    assert(out.length === 1)
+    Seq("laspeyres", "paasche", "fisher").foreach { c =>
+      assert(out(0).getDouble(out(0).fieldIndex(c)) === 1.0, s"$c not 1.0")
+    }
+  }
+
+  private def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+
+  test("q_cohort_ltv: curves are monotone and offsets bounded by retention span") {
+    val rows = graft.SparkEntry.queries("q_cohort_ltv")(spark, Dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, curve) =>
+      val sorted = curve.sortBy(_.getLong(1))
+      val cums = sorted.map(_.getDouble(3))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-9 },
+        "cumulative revenue must be monotone in the offset")
+      sorted.foreach { r =>
+        assert(r.getDouble(4) <= r.getDouble(3) + 1e-9,
+          "per-user LTV cannot exceed the cohort total")
+      }
+    }
+  }
+
   test("q_conversion_latency: quantiles are ordered and n matches a direct count") {
     val r = graft.SparkEntry.queries("q_conversion_latency")(spark, Dir).head()
     val n = r.getLong(r.fieldIndex("n_converted"))
