@@ -703,7 +703,98 @@ object FunnelQueries {
       ORDER BY m.cohort_week, m.week_offset""")
   )
 
+  /** Difference-in-differences: per-user purchase counts in an early vs
+    * late period (first 15 days vs the rest), arms by user parity — the
+    * causal-inference companion to q_ab_test that nets out a shared time
+    * trend. The user × period SPINE is explicit (a user absent from a
+    * period contributes y = 0 — dropping those rows would bias every
+    * cell mean upward), built as a 2-row literal cross join, never a
+    * data-sized product. One user-period rollup; the four cell moments
+    * (exact integers) collapse to one row, and the DiD estimate with its
+    * pooled standard error is a fixed IEEE tree over them. */
+  val qDid = GraftQuery(
+    "q_did",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val period = when(dayofmonth($"ts") <= 15, 0L).otherwise(1L)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", period.as("period"))
+        .agg(count(lit(1)).as("y"))
+      val spine = ev.select($"user_id").distinct()
+        .crossJoin(Seq(0L, 1L).toDF("period"))
+      val cells = spine.join(purchases, Seq("user_id", "period"), "left")
+        .select(pmod($"user_id", lit(2L)).as("arm"), $"period",
+          coalesce($"y", lit(0L)).as("y"))
+        .groupBy($"arm", $"period")
+        .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+          sum($"y" * $"y").as("syy"))
+      def cell(a: Int, p: Int, c: String) =
+        sum(when($"arm" === a && $"period" === p, col(c))).as(s"${c}_$a$p")
+      val one = cells.agg(
+        cell(0, 0, "n"), cell(0, 0, "sy"), cell(0, 0, "syy"),
+        cell(0, 1, "n"), cell(0, 1, "sy"), cell(0, 1, "syy"),
+        cell(1, 0, "n"), cell(1, 0, "sy"), cell(1, 0, "syy"),
+        cell(1, 1, "n"), cell(1, 1, "sy"), cell(1, 1, "syy"))
+      def m(a: Int, p: Int) =
+        col(s"sy_$a$p").cast(DoubleType) / col(s"n_$a$p").cast(DoubleType)
+      def v(a: Int, p: Int) =
+        (col(s"n_$a$p") * col(s"syy_$a$p") - col(s"sy_$a$p") * col(s"sy_$a$p"))
+          .cast(DoubleType) /
+          (col(s"n_$a$p") * (col(s"n_$a$p") - 1)).cast(DoubleType) /
+          col(s"n_$a$p").cast(DoubleType)
+      one.select(
+        round(m(0, 0), 6).as("mean_a_pre"), round(m(0, 1), 6).as("mean_a_post"),
+        round(m(1, 0), 6).as("mean_b_pre"), round(m(1, 1), 6).as("mean_b_post"),
+        round((m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0)), 6).as("did"),
+        round(sqrt(v(0, 0) + v(0, 1) + v(1, 0) + v(1, 1)), 6).as("se"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+          CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1 END AS period
+        FROM events),
+      pur AS (SELECT user_id, period, COUNT(*) AS y FROM ev
+        WHERE event_type = 'purchase' GROUP BY 1, 2),
+      spine AS (SELECT DISTINCT user_id FROM ev),
+      up AS (SELECT s.user_id, p.period, COALESCE(pur.y, 0) AS y
+        FROM spine s CROSS JOIN (SELECT 0 AS period UNION ALL SELECT 1) p
+        LEFT JOIN pur ON pur.user_id = s.user_id AND pur.period = p.period),
+      cells AS (SELECT user_id % 2 AS arm, period,
+          CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM up GROUP BY 1, 2),
+      one AS (SELECT
+          SUM(CASE WHEN arm = 0 AND period = 0 THEN n END) AS n_00,
+          SUM(CASE WHEN arm = 0 AND period = 0 THEN sy END) AS sy_00,
+          SUM(CASE WHEN arm = 0 AND period = 0 THEN syy END) AS syy_00,
+          SUM(CASE WHEN arm = 0 AND period = 1 THEN n END) AS n_01,
+          SUM(CASE WHEN arm = 0 AND period = 1 THEN sy END) AS sy_01,
+          SUM(CASE WHEN arm = 0 AND period = 1 THEN syy END) AS syy_01,
+          SUM(CASE WHEN arm = 1 AND period = 0 THEN n END) AS n_10,
+          SUM(CASE WHEN arm = 1 AND period = 0 THEN sy END) AS sy_10,
+          SUM(CASE WHEN arm = 1 AND period = 0 THEN syy END) AS syy_10,
+          SUM(CASE WHEN arm = 1 AND period = 1 THEN n END) AS n_11,
+          SUM(CASE WHEN arm = 1 AND period = 1 THEN sy END) AS sy_11,
+          SUM(CASE WHEN arm = 1 AND period = 1 THEN syy END) AS syy_11
+        FROM cells)
+      SELECT
+        ROUND(CAST(sy_00 AS DOUBLE) / CAST(n_00 AS DOUBLE), 6) AS mean_a_pre,
+        ROUND(CAST(sy_01 AS DOUBLE) / CAST(n_01 AS DOUBLE), 6) AS mean_a_post,
+        ROUND(CAST(sy_10 AS DOUBLE) / CAST(n_10 AS DOUBLE), 6) AS mean_b_pre,
+        ROUND(CAST(sy_11 AS DOUBLE) / CAST(n_11 AS DOUBLE), 6) AS mean_b_post,
+        ROUND((CAST(sy_11 AS DOUBLE) / CAST(n_11 AS DOUBLE)
+             - CAST(sy_10 AS DOUBLE) / CAST(n_10 AS DOUBLE))
+            - (CAST(sy_01 AS DOUBLE) / CAST(n_01 AS DOUBLE)
+             - CAST(sy_00 AS DOUBLE) / CAST(n_00 AS DOUBLE)), 6) AS did,
+        ROUND(SQRT(
+            CAST(n_00 * syy_00 - sy_00 * sy_00 AS DOUBLE) / CAST(n_00 * (n_00 - 1) AS DOUBLE) / CAST(n_00 AS DOUBLE)
+          + CAST(n_01 * syy_01 - sy_01 * sy_01 AS DOUBLE) / CAST(n_01 * (n_01 - 1) AS DOUBLE) / CAST(n_01 AS DOUBLE)
+          + CAST(n_10 * syy_10 - sy_10 * sy_10 AS DOUBLE) / CAST(n_10 * (n_10 - 1) AS DOUBLE) / CAST(n_10 AS DOUBLE)
+          + CAST(n_11 * syy_11 - sy_11 * sy_11 AS DOUBLE) / CAST(n_11 * (n_11 - 1) AS DOUBLE) / CAST(n_11 AS DOUBLE)), 6) AS se
+      FROM one""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
-      qConversionLatency, qSurvival, qAbTest, qMarkovAttribution, qCohortLtv)
+      qConversionLatency, qSurvival, qAbTest, qMarkovAttribution, qCohortLtv,
+      qDid)
 }

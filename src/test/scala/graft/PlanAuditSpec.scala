@@ -597,4 +597,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pw.contains("SortMergeJoin"),
       s"q_weighted_median grew a corpus-sized join:\n$pw")
   }
+
+  test("commerce/ops additions: broadcasts, single scans, no corpus sorts") {
+    // multivariate OLS: one aggregate pass, no joins at all
+    val po = plan("q_multi_ols")
+    assert(!po.contains("Join"), s"q_multi_ols grew a join:\n$po")
+    assert(po.split("FileScan parquet").length == 2,
+      s"q_multi_ols must scan lineitem exactly once:\n$po")
+    // co-purchase: the basket self-join keys on the ORDER (bounded
+    // per-order fan-out); item supports broadcast
+    val pc = plan("q_copurchase")
+    assert(pc.contains("BroadcastHashJoin"),
+      s"q_copurchase supports stopped broadcasting:\n$pc")
+    assert(!pc.contains("CartesianProduct"))
+    // CDC apply: one user-keyed window, no join
+    val pd = plan("q_cdc_apply")
+    assert(!pd.contains("Join"), s"q_cdc_apply grew a join:\n$pd")
+    assert(pd.contains("hashpartitioning(user_id"),
+      s"q_cdc_apply lost its per-user window:\n$pd")
+    // price index: the base-year relation broadcasts onto the
+    // (year, part) rollup — no fact-fact SMJ
+    val pp = plan("q_price_index")
+    assert(pp.contains("BroadcastHashJoin"),
+      s"q_price_index base year stopped broadcasting:\n$pp")
+    assert(!pp.contains("SortMergeJoin"),
+      s"q_price_index grew a corpus-sized join:\n$pp")
+    // RFM: quantile bounds and the anchor are 1-row broadcasts; the
+    // customer relation is never globally sorted (no ntile window)
+    val pr = plan("q_rfm")
+    assert(!pr.contains("Window"), s"q_rfm grew a window (global ntile?):\n$pr")
+    assert(!pr.contains("CartesianProduct") || pr.contains("BroadcastNestedLoopJoin"))
+    // cohort LTV: sizes broadcast; cumulative window over the cohort
+    // matrix only (partitioned by cohort_week, not user)
+    val pl = plan("q_cohort_ltv")
+    assert(pl.contains("BroadcastHashJoin"),
+      s"q_cohort_ltv sizes stopped broadcasting:\n$pl")
+  }
 }

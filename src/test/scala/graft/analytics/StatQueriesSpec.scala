@@ -292,6 +292,17 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_did: estimate equals the four cell means' double difference") {
+    val r = graft.SparkEntry.queries("q_did")(spark, Dir).head()
+    def d(c: String) = r.getDouble(r.fieldIndex(c))
+    val direct = (d("mean_b_post") - d("mean_b_pre")) -
+      (d("mean_a_post") - d("mean_a_pre"))
+    assert(math.abs(d("did") - direct) < 2e-6, s"${d("did")} vs $direct")
+    assert(d("se") > 0.0)
+    Seq("mean_a_pre", "mean_a_post", "mean_b_pre", "mean_b_post")
+      .foreach(c => assert(d(c) >= 0.0))
+  }
+
   test("q_conversion_latency: quantiles are ordered and n matches a direct count") {
     val r = graft.SparkEntry.queries("q_conversion_latency")(spark, Dir).head()
     val n = r.getLong(r.fieldIndex("n_converted"))
