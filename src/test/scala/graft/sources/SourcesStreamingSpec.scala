@@ -236,6 +236,34 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(onebatch === single)
   }
 
+  test("events loaders normalize BOTH ts layouts (nanos-long and timestamp)") {
+    import spark.implicits._
+    // nanos-long generation: ts presents as LongType (what the legacy
+    // TIMESTAMP(NANOS) files look like under nanosAsLong) — the loader
+    // must convert by exact integer DIV to the same instants the
+    // timestamp generation yields directly
+    val base = 1700000000000L // ms
+    val rows = Seq((1L, base * 1000000L, 10L, "view", 1.0, "{}"),
+      (2L, (base + 1500L) * 1000000L, 11L, "click", 2.0, "{}"))
+    val nanosDir = java.nio.file.Files.createTempDirectory("ev_nanos").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    val viaLong = Tables.events(spark, nanosDir)
+    assert(viaLong.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val instants = viaLong.orderBy(col("event_id"))
+      .collect().map(_.getTimestamp(1).getTime)
+    assert(instants.toSeq === Seq(base, base + 1500L))
+    // and the streaming reader sniffs the same layout
+    val stream = EventsStream.readEvents(spark, s"$nanosDir/events.parquet")
+    assert(stream.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    // the timestamp generation (whatever the current testdata ships) also
+    // lands on TimestampType through the same loader
+    assert(Tables.events(spark, Dir).schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("streaming upsert: 3-micro-batch fold equals the single-batch state") {
     // the fold invariant: any micro-batch partitioning of the input must
     // produce the identical final state (latest value per user + count)
