@@ -349,7 +349,10 @@ object TimeSeriesQueries {
       hourly.groupBy($"dow", $"hour")
         .agg(count(lit(1)).as("n_days"),
           sum($"n".cast(DecimalType(38, 0))).as("s"),
-          sum(($"n" * $"n").cast(DecimalType(38, 0))).as("ss"),
+          // widen BEFORE the product — n*n in 64-bit wraps silently past
+          // ~3e9 events per cell
+          sum($"n".cast(DecimalType(38, 0)) * $"n".cast(DecimalType(38, 0)))
+            .as("ss"),
           max($"n").as("mx"))
         .select($"dow", $"hour", $"n_days",
           round($"s".cast(DoubleType) / $"n_days".cast(DoubleType), 6).as("mean_n"),
@@ -408,20 +411,30 @@ object TimeSeriesQueries {
       val byDay = Tables.events(s, dir)
         .groupBy(expr("unix_micros(ts) DIV 86400000000").as("eday"))
         .agg(count(lit(1)).as("x"))
+      // x widens BEFORE the product — a 64-bit x*x wraps silently above
+      // ~3e9 events/day while DuckDB's HUGEINT stays exact
+      val xd = $"x".cast(DecimalType(38, 0))
       val m = byDay.agg(count(lit(1)).as("nd"),
-        sum($"x".cast(DecimalType(38, 0))).as("sx"),
-        sum(($"x" * $"x").cast(DecimalType(38, 0))).as("sxx"))
+        sum(xd).as("sx"), sum(xd * xd).as("sxx"))
       val wCum = Window.orderBy($"eday")
         .rowsBetween(Window.unboundedPreceding, 0)
+      // S_t is NOT a cumulative sum of per-day doubles: window SUM over
+      // doubles combines in engine-internal order (DuckDB trees it, Spark
+      // folds sequentially — measured 1e-15 divergence), so instead the
+      // prefix sum of x stays EXACT decimal and the drift is subtracted
+      // per row: S_t = cum_x - t·(μ ± k) — one identical IEEE tree per
+      // row. The running MIN/MAX extrema below are order-independent.
       byDay.crossJoin(broadcast(m))
         .withColumn("mu", $"sx".cast(DoubleType) / $"nd".cast(DoubleType))
         .withColumn("sd",
           sqrt(($"nd" * $"sxx" - $"sx" * $"sx").cast(DoubleType) /
             ($"nd" * ($"nd" - 1)).cast(DoubleType)))
+        .withColumn("rn", row_number().over(Window.orderBy($"eday")))
+        .withColumn("cum_x", sum(xd).over(wCum))
         .withColumn("s_hi",
-          sum($"x".cast(DoubleType) - $"mu" - $"sd" / 2).over(wCum))
+          $"cum_x".cast(DoubleType) - $"rn".cast(DoubleType) * ($"mu" + $"sd" / 2))
         .withColumn("s_lo",
-          sum($"x".cast(DoubleType) - $"mu" + $"sd" / 2).over(wCum))
+          $"cum_x".cast(DoubleType) - $"rn".cast(DoubleType) * ($"mu" - $"sd" / 2))
         // the running extremum must include the EMPTY prefix (S_0 = 0)
         // or the first days' statistic degenerates to 0
         .withColumn("cusum_hi",
@@ -444,11 +457,12 @@ object TimeSeriesQueries {
             CAST(nd * (nd - 1) AS DOUBLE)) AS sd
         FROM byday, m),
       c AS (SELECT eday, x, mu, sd,
-          SUM(CAST(x AS DOUBLE) - mu - sd / 2) OVER (ORDER BY eday
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_hi,
-          SUM(CAST(x AS DOUBLE) - mu + sd / 2) OVER (ORDER BY eday
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_lo
-        FROM t),
+          CAST(SUM(x) OVER w AS DOUBLE)
+            - CAST(ROW_NUMBER() OVER (ORDER BY eday) AS DOUBLE) * (mu + sd / 2) AS s_hi,
+          CAST(SUM(x) OVER w AS DOUBLE)
+            - CAST(ROW_NUMBER() OVER (ORDER BY eday) AS DOUBLE) * (mu - sd / 2) AS s_lo
+        FROM t WINDOW w AS (ORDER BY eday
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       f AS (SELECT eday, x, sd,
           ROUND(s_hi - LEAST(0.0, MIN(s_hi) OVER (ORDER BY eday
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS cusum_hi,
@@ -463,8 +477,9 @@ object TimeSeriesQueries {
   /** Laspeyres / Paasche / Fisher price indices per ship year against
     * the base year, over the parts present in BOTH periods — the
     * price-level report a marketplace runs on its own transaction log.
-    * Unit prices quantize to exact integer micro-units (price-cents ×
-    * 10000 DIV quantity-cents, floor) BEFORE the weighted sums, so every
+    * Unit prices quantize to exact integers in 1e-4-dollar units
+    * (price-cents × 10000 DIV quantity-cents, floor — hundredths of a
+    * cent, NOT 1e-6) BEFORE the weighted sums, so every
     * aggregate is order-independent integer arithmetic (a double unit
     * price would make Σ p·q shuffle-order-dependent and unverifiable);
     * the index ratios are one final IEEE division. Scale: one

@@ -626,7 +626,7 @@ class PlanAuditSpec extends SparkSpec {
     // customer relation is never globally sorted (no ntile window)
     val pr = plan("q_rfm")
     assert(!pr.contains("Window"), s"q_rfm grew a window (global ntile?):\n$pr")
-    assert(!pr.contains("CartesianProduct") || pr.contains("BroadcastNestedLoopJoin"))
+    assert(!pr.contains("CartesianProduct"), s"q_rfm went cartesian:\n$pr")
     // cohort LTV: sizes broadcast; cumulative window over the cohort
     // matrix only (partitioned by cohort_week, not user)
     val pl = plan("q_cohort_ltv")
