@@ -16,9 +16,10 @@ import org.apache.spark.sql.types.DoubleType
   * transition matrix is O(types²). No global sort except the final
   * few-row ORDER BY.
   *
-  * Timestamp semantics: Spark reads events at microsecond precision
-  * (nanos DIV 1000); DuckDB oracles CAST TIMESTAMP_NS to TIMESTAMP,
-  * the same floor-to-micros, so strict inequalities agree. */
+  * Timestamp semantics: Tables.events normalizes both shipped ts
+  * layouts to microsecond TimestampType (nanos floor to micros);
+  * DuckDB reads the same files at the same precision, so strict
+  * inequalities agree. */
 object FunnelQueries {
 
   /** Ordered view→click→purchase funnel: a user converts a stage only
