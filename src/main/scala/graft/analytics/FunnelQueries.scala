@@ -794,8 +794,67 @@ object FunnelQueries {
       FROM one""")
   )
 
+  /** Deadline-bounded funnel: view → click WITHIN 1 HOUR of the first
+    * view → purchase WITHIN 24 HOURS of that click. The unbounded
+    * q_funnel counts a conversion weeks later as success; bounded stages
+    * are what campaign analytics actually reports. Same shape as
+    * q_funnel — per-stage user-keyed min-aggregations chained by strict
+    * inequality plus a deadline, all integer-micros arithmetic. */
+  val qFunnelWindowed = GraftQuery(
+    "q_funnel_windowed",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_type")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, "user_id")
+        .filter($"ts" > $"v_ts" &&
+          unix_micros($"ts") - unix_micros($"v_ts") <= lit(3600000000L))
+        .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, "user_id")
+        .filter($"ts" > $"c_ts" &&
+          unix_micros($"ts") - unix_micros($"c_ts") <= lit(86400000000L))
+        .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+      val users = ev.select($"user_id").distinct()
+      users.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_users"), count($"v_ts").as("n_viewed"),
+          count($"c_ts").as("n_clicked_1h"), count($"p_ts").as("n_purchased_24h"))
+        .select($"n_users", $"n_viewed", $"n_clicked_1h", $"n_purchased_24h",
+          round($"n_clicked_1h".cast(DoubleType) / greatest($"n_viewed", lit(1L)), 6)
+            .as("click_conv_1h"),
+          round($"n_purchased_24h".cast(DoubleType) / greatest($"n_clicked_1h", lit(1L)), 6)
+            .as("purchase_conv_24h"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, ts FROM events),
+      v AS (SELECT user_id, MIN(ts) AS v_ts FROM e
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          AND epoch_us(e.ts) - epoch_us(v.v_ts) <= 3600000000
+        GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          AND epoch_us(e.ts) - epoch_us(c.c_ts) <= 86400000000
+        GROUP BY 1)
+      SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+        (SELECT COUNT(*) FROM v) AS n_viewed,
+        (SELECT COUNT(*) FROM c) AS n_clicked_1h,
+        (SELECT COUNT(*) FROM p) AS n_purchased_24h,
+        ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE) /
+          GREATEST((SELECT COUNT(*) FROM v), 1), 6) AS click_conv_1h,
+        ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE) /
+          GREATEST((SELECT COUNT(*) FROM c), 1), 6) AS purchase_conv_24h""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qConversionLatency, qSurvival, qAbTest, qMarkovAttribution, qCohortLtv,
-      qDid)
+      qDid, qFunnelWindowed)
 }

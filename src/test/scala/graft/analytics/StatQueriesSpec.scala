@@ -303,6 +303,20 @@ class StatQueriesSpec extends SparkSpec {
       .foreach(c => assert(d(c) >= 0.0))
   }
 
+  test("q_funnel_windowed: deadlines can only shrink the unbounded funnel") {
+    val wr = graft.SparkEntry.queries("q_funnel_windowed")(spark, Dir).head()
+    val ur = graft.SparkEntry.queries("q_funnel")(spark, Dir).head()
+    def l(r: org.apache.spark.sql.Row, c: String) = r.getLong(r.fieldIndex(c))
+    assert(l(wr, "n_users") === l(ur, "n_users"))
+    assert(l(wr, "n_viewed") === l(ur, "n_viewed"))
+    assert(l(wr, "n_clicked_1h") <= l(ur, "n_clicked"),
+      "a deadline cannot admit more clicks than the unbounded stage")
+    // note: stage-3 counts are NOT comparable across the two queries
+    // (the windowed purchase chains from a DIFFERENT click instant), so
+    // only the monotone stage-2 bound is asserted
+    assert(l(wr, "n_purchased_24h") <= l(wr, "n_clicked_1h"))
+  }
+
   test("q_conversion_latency: quantiles are ordered and n matches a direct count") {
     val r = graft.SparkEntry.queries("q_conversion_latency")(spark, Dir).head()
     val n = r.getLong(r.fieldIndex("n_converted"))
