@@ -147,8 +147,15 @@ object Graphs {
     val graphParts = math.max(1L, math.min(sessionParts.toLong,
       nEdges / 250000L + 1L)).toInt
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+      // rank and edge relations are graph-sized: at scale NEITHER side of
+      // the round joins may broadcast, and locally the sub-10MB cached
+      // relations otherwise get re-broadcast (driver-side hash build +
+      // GC churn) every round — the r6 bench's erratic per-round spikes.
+      // Explicit broadcast() hints (the 1-row dangling total) still apply.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       var ranks = ckpt(vertices.select(col("id"),
         when(isTele, lit(RankScale / nT)).otherwise(lit(0L)).as("rank_fp")))
       for (_ <- 1 to iterations) {
@@ -174,7 +181,10 @@ object Graphs {
       }
       ranks.select(col("id"), col("rank_fp"),
         round(col("rank_fp").cast("double") / RankScale, 6).as("rank"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
   }
 
   /** HITS fixed-point scale: 1e9 keeps every intermediate inside 64-bit
@@ -194,10 +204,16 @@ object Graphs {
     * parts as authorities.
     *
     * One round = two graph-sized equi-joins + two partial-aggregated
-    * groupBys + two 1-row total broadcasts; both score relations are
-    * checkpointed per round (the same lineage-truncation discipline as
-    * [[pagerank]]). Vertices without out-edges keep hub 0, without
-    * in-edges authority 0 (coalesced in the final left joins). */
+    * groupBys + two 1-row total broadcasts, but only ONE eager
+    * materialization: the hub relation is checkpointed per round (the
+    * same lineage-truncation discipline as [[pagerank]]) while the
+    * authority side is merely CACHED — it is consumed exactly twice
+    * (its own rescale total + the hub join), both inside the round's
+    * single checkpoint job, so a lazy cache gives the reuse without a
+    * second eager job + block-store write. Lineage stays bounded: the
+    * a-plan nests at most one checkpointed leaf. Vertices without
+    * out-edges keep hub 0, without in-edges authority 0 (coalesced in
+    * the final left joins). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
@@ -216,31 +232,48 @@ object Graphs {
     // floor(raw·SCALE / Σraw), widened through DECIMAL(38,0); Spark's
     // `div` on decimals is integral division returning BIGINT — the
     // exact mirror of DuckDB's HUGEINT `//`.
-    // The CHECKPOINT sits on `raw` (the graph-sized join+groupBy), not on
-    // the rescaled projection: the total is a subquery over raw, so
-    // checkpointing downstream of it would execute the join twice per
-    // round (once for the total, once for the projection) — the rescale
-    // itself is a vertex-sized map over the materialized raw and stays
-    // lazy, its lineage already cut at the checkpoint.
-    def rescale(raw0: DataFrame, out: String): DataFrame = {
-      val raw = raw0.localCheckpoint()
+    // Reuse of `raw` sits on the graph-sized join+groupBy, not on the
+    // rescaled projection: the total is a subquery over raw, so cutting
+    // downstream of it would execute the join twice per round (once for
+    // the total, once for the projection). The h-side gets a
+    // localCheckpoint (the round's ONE eager job — it truncates the
+    // round's lineage); the a-side raw is cached lazily: its total runs
+    // as the broadcast-exchange subjob of the h checkpoint, populating
+    // the cache, and the projection then reads the cache inside the same
+    // job. That halves the per-round eager materializations (the r6
+    // bench's dominant cost on this query) with identical arithmetic.
+    def rescale(raw: DataFrame, out: String): DataFrame = {
       val tot = raw.agg(
         sum(col("raw").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
       raw.crossJoin(broadcast(tot))
         .select(col("id"),
           expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $HitsScale) DIV s AS BIGINT)").as(out))
     }
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
-      var h = vertices.select(col("id"), lit(HitsScale).as("h_fp")).localCheckpoint()
+      // no auto-broadcast in the loop: score relations are vertex-sized
+      // (huge at scale) and locally the repeated driver-side hash builds
+      // were the r6 bench's dominant q_hits cost; the explicit 1-row
+      // total broadcast() hints in rescale are unaffected
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the init relation needs no checkpoint — its lineage is one
+      // projection over the cached vertex set; round 1's checkpoint cuts it
+      var h = vertices.select(col("id"), lit(HitsScale).as("h_fp"))
       var a: DataFrame = null
+      var prevACache: DataFrame = null
       for (_ <- 1 to iterations) {
-        val aRaw = h.join(e, h("id") === e("src"))
-          .groupBy(col("dst").as("id")).agg(sum(col("h_fp")).as("raw"))
+        val aRaw = Caches.register(h.join(e, h("id") === e("src"))
+          .groupBy(col("dst").as("id")).agg(sum(col("h_fp")).as("raw")))
         a = rescale(aRaw, "a_fp")
         val hRaw = a.join(e, a("id") === e("dst"))
           .groupBy(col("src").as("id")).agg(sum(col("a_fp")).as("raw"))
-        h = rescale(hRaw, "h_fp")
+        h = rescale(hRaw.localCheckpoint(), "h_fp")
+        // the checkpoint job just consumed the PREVIOUS round's a-cache
+        // for the last time; the final round's cache stays live because
+        // the returned (lazy) plan still reads it
+        if (prevACache != null) prevACache.unpersist()
+        prevACache = aRaw
       }
       vertices
         .join(h, Seq("id"), "left")
@@ -248,7 +281,10 @@ object Graphs {
         .select(col("id"),
           coalesce(col("h_fp"), lit(0L)).as("hub_fp"),
           coalesce(col("a_fp"), lit(0L)).as("auth_fp"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
   }
 
   /** The k-CORE of the undirected simple graph induced by `edges`
@@ -286,8 +322,11 @@ object Graphs {
     val graphParts = math.max(1L, math.min(sessionParts.toLong,
       nEdges / 250000L + 1L)).toInt
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+      // survivor set is vertex-sized — never auto-broadcast it (see hits)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       var prevCount = Long.MaxValue
       var i = 0
       var deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
@@ -307,7 +346,10 @@ object Graphs {
       throw new IllegalStateException(
         s"Graphs.kcore: no fixpoint after maxIter=$maxIter peel rounds — " +
           "raise maxIter (a partially-peeled graph is not a k-core)")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
   }
 
   /** Per-vertex triangle counts of the UNDIRECTED simple graph induced
