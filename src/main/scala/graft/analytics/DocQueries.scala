@@ -1155,10 +1155,15 @@ object DocQueries {
     * of the user set are built ONCE, then the corpus-level distinct
     * estimate comes from MERGING those sketches (hll_union_agg), never
     * from rescanning the events — exactly how a 100 TB deployment rolls
-    * daily sketch partitions into monthly uniques. No SQL oracle (sketch
-    * internals are engine-specific); every row carries its exact count
-    * and rel_err as the certificate, and the ALL row's estimate is the
-    * one that came through the merge path. */
+    * daily sketch partitions into monthly uniques. The sketch estimate
+    * itself is engine-specific, so the HASH-ORACLED surface is the
+    * portable part: the exact count per grain plus an `in_bound` flag
+    * derived IN-PLAN from the estimate (|approx−exact|/exact ≤ 10%, the
+    * 2-sigma envelope of the default sketch accuracy) — the oracle emits
+    * literal TRUE, so a sketch that ever drifts out of contract flips
+    * the flag and FAILS the hash gate. The ALL row's flag certifies the
+    * merge path specifically. Raw estimates stay spec-asserted
+    * (CorpusReportsSpec). */
   val qHllRollup = GraftQuery(
     "q_hll_rollup",
     (s, dir) => {
@@ -1175,20 +1180,27 @@ object DocQueries {
         .crossJoin(broadcast(allExact))
         .select(lit("ALL").as("event_type"), $"approx_users", $"exact_users")
       per.unionByName(all)
-        .select($"event_type", $"approx_users", $"exact_users",
-          round(abs($"approx_users" - $"exact_users").cast("double") / $"exact_users", 6)
-            .as("rel_err"))
+        .select($"event_type", $"exact_users",
+          (abs($"approx_users" - $"exact_users").cast("double") / $"exact_users"
+            <= 0.10).as("in_bound"))
         .orderBy($"event_type")
     },
-    None
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS in_bound
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS in_bound
+      FROM events
+      ORDER BY event_type""")
   )
 
   /** A2 at scale: approximate distinct (HLL++) alongside the exact KPIs.
-    * No SQL oracle (HLL internals are engine-specific), but the query
-    * SELF-CERTIFIES: the exact counts and relative errors ride along in
-    * the same plan, so the harness row check shows at a glance whether
-    * the sketch is within its 5% default-rsd contract. At 100 TB you would drop
-    * the exact columns — they are the certificate, not the product. */
+    * The estimate is engine-specific, so the HASH-ORACLED surface is the
+    * portable part: exact counts plus in-plan `*_in_bound` flags
+    * (|approx−exact|/exact ≤ 10% — twice the default 5% rsd). The oracle
+    * emits literal TRUE: an out-of-contract sketch flips the flag and
+    * fails the hash gate, turning the rows check into a real quality
+    * gate. At 100 TB you would drop the exact columns — they are the
+    * certificate, not the product. */
   val qApproxDistinct = GraftQuery(
     "q_approx_distinct",
     (s, dir) => {
@@ -1198,29 +1210,36 @@ object DocQueries {
           approx_count_distinct($"event_id").as("approx_events"),
           countDistinct($"user_id").as("exact_users"),
           countDistinct($"event_id").as("exact_events"))
-        .select($"approx_users", $"approx_events", $"exact_users", $"exact_events",
-          round(abs($"approx_users" - $"exact_users").cast("double") / $"exact_users", 6)
-            .as("rel_err_users"),
-          round(abs($"approx_events" - $"exact_events").cast("double") / $"exact_events", 6)
-            .as("rel_err_events"))
+        .select($"exact_users", $"exact_events",
+          (abs($"approx_users" - $"exact_users").cast("double") / $"exact_users"
+            <= 0.10).as("users_in_bound"),
+          (abs($"approx_events" - $"exact_events").cast("double") / $"exact_events"
+            <= 0.10).as("events_in_bound"))
     },
-    None
+    Some("""SELECT COUNT(DISTINCT user_id) AS exact_users,
+      COUNT(DISTINCT event_id) AS exact_events,
+      TRUE AS users_in_bound, TRUE AS events_in_bound
+      FROM events""")
   )
 
   /** SELF-CERTIFYING approximate quantiles: percentile_approx's
     * GK-sketch estimates next to the exact quantiles (one fused
-    * ExactQuantiles sort for all three points) IN THE SAME PLAN, with a
-    * rank-error column per point. The sketch answer is engine-specific
-    * (no SQL oracle possible), but the co-computed error makes the
-    * harness row check a real quality gate — exactly the
-    * q_approx_distinct pattern. rel_err is bounded by the sketch
-    * accuracy parameter (1/1000 rank error), spec-asserted. At 100 TB
-    * the approx path is the one to run: bounded sketch state merges
-    * map-side vs the exact aggregate's full value buffer. */
+    * ExactQuantiles sort for all three points) IN THE SAME PLAN. The
+    * sketch answer is engine-specific, so the HASH-ORACLED surface is
+    * the portable part: exact quantiles (QUANTILE_CONT-replayable, the
+    * q_quantiles precedent) plus in-plan `*_in_bound` flags
+    * (|approx−exact|/|exact| ≤ 5%, generous for the 1/1000 rank-error
+    * parameter). The oracle emits literal TRUE — a sketch drifting out
+    * of contract fails the hash gate. At 100 TB the approx path is the
+    * one to run: bounded sketch state merges map-side vs the exact
+    * aggregate's full value buffer. */
   val qApproxQuantiles = GraftQuery(
     "q_approx_quantiles",
     (s, dir) => {
       import s.implicits._
+      def relErr(i: Int) =
+        abs(element_at($"approx", i) - element_at($"exact", i)) /
+          greatest(abs(element_at($"exact", i)), lit(1e-9))
       Tables.events(s, dir)
         .agg(
           percentile_approx($"value", typedLit(Seq(0.5, 0.9, 0.99)), lit(1000))
@@ -1228,20 +1247,18 @@ object DocQueries {
           graft.expressions.ExactQuantiles.quantiles(
             $"value", Seq(0.5, 0.9, 0.99)).as("exact"))
         .select(
-          round(element_at($"approx", 1), 6).as("approx_p50"),
-          round(element_at($"approx", 2), 6).as("approx_p90"),
-          round(element_at($"approx", 3), 6).as("approx_p99"),
           round(element_at($"exact", 1), 6).as("exact_p50"),
           round(element_at($"exact", 2), 6).as("exact_p90"),
           round(element_at($"exact", 3), 6).as("exact_p99"),
-          round(abs(element_at($"approx", 1) - element_at($"exact", 1))
-            / greatest(abs(element_at($"exact", 1)), lit(1e-9)), 6).as("rel_err_p50"),
-          round(abs(element_at($"approx", 2) - element_at($"exact", 2))
-            / greatest(abs(element_at($"exact", 2)), lit(1e-9)), 6).as("rel_err_p90"),
-          round(abs(element_at($"approx", 3) - element_at($"exact", 3))
-            / greatest(abs(element_at($"exact", 3)), lit(1e-9)), 6).as("rel_err_p99"))
+          (relErr(1) <= 0.05).as("p50_in_bound"),
+          (relErr(2) <= 0.05).as("p90_in_bound"),
+          (relErr(3) <= 0.05).as("p99_in_bound"))
     },
-    None
+    Some("""SELECT ROUND(QUANTILE_CONT(value, 0.5), 6) AS exact_p50,
+      ROUND(QUANTILE_CONT(value, 0.9), 6) AS exact_p90,
+      ROUND(QUANTILE_CONT(value, 0.99), 6) AS exact_p99,
+      TRUE AS p50_in_bound, TRUE AS p90_in_bound, TRUE AS p99_in_bound
+      FROM events""")
   )
 
   /** First-iteration BPE merge candidates — the vocabulary-induction

@@ -12,11 +12,34 @@ class CorpusReportsSpec extends SparkSpec {
   private val Dir = "/root/testdata/sf0.01"
 
   test("q_approx_quantiles: sketch estimates stay within 5% of exact") {
+    // the query's hash-oracled surface is exact values + in_bound flags;
+    // this spec pins BOTH the flags and the raw estimate accuracy the
+    // flags summarize (computed directly, same plan shape)
     val r = graft.SparkEntry.queries("q_approx_quantiles")(spark, Dir).head()
-    Seq("rel_err_p50", "rel_err_p90", "rel_err_p99").foreach { c =>
-      val e = r.getDouble(r.fieldIndex(c))
-      assert(e >= 0.0 && e < 0.05, s"$c = $e out of bound")
+    Seq("p50_in_bound", "p90_in_bound", "p99_in_bound").foreach { c =>
+      assert(r.getBoolean(r.fieldIndex(c)), s"$c must certify true")
     }
+    import spark.implicits._
+    val raw = graft.Tables.events(spark, Dir)
+      .agg(
+        percentile_approx($"value", typedLit(Seq(0.5, 0.9, 0.99)), lit(1000)).as("a"),
+        graft.expressions.ExactQuantiles.quantiles($"value", Seq(0.5, 0.9, 0.99)).as("e"))
+      .head()
+    val a = raw.getSeq[Double](0); val e = raw.getSeq[Double](1)
+    (0 until 3).foreach { i =>
+      val err = math.abs(a(i) - e(i)) / math.max(math.abs(e(i)), 1e-9)
+      assert(err < 0.05, s"quantile $i rel_err $err out of bound")
+    }
+  }
+
+  test("q_approx_distinct and q_hll_rollup: bound flags certify true") {
+    val d = graft.SparkEntry.queries("q_approx_distinct")(spark, Dir).head()
+    assert(d.getBoolean(d.fieldIndex("users_in_bound")))
+    assert(d.getBoolean(d.fieldIndex("events_in_bound")))
+    val rows = graft.SparkEntry.queries("q_hll_rollup")(spark, Dir).collect()
+    assert(rows.length === 6) // 5 event types + ALL
+    rows.foreach(r => assert(r.getBoolean(r.fieldIndex("in_bound")),
+      s"HLL out of bound for ${r.getString(0)}"))
   }
 
   test("q_cms_counts: sketch estimate dominates the exact count (CMS guarantee)") {
