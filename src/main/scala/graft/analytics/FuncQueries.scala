@@ -148,6 +148,43 @@ object FuncQueries {
       ORDER BY media_id""")
   )
 
+  /** Video REAL-decode roundtrip, mirror of q_wav_decode for the MP4
+    * path: synthesize a minimal ISO-BMFF file per doc (dimensions /
+    * duration / sample count derived from doc_id), decode DISTRIBUTED
+    * through the kind-dispatching HeaderDecoder (which must route video
+    * to the box walk — mvhd for duration, tkhd for 16.16 dims, stsz for
+    * frames), and oracle the recovered values against the generating
+    * formulas. timescale is 1000 so duration units are already ms.
+    * Payloads never shuffle; only the metadata row leaves the
+    * executors. */
+  val qMp4Decode = GraftQuery(
+    "q_mp4_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, dir)
+        .select($"doc_id").orderBy($"doc_id").limit(200).as[Long].map { id =>
+          val w = (id % 32 + 16).toInt
+          val h = (id % 18 + 9).toInt
+          val frames = (100 + id % 900).toInt
+          val dur = 2000 + id % 60000
+          Multimodal.MediaRow(id, "video",
+            Multimodal.Mp4Decoder.minimal(w, h, frames, 1000, dur), "synthetic")
+        }
+      Multimodal.extractFeatures(media, Multimodal.HeaderDecoder.decode)
+        .toDF()
+        .select($"media_id", $"width", $"height", $"n_frames", $"duration_ms")
+        .orderBy($"media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+        CAST(doc_id % 32 + 16 AS INTEGER) AS width,
+        CAST(doc_id % 18 + 9 AS INTEGER) AS height,
+        CAST(100 + doc_id % 900 AS INTEGER) AS n_frames,
+        CAST(2000 + doc_id % 60000 AS BIGINT) AS duration_ms
+      FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) t
+      ORDER BY media_id""")
+  )
+
   val all: Seq[GraftQuery] = Seq(qPriceParse, qHashDigits, qMultimodalMeta,
-    qMultimodalDecode, qWavDecode)
+    qMultimodalDecode, qWavDecode, qMp4Decode)
 }

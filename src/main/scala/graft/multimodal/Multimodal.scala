@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed batch-wise with mapPartitions (the Scala
   * analogue of the mapInPandas batch shape).
   *
-  * Two decoders behind one function signature: [[ImageIoDecoder]] does
-  * REAL PNG/JPEG/GIF/BMP header extraction via javax.imageio (pure JVM),
-  * and [[FakeDecoder]] is the deterministic stand-in for kinds whose
-  * codecs are not in this container (audio/video) and for reproducible
-  * tests. Everything around them (the schema, the partition-wise batch
-  * processing, null handling, the typed Dataset API) is shared and
-  * tested; swapping in a JNI/JavaCV video decoder changes one function.
+  * Four decoders behind one function signature: [[ImageIoDecoder]] does
+  * REAL PNG/JPEG/GIF/BMP header extraction via javax.imageio,
+  * [[WavDecoder]] walks REAL RIFF/WAVE chunks, [[Mp4Decoder]] walks
+  * REAL ISO-BMFF (MP4) boxes — all pure JVM, header-only — and
+  * [[FakeDecoder]] remains the deterministic stand-in for unknown kinds
+  * and reproducible tests. Everything around them (the schema, the
+  * partition-wise batch processing, null handling, the typed Dataset
+  * API) is shared and tested; swapping in a JNI/JavaCV full-frame
+  * decoder changes one function.
   */
 object Multimodal {
 
@@ -160,14 +162,141 @@ object Multimodal {
     }
   }
 
+  /** REAL video decoder: ISO-BMFF (MP4) box walk — pure JVM byte
+    * parsing, no codec dependency. Boxes are [size:4 BE][type:4]
+    * (size 1 → 64-bit largesize follows; size 0 → to end of enclosing
+    * box). The walk reads `moov/mvhd` for timescale+duration (v0 and v1
+    * layouts), picks the first `trak` whose `mdia/hdlr` handler is
+    * 'vide', and takes width/height from its `tkhd` (16.16 fixed point)
+    * and the sample count from `mdia/minf/stbl/stsz`. Header-only: the
+    * moov box of a multi-GB file is a few KB, the mdat payload is never
+    * touched — the same 100 TB discipline as the image/WAV probes.
+    *
+    * Failure policy matches the siblings: malformed/truncated boxes (or
+    * a non-video kind) yield the sentinel (width = height = -1,
+    * n_frames = 0, duration_ms = 0) — never a task failure. */
+  object Mp4Decoder {
+    /** Children of the byte range [start, end): (type, payloadStart,
+      * boxEnd). Stops (returning what it has) at the first malformed
+      * size rather than guessing. */
+    private def boxes(bb: java.nio.ByteBuffer, start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var pos = start
+      var ok = true
+      while (ok && pos + 8 <= end) {
+        val size32 = bb.getInt(pos).toLong & 0xffffffffL
+        val typ = new String(
+          Array(bb.get(pos + 4), bb.get(pos + 5), bb.get(pos + 6), bb.get(pos + 7)),
+          "US-ASCII")
+        var hdr = 8L
+        var sz = size32
+        if (size32 == 1L && pos + 16 <= end) { sz = bb.getLong(pos + 8); hdr = 16L }
+        else if (size32 == 0L) sz = (end - pos).toLong
+        if (sz < hdr || pos + sz > end) ok = false
+        else {
+          out += ((typ, (pos + hdr).toInt, (pos + sz).toInt))
+          pos = (pos + sz).toInt
+        }
+      }
+      out.toSeq
+    }
+
+    def decode(row: MediaRow): MediaFeatures = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(row.payload).map("%02x".format(_)).mkString
+      var w = -1; var h = -1; var frames = 0; var durMs = 0L
+      if (row.kind == "video") try {
+        val bb = java.nio.ByteBuffer.wrap(row.payload) // ISO-BMFF is big-endian
+        boxes(bb, 0, row.payload.length).find(_._1 == "moov").foreach {
+          case (_, ms, me) =>
+            val mv = boxes(bb, ms, me)
+            mv.find(_._1 == "mvhd").foreach { case (_, s, e) =>
+              val v1 = (bb.get(s) & 0xff) == 1
+              if (v1 && e - s >= 32) {
+                val ts = bb.getInt(s + 20)
+                if (ts > 0) durMs = bb.getLong(s + 24) * 1000L / ts
+              } else if (!v1 && e - s >= 20) {
+                val ts = bb.getInt(s + 12)
+                if (ts > 0) durMs = (bb.getInt(s + 16).toLong & 0xffffffffL) * 1000L / ts
+              }
+            }
+            def mdiaOf(ts: Int, te: Int) = boxes(bb, ts, te).find(_._1 == "mdia")
+            def isVideo(ts: Int, te: Int) = mdiaOf(ts, te).exists { case (_, s, e) =>
+              boxes(bb, s, e).find(_._1 == "hdlr").exists { case (_, hs, he) =>
+                he - hs >= 12 && new String(
+                  Array(bb.get(hs + 8), bb.get(hs + 9), bb.get(hs + 10), bb.get(hs + 11)),
+                  "US-ASCII") == "vide"
+              }
+            }
+            mv.filter(_._1 == "trak").find(t => isVideo(t._2, t._3)).foreach {
+              case (_, ts, te) =>
+                val tk = boxes(bb, ts, te)
+                tk.find(_._1 == "tkhd").foreach { case (_, s, e) =>
+                  // offset of the 16.16 width/height pair past the FullBox
+                  // header + times/ids + layer block + 36-byte matrix
+                  val wh = s + (if ((bb.get(s) & 0xff) == 1) 88 else 76)
+                  if (wh + 8 <= e) { w = bb.getInt(wh) >>> 16; h = bb.getInt(wh + 4) >>> 16 }
+                }
+                for ((_, mds, mde) <- mdiaOf(ts, te).toSeq;
+                     (_, mis, mie) <- boxes(bb, mds, mde).find(_._1 == "minf").toSeq;
+                     (_, sbs, sbe) <- boxes(bb, mis, mie).find(_._1 == "stbl").toSeq;
+                     (_, ss, se) <- boxes(bb, sbs, sbe).find(_._1 == "stsz").toSeq
+                     if se - ss >= 12)
+                  frames = bb.getInt(ss + 8)
+            }
+        }
+      } catch { case scala.util.control.NonFatal(_) =>
+        w = -1; h = -1; frames = 0; durMs = 0L
+      }
+      MediaFeatures(row.media_id, row.kind, row.payload.length.toLong, hex,
+        w, h, frames, durMs)
+    }
+
+    /** Minimal valid MP4 for fixtures/demos: ftyp + moov(mvhd,
+      * trak(tkhd, mdia(hdlr, minf(stbl(stsz))))) with the given
+      * dimensions, movie duration (in `timescale` units) and constant-
+      * size sample count — everything the header walk reads, nothing it
+      * doesn't (no mdat; a real player would want one, the probe never
+      * touches it). */
+    def minimal(width: Int, height: Int, nFrames: Int,
+        timescale: Int, duration: Long): Array[Byte] = {
+      def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+        val n = payload.map(_.length).sum
+        val bb = java.nio.ByteBuffer.allocate(8 + n)
+        bb.putInt(8 + n).put(typ.getBytes("US-ASCII"))
+        payload.foreach(bb.put)
+        bb.array()
+      }
+      def beInts(vs: Int*): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+        vs.foreach(bb.putInt); bb.array()
+      }
+      val matrix = beInts(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      val mvhd = box("mvhd", beInts(0, 0, 0, timescale, duration.toInt,
+        0x00010000, 0x01000000), new Array[Byte](8), matrix,
+        new Array[Byte](24), beInts(2))
+      val tkhd = box("tkhd", beInts(3, 0, 0, 1, 0, duration.toInt),
+        new Array[Byte](8), beInts(0, 0), matrix,
+        beInts(width << 16, height << 16))
+      val hdlr = box("hdlr", beInts(0, 0), "vide".getBytes("US-ASCII"),
+        new Array[Byte](13))
+      val stsz = box("stsz", beInts(0, 1, nFrames))
+      val mdia = box("mdia", hdlr, box("minf", box("stbl", stsz)))
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), beInts(0))
+      ftyp ++ box("moov", mvhd, box("trak", tkhd, mdia))
+    }
+  }
+
   /** Kind-dispatching header decoder: image → [[ImageIoDecoder]],
-    * audio → [[WavDecoder]], anything else → the deterministic stub.
-    * The per-partition batch shape means ONE dispatcher instance serves
-    * the whole partition regardless of kind mix. */
+    * audio → [[WavDecoder]], video → [[Mp4Decoder]], anything else →
+    * the deterministic stub. The per-partition batch shape means ONE
+    * dispatcher instance serves the whole partition regardless of kind
+    * mix. */
   object HeaderDecoder {
     def decode(row: MediaRow): MediaFeatures = row.kind match {
       case "image" => ImageIoDecoder.decode(row)
       case "audio" => WavDecoder.decode(row)
+      case "video" => Mp4Decoder.decode(row)
       case _       => FakeDecoder.decode(row)
     }
   }

@@ -481,6 +481,61 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(feats.values.forall(f => f.sha256.length === 64))
   }
 
+  test("multimodal: Mp4Decoder walks ISO-BMFF boxes (dims, duration, frames, malformed)") {
+    implicit val s = spark
+    import s.implicits._
+    val good = Multimodal.Mp4Decoder.minimal(640, 360, 240, 1000, 8000L)
+    // a 64-bit largesize header on a top-level box must parse: rebuild
+    // the ftyp box with size=1 + largesize
+    val ftypLen = java.nio.ByteBuffer.wrap(good).getInt(0)
+    val ftyp64 = {
+      val bb = java.nio.ByteBuffer.allocate(8 + ftypLen)
+      bb.putInt(1).put(good.slice(4, 8)).putLong(8L + ftypLen)
+        .put(good.slice(8, ftypLen))
+      bb.array()
+    }
+    val largesize = ftyp64 ++ good.drop(ftypLen)
+    // an audio-handler trak BEFORE the video trak must be skipped: clone
+    // the trak, flip its hdlr to 'soun' and its tkhd width to 111, and
+    // prepend it inside a rebuilt moov
+    val moovPayload = good.drop(ftypLen + 8)
+    val mvhdLen = java.nio.ByteBuffer.wrap(moovPayload).getInt(0)
+    val (mvhd, trak) = moovPayload.splitAt(mvhdLen)
+    val soun = trak.clone()
+    val vIdx = soun.indexOfSlice("vide".getBytes("US-ASCII"))
+    Array[Byte]('s', 'o', 'u', 'n').copyToArray(soun, vIdx)
+    java.nio.ByteBuffer.wrap(soun).putInt(16 + 76, 111 << 16) // tkhd width
+    val moov2Payload = mvhd ++ soun ++ trak
+    val moov2 = java.nio.ByteBuffer.allocate(8 + moov2Payload.length)
+      .putInt(8 + moov2Payload.length).put("moov".getBytes("US-ASCII"))
+      .put(moov2Payload).array()
+    val multiTrak = good.take(ftypLen) ++ moov2
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", good, "test"),
+      Multimodal.MediaRow(2L, "video", largesize, "test"),
+      Multimodal.MediaRow(3L, "video", good.take(20), "test"),       // truncated moov
+      Multimodal.MediaRow(4L, "video", Array[Byte](0, 0, 0), "test"), // not a box
+      Multimodal.MediaRow(5L, "audio", good, "test"),                 // wrong kind
+      Multimodal.MediaRow(6L, "video", multiTrak, "test")             // soun trak first
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media, Multimodal.HeaderDecoder.decode)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width === 640 && feats(1L).height === 360)
+    assert(feats(1L).n_frames === 240 && feats(1L).duration_ms === 8000L)
+    // the 64-bit size header must not derail the walk to moov
+    assert(feats(2L).width === 640 && feats(2L).duration_ms === 8000L)
+    // malformed payloads surface the sentinel, never a task failure
+    assert(feats(3L).width === -1 && feats(3L).n_frames === 0)
+    assert(feats(4L).width === -1 && feats(4L).duration_ms === 0L)
+    // HeaderDecoder routes by kind: an MP4 declared "audio" gets the
+    // RIFF walk's sentinel
+    assert(feats(5L).n_frames === 0 && feats(5L).width === -1)
+    // the non-video trak (width 111) is skipped; dims come from the
+    // 'vide' handler trak
+    assert(feats(6L).width === 640 && feats(6L).height === 360)
+    assert(feats.values.forall(f => f.sha256.length === 64))
+  }
+
   test("session_window gap boundary: an event AT the gap EXTENDS the session") {
     // Spark merges ADJACENT windows: [t, t+gap) and [t+gap, t+2gap)
     // coalesce, so the split condition is diff > gap, not >= gap —
