@@ -229,6 +229,53 @@ object FunnelQueries {
       GROUP BY path ORDER BY n_users DESC, path LIMIT 25""")
   )
 
+  /** Per-user PATH-LENGTH distribution — the row-listing endpoint's
+    * aggregate twin (dashboard/webapp/views.py:249-278 serves the
+    * ordered per-entity event projection; this reports how long those
+    * pre-conversion listings are): for each converted user, the number
+    * of events strictly before the first purchase (same `pre` relation
+    * as q_conversion_paths), rolled into a length → user-count
+    * distribution with cumulative share. Scale: one user-keyed shuffle,
+    * then the distribution relation is ≤ distinct-length rows (domain-
+    * sized), so the ordered cumulative window and the 1-row total
+    * broadcast are driver-trivial. */
+  val qFunnelPathLengths = GraftQuery(
+    "q_funnel_path_lengths",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val firstPurchase = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(min(struct($"ts", $"event_id")).as("fp"))
+      val lens = ev.join(firstPurchase, "user_id")
+        .filter(struct($"ts", $"event_id") < $"fp")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("path_len"))
+      val dist = lens.groupBy($"path_len").agg(count(lit(1)).as("n_users"))
+      val tot = dist.agg(sum($"n_users").as("tot"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"path_len")
+      dist.crossJoin(broadcast(tot))
+        .withColumn("cum_users", sum($"n_users").over(w))
+        .select($"path_len", $"n_users", $"cum_users",
+          round($"cum_users".cast("double") / $"tot", 6).as("cum_share"))
+        .orderBy($"path_len")
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events),
+      fp AS (SELECT user_id, MIN(ROW(ts, event_id)) AS fp
+        FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+      lens AS (SELECT e.user_id, COUNT(*) AS path_len
+        FROM ev e JOIN fp ON e.user_id = fp.user_id
+        WHERE ROW(e.ts, e.event_id) < fp.fp
+        GROUP BY e.user_id),
+      d AS (SELECT path_len, COUNT(*) AS n_users FROM lens GROUP BY path_len),
+      t AS (SELECT SUM(n_users) AS tot FROM d)
+      SELECT path_len, n_users,
+        CAST(SUM(n_users) OVER (ORDER BY path_len) AS BIGINT) AS cum_users,
+        ROUND(CAST(SUM(n_users) OVER (ORDER BY path_len) AS DOUBLE) / tot, 6) AS cum_share
+      FROM d, t ORDER BY path_len""")
+  )
+
   /** Conversion latency distribution: per user, seconds from first view
     * to the first purchase STRICTLY after it; one row of exact quantiles
     * over the converted users. Scale: one user-keyed shuffle per side,
@@ -855,6 +902,6 @@ object FunnelQueries {
 
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
-      qConversionLatency, qSurvival, qAbTest, qMarkovAttribution, qCohortLtv,
-      qDid, qFunnelWindowed)
+      qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
+      qMarkovAttribution, qCohortLtv, qDid, qFunnelWindowed)
 }
