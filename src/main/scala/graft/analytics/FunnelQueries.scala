@@ -752,7 +752,8 @@ object FunnelQueries {
   )
 
   /** Difference-in-differences: per-user purchase counts in an early vs
-    * late period (first 15 days vs the rest), arms by user parity — the
+    * late period (first vs second half of EACH calendar month — a
+    * per-month split, not a corpus-wide midpoint), arms by user parity — the
     * causal-inference companion to q_ab_test that nets out a shared time
     * trend. The user × period SPINE is explicit (a user absent from a
     * period contributes y = 0 — dropping those rows would bias every

@@ -195,6 +195,11 @@ object EventsStream {
       checkpoint: String, stateDir: String,
       statePartitions: Int = 4): DataFrame = {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // checkpoint and state MUST start together: state is wiped for a
+    // fresh fold, so a surviving checkpoint from a killed prior run
+    // (finally skipped) would make AvailableNow skip already-committed
+    // batches against empty state — a silently incomplete fold
+    deleteRecursively(new java.io.File(checkpoint))
     deleteRecursively(new java.io.File(stateDir)) // fresh fold per run
     new java.io.File(stateDir).mkdirs()
     def gens(): Seq[Long] = Option(new java.io.File(stateDir).listFiles())
