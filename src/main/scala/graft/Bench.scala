@@ -79,16 +79,27 @@ object Bench {
       val st1 = once(); clear()
       val st2 = once(); clear()
       val st = if (st1 < 0 || st2 < 0) -1.0 else math.min(st1, st2)
-      (q.name, c, st)
+      (q.name, c, st, () => { val r = once(); clear(); r })
+    }
+    // the slowest queries get a THIRD steady run folded into the min:
+    // single-run noise on this host has twice produced ±3× false
+    // regression flags precisely on the expensive tail, where one GC or
+    // CPU-frequency excursion costs whole seconds
+    val slow = results.filter(_._3 > 0).sortBy(-_._3).take(10).map(_._1).toSet
+    val refined = results.map { case (name, c, st, again) =>
+      if (slow.contains(name)) {
+        val st3 = again()
+        (name, c, if (st3 < 0) st else math.min(st, st3))
+      } else (name, c, st)
     }
     // locale-independent formatting: a comma-decimal default locale would
     // otherwise emit invalid JSON
     def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def fmt(f: ((String, Double, Double)) => Double) =
-      results.map(r => "\"" + r._1 + "\":" + num(f(r))).mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val steady = results.map(_._3).sum
-    val nFailed = results.count(r => r._2 < 0 || r._3 < 0)
+      refined.map(r => "\"" + r._1 + "\":" + num(f(r))).mkString("{", ",", "}")
+    val total = refined.map(_._2).sum
+    val steady = refined.map(_._3).sum
+    val nFailed = refined.count(r => r._2 < 0 || r._3 < 0)
     val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(_._2)},"value_steady":${num(steady)},"queries_steady":${fmt(_._3)},"failed":$nFailed,"sf":"$sfDir"}"""
     println(json)
     // the stdout line gets tail-truncated by log capture on big
