@@ -1,0 +1,279 @@
+package graft.analytics
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-level statistical diagnostics for training-data curation:
+  * distributed fixed-point KMeans (the fully-oracled upgrade of the
+  * engine-specific Lloyd behind IVF), per-source distribution drift
+  * (KL), vocabulary growth (Heaps) and rank-frequency shape (Zipf).
+  * Every query carries a full DuckDB hash oracle: KMeans runs in
+  * shifted integer arithmetic (unrolled-CTE replay, the q_hits
+  * pattern), the text statistics are exact integer counts with the
+  * decimal-summed ln-term discipline of q_mutual_info. */
+object CorpusStatsQueries {
+
+  /** Fixed-point quantization scale for KMeans coordinates. */
+  private val QScale = 1000000L
+
+  /** Non-negativity shift: distances are shift-invariant, and shifted
+    * per-cluster coordinate sums stay >= 0, making Spark's truncating
+    * `DIV` and DuckDB's flooring `//` agree on the centroid means (the
+    * floor-vs-truncate mismatch only bites on negatives). Covers
+    * |coordinate| <= 16. */
+  private val QShift = 16000000L
+
+  private val KmeansK = 4
+  private val KmeansRounds = 2 // centroid updates; final assignment after
+
+  /** Distributed KMeans over the embedding table in PURE INTEGER
+    * arithmetic — deterministic init (the k smallest vec_ids),
+    * truncating-division centroid means, (distance, cluster) tie-break —
+    * so the full Lloyd iteration is replayed by the DuckDB oracle
+    * round for round (the q_hits unrolled-CTE pattern). This closes the
+    * one "engine-specific KMeans" caveat the IVF family carries: a
+    * quantizer built this way is bit-identical in any engine.
+    *
+    * Scale design: the quantized vector relation is cached once; each
+    * round is ONE map-side argmin over a k×d centroid literal (no
+    * explode — the k candidates fold inside a higher-order aggregate)
+    * plus one (cluster, dim)-keyed partial-aggregated groupBy; the
+    * driver holds only k×d longs per round (the BPE-merge collect
+    * discipline). Rounds are independent plans over the cached base —
+    * lineage does not grow. Integer bounds: per-dim diffs <= 3.2e7 →
+    * squared-distance sums <= ~6.5e16 per vector; per-cluster
+    * coordinate sums overflow only past ~5e11 members (raise QScale
+    * granularity or widen to Decimal there). Inertia sums exactly in
+    * DECIMAL(38,0) and converts once to double at the end (both
+    * engines nearest-round the identical integer). */
+  val qKmeans = GraftQuery(
+    "q_kmeans",
+    (s, dir) => {
+      import s.implicits._
+      val emb = graft.operators.Caches.register(
+        Tables.embeddings(s, dir).select($"vec_id",
+          transform($"embedding".cast("array<double>"),
+            x => floor(x * QScale + 0.5).cast("long") + QShift).as("v")))
+      var cents: Seq[(Int, Seq[Long])] = emb.orderBy($"vec_id").limit(KmeansK)
+        .select($"v").collect().zipWithIndex
+        .map { case (r, j) => (j, r.getSeq[Long](0)) }.toSeq
+      def assigned() = {
+        val cs = array(cents.map { case (j, c) =>
+          struct(lit(j).as("j"), typedLit(c).as("c")) }: _*)
+        emb.select($"vec_id", $"v",
+            aggregate(cs, struct(lit(-1).as("j"), lit(Long.MaxValue).as("d")),
+              (acc, cj) => {
+                val dist = aggregate(
+                  zip_with($"v", cj("c"), (a, b) => (a - b) * (a - b)),
+                  lit(0L), (s2, x) => s2 + x)
+                when(dist < acc("d"), struct(cj("j").as("j"), dist.as("d")))
+                  .otherwise(acc)
+              }).as("best"))
+          .select($"vec_id", $"v", $"best.j".as("cluster"), $"best.d".as("dist"))
+      }
+      for (_ <- 1 to KmeansRounds) {
+        cents = assigned()
+          .select($"cluster", posexplode($"v")).toDF("cluster", "pos", "x")
+          .groupBy($"cluster", $"pos")
+          .agg(expr("sum(x) DIV count(1)").as("m"))
+          .groupBy($"cluster")
+          .agg(sort_array(collect_list(struct($"pos", $"m"))).as("pm"))
+          .select($"cluster", transform($"pm", p => p("m")).as("c"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+          .sortBy(_._1)
+      }
+      // inertia: EXACT decimal sum, then one nearest-double conversion —
+      // both engines round the identical integer to the identical double
+      assigned().groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"),
+          sum($"dist".cast(DecimalType(38, 0))).cast("double").as("inertia"))
+        .orderBy($"cluster")
+    },
+    Some {
+      val d = 64
+      def dist(v: String, c: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range($d), i -> ($v[i+1]-$c[i+1])*($v[i+1]-$c[i+1]))),
+           (acc, x) -> acc + x)"""
+      def assignRound(a: String, cPrev: String) =
+        s"""$a AS (SELECT vec_id, v, j, dist FROM (
+            SELECT q.vec_id, q.v, c.j, ${dist("q.v", "c.c")} AS dist,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY ${dist("q.v", "c.c")}, c.j) AS rk
+            FROM q, $cPrev c) WHERE rk = 1)"""
+      def updateRound(cNext: String, a: String) =
+        s"""$cNext AS (SELECT j, list(m ORDER BY i) AS c FROM (
+            SELECT a.j, t.i, CAST(SUM(a.v[t.i+1]) // COUNT(*) AS BIGINT) AS m
+            FROM $a a, UNNEST(range($d)) AS t(i) GROUP BY a.j, t.i) GROUP BY j)"""
+      s"""WITH q AS (SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(FLOOR(x * $QScale + 0.5) AS BIGINT) + $QShift) AS v
+        FROM embeddings),
+        c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+          FROM q ORDER BY vec_id LIMIT $KmeansK),
+        ${assignRound("a1", "c0")},
+        ${updateRound("c1", "a1")},
+        ${assignRound("a2", "c1")},
+        ${updateRound("c2", "a2")},
+        ${assignRound("a3", "c2")}
+        SELECT j AS cluster, COUNT(*) AS n_members,
+          CAST(SUM(dist) AS DOUBLE) AS inertia
+        FROM a3 GROUP BY j ORDER BY cluster"""
+    }
+  )
+
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * the mixture-drift diagnostic behind data-mixing decisions (a
+    * source whose token distribution diverges hard from the corpus is
+    * either a domain worth upweighting or contamination worth
+    * inspecting). KL(p_source ‖ p_corpus) = Σ_t p_st·ln(p_st/p_ct);
+    * source support ⊆ corpus support, so every term is finite. Terms
+    * go through DECIMAL(18,12) before summing (order-independent; ln's
+    * last-ulp noise sits 6 digits under the rounding — the
+    * q_mutual_info discipline). Scale: counts-only token-keyed
+    * shuffles; the corpus count relation is vocabulary-sized. */
+  val qSourceKl = GraftQuery(
+    "q_source_kl",
+    (s, dir) => {
+      import s.implicits._
+      val tok = Tables.documents(s, dir)
+        .select($"source", explode(TextAnalysis.tokens($"text")).as("token"))
+      val st = tok.groupBy($"source", $"token").agg(count(lit(1)).as("n_st"))
+      val sTot = tok.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      val ct = tok.groupBy($"token").agg(count(lit(1)).as("n_t"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      st.join(ct, "token").join(broadcast(sTot), "source")
+        .crossJoin(broadcast(tot))
+        .groupBy($"source", $"n_s".as("n_tokens"))
+        .agg(
+          round(sum((($"n_st".cast("double") / $"n_s") *
+              log(($"n_st".cast("double") * $"n") /
+                ($"n_s".cast("double") * $"n_t")))
+            .cast(DecimalType(18, 12))).cast("double"), 6).as("kl"))
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (SELECT source,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      FROM documents),
+      st AS (SELECT source, token, COUNT(*) AS n_st FROM tok GROUP BY 1, 2),
+      stot AS (SELECT source, COUNT(*) AS n_s FROM tok GROUP BY 1),
+      ct AS (SELECT token, COUNT(*) AS n_t FROM tok GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n FROM tok)
+      SELECT st.source, stot.n_s AS n_tokens,
+        ROUND(CAST(SUM(CAST((CAST(n_st AS DOUBLE) / n_s) *
+          LN((CAST(n_st AS DOUBLE) * n) / (CAST(n_s AS DOUBLE) * n_t))
+          AS DECIMAL(18,12))) AS DOUBLE), 6) AS kl
+      FROM st JOIN ct USING (token) JOIN stot USING (source), tot
+      GROUP BY st.source, stot.n_s ORDER BY st.source""")
+  )
+
+  /** Vocabulary growth over the corpus (Heaps'-law curve data): docs in
+    * doc_id order split into 10 ntile buckets; per bucket the doc and
+    * token-occurrence counts, cumulative occurrences, NEW distinct
+    * tokens (first seen in that bucket — min-bucket per token, exact)
+    * and the cumulative vocabulary. Sub-linear cum_vocab growth against
+    * cum_tokens is the expected shape; a late bucket spiking new_vocab
+    * flags an off-distribution data drop. All exact integer counts.
+    * Scale: one token-keyed min-aggregate + domain-sized (10-row)
+    * windows. */
+  val qHeapsLaw = GraftQuery(
+    "q_heaps_law",
+    (s, dir) => {
+      import s.implicits._
+      val w10 = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+        .withColumn("bucket", ntile(10).over(w10))
+      val tok = graft.operators.Caches.register(
+        docs.select($"bucket", explode($"toks").as("token")))
+      val per = tok.groupBy($"bucket").agg(count(lit(1)).as("n_tokens"))
+      val nd = docs.groupBy($"bucket").agg(count(lit(1)).as("n_docs"))
+      val firsts = tok.groupBy($"token").agg(min($"bucket").as("fb"))
+        .groupBy($"fb".as("bucket")).agg(count(lit(1)).as("new_vocab"))
+      val wc = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+      nd.join(per, "bucket").join(firsts, Seq("bucket"), "left")
+        .select($"bucket", $"n_docs", $"n_tokens",
+          coalesce($"new_vocab", lit(0L)).as("new_vocab"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(wc))
+        .withColumn("cum_vocab", sum($"new_vocab").over(wc))
+        .orderBy($"bucket")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+        NTILE(10) OVER (ORDER BY doc_id) AS bucket
+      FROM documents),
+      tok AS (SELECT bucket, unnest(toks) AS token FROM d),
+      per AS (SELECT bucket, COUNT(*) AS n_tokens FROM tok GROUP BY 1),
+      nd AS (SELECT bucket, COUNT(*) AS n_docs FROM d GROUP BY 1),
+      fs AS (SELECT fb AS bucket, COUNT(*) AS new_vocab FROM
+        (SELECT token, MIN(bucket) AS fb FROM tok GROUP BY token) GROUP BY 1)
+      SELECT nd.bucket, nd.n_docs, per.n_tokens,
+        COALESCE(fs.new_vocab, 0) AS new_vocab,
+        CAST(SUM(per.n_tokens) OVER (ORDER BY nd.bucket) AS BIGINT) AS cum_tokens,
+        CAST(SUM(COALESCE(fs.new_vocab, 0)) OVER (ORDER BY nd.bucket) AS BIGINT) AS cum_vocab
+      FROM nd JOIN per ON nd.bucket = per.bucket
+      LEFT JOIN fs ON nd.bucket = fs.bucket
+      ORDER BY nd.bucket""")
+  )
+
+  /** Zipf rank-frequency fit over the top-200 tokens: closed-form OLS of
+    * ln(freq) on ln(rank) (slope ≈ −1 on natural text; a flat slope
+    * flags templated/boilerplate corpora, a steep one vocabulary
+    * collapse). The moment sums run over a 200-row domain relation
+    * through DECIMAL(18,12) (exact, order-independent); the final
+    * slope/intercept/r² tree is fixed IEEE arithmetic over those
+    * moments — identical in both engines. Scale: one vocabulary rollup,
+    * one global top-k, driver-free. */
+  val qZipfFit = GraftQuery(
+    "q_zipf_fit",
+    (s, dir) => {
+      import s.implicits._
+      val top = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("f"))
+        .orderBy($"f".desc, $"token").limit(200)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"f".desc, $"token")))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(18, 12))).cast("double")
+      val m = top.select(log($"rk").as("x"), log($"f").as("y"))
+        .agg(count(lit(1)).cast("double").as("n"), dsum($"x").as("sx"),
+          dsum($"y").as("sy"), dsum($"x" * $"x").as("sxx"),
+          dsum($"x" * $"y").as("sxy"), dsum($"y" * $"y").as("syy"))
+      m.select($"n".cast("long").as("n_terms"),
+          (($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx")).as("slope"),
+          $"n", $"sx", $"sy", $"sxx", $"sxy", $"syy")
+        .select($"n_terms", round($"slope", 6).as("slope"),
+          round(($"sy" - $"slope" * $"sx") / $"n", 6).as("intercept"),
+          round(pow($"n" * $"sxy" - $"sx" * $"sy", 2) /
+            (($"n" * $"sxx" - $"sx" * $"sx") *
+             ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+    },
+    Some("""WITH tok AS (SELECT
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      FROM documents),
+      top AS (SELECT token, COUNT(*) AS f FROM tok GROUP BY token
+        ORDER BY f DESC, token LIMIT 200),
+      xy AS (SELECT LN(ROW_NUMBER() OVER (ORDER BY f DESC, token)) AS x,
+        LN(f) AS y FROM top),
+      m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(18,12))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x*x AS DECIMAL(18,12))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(x*y AS DECIMAL(18,12))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(y*y AS DECIMAL(18,12))) AS DOUBLE) AS syy
+      FROM xy),
+      sl AS (SELECT n, sx, sy, sxx, sxy, syy,
+        (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope FROM m)
+      SELECT CAST(n AS BIGINT) AS n_terms, ROUND(slope, 6) AS slope,
+        ROUND((sy - slope*sx) / n, 6) AS intercept,
+        ROUND(POW(n*sxy - sx*sy, 2) /
+          ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+      FROM sl""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qKmeans, qSourceKl, qHeapsLaw, qZipfFit)
+}
