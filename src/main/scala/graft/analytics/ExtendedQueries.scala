@@ -186,6 +186,33 @@ object ExtendedQueries {
       FROM pu WHERE rn = 1 ORDER BY user_id""")
   )
 
+  /** Custom typed streaming state via the Spark 4 StatefulProcessor
+    * (transformWithState) API over the RocksDB store — the successor of
+    * flatMapGroupsWithState (q_stream_sessions covers that one): one
+    * running-stats ValueState per user folded across micro-batches
+    * (count, integer-cent sum, min/max, distinct type set). Every fold
+    * is commutative, so the end-of-stream state equals the batch
+    * GROUP BY — the oracle. See [[graft.streaming.UserStats]]. */
+  val qStreamUserStats = GraftQuery(
+    "q_stream_user_stats",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_user_stats_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+      val ev = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+      graft.streaming.UserStats.runningStats(s, ev, name, checkpoint)
+        .orderBy($"user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, event_type,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+      SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
+      FROM c GROUP BY user_id ORDER BY user_id""")
+  )
+
   /** Streaming incremental dedup (D2) under AT-LEAST-ONCE delivery: the
     * same event files arrive on TWO source streams (every event delivered
     * twice — the redelivery pattern of any retrying ingester), and
@@ -1104,5 +1131,5 @@ object ExtendedQueries {
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
     qDenseTopk, qStreamEnrich, qStreamDedup, qStreamJoin, qStreamOuterJoin,
     qMergeUpsert, qContiguousIds, qStreamSessionWindow, qFuzzyMatch,
-    qQuantileNormalize, qWeightedMedian, qStreamUpsert)
+    qQuantileNormalize, qWeightedMedian, qStreamUpsert, qStreamUserStats)
 }

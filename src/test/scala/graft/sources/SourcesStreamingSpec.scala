@@ -355,6 +355,41 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(saved.get === s)
   }
 
+  test("transformWithState user stats: 3-micro-batch fold equals the single-batch state") {
+    // the StatefulProcessor fold is all-commutative, so any micro-batch
+    // partitioning must yield the identical end-of-stream state
+    val raw0 = rawEvents()
+    val raw = raw0.withColumn("tsn", tsNum(raw0))
+    val Array(u1, u2) = raw.stat.approxQuantile("tsn", Array(0.33, 0.66), 0.0)
+    val srcDir = s"$tmp/events_tws_split"
+    new java.io.File(srcDir).mkdirs()
+    Seq(raw.filter(col("tsn") <= u1),
+        raw.filter(col("tsn") > u1 && col("tsn") <= u2),
+        raw.filter(col("tsn") > u2)).map(_.drop("tsn")).zipWithIndex.foreach { case (p, i) =>
+      val stage = s"$tmp/events_tws_stage_$i"
+      p.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"events_$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1900000000000L + i * 60000L))
+    }
+    def run(path: String, tag: String, oneFilePerTrigger: Boolean) = {
+      val ev = EventsStream.readEvents(spark, path,
+        maxFilesPerTrigger = if (oneFilePerTrigger) 1 else 100)
+      graft.streaming.UserStats.runningStats(spark, ev, s"tws_$tag",
+          s"$tmp/ckpt_tws_$tag")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))))
+        .toMap
+    }
+    val single = run(s"$Dir/events.parquet", "single", oneFilePerTrigger = false)
+    val multi = run(srcDir, "multi", oneFilePerTrigger = true)
+    assert(single.nonEmpty)
+    assert(multi === single,
+      "multi-batch stateful fold must equal the single-batch stats")
+  }
+
   test("multimodal: batch feature extraction over binary payloads") {
     implicit val s = spark
     import s.implicits._
