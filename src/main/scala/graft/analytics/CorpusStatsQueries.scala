@@ -15,15 +15,11 @@ import org.apache.spark.sql.types.DecimalType
   * decimal-summed ln-term discipline of q_mutual_info. */
 object CorpusStatsQueries {
 
-  /** Fixed-point quantization scale for KMeans coordinates. */
-  private val QScale = 1000000L
-
-  /** Non-negativity shift: distances are shift-invariant, and shifted
-    * per-cluster coordinate sums stay >= 0, making Spark's truncating
-    * `DIV` and DuckDB's flooring `//` agree on the centroid means (the
-    * floor-vs-truncate mismatch only bites on negatives). Covers
-    * |coordinate| <= 16. */
-  private val QShift = 16000000L
+  /** Quantization constants shared with the operator the oracle
+    * replays — see [[graft.operators.FixedPointKMeans]] for the
+    * shift/floor-vs-truncate argument. */
+  private val QScale = graft.operators.FixedPointKMeans.QScale
+  private val QShift = graft.operators.FixedPointKMeans.QShift
 
   private val KmeansK = 4
   private val KmeansRounds = 2 // centroid updates; final assignment after
@@ -52,77 +48,58 @@ object CorpusStatsQueries {
     "q_kmeans",
     (s, dir) => {
       import s.implicits._
+      import graft.operators.FixedPointKMeans
       val emb = graft.operators.Caches.register(
         Tables.embeddings(s, dir).select($"vec_id",
-          transform($"embedding".cast("array<double>"),
-            x => floor(x * QScale + 0.5).cast("long") + QShift).as("v")))
-      var cents: Seq[(Int, Seq[Long])] = emb.orderBy($"vec_id").limit(KmeansK)
-        .select($"v").collect().zipWithIndex
-        .map { case (r, j) => (j, r.getSeq[Long](0)) }.toSeq
-      def assigned() = {
-        val cs = array(cents.map { case (j, c) =>
-          struct(lit(j).as("j"), typedLit(c).as("c")) }: _*)
-        emb.select($"vec_id", $"v",
-            aggregate(cs, struct(lit(-1).as("j"), lit(Long.MaxValue).as("d")),
-              (acc, cj) => {
-                val dist = aggregate(
-                  zip_with($"v", cj("c"), (a, b) => (a - b) * (a - b)),
-                  lit(0L), (s2, x) => s2 + x)
-                when(dist < acc("d"), struct(cj("j").as("j"), dist.as("d")))
-                  .otherwise(acc)
-              }).as("best"))
-          .select($"vec_id", $"v", $"best.j".as("cluster"), $"best.d".as("dist"))
-      }
-      for (_ <- 1 to KmeansRounds) {
-        cents = assigned()
-          .select($"cluster", posexplode($"v")).toDF("cluster", "pos", "x")
-          .groupBy($"cluster", $"pos")
-          .agg(expr("sum(x) DIV count(1)").as("m"))
-          .groupBy($"cluster")
-          .agg(sort_array(collect_list(struct($"pos", $"m"))).as("pm"))
-          .select($"cluster", transform($"pm", p => p("m")).as("c"))
-          .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
-          .sortBy(_._1)
-      }
+          FixedPointKMeans.quantize($"embedding").as("v")))
+      val cents = FixedPointKMeans.fit(emb, "vec_id", "v", KmeansK, KmeansRounds)
       // inertia: EXACT decimal sum, then one nearest-double conversion —
       // both engines round the identical integer to the identical double
-      assigned().groupBy($"cluster")
+      FixedPointKMeans.assign(emb, "v", cents).groupBy($"cluster")
         .agg(count(lit(1)).as("n_members"),
           sum($"dist".cast(DecimalType(38, 0))).cast("double").as("inertia"))
         .orderBy($"cluster")
     },
-    Some {
-      val d = 64
-      def dist(v: String, c: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(range($d), i -> ($v[i+1]-$c[i+1])*($v[i+1]-$c[i+1]))),
-           (acc, x) -> acc + x)"""
-      def assignRound(a: String, cPrev: String) =
-        s"""$a AS (SELECT vec_id, v, j, dist FROM (
-            SELECT q.vec_id, q.v, c.j, ${dist("q.v", "c.c")} AS dist,
-              ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                ORDER BY ${dist("q.v", "c.c")}, c.j) AS rk
-            FROM q, $cPrev c) WHERE rk = 1)"""
-      def updateRound(cNext: String, a: String) =
-        s"""$cNext AS (SELECT j, list(m ORDER BY i) AS c FROM (
-            SELECT a.j, t.i, CAST(SUM(a.v[t.i+1]) // COUNT(*) AS BIGINT) AS m
-            FROM $a a, UNNEST(range($d)) AS t(i) GROUP BY a.j, t.i) GROUP BY j)"""
-      s"""WITH q AS (SELECT vec_id,
-          list_transform(CAST(embedding AS DOUBLE[]),
-            x -> CAST(FLOOR(x * $QScale + 0.5) AS BIGINT) + $QShift) AS v
-        FROM embeddings),
-        c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c
-          FROM q ORDER BY vec_id LIMIT $KmeansK),
-        ${assignRound("a1", "c0")},
-        ${updateRound("c1", "a1")},
-        ${assignRound("a2", "c1")},
-        ${updateRound("c2", "a2")},
-        ${assignRound("a3", "c2")}
+    Some(s"""WITH ${kmeansOracleCtes(KmeansK, KmeansRounds)}
         SELECT j AS cluster, COUNT(*) AS n_members,
           CAST(SUM(dist) AS DOUBLE) AS inertia
-        FROM a3 GROUP BY j ORDER BY cluster"""
-    }
+        FROM a${KmeansRounds + 1} GROUP BY j ORDER BY cluster""")
   )
+
+  /** DuckDB integer-distance expression over two 64-dim quantized
+    * lists — shared by every [[FixedPointKMeans]]-replaying oracle. */
+  private[analytics] def kmeansDistSql(v: String, c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(range(64), i -> ($v[i+1]-$c[i+1])*($v[i+1]-$c[i+1]))),
+       (acc, x) -> acc + x)"""
+
+  /** The [[FixedPointKMeans]] replay as DuckDB CTEs: quantized
+    * relation `q`, init `c0`, then per round assignment `a{r}` /
+    * update `c{r}`, ending with the FINAL assignment `a{rounds+1}`
+    * against the final centroids `c{rounds}`. */
+  private[analytics] def kmeansOracleCtes(k: Int, rounds: Int): String = {
+    def assignRound(a: String, cPrev: String) =
+      s"""$a AS (SELECT vec_id, v, j, dist FROM (
+          SELECT q.vec_id, q.v, c.j, ${kmeansDistSql("q.v", "c.c")} AS dist,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${kmeansDistSql("q.v", "c.c")}, c.j) AS rk
+          FROM q, $cPrev c) WHERE rk = 1)"""
+    def updateRound(cNext: String, a: String) =
+      s"""$cNext AS (SELECT j, list(m ORDER BY i) AS c FROM (
+          SELECT a.j, t.i, CAST(SUM(a.v[t.i+1]) // COUNT(*) AS BIGINT) AS m
+          FROM $a a, UNNEST(range(64)) AS t(i) GROUP BY a.j, t.i) GROUP BY j)"""
+    val roundsSql = (1 to rounds).map(r =>
+      assignRound(s"a$r", s"c${r - 1}") + ",\n" +
+        updateRound(s"c$r", s"a$r")).mkString(",\n")
+    s"""q AS (SELECT vec_id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> CAST(FLOOR(x * $QScale + 0.5) AS BIGINT) + $QShift) AS v
+      FROM embeddings),
+      c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+        FROM q ORDER BY vec_id LIMIT $k),
+      $roundsSql,
+      ${assignRound(s"a${rounds + 1}", s"c$rounds")}"""
+  }
 
   /** Per-source unigram KL divergence from the corpus distribution —
     * the mixture-drift diagnostic behind data-mixing decisions (a

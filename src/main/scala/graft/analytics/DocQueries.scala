@@ -1127,45 +1127,68 @@ object DocQueries {
       ORDER BY vec_id""")
   )
 
-  /** IVF ANN top-20 (KMeans coarse quantizer, 2-probe; same query vector
-    * as q_embed_topk). KMeans centroids are engine-specific, so the
-    * HASH-ORACLED surface is the portable part: the brute-force exact
-    * top-20 rows (the q_embed_topk replay) plus two flags derived
-    * IN-PLAN from the real IVF path — `ivf_k_ok` (the probe returned a
-    * full k results) and `ivf_recall_ok` (recall vs exact ≥ 0.3). The
-    * 0.3 floor is the honest bound for THIS data: 2 of 8 probed cells on
-    * near-isotropic synthetic embeddings yields recall ≈ the probed mass
-    * share (0.45 observed; real clustered embeddings do far better —
-    * see DedupSimilaritySpec) and a broken quantizer (bad assignments,
-    * empty cells) craters below it. The oracle emits literal TRUE for
-    * both flags, so an IVF regression fails the hash gate. */
+  /** IVF ANN top-20 with the ACTUAL probe rows under the hash gate:
+    * the coarse quantizer is [[graft.operators.FixedPointKMeans]]
+    * (shifted-integer Lloyd, deterministic init), so centroids, cell
+    * assignment and the 2-probe cell choice are all engine-portable —
+    * the oracle replays the full pipeline (KMeans rounds as unrolled
+    * CTEs → integer-distance probe selection → double cosine over the
+    * probed cells → top-20) and hash-matches the REAL IVF result,
+    * recall_at_k column included (computed against the brute-force
+    * top-20 in the same plan, q_ann_topk style). This is the strongest
+    * form of the IVF claim: not a certificate about the result, the
+    * result itself.
+    *
+    * Scale shape unchanged from IvfIndex: assignment is map-only
+    * against a k×d literal; at 100 TB the table is written partitioned
+    * by cell (IvfIndex.writeIndex — plan-asserted partition pruning)
+    * and fit() runs over the same bounded collect discipline. */
   val qIvfTopK = GraftQuery(
     "q_ivf_topk",
     (s, dir) => {
       import s.implicits._
+      import graft.operators.FixedPointKMeans
       val emb = graft.operators.Caches.register(Tables.embeddings(s, dir)
         .withColumn("embedding", $"embedding".cast("array<double>")))
       val q = emb.orderBy($"vec_id").limit(1)
         .select($"embedding").collect()(0).getSeq[Double](0)
-      val model = graft.operators.IvfIndex.fit(emb, "embedding", k = 8)
-      val ivf = graft.operators.IvfIndex.search(emb, "vec_id", "embedding", model, q,
-        k = 20, nProbe = 2)
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
-      val cert = ivf
-        .join(exact.select($"vec_id").withColumn("_hit", lit(1)), Seq("vec_id"), "left")
-        .agg((count(lit(1)) === 20).as("ivf_k_ok"),
-          (sum(coalesce($"_hit", lit(0))).cast("double") / 20 >= 0.3).as("ivf_recall_ok"))
-      exact.crossJoin(broadcast(cert))
+      val quant = graft.operators.Caches.register(
+        emb.select($"vec_id", $"embedding",
+          FixedPointKMeans.quantize($"embedding").as("v")))
+      val cents = FixedPointKMeans.fit(quant, "vec_id", "v", k = 8, rounds = 2)
+      val qv = FixedPointKMeans.quantizeLocal(q)
+      val cells = cents.map { case (j, c) =>
+          (j, FixedPointKMeans.sqDistLocal(qv, c)) }
+        .sortBy { case (j, d) => (d, j) }.take(2).map(_._1)
+      val ivf = FixedPointKMeans.assign(quant, "v", cents)
+        .filter($"cluster".isin(cells: _*))
+        .select($"vec_id",
+          round(Similarity.cosineNative($"embedding", typedLit(q)), 6).as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"vec_id").limit(20)
+      Similarity.withRecall(ivf,
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20), "vec_id", 20)
         .orderBy($"cos_sim".desc, $"vec_id")
     },
-    Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
-      scored AS (SELECT vec_id,
-        ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
-          (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-           SQRT(list_dot_product(qv, qv))), 6) AS cos_sim
-      FROM embeddings, q)
-      SELECT vec_id, cos_sim, TRUE AS ivf_k_ok, TRUE AS ivf_recall_ok
-      FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 20""")
+    Some {
+      val cosine = """ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qd.qe) /
+          (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+           SQRT(list_dot_product(qd.qe, qd.qe))), 6)"""
+      s"""WITH ${CorpusStatsQueries.kmeansOracleCtes(8, 2)},
+      qd AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
+      qq AS (SELECT v FROM q ORDER BY vec_id LIMIT 1),
+      cellsel AS (SELECT c.j FROM c2 c, qq
+        ORDER BY ${CorpusStatsQueries.kmeansDistSql("qq.v", "c.c")}, c.j LIMIT 2),
+      cand AS (SELECT vec_id FROM a3 WHERE j IN (SELECT j FROM cellsel)),
+      ivf AS (SELECT e.vec_id, $cosine AS cos_sim
+        FROM embeddings e JOIN cand USING (vec_id), qd
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 20),
+      exact AS (SELECT e.vec_id FROM embeddings e, qd
+        ORDER BY $cosine DESC, e.vec_id LIMIT 20),
+      rec AS (SELECT ROUND(CAST(COUNT(*) AS DOUBLE) / 20, 6) AS recall_at_k
+        FROM ivf JOIN exact USING (vec_id))
+      SELECT ivf.vec_id, ivf.cos_sim, rec.recall_at_k
+      FROM ivf, rec ORDER BY cos_sim DESC, vec_id"""
+    }
   )
 
   /** HLL sketch REUSE across grains — the warehouse pattern that makes
