@@ -1012,6 +1012,38 @@ object ExtendedQueries {
       ORDER BY id_a, id_b""")
   )
 
+  /** The complementary q-GRAM blocking pass over the same registry
+    * (FuzzyMatch.nameDupPairsQgram): full recall on head/mid/tail
+    * single-edit classes for names ≥ 6 chars (the q-gram count bound),
+    * modulo the df-cap on template grams — on `Customer#000...` names
+    * the shared-template grams are degenerate and the discriminative
+    * digit grams survive. The oracle replays gram explode, cap, DISTINCT
+    * candidates and the levenshtein verify. */
+  val qFuzzyQgram = GraftQuery(
+    "q_fuzzy_qgram",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.FuzzyMatch.nameDupPairsQgram(
+          Tables.customer(s, dir), "c_custkey", "c_name",
+          maxDist = 1, q = 3, maxBlock = 100)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH c AS (SELECT c_custkey AS id, c_name AS name
+        FROM customer WHERE c_name IS NOT NULL),
+      g AS (SELECT id, name, unnest(list_distinct(list_transform(
+          range(1, GREATEST(length(name) - 2, 1) + 1),
+          i -> substring(name, i, 3)))) AS blk FROM c),
+      kept AS (SELECT blk FROM g GROUP BY blk HAVING COUNT(*) <= 100),
+      b AS (SELECT g.* FROM g JOIN kept USING (blk)),
+      cand AS (SELECT DISTINCT a.id AS id_a, d.id AS id_b,
+          a.name AS name_a, d.name AS name_b
+        FROM b a JOIN b d ON a.blk = d.blk AND a.id < d.id)
+      SELECT id_a, id_b, name_a, name_b,
+        CAST(levenshtein(name_a, name_b) AS INT) AS dist
+      FROM cand WHERE levenshtein(name_a, name_b) <= 1
+      ORDER BY id_a, id_b""")
+  )
+
   /** Contiguous global row ids (0..N-1) in o_orderkey order, via the
     * range-partition + per-partition-offset enumeration of
     * [[graft.operators.Ids.contiguousRowIds]] — the scalable replacement
@@ -1131,5 +1163,6 @@ object ExtendedQueries {
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
     qDenseTopk, qStreamEnrich, qStreamDedup, qStreamJoin, qStreamOuterJoin,
     qMergeUpsert, qContiguousIds, qStreamSessionWindow, qFuzzyMatch,
-    qQuantileNormalize, qWeightedMedian, qStreamUpsert, qStreamUserStats)
+    qQuantileNormalize, qWeightedMedian, qStreamUpsert, qStreamUserStats,
+    qFuzzyQgram)
 }

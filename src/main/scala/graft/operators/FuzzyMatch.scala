@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * characters) land in one block; pairs verify with exact levenshtein
   * inside the block only. This catches TAIL-edit duplicates — the
   * dominant class for numbered/serial entity names — by construction;
-  * head-edit or indel duplicates that change the prefix need a
-  * complementary pass (suffix or q-gram blocking, same machinery).
-  * Recall is a property of the BLOCKING KEY choice, never silently of
-  * data volume.
+  * head-edit or indel duplicates that change the prefix take the
+  * complementary [[nameDupPairsQgram]] pass (same machinery, gram
+  * blocks). Recall is a property of the BLOCKING KEY choice, never
+  * silently of data volume.
   *
   * Scale: blocks over `maxBlock` names are dropped before the join
   * ([[Dedup.dropHotKeys]] — a degenerate key, e.g. a constant name
@@ -56,6 +56,45 @@ object FuzzyMatch {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"),
         levenshtein(col("a.name"), col("b.name"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
+  /** The COMPLEMENTARY blocking pass [[nameDupPairs]]' header promises:
+    * q-gram blocking, which catches head, MID and tail edits (including
+    * indels) in one machinery. The q-gram count bound — strings within
+    * edit distance d share at least max(|s|,|t|) − q + 1 − d·q q-grams
+    * — guarantees every within-threshold pair of names longer than
+    * (d+1)·q−1 shares at least one gram, so blocking on each name's
+    * distinct q-grams has FULL recall on those classes (shorter names
+    * collapse to a whole-name block), MODULO the df-cap: grams hotter
+    * than `maxBlock` are dropped before the join, the same
+    * no-signal-in-hot-keys contract as every blocked pair generator
+    * (templated registries like `Customer#000...` make the shared
+    * template grams degenerate — the discriminative grams are the ones
+    * that survive). Candidate pairs are DISTINCT'd before the single
+    * per-pair levenshtein verify (a pair sharing g grams must not pay
+    * g edit-distance evaluations). */
+  def nameDupPairsQgram(
+      df: DataFrame, idCol: String, nameCol: String,
+      maxDist: Int = 1, q: Int = 3,
+      maxBlock: Int = 100): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist must be non-negative")
+    require(q >= 2, s"q=$q must be at least 2")
+    val keyed = df.filter(col(nameCol).isNotNull)
+      .select(col(idCol).as("id"), col(nameCol).as("name"))
+      .select(col("id"), col("name"),
+        explode(expr(s"array_distinct(transform(" +
+          s"sequence(1, greatest(length(name) - ${q - 1}, 1)), " +
+          s"i -> substring(name, i, $q)))")).as("blk"))
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val b = Caches.register(
+      Dedup.dropHotKeys(keyed, Seq("blk"), maxBlock).repartition(nPart, col("blk")))
+    b.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }
