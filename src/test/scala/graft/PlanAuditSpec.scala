@@ -633,4 +633,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(pl.contains("BroadcastHashJoin"),
       s"q_cohort_ltv sizes stopped broadcasting:\n$pl")
   }
+
+  test("round-7 additions: map-side kmeans argmin, capped gram blocking, domain windows") {
+    // KMeans final assignment: the k-candidate argmin folds MAP-SIDE in
+    // a higher-order aggregate — no Generate (explode) of candidates,
+    // no join; one scan of the cached quantized relation per round
+    val pk = plan("q_kmeans")
+    assert(!pk.contains("Generate"),
+      s"q_kmeans assignment exploded its candidates:\n$pk")
+    assert(!pk.contains("Join"), s"q_kmeans grew a join:\n$pk")
+    // source KL: corpus token counts join on token; source totals and
+    // the 1-row corpus total broadcast
+    val ps = plan("q_source_kl")
+    assert(ps.contains("BroadcastHashJoin"),
+      s"q_source_kl totals stopped broadcasting:\n$ps")
+    assert(!ps.contains("CartesianProduct") ||
+      ps.contains("BroadcastNestedLoopJoin"),
+      s"q_source_kl went cartesian on a data relation:\n$ps")
+    // fuzzy q-gram: the self-join keys on the gram with an explicit
+    // repartition (explosive-output join must not coalesce to one task)
+    val pf = plan("q_fuzzy_qgram")
+    assert(pf.contains("hashpartitioning(blk"),
+      s"q_fuzzy_qgram lost its explicit gram repartition:\n$pf")
+    assert(!pf.contains("CartesianProduct"))
+    // funnel path lengths: one user-keyed shuffle; the cumulative
+    // window runs on the domain-sized distribution, never keyed by user
+    val pp7 = plan("q_funnel_path_lengths")
+    assert(pp7.contains("hashpartitioning(user_id"),
+      s"q_funnel_path_lengths lost its user-keyed rollup:\n$pp7")
+    // Heaps: token first-bucket is one min-aggregate; no corpus join
+    val ph = plan("q_heaps_law")
+    assert(!ph.contains("CartesianProduct"), s"q_heaps_law went cartesian:\n$ph")
+  }
 }
