@@ -276,6 +276,72 @@ object WarehouseQueries {
     None
   )
 
+  /** TOP covariance eigenvalue by 12 max-norm power-iteration rounds in
+    * PURE SEQUENTIAL double arithmetic ([[graft.operators.Pca.powerTopEigen]])
+    * — the oracle-able companion of q_embed_pca: Jacobi's rotation
+    * cascade is not practically SQL-expressible, but a fixed-round
+    * power iteration is, so DuckDB replays the covariance build, every
+    * iteration's matvec/normalize, the Rayleigh quotient AND the
+    * max-norm residual certificate bit for bit. `resid_rel` is the
+    * honest convergence statement (the synthetic spectrum is flat, so
+    * rounds converge slowly — the certificate quantifies it; the
+    * Rayleigh estimate is bounded by λ_max regardless). */
+  val qEmbedTopEigen = GraftQuery(
+    "q_embed_top_eigen",
+    (s, dir) => graft.operators.Pca.powerTopEigen(
+      Tables.embeddings(s, dir).select(col("embedding")), "embedding", rounds = 12),
+    Some {
+      val rounds = 12
+      def matvec(out: String, vPrev: String) =
+        s"""$out AS MATERIALIZED (SELECT rm.i, list_reduce(list_prepend(0.0,
+            list_transform(range(64), k -> rm.row[k+1] * vv.v[k+1])), (a, b) -> a + b) AS raw
+          FROM rowm rm, $vPrev vv)"""
+      val roundsSql = (1 to rounds).map { t =>
+        s"""${matvec(s"r$t", s"v${t - 1}")},
+          m$t AS MATERIALIZED (SELECT MAX(ABS(raw)) AS mx FROM r$t),
+          v$t AS MATERIALIZED (SELECT list(raw / mx ORDER BY i) AS v FROM r$t, m$t)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      x AS (SELECT t.i + 1 AS i, t.i + 1 + u.dj AS j,
+          CAST(FLOOR(v[t.i + 1] * v[t.i + 1 + u.dj] * 1000000.0 + 0.5) AS BIGINT) AS qxy,
+          CAST(FLOOR(v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT) AS qx,
+          CAST(FLOOR(v[t.i + 1 + u.dj] * 1000000.0 + 0.5) AS BIGINT) AS qy
+        FROM e, UNNEST(range(len(v))) AS t(i), UNNEST(range(len(v) - t.i)) AS u(dj)),
+      g AS MATERIALIZED (SELECT i, j,
+          FLOOR(CAST(SUM(qxy) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS m2,
+          FLOOR(CAST(SUM(qx) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS mean_i,
+          FLOOR(CAST(SUM(qy) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS mean_j
+        FROM x GROUP BY i, j),
+      gg AS MATERIALIZED (SELECT i, j,
+          FLOOR((m2 - mean_i * mean_j) * 1000000.0 + 0.5) / 1000000.0 AS cov FROM g),
+      mm AS MATERIALIZED (SELECT i, j, cov FROM gg
+        UNION ALL SELECT j AS i, i AS j, cov FROM gg WHERE i < j),
+      rowm AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS row FROM mm GROUP BY i),
+      tr AS MATERIALIZED (SELECT list_reduce(list_prepend(0.0, list(cov ORDER BY i)),
+          (a, b) -> a + b) AS trace FROM mm WHERE i = j),
+      v0 AS MATERIALIZED (SELECT list_transform(range(64), k -> 1.0) AS v),
+      $roundsSql,
+      ${matvec("rf", s"v$rounds")},
+      rfl AS MATERIALIZED (SELECT list(raw ORDER BY i) AS r2 FROM rf),
+      ray AS MATERIALIZED (SELECT
+          list_reduce(list_prepend(0.0, list_transform(range(64),
+            k -> vv.v[k+1] * rr.r2[k+1])), (a, b) -> a + b)
+          / list_reduce(list_prepend(0.0, list_transform(range(64),
+            k -> vv.v[k+1] * vv.v[k+1])), (a, b) -> a + b) AS ray
+        FROM v$rounds vv, rfl rr),
+      res AS MATERIALIZED (SELECT
+          list_reduce(list_prepend(0.0, list_transform(range(64),
+            k -> ABS(rr.r2[k+1] - ray.ray * vv.v[k+1]))), (a, b) -> GREATEST(a, b))
+          / ray.ray AS resid
+        FROM v$rounds vv, rfl rr, ray)
+      SELECT FLOOR(ray.ray * 1000000.0 + 0.5) / 1000000.0 AS top_eig,
+        FLOOR(res.resid * 1000000.0 + 0.5) / 1000000.0 AS resid_rel,
+        FLOOR(tr.trace * 1000000.0 + 0.5) / 1000000.0 AS trace,
+        FLOOR(ray.ray / tr.trace * 1000000.0 + 0.5) / 1000000.0 AS share_top1
+      FROM ray, res, tr"""
+    }
+  )
+
   /** Per-LABEL per-dimension variance (the diagonal of the grouped Gram
     * report): which dimensions are dead or degenerate within a class —
     * the drill-down behind q_embed_covariance when drift is suspected in
@@ -805,6 +871,6 @@ object WarehouseQueries {
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qDupInflation, qDupClusterSizes, qEmbedNorms,
       qEmbedCentroids, qEmbedCovariance, qEmbedVarianceByLabel, qEmbedPca,
-      qEmbedQuantize, qIncrementalAgg, qDeltaDedup, qDeltaNearDup,
+      qEmbedTopEigen, qEmbedQuantize, qIncrementalAgg, qDeltaDedup, qDeltaNearDup,
       qSnapshotDiff, qJlProject, qCentroidSim, qCdcApply, qRfm)
 }

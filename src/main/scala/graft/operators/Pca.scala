@@ -99,4 +99,70 @@ object Pca {
       StructField("eig_sum", DoubleType, nullable = false),
       StructField("trace_gap", DoubleType, nullable = false))))
   }
+
+  /** TOP eigenvalue by `rounds` max-norm power-iteration steps over the
+    * GramMatrix fixed-point covariance, in PURE SEQUENTIAL double
+    * arithmetic — every multiply/add/divide in a pinned order, so a SQL
+    * engine replays the identical bits (the q_embed_norms parity
+    * argument applied to an ITERATIVE numerical method; this is the
+    * oracle-able companion of the Jacobi spectrum, whose rotations are
+    * not practically SQL-expressible). The estimate is the Rayleigh
+    * quotient of the final iterate; `resid_rel` = max-norm residual
+    * ‖Av − λv‖∞ / λ rides along as the convergence certificate (a flat
+    * spectrum converges slowly — the certificate says HOW slowly, and
+    * the Rayleigh quotient is bounded by λ_max regardless).
+    *
+    * Scale: one corpus pass (the fused Gram aggregate); the iteration
+    * runs on the d×d driver matrix (64×64 here) — same collect
+    * discipline as [[covarianceSpectrum]]. Output columns all go
+    * through floor(x·1e6 + 0.5)/1e6 — the engine-portable rounding. */
+  def powerTopEigen(df: DataFrame, vecCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val spark = df.sparkSession
+    val cells = df.select(col(vecCol).cast("array<double>").as("v"))
+      .agg(graft.expressions.GramMatrix.gram(col("v")).as("g"))
+      .select(inline(col("g")))
+      .select(col("i"), col("j"), col("cov"))
+      .collect()
+    require(cells.nonEmpty, "powerTopEigen: empty input")
+    val d = cells.iterator.map(_.getInt(1)).max
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1; val c = r.getDouble(2)
+      m(i)(j) = c; m(j)(i) = c
+    }
+    // all folds below run in ascending index order — the exact order the
+    // oracle's list_reduce replays
+    var trace = 0.0
+    locally { var i = 0; while (i < d) { trace += m(i)(i); i += 1 } }
+    def matvec(x: Array[Double]): Array[Double] = Array.tabulate(d) { i =>
+      var s = 0.0; var j = 0
+      while (j < d) { s += m(i)(j) * x(j); j += 1 }
+      s
+    }
+    val v = Array.fill(d)(1.0)
+    for (_ <- 1 to rounds) {
+      val raw = matvec(v)
+      var mx = 0.0
+      locally { var i = 0; while (i < d) { val a = math.abs(raw(i)); if (a > mx) mx = a; i += 1 } }
+      require(mx > 0, "powerTopEigen: zero covariance matrix")
+      var i = 0
+      while (i < d) { v(i) = raw(i) / mx; i += 1 }
+    }
+    val r2 = matvec(v)
+    var num = 0.0; var den = 0.0
+    locally { var k = 0; while (k < d) { num += v(k) * r2(k); den += v(k) * v(k); k += 1 } }
+    val ray = num / den
+    var resid = 0.0
+    locally { var k = 0; while (k < d) {
+        val a = math.abs(r2(k) - ray * v(k)); if (a > resid) resid = a; k += 1 } }
+    def fp6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row(fp6(ray), fp6(resid / ray), fp6(trace), fp6(ray / trace))),
+      StructType(Seq(
+        StructField("top_eig", DoubleType, nullable = false),
+        StructField("resid_rel", DoubleType, nullable = false),
+        StructField("trace", DoubleType, nullable = false),
+        StructField("share_top1", DoubleType, nullable = false))))
+  }
 }

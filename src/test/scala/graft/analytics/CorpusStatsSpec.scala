@@ -60,6 +60,24 @@ class CorpusStatsSpec extends SparkSpec {
       s"integer vs double assignment drift $drift exceeds 10% of ${emb.size}")
   }
 
+  test("FixedPointKMeans: duplicate-point init collapses clusters consistently") {
+    // degenerate input — every vector identical: init yields k identical
+    // centroids, the (distance, cluster) tie-break routes everything to
+    // cluster 0, and the update SHRINKS the centroid list to the one
+    // surviving cluster (the oracle's GROUP BY drops empties the same
+    // way — the shrink must be deterministic, never an error)
+    import spark.implicits._
+    import graft.operators.FixedPointKMeans
+    val df = Seq.tabulate(6)(i => (i.toLong, Seq.fill(4)(1.0)))
+      .toDF("id", "embedding")
+    val q = df.select($"id", FixedPointKMeans.quantize($"embedding").as("v"))
+    val cents = FixedPointKMeans.fit(q, "id", "v", k = 4, rounds = 2)
+    assert(cents.map(_._1) === Seq(0), s"expected single surviving cluster, got $cents")
+    val clusters = FixedPointKMeans.assign(q, "v", cents)
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSeq
+    assert(clusters === Seq(0))
+  }
+
   test("q_source_kl: divergences are non-negative and sources cover the corpus") {
     val rows = graft.SparkEntry.queries("q_source_kl")(spark, Dir).collect()
     assert(rows.nonEmpty)

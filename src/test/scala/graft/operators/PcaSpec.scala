@@ -47,4 +47,20 @@ class PcaSpec extends SparkSpec {
     assert(shares.sum <= 1.0 + 1e-9 && shares.forall(_ >= 0.0))
     assert(shares.sorted.reverse.toSeq === shares.toSeq, "spectrum must be descending")
   }
+
+  test("q_embed_top_eigen: Rayleigh estimate is bounded by the Jacobi top eigenvalue") {
+    val dir = "/root/testdata/sf0.001"
+    val pe = graft.SparkEntry.queries("q_embed_top_eigen")(spark, dir).head()
+    val ray = pe.getDouble(pe.fieldIndex("top_eig"))
+    val resid = pe.getDouble(pe.fieldIndex("resid_rel"))
+    val trace = pe.getDouble(pe.fieldIndex("trace"))
+    // the Rayleigh quotient of ANY vector lies in [λ_min, λ_max]
+    val jacobiTop = graft.SparkEntry.queries("q_embed_pca")(spark, dir)
+      .head().getDouble(1)
+    assert(ray <= jacobiTop + 1e-6, s"Rayleigh $ray exceeds λ_max $jacobiTop")
+    assert(ray >= jacobiTop * 0.5,
+      s"power iterate $ray too far below λ_max $jacobiTop for 12 rounds")
+    assert(ray > trace / 64 - 1e-9, "estimate must beat the mean eigenvalue")
+    assert(resid >= 0.0 && resid < 1.0, s"residual certificate $resid out of range")
+  }
 }
