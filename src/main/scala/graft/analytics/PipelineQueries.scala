@@ -760,9 +760,94 @@ object PipelineQueries {
       FROM r WHERE neg_rank <= 2 ORDER BY doc_id, neg_rank""")
   )
 
+  /** Cross-split CONTAMINATION audit: near-duplicate pairs (the
+    * portable MinHash-LSH chain of q_minhash_pairs) bucketed by which
+    * train/val/test cells the two docs landed in under the q_split_assign
+    * hash. A val/test doc with a train near-dup is leaked eval signal —
+    * the per-(split,split) pair counts with a cross_split flag are the
+    * report a pipeline gates its split on. Composition is free at scale:
+    * the pair list is the (already banded + df-capped) dedup relation,
+    * and the split is a map-side hash of each id — no new shuffle beyond
+    * the tiny pair-level rollup. DuckDB replays shingles → signatures →
+    * bands → verified pairs → split cells, all in the portable family. */
+  val qSplitLeakage = GraftQuery(
+    "q_split_leakage",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.DecimalType
+      val pairs = graft.operators.Dedup.minhashDedupPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucket = 100,
+        portable = true)
+      def split(c: Column): Column = {
+        val h = pmod(pmod(c, lit(2147483647L)) * lit(48271L),
+          lit(2147483647L)) % 1000000L
+        when(h < 800000L, "train").when(h < 900000L, "val").otherwise("test")
+      }
+      pairs
+        .select(split($"id_a").as("ra"), split($"id_b").as("rb"), $"est_jaccard")
+        .groupBy(least($"ra", $"rb").as("split_a"),
+          greatest($"ra", $"rb").as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum($"est_jaccard".cast(DecimalType(18, 6))).cast(DoubleType)
+            / count(lit(1)), 6).as("mean_sim"))
+        .withColumn("cross_split",
+          when($"split_a" =!= $"split_b", 1).otherwise(0))
+        .orderBy($"split_a", $"split_b")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      sg AS (SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
+      FROM t),
+      hs AS (SELECT doc_id,
+        list_distinct(list_transform(shingles, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007))) AS hv
+      FROM sg),
+      sig AS (SELECT doc_id,
+        list_transform(range(32), j ->
+          list_min(list_transform(hv, h -> ((48271 + 2*j) * h + j) % 1000000007))) AS sig
+      FROM hs),
+      banded AS (SELECT doc_id, band,
+        list_reduce(list_prepend(CAST(band AS BIGINT), sig[band*4+1 : band*4+4]),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS bhash
+      FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
+      kept AS (SELECT band, bhash FROM banded GROUP BY band, bhash HAVING COUNT(*) <= 100),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN kept k ON a.band = k.band AND a.bhash = k.bhash
+        JOIN banded b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+      ver AS (SELECT id_a, id_b,
+        ROUND(CAST(list_sum(list_transform(range(32),
+          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 32, 6)
+          AS est_jaccard
+      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id),
+      p AS (SELECT id_a, id_b, est_jaccard FROM ver WHERE est_jaccard >= 0.5),
+      sp AS (SELECT est_jaccard,
+        CASE WHEN ((((id_a % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) % 1000000 < 800000 THEN 'train'
+             WHEN ((((id_a % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) % 1000000 < 900000 THEN 'val'
+             ELSE 'test' END AS ra,
+        CASE WHEN ((((id_b % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) % 1000000 < 800000 THEN 'train'
+             WHEN ((((id_b % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) % 1000000 < 900000 THEN 'val'
+             ELSE 'test' END AS rb
+      FROM p)
+      SELECT LEAST(ra, rb) AS split_a, GREATEST(ra, rb) AS split_b,
+        COUNT(*) AS n_pairs,
+        ROUND(CAST(SUM(CAST(est_jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_sim,
+        CASE WHEN LEAST(ra, rb) <> GREATEST(ra, rb) THEN 1 ELSE 0 END AS cross_split
+      FROM sp GROUP BY LEAST(ra, rb), GREATEST(ra, rb)
+      ORDER BY split_a, split_b""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,
-    qTemperatureSample, qBoilerplateStrip, qShardManifest, qNegativeSample)
+    qTemperatureSample, qBoilerplateStrip, qShardManifest, qNegativeSample,
+    qSplitLeakage)
 }
