@@ -901,8 +901,53 @@ object FunnelQueries {
           GREATEST((SELECT COUNT(*) FROM c), 1), 6) AS purchase_conv_24h""")
   )
 
+  /** Bot/abuse BURSTINESS report: per user, the tightest inter-event
+    * gap and the tightest span covered by 5 consecutive events (a
+    * sliding-window rate via `lead` over the per-user time order — no
+    * self-join, no explode). The 20 burstiest actors surface with flag
+    * columns at operational thresholds (5 events inside an hour;
+    * sub-second consecutive hits) — the triage list a crawler-filter or
+    * rate-limiter feeds on. Scale shape: one window + one groupBy on the
+    * SAME key (user_id), so Catalyst reuses the exchange — a single
+    * shuffle total — and the top-20 is a TakeOrdered, never a full sort.
+    * Total (ts, event_id) tie-break keeps both engines' lead() streams
+    * identical. */
+  val qBotBurst = GraftQuery(
+    "q_bot_burst",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("gap_us", lead($"us", 1).over(w) - $"us")
+        .withColumn("win5_us", lead($"us", 4).over(w) - $"us")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"gap_us").as("min_gap_us"),
+          min($"win5_us").as("min_win5_us"))
+        .filter($"min_win5_us".isNotNull)
+        .withColumn("burst5_1h", when($"min_win5_us" <= 3600000000L, 1).otherwise(0))
+        .withColumn("sub_second_gap", when($"min_gap_us" < 1000000L, 1).otherwise(0))
+        .orderBy($"min_win5_us", $"user_id")
+        .limit(20)
+    },
+    Some("""WITH e AS (SELECT user_id,
+        LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS gap_us,
+        LEAD(epoch_us(ts), 4) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS win5_us
+      FROM events),
+      g AS (SELECT user_id, COUNT(*) AS n_events,
+          MIN(gap_us) AS min_gap_us, MIN(win5_us) AS min_win5_us
+        FROM e GROUP BY 1)
+      SELECT user_id, n_events, min_gap_us, min_win5_us,
+        CASE WHEN min_win5_us <= 3600000000 THEN 1 ELSE 0 END AS burst5_1h,
+        CASE WHEN min_gap_us < 1000000 THEN 1 ELSE 0 END AS sub_second_gap
+      FROM g WHERE min_win5_us IS NOT NULL
+      ORDER BY min_win5_us, user_id LIMIT 20""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
-      qMarkovAttribution, qCohortLtv, qDid, qFunnelWindowed)
+      qMarkovAttribution, qCohortLtv, qDid, qFunnelWindowed, qBotBurst)
 }
