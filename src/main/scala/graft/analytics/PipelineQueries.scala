@@ -844,10 +844,72 @@ object PipelineQueries {
       ORDER BY split_a, split_b""")
   )
 
+  /** Quality-threshold RETENTION SWEEP: for cutoffs 0.1…0.9, how many
+    * documents and characters survive `quality ≥ thr` — the planning
+    * curve a curation run reads before committing to a filter level
+    * (the knee of char_share vs thr is the budget decision). Computed
+    * WITHOUT a 9× grid blowup of the corpus: quality is fixed-pointed
+    * to integer micro-units map-side, bucketed by decile with exact
+    * integer division (no double-boundary ambiguity at 0.3 ≠ 3/10 in
+    * IEEE), and the sweep is a 9-row grid joined against ≤11 bucket
+    * rows — the corpus is scanned exactly once. */
+  val qFilterSweep = GraftQuery(
+    "q_filter_sweep",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val d = Tables.documents(s, dir)
+        .select(floor(TextAnalysis.qualityScore($"text") * 1000000.0 + 0.5)
+          .cast(LongType).as("qi"), $"n_chars")
+      val buck = d.withColumn("b", expr("qi div 100000"))
+        .groupBy($"b")
+        .agg(count(lit(1)).as("nd"), sum($"n_chars").as("nc"))
+      val grid = s.range(1, 10).select($"id".as("k"))
+      val tot = d.agg(count(lit(1)).as("total_docs"),
+        sum($"n_chars").as("total_chars"))
+      grid.join(buck, $"b" >= $"k", "left")
+        .groupBy($"k")
+        .agg(coalesce(sum($"nd"), lit(0L)).as("n_docs_kept"),
+          coalesce(sum($"nc"), lit(0L)).as("n_chars_kept"))
+        .crossJoin(tot)
+        .select(($"k".cast(DoubleType) / 10.0).as("thr"),
+          $"n_docs_kept", $"n_chars_kept",
+          (floor($"n_docs_kept" * 1000000.0 / $"total_docs" + 0.5) / 1000000.0)
+            .as("doc_share"),
+          (floor($"n_chars_kept" * 1000000.0 / $"total_chars" + 0.5) / 1000000.0)
+            .as("char_share"))
+        .orderBy($"thr")
+    },
+    Some("""WITH t AS (SELECT doc_id, text, n_chars,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT doc_id, n_chars,
+        CAST(LENGTH(text) AS DOUBLE) AS len,
+        CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM t),
+      q AS (SELECT CAST(FLOOR(ROUND(LEAST(len / 50.0, 1.0) * (CASE WHEN len > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+              + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+              + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) * 1000000.0 + 0.5) AS BIGINT) AS qi,
+          n_chars
+        FROM m),
+      buck AS (SELECT qi // 100000 AS b, COUNT(*) AS nd, CAST(SUM(n_chars) AS BIGINT) AS nc
+        FROM q GROUP BY 1),
+      grid AS (SELECT unnest(range(1, 10)) AS k),
+      agg AS (SELECT k, CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS n_docs_kept,
+          CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS n_chars_kept
+        FROM grid LEFT JOIN buck ON b >= k GROUP BY k),
+      tot AS (SELECT COUNT(*) AS total_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM q)
+      SELECT k / 10.0 AS thr, n_docs_kept, n_chars_kept,
+        FLOOR(n_docs_kept * 1000000.0 / total_docs + 0.5) / 1000000.0 AS doc_share,
+        FLOOR(n_chars_kept * 1000000.0 / total_chars + 0.5) / 1000000.0 AS char_share
+      FROM agg, tot ORDER BY thr""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,
     qTemperatureSample, qBoilerplateStrip, qShardManifest, qNegativeSample,
-    qSplitLeakage)
+    qSplitLeakage, qFilterSweep)
 }
