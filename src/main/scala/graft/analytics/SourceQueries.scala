@@ -167,6 +167,52 @@ object SourceQueries {
       FROM lineitem GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Schema EVOLUTION read: two parquet generations land in one
+    * directory — gen-1 before `o_orderstatus` existed, gen-2 after —
+    * and [[graft.operators.Maintenance.readEvolved]] (mergeSchema)
+    * reads them as the union schema with older files null-padded, the
+    * append-only ingest reality at 100 TB. Generations are a
+    * deterministic orderkey-parity split; the rollup proves exactly the
+    * padding contract (every gen-1 row null, no gen-2 row null) and
+    * that values survive the merge. The oracle replays the split from
+    * the ORIGINAL table — a hash match means the evolved read lost and
+    * invented nothing. */
+  val qSchemaEvolution = GraftQuery(
+    "q_schema_evolution",
+    (s, dir) => {
+      import s.implicits._
+      val out = scratch("schema_evo", dir)
+      val o = Tables.orders(s, dir)
+      o.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .write.mode("overwrite").parquet(out)
+      o.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+        .write.mode("append").parquet(out)
+      graft.operators.Maintenance.readEvolved(s, out)
+        .withColumn("generation",
+          when($"o_orderkey" % 2 === 0, 1).otherwise(2))
+        .groupBy($"generation")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderstatus".isNull.cast("long")).as("n_null_status"),
+          countDistinct($"o_orderstatus").as("n_status_values"),
+          sum($"o_totalprice".cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_price"))
+        .orderBy($"generation")
+    },
+    Some("""WITH g AS (SELECT
+        CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS generation,
+        CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END AS status,
+        o_totalprice
+      FROM orders)
+      SELECT generation, COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_status,
+        COUNT(DISTINCT status) AS n_status_values,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM g GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qSqlCatalog, qCsvRoundtrip, qJsonlRoundtrip, qSqlFunctions, qOrcRoundtrip)
+    Seq(qSqlCatalog, qCsvRoundtrip, qJsonlRoundtrip, qSqlFunctions, qOrcRoundtrip,
+      qSchemaEvolution)
 }
