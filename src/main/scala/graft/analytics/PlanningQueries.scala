@@ -161,5 +161,79 @@ object PlanningQueries {
     }
   )
 
-  val all: Seq[GraftQuery] = Seq(qJoinSizeEstimate)
+  /** One key column's skew profile: per-key counts, the top-1/top-10
+    * row shares, and the Gini coefficient of the count distribution
+    * (rank × count moment over the globally-ranked relation — the
+    * q_gini machinery applied to key frequencies). Everything after the
+    * grouped count runs on KEY-cardinality rows, never input rows; the
+    * top-10 is a TakeOrdered, and the rank product is Decimal-widened
+    * before summing (rank × count × keys overflows int64 at corpus
+    * scale). */
+  private def skewReport(label: String, df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cnt = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.Ids.contiguousRowIds(
+        cnt, Seq(col("cnt"), col("k")), numPartitions = 8)
+      .select((col("row_id") + 1).as("i"), col("cnt"))
+    val top10 = cnt.orderBy(col("cnt").desc, col("k")).limit(10)
+      .agg(sum(col("cnt")).cast(LongType).as("top10_rows"))
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).cast(LongType).as("n_rows"),
+        max(col("cnt")).as("max_rows"),
+        sum(col("i").cast(DecimalType(38, 0)) * col("cnt")).as("six"))
+      .crossJoin(top10)
+      .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"), col("max_rows"),
+        (floor(col("max_rows") * 1000000.0 / col("n_rows") + 0.5) / 1000000.0)
+          .as("top1_share"),
+        (floor(col("top10_rows") * 1000000.0 / col("n_rows") + 0.5) / 1000000.0)
+          .as("top10_share"),
+        round((lit(2.0) * col("six").cast(DoubleType) -
+          (col("n_keys") + 1).cast(DoubleType) * col("n_rows").cast(DoubleType)) /
+          (col("n_keys").cast(DoubleType) * col("n_rows").cast(DoubleType)), 6)
+          .as("gini"))
+  }
+
+  private def skewSql(label: String, tbl: String, key: String, tag: String): String =
+    s"""cnt$tag AS (SELECT $key AS k, COUNT(*) AS cnt FROM $tbl GROUP BY 1),
+      r$tag AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt, k) AS BIGINT) AS i, cnt FROM cnt$tag),
+      t$tag AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM
+        (SELECT cnt FROM cnt$tag ORDER BY cnt DESC, k LIMIT 10)),
+      a$tag AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          MAX(cnt) AS max_rows, SUM(CAST(i AS DECIMAL(38,0)) * cnt) AS six FROM r$tag),
+      f$tag AS (SELECT '$label' AS key_col, n_rows, n_keys, max_rows,
+          FLOOR(max_rows * 1000000.0 / n_rows + 0.5) / 1000000.0 AS top1_share,
+          FLOOR(top10_rows * 1000000.0 / n_rows + 0.5) / 1000000.0 AS top10_share,
+          ROUND((2.0 * CAST(six AS DOUBLE) - CAST(n_keys + 1 AS DOUBLE) * CAST(n_rows AS DOUBLE)) /
+            (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS gini
+        FROM a$tag, t$tag)"""
+
+  /** Join/aggregation KEY SKEW report — the measurement that justifies
+    * (or vetoes) the [[graft.operators.Skew]] mitigations before a big
+    * shuffle: for each candidate key, how concentrated the per-key row
+    * counts are. top1_share ≈ the share of the shuffle landing on ONE
+    * reducer; gini summarizes the whole tail. Three representative keys
+    * (two lineitem FKs + the events actor key) in one result so the
+    * report reads as a comparison. */
+  val qKeySkewReport = GraftQuery(
+    "q_key_skew_report",
+    (s, dir) => {
+      skewReport("events.user_id", Tables.events(s, dir), "user_id")
+        .unionByName(skewReport("lineitem.l_partkey", Tables.lineitem(s, dir), "l_partkey"))
+        .unionByName(skewReport("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey"))
+        .orderBy(col("key_col"))
+    },
+    Some {
+      val s1 = skewSql("events.user_id", "events", "user_id", "1")
+      val s2 = skewSql("lineitem.l_partkey", "lineitem", "l_partkey", "2")
+      val s3 = skewSql("lineitem.l_suppkey", "lineitem", "l_suppkey", "3")
+      s"""WITH $s1,
+      $s2,
+      $s3,
+      rep AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+      SELECT * FROM rep ORDER BY key_col"""
+    }
+  )
+
+  val all: Seq[GraftQuery] = Seq(qJoinSizeEstimate, qKeySkewReport)
 }
