@@ -906,10 +906,61 @@ object PipelineQueries {
       FROM agg, tot ORDER BY thr""")
   )
 
+  /** COORDINATED (key-consistent) sampling: sample the JOIN KEY, not
+    * the row — both orders and lineitem keep exactly the rows whose
+    * orderkey hashes into the same 10% cell, so the sampled tables
+    * still join with full referential integrity and any join-level
+    * statistic computed on the sample is unbiased for the keyed join.
+    * (Independent 10% row samples of two sides would keep only ~1% of
+    * join pairs and break every FK.) The n_orphan_lineitems column is
+    * the in-plan RI certificate — it must be 0 because the SAME hash
+    * decides both sides. Map-side filters + one sampled-size join; at
+    * 100 TB this is how you build a dev-scale but join-faithful corpus
+    * slice. */
+  val qConsistentSample = GraftQuery(
+    "q_consistent_sample",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.LongType
+      def keep(c: Column) =
+        (pmod(pmod(c, lit(2147483647L)) * lit(48271L), lit(2147483647L))
+          % 1000000L) < 100000L
+      val o = Tables.orders(s, dir).select($"o_orderkey").filter(keep($"o_orderkey"))
+      val l = Tables.lineitem(s, dir).select($"l_orderkey").filter(keep($"l_orderkey"))
+      val nO = o.agg(count(lit(1)).cast(LongType).as("n_orders_sampled"))
+      val nL = l.agg(count(lit(1)).cast(LongType).as("n_lineitem_sampled"))
+      val nJ = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .agg(count(lit(1)).cast(LongType).as("n_join_rows"))
+      val nOrphan = l.join(o, $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).cast(LongType).as("n_orphan_lineitems"))
+      val tot = Tables.orders(s, dir)
+        .agg(count(lit(1)).cast(LongType).as("total_orders"))
+      nO.crossJoin(nL).crossJoin(nJ).crossJoin(nOrphan).crossJoin(tot)
+        .select($"n_orders_sampled", $"n_lineitem_sampled", $"n_join_rows",
+          $"n_orphan_lineitems",
+          (floor($"n_orders_sampled" * 1000000.0 / $"total_orders" + 0.5)
+            / 1000000.0).as("order_rate"))
+    },
+    Some("""WITH so AS (SELECT o_orderkey FROM orders
+        WHERE ((((o_orderkey % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) % 1000000 < 100000),
+      sl AS (SELECT l_orderkey FROM lineitem
+        WHERE ((((l_orderkey % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) % 1000000 < 100000),
+      j AS (SELECT COUNT(*) AS n_join_rows FROM sl JOIN so ON l_orderkey = o_orderkey),
+      orp AS (SELECT COUNT(*) AS n_orphan_lineitems FROM sl
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM so)),
+      t AS (SELECT COUNT(*) AS total_orders FROM orders)
+      SELECT (SELECT COUNT(*) FROM so) AS n_orders_sampled,
+        (SELECT COUNT(*) FROM sl) AS n_lineitem_sampled,
+        j.n_join_rows, orp.n_orphan_lineitems,
+        FLOOR((SELECT COUNT(*) FROM so) * 1000000.0 / t.total_orders + 0.5) / 1000000.0 AS order_rate
+      FROM j, orp, t""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,
     qTemperatureSample, qBoilerplateStrip, qShardManifest, qNegativeSample,
-    qSplitLeakage, qFilterSweep)
+    qSplitLeakage, qFilterSweep, qConsistentSample)
 }

@@ -212,7 +212,41 @@ object SourceQueries {
       FROM g GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Z-ORDER rewrite roundtrip: lineitem clustered along the Morton
+    * curve over (l_partkey, l_suppkey) ([[graft.operators.Maintenance
+    * .writeZOrdered]]), then scanned back through a predicate on BOTH
+    * clustered columns — the access pattern the layout exists for. The
+    * oracle computes the same filtered rollup from the ORIGINAL table:
+    * a hash match proves the clustered rewrite is content-lossless and
+    * filter-transparent (min/max file skipping changes IO, never
+    * results). Clustering selectivity itself is spec-pinned
+    * (MaintenanceSpec: both columns cluster, a plain sort clusters only
+    * the first). */
+  val qZorderScan = GraftQuery(
+    "q_zorder_scan",
+    (s, dir) => {
+      import s.implicits._
+      val out = scratch("zorder_li", dir)
+      graft.operators.Maintenance.writeZOrdered(s,
+        Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey", $"l_suppkey",
+          $"l_quantity", $"l_extendedprice"),
+        Seq("l_partkey", "l_suppkey"), out, numFiles = 16)
+      s.read.parquet(out)
+        .filter($"l_partkey".between(100, 300) && $"l_suppkey".between(20, 60))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"l_quantity".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum($"l_extendedprice".cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_price"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem
+      WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 20 AND 60""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qSqlCatalog, qCsvRoundtrip, qJsonlRoundtrip, qSqlFunctions, qOrcRoundtrip,
-      qSchemaEvolution)
+      qSchemaEvolution, qZorderScan)
 }
