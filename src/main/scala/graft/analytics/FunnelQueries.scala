@@ -946,8 +946,46 @@ object FunnelQueries {
       ORDER BY min_win5_us, user_id LIMIT 20""")
   )
 
+  /** Telemetry DEBOUNCE audit: per event type, how many events re-fire
+    * within 1 h of the previous same-(user, type) event — chained
+    * suppression, so a dense run collapses to its FIRST event (the
+    * double-fire/retry-storm cleanup rule for client telemetry). One
+    * `lag` window per (user, type) then a type-level rollup — the gap
+    * column shuffles once on the window key, counts once on the (tiny)
+    * type key. At 100 TB the same debounce runs streaming as
+    * dropDuplicatesWithinWatermark over a (user, type, bucket) key;
+    * this is the batch-replayable twin the oracle can gate. */
+  val qWindowDedup = GraftQuery(
+    "q_window_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .withColumn("gap_us", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("dup",
+          ($"gap_us".isNotNull && $"gap_us" <= 3600000000L).cast("int"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"dup").cast(LongType).as("n_debounced"),
+          (count(lit(1)) - sum($"dup")).cast(LongType).as("n_kept"),
+          (floor(sum($"dup") * 1000000.0 / count(lit(1)) + 0.5) / 1000000.0)
+            .as("dup_rate"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH g AS (SELECT event_type,
+        epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+      FROM events)
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced,
+        CAST(COUNT(*) - SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        FLOOR(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000 THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*) + 0.5) / 1000000.0 AS dup_rate
+      FROM g GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
-      qMarkovAttribution, qCohortLtv, qDid, qFunnelWindowed, qBotBurst)
+      qMarkovAttribution, qCohortLtv, qDid, qFunnelWindowed, qBotBurst,
+      qWindowDedup)
 }

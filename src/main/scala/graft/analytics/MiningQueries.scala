@@ -1037,9 +1037,67 @@ object MiningQueries {
     }
   )
 
+  /** Chi-square INDEPENDENCE test over the (lang, source) contingency
+    * table — "is language mix the same across sources?", the
+    * categorical drift twin of q_ks_drift (continuous) and q_mutual_info
+    * (information-theoretic). The corpus shuffles once into cell counts;
+    * totals/expected/terms all run on the |langs|×|sources| relation.
+    * Per-cell (o−e)²/e terms are FIXED-POINTED to integer ppm before
+    * summing — a double sum over cells would be addition-order-dependent
+    * across engines, an integer sum is not. Cramér's V normalizes the
+    * statistic to [0,1] (IEEE sqrt is correctly rounded, so it
+    * round-trips the oracle). */
+  val qChisqIndependence = GraftQuery(
+    "q_chisq_independence",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val c = Tables.documents(s, dir)
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      val rt = c.groupBy($"lang").agg(sum($"o").as("rt"))
+      val ct = c.groupBy($"source").agg(sum($"o").as("ct"))
+      val tot = c.agg(sum($"o").cast(LongType).as("n"),
+        countDistinct($"lang").cast(LongType).as("n_langs"),
+        countDistinct($"source").cast(LongType).as("n_sources"))
+      val terms = c.join(rt, "lang").join(ct, "source").crossJoin(tot)
+        .withColumn("e", $"rt".cast(DoubleType) * $"ct" / $"n")
+        .withColumn("term_ppm",
+          floor(($"o" - $"e") * ($"o" - $"e") / $"e" * 1000000.0 + 0.5)
+            .cast(LongType))
+      terms
+        .groupBy($"n", $"n_langs", $"n_sources")
+        .agg(sum($"term_ppm").cast(LongType).as("chi2_ppm"))
+        .select($"n", $"n_langs", $"n_sources",
+          (($"n_langs" - 1) * ($"n_sources" - 1)).as("dof"),
+          ($"chi2_ppm" / 1000000.0).as("chi2"),
+          round(sqrt($"chi2_ppm" / 1000000.0 /
+            ($"n" * least($"n_langs" - 1, $"n_sources" - 1))), 6)
+            .as("cramers_v"))
+    },
+    Some("""WITH c AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+      rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+      ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+      tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM c),
+      terms AS (SELECT o, CAST(rt AS DOUBLE) * ct / n AS e, n, n_langs, n_sources
+        FROM c JOIN rt USING (lang) JOIN ct USING (source), tot),
+      tp AS (SELECT n, n_langs, n_sources,
+          CAST(FLOOR((o - e) * (o - e) / e * 1000000.0 + 0.5) AS BIGINT) AS term_ppm
+        FROM terms),
+      agg AS (SELECT n, n_langs, n_sources, CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm
+        FROM tp GROUP BY 1, 2, 3)
+      SELECT n, n_langs, n_sources,
+        (n_langs - 1) * (n_sources - 1) AS dof,
+        chi2_ppm / 1000000.0 AS chi2,
+        ROUND(SQRT(chi2_ppm / 1000000.0 / (n * LEAST(n_langs - 1, n_sources - 1))), 6) AS cramers_v
+      FROM agg""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
-      qCorrMatrix, qTargetEncode, qCopurchase, qMultiOls)
+      qCorrMatrix, qTargetEncode, qCopurchase, qMultiOls,
+      qChisqIndependence)
 }
