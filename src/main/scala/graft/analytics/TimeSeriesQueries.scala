@@ -538,7 +538,127 @@ object TimeSeriesQueries {
       GROUP BY u.yr ORDER BY u.yr""")
   )
 
+  /** Sample AUTOCORRELATION of the hourly event-count series at the
+    * operational lags (1 h … 24 h): the periodicity detector behind
+    * seasonal modeling — a high r₂₄ says "daily cycle", feeding the
+    * (date,hour) design of q_seasonal_baseline. Exact arithmetic
+    * throughout: with ȳ = sy/n, both the lag covariance and the
+    * variance are multiplied through by n² so every term is an INTEGER
+    * (Decimal-widened) — the single double division happens once, at
+    * the end, identically in both engines. The series itself is
+    * O(hours) rows — bounded at any corpus size — so the lag joins are
+    * trivial; the only corpus-sized work is the partial-aggregated
+    * hourly count. */
+  val qAcf = GraftQuery(
+    "q_acf",
+    (s, dir) => {
+      import s.implicits._
+      val series = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("y"))
+        .select(expr("unix_micros(h) div 3600000000").as("t"),
+          $"y".cast(DecimalType(38, 0)).as("y"))
+      val tot = series.agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum($"y").as("sy"), sum($"y" * $"y").as("syy"))
+      val lags = Seq(1L, 2L, 3L, 6L, 12L, 24L).toDF("lag")
+      val a = series.select($"t".as("ta"), $"y".as("ya"))
+      val b = series.select($"t".as("tb"), $"y".as("yb"))
+      lags.crossJoin(a).join(b, $"tb" === $"ta" + $"lag")
+        .groupBy($"lag")
+        .agg(count(lit(1)).cast(DecimalType(38, 0)).as("np"),
+          sum($"ya" * $"yb").as("sab"),
+          sum($"ya").as("sha"), sum($"yb").as("shb"))
+        .crossJoin(tot)
+        .select($"lag", $"np".cast("long").as("n_pairs"),
+          round(
+            ($"n" * $"n" * $"sab" - $"n" * $"sy" * ($"sha" + $"shb")
+              + ($"n" - $"lag") * $"sy" * $"sy").cast(DoubleType) /
+            ($"n" * $"n" * $"syy" - $"n" * $"sy" * $"sy").cast(DoubleType), 6)
+            .as("acf"))
+        .orderBy($"lag")
+    },
+    Some("""WITH hourly AS (SELECT DATE_TRUNC('hour', ts) AS h, COUNT(*) AS y
+        FROM events GROUP BY 1),
+      s AS (SELECT epoch_us(h) // 3600000000 AS t, CAST(y AS DECIMAL(38,0)) AS y FROM hourly),
+      tot AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+          CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+          CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy FROM s),
+      lags AS (SELECT CAST(unnest([1, 2, 3, 6, 12, 24]) AS BIGINT) AS lag),
+      p AS (SELECT lag, COUNT(*) AS np,
+          CAST(SUM(a.y * b.y) AS DECIMAL(38,0)) AS sab,
+          CAST(SUM(a.y) AS DECIMAL(38,0)) AS sha,
+          CAST(SUM(b.y) AS DECIMAL(38,0)) AS shb
+        FROM lags, s a JOIN s b ON b.t = a.t + lag
+        GROUP BY lag)
+      SELECT lag, CAST(np AS BIGINT) AS n_pairs,
+        ROUND(CAST(n * n * sab - n * sy * (sha + shb) + (n - lag) * sy * sy AS DOUBLE) /
+          CAST(n * n * syy - n * sy * sy AS DOUBLE), 6) AS acf
+      FROM p, tot ORDER BY lag""")
+  )
+
+  /** Best single CHANGEPOINT in daily revenue by exhaustive binary
+    * segmentation: the split date maximizing the between-segment
+    * explained sum of squares (SL²/nL + SR²/nR in integer cents, the
+    * k=2 step of the classic recursion) — the retrospective companion
+    * of q_cusum's sequential detector. All candidate splits come from
+    * ONE pass of window cumsums over the DAILY aggregate (O(days) rows
+    * at any corpus size); the argmax is a TakeOrdered with a date
+    * tie-break. Revenue is fixed-pointed to BIGINT cents before any
+    * cumulative math; the score's double division is the same
+    * expression tree in both engines. */
+  val qChangepoint = GraftQuery(
+    "q_changepoint",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.orders(s, dir)
+        .groupBy(date_trunc("day", $"o_orderdate").as("d"))
+        .agg(sum(($"o_totalprice".cast(DecimalType(18, 2)) * 100)
+          .cast(DecimalType(38, 0))).as("cents"))
+      val w = Window.orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = daily.agg(count(lit(1)).cast("long").as("n"),
+        sum($"cents").as("s"))
+      daily
+        .withColumn("nl", count(lit(1)).over(w).cast("long"))
+        .withColumn("sl", sum($"cents").over(w))
+        .crossJoin(tot)
+        .filter($"nl" < $"n") // a split needs a non-empty right segment
+        .withColumn("nr", $"n" - $"nl")
+        .withColumn("sr", $"s" - $"sl")
+        .withColumn("score",
+          $"sl".cast(DoubleType) * $"sl".cast(DoubleType) / $"nl" +
+          $"sr".cast(DoubleType) * $"sr".cast(DoubleType) / $"nr")
+        .withColumn("gain",
+          $"score" - $"s".cast(DoubleType) * $"s".cast(DoubleType) / $"n")
+        .orderBy($"score".desc, $"d")
+        .limit(1)
+        .select(date_format($"d", "yyyy-MM-dd").as("split_after"),
+          $"nl".as("n_left"), $"nr".as("n_right"),
+          round($"sl".cast(DoubleType) / $"nl" / 100.0, 6).as("mean_left"),
+          round($"sr".cast(DoubleType) / $"nr" / 100.0, 6).as("mean_right"),
+          round($"gain" / 10000.0, 6).as("gain_sq"))
+    },
+    Some("""WITH daily AS (SELECT DATE_TRUNC('day', o_orderdate) AS d,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS cents
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS DECIMAL(38,0)) AS s FROM daily),
+      cum AS (SELECT d,
+          CAST(COUNT(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+          CAST(SUM(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS sl
+        FROM daily),
+      sc AS (SELECT d, nl, n - nl AS nr, sl, s - sl AS sr,
+          CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl +
+          CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE) / (n - nl) AS score,
+          CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS base
+        FROM cum, tot WHERE nl < n)
+      SELECT STRFTIME(d, '%Y-%m-%d') AS split_after, nl AS n_left, nr AS n_right,
+        ROUND(CAST(sl AS DOUBLE) / nl / 100.0, 6) AS mean_left,
+        ROUND(CAST(sr AS DOUBLE) / nr / 100.0, 6) AS mean_right,
+        ROUND((score - base) / 10000.0, 6) AS gain_sq
+      FROM sc ORDER BY score DESC, d LIMIT 1""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi,
-      qSeasonalBaseline, qCusum, qPriceIndex)
+      qSeasonalBaseline, qCusum, qPriceIndex, qAcf, qChangepoint)
 }
