@@ -1814,6 +1814,47 @@ object DocQueries {
       ORDER BY span_tokens DESC, doc_id, start_pos LIMIT 20""")
   )
 
+  /** Tokenizer FERTILITY by language: chars per BPE-ish piece and
+    * pieces per whitespace word — the per-language token-cost table
+    * that prices a multilingual corpus against a token budget (CJK
+    * text shows low chars/piece under a Latin-biased pre-tokenizer;
+    * fertility is THE standard diagnostic for that bias). Pure map-side
+    * counting kernels + one |langs|-row rollup; integer sums, division
+    * at the end, mirrored in the oracle. */
+  val qTokenFertility = GraftQuery(
+    "q_token_fertility",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      Tables.documents(s, dir)
+        .select($"lang", length($"text").cast(LongType).as("chars"),
+          TextAnalysis.wsTokenCount($"text").cast(LongType).as("ws"),
+          TextAnalysis.bpeIshTokenCount($"text").cast(LongType).as("bp"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"chars").as("n_chars"), sum($"ws").as("n_words"),
+          sum($"bp").as("n_pieces"))
+        .select($"lang", $"n_docs", $"n_chars", $"n_words", $"n_pieces",
+          round($"n_chars".cast(DoubleType) / greatest($"n_pieces", lit(1L)), 6)
+            .as("chars_per_piece"),
+          round($"n_pieces".cast(DoubleType) / greatest($"n_words", lit(1L)), 6)
+            .as("fertility"))
+        .orderBy($"lang")
+    },
+    Some("""WITH m AS (SELECT lang, CAST(LENGTH(text) AS BIGINT) AS chars,
+        CASE WHEN TRIM(text) = '' THEN 0
+             ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS ws,
+        LEN(regexp_extract_all(text, '[A-Za-z]+|\d|[^A-Za-z\d\s]')) AS bp
+      FROM documents),
+      g AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(chars) AS BIGINT) AS n_chars,
+          CAST(SUM(ws) AS BIGINT) AS n_words, CAST(SUM(bp) AS BIGINT) AS n_pieces
+        FROM m GROUP BY 1)
+      SELECT lang, n_docs, n_chars, n_words, n_pieces,
+        ROUND(CAST(n_chars AS DOUBLE) / GREATEST(n_pieces, 1), 6) AS chars_per_piece,
+        ROUND(CAST(n_pieces AS DOUBLE) / GREATEST(n_words, 1), 6) AS fertility
+      FROM g ORDER BY lang""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
     qBpeEncode, qDictEncode, qInvertedIndex,
@@ -1823,5 +1864,6 @@ object DocQueries {
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qSemanticDedup, qIvfTopK, qApproxDistinct, qHllRollup, qAsofJoin,
-    qRangeJoin, qKmvDistinct, qQualityScore, qSourceSimilarity, qSourceOverlap)
+    qRangeJoin, qKmvDistinct, qQualityScore, qSourceSimilarity, qSourceOverlap,
+    qTokenFertility)
 }

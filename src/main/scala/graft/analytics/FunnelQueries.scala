@@ -983,9 +983,48 @@ object FunnelQueries {
       FROM g GROUP BY 1 ORDER BY 1""")
   )
 
+  /** RECENCY-WEIGHTED engagement score: each event contributes a weight
+    * halving per week of age (anchored to the corpus max day), so the
+    * score is yesterday's activity, not lifetime volume — the RFM
+    * "recency × frequency" compression into one rankable number.
+    * Weights are EXACT integers (1000000 div 2^weeks, capped at 20
+    * halvings) — never a float pow(), whose exp/log round-trip differs
+    * across engines — so the per-user integer sum is order-independent
+    * and the whole top-20 is hash-gateable. Map-side weighting + one
+    * user rollup + TakeOrdered. */
+  val qDecayScore = GraftQuery(
+    "q_decay_score",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val mx = Tables.events(s, dir).agg(max(date_trunc("day", $"ts")).as("mx"))
+      Tables.events(s, dir)
+        .crossJoin(broadcast(mx))
+        .withColumn("wk", least(expr("datediff(mx, ts) div 7"), lit(20L)))
+        .withColumn("w_ppm",
+          expr("1000000 div shiftleft(cast(1 as bigint), cast(wk as int))"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"w_ppm").cast(LongType).as("score_ppm"))
+        .select($"user_id", $"n_events",
+          ($"score_ppm" / 1000000.0).as("decay_score"))
+        .orderBy($"decay_score".desc, $"user_id")
+        .limit(20)
+    },
+    Some("""WITH mx AS (SELECT MAX(DATE_TRUNC('day', ts)) AS mx FROM events),
+      w AS (SELECT user_id,
+          1000000 // (CAST(1 AS BIGINT) << LEAST(DATEDIFF('day', CAST(ts AS DATE), CAST(mx AS DATE)) // 7, 20)) AS w_ppm
+        FROM events, mx),
+      g AS (SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(w_ppm) AS BIGINT) AS score_ppm
+        FROM w GROUP BY 1)
+      SELECT user_id, n_events, score_ppm / 1000000.0 AS decay_score
+      FROM g ORDER BY decay_score DESC, user_id LIMIT 20""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
       qMarkovAttribution, qCohortLtv, qDid, qFunnelWindowed, qBotBurst,
-      qWindowDedup)
+      qWindowDedup, qDecayScore)
 }
