@@ -861,12 +861,15 @@ object PipelineQueries {
       val d = Tables.documents(s, dir)
         .select(floor(TextAnalysis.qualityScore($"text") * 1000000.0 + 0.5)
           .cast(LongType).as("qi"), $"n_chars")
-      val buck = d.withColumn("b", expr("qi div 100000"))
-        .groupBy($"b")
-        .agg(count(lit(1)).as("nd"), sum($"n_chars").as("nc"))
+      // the ≤11-row bucket relation is cached: both its consumers (the
+      // grid join and the totals fold) reuse ONE corpus scan
+      val buck = graft.operators.Caches.register(
+        d.withColumn("b", expr("qi div 100000"))
+          .groupBy($"b")
+          .agg(count(lit(1)).as("nd"), sum($"n_chars").as("nc")))
       val grid = s.range(1, 10).select($"id".as("k"))
-      val tot = d.agg(count(lit(1)).as("total_docs"),
-        sum($"n_chars").as("total_chars"))
+      val tot = buck.agg(sum($"nd").as("total_docs"),
+        sum($"nc").as("total_chars"))
       grid.join(buck, $"b" >= $"k", "left")
         .groupBy($"k")
         .agg(coalesce(sum($"nd"), lit(0L)).as("n_docs_kept"),

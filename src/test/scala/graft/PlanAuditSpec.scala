@@ -665,4 +665,54 @@ class PlanAuditSpec extends SparkSpec {
     val ph = plan("q_heaps_law")
     assert(!ph.contains("CartesianProduct"), s"q_heaps_law went cartesian:\n$ph")
   }
+
+  test("round-7 planning/pipeline additions: single exchanges, cached single scans, TakeOrdered tops") {
+    def exchanges(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    // bot burst: window and rollup share the user key — exactly ONE
+    // exchange; the top-20 is TakeOrdered, never a global sort
+    val pb = plan("q_bot_burst")
+    assert(exchanges(pb) == 1,
+      s"q_bot_burst must have exactly one keyed exchange:\n$pb")
+    assert(pb.contains("TakeOrderedAndProject"),
+      s"q_bot_burst top-20 is not a TakeOrdered:\n$pb")
+    // join-size estimate: KMV sides are bounded-state object aggregates;
+    // nothing cartesian on data relations (1-row certificates go BNLJ)
+    val pj = plan("q_join_size_estimate")
+    assert(pj.contains("ObjectHashAggregate"),
+      s"q_join_size_estimate lost its bounded-state sketch aggregate:\n$pj")
+    assert(!pj.contains("CartesianProduct"),
+      s"q_join_size_estimate went cartesian:\n$pj")
+    // filter sweep: the corpus is scanned exactly once — both bucket
+    // consumers read the CACHED ≤11-row relation (InMemoryTableScan in
+    // the plan; the printed FileScan lineage under InMemoryRelation is
+    // the cache's build plan, executed once)
+    val pf7 = plan("q_filter_sweep")
+    assert(pf7.contains("InMemoryTableScan"),
+      s"q_filter_sweep bucket relation is no longer cached — documents would scan twice:\n$pf7")
+    // decay score: top-20 is TakeOrdered; the max-day anchor broadcasts
+    val pd7 = plan("q_decay_score")
+    assert(pd7.contains("TakeOrderedAndProject"),
+      s"q_decay_score top-20 is not a TakeOrdered:\n$pd7")
+    assert(!pd7.contains("CartesianProduct"),
+      s"q_decay_score anchor went cartesian:\n$pd7")
+    // window dedup: at most the window-key exchange + the tiny type rollup
+    val pw = plan("q_window_dedup")
+    assert(exchanges(pw) <= 2,
+      s"q_window_dedup grew extra shuffles:\n$pw")
+    assert(pw.contains("hashpartitioning(user_id"),
+      s"q_window_dedup lost its (user, type) window key:\n$pw")
+    // changepoint: the argmax over splits is a TakeOrdered, and the
+    // cumulative window runs on the daily aggregate, not on orders
+    val pc7 = plan("q_changepoint")
+    assert(pc7.contains("TakeOrderedAndProject"),
+      s"q_changepoint argmax is not a TakeOrdered:\n$pc7")
+    // consistent sample / skew report: no cartesian on data relations
+    val ps7 = plan("q_consistent_sample")
+    assert(!ps7.contains("CartesianProduct"),
+      s"q_consistent_sample went cartesian:\n$ps7")
+    val pk7 = plan("q_key_skew_report")
+    assert(!pk7.contains("CartesianProduct"),
+      s"q_key_skew_report went cartesian:\n$pk7")
+  }
 }
