@@ -1022,9 +1022,76 @@ object FunnelQueries {
       FROM g ORDER BY decay_score DESC, user_id LIMIT 20""")
   )
 
+  /** NEXT-EVENT PREDICTION, evaluated honestly: train a first-order
+    * Markov predictor (per prev-state argmax of transition counts) on
+    * the FIRST HALF of the time range, score top-1 accuracy on the
+    * SECOND half — temporal holdout, the split that actually measures a
+    * sequence model (a random split would leak future context into
+    * training). Everything is exact: the midpoint is integer epoch
+    * math, the argmax tie-breaks lexicographically, an unseen test
+    * state scores 0 via the left join. Transitions come from one lag
+    * window per user; the train matrix is |states|² rows and broadcasts
+    * onto the test pairs. */
+  val qMarkovEval = GraftQuery(
+    "q_markov_eval",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .withColumn("us", unix_micros($"ts"))
+      val mid = pairs.agg(
+        expr("(min(us) + (max(us) - min(us)) div 2)").as("mid"))
+      val withMid = pairs.crossJoin(broadcast(mid))
+      val train = withMid.filter($"us" < $"mid")
+        .groupBy($"event_type".as("prev"), $"next_type".as("nxt"))
+        .agg(count(lit(1)).as("c"))
+      val rankW = Window.partitionBy($"prev").orderBy($"c".desc, $"nxt")
+      val model = train
+        .withColumn("rn", row_number().over(rankW))
+        .filter($"rn" === 1)
+        .select($"prev", $"nxt".as("predicted_next"))
+      withMid.filter($"us" >= $"mid")
+        .select($"event_type".as("prev"), $"next_type")
+        .join(broadcast(model), Seq("prev"), "left")
+        .withColumn("correct",
+          ($"next_type" === $"predicted_next").cast("int"))
+        .groupBy($"prev", $"predicted_next")
+        .agg(count(lit(1)).as("n_test"),
+          coalesce(sum($"correct"), lit(0)).cast(LongType).as("n_correct"))
+        .withColumn("accuracy",
+          floor($"n_correct" * 1000000.0 / $"n_test" + 0.5) / 1000000.0)
+        .orderBy($"prev")
+    },
+    Some("""WITH p AS (SELECT user_id, event_type,
+        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+        epoch_us(ts) AS us
+      FROM events),
+      pairs AS (SELECT * FROM p WHERE next_type IS NOT NULL),
+      mid AS (SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS mid FROM pairs),
+      train AS (SELECT event_type AS prev, next_type AS nxt, COUNT(*) AS c
+        FROM pairs, mid WHERE us < mid GROUP BY 1, 2),
+      model AS (SELECT prev, nxt AS predicted_next FROM
+        (SELECT prev, nxt, ROW_NUMBER() OVER (PARTITION BY prev ORDER BY c DESC, nxt) AS rn
+         FROM train) WHERE rn = 1),
+      test AS (SELECT event_type AS prev, next_type FROM pairs, mid WHERE us >= mid),
+      j AS (SELECT t.prev, m.predicted_next,
+          CASE WHEN t.next_type = m.predicted_next THEN 1 ELSE 0 END AS correct
+        FROM test t LEFT JOIN model m ON t.prev = m.prev),
+      g AS (SELECT prev, predicted_next, COUNT(*) AS n_test,
+          CAST(COALESCE(SUM(correct), 0) AS BIGINT) AS n_correct
+        FROM j GROUP BY 1, 2)
+      SELECT prev, predicted_next, n_test, n_correct,
+        FLOOR(n_correct * 1000000.0 / n_test + 0.5) / 1000000.0 AS accuracy
+      FROM g ORDER BY prev""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
       qMarkovAttribution, qCohortLtv, qDid, qFunnelWindowed, qBotBurst,
-      qWindowDedup, qDecayScore)
+      qWindowDedup, qDecayScore, qMarkovEval)
 }
