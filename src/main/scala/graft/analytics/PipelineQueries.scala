@@ -960,10 +960,86 @@ object PipelineQueries {
       FROM j, orp, t""")
   )
 
+  /** Cross-SOURCE duplication matrix: the near-dup pair relation rolled
+    * up by the (source, source) cell its endpoints land in — which
+    * feeds syndicate, mirror, or scrape each other. Off-diagonal mass
+    * is content PROVENANCE (dedup priority between sources, who to
+    * crawl first); diagonal mass is within-source redundancy
+    * (q_dup_inflation's near-dup twin). Same free composition as
+    * q_split_leakage: the banded+df-capped pair relation plus a
+    * broadcast doc→source lookup (two key-value columns, never the
+    * text), then a |sources|² rollup. */
+  val qCrossSourceDup = GraftQuery(
+    "q_cross_source_dup",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val pairs = graft.operators.Dedup.minhashDedupPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucket = 100,
+        portable = true)
+      val src = Tables.documents(s, dir).select($"doc_id", $"source")
+      pairs
+        .join(broadcast(src.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("source", "sa")), "id_a")
+        .join(broadcast(src.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("source", "sb")), "id_b")
+        .groupBy(least($"sa", $"sb").as("source_a"),
+          greatest($"sa", $"sb").as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum($"est_jaccard".cast(DecimalType(18, 6))).cast(DoubleType)
+            / count(lit(1)), 6).as("mean_sim"))
+        .withColumn("cross_source",
+          when($"source_a" =!= $"source_b", 1).otherwise(0))
+        .orderBy($"source_a", $"source_b")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      sg AS (SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
+      FROM t),
+      hs AS (SELECT doc_id,
+        list_distinct(list_transform(shingles, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007))) AS hv
+      FROM sg),
+      sig AS (SELECT doc_id,
+        list_transform(range(32), j ->
+          list_min(list_transform(hv, h -> ((48271 + 2*j) * h + j) % 1000000007))) AS sig
+      FROM hs),
+      banded AS (SELECT doc_id, band,
+        list_reduce(list_prepend(CAST(band AS BIGINT), sig[band*4+1 : band*4+4]),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS bhash
+      FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
+      kept AS (SELECT band, bhash FROM banded GROUP BY band, bhash HAVING COUNT(*) <= 100),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN kept k ON a.band = k.band AND a.bhash = k.bhash
+        JOIN banded b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+      ver AS (SELECT id_a, id_b,
+        ROUND(CAST(list_sum(list_transform(range(32),
+          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 32, 6)
+          AS est_jaccard
+      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id),
+      p AS (SELECT id_a, id_b, est_jaccard FROM ver WHERE est_jaccard >= 0.5),
+      sp AS (SELECT est_jaccard, da.source AS sa, db.source AS sb
+        FROM p JOIN documents da ON p.id_a = da.doc_id
+               JOIN documents db ON p.id_b = db.doc_id)
+      SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+        COUNT(*) AS n_pairs,
+        ROUND(CAST(SUM(CAST(est_jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_sim,
+        CASE WHEN LEAST(sa, sb) <> GREATEST(sa, sb) THEN 1 ELSE 0 END AS cross_source
+      FROM sp GROUP BY LEAST(sa, sb), GREATEST(sa, sb)
+      ORDER BY source_a, source_b""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,
     qTemperatureSample, qBoilerplateStrip, qShardManifest, qNegativeSample,
-    qSplitLeakage, qFilterSweep, qConsistentSample)
+    qSplitLeakage, qFilterSweep, qConsistentSample, qCrossSourceDup)
 }
