@@ -868,9 +868,77 @@ object WarehouseQueries {
       FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
   )
 
+  /** Embedding DRIFT between two deterministic cohorts (vec_id parity —
+    * the stand-in for "last week's encoder vs this week's"): per label,
+    * the L2 shift and cosine of the two cohort centroids. Catching a
+    * drifted encoder BEFORE re-indexing 100 TB of vectors is the
+    * operational point; a centroid moving while its cosine stays ~1 is
+    * benign rescaling, a falling cosine is a direction change that
+    * invalidates ANN indexes. Parity is fixed-point end to end:
+    * centroids stay in INTEGER micro-units, the diff/dot/norm moments
+    * are exact integer sums (Decimal-widened), and the only doubles are
+    * the final correctly-rounded sqrt/divides — identical trees in both
+    * engines. One corpus pass, rollups on (label, pos) rows. */
+  val qEmbedDrift = GraftQuery(
+    "q_embed_drift",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val cent = Tables.embeddings(s, dir)
+        .select($"label", ($"vec_id" % 2).as("coh"),
+          posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
+        .withColumn("q", floor($"x" * 1000000.0 + 0.5).cast(LongType))
+        .groupBy($"label", $"coh", $"pos")
+        .agg(count(lit(1)).as("n"),
+          floor(sum($"q").cast(DoubleType) / count(lit(1)) + 0.5)
+            .cast(LongType).as("cq"))
+      val a = cent.filter($"coh" === 0)
+        .select($"label", $"pos", $"cq".as("qa"), $"n".as("na"))
+      val b = cent.filter($"coh" === 1)
+        .select($"label", $"pos", $"cq".as("qb"), $"n".as("nb"))
+      a.join(b, Seq("label", "pos"))
+        .groupBy($"label")
+        .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+          sum((($"qa" - $"qb") * ($"qa" - $"qb")).cast(DecimalType(38, 0)))
+            .as("ssq"),
+          sum(($"qa" * $"qb").cast(DecimalType(38, 0))).as("dot"),
+          sum(($"qa" * $"qa").cast(DecimalType(38, 0))).as("sa2"),
+          sum(($"qb" * $"qb").cast(DecimalType(38, 0))).as("sb2"))
+        .select($"label", $"n_a", $"n_b",
+          round(sqrt($"ssq".cast(DoubleType)) / 1000000.0, 6).as("l2_shift"),
+          round($"dot".cast(DoubleType) /
+            (sqrt($"sa2".cast(DoubleType)) * sqrt($"sb2".cast(DoubleType))), 6)
+            .as("cos_sim"))
+        .orderBy($"label")
+    },
+    Some("""WITH e AS (SELECT label, vec_id % 2 AS coh,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      x AS (SELECT label, coh, t.i + 1 AS pos,
+          CAST(FLOOR(v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM e, UNNEST(range(len(v))) AS t(i)),
+      cent AS (SELECT label, coh, pos, COUNT(*) AS n,
+          CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+        FROM x GROUP BY 1, 2, 3),
+      j AS (SELECT a.label, a.n AS na, b.n AS nb,
+          a.cq AS qa, b.cq AS qb
+        FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+        WHERE a.coh = 0 AND b.coh = 1),
+      g AS (SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+          CAST(SUM((qa - qb) * (qa - qb)) AS DECIMAL(38,0)) AS ssq,
+          CAST(SUM(qa * qb) AS DECIMAL(38,0)) AS dot,
+          CAST(SUM(qa * qa) AS DECIMAL(38,0)) AS sa2,
+          CAST(SUM(qb * qb) AS DECIMAL(38,0)) AS sb2
+        FROM j GROUP BY 1)
+      SELECT label, n_a, n_b,
+        ROUND(SQRT(CAST(ssq AS DOUBLE)) / 1000000.0, 6) AS l2_shift,
+        ROUND(CAST(dot AS DOUBLE) /
+          (SQRT(CAST(sa2 AS DOUBLE)) * SQRT(CAST(sb2 AS DOUBLE))), 6) AS cos_sim
+      FROM g ORDER BY label""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qDupInflation, qDupClusterSizes, qEmbedNorms,
       qEmbedCentroids, qEmbedCovariance, qEmbedVarianceByLabel, qEmbedPca,
       qEmbedTopEigen, qEmbedQuantize, qIncrementalAgg, qDeltaDedup, qDeltaNearDup,
-      qSnapshotDiff, qJlProject, qCentroidSim, qCdcApply, qRfm)
+      qSnapshotDiff, qJlProject, qCentroidSim, qCdcApply, qRfm, qEmbedDrift)
 }
