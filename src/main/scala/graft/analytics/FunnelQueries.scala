@@ -1089,9 +1089,93 @@ object FunnelQueries {
       FROM g ORDER BY prev""")
   )
 
+  /** SHAPLEY-value channel attribution — the game-theoretic completion
+    * of the attribution family (first/last-touch in q_attribution,
+    * removal-effect Markov in q_markov_attribution): each channel's
+    * credit is its average marginal lift across all coalitions,
+    * φ_i = Σ_{S∋i} w(|S|)·(v(S) − v(S\i)). The coalition value v(S) is
+    * the observed conversion rate of users whose pre-purchase touch-set
+    * is exactly S (unobserved coalitions value 0, v(∅)=0 — the standard
+    * simplified-Shapley estimator; stated, not hidden). Exactness:
+    * touch-sets are BITMASKS (bit_or aggregate), v is integer ppm, and
+    * the Shapley weights for n=4 are rationals over 24 — so φ
+    * accumulates as an INTEGER Σ w·24·dv and divides once at the end;
+    * no float sum over subsets. Corpus work is two user-keyed rollups;
+    * the 15-coalition × 4-channel grid math is constant-size.
+    *
+    * Attribution unit: the (user, day) exposure — the coalition is the
+    * channel set touched that day, conversion is a same-day purchase.
+    * (User-lifetime coalitions degenerate here: every user eventually
+    * touches everything and converts, making all marginals zero — the
+    * bounded exposure window is what gives the value function
+    * variance, exactly as production attribution windows do.) */
+  val qShapleyAttribution = GraftQuery(
+    "q_shapley_attribution",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val bits = when($"event_type" === "click", 1L)
+        .when($"event_type" === "error", 2L)
+        .when($"event_type" === "signup", 4L)
+        .when($"event_type" === "view", 8L)
+        .otherwise(0L) // purchase carries no channel bit
+      val masks = Tables.events(s, dir)
+        .select($"user_id", date_trunc("day", $"ts").as("day"),
+          bits.as("bit"),
+          ($"event_type" === "purchase").cast("int").as("conv"))
+        .groupBy($"user_id", $"day")
+        .agg(expr("bit_or(bit)").as("mask"), max($"conv").as("conv"))
+      val v = masks.filter($"mask" > 0)
+        .groupBy($"mask")
+        .agg(count(lit(1)).as("users"), sum($"conv").as("convs"))
+        .withColumn("v_ppm",
+          floor($"convs" * 1000000.0 / $"users" + 0.5).cast(LongType))
+      val grid = s.range(1, 16).select($"id".as("m"))
+      val channels = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
+        ("view", 8L)).toDF("channel", "bit")
+      val pairs = channels.join(grid, expr("(m & bit) != 0"))
+        .withColumn("sz", expr("bit_count(m)"))
+        .withColumn("w24",
+          when($"sz" === 1 || $"sz" === 4, 6L).otherwise(2L))
+        .withColumn("m_minus", expr("m ^ bit"))
+      val vS = v.select($"mask".as("m"), $"v_ppm".as("v_s"))
+      val vM = v.select($"mask".as("m_minus"), $"v_ppm".as("v_sm"))
+      pairs
+        .join(broadcast(vS), Seq("m"), "left")
+        .join(broadcast(vM), Seq("m_minus"), "left")
+        .withColumn("dv",
+          coalesce($"v_s", lit(0L)) - coalesce($"v_sm", lit(0L)))
+        .groupBy($"channel")
+        .agg(sum($"w24" * $"dv").cast(LongType).as("phi24ppm"))
+        .select($"channel", round($"phi24ppm" / 24000000.0, 6).as("phi"))
+        .orderBy($"channel")
+    },
+    Some("""WITH masks AS (SELECT user_id, DATE_TRUNC('day', ts) AS day,
+          BIT_OR(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+            WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask,
+          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1, 2),
+      v AS (SELECT mask, COUNT(*) AS users, SUM(conv) AS convs,
+          CAST(FLOOR(SUM(conv) * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS v_ppm
+        FROM masks WHERE mask > 0 GROUP BY 1),
+      grid AS (SELECT unnest(range(1, 16)) AS m),
+      channels AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+        ('signup', 4), ('view', 8)) AS t(channel, bit)),
+      pairs AS (SELECT channel, bit, m, bit_count(m) AS sz, xor(m, bit) AS m_minus,
+          CASE WHEN bit_count(m) = 1 OR bit_count(m) = 4 THEN 6 ELSE 2 END AS w24
+        FROM channels JOIN grid ON (m & bit) <> 0),
+      terms AS (SELECT p.channel,
+          p.w24 * (COALESCE(vs.v_ppm, 0) - COALESCE(vm.v_ppm, 0)) AS t24
+        FROM pairs p
+        LEFT JOIN v vs ON p.m = vs.mask
+        LEFT JOIN v vm ON p.m_minus = vm.mask)
+      SELECT channel, ROUND(CAST(SUM(t24) AS BIGINT) / 24000000.0, 6) AS phi
+      FROM terms GROUP BY 1 ORDER BY channel""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
       qMarkovAttribution, qCohortLtv, qDid, qFunnelWindowed, qBotBurst,
-      qWindowDedup, qDecayScore, qMarkovEval)
+      qWindowDedup, qDecayScore, qMarkovEval, qShapleyAttribution)
 }
