@@ -1036,10 +1036,59 @@ object PipelineQueries {
       ORDER BY source_a, source_b""")
   )
 
+  /** Quality-score CALIBRATION against duplication: per quality decile,
+    * the share of docs whose exact fingerprint repeats in the corpus —
+    * "does the score actually separate junk?" A filter score that does
+    * not correlate with redundancy is decoration; this is the check
+    * that keeps q_filter_sweep's thresholds honest. Same fixed-point
+    * decile bucketing as the sweep (no IEEE boundary ambiguity); the
+    * dup flag is a fingerprint-frequency join (16-byte md5 relation,
+    * never text); output is ≤11 rows. */
+  val qQualityCalibration = GraftQuery(
+    "q_quality_calibration",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val d = Tables.documents(s, dir).select(
+        floor(TextAnalysis.qualityScore($"text") * 1000000.0 + 0.5)
+          .cast(LongType).as("qi"),
+        TextAnalysis.fingerprint($"text").as("fp"))
+      val dupFp = d.groupBy($"fp").agg(count(lit(1)).as("n"))
+        .filter($"n" > 1).select($"fp")
+      d.join(broadcast(dupFp.withColumn("is_dup", lit(1))), Seq("fp"), "left")
+        .withColumn("b", expr("qi div 100000"))
+        .groupBy($"b")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"is_dup"), lit(0)).cast(LongType).as("n_dup_docs"))
+        .withColumn("dup_rate",
+          floor($"n_dup_docs" * 1000000.0 / $"n_docs" + 0.5) / 1000000.0)
+        .orderBy($"b")
+    },
+    Some("""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT doc_id,
+        md5(array_to_string(toks, ' ')) AS fp,
+        CAST(LENGTH(text) AS DOUBLE) AS len,
+        CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM t),
+      q AS (SELECT fp, CAST(FLOOR(ROUND(LEAST(len / 50.0, 1.0) * (CASE WHEN len > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+              + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+              + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) * 1000000.0 + 0.5) AS BIGINT) AS qi
+        FROM m),
+      dup AS (SELECT fp FROM q GROUP BY fp HAVING COUNT(*) > 1)
+      SELECT qi // 100000 AS b, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN q.fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        FLOOR(SUM(CASE WHEN q.fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*) + 0.5) / 1000000.0 AS dup_rate
+      FROM q GROUP BY 1 ORDER BY b""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,
     qTemperatureSample, qBoilerplateStrip, qShardManifest, qNegativeSample,
-    qSplitLeakage, qFilterSweep, qConsistentSample, qCrossSourceDup)
+    qSplitLeakage, qFilterSweep, qConsistentSample, qCrossSourceDup,
+    qQualityCalibration)
 }

@@ -227,10 +227,15 @@ object SourceQueries {
     (s, dir) => {
       import s.implicits._
       val out = scratch("zorder_li", dir)
+      // bits = 4 (16 rank buckets per column): the Morton layout needs only
+      // coarse buckets to make min/max stats selective, and the quantile
+      // pass dominates the rewrite cost at high bit width — 255 cuts at
+      // 0.1% relative error cost ~40x the scan they serve (measured at
+      // sf0.1: 79 s -> ~2 s); MaintenanceSpec pins clustering quality
       graft.operators.Maintenance.writeZOrdered(s,
         Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey", $"l_suppkey",
           $"l_quantity", $"l_extendedprice"),
-        Seq("l_partkey", "l_suppkey"), out, numFiles = 16)
+        Seq("l_partkey", "l_suppkey"), out, numFiles = 16, bits = 4)
       s.read.parquet(out)
         .filter($"l_partkey".between(100, 300) && $"l_suppkey".between(20, 60))
         .agg(count(lit(1)).as("n_rows"),
