@@ -1855,7 +1855,100 @@ object DocQueries {
       FROM g ORDER BY lang""")
   )
 
+  /** Precompute 1 − (1 − s^r)^b at s = 0.5 in Scala and interpolate the
+    * SAME rounded literal into both engines — a runtime pow() would pin
+    * parity to cross-engine transcendental rounding. */
+  private def sCurveAt05(r: Int, b: Int): Double = {
+    val v = 1.0 - math.pow(1.0 - math.pow(0.5, r), b)
+    math.floor(v * 1000000.0 + 0.5) / 1000000.0
+  }
+
+  /** LSH BANDING S-CURVE, measured: the same 32-hash signatures banded
+    * three ways (rows-per-band r ∈ {2, 4, 8}, b = 32/r) — how the
+    * detected-pair count and similarity mix move along the
+    * 1−(1−sʳ)ᵇ curve. This is THE tuning decision for minhash dedup at
+    * scale (r small → recall at the cost of candidate volume; r large →
+    * precision but misses borderline pairs); running all three against
+    * one cached signature relation makes the trade-off a single
+    * measured table instead of folklore. The theoretical detection
+    * probability at s = 0.5 rides along as a PRECOMPUTED literal
+    * (identical text in both engines — no runtime pow). Signature
+    * relation is cached once; each banding shuffles only (id,
+    * band-hash) rows. */
+  val qLshScurve = GraftQuery(
+    "q_lsh_scurve",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val sig = graft.operators.Caches.register(
+        Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, numHashes = 32, portable = true))
+      def config(r: Int): DataFrame = {
+        val b = 32 / r
+        Dedup.minhashPairsFromSignatures(sig, 32, b, threshold = 0.5,
+            maxBucket = 100, portable = true)
+          .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+            round(coalesce(sum($"est_jaccard".cast(DecimalType(18, 6))), lit(0))
+              .cast(DoubleType) / greatest(count(lit(1)), lit(1L)), 6)
+              .as("mean_sim"))
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            $"n_pairs", $"mean_sim", lit(sCurveAt05(r, b)).as("p_detect_at_05"))
+      }
+      config(2).unionByName(config(4)).unionByName(config(8))
+        .orderBy($"rows_per_band")
+    },
+    Some {
+      def chain(r: Int, tag: String): String = {
+        val b = 32 / r
+        s"""banded$tag AS (SELECT doc_id, band,
+          list_reduce(list_prepend(CAST(band AS BIGINT), sig[band*$r+1 : band*$r+$r]),
+            (acc, v) -> (acc * 131 + v) % 1000000007) AS bhash
+        FROM sig CROSS JOIN (SELECT unnest(range($b)) AS band)),
+        kept$tag AS (SELECT band, bhash FROM banded$tag GROUP BY band, bhash HAVING COUNT(*) <= 100),
+        cand$tag AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded$tag a JOIN kept$tag k ON a.band = k.band AND a.bhash = k.bhash
+          JOIN banded$tag b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+        ver$tag AS (SELECT ROUND(CAST(list_sum(list_transform(range(32),
+            i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 32, 6)
+            AS est_jaccard
+          FROM cand$tag JOIN sig sa ON cand$tag.id_a = sa.doc_id
+            JOIN sig sb ON cand$tag.id_b = sb.doc_id),
+        f$tag AS (SELECT $b AS bands, $r AS rows_per_band,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            ROUND(CAST(COALESCE(SUM(CAST(est_jaccard AS DECIMAL(18,6))), 0) AS DOUBLE)
+              / GREATEST(COUNT(*), 1), 6) AS mean_sim,
+            ${sCurveAt05(r, b)} AS p_detect_at_05
+          FROM ver$tag WHERE est_jaccard >= 0.5)"""
+      }
+      s"""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      sg AS (SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
+      FROM t),
+      hs AS (SELECT doc_id,
+        list_distinct(list_transform(shingles, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007))) AS hv
+      FROM sg),
+      sig AS (SELECT doc_id,
+        list_transform(range(32), j ->
+          list_min(list_transform(hv, h -> ((48271 + 2*j) * h + j) % 1000000007))) AS sig
+      FROM hs),
+      ${chain(2, "a")},
+      ${chain(4, "b")},
+      ${chain(8, "c")},
+      allc AS (SELECT * FROM fa UNION ALL SELECT * FROM fb UNION ALL SELECT * FROM fc)
+      SELECT * FROM allc ORDER BY rows_per_band"""
+    }
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qLshScurve,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
     qBpeEncode, qDictEncode, qInvertedIndex,
     qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qDedupComponents,

@@ -331,4 +331,31 @@ class StatQueriesSpec extends SparkSpec {
     assert(qs.zip(qs.tail).forall { case (a, b) => a <= b }, s"unordered: $qs")
     assert(qs.head >= 0.0) // strictly-after join can't produce negatives
   }
+
+  test("q_shapley_attribution: efficiency — credits sum to v(grand coalition)") {
+    import org.apache.spark.sql.functions._
+    val phis = graft.SparkEntry.queries("q_shapley_attribution")(spark, Dir)
+      .collect().map(r => r.getDouble(r.fieldIndex("phi")))
+    assert(phis.length === 4)
+    // when every coalition is observed (true at sf0.01 — asserted), exact
+    // Shapley efficiency holds: sum(phi_i) = v(N) - v(empty) = v(1111)
+    import spark.implicits._
+    val masks = graft.Tables.events(spark, Dir)
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        when($"event_type" === "click", 1L).when($"event_type" === "error", 2L)
+          .when($"event_type" === "signup", 4L).when($"event_type" === "view", 8L)
+          .otherwise(0L).as("bit"),
+        ($"event_type" === "purchase").cast("int").as("conv"))
+      .groupBy($"user_id", $"day")
+      .agg(expr("bit_or(bit)").as("mask"), max($"conv").as("conv"))
+      .filter($"mask" > 0)
+      .groupBy($"mask")
+      .agg(count(lit(1)).as("users"), sum($"conv").as("convs"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(masks.size === 15, s"expected all 15 coalitions observed, got ${masks.size}")
+    val (u15, c15) = masks(15L)
+    val vGrand = math.floor(c15 * 1e6 / u15 + 0.5) / 1e6
+    assert(math.abs(phis.sum - vGrand) < 1e-4,
+      s"efficiency violated: sum(phi)=${phis.sum} vs v(N)=$vGrand")
+  }
 }
