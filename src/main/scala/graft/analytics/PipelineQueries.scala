@@ -1084,11 +1084,114 @@ object PipelineQueries {
       FROM q GROUP BY 1 ORDER BY b""")
   )
 
+  /** CONTEXT-LENGTH fit histogram: docs bucketed by the power-of-2
+    * context window their BPE-ish token count fits in (≤64 … ≤8192,
+    * then over) with cumulative doc/token shares — the table that
+    * answers "what fraction of the corpus fits a 2k window without
+    * truncation, and how much token mass sits in the tail". Bucketing
+    * is a pure integer CASE chain (no log2 floats); the cumulative
+    * fronts run over the ≤9-bucket relation. */
+  val qContextLengthHist = GraftQuery(
+    "q_context_length_hist",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val n = TextAnalysis.bpeIshTokenCount($"text").cast(LongType)
+      val bucket = when(n <= 64, 64L).when(n <= 128, 128L)
+        .when(n <= 256, 256L).when(n <= 512, 512L).when(n <= 1024, 1024L)
+        .when(n <= 2048, 2048L).when(n <= 4096, 4096L).when(n <= 8192, 8192L)
+        .otherwise(Long.MaxValue)
+      val w = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      Tables.documents(s, dir)
+        .select(bucket.as("bucket"), n.as("n_tokens"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+        .withColumn("cum_doc_share",
+          floor(sum($"n_docs").over(w) * 1000000.0
+            / sum($"n_docs").over(tot) + 0.5) / 1000000.0)
+        .withColumn("cum_token_share",
+          floor(sum($"n_tokens").over(w) * 1000000.0
+            / sum($"n_tokens").over(tot) + 0.5) / 1000000.0)
+        .orderBy($"bucket")
+    },
+    Some(s"""WITH t AS (SELECT
+        CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|\\d|[^A-Za-z\\d\\s]')) AS BIGINT) AS n
+      FROM documents),
+      b AS (SELECT CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+          WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512 WHEN n <= 1024 THEN 1024
+          WHEN n <= 2048 THEN 2048 WHEN n <= 4096 THEN 4096 WHEN n <= 8192 THEN 8192
+          ELSE ${Long.MaxValue} END AS bucket, n
+        FROM t),
+      g AS (SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM b GROUP BY 1)
+      SELECT bucket, n_docs, n_tokens,
+        FLOOR(SUM(n_docs) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000.0
+          / SUM(n_docs) OVER () + 0.5) / 1000000.0 AS cum_doc_share,
+        FLOOR(SUM(n_tokens) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000.0
+          / SUM(n_tokens) OVER () + 0.5) / 1000000.0 AS cum_token_share
+      FROM g ORDER BY bucket""")
+  )
+
+  /** CURRICULUM sharding: documents ordered cleanest-first (quality
+    * desc, id tie-break) and cut into 10 contiguous shards by the
+    * range-partitioned global enumeration ([[graft.operators.Ids]] —
+    * never a single-partition ntile sort); per shard the quality
+    * envelope a curriculum schedule consumes (train on shard 0 first,
+    * anneal in the tail). The monotone min/max staircase across shards
+    * is the self-certifying property: shard k's max ≤ shard k−1's min
+    * up to the fixed-point grid. */
+  val qCurriculumShards = GraftQuery(
+    "q_curriculum_shards",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val scored = Tables.documents(s, dir)
+        .select($"doc_id",
+          floor(TextAnalysis.qualityScore($"text") * 1000000.0 + 0.5)
+            .cast(LongType).as("qi"))
+      val ranked = graft.operators.Ids.contiguousRowIds(
+        scored, Seq(col("qi").desc, col("doc_id")), numPartitions = 8)
+      val nTot = ranked.agg(count(lit(1)).as("n")).first().getLong(0)
+      val shardSize = (nTot + 9) / 10
+      ranked
+        .withColumn("shard", expr(s"row_id div $shardSize"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          (max($"qi") / 1000000.0).as("max_quality"),
+          (min($"qi") / 1000000.0).as("min_quality"),
+          (floor(sum($"qi").cast(DoubleType) / count(lit(1)) + 0.5) / 1000000.0)
+            .as("mean_quality"))
+        .orderBy($"shard")
+    },
+    Some("""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT doc_id,
+        CAST(LENGTH(text) AS DOUBLE) AS len,
+        CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM t),
+      q AS (SELECT doc_id, CAST(FLOOR(ROUND(LEAST(len / 50.0, 1.0) * (CASE WHEN len > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+              + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+              + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) * 1000000.0 + 0.5) AS BIGINT) AS qi
+        FROM m),
+      r AS (SELECT qi, ROW_NUMBER() OVER (ORDER BY qi DESC, doc_id) - 1 AS row_id,
+          COUNT(*) OVER () AS n FROM q),
+      sh AS (SELECT qi, row_id // ((n + 9) // 10) AS shard FROM r)
+      SELECT shard, COUNT(*) AS n_docs,
+        MAX(qi) / 1000000.0 AS max_quality,
+        MIN(qi) / 1000000.0 AS min_quality,
+        FLOOR(CAST(SUM(qi) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS mean_quality
+      FROM sh GROUP BY 1 ORDER BY shard""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,
     qTemperatureSample, qBoilerplateStrip, qShardManifest, qNegativeSample,
     qSplitLeakage, qFilterSweep, qConsistentSample, qCrossSourceDup,
-    qQualityCalibration)
+    qQualityCalibration, qContextLengthHist, qCurriculumShards)
 }
