@@ -1187,11 +1187,62 @@ object PipelineQueries {
       FROM sh GROUP BY 1 ORDER BY shard""")
   )
 
+  /** PACKING UTILIZATION at candidate context budgets: under the
+    * per-source concat-packing of q_pack_sequences (docs stream into
+    * budget-L lines, only each source's LAST line is short), how many
+    * bins each budget costs and what fraction is padding. n_bins =
+    * Σ_source ⌈tokens_s / L⌉ and waste = bins·L − tokens — pure integer
+    * arithmetic over the |sources|-row rollup, three budgets from one
+    * scan. The capacity-planning twin of q_context_length_hist: that
+    * one asks "what fits", this one asks "what it costs". */
+  val qPackEfficiency = GraftQuery(
+    "q_pack_efficiency",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val bySource = graft.operators.Caches.register(
+        Tables.documents(s, dir)
+          .select($"source", TextAnalysis.tokenCount($"text").cast(LongType).as("n"))
+          .groupBy($"source").agg(sum($"n").as("toks")))
+      def at(budget: Long): org.apache.spark.sql.DataFrame =
+        bySource
+          .select($"toks", expr(s"(toks + ${budget - 1}) div $budget").as("bins"))
+          .agg(sum($"toks").cast(LongType).as("total_tokens"),
+            sum($"bins").cast(LongType).as("n_bins"))
+          .select(lit(budget).as("budget"), $"total_tokens", $"n_bins",
+            ($"n_bins" * budget - $"total_tokens").as("padding_tokens"),
+            (floor($"total_tokens" * 1000000.0 / ($"n_bins" * budget) + 0.5)
+              / 1000000.0).as("utilization"))
+      at(512L).unionByName(at(2048L)).unionByName(at(8192L))
+        .orderBy($"budget")
+    },
+    Some {
+      def at(b: Long, tag: String): String =
+        s"""a$tag AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_tokens,
+            CAST(SUM((toks + $b - 1) // $b) AS BIGINT) AS n_bins
+          FROM src),
+        f$tag AS (SELECT $b AS budget, total_tokens, n_bins,
+            n_bins * $b - total_tokens AS padding_tokens,
+            FLOOR(total_tokens * 1000000.0 / (n_bins * $b) + 0.5) / 1000000.0 AS utilization
+          FROM a$tag)"""
+      s"""WITH t AS (SELECT source,
+        CAST(LEN(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n
+      FROM documents),
+      src AS (SELECT source, CAST(SUM(n) AS BIGINT) AS toks FROM t GROUP BY 1),
+      ${at(512L, "a")},
+      ${at(2048L, "b")},
+      ${at(8192L, "c")},
+      allb AS (SELECT * FROM fa UNION ALL SELECT * FROM fb UNION ALL SELECT * FROM fc)
+      SELECT * FROM allb ORDER BY budget"""
+    }
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,
     qTemperatureSample, qBoilerplateStrip, qShardManifest, qNegativeSample,
     qSplitLeakage, qFilterSweep, qConsistentSample, qCrossSourceDup,
-    qQualityCalibration, qContextLengthHist, qCurriculumShards)
+    qQualityCalibration, qContextLengthHist, qCurriculumShards,
+    qPackEfficiency)
 }
