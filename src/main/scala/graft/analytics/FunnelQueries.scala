@@ -1173,9 +1173,59 @@ object FunnelQueries {
       FROM terms GROUP BY 1 ORDER BY channel""")
   )
 
+  /** Behavioral DIVERSITY per user: Shannon entropy of the event-type
+    * mix, with the ln(k) ceiling and the normalized ratio beside it —
+    * low-entropy actors do one thing (bots, scripts, single-purpose
+    * integrations), the behavioral complement of q_bot_burst's timing
+    * signal. Per-term −p·ln p values quantize to DECIMAL(18,12) before
+    * the per-user sum (the q_source_kl parity idiom), so the aggregate
+    * is order-independent; one (user, type) rollup + one user rollup. */
+  val qSessionEntropy = GraftQuery(
+    "q_session_entropy",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val ut = Tables.events(s, dir)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n_ut"))
+      val u = ut.groupBy($"user_id")
+        .agg(sum($"n_ut").cast(LongType).as("n_events"),
+          count(lit(1)).cast(LongType).as("n_types"))
+      ut.join(u, "user_id")
+        .withColumn("term",
+          (($"n_ut".cast(DoubleType) / $"n_events") *
+            -log($"n_ut".cast(DoubleType) / $"n_events"))
+            .cast(DecimalType(18, 12)))
+        .groupBy($"user_id", $"n_events", $"n_types")
+        .agg(round(sum($"term").cast(DoubleType), 6).as("entropy"))
+        .withColumn("max_entropy", round(log($"n_types".cast(DoubleType)), 6))
+        .withColumn("entropy_ratio",
+          when($"n_types" === 1, 1.0).otherwise(
+            round($"entropy" / log($"n_types".cast(DoubleType)), 6)))
+        .orderBy($"user_id")
+    },
+    Some("""WITH ut AS (SELECT user_id, event_type, COUNT(*) AS n_ut
+        FROM events GROUP BY 1, 2),
+      u AS (SELECT user_id, CAST(SUM(n_ut) AS BIGINT) AS n_events,
+          CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM ut GROUP BY 1),
+      terms AS (SELECT ut.user_id, u.n_events, u.n_types,
+          CAST((CAST(n_ut AS DOUBLE) / n_events) *
+            -LN(CAST(n_ut AS DOUBLE) / n_events) AS DECIMAL(18,12)) AS term
+        FROM ut JOIN u USING (user_id)),
+      g AS (SELECT user_id, n_events, n_types,
+          ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+        FROM terms GROUP BY 1, 2, 3)
+      SELECT user_id, n_events, n_types, entropy,
+        ROUND(LN(CAST(n_types AS DOUBLE)), 6) AS max_entropy,
+        CASE WHEN n_types = 1 THEN 1.0
+             ELSE ROUND(entropy / LN(CAST(n_types AS DOUBLE)), 6) END AS entropy_ratio
+      FROM g ORDER BY user_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
       qMarkovAttribution, qCohortLtv, qDid, qFunnelWindowed, qBotBurst,
-      qWindowDedup, qDecayScore, qMarkovEval, qShapleyAttribution)
+      qWindowDedup, qDecayScore, qMarkovEval, qShapleyAttribution,
+      qSessionEntropy)
 }
