@@ -1947,8 +1947,62 @@ object DocQueries {
     }
   )
 
+  /** Language PURITY per source — the provider-level rollup of
+    * q_lang_confusion: what share of each source's docs have a
+    * predicted language agreeing with the declared one. Sources below
+    * the purity bar get their metadata distrusted (re-tag from content)
+    * or their crawl quarantined; the confusion matrix says WHAT gets
+    * mixed up, this says WHO ships mislabeled data. Same deterministic
+    * rounded-argmax scoring; one |sources|-row rollup. */
+  val qLangPurity = GraftQuery(
+    "q_lang_purity",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val scored = TextAnalysis.langScores($"text").foldLeft(Tables.documents(s, dir)) {
+        case (d, (l, c)) => d.withColumn(s"s_$l", round(c, 6))
+      }
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val best = langs.map(l => col(s"s_$l")).reduce(greatest(_, _))
+      val predicted = langs.foldLeft(when(best === 0.0, "und")) { (acc, l) =>
+        acc.when(col(s"s_$l") === best, l)
+      }.otherwise("und")
+      scored.withColumn("predicted", predicted)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(($"predicted" === $"lang").cast("int")).cast(LongType).as("n_pure"),
+          countDistinct($"lang").cast(LongType).as("n_declared_langs"))
+        .withColumn("purity",
+          floor($"n_pure" * 1000000.0 / $"n_docs" + 0.5) / 1000000.0)
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, source, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      s AS (SELECT doc_id, lang, source,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','den','von','sich','auf','für'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_de,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_en,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','es','por','con','no','los','las','para'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_es,
+        ROUND(CAST(LEN(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','est','que','pour','dans','qui','pas','sur','avec'))) AS DOUBLE) / GREATEST(LEN(toks),1), 6) AS s_fr,
+        ROUND(CAST(LEN(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / GREATEST(LENGTH(text),1), 6) AS s_zh
+      FROM t),
+      p AS (SELECT source, lang,
+        CASE WHEN GREATEST(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+             WHEN s_de = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+             WHEN s_en = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+             WHEN s_es = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+             WHEN s_fr = GREATEST(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+             ELSE 'zh' END AS predicted
+      FROM s)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_pure,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_declared_langs,
+        FLOOR(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*) + 0.5) / 1000000.0 AS purity
+      FROM p GROUP BY 1 ORDER BY source""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qLshScurve,
+    qLshScurve, qLangPurity,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
     qBpeEncode, qDictEncode, qInvertedIndex,
     qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qDedupComponents,
