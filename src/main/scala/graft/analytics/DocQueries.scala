@@ -2001,8 +2001,66 @@ object DocQueries {
       FROM p GROUP BY 1 ORDER BY source""")
   )
 
+  /** CCNet-style PERPLEXITY BUCKETS: per language, documents ranked by
+    * unigram cross-entropy and cut into head/middle/tail terciles —
+    * the classic LM-quality partition (head = fluent, tail = noisy or
+    * off-distribution) that downstream mixing weights consume. The cut
+    * is RANK-based (per-lang row_number over (xent, doc_id)), which is
+    * exactly balanced and sidesteps cross-engine quantile-interpolation
+    * parity entirely; at 100 TB the per-lang rank sort swaps for
+    * approx-quantile cuts (same report shape, documented). Per-bucket
+    * mean goes through the DECIMAL term discipline of q_unigram_xent. */
+  val qCcnetBuckets = GraftQuery(
+    "q_ccnet_buckets",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val toks = graft.operators.Caches.register(
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang", explode(TextAnalysis.tokens($"text")).as("tok")))
+      val n = toks.count()
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("n_tok"))
+      val xent = toks.join(broadcast(freq), "tok")
+        .groupBy($"doc_id", $"lang")
+        .agg(round((sum((-log($"n_tok".cast("double") / n))
+            .cast(DecimalType(18, 12)))
+          .cast("double") / count(lit(1))), 6).as("xent"))
+      val w = Window.partitionBy($"lang").orderBy($"xent", $"doc_id")
+      val nw = Window.partitionBy($"lang")
+      xent
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_lang", count(lit(1)).over(nw))
+        .withColumn("bucket", expr("(3 * (rk - 1)) div n_lang"))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum($"xent".cast(DecimalType(18, 6))).cast("double")
+            / count(lit(1)), 6).as("mean_xent"),
+          min($"xent").as("min_xent"), max($"xent").as("max_xent"))
+        .orderBy($"lang", $"bucket")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, u.tok FROM (
+        SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+        FROM documents), UNNEST(ts) AS u(tok)),
+      tot AS (SELECT COUNT(*) AS n FROM t),
+      f AS (SELECT tok, COUNT(*) AS n_tok FROM t GROUP BY tok),
+      x AS (SELECT doc_id, lang,
+          ROUND(CAST(SUM(CAST(-LN(CAST(f.n_tok AS DOUBLE) / tot.n) AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS xent
+        FROM t JOIN f USING (tok), tot
+        GROUP BY doc_id, lang),
+      r AS (SELECT lang, xent,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY xent, doc_id) AS rk,
+          COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM x),
+      b AS (SELECT lang, xent, (3 * (rk - 1)) // n_lang AS bucket FROM r)
+      SELECT lang, bucket, COUNT(*) AS n_docs,
+        ROUND(CAST(SUM(CAST(xent AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_xent,
+        MIN(xent) AS min_xent, MAX(xent) AS max_xent
+      FROM b GROUP BY 1, 2 ORDER BY lang, bucket""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qLshScurve, qLangPurity,
+    qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
     qBpeEncode, qDictEncode, qInvertedIndex,
     qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qDedupComponents,
