@@ -658,7 +658,66 @@ object TimeSeriesQueries {
       FROM sc ORDER BY score DESC, d LIMIT 1""")
   )
 
+  /** Seasonal-naive FORECAST BACKTEST: predict each hour's event count
+    * as the count one week earlier (the baseline every fancier model
+    * must beat — and the honest way to quote it is a backtest, not a
+    * fit). Evaluated over the final 7 days per event type: MAE and
+    * sMAPE, each accumulated as per-term fixed-point INTEGERS (sMAPE
+    * terms quantize to ppm before summing — a double mean over hours
+    * would be addition-order-dependent). Forecast lookup is a self-join
+    * of the (type, hour) aggregate at lag 168 h — series-sized, never
+    * corpus-sized; absent forecast hours read as 0 (the naive model
+    * predicts silence where last week was silent). */
+  val qForecastBacktest = GraftQuery(
+    "q_forecast_backtest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val hourly = Tables.events(s, dir)
+        .groupBy($"event_type",
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("t"))
+        .agg(count(lit(1)).as("y"))
+      val mx = hourly.agg(max($"t").as("mx"))
+      val f = hourly.select($"event_type", ($"t" + 168L).as("t"), $"y".as("fc"))
+      hourly.crossJoin(broadcast(mx))
+        .filter($"t" > $"mx" - 168L)
+        .join(f, Seq("event_type", "t"), "left")
+        .withColumn("fc", coalesce($"fc", lit(0L)))
+        .withColumn("abs_err", abs($"y" - $"fc"))
+        .withColumn("smape_ppm",
+          floor(lit(2000000.0) * $"abs_err" / ($"y" + $"fc") + 0.5).cast(LongType))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum($"y").cast(LongType).as("actual_events"),
+          sum($"fc").cast(LongType).as("forecast_events"),
+          (floor(sum($"abs_err") * 1000000.0 / count(lit(1)) + 0.5) / 1000000.0)
+            .as("mae"),
+          (floor(sum($"smape_ppm").cast("double") / count(lit(1)) + 0.5) / 1000000.0)
+            .as("smape"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH hourly AS (SELECT event_type,
+          epoch_us(DATE_TRUNC('hour', ts)) // 3600000000 AS t, COUNT(*) AS y
+        FROM events GROUP BY 1, 2),
+      mx AS (SELECT MAX(t) AS mx FROM hourly),
+      ev AS (SELECT h.event_type, h.t, h.y,
+          COALESCE(f.y, 0) AS fc
+        FROM hourly h
+        LEFT JOIN hourly f ON f.event_type = h.event_type AND f.t = h.t - 168, mx
+        WHERE h.t > mx.mx - 168),
+      terms AS (SELECT event_type, y, fc, ABS(y - fc) AS abs_err,
+          CAST(FLOOR(2000000.0 * ABS(y - fc) / (y + fc) + 0.5) AS BIGINT) AS smape_ppm
+        FROM ev)
+      SELECT event_type, COUNT(*) AS n_hours,
+        CAST(SUM(y) AS BIGINT) AS actual_events,
+        CAST(SUM(fc) AS BIGINT) AS forecast_events,
+        FLOOR(SUM(abs_err) * 1000000.0 / COUNT(*) + 0.5) / 1000000.0 AS mae,
+        FLOOR(CAST(SUM(smape_ppm) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS smape
+      FROM terms GROUP BY 1 ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi,
-      qSeasonalBaseline, qCusum, qPriceIndex, qAcf, qChangepoint)
+      qSeasonalBaseline, qCusum, qPriceIndex, qAcf, qChangepoint,
+      qForecastBacktest)
 }
