@@ -1094,10 +1094,62 @@ object MiningQueries {
       FROM agg""")
   )
 
+  /** Herfindahl–Hirschman CONCENTRATION index of revenue by nation
+    * within each region — the standard market-concentration metric
+    * (≈1/n when even, →1 when one nation dominates), the scalar
+    * companion of q_gini's distributional view. Exactness: national
+    * shares are floored to integer ppm of the regional DECIMAL revenue
+    * total, and HHI is the integer sum of squared ppm shares divided
+    * once — no float accumulation across nations. Revenue rolls up
+    * through broadcast dims; everything past it is |nations|-sized. */
+  val qHhi = GraftQuery(
+    "q_hhi",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val rev = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
+      val regTot = rev.groupBy($"r_name").agg(sum($"rev").as("tot"))
+      rev.join(broadcast(regTot), "r_name")
+        // cast to double BEFORE dividing: decimal-division result scales
+        // differ across engines, identical double trees do not
+        .withColumn("share_ppm",
+          floor($"rev".cast(DoubleType) * 1000000.0 / $"tot".cast(DoubleType))
+            .cast(LongType))
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          sum($"rev").cast(DoubleType).as("total_rev"),
+          (sum($"share_ppm" * $"share_ppm") / 1000000000000.0).as("hhi"))
+        .select($"r_name", $"n_nations", round($"total_rev", 2).as("total_rev"),
+          round($"hhi", 6).as("hhi"))
+        .orderBy($"r_name")
+    },
+    Some("""WITH rev AS (SELECT r_name, n_name,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+      tot AS (SELECT r_name, SUM(rev) AS tot FROM rev GROUP BY 1),
+      sh AS (SELECT rev.r_name, rev.rev,
+          CAST(FLOOR(CAST(rev.rev AS DOUBLE) * 1000000.0 / CAST(tot.tot AS DOUBLE)) AS BIGINT) AS share_ppm
+        FROM rev JOIN tot ON rev.r_name = tot.r_name)
+      SELECT r_name, COUNT(*) AS n_nations,
+        ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS total_rev,
+        ROUND(CAST(SUM(share_ppm * share_ppm) AS DOUBLE) / 1000000000000.0, 6) AS hhi
+      FROM sh GROUP BY 1 ORDER BY r_name""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
       qCorrMatrix, qTargetEncode, qCopurchase, qMultiOls,
-      qChisqIndependence)
+      qChisqIndependence, qHhi)
 }
