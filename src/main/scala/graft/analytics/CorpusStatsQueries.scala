@@ -115,8 +115,10 @@ object CorpusStatsQueries {
     "q_source_kl",
     (s, dir) => {
       import s.implicits._
-      val tok = Tables.documents(s, dir)
-        .select($"source", explode(TextAnalysis.tokens($"text")).as("token"))
+      // cached: tok feeds FOUR aggregates (st, sTot, ct, tot) — without
+      // the cache each re-runs the corpus scan + tokenize + explode
+      val tok = graft.operators.Caches.register(Tables.documents(s, dir)
+        .select($"source", explode(TextAnalysis.tokens($"text")).as("token")))
       val st = tok.groupBy($"source", $"token").agg(count(lit(1)).as("n_st"))
       val sTot = tok.groupBy($"source").agg(count(lit(1)).as("n_s"))
       val ct = tok.groupBy($"token").agg(count(lit(1)).as("n_t"))

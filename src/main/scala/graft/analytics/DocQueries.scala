@@ -832,37 +832,8 @@ object DocQueries {
           portable = true)
         .orderBy($"id_a", $"id_b")
     },
-    Some("""WITH t AS (SELECT doc_id,
-        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-      FROM documents),
-      sg AS (SELECT doc_id,
-        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_transform(range(len(toks) - 2),
-               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
-      FROM t),
-      hs AS (SELECT doc_id,
-        list_distinct(list_transform(shingles, s ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
-            (acc, x) -> (acc * 31 + x) % 1000000007))) AS hv
-      FROM sg),
-      sig AS (SELECT doc_id,
-        list_transform(range(32), j ->
-          list_min(list_transform(hv, h -> ((48271 + 2*j) * h + j) % 1000000007))) AS sig
-      FROM hs),
-      banded AS (SELECT doc_id, band,
-        list_reduce(list_prepend(CAST(band AS BIGINT), sig[band*4+1 : band*4+4]),
-          (acc, v) -> (acc * 131 + v) % 1000000007) AS bhash
-      FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
-      kept AS (SELECT band, bhash FROM banded GROUP BY band, bhash HAVING COUNT(*) <= 100),
-      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN kept k ON a.band = k.band AND a.bhash = k.bhash
-        JOIN banded b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-      ver AS (SELECT id_a, id_b,
-        ROUND(CAST(list_sum(list_transform(range(32),
-          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 32, 6)
-          AS est_jaccard
-      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
+    Some(s"""WITH ${MinhashOracle.sigCtes},
+      ${MinhashOracle.bandCtes(r = 4)}
       SELECT id_a, id_b, est_jaccard FROM ver WHERE est_jaccard >= 0.5
       ORDER BY id_a, id_b""")
   )
@@ -897,37 +868,8 @@ object DocQueries {
           round(abs($"est_jaccard" - inter.cast(DoubleType) / uni), 6).as("abs_err"))
         .orderBy($"id_a", $"id_b")
     },
-    Some("""WITH t AS (SELECT doc_id,
-        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-      FROM documents),
-      sg AS (SELECT doc_id,
-        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_transform(range(len(toks) - 2),
-               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
-      FROM t),
-      hs AS (SELECT doc_id,
-        list_distinct(list_transform(shingles, s ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
-            (acc, x) -> (acc * 31 + x) % 1000000007))) AS hv
-      FROM sg),
-      sig AS (SELECT doc_id,
-        list_transform(range(32), j ->
-          list_min(list_transform(hv, h -> ((48271 + 2*j) * h + j) % 1000000007))) AS sig
-      FROM hs),
-      banded AS (SELECT doc_id, band,
-        list_reduce(list_prepend(CAST(band AS BIGINT), sig[band*4+1 : band*4+4]),
-          (acc, v) -> (acc * 131 + v) % 1000000007) AS bhash
-      FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
-      kept AS (SELECT band, bhash FROM banded GROUP BY band, bhash HAVING COUNT(*) <= 100),
-      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN kept k ON a.band = k.band AND a.bhash = k.bhash
-        JOIN banded b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-      ver AS (SELECT id_a, id_b,
-        ROUND(CAST(list_sum(list_transform(range(32),
-          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 32, 6)
-          AS est_jaccard
-      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id),
+    Some(s"""WITH ${MinhashOracle.sigCtes},
+      ${MinhashOracle.bandCtes(r = 4)},
       px AS (SELECT id_a, id_b, est_jaccard,
         CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
           / (len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv))) AS ex
@@ -1901,19 +1843,7 @@ object DocQueries {
     Some {
       def chain(r: Int, tag: String): String = {
         val b = 32 / r
-        s"""banded$tag AS (SELECT doc_id, band,
-          list_reduce(list_prepend(CAST(band AS BIGINT), sig[band*$r+1 : band*$r+$r]),
-            (acc, v) -> (acc * 131 + v) % 1000000007) AS bhash
-        FROM sig CROSS JOIN (SELECT unnest(range($b)) AS band)),
-        kept$tag AS (SELECT band, bhash FROM banded$tag GROUP BY band, bhash HAVING COUNT(*) <= 100),
-        cand$tag AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM banded$tag a JOIN kept$tag k ON a.band = k.band AND a.bhash = k.bhash
-          JOIN banded$tag b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-        ver$tag AS (SELECT ROUND(CAST(list_sum(list_transform(range(32),
-            i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 32, 6)
-            AS est_jaccard
-          FROM cand$tag JOIN sig sa ON cand$tag.id_a = sa.doc_id
-            JOIN sig sb ON cand$tag.id_b = sb.doc_id),
+        s"""${MinhashOracle.bandCtes(r, tag = tag)},
         f$tag AS (SELECT $b AS bands, $r AS rows_per_band,
             CAST(COUNT(*) AS BIGINT) AS n_pairs,
             ROUND(CAST(COALESCE(SUM(CAST(est_jaccard AS DECIMAL(18,6))), 0) AS DOUBLE)
@@ -1921,24 +1851,7 @@ object DocQueries {
             ${sCurveAt05(r, b)} AS p_detect_at_05
           FROM ver$tag WHERE est_jaccard >= 0.5)"""
       }
-      s"""WITH t AS (SELECT doc_id,
-        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-      FROM documents),
-      sg AS (SELECT doc_id,
-        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_transform(range(len(toks) - 2),
-               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
-      FROM t),
-      hs AS (SELECT doc_id,
-        list_distinct(list_transform(shingles, s ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
-            (acc, x) -> (acc * 31 + x) % 1000000007))) AS hv
-      FROM sg),
-      sig AS (SELECT doc_id,
-        list_transform(range(32), j ->
-          list_min(list_transform(hv, h -> ((48271 + 2*j) * h + j) % 1000000007))) AS sig
-      FROM hs),
+      s"""WITH ${MinhashOracle.sigCtes},
       ${chain(2, "a")},
       ${chain(4, "b")},
       ${chain(8, "c")},

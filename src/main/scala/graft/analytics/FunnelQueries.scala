@@ -1038,11 +1038,14 @@ object FunnelQueries {
       import s.implicits._
       import org.apache.spark.sql.types.LongType
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val pairs = Tables.events(s, dir)
+      // cached: pairs feeds the midpoint aggregate AND both the train
+      // and test branches — uncached, the user-keyed window shuffle
+      // would run three times
+      val pairs = graft.operators.Caches.register(Tables.events(s, dir)
         .select($"user_id", $"ts", $"event_id", $"event_type")
         .withColumn("next_type", lead($"event_type", 1).over(w))
         .filter($"next_type".isNotNull)
-        .withColumn("us", unix_micros($"ts"))
+        .withColumn("us", unix_micros($"ts")))
       val mid = pairs.agg(
         expr("(min(us) + (max(us) - min(us)) div 2)").as("mid"))
       val withMid = pairs.crossJoin(broadcast(mid))

@@ -1052,8 +1052,10 @@ object MiningQueries {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.types.LongType
-      val c = Tables.documents(s, dir)
-        .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      // cached: c feeds rt, ct, tot and the terms join — one corpus
+      // scan into the ~25-row cell relation instead of four
+      val c = graft.operators.Caches.register(Tables.documents(s, dir)
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("o")))
       val rt = c.groupBy($"lang").agg(sum($"o").as("rt"))
       val ct = c.groupBy($"source").agg(sum($"o").as("ct"))
       val tot = c.agg(sum($"o").cast(LongType).as("n"),

@@ -796,37 +796,8 @@ object PipelineQueries {
           when($"split_a" =!= $"split_b", 1).otherwise(0))
         .orderBy($"split_a", $"split_b")
     },
-    Some("""WITH t AS (SELECT doc_id,
-        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-      FROM documents),
-      sg AS (SELECT doc_id,
-        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_transform(range(len(toks) - 2),
-               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
-      FROM t),
-      hs AS (SELECT doc_id,
-        list_distinct(list_transform(shingles, s ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
-            (acc, x) -> (acc * 31 + x) % 1000000007))) AS hv
-      FROM sg),
-      sig AS (SELECT doc_id,
-        list_transform(range(32), j ->
-          list_min(list_transform(hv, h -> ((48271 + 2*j) * h + j) % 1000000007))) AS sig
-      FROM hs),
-      banded AS (SELECT doc_id, band,
-        list_reduce(list_prepend(CAST(band AS BIGINT), sig[band*4+1 : band*4+4]),
-          (acc, v) -> (acc * 131 + v) % 1000000007) AS bhash
-      FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
-      kept AS (SELECT band, bhash FROM banded GROUP BY band, bhash HAVING COUNT(*) <= 100),
-      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN kept k ON a.band = k.band AND a.bhash = k.bhash
-        JOIN banded b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-      ver AS (SELECT id_a, id_b,
-        ROUND(CAST(list_sum(list_transform(range(32),
-          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 32, 6)
-          AS est_jaccard
-      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id),
+    Some(s"""WITH ${MinhashOracle.sigCtes},
+      ${MinhashOracle.bandCtes(r = 4)},
       p AS (SELECT id_a, id_b, est_jaccard FROM ver WHERE est_jaccard >= 0.5),
       sp AS (SELECT est_jaccard,
         CASE WHEN ((((id_a % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) % 1000000 < 800000 THEN 'train'
@@ -993,37 +964,8 @@ object PipelineQueries {
           when($"source_a" =!= $"source_b", 1).otherwise(0))
         .orderBy($"source_a", $"source_b")
     },
-    Some("""WITH t AS (SELECT doc_id,
-        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-      FROM documents),
-      sg AS (SELECT doc_id,
-        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_transform(range(len(toks) - 2),
-               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
-      FROM t),
-      hs AS (SELECT doc_id,
-        list_distinct(list_transform(shingles, s ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
-            (acc, x) -> (acc * 31 + x) % 1000000007))) AS hv
-      FROM sg),
-      sig AS (SELECT doc_id,
-        list_transform(range(32), j ->
-          list_min(list_transform(hv, h -> ((48271 + 2*j) * h + j) % 1000000007))) AS sig
-      FROM hs),
-      banded AS (SELECT doc_id, band,
-        list_reduce(list_prepend(CAST(band AS BIGINT), sig[band*4+1 : band*4+4]),
-          (acc, v) -> (acc * 131 + v) % 1000000007) AS bhash
-      FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
-      kept AS (SELECT band, bhash FROM banded GROUP BY band, bhash HAVING COUNT(*) <= 100),
-      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN kept k ON a.band = k.band AND a.bhash = k.bhash
-        JOIN banded b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-      ver AS (SELECT id_a, id_b,
-        ROUND(CAST(list_sum(list_transform(range(32),
-          i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / 32, 6)
-          AS est_jaccard
-      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id),
+    Some(s"""WITH ${MinhashOracle.sigCtes},
+      ${MinhashOracle.bandCtes(r = 4)},
       p AS (SELECT id_a, id_b, est_jaccard FROM ver WHERE est_jaccard >= 0.5),
       sp AS (SELECT est_jaccard, da.source AS sa, db.source AS sb
         FROM p JOIN documents da ON p.id_a = da.doc_id
@@ -1049,10 +991,12 @@ object PipelineQueries {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.types.LongType
-      val d = Tables.documents(s, dir).select(
+      // cached: d feeds the dup-fingerprint aggregate AND the join —
+      // the regex-heavy score + md5 run once, not twice
+      val d = graft.operators.Caches.register(Tables.documents(s, dir).select(
         floor(TextAnalysis.qualityScore($"text") * 1000000.0 + 0.5)
           .cast(LongType).as("qi"),
-        TextAnalysis.fingerprint($"text").as("fp"))
+        TextAnalysis.fingerprint($"text").as("fp")))
       val dupFp = d.groupBy($"fp").agg(count(lit(1)).as("n"))
         .filter($"n" > 1).select($"fp")
       d.join(broadcast(dupFp.withColumn("is_dup", lit(1))), Seq("fp"), "left")

@@ -569,10 +569,14 @@ object TimeSeriesQueries {
           sum($"ya" * $"yb").as("sab"),
           sum($"ya").as("sha"), sum($"yb").as("shb"))
         .crossJoin(tot)
+        // the ȳ² correction counts the JOINED pairs (np), not n − lag:
+        // gap hours produce no pair row, and a sparse series with the
+        // n − lag substitution would inflate the numerator by
+        // (n − lag − np)·ȳ² in both engines at once
         .select($"lag", $"np".cast("long").as("n_pairs"),
           round(
             ($"n" * $"n" * $"sab" - $"n" * $"sy" * ($"sha" + $"shb")
-              + ($"n" - $"lag") * $"sy" * $"sy").cast(DoubleType) /
+              + $"np" * $"sy" * $"sy").cast(DoubleType) /
             ($"n" * $"n" * $"syy" - $"n" * $"sy" * $"sy").cast(DoubleType), 6)
             .as("acf"))
         .orderBy($"lag")
@@ -591,7 +595,7 @@ object TimeSeriesQueries {
         FROM lags, s a JOIN s b ON b.t = a.t + lag
         GROUP BY lag)
       SELECT lag, CAST(np AS BIGINT) AS n_pairs,
-        ROUND(CAST(n * n * sab - n * sy * (sha + shb) + (n - lag) * sy * sy AS DOUBLE) /
+        ROUND(CAST(n * n * sab - n * sy * (sha + shb) + np * sy * sy AS DOUBLE) /
           CAST(n * n * syy - n * sy * sy AS DOUBLE), 6) AS acf
       FROM p, tot ORDER BY lag""")
   )

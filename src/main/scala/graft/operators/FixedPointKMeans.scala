@@ -34,15 +34,37 @@ object FixedPointKMeans {
   val QScale = 1000000L
   val QShift = 16000000L
 
-  /** Map-side quantization of a double vector column. */
+  /** Map-side quantization of a double vector column.
+    *
+    * Coordinates outside [−16, 16] FAIL LOUDLY: the +16e6 shift is what
+    * keeps every per-cluster coordinate sum non-negative — the regime
+    * where Spark's truncating DIV equals DuckDB's flooring `//`. A
+    * silent out-of-range coordinate would instead surface rounds later
+    * as a one-off centroid disagreement in the hash gate with no hint
+    * of the cause (embeddings are unit-ish scaled; ±16 is far outside
+    * any normalized encoder's range, so the guard never fires on valid
+    * input). */
   def quantize(vec: Column): Column =
-    transform(vec.cast("array<double>"),
-      x => floor(x * QScale + 0.5).cast("long") + QShift)
+    transform(vec.cast("array<double>"), { x =>
+      val guarded = when(x < -16.0 || x > 16.0,
+        raise_error(concat(
+          lit("FixedPointKMeans.quantize: coordinate out of [-16, 16] ("),
+          x.cast("string"),
+          lit(") — the non-negativity shift no longer holds; rescale the vectors first")))
+          .cast("double"))
+        .otherwise(x)
+      floor(guarded * QScale + 0.5).cast("long") + QShift
+    })
 
   /** Driver-side quantization — bit-identical to [[quantize]] (same
-    * IEEE multiply/add/floor sequence). */
+    * IEEE multiply/add/floor sequence, same range guard). */
   def quantizeLocal(v: Seq[Double]): Seq[Long] =
-    v.map(x => math.floor(x * QScale + 0.5).toLong + QShift)
+    v.map { x =>
+      require(x >= -16.0 && x <= 16.0,
+        s"FixedPointKMeans.quantizeLocal: coordinate out of [-16, 16] ($x) — " +
+          "the non-negativity shift no longer holds; rescale the vectors first")
+      math.floor(x * QScale + 0.5).toLong + QShift
+    }
 
   /** Integer squared distance, driver-side. */
   def sqDistLocal(a: Seq[Long], b: Seq[Long]): Long =
