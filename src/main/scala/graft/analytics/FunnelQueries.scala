@@ -1225,10 +1225,80 @@ object FunnelQueries {
       FROM g ORDER BY user_id""")
   )
 
+  /** WATERMARK-SIZING report: how late do events actually arrive?
+    * Arrival order is the event_id sequence (the ingest log position);
+    * an event is LATE by (running max event-time seen so far) − (its
+    * own event-time). The lateness distribution — bucketed on-time /
+    * ≤1 min / ≤1 h / ≤1 d / later, plus the max — is precisely the
+    * input that sizes `withWatermark` delays: a watermark below the
+    * p99 lateness silently drops data, one far above it bloats state.
+    * One running-max window per user (arrival order) + a tiny bucket
+    * rollup; the same report at 100 TB reads the ingest log's
+    * partition-local order, same plan.
+    *
+    * The synthetic events table arrives perfectly ordered (event_id
+    * follows ts), which would make the report vacuous — so, per the
+    * q_pii_redact convention, the ARRIVAL ORDER is synthesized
+    * deterministically in BOTH engines: the portable Lehmer hash of
+    * event_id stands in for the ingest log position (a hash-shuffled
+    * arrival). The operator under test is the lateness detector, not
+    * the synthesis. */
+  val qWatermarkLateness = GraftQuery(
+    "q_watermark_lateness",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      // TWO Lehmer steps: one step of 48271·id on small sequential ids
+      // never wraps the modulus and stays monotone — no shuffle at all
+      val arrival = pmod(
+        pmod(pmod($"event_id", lit(2147483647L)) * lit(48271L),
+          lit(2147483647L)) * lit(48271L), lit(2147483647L))
+      val w = Window.partitionBy($"user_id").orderBy($"arrival", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val late = Tables.events(s, dir)
+        .select($"user_id", $"event_id", arrival.as("arrival"),
+          unix_micros($"ts").as("us"))
+        .withColumn("late_us", max($"us").over(w) - $"us")
+      val bucket = when($"late_us" === 0L, "0_on_time")
+        .when($"late_us" <= 60000000L, "1_within_1m")
+        .when($"late_us" <= 3600000000L, "2_within_1h")
+        .when($"late_us" <= 86400000000L, "3_within_1d")
+        .otherwise("4_later")
+      val tot = Window.partitionBy()
+      late.select(bucket.as("lateness"), $"late_us")
+        .groupBy($"lateness")
+        .agg(count(lit(1)).as("n_events"),
+          max($"late_us").cast(LongType).as("max_late_us"))
+        .withColumn("share",
+          floor($"n_events" * 1000000.0 / sum($"n_events").over(tot) + 0.5)
+            / 1000000.0)
+        .orderBy($"lateness")
+    },
+    Some("""WITH a AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        ((((((event_id % 2147483647 + 2147483647) % 2147483647) * 48271) % 2147483647) * 48271) % 2147483647) AS arrival
+      FROM events),
+      l AS (SELECT user_id,
+        MAX(us) OVER (PARTITION BY user_id ORDER BY arrival, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us AS late_us
+      FROM a),
+      b AS (SELECT CASE WHEN late_us = 0 THEN '0_on_time'
+          WHEN late_us <= 60000000 THEN '1_within_1m'
+          WHEN late_us <= 3600000000 THEN '2_within_1h'
+          WHEN late_us <= 86400000000 THEN '3_within_1d'
+          ELSE '4_later' END AS lateness, late_us
+        FROM l),
+      g AS (SELECT lateness, COUNT(*) AS n_events,
+          CAST(MAX(late_us) AS BIGINT) AS max_late_us
+        FROM b GROUP BY 1)
+      SELECT lateness, n_events, max_late_us,
+        FLOOR(n_events * 1000000.0 / SUM(n_events) OVER () + 0.5) / 1000000.0 AS share
+      FROM g ORDER BY lateness""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
       qMarkovAttribution, qCohortLtv, qDid, qFunnelWindowed, qBotBurst,
       qWindowDedup, qDecayScore, qMarkovEval, qShapleyAttribution,
-      qSessionEntropy)
+      qSessionEntropy, qWatermarkLateness)
 }
