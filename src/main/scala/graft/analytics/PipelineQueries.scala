@@ -1181,6 +1181,50 @@ object PipelineQueries {
     }
   )
 
+  /** Dedup ROI in TOKENS: per source, total tokens vs tokens in the
+    * keep-first exact-dedup survivor set, and the share saved — the
+    * number that justifies (or doesn't) running the dedup stage at all,
+    * and the one a storage/training-cost forecast consumes. Survivor =
+    * minimum doc_id per fingerprint, decided on the 16-byte md5
+    * relation (text never joins); token counting is map-side; two
+    * keyed rollups. */
+  val qDedupSavings = GraftQuery(
+    "q_dedup_savings",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val d = Tables.documents(s, dir).select($"doc_id", $"source",
+        TextAnalysis.tokenCount($"text").cast(LongType).as("n_tok"),
+        TextAnalysis.fingerprint($"text").as("fp"))
+      val keep = d.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id").withColumn("kept", lit(1))
+      d.join(broadcast(keep), Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast(LongType).as("total_tokens"),
+          coalesce(sum(when($"kept" === 1, $"n_tok")), lit(0L)).cast(LongType)
+            .as("surviving_tokens"))
+        .withColumn("tokens_saved", $"total_tokens" - $"surviving_tokens")
+        .withColumn("saved_share",
+          floor(($"total_tokens" - $"surviving_tokens") * 1000000.0
+            / greatest($"total_tokens", lit(1L)) + 0.5) / 1000000.0)
+        .orderBy($"source")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+        CAST(LEN(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tok,
+        md5(array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp
+      FROM documents),
+      keep AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY fp)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        CAST(COALESCE(SUM(CASE WHEN k.doc_id IS NOT NULL THEN n_tok END), 0) AS BIGINT) AS surviving_tokens,
+        CAST(SUM(n_tok) - COALESCE(SUM(CASE WHEN k.doc_id IS NOT NULL THEN n_tok END), 0) AS BIGINT) AS tokens_saved,
+        FLOOR((SUM(n_tok) - COALESCE(SUM(CASE WHEN k.doc_id IS NOT NULL THEN n_tok END), 0)) * 1000000.0
+          / GREATEST(SUM(n_tok), 1) + 0.5) / 1000000.0 AS saved_share
+      FROM d LEFT JOIN keep k ON d.doc_id = k.doc_id
+      GROUP BY source ORDER BY source""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
@@ -1188,5 +1232,5 @@ object PipelineQueries {
     qTemperatureSample, qBoilerplateStrip, qShardManifest, qNegativeSample,
     qSplitLeakage, qFilterSweep, qConsistentSample, qCrossSourceDup,
     qQualityCalibration, qContextLengthHist, qCurriculumShards,
-    qPackEfficiency)
+    qPackEfficiency, qDedupSavings)
 }
