@@ -926,10 +926,20 @@ object FunnelQueries {
         .agg(count(lit(1)).as("n_events"),
           min($"gap_us").as("min_gap_us"),
           min($"win5_us").as("min_win5_us"))
-        .filter($"min_win5_us".isNotNull)
-        .withColumn("burst5_1h", when($"min_win5_us" <= 3600000000L, 1).otherwise(0))
+        // keep any user with at least one inter-event gap: a rapid 2-4
+        // event actor must be able to surface via sub_second_gap even
+        // though min_win5_us is null for them (filtering on win5 would
+        // silently scope the report to >= 5-event users and blind the
+        // sub-second threshold). Only single-event users drop — they
+        // have no gap to rate. Null win5 ranks AFTER every real span
+        // (pinned NULLS LAST: Spark's asc default is nulls-first,
+        // DuckDB's is nulls-last — an unpinned sort would hash-diverge),
+        // with min_gap_us then user_id as tie-breaks.
+        .filter($"min_gap_us".isNotNull)
+        .withColumn("burst5_1h",
+          when($"min_win5_us" <= 3600000000L, 1).otherwise(0))
         .withColumn("sub_second_gap", when($"min_gap_us" < 1000000L, 1).otherwise(0))
-        .orderBy($"min_win5_us", $"user_id")
+        .orderBy($"min_win5_us".asc_nulls_last, $"min_gap_us", $"user_id")
         .limit(20)
     },
     Some("""WITH e AS (SELECT user_id,
@@ -942,8 +952,8 @@ object FunnelQueries {
       SELECT user_id, n_events, min_gap_us, min_win5_us,
         CASE WHEN min_win5_us <= 3600000000 THEN 1 ELSE 0 END AS burst5_1h,
         CASE WHEN min_gap_us < 1000000 THEN 1 ELSE 0 END AS sub_second_gap
-      FROM g WHERE min_win5_us IS NOT NULL
-      ORDER BY min_win5_us, user_id LIMIT 20""")
+      FROM g WHERE min_gap_us IS NOT NULL
+      ORDER BY min_win5_us ASC NULLS LAST, min_gap_us, user_id LIMIT 20""")
   )
 
   /** Telemetry DEBOUNCE audit: per event type, how many events re-fire

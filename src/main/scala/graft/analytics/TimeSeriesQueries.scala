@@ -670,8 +670,12 @@ object TimeSeriesQueries {
     * terms quantize to ppm before summing — a double mean over hours
     * would be addition-order-dependent). Forecast lookup is a self-join
     * of the (type, hour) aggregate at lag 168 h — series-sized, never
-    * corpus-sized; absent forecast hours read as 0 (the naive model
-    * predicts silence where last week was silent). */
+    * corpus-sized. Scoring runs over the FULL (type, hour) grid of the
+    * 168-hour window (types × 168 rows — cheap at any corpus size), so
+    * a silent hour where the model wrongly predicts activity IS
+    * penalized (an actuals-only join would hide every false positive
+    * and bias MAE/sMAPE optimistic); the y=0 ∧ fc=0 cell contributes a
+    * 0 sMAPE term by the standard convention. */
   val qForecastBacktest = GraftQuery(
     "q_forecast_backtest",
     (s, dir) => {
@@ -683,13 +687,20 @@ object TimeSeriesQueries {
         .agg(count(lit(1)).as("y"))
       val mx = hourly.agg(max($"t").as("mx"))
       val f = hourly.select($"event_type", ($"t" + 168L).as("t"), $"y".as("fc"))
-      hourly.crossJoin(broadcast(mx))
-        .filter($"t" > $"mx" - 168L)
+      // full test-window grid: every (type, hour) of the last 168 hours,
+      // including hours with zero actual events — see docstring
+      val grid = hourly.select($"event_type").distinct()
+        .crossJoin(broadcast(mx))
+        .select($"event_type", explode(sequence($"mx" - 167L, $"mx")).as("t"))
+      grid
+        .join(hourly, Seq("event_type", "t"), "left")
+        .withColumn("y", coalesce($"y", lit(0L)))
         .join(f, Seq("event_type", "t"), "left")
         .withColumn("fc", coalesce($"fc", lit(0L)))
         .withColumn("abs_err", abs($"y" - $"fc"))
         .withColumn("smape_ppm",
-          floor(lit(2000000.0) * $"abs_err" / ($"y" + $"fc") + 0.5).cast(LongType))
+          when($"y" + $"fc" === 0L, lit(0L)).otherwise(
+            floor(lit(2000000.0) * $"abs_err" / ($"y" + $"fc") + 0.5).cast(LongType)))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_hours"),
           sum($"y").cast(LongType).as("actual_events"),
@@ -704,13 +715,17 @@ object TimeSeriesQueries {
           epoch_us(DATE_TRUNC('hour', ts)) // 3600000000 AS t, COUNT(*) AS y
         FROM events GROUP BY 1, 2),
       mx AS (SELECT MAX(t) AS mx FROM hourly),
-      ev AS (SELECT h.event_type, h.t, h.y,
+      grid AS (SELECT et.event_type, mx.mx - 167 + g.x AS t
+        FROM (SELECT DISTINCT event_type FROM hourly) et, mx, UNNEST(range(168)) AS g(x)),
+      ev AS (SELECT g.event_type, g.t, COALESCE(h.y, 0) AS y,
           COALESCE(f.y, 0) AS fc
-        FROM hourly h
-        LEFT JOIN hourly f ON f.event_type = h.event_type AND f.t = h.t - 168, mx
-        WHERE h.t > mx.mx - 168),
+        FROM grid g
+        LEFT JOIN hourly h ON h.event_type = g.event_type AND h.t = g.t
+        LEFT JOIN hourly f ON f.event_type = g.event_type AND f.t = g.t - 168),
       terms AS (SELECT event_type, y, fc, ABS(y - fc) AS abs_err,
-          CAST(FLOOR(2000000.0 * ABS(y - fc) / (y + fc) + 0.5) AS BIGINT) AS smape_ppm
+          CASE WHEN y + fc = 0 THEN 0
+               ELSE CAST(FLOOR(2000000.0 * ABS(y - fc) / (y + fc) + 0.5) AS BIGINT)
+          END AS smape_ppm
         FROM ev)
       SELECT event_type, COUNT(*) AS n_hours,
         CAST(SUM(y) AS BIGINT) AS actual_events,

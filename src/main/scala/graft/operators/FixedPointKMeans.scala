@@ -46,7 +46,11 @@ object FixedPointKMeans {
     * input). */
   def quantize(vec: Column): Column =
     transform(vec.cast("array<double>"), { x =>
-      val guarded = when(x < -16.0 || x > 16.0,
+      // NOT(x in range) rather than (x out of range): both orderings are
+      // false for NaN, so `x < -16 || x > 16` would wave a NaN through to
+      // a silent long cast — the negated form routes NaN to raise_error,
+      // matching quantizeLocal's rejection exactly
+      val guarded = when(!(x >= -16.0 && x <= 16.0),
         raise_error(concat(
           lit("FixedPointKMeans.quantize: coordinate out of [-16, 16] ("),
           x.cast("string"),

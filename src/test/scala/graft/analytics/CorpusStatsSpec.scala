@@ -78,6 +78,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(clusters === Seq(0))
   }
 
+  test("FixedPointKMeans: NaN coordinate fails loudly on BOTH quantize paths") {
+    // the range guard is written as NOT(in-range) precisely because the
+    // naive (x < -16 || x > 16) form differs between engines on NaN
+    // (Java IEEE: both false → silent pass; Spark totals-order: NaN is
+    // greater-than-all → true). The negated form rejects NaN under
+    // either semantics, keeping the two "bit-identical" paths identical
+    // on exactly the invalid-input class the guard exists for.
+    import spark.implicits._
+    import graft.operators.FixedPointKMeans
+    val bad = Seq((1L, Seq(0.5, Double.NaN, 0.25))).toDF("id", "embedding")
+    val e = intercept[Exception] {
+      bad.select(FixedPointKMeans.quantize($"embedding").as("v")).collect()
+    }
+    assert(e.getMessage != null)
+    intercept[IllegalArgumentException] {
+      FixedPointKMeans.quantizeLocal(Seq(0.5, Double.NaN, 0.25))
+    }
+    // and the in-range path still agrees bit-for-bit after the rewrite
+    val ok = Seq((1L, Seq(-16.0, 0.123456, 16.0))).toDF("id", "embedding")
+    val dist = ok.select(FixedPointKMeans.quantize($"embedding").as("v"))
+      .collect().head.getSeq[Long](0)
+    assert(dist === FixedPointKMeans.quantizeLocal(Seq(-16.0, 0.123456, 16.0)))
+  }
+
   test("q_source_kl: divergences are non-negative and sources cover the corpus") {
     val rows = graft.SparkEntry.queries("q_source_kl")(spark, Dir).collect()
     assert(rows.nonEmpty)
