@@ -257,24 +257,105 @@ object WarehouseQueries {
       FROM g ORDER BY i, j""")
   )
 
-  /** Covariance SPECTRUM of the embedding space (PCA eigenvalues):
-    * effective dimensionality / anisotropy diagnostics before
-    * clustering or ANN-indexing. One fused Gram pass over the corpus;
-    * only the d×d covariance reaches the driver's Jacobi sweep. No SQL
-    * oracle (iterative eigensolver) — instead the TRACE IDENTITY rides
-    * along: eig_sum must equal trace (spectral theorem), and trace_gap
-    * ≈ 0 in the result certifies the decomposition. Eigenvalue accuracy
-    * itself is spec-pinned on known matrices (PcaSpec). */
+  /** Covariance SPECTRUM of the embedding space (top-8 PCA
+    * eigenvalues): effective dimensionality / anisotropy diagnostics
+    * before clustering or ANN-indexing. One fused Gram pass over the
+    * corpus; everything after runs on the d×d driver matrix.
+    *
+    * FULLY ORACLED since round 8: the spectrum comes from
+    * [[graft.operators.Pca.deflatedSpectrum]] — per rank, 12 max-norm
+    * power-iteration rounds, the Rayleigh quotient, a max-norm residual
+    * certificate, then Hotelling deflation A − λ·(v vᵀ)/(vᵀv) — all in
+    * pinned-order sequential double arithmetic, so the DuckDB oracle
+    * replays every matvec, normalization, Rayleigh quotient, residual
+    * AND deflation of all 8 ranks bit for bit (the induction base is
+    * the fixed-point GramMatrix covariance whose cross-engine exactness
+    * q_embed_covariance gates; q_embed_top_eigen is the 1-rank special
+    * case of the same replay). `resid_rel` per rank quantifies how
+    * converged each estimate is; the exact Jacobi spectrum remains
+    * available via Pca.covarianceSpectrum and is cross-checked against
+    * this within the residual tolerance in PcaSpec. */
   val qEmbedPca = GraftQuery(
     "q_embed_pca",
-    (s, dir) => {
-      import s.implicits._
-      graft.operators.Pca.covarianceSpectrum(
-          Tables.embeddings(s, dir).select($"embedding"), "embedding", topK = 8)
-        .orderBy($"rank")
-    },
-    None
+    (s, dir) => graft.operators.Pca.deflatedSpectrum(
+      Tables.embeddings(s, dir).select(col("embedding")), "embedding",
+      topK = 8, rounds = 12),
+    Some(deflatedSpectrumSql(topK = 8, rounds = 12))
   )
+
+  /** DuckDB replay of [[graft.operators.Pca.deflatedSpectrum]]: the
+    * covariance prefix is shared verbatim with q_embed_top_eigen; each
+    * rank r appends `rounds` matvec/normalize CTE triples over the
+    * (r−1)-times-deflated row matrix, the Rayleigh/residual pair, and
+    * (below topK) the deflated matrix for the next rank. Every float
+    * expression mirrors the Scala loop's order exactly — see the
+    * operator's docstring for the parity argument. */
+  private def deflatedSpectrumSql(topK: Int, rounds: Int, d: Int = 64): String = {
+    def matvec(out: String, rowm: String, vPrev: String) =
+      s"""$out AS MATERIALIZED (SELECT rm.i, list_reduce(list_prepend(0.0,
+          list_transform(range($d), k -> rm.row[k+1] * vv.v[k+1])), (a, b) -> a + b) AS raw
+        FROM $rowm rm, $vPrev vv)"""
+    val ranks = (1 to topK).map { r =>
+      val rowm = if (r == 1) "rowm" else s"defl${r - 1}"
+      val roundCtes = (1 to rounds).map { t =>
+        s"""${matvec(s"p${r}r$t", rowm, s"p${r}v${t - 1}")},
+        p${r}m$t AS MATERIALIZED (SELECT MAX(ABS(raw)) AS mx FROM p${r}r$t),
+        p${r}v$t AS MATERIALIZED (SELECT list(raw / mx ORDER BY i) AS v FROM p${r}r$t, p${r}m$t)"""
+      }.mkString(",\n")
+      val fin = s"""${matvec(s"p${r}f", rowm, s"p${r}v$rounds")},
+      p${r}fl AS MATERIALIZED (SELECT list(raw ORDER BY i) AS r2 FROM p${r}f),
+      p${r}nd AS MATERIALIZED (SELECT
+          list_reduce(list_prepend(0.0, list_transform(range($d),
+            k -> vv.v[k+1] * rr.r2[k+1])), (a, b) -> a + b) AS num,
+          list_reduce(list_prepend(0.0, list_transform(range($d),
+            k -> vv.v[k+1] * vv.v[k+1])), (a, b) -> a + b) AS den
+        FROM p${r}v$rounds vv, p${r}fl rr),
+      p${r}ray AS MATERIALIZED (SELECT num / den AS ray, den FROM p${r}nd),
+      p${r}res AS MATERIALIZED (SELECT
+          list_reduce(list_prepend(0.0, list_transform(range($d),
+            k -> ABS(rr.r2[k+1] - ray.ray * vv.v[k+1]))), (a, b) -> GREATEST(a, b))
+          / ABS(ray.ray) AS resid
+        FROM p${r}v$rounds vv, p${r}fl rr, p${r}ray ray)"""
+      val defl =
+        if (r < topK)
+          s""",
+      defl$r AS MATERIALIZED (SELECT rm.i, list_transform(range($d),
+            k -> rm.row[k+1] - nd.ray * vv.v[rm.i] * vv.v[k+1] / nd.den) AS row
+          FROM $rowm rm, p${r}v$rounds vv, p${r}ray nd)"""
+        else ""
+      s"""p${r}v0 AS MATERIALIZED (SELECT list_transform(range($d), k -> 1.0) AS v),
+      $roundCtes,
+      $fin$defl"""
+    }.mkString(",\n")
+    val sel = (1 to topK).map { r =>
+      s"""SELECT $r AS rank,
+        FLOOR(ray.ray * 1000000.0 + 0.5) / 1000000.0 AS eigenvalue,
+        FLOOR(ray.ray / tr.trace * 1000000.0 + 0.5) / 1000000.0 AS explained_share,
+        FLOOR(res.resid * 1000000.0 + 0.5) / 1000000.0 AS resid_rel,
+        FLOOR(tr.trace * 1000000.0 + 0.5) / 1000000.0 AS trace
+      FROM p${r}ray ray, p${r}res res, tr"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      x AS (SELECT t.i + 1 AS i, t.i + 1 + u.dj AS j,
+          CAST(FLOOR(v[t.i + 1] * v[t.i + 1 + u.dj] * 1000000.0 + 0.5) AS BIGINT) AS qxy,
+          CAST(FLOOR(v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT) AS qx,
+          CAST(FLOOR(v[t.i + 1 + u.dj] * 1000000.0 + 0.5) AS BIGINT) AS qy
+        FROM e, UNNEST(range(len(v))) AS t(i), UNNEST(range(len(v) - t.i)) AS u(dj)),
+      g AS MATERIALIZED (SELECT i, j,
+          FLOOR(CAST(SUM(qxy) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS m2,
+          FLOOR(CAST(SUM(qx) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS mean_i,
+          FLOOR(CAST(SUM(qy) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS mean_j
+        FROM x GROUP BY i, j),
+      gg AS MATERIALIZED (SELECT i, j,
+          FLOOR((m2 - mean_i * mean_j) * 1000000.0 + 0.5) / 1000000.0 AS cov FROM g),
+      mm AS MATERIALIZED (SELECT i, j, cov FROM gg
+        UNION ALL SELECT j AS i, i AS j, cov FROM gg WHERE i < j),
+      rowm AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS row FROM mm GROUP BY i),
+      tr AS MATERIALIZED (SELECT list_reduce(list_prepend(0.0, list(cov ORDER BY i)),
+          (a, b) -> a + b) AS trace FROM mm WHERE i = j),
+      $ranks
+      $sel ORDER BY rank"""
+  }
 
   /** TOP covariance eigenvalue by 12 max-norm power-iteration rounds in
     * PURE SEQUENTIAL double arithmetic ([[graft.operators.Pca.powerTopEigen]])

@@ -100,6 +100,94 @@ object Pca {
       StructField("trace_gap", DoubleType, nullable = false))))
   }
 
+  /** Top-`topK` covariance eigenvalues by DEFLATED max-norm power
+    * iteration in PURE SEQUENTIAL double arithmetic — the fully
+    * oracle-replayable spectrum: each rank runs `rounds` power steps on
+    * the current matrix, takes the Rayleigh quotient as the eigenvalue
+    * estimate (with a max-norm residual certificate riding along), then
+    * deflates Aₙₑₓₜ = A − λ·(v vᵀ)/(vᵀv) and repeats. Every multiply /
+    * add / divide is in a pinned order (ascending index, left-assoc),
+    * so a SQL engine replays the identical IEEE bits through all ranks
+    * — the induction base is the GramMatrix fixed-point covariance,
+    * whose cross-engine exactness q_embed_covariance already gates.
+    *
+    * This is the HASHABLE spectrum; [[covarianceSpectrum]]'s Jacobi
+    * sweep remains the API for exact eigenvalues (quadratic
+    * convergence), cross-checked against this within the residual
+    * tolerance in PcaSpec. `resid_rel` per rank is the honest accuracy
+    * statement — on a flat spectrum the power estimates converge
+    * slowly, and deflation compounds whatever error the certificate
+    * reports; what CANNOT drift is cross-engine agreement.
+    *
+    * Scale: one corpus pass (the fused Gram aggregate); everything
+    * after runs on the d×d driver matrix — topK·rounds O(d²) matvecs on
+    * ~17 KB of state. Output per rank: (rank, eigenvalue,
+    * explained_share, resid_rel, trace), all through the portable
+    * floor(x·1e6 + 0.5)/1e6. */
+  def deflatedSpectrum(df: DataFrame, vecCol: String,
+      topK: Int, rounds: Int): DataFrame = {
+    require(topK >= 1 && rounds >= 1, s"topK=$topK rounds=$rounds must be >= 1")
+    val spark = df.sparkSession
+    val cells = df.select(col(vecCol).cast("array<double>").as("v"))
+      .agg(graft.expressions.GramMatrix.gram(col("v")).as("g"))
+      .select(inline(col("g")))
+      .select(col("i"), col("j"), col("cov"))
+      .collect()
+    require(cells.nonEmpty, "deflatedSpectrum: empty input")
+    val d = cells.iterator.map(_.getInt(1)).max
+    require(topK <= d, s"topK=$topK exceeds dimension $d")
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1; val c = r.getDouble(2)
+      m(i)(j) = c; m(j)(i) = c
+    }
+    var trace = 0.0
+    locally { var i = 0; while (i < d) { trace += m(i)(i); i += 1 } }
+    def matvec(x: Array[Double]): Array[Double] = Array.tabulate(d) { i =>
+      var s = 0.0; var j = 0
+      while (j < d) { s += m(i)(j) * x(j); j += 1 }
+      s
+    }
+    def fp6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val out = new java.util.ArrayList[Row]()
+    for (r <- 1 to topK) {
+      val v = Array.fill(d)(1.0)
+      for (_ <- 1 to rounds) {
+        val raw = matvec(v)
+        var mx = 0.0
+        locally { var i = 0; while (i < d) {
+          val a = math.abs(raw(i)); if (a > mx) mx = a; i += 1 } }
+        require(mx > 0, s"deflatedSpectrum: zero matrix at rank $r")
+        var i = 0
+        while (i < d) { v(i) = raw(i) / mx; i += 1 }
+      }
+      val rf = matvec(v)
+      var num = 0.0; var den = 0.0
+      locally { var k = 0; while (k < d) {
+        num += v(k) * rf(k); den += v(k) * v(k); k += 1 } }
+      val ray = num / den
+      var resid = 0.0
+      locally { var k = 0; while (k < d) {
+        val a = math.abs(rf(k) - ray * v(k)); if (a > resid) resid = a; k += 1 } }
+      out.add(Row(r, fp6(ray), fp6(ray / trace), fp6(resid / math.abs(ray)),
+        fp6(trace)))
+      // deflate IN the pinned expression order the oracle replays:
+      // m - ((ray * v_i) * v_k) / den
+      var i = 0
+      while (i < d) {
+        var k = 0
+        while (k < d) { m(i)(k) = m(i)(k) - ray * v(i) * v(k) / den; k += 1 }
+        i += 1
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("eigenvalue", DoubleType, nullable = false),
+      StructField("explained_share", DoubleType, nullable = false),
+      StructField("resid_rel", DoubleType, nullable = false),
+      StructField("trace", DoubleType, nullable = false))))
+  }
+
   /** TOP eigenvalue by `rounds` max-norm power-iteration steps over the
     * GramMatrix fixed-point covariance, in PURE SEQUENTIAL double
     * arithmetic — every multiply/add/divide in a pinned order, so a SQL

@@ -38,25 +38,72 @@ class PcaSpec extends SparkSpec {
     assert(out.forall(_.getDouble(5) < 1e-6), "trace_gap must certify ~0")
   }
 
-  test("q_embed_pca: certificate holds and shares sum to <= 1") {
-    val rows = graft.SparkEntry.queries("q_embed_pca")(
-      spark, "/root/testdata/sf0.001").collect()
-    assert(rows.length === 8)
-    assert(rows.forall(_.getDouble(5) < 1e-6), "trace identity violated")
-    val shares = rows.map(_.getDouble(2))
-    assert(shares.sum <= 1.0 + 1e-9 && shares.forall(_ >= 0.0))
-    assert(shares.sorted.reverse.toSeq === shares.toSeq, "spectrum must be descending")
+  test("deflatedSpectrum matches Jacobi tightly on a steep planted spectrum") {
+    import spark.implicits._
+    // steep spectrum (4, 1, ~0...): 12 power rounds converge to ~(1/4)^12,
+    // so the deflated Rayleigh estimates must agree with the exact Jacobi
+    // eigenvalues to ~1e-4 relative — the cross-validation that the TWO
+    // eigensolvers (the hashable one and the exact one) see the same matrix
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 2000).map { _ =>
+      val a = rnd.nextGaussian() * 2.0
+      val b = rnd.nextGaussian() * 1.0
+      Tuple1(Seq(a, b, 0.0, 0.0, 0.0, 0.0))
+    }
+    val df = rows.toDF("embedding")
+    val jac = Pca.covarianceSpectrum(df, "embedding", topK = 2)
+      .orderBy("rank").collect().map(_.getDouble(1))
+    val pow = Pca.deflatedSpectrum(df, "embedding", topK = 2, rounds = 12)
+      .orderBy("rank").collect()
+    (0 until 2).foreach { i =>
+      val ray = pow(i).getDouble(1)
+      val resid = pow(i).getDouble(3)
+      assert(math.abs(ray - jac(i)) <= math.max(1e-4 * jac(i), 1e-6),
+        s"rank ${i + 1}: deflated $ray vs Jacobi ${jac(i)}")
+      assert(resid < 1e-3, s"steep spectrum must converge; resid_rel=$resid")
+    }
   }
 
-  test("q_embed_top_eigen: Rayleigh estimate is bounded by the Jacobi top eigenvalue") {
+  test("q_embed_pca: power estimates bounded by the Jacobi spectrum, certificates sane") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir).select(col("embedding"))
+    val rows = graft.SparkEntry.queries("q_embed_pca")(spark, dir)
+      .orderBy("rank").collect()
+    assert(rows.length === 8)
+    val jacTop = Pca.covarianceSpectrum(emb, "embedding", topK = 1)
+      .head().getDouble(1)
+    rows.foreach { r =>
+      val eig = r.getDouble(1); val share = r.getDouble(2)
+      val resid = r.getDouble(3); val trace = r.getDouble(4)
+      // every Rayleigh quotient lies in [λ_min, λ_max] of its (deflated)
+      // matrix, whose top is <= the original λ_max + accumulated
+      // deflation error (bounded by the residuals seen so far)
+      assert(eig > 0.0 && eig <= jacTop * 1.5 + 1e-6,
+        s"rank ${r.getInt(0)}: estimate $eig vs Jacobi top $jacTop")
+      assert(share >= 0.0 && math.abs(share - eig / trace) < 1e-5)
+      assert(resid >= 0.0 && resid < 0.25,
+        s"rank ${r.getInt(0)}: residual certificate $resid out of range")
+    }
+    assert(rows.map(_.getDouble(2)).sum <= 1.0 + 1e-9,
+      "top-8 shares cannot exceed the whole trace")
+  }
+
+  test("q_embed_top_eigen: equals q_embed_pca rank 1 and is bounded by Jacobi") {
     val dir = "/root/testdata/sf0.001"
     val pe = graft.SparkEntry.queries("q_embed_top_eigen")(spark, dir).head()
     val ray = pe.getDouble(pe.fieldIndex("top_eig"))
     val resid = pe.getDouble(pe.fieldIndex("resid_rel"))
     val trace = pe.getDouble(pe.fieldIndex("trace"))
+    // rank 1 of the deflated spectrum IS the same algorithm (ones start,
+    // 12 max-norm rounds, Rayleigh) — bitwise equal after fp6
+    val r1 = graft.SparkEntry.queries("q_embed_pca")(spark, dir)
+      .orderBy("rank").head()
+    assert(r1.getDouble(1) === ray, "q_embed_pca rank 1 must replay q_embed_top_eigen")
+    assert(r1.getDouble(3) === resid)
     // the Rayleigh quotient of ANY vector lies in [λ_min, λ_max]
-    val jacobiTop = graft.SparkEntry.queries("q_embed_pca")(spark, dir)
-      .head().getDouble(1)
+    val jacobiTop = Pca.covarianceSpectrum(
+      graft.Tables.embeddings(spark, dir).select(col("embedding")),
+      "embedding", topK = 1).head().getDouble(1)
     assert(ray <= jacobiTop + 1e-6, s"Rayleigh $ray exceeds λ_max $jacobiTop")
     assert(ray >= jacobiTop * 0.5,
       s"power iterate $ray too far below λ_max $jacobiTop for 12 rounds")
