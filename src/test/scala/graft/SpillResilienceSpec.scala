@@ -70,6 +70,57 @@ class SpillResilienceSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("sketch aggregates (TypedImperativeAggregate) are identical under sort-based fallback") {
+    // q_kmv_distinct (custom KmvSketch) and q_hll_rollup (DataSketches
+    // HLL built per grain then union-merged) are the 100 TB workhorse
+    // aggregates; their buffers live in ObjectHashAggregateExec, whose
+    // overflow behavior is the one spill path the window/SMJ test does
+    // not cover. fallbackThreshold=1 evicts every group past the first
+    // from the hash map into SORT-BASED aggregation — the path where
+    // sketch state is serialized/deserialized between partial and final
+    // rather than held live in the map (exactly what a hash-map
+    // overflow forces at scale) — and one shuffle partition maximizes
+    // per-task group count. Output must be bitwise identical: a sketch
+    // whose serialize/merge round-trip loses state fails here.
+    def run(name: String) = {
+      operators.Caches.unpersistAll()
+      spark.catalog.clearCache()
+      SparkEntry.queries(name)(spark, Dir).collect().toSeq
+    }
+    // the knob only governs this shape if the plan really is object-hash
+    val plan = SparkEntry.queries("q_kmv_distinct")(spark, Dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q_kmv_distinct must aggregate via ObjectHashAggregateExec:\n$plan")
+    for (name <- Seq("q_kmv_distinct", "q_hll_rollup")) {
+      val baseline = run(name)
+      withConfs(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1",
+        "spark.sql.shuffle.partitions" -> "1") {
+        assert(run(name) === baseline,
+          s"$name must be identical under the sort-based fallback path")
+      }
+    }
+  }
+
+  test("q_array_agg (ObjectHashAggregate collect_list) is identical under sort-based fallback") {
+    // the ordered-array aggregation: same fallback squeeze as above but
+    // for the generic collect-then-sort shape whose per-group state is
+    // unbounded (an array, not a fixed-size sketch)
+    def run() = SparkEntry.queries("q_array_agg")(spark, Dir).collect().toSeq
+    val plan = SparkEntry.queries("q_array_agg")(spark, Dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q_array_agg must aggregate via ObjectHashAggregateExec:\n$plan")
+    val baseline = run()
+    withConfs(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1",
+      "spark.sql.shuffle.partitions" -> "1") {
+      assert(run() === baseline,
+        "q_array_agg must be identical under the sort-based fallback path")
+    }
+  }
+
   test("q_dedup_components is partition-count independent (single-partition shuffle)") {
     // the heaviest iterative shuffle in the registry squeezed through ONE
     // shuffle partition: every join/groupBy round funnels the whole graph

@@ -298,6 +298,44 @@ class SourcesStreamingSpec extends SparkSpec {
       "multi-batch incremental merge must equal the single-batch fold")
   }
 
+  test("runUpsert: stale committed checkpoint beside an empty state dir still folds completely") {
+    // the crash configuration the entry-point double-wipe exists for: a
+    // prior run is killed AFTER its batches committed to the checkpoint
+    // but before the finally cleanup ran — the checkpoint survives fully
+    // committed while the state dir is empty. A runUpsert that trusted
+    // the surviving checkpoint would have AvailableNow skip every
+    // committed batch against EMPTY state and report a vacant fold;
+    // wiping checkpoint and state together forces the full replay.
+    val ckpt = s"$tmp/ckpt_upsert_stale"
+    val stateDir = s"$tmp/state_upsert_stale"
+    val src = s"$Dir/events.parquet"
+    // plant the stale checkpoint: commit ALL batches of the same source
+    // through a no-op sink at the exact checkpoint path runUpsert gets
+    val q = EventsStream.readEvents(spark, src).writeStream
+      .foreachBatch((_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        _: Long) => ())
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "planting stream must finish")
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+    assert(commits != null && commits.nonEmpty,
+      "planted checkpoint must contain committed batches")
+    assert(!new java.io.File(stateDir).exists(), "state dir must start absent")
+    val got = EventsStream.runUpsert(spark,
+        EventsStream.readEvents(spark, src), "upsert_stale", ckpt, stateDir)
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .head()
+    val truth = Tables.events(spark, Dir)
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .head()
+    assert(got.getLong(0) === truth.getLong(0),
+      "fold must cover every user despite the stale checkpoint")
+    assert(got.getLong(1) === truth.getLong(1),
+      "fold must count every event despite the stale checkpoint")
+  }
+
   test("sessionize: flatMapGroupsWithState closes sessions on 30-min gaps") {
     import spark.implicits._
     import graft.streaming.Sessionize
