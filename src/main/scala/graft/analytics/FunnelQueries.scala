@@ -766,41 +766,119 @@ object FunnelQueries {
     (s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
-      val period = when(dayofmonth($"ts") <= 15, 0L).otherwise(1L)
-      val purchases = ev.filter($"event_type" === "purchase")
-        .groupBy($"user_id", period.as("period"))
-        .agg(count(lit(1)).as("y"))
-      val spine = ev.select($"user_id").distinct()
-        .crossJoin(Seq(0L, 1L).toDF("period"))
-      val cells = spine.join(purchases, Seq("user_id", "period"), "left")
-        .select(pmod($"user_id", lit(2L)).as("arm"), $"period",
-          coalesce($"y", lit(0L)).as("y"))
-        .groupBy($"arm", $"period")
-        .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
-          sum($"y" * $"y").as("syy"))
-      def cell(a: Int, p: Int, c: String) =
-        sum(when($"arm" === a && $"period" === p, col(c))).as(s"${c}_$a$p")
-      val one = cells.agg(
-        cell(0, 0, "n"), cell(0, 0, "sy"), cell(0, 0, "syy"),
-        cell(0, 1, "n"), cell(0, 1, "sy"), cell(0, 1, "syy"),
-        cell(1, 0, "n"), cell(1, 0, "sy"), cell(1, 0, "syy"),
-        cell(1, 1, "n"), cell(1, 1, "sy"), cell(1, 1, "syy"))
-      def m(a: Int, p: Int) =
-        col(s"sy_$a$p").cast(DoubleType) / col(s"n_$a$p").cast(DoubleType)
-      def v(a: Int, p: Int) =
-        (col(s"n_$a$p") * col(s"syy_$a$p") - col(s"sy_$a$p") * col(s"sy_$a$p"))
-          .cast(DoubleType) /
-          (col(s"n_$a$p") * (col(s"n_$a$p") - 1)).cast(DoubleType) /
-          col(s"n_$a$p").cast(DoubleType)
-      one.select(
-        round(m(0, 0), 6).as("mean_a_pre"), round(m(0, 1), 6).as("mean_a_post"),
-        round(m(1, 0), 6).as("mean_b_pre"), round(m(1, 1), 6).as("mean_b_post"),
-        round((m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0)), 6).as("did"),
-        round(sqrt(v(0, 0) + v(0, 1) + v(1, 0) + v(1, 1)), 6).as("se"))
+      didEstimate(s, ev.select($"user_id", $"event_type",
+        when(dayofmonth($"ts") <= 15, 0L).otherwise(1L).as("period")))
     },
     Some("""WITH ev AS (SELECT user_id, event_type,
           CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1 END AS period
         FROM events),
+      pur AS (SELECT user_id, period, COUNT(*) AS y FROM ev
+        WHERE event_type = 'purchase' GROUP BY 1, 2),
+      spine AS (SELECT DISTINCT user_id FROM ev),
+      up AS (SELECT s.user_id, p.period, COALESCE(pur.y, 0) AS y
+        FROM spine s CROSS JOIN (SELECT 0 AS period UNION ALL SELECT 1) p
+        LEFT JOIN pur ON pur.user_id = s.user_id AND pur.period = p.period),
+      cells AS (SELECT user_id % 2 AS arm, period,
+          CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM up GROUP BY 1, 2),
+      one AS (SELECT
+          SUM(CASE WHEN arm = 0 AND period = 0 THEN n END) AS n_00,
+          SUM(CASE WHEN arm = 0 AND period = 0 THEN sy END) AS sy_00,
+          SUM(CASE WHEN arm = 0 AND period = 0 THEN syy END) AS syy_00,
+          SUM(CASE WHEN arm = 0 AND period = 1 THEN n END) AS n_01,
+          SUM(CASE WHEN arm = 0 AND period = 1 THEN sy END) AS sy_01,
+          SUM(CASE WHEN arm = 0 AND period = 1 THEN syy END) AS syy_01,
+          SUM(CASE WHEN arm = 1 AND period = 0 THEN n END) AS n_10,
+          SUM(CASE WHEN arm = 1 AND period = 0 THEN sy END) AS sy_10,
+          SUM(CASE WHEN arm = 1 AND period = 0 THEN syy END) AS syy_10,
+          SUM(CASE WHEN arm = 1 AND period = 1 THEN n END) AS n_11,
+          SUM(CASE WHEN arm = 1 AND period = 1 THEN sy END) AS sy_11,
+          SUM(CASE WHEN arm = 1 AND period = 1 THEN syy END) AS syy_11
+        FROM cells)
+      SELECT
+        ROUND(CAST(sy_00 AS DOUBLE) / CAST(n_00 AS DOUBLE), 6) AS mean_a_pre,
+        ROUND(CAST(sy_01 AS DOUBLE) / CAST(n_01 AS DOUBLE), 6) AS mean_a_post,
+        ROUND(CAST(sy_10 AS DOUBLE) / CAST(n_10 AS DOUBLE), 6) AS mean_b_pre,
+        ROUND(CAST(sy_11 AS DOUBLE) / CAST(n_11 AS DOUBLE), 6) AS mean_b_post,
+        ROUND((CAST(sy_11 AS DOUBLE) / CAST(n_11 AS DOUBLE)
+             - CAST(sy_10 AS DOUBLE) / CAST(n_10 AS DOUBLE))
+            - (CAST(sy_01 AS DOUBLE) / CAST(n_01 AS DOUBLE)
+             - CAST(sy_00 AS DOUBLE) / CAST(n_00 AS DOUBLE)), 6) AS did,
+        ROUND(SQRT(
+            CAST(n_00 * syy_00 - sy_00 * sy_00 AS DOUBLE) / CAST(n_00 * (n_00 - 1) AS DOUBLE) / CAST(n_00 AS DOUBLE)
+          + CAST(n_01 * syy_01 - sy_01 * sy_01 AS DOUBLE) / CAST(n_01 * (n_01 - 1) AS DOUBLE) / CAST(n_01 AS DOUBLE)
+          + CAST(n_10 * syy_10 - sy_10 * sy_10 AS DOUBLE) / CAST(n_10 * (n_10 - 1) AS DOUBLE) / CAST(n_10 AS DOUBLE)
+          + CAST(n_11 * syy_11 - sy_11 * sy_11 AS DOUBLE) / CAST(n_11 * (n_11 - 1) AS DOUBLE) / CAST(n_11 AS DOUBLE)), 6) AS se
+      FROM one""")
+  )
+
+  /** Shared DiD machinery: from events annotated with a 0/1 `period`,
+    * build the explicit user × period spine (absent users contribute
+    * y = 0), parity arms, the four integer cell moments, and the DiD
+    * estimate with its pooled standard error — see q_did's docstring
+    * for the full design rationale. */
+  private def didEstimate(s: org.apache.spark.sql.SparkSession,
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"period")
+      .agg(count(lit(1)).as("y"))
+    val spine = ev.select($"user_id").distinct()
+      .crossJoin(Seq(0L, 1L).toDF("period"))
+    val cells = spine.join(purchases, Seq("user_id", "period"), "left")
+      .select(pmod($"user_id", lit(2L)).as("arm"), $"period",
+        coalesce($"y", lit(0L)).as("y"))
+      .groupBy($"arm", $"period")
+      .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+        sum($"y" * $"y").as("syy"))
+    def cell(a: Int, p: Int, c: String) =
+      sum(when($"arm" === a && $"period" === p, col(c))).as(s"${c}_$a$p")
+    val one = cells.agg(
+      cell(0, 0, "n"), cell(0, 0, "sy"), cell(0, 0, "syy"),
+      cell(0, 1, "n"), cell(0, 1, "sy"), cell(0, 1, "syy"),
+      cell(1, 0, "n"), cell(1, 0, "sy"), cell(1, 0, "syy"),
+      cell(1, 1, "n"), cell(1, 1, "sy"), cell(1, 1, "syy"))
+    def m(a: Int, p: Int) =
+      col(s"sy_$a$p").cast(DoubleType) / col(s"n_$a$p").cast(DoubleType)
+    def v(a: Int, p: Int) =
+      (col(s"n_$a$p") * col(s"syy_$a$p") - col(s"sy_$a$p") * col(s"sy_$a$p"))
+        .cast(DoubleType) /
+        (col(s"n_$a$p") * (col(s"n_$a$p") - 1)).cast(DoubleType) /
+        col(s"n_$a$p").cast(DoubleType)
+    one.select(
+      round(m(0, 0), 6).as("mean_a_pre"), round(m(0, 1), 6).as("mean_a_post"),
+      round(m(1, 0), 6).as("mean_b_pre"), round(m(1, 1), 6).as("mean_b_post"),
+      round((m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0)), 6).as("did"),
+      round(sqrt(v(0, 0) + v(0, 1) + v(1, 0) + v(1, 1)), 6).as("se"))
+  }
+
+  /** q_did with the textbook EPOCH-MIDPOINT design: one corpus-wide
+    * pre/post cutover at the midpoint of the observed day range
+    * ((min_day + max_day) div 2 in epoch days, integer arithmetic in
+    * both engines), instead of q_did's per-calendar-month split. A
+    * single cutover is the standard DiD framing — "treatment turned on
+    * at date T" — and makes the two periods contiguous time blocks
+    * rather than interleaved month halves. The day bounds are one
+    * broadcast row; everything downstream is the shared didEstimate
+    * machinery. */
+  val qDidEpoch = GraftQuery(
+    "q_did_epoch",
+    (s, dir) => {
+      import s.implicits._
+      val evd = Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val mid = evd.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      didEstimate(s, evd.crossJoin(broadcast(mid))
+        .select($"user_id", $"event_type",
+          when($"day" <= $"mid", 0L).otherwise(1L).as("period")))
+    },
+    Some("""WITH d AS (SELECT user_id, event_type,
+          epoch_us(ts) // 86400000000 AS day FROM events),
+      b AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM d),
+      ev AS (SELECT user_id, event_type,
+          CASE WHEN day <= mid THEN 0 ELSE 1 END AS period FROM d, b),
       pur AS (SELECT user_id, period, COUNT(*) AS y FROM ev
         WHERE event_type = 'purchase' GROUP BY 1, 2),
       spine AS (SELECT DISTINCT user_id FROM ev),
@@ -1308,7 +1386,7 @@ object FunnelQueries {
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
-      qMarkovAttribution, qCohortLtv, qDid, qFunnelWindowed, qBotBurst,
+      qMarkovAttribution, qCohortLtv, qDid, qDidEpoch, qFunnelWindowed, qBotBurst,
       qWindowDedup, qDecayScore, qMarkovEval, qShapleyAttribution,
       qSessionEntropy, qWatermarkLateness)
 }
