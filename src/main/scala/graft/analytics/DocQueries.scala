@@ -3,6 +3,7 @@ package graft.analytics
 import graft.{GraftQuery, Tables}
 import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale-extension queries over the documents/embeddings tables: text
@@ -1972,7 +1973,82 @@ object DocQueries {
       FROM b GROUP BY 1, 2 ORDER BY lang, bucket""")
   )
 
+  /** Cross-document SHARED-PASSAGE mining — the pair-ALIGNED companion
+    * of q_repeated_spans: where that query reports "this doc contains a
+    * span repeated somewhere in the corpus", this one reports WHO shares
+    * it WITH WHOM and at what offsets — the attribution needed to pick
+    * which copy to keep (and to excise quoted passages surgically,
+    * Lee-et-al substring-dedup style). Every 8-token window hashes
+    * positionally; equal hashes across a (doc_a < doc_b) pair are match
+    * points (i, j); runs of consecutive matches on one DIAGONAL
+    * (d = i − j constant, the classic dot-plot alignment) merge via
+    * gaps-and-islands into maximal aligned spans of run + k − 1 tokens.
+    * Top 50 spans ≥ 12 tokens, longest first.
+    *
+    * Scale: the pair join is df-capped (windows in > 20 docs are
+    * boilerplate and dropped — same `dropHotKeys` discipline as every
+    * blocked dedup join; without it one viral snippet makes the join
+    * quadratic). Matches shuffle on (doc_a, doc_b, d) — bounded by
+    * matched pair volume, never the corpus; text never shuffles (only
+    * 8-byte hashes + positions). The island window runs per diagonal
+    * within a pair — thousands of small partitions, no global sort; the
+    * top-50 is a TakeOrdered. */
+  val qSharedSpans = GraftQuery(
+    "q_shared_spans",
+    (s, dir) => {
+      import s.implicits._
+      val K = 8; val MaxDf = 20; val MinSpan = 12
+      val grams = Tables.documents(s, dir)
+        .select($"doc_id", TextAnalysis.tokens($"text").as("ts"))
+        .filter(size($"ts") >= K)
+        .select($"doc_id",
+          posexplode(expr(s"transform(sequence(0, size(ts) - $K), " +
+            s"i -> xxhash64(concat_ws(' ', slice(ts, i + 1, $K))))"))
+            .as(Seq("i", "h")))
+        .select($"doc_id", $"i".cast("long").as("i"), $"h")
+      val ok = grams.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" <= MaxDf)
+        .select($"h")
+      val g = grams.join(ok, "h")
+      val m = g.as("a").join(g.as("b"), Seq("h"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          ($"a.i" - $"b.i").as("d"), $"a.i".as("i"))
+      val w = Window.partitionBy($"doc_a", $"doc_b", $"d").orderBy($"i")
+      m.withColumn("run", $"i" - row_number().over(w))
+        .groupBy($"doc_a", $"doc_b", $"d", $"run")
+        .agg(min($"i").as("start_a"), count(lit(1)).as("cnt"))
+        .select($"doc_a", $"doc_b", $"start_a",
+          ($"start_a" - $"d").as("start_b"),
+          ($"cnt" + (K - 1)).as("span_tokens"))
+        .filter($"span_tokens" >= MinSpan)
+        .orderBy($"span_tokens".desc, $"doc_a", $"doc_b", $"start_a", $"start_b")
+        .limit(50)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      g AS (SELECT doc_id, u.i AS i, array_to_string(ts[u.i+1:u.i+8], ' ') AS s
+        FROM toks, UNNEST(range(LEN(ts) - 7)) AS u(i) WHERE LEN(ts) >= 8),
+      df AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS c FROM g GROUP BY s) t
+        WHERE c <= 20),
+      gg AS (SELECT g.* FROM g JOIN df USING (s)),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i - b.i AS d, a.i AS i
+        FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id),
+      r AS (SELECT doc_a, doc_b, d, i,
+          i - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, d ORDER BY i) AS run
+        FROM m),
+      sp AS (SELECT doc_a, doc_b, MIN(i) AS start_a, MIN(i) - d AS start_b,
+          COUNT(*) + 7 AS span_tokens
+        FROM r GROUP BY doc_a, doc_b, d, run)
+      SELECT doc_a, doc_b, start_a, start_b, span_tokens
+      FROM sp WHERE span_tokens >= 12
+      ORDER BY span_tokens DESC, doc_a, doc_b, start_a, start_b LIMIT 50""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
     qBpeEncode, qDictEncode, qInvertedIndex,

@@ -1225,7 +1225,68 @@ object PipelineQueries {
       GROUP BY source ORDER BY source""")
   )
 
+  /** Mixture EPOCH allocation — the per-source repeat-factor table every
+    * training run publishes (weight %, epochs, tokens; the Gopher/LLaMA
+    * data-table shape): token counts per source, a √-temperature target
+    * mixture over TOKENS (τ = 0.5 upweights small sources — the
+    * standard multilingual/multi-source smoothing; q_temperature_sample
+    * is the same rule applied to per-doc SAMPLING by language), a 2×
+    * corpus token budget, and the 4-epoch repetition cap that decides
+    * where the mixture is infeasible (shortfall > 0 means "this source
+    * runs out even at 4 epochs — renormalize or accept the deficit").
+    *
+    * Cross-engine exactness: weights quantize to floor(√n·1000 + 0.5)
+    * (IEEE sqrt is correctly rounded everywhere), then EVERY derived
+    * number is integer div on int64 — no engine compares a derived
+    * double. Int64 headroom: budget·w_q peaks ~1.3e10 at testdata scale
+    * and ~6e25 at 100 TB — widen those two products to DECIMAL(38,0)
+    * there; the div discipline is unchanged. Plan: one corpus rollup to
+    * sources-sized rows, a 1-row broadcast of the totals, map-side
+    * arithmetic — one data shuffle total. */
+  val qMixAllocation = GraftQuery(
+    "q_mix_allocation",
+    (s, dir) => {
+      import s.implicits._
+      val per = Tables.documents(s, dir)
+        .select($"source", size(TextAnalysis.tokens($"text")).cast("long").as("n"))
+        .groupBy($"source").agg(sum($"n").as("n_tokens"))
+        .withColumn("w_q", floor(sqrt($"n_tokens".cast("double")) * 1000.0 + 0.5).cast("long"))
+      val tot = per.agg(sum($"w_q").as("w_sum"), (sum($"n_tokens") * 2L).as("budget"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("weight_ppm", expr("w_q * 1000000 div w_sum"))
+        .withColumn("target_tokens", expr("budget * w_q div w_sum"))
+        .withColumn("epochs_ppm", expr("target_tokens * 1000000 div n_tokens"))
+        .withColumn("capped", ($"epochs_ppm" > 4000000L).cast("int"))
+        .withColumn("alloc_tokens", least($"target_tokens", $"n_tokens" * 4L))
+        .withColumn("shortfall_tokens", $"target_tokens" - $"alloc_tokens")
+        .select($"source", $"n_tokens", $"weight_ppm", $"target_tokens",
+          $"epochs_ppm", $"capped", $"alloc_tokens", $"shortfall_tokens")
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (SELECT source,
+        CAST(LEN(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n
+      FROM documents),
+      per AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+          CAST(FLOOR(SQRT(CAST(SUM(n) AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS w_q
+        FROM t GROUP BY source),
+      tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS w_sum,
+          CAST(SUM(n_tokens) * 2 AS BIGINT) AS budget FROM per),
+      a AS (SELECT source, n_tokens,
+          w_q * 1000000 // w_sum AS weight_ppm,
+          budget * w_q // w_sum AS target_tokens
+        FROM per, tot),
+      b AS (SELECT source, n_tokens, weight_ppm, target_tokens,
+          target_tokens * 1000000 // n_tokens AS epochs_ppm,
+          LEAST(target_tokens, n_tokens * 4) AS alloc_tokens
+        FROM a)
+      SELECT source, n_tokens, weight_ppm, target_tokens, epochs_ppm,
+        CASE WHEN epochs_ppm > 4000000 THEN 1 ELSE 0 END AS capped,
+        alloc_tokens, target_tokens - alloc_tokens AS shortfall_tokens
+      FROM b ORDER BY source""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qMixAllocation,
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,

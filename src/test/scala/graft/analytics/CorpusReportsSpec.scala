@@ -101,6 +101,54 @@ class CorpusReportsSpec extends SparkSpec {
     (1L to 100L).foreach(id => assert(small(id) === grown(id)))
   }
 
+  test("sharedSpans: a planted shared passage aligns at the right offsets and length") {
+    import spark.implicits._
+    // doc 1 and doc 2 share an exact 15-token passage at offsets 3 and 0;
+    // doc 3 is unrelated filler. The aligned-diagonal islands must report
+    // exactly one (1,2) span: start_a=3, start_b=0, 15 tokens.
+    val passage = (1 to 15).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $passage tail1 tail2"),
+      (2L, s"$passage other words here"),
+      (3L, "completely unrelated filler text with nothing repeated at all " +
+        "padding padding2 padding3 padding4 padding5 padding6 padding7")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("spans").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.SparkEntry.queries("q_shared_spans")(spark, tmp).collect()
+    assert(rows.length === 1, s"expected one span, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 3L, s"start_a ${r.getLong(2)}")
+    assert(r.getLong(3) === 0L, s"start_b ${r.getLong(3)}")
+    assert(r.getLong(4) === 15L, s"span_tokens ${r.getLong(4)}")
+  }
+
+  test("q_mix_allocation: weights ~sum to 1e6 ppm, epochs capped at 4, allocation feasible") {
+    val rows = graft.SparkEntry.queries("q_mix_allocation")(spark, Dir).collect()
+    assert(rows.nonEmpty)
+    val ppm = rows.map(_.getLong(rows.head.fieldIndex("weight_ppm"))).sum
+    // each source floors its ppm, so the sum undershoots by < 1 ppm/source
+    assert(ppm <= 1000000L && ppm > 1000000L - rows.length,
+      s"weight ppm sum $ppm out of range")
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_tokens"))
+      val alloc = r.getLong(r.fieldIndex("alloc_tokens"))
+      val target = r.getLong(r.fieldIndex("target_tokens"))
+      val short = r.getLong(r.fieldIndex("shortfall_tokens"))
+      assert(alloc <= 4L * n, "allocation cannot exceed the 4-epoch cap")
+      assert(alloc + short === target, "shortfall must close the target")
+      assert(short >= 0L && alloc >= 0L)
+      assert((r.getInt(r.fieldIndex("capped")) == 1) == (target > 4L * n))
+    }
+    // the budget is 2x corpus: total allocation stays within it
+    val totTarget = rows.map(_.getLong(rows.head.fieldIndex("target_tokens"))).sum
+    val totTokens = rows.map(_.getLong(rows.head.fieldIndex("n_tokens"))).sum
+    assert(totTarget <= 2L * totTokens, "targets cannot exceed the budget")
+  }
+
   test("q_embed_covariance matches a direct per-cell computation and has non-negative variance") {
     import spark.implicits._
     val out = WarehouseQueries.qEmbedCovariance.run(spark, Dir).cache()
