@@ -254,5 +254,137 @@ object CorpusStatsQueries {
       FROM sl""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qKmeans, qSourceKl, qHeapsLaw, qZipfFit)
+  private val PqM = 4       // subspaces
+  private val PqSubD = 16   // dims per subspace (4 × 16 = 64)
+  private val PqK = 8       // codebook size per subspace
+  private val PqRounds = 2
+  private val PqTopK = 20
+
+  /** PRODUCT QUANTIZATION recall — the memory-side companion of the IVF
+    * probe path (Jégou et al.): each vector compresses to M=4 one-byte
+    * codes (a 64×-ish storage cut at d=64), queries scan codes with
+    * ASYMMETRIC distance (query-to-centroid lookup tables, never
+    * reconstructing vectors), and the top-k is compared against the
+    * exact integer-L2 top-k to certify recall — the number that decides
+    * whether the compressed index is servable. Codebooks come from the
+    * same deterministic [[graft.operators.FixedPointKMeans]] Lloyd as
+    * q_kmeans/q_ivf_topk, run per 16-dim slice, so the ENTIRE pipeline
+    * — 4 codebooks × 2 rounds, encoding, the 4×8 ADC tables, the
+    * distance scan, both top-20s and the recall — replays bit for bit
+    * in the DuckDB oracle (recall_ppm = hits × 50000 is exact integer).
+    *
+    * Scale: codebooks are M·k·subD longs on the driver (the BPE-merge
+    * collect discipline); encoding and the ADC scan are map-side folds
+    * against literal tables (no join, no shuffle); both top-20s are
+    * TakeOrdered. The exact-L2 branch is the declared verification
+    * baseline (same status as q_ivf_topk's recall column) — production
+    * serves PQ codes alone, at M bytes per vector instead of 4·d. */
+  val qPqRecall = GraftQuery(
+    "q_pq_recall",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.FixedPointKMeans
+      val emb = graft.operators.Caches.register(
+        Tables.embeddings(s, dir).select($"vec_id",
+          FixedPointKMeans.quantize($"embedding").as("v")))
+      val books: Seq[Seq[(Int, Seq[Long])]] = (0 until PqM).map { m =>
+        FixedPointKMeans.fit(
+          emb.select($"vec_id", slice($"v", m * PqSubD + 1, PqSubD).as("v")),
+          "vec_id", "v", PqK, PqRounds)
+      }
+      val coded = (0 until PqM).foldLeft(emb.toDF()) { (df, m) =>
+        df.withColumn(s"c$m",
+          FixedPointKMeans.bestOf(slice(col("v"), m * PqSubD + 1, PqSubD),
+            books(m))("j"))
+      }
+      val qv: Seq[Long] = emb.filter($"vec_id" === 0L)
+        .select($"v").head().getSeq[Long](0)
+      val qsub = (0 until PqM).map(m => qv.slice(m * PqSubD, (m + 1) * PqSubD))
+      val adc = (0 until PqM).map { m =>
+        val ids = books(m).map(_._1)
+        val ds = books(m).map { case (_, c) =>
+          FixedPointKMeans.sqDistLocal(qsub(m), c) }
+        element_at(map_from_arrays(typedLit(ids), typedLit(ds)), col(s"c$m"))
+      }.reduce(_ + _)
+      def exactDist(v: org.apache.spark.sql.Column) =
+        aggregate(zip_with(v, typedLit(qv), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s2, x) => s2 + x)
+      val pq = coded.filter($"vec_id" =!= 0L)
+        .select($"vec_id", adc.as("adc_dist"))
+        .orderBy($"adc_dist", $"vec_id").limit(PqTopK)
+      val ex = emb.filter($"vec_id" =!= 0L)
+        .select($"vec_id", exactDist($"v").as("d"))
+        .orderBy($"d", $"vec_id").limit(PqTopK)
+        .select($"vec_id")
+      val hits = pq.join(ex, Seq("vec_id"), "leftsemi")
+        .agg(count(lit(1)).as("n_hit"))
+      pq.crossJoin(broadcast(hits))
+        .select($"vec_id", $"adc_dist",
+          ($"n_hit" * (1000000L / PqTopK)).as("recall_ppm"))
+        .orderBy($"adc_dist", $"vec_id")
+    },
+    Some(pqOracleSql(PqM, PqSubD, PqK, PqRounds, PqTopK))
+  )
+
+  /** DuckDB sub-vector distance over `sub` dims. */
+  private def pqDistSql(sub: Int, v: String, c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(range($sub), i -> ($v[i+1]-$c[i+1])*($v[i+1]-$c[i+1]))),
+       (acc, x) -> acc + x)"""
+
+  /** The full PQ replay: per subspace, the [[FixedPointKMeans]] Lloyd
+    * CTEs over the 16-dim slice (init = k smallest vec_ids, truncating
+    * update, (dist, j) tie-break — same as kmeansOracleCtes at d=16),
+    * the final code assignment, the query's ADC tables, the code-table
+    * distance scan and both top-20s. */
+  private def pqOracleSql(mCount: Int, sub: Int, k: Int, rounds: Int,
+      topK: Int): String = {
+    def subspace(m: Int): String = {
+      val lo = m * sub + 1; val hi = (m + 1) * sub
+      def assignRound(a: String, cPrev: String) =
+        s"""$a AS (SELECT vec_id, v, j FROM (
+            SELECT s.vec_id, s.v, c.j,
+              ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                ORDER BY ${pqDistSql(sub, "s.v", "c.c")}, c.j) AS rk
+            FROM s$m s, $cPrev c) WHERE rk = 1)"""
+      def updateRound(cNext: String, a: String) =
+        s"""$cNext AS (SELECT j, list(mm ORDER BY i) AS c FROM (
+            SELECT a.j, t.i, CAST(SUM(a.v[t.i+1]) // COUNT(*) AS BIGINT) AS mm
+            FROM $a a, UNNEST(range($sub)) AS t(i) GROUP BY a.j, t.i) GROUP BY j)"""
+      val roundsSql = (1 to rounds).map(r =>
+        assignRound(s"a${m}_$r", s"c${m}_${r - 1}") + ",\n" +
+          updateRound(s"c${m}_$r", s"a${m}_$r")).mkString(",\n")
+      s"""s$m AS (SELECT vec_id, v[$lo:$hi] AS v FROM q),
+        c${m}_0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+          FROM s$m ORDER BY vec_id LIMIT $k),
+        $roundsSql,
+        ${assignRound(s"code$m", s"c${m}_$rounds")},
+        dt$m AS (SELECT c.j, ${pqDistSql(sub, "qq.v", "c.c")} AS d
+          FROM c${m}_$rounds c, (SELECT v[$lo:$hi] AS v FROM q WHERE vec_id = 0) qq)"""
+    }
+    val codeJoin = (0 until mCount).map(m =>
+      s"JOIN code$m ON code$m.vec_id = q.vec_id").mkString(" ")
+    val dtJoin = (0 until mCount).map(m =>
+      s"JOIN dt$m ON dt$m.j = code$m.j").mkString(" ")
+    val adcSum = (0 until mCount).map(m => s"dt$m.d").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> CAST(FLOOR(x * $QScale + 0.5) AS BIGINT) + $QShift) AS v
+      FROM embeddings),
+      ${(0 until mCount).map(subspace).mkString(",\n")},
+      adc AS (SELECT q.vec_id, $adcSum AS adc_dist
+        FROM q $codeJoin $dtJoin
+        WHERE q.vec_id <> 0),
+      pq AS (SELECT vec_id, adc_dist FROM adc
+        ORDER BY adc_dist, vec_id LIMIT $topK),
+      ex AS (SELECT q.vec_id FROM q, (SELECT v FROM q WHERE vec_id = 0) qq
+        WHERE q.vec_id <> 0
+        ORDER BY ${pqDistSql(mCount * sub, "q.v", "qq.v")}, q.vec_id LIMIT $topK),
+      hit AS (SELECT COUNT(*) AS n_hit FROM pq JOIN ex USING (vec_id))
+      SELECT pq.vec_id, pq.adc_dist, hit.n_hit * ${1000000L / topK} AS recall_ppm
+      FROM pq, hit ORDER BY adc_dist, vec_id"""
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(qKmeans, qPqRecall, qSourceKl, qHeapsLaw, qZipfFit)
 }

@@ -102,6 +102,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(dist === FixedPointKMeans.quantizeLocal(Seq(-16.0, 0.123456, 16.0)))
   }
 
+  test("q_pq_recall: ADC ranking is consistent and recall is a sane fraction") {
+    val rows = graft.SparkEntry.queries("q_pq_recall")(spark, Dir)
+      .collect()
+    assert(rows.length === 20)
+    val dists = rows.map(_.getLong(rows.head.fieldIndex("adc_dist")))
+    assert(dists.sameElements(dists.sorted), "ADC top-k must be ascending")
+    assert(dists.forall(_ >= 0L), "integer squared distances are non-negative")
+    val recall = rows.map(_.getLong(rows.head.fieldIndex("recall_ppm"))).distinct
+    assert(recall.length === 1, "recall is one number for the whole result")
+    assert(recall.head >= 0L && recall.head <= 1000000L)
+    assert(recall.head % 50000L === 0L, "recall_ppm must be hits x 50000 exactly")
+    // 4-byte codes on structureless synthetic embeddings: recall should
+    // be far from 0 (codes carry signal) without being pinned to 1
+    assert(recall.head >= 100000L,
+      s"recall ${recall.head} ppm suspiciously low — encoding may be broken")
+  }
+
   test("q_source_kl: divergences are non-negative and sources cover the corpus") {
     val rows = graft.SparkEntry.queries("q_source_kl")(spark, Dir).collect()
     assert(rows.nonEmpty)
