@@ -1285,8 +1285,173 @@ object PipelineQueries {
       FROM b ORDER BY source""")
   )
 
+  private val LrRounds = 20
+
+  /** LEARNED quality filter, trained IN-PLAN — the fastText-distillation
+    * pattern: label every document with the rule-based Gopher gate
+    * (q_gopher_filter's keep bit), then fit a linear scorer over three
+    * CHEAP features (saturating length, stopword ppm, punctuation ppm)
+    * by 20 rounds of full-batch gradient descent (step ×8) with a HARD
+    * sigmoid (clamp(½ + z/4)) — the model that replaces the expensive
+    * rule cascade on the fast path, scored by held-out accuracy
+    * (doc_id % 5 is the validation fifth; gradients never see it). At
+    * the gate SF it learns the gate for real: ~94% train / 96% held-out
+    * vs a 74% majority base rate.
+    *
+    * Why hard sigmoid: exp() is not correctly-rounded IEEE, so a true
+    * logistic would drift across engines; the piecewise-linear gate
+    * keeps EVERY training step in integer arithmetic — features in ppm,
+    * weights at 1e6 scale, and every division shifted non-negative
+    * ((a + S·b) div b − S, shifts sized for |w| ≤ 1.6e8 worst-case) so
+    * Spark's truncating div, DuckDB's flooring `//` and Scala's / agree
+    * on every operand. The DuckDB oracle replays the whole loop: 20
+    * gradient CTE rounds threading 1-row weight relations, then the
+    * final forward pass and both accuracies — the learned WEIGHTS
+    * themselves are hash-gated, not just the report.
+    *
+    * Scale: one corpus pass builds the cached ppm feature relation;
+    * each round is ONE partial-aggregated 5-column sum (map-side
+    * combine, a 1-row collect — the BPE-merge discipline, rounds are
+    * plans over the cached base so lineage never grows). Int64
+    * headroom: Σ e·f ≤ 1e12·n — widen the four sums to DECIMAL(38,0)
+    * past ~10⁶ docs per partition-merge; the shifted-div discipline is
+    * unchanged. */
+  val qQualityLogreg = GraftQuery(
+    "q_quality_logreg",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TextAnalysis.tokens($"text")
+      val nToks = size(toks).cast("long")
+      val nStop = size(filter(toks,
+        t => t.isin(TextAnalysis.Stopwords("en"): _*))).cast("long")
+      val nPunct = coalesce(regexp_count($"text", lit("[^\\w\\s]")), lit(0))
+        .cast("long")
+      val feats = graft.operators.Caches.register(
+        Tables.documents(s, dir).select(
+          $"doc_id",
+          lit(1000000L).as("f0"),
+          (least(nToks, lit(100L)) * 10000L).as("f1"),
+          (nStop * 1000000L).as("stop_num"),
+          greatest(nToks, lit(1L)).as("toks1"),
+          (nPunct * 1000000L).as("punct_num"),
+          greatest(length($"text").cast("long"), lit(1L)).as("chars1"),
+          TextAnalysis.gopherKeepBit($"text").cast("long").as("y"),
+          ($"doc_id" % 5 === 0).as("is_val"))
+        .selectExpr("doc_id", "f0", "f1",
+          "stop_num div toks1 as f2", "punct_num div chars1 as f3",
+          "y", "is_val"))
+      def pExpr(w: Array[Long]): String = {
+        val z = s"(${w(0)} * f0 + ${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3)"
+        val sE = s"(($z + 1000000000000000) div 1000000 - 1000000000)"
+        s"greatest(cast(0 as bigint), least(cast(1000000 as bigint), " +
+          s"500000 + (($sE + 4000000000) div 4 - 1000000000)))"
+      }
+      var w = Array(0L, 0L, 0L, 0L)
+      for (_ <- 1 to LrRounds) {
+        val e = s"(${pExpr(w)} - y * 1000000)"
+        val r = feats.filter(!$"is_val").selectExpr(
+          s"sum($e * f0) as g0", s"sum($e * f1) as g1",
+          s"sum($e * f2) as g2", s"sum($e * f3) as g3",
+          "count(1) as n").head()
+        val n = r.getLong(4)
+        w = w.zipWithIndex.map { case (wj, j) =>
+          val grad = (r.getLong(j) + 1000000000000L * n) / n - 1000000000000L
+          wj - ((grad * 8L + 100000000000000L) / 1000000L - 100000000L)
+        }
+      }
+      val p = pExpr(w)
+      feats.agg(
+          expr("sum(case when is_val then 0 else 1 end)").as("n_train"),
+          expr("sum(case when is_val then 1 else 0 end)").as("n_val"),
+          expr(s"sum(case when not is_val and (($p >= 500000) = (y = 1)) " +
+            "then 1 else 0 end)").as("ct"),
+          expr(s"sum(case when is_val and (($p >= 500000) = (y = 1)) " +
+            "then 1 else 0 end)").as("cv"))
+        .selectExpr(
+          s"cast(${w(0)} as bigint) as w0", s"cast(${w(1)} as bigint) as w1",
+          s"cast(${w(2)} as bigint) as w2", s"cast(${w(3)} as bigint) as w3",
+          "cast(n_train as bigint) as n_train", "cast(n_val as bigint) as n_val",
+          "ct * 1000000 div n_train as train_acc_ppm",
+          "cv * 1000000 div n_val as val_acc_ppm")
+    },
+    Some(logregOracleSql(LrRounds))
+  )
+
+  /** The full training-loop replay: feature CTE (the q_gopher_filter
+    * label SQL plus the three ppm features), then per round a gradient
+    * CTE over the train split and a 1-row weight CTE applying the
+    * shifted-div update, ending with the final forward pass and both
+    * split accuracies. Every arithmetic step mirrors the Scala loop's
+    * operand order exactly — see the query docstring. */
+  private def logregOracleSql(rounds: Int): String = {
+    def pSql(w: String) =
+      s"""GREATEST(CAST(0 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+         500000 + (((((($w.w0 * f.f0 + $w.w1 * f.f1 + $w.w2 * f.f2 + $w.w3 * f.f3)
+           + 1000000000000000) // 1000000 - 1000000000) + 4000000000) // 4) - 1000000000)))"""
+    def upd(wp: String, g: String, j: Int) =
+      s"""$wp.w$j - (((((($g.g$j + 1000000000000 * $g.n) // $g.n - 1000000000000) * 8)
+         + 100000000000000) // 1000000) - 100000000) AS w$j"""
+    val roundCtes = (1 to rounds).map { r =>
+      val wp = s"w${r - 1}"
+      s"""g$r AS MATERIALIZED (SELECT
+          SUM((${pSql(wp)} - f.y * 1000000) * f.f0) AS g0,
+          SUM((${pSql(wp)} - f.y * 1000000) * f.f1) AS g1,
+          SUM((${pSql(wp)} - f.y * 1000000) * f.f2) AS g2,
+          SUM((${pSql(wp)} - f.y * 1000000) * f.f3) AS g3,
+          COUNT(*) AS n
+        FROM f, $wp WHERE NOT f.is_val),
+      w$r AS MATERIALIZED (SELECT ${(0 to 3).map(j => upd(wp, s"g$r", j)).mkString(",\n        ")}
+        FROM $wp, g$r)"""
+    }.mkString(",\n")
+    val wf = s"w$rounds"
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS MATERIALIZED (SELECT doc_id, text, toks,
+        CASE WHEN TRIM(text) = '' THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS ws,
+        CAST(COALESCE(list_sum(list_transform(toks, x -> LENGTH(x))), 0) AS DOUBLE) / GREATEST(LEN(toks), 1) AS mean_len,
+        LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS n_stop,
+        CAST(LEN(list_distinct(CASE WHEN LEN(toks) < 5 THEN [array_to_string(toks, ' ')]
+          ELSE [array_to_string(toks[i+1:i+5], ' ') FOR i IN range(0, LEN(toks)-4)] END)) AS DOUBLE)
+          / (CASE WHEN LEN(toks) < 5 THEN 1 ELSE LEN(toks) - 4 END) AS uniq_ratio,
+        LEN(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+      FROM t),
+      lbl AS MATERIALIZED (SELECT doc_id,
+        CAST(ws >= 30 AND ws <= 50000 AS INT) *
+        CAST(mean_len >= 2.0 AND mean_len <= 12.0 AS INT) *
+        CAST(CAST(n_stop AS DOUBLE) / GREATEST(LEN(toks), 1) >= 0.02 AS INT) *
+        CAST(uniq_ratio >= 0.3 AS INT) *
+        CAST(CAST(n_punct AS DOUBLE) / GREATEST(LENGTH(text), 1) <= 0.1 AS INT) AS keep
+      FROM m),
+      f AS MATERIALIZED (SELECT m.doc_id,
+        CAST(1000000 AS BIGINT) AS f0,
+        CAST(LEAST(LEN(m.toks), 100) * 10000 AS BIGINT) AS f1,
+        CAST(m.n_stop * 1000000 // GREATEST(LEN(m.toks), 1) AS BIGINT) AS f2,
+        CAST(m.n_punct * 1000000 // GREATEST(LENGTH(m.text), 1) AS BIGINT) AS f3,
+        CAST(lbl.keep AS BIGINT) AS y,
+        m.doc_id % 5 = 0 AS is_val
+      FROM m JOIN lbl ON m.doc_id = lbl.doc_id),
+      w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+        CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+      $roundCtes,
+      acc AS MATERIALIZED (SELECT
+        SUM(CASE WHEN f.is_val THEN 0 ELSE 1 END) AS n_train,
+        SUM(CASE WHEN f.is_val THEN 1 ELSE 0 END) AS n_val,
+        SUM(CASE WHEN NOT f.is_val AND ((${pSql(wf)} >= 500000) = (f.y = 1))
+          THEN 1 ELSE 0 END) AS ct,
+        SUM(CASE WHEN f.is_val AND ((${pSql(wf)} >= 500000) = (f.y = 1))
+          THEN 1 ELSE 0 END) AS cv
+      FROM f, $wf)
+      SELECT CAST($wf.w0 AS BIGINT) AS w0, CAST($wf.w1 AS BIGINT) AS w1,
+        CAST($wf.w2 AS BIGINT) AS w2, CAST($wf.w3 AS BIGINT) AS w3,
+        CAST(acc.n_train AS BIGINT) AS n_train, CAST(acc.n_val AS BIGINT) AS n_val,
+        CAST(acc.ct * 1000000 // acc.n_train AS BIGINT) AS train_acc_ppm,
+        CAST(acc.cv * 1000000 // acc.n_val AS BIGINT) AS val_acc_ppm
+      FROM $wf, acc"""
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    qMixAllocation,
+    qMixAllocation, qQualityLogreg,
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,

@@ -149,6 +149,22 @@ class CorpusReportsSpec extends SparkSpec {
     assert(totTarget <= 2L * totTokens, "targets cannot exceed the budget")
   }
 
+  test("q_quality_logreg: the distilled filter beats the majority base rate held-out") {
+    val r = graft.SparkEntry.queries("q_quality_logreg")(spark, Dir).head()
+    val valAcc = r.getLong(r.fieldIndex("val_acc_ppm"))
+    val trainAcc = r.getLong(r.fieldIndex("train_acc_ppm"))
+    // majority base rate of the Gopher keep label on the validation fifth
+    val keep = graft.SparkEntry.queries("q_gopher_filter")(spark, Dir)
+      .filter("doc_id % 5 = 0").selectExpr(
+        "sum(keep) * 1000000 div count(1) as base").head().getLong(0)
+    val base = math.max(keep, 1000000L - keep)
+    assert(valAcc > base + 50000L,
+      s"held-out acc $valAcc must beat majority base $base by > 5 points " +
+        "(otherwise the trainer converged to the constant classifier)")
+    assert(trainAcc > base, s"train acc $trainAcc under base $base")
+    assert(valAcc <= 1000000L && trainAcc <= 1000000L)
+  }
+
   test("q_embed_covariance matches a direct per-cell computation and has non-negative variance") {
     import spark.implicits._
     val out = WarehouseQueries.qEmbedCovariance.run(spark, Dir).cache()
