@@ -287,11 +287,17 @@ object CorpusStatsQueries {
       val emb = graft.operators.Caches.register(
         Tables.embeddings(s, dir).select($"vec_id",
           FixedPointKMeans.quantize($"embedding").as("v")))
-      val books: Seq[Seq[(Int, Seq[Long])]] = (0 until PqM).map { m =>
-        FixedPointKMeans.fit(
-          emb.select($"vec_id", slice($"v", m * PqSubD + 1, PqSubD).as("v")),
-          "vec_id", "v", PqK, PqRounds)
-      }
+      // the four subspace fits are independent job chains — submit them
+      // concurrently (the Spark scheduler interleaves their stages; the
+      // wall-clock cost of the codebook phase is one fit, not four)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val books: Seq[Seq[(Int, Seq[Long])]] = Await.result(
+        Future.sequence((0 until PqM).toList.map { m => Future {
+          FixedPointKMeans.fit(
+            emb.select($"vec_id", slice($"v", m * PqSubD + 1, PqSubD).as("v")),
+            "vec_id", "v", PqK, PqRounds)
+        }}), scala.concurrent.duration.Duration(600, "s"))
       val coded = (0 until PqM).foldLeft(emb.toDF()) { (df, m) =>
         df.withColumn(s"c$m",
           FixedPointKMeans.bestOf(slice(col("v"), m * PqSubD + 1, PqSubD),
