@@ -1,0 +1,262 @@
+package graft.analytics
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Rank-based statistics and privacy-aware release queries — the
+  * nonparametric evaluation layer of the curation pipeline (reference
+  * scope: the EDA correlation/AB-test surface of `analysis.py` extended
+  * to the rank statistics a data-quality team actually ships on skewed,
+  * outlier-heavy corpus metrics, where Pearson/t-tests mislead).
+  *
+  * Every query here is built on one shared kernel: the DOUBLED average
+  * rank (`2·avgRank = 2·cntLess + cntEq + 1`, always an integer), which
+  * keeps the whole rank algebra in exact integer/decimal arithmetic
+  * until a single final double expression — the property that lets
+  * Spearman, Mann-Whitney and AUC carry bit-exact DuckDB oracles.
+  *
+  * Scale shape: ranks are computed on the DISTINCT-VALUE relation
+  * (groupBy value → prefix sum → join back), never by sorting the fact
+  * table. The prefix-sum window runs over |distinct values| pre-
+  * aggregated rows; at 100 TB you'd swap that single window for a
+  * two-pass range-partitioned prefix sum — the join-back and all the
+  * moment algebra are unchanged. The moment aggregates are plain
+  * map-side-combined sums.
+  */
+object RankStatQueries {
+
+  private val P = 1000000007L // TextHashKernels.PortableMod
+
+  /** Join back per-row doubled average ranks of numeric column `v`.
+    * rank2 = 2·cntLess + cntEq + 1 (an integer), from the distinct-value
+    * relation: one shuffle to group, a prefix sum over the (already
+    * aggregated) distinct values, one equi-join back on the value. */
+  private def withRank2(df: DataFrame, v: String, out: String): DataFrame = {
+    val ranks = df.groupBy(col(v)).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_cum", sum(col("_cnt")).over(Window.orderBy(col(v))))
+      .select(col(v),
+        (lit(2L) * (col("_cum") - col("_cnt")) + col("_cnt") + lit(1L)).as(out))
+    df.join(ranks, v)
+  }
+
+  private def dec38(c: Column): Column = c.cast(DecimalType(38, 0))
+
+  // -------------------------------------------------------------------
+  // Spearman rank correlation
+
+  /** Spearman's rho between quantity and price: Pearson on average ranks,
+    * with ALL moments (Σr, Σr², Σrxry on doubled ranks) summed exactly in
+    * DECIMAL(38,0) and the numerator/denominators formed as exact integer
+    * differences — only the final divide/sqrt is floating point. The
+    * doubling factors cancel in the correlation, so rho on rank2 equals
+    * rho on avg ranks. Oracle runs the identical algebra in HUGEINT. */
+  val qSpearman = GraftQuery(
+    "q_spearman",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select($"l_quantity", $"l_extendedprice")
+      val ranked = withRank2(withRank2(li, "l_quantity", "rx"),
+        "l_extendedprice", "ry")
+      ranked.agg(
+          count(lit(1)).as("n"),
+          dec38(sum(dec38($"rx"))).as("sx"),
+          dec38(sum(dec38($"ry"))).as("sy"),
+          dec38(sum(dec38($"rx" * $"rx"))).as("sxx"),
+          dec38(sum(dec38($"ry" * $"ry"))).as("syy"),
+          dec38(sum(dec38($"rx" * $"ry"))).as("sxy"))
+        .select($"n",
+          round((dec38($"n") * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
+            sqrt((dec38($"n") * $"sxx" - $"sx" * $"sx").cast(DoubleType) *
+                 (dec38($"n") * $"syy" - $"sy" * $"sy").cast(DoubleType)), 6)
+            .as("spearman_qty_price"))
+    },
+    Some("""WITH dx AS (SELECT l_quantity AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      rx AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2 FROM dx),
+      dy AS (SELECT l_extendedprice AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      ry AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2 FROM dy),
+      j AS (SELECT CAST(rx.r2 AS HUGEINT) AS rx, CAST(ry.r2 AS HUGEINT) AS ry
+            FROM lineitem l
+            JOIN rx ON l.l_quantity = rx.v
+            JOIN ry ON l.l_extendedprice = ry.v),
+      m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nd, COUNT(*) AS n,
+              CAST(SUM(rx) AS HUGEINT) AS sx, CAST(SUM(ry) AS HUGEINT) AS sy,
+              CAST(SUM(rx * rx) AS HUGEINT) AS sxx,
+              CAST(SUM(ry * ry) AS HUGEINT) AS syy,
+              CAST(SUM(rx * ry) AS HUGEINT) AS sxy
+            FROM j)
+      SELECT n,
+        ROUND(CAST(nd * sxy - sx * sy AS DOUBLE) /
+          SQRT(CAST(nd * sxx - sx * sx AS DOUBLE) *
+               CAST(nd * syy - sy * sy AS DOUBLE)), 6) AS spearman_qty_price
+      FROM m""")
+  )
+
+  // -------------------------------------------------------------------
+  // Mann-Whitney U
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) comparing `value` between the
+    * purchase and click event populations — the nonparametric companion
+    * to q_ab_test for heavy-tailed spend metrics. Doubled-rank identity:
+    * 2·(U1−μ) = Σ2R₁ − n1(n1+1) − n1·n2, exact in decimal; the z-score
+    * uses the tie-corrected variance with Σ(t³−t) summed exactly. */
+  val qMannWhitney = GraftQuery(
+    "q_mannwhitney",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter($"event_type".isin("purchase", "click"))
+        .select($"event_type", $"value")
+      val ranked = withRank2(ev, "value", "r2")
+      val ties = ev.groupBy($"value").agg(count(lit(1)).as("c"))
+        .agg(dec38(sum(dec38($"c" * $"c" * $"c" - $"c"))).as("t"))
+      val m = ranked.agg(
+          dec38(sum(when($"event_type" === "purchase", 1L).otherwise(0L))).as("n1"),
+          dec38(sum(when($"event_type" === "click", 1L).otherwise(0L))).as("n2"),
+          dec38(sum(when($"event_type" === "purchase", dec38($"r2"))
+            .otherwise(dec38(lit(0L))))).as("r2sum1"))
+        .crossJoin(ties)
+        .withColumn("a2", $"r2sum1" - $"n1" * ($"n1" + lit(1L)) - $"n1" * $"n2")
+      m.select(
+        $"n1".cast(LongType).as("n1"),
+        $"n2".cast(LongType).as("n2"),
+        (($"r2sum1" - $"n1" * ($"n1" + lit(1L))).cast(DoubleType) / lit(2.0)).as("u1"),
+        round($"a2".cast(DoubleType) /
+          (lit(2.0) * sqrt(
+            $"n1".cast(DoubleType) * $"n2".cast(DoubleType) / lit(12.0) *
+              (($"n1" + $"n2" + lit(1L)).cast(DoubleType) -
+                $"t".cast(DoubleType) /
+                  (($"n1" + $"n2").cast(DoubleType) *
+                   ($"n1" + $"n2" - lit(1L)).cast(DoubleType))))), 6).as("z"))
+    },
+    Some("""WITH ev AS (SELECT event_type, value FROM events
+              WHERE event_type IN ('purchase', 'click')),
+      dv AS (SELECT value AS v, COUNT(*) AS c FROM ev GROUP BY 1),
+      rv AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2 FROM dv),
+      t AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS t FROM dv),
+      j AS (SELECT ev.event_type, CAST(rv.r2 AS HUGEINT) AS r2
+            FROM ev JOIN rv ON ev.value = rv.v),
+      m AS (SELECT
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN r2 ELSE 0 END) AS HUGEINT) AS r2sum1
+            FROM j)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        CAST(r2sum1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        ROUND(CAST(r2sum1 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) /
+          (2.0 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+            (CAST(n1 + n2 + 1 AS DOUBLE) -
+             CAST(t AS DOUBLE) /
+               (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))), 6) AS z
+      FROM m, t""")
+  )
+
+  // -------------------------------------------------------------------
+  // ROC AUC of the quality score
+
+  /** ROC AUC of the composite quality score as a predictor of the
+    * declared-English label — the standard acceptance gate for a learned
+    * or heuristic quality filter before it's allowed to drop corpus
+    * mass. AUC ≡ Mann-Whitney: (ΣR⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻); with doubled
+    * ranks the numerator Σ2R⁺ − n⁺(n⁺+1) is an exact integer. Ties in
+    * the (6-decimal-rounded) score get average-rank treatment — the
+    * trapezoidal convention. The score formula is the one already
+    * hash-certified by q_quality_score. */
+  val qAuc = GraftQuery(
+    "q_auc",
+    (s, dir) => {
+      import s.implicits._
+      val scored = Tables.documents(s, dir)
+        .select(($"lang" === "en").cast("int").as("pos"),
+          TextAnalysis.qualityScore($"text").as("q"))
+      val ranked = withRank2(scored, "q", "r2")
+      ranked.agg(
+          dec38(sum($"pos".cast(LongType))).as("npos"),
+          dec38(sum(lit(1L) - $"pos".cast(LongType))).as("nneg"),
+          dec38(sum(when($"pos" === 1, dec38($"r2")).otherwise(dec38(lit(0L)))))
+            .as("r2pos"))
+        .select(
+          $"npos".cast(LongType).as("n_pos"),
+          $"nneg".cast(LongType).as("n_neg"),
+          round(($"r2pos" - $"npos" * ($"npos" + lit(1L))).cast(DoubleType) /
+            (lit(2.0) * $"npos".cast(DoubleType) * $"nneg".cast(DoubleType)), 6)
+            .as("auc"))
+    },
+    Some("""WITH t AS (SELECT lang, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        CAST(LENGTH(text) AS DOUBLE) AS len,
+        CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM t),
+      sc AS (SELECT pos,
+        ROUND(LEAST(len / 50.0, 1.0) * (CASE WHEN len > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+              + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+              + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) AS q
+      FROM m),
+      dv AS (SELECT q AS v, COUNT(*) AS c FROM sc GROUP BY 1),
+      rv AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2 FROM dv),
+      j AS (SELECT sc.pos, CAST(rv.r2 AS HUGEINT) AS r2 FROM sc JOIN rv ON sc.q = rv.v),
+      a AS (SELECT CAST(SUM(pos) AS HUGEINT) AS npos,
+              CAST(SUM(1 - pos) AS HUGEINT) AS nneg,
+              CAST(SUM(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS HUGEINT) AS r2pos
+            FROM j)
+      SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+        ROUND(CAST(r2pos - npos * (npos + 1) AS DOUBLE) /
+          (2.0 * CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 6) AS auc
+      FROM a""")
+  )
+
+  // -------------------------------------------------------------------
+  // Differentially-private release
+
+  /** ε-DP noisy histogram of event counts (Laplace mechanism, ε = 1,
+    * sensitivity 1): the shape every external data release goes through.
+    * The Laplace draw is the inverse-CDF of a DETERMINISTIC uniform from
+    * the portable hash of the group key — a keyed-PRF noise source, which
+    * is exactly how production DP systems derandomize for replayability
+    * (and what makes the mechanism certifiable here: the oracle replays
+    * hash → uniform → inverse CDF bit-for-bit). `n_true` is emitted for
+    * the correctness gate only — a production release ships the noisy
+    * column alone. Map-side combine to |event types| rows, then pure
+    * per-row scalar math. */
+  val qDpCounts = GraftQuery(
+    "q_dp_counts",
+    (s, dir) => {
+      import s.implicits._
+      val fold = (acc: Column, v: Column) => (acc * lit(31L) + v) % lit(P)
+      val poly = aggregate(
+        transform(filter(split($"event_type", ""), c => length(c) > 0),
+          c => ascii(c).cast(LongType)),
+        lit(0L), fold)
+      val hv = (lit(48271L) * ((lit(48271L) * ((poly + 1L) % P)) % P)) % P
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("u", hv.cast(DoubleType) / lit(P.toDouble))
+        .select($"event_type", $"n_true", lit(1.0).as("epsilon"),
+          round(greatest(lit(0.0),
+            $"n_true".cast(DoubleType) +
+              lit(-1.0) * signum($"u" - 0.5) *
+                log(lit(1.0) - lit(2.0) * abs($"u" - 0.5))), 6).as("n_noisy"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH g AS (SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY 1),
+      h AS (SELECT event_type, n_true,
+        CAST((48271 * ((48271 * ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(regexp_extract_all(event_type, '.'), c -> CAST(ord(c) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % 1000000007) + 1) % 1000000007)) % 1000000007)) % 1000000007 AS DOUBLE)
+          / 1000000007.0 AS u
+      FROM g)
+      SELECT event_type, n_true, 1.0 AS epsilon,
+        ROUND(GREATEST(0.0, CAST(n_true AS DOUBLE) +
+          -1.0 * SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5))), 6) AS n_noisy
+      FROM h ORDER BY event_type""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qSpearman, qMannWhitney, qAuc, qDpCounts)
+}

@@ -1,0 +1,111 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant coverage for the rank-statistics family beyond the DuckDB
+  * hash gate: properties a hash comparison can't express (bounds, known
+  * closed-form values on constructed inputs, noise-mechanism sanity). */
+class RankStatSpec extends SparkSpec {
+
+  private val Dir = "/root/testdata/sf0.01"
+
+  test("q_spearman: rho in [-1,1] and matches built-in corr on the ranks") {
+    val r = graft.SparkEntry.queries("q_spearman")(spark, Dir).head()
+    val rho = r.getDouble(r.fieldIndex("spearman_qty_price"))
+    assert(rho >= -1.0 && rho <= 1.0)
+    // independent recomputation: Spark's CORR aggregate over the same
+    // doubled-rank columns (float accumulation vs our exact decimal
+    // moments) must agree to float tolerance
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, Dir).select($"l_quantity", $"l_extendedprice")
+    def rank2(v: String) = li.groupBy(col(v)).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(v))))
+      .select(col(v), (lit(2L) * ($"cum" - $"c") + $"c" + lit(1L)).as(s"r_$v"))
+    val direct = li.join(rank2("l_quantity"), "l_quantity")
+      .join(rank2("l_extendedprice"), "l_extendedprice")
+      .agg(corr($"r_l_quantity", $"r_l_extendedprice")).head().getDouble(0)
+    assert(math.abs(rho - direct) < 1e-6, s"decimal-moment rho $rho vs corr $direct")
+  }
+
+  test("spearman rank kernel: perfect monotone map gives rho = 1 exactly") {
+    // y = x^3 is nonlinear but strictly monotone: Pearson < 1, Spearman = 1.
+    // Exercises the doubled-rank algebra end to end on a constructed input
+    // (with ties in neither column) through the same moment formula.
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, i.toDouble * i * i)).toDF("x", "y")
+    val n = df.count().toDouble
+    val ranked = df // ranks ARE the values' order; reuse the query path via SQL-free check
+    val rho = {
+      val rx = ranked.selectExpr("x", "y",
+        "2 * (rank() OVER (ORDER BY x) - 1) + 2 AS rx", // no ties: avgRank = rank
+        "2 * (rank() OVER (ORDER BY y) - 1) + 2 AS ry")
+      val m = rx.agg(
+        sum($"rx" * $"ry").as("sxy"), sum($"rx").as("sx"), sum($"ry").as("sy"),
+        sum($"rx" * $"rx").as("sxx"), sum($"ry" * $"ry").as("syy")).head()
+      val (sxy, sx, sy, sxx, syy) =
+        (m.getLong(0).toDouble, m.getLong(1).toDouble, m.getLong(2).toDouble,
+          m.getLong(3).toDouble, m.getLong(4).toDouble)
+      (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    assert(math.abs(rho - 1.0) < 1e-12)
+  }
+
+  test("q_mannwhitney: U within [0, n1*n2] and consistent with z sign") {
+    val r = graft.SparkEntry.queries("q_mannwhitney")(spark, Dir).head()
+    val n1 = r.getLong(r.fieldIndex("n1"))
+    val n2 = r.getLong(r.fieldIndex("n2"))
+    val u1 = r.getDouble(r.fieldIndex("u1"))
+    val z = r.getDouble(r.fieldIndex("z"))
+    assert(u1 >= 0.0 && u1 <= n1.toDouble * n2)
+    // z and (U1 - mu) must share a sign
+    val mu = n1.toDouble * n2 / 2.0
+    assert((u1 - mu) * z >= 0.0)
+  }
+
+  test("q_auc: AUC in [0,1]; complement label flips it to 1-AUC") {
+    val r = graft.SparkEntry.queries("q_auc")(spark, Dir).head()
+    val auc = r.getDouble(r.fieldIndex("auc"))
+    assert(auc >= 0.0 && auc <= 1.0)
+    val npos = r.getLong(r.fieldIndex("n_pos"))
+    val nneg = r.getLong(r.fieldIndex("n_neg"))
+    assert(npos > 0 && nneg > 0, "both classes must be present for AUC")
+    // complement symmetry, computed through the same rank identity:
+    // AUC(pos) + AUC(neg-as-pos) = 1 under average-rank tie handling
+    import spark.implicits._
+    val scored = graft.Tables.documents(spark, Dir)
+      .select(($"lang" =!= "en").cast("int").as("pos"),
+        graft.functions.TextAnalysis.qualityScore($"text").as("q"))
+    val ranks = scored.groupBy($"q").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"q")))
+      .select($"q", (lit(2L) * ($"cum" - $"c") + $"c" + lit(1L)).as("r2"))
+    val m = scored.join(ranks, "q").agg(
+      sum($"pos".cast("long")).as("np"),
+      sum(lit(1L) - $"pos".cast("long")).as("nn"),
+      sum(when($"pos" === 1, $"r2").otherwise(lit(0L))).as("r2p")).head()
+    val (np, nn, r2p) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    val aucFlipped = (r2p - np.toDouble * (np + 1)) / (2.0 * np * nn)
+    assert(math.abs(auc + aucFlipped - 1.0) < 1e-6,
+      s"AUC symmetry broken: $auc + $aucFlipped != 1")
+  }
+
+  test("q_dp_counts: noise is bounded, keyed, and nonzero somewhere") {
+    val rows = graft.SparkEntry.queries("q_dp_counts")(spark, Dir).collect()
+    assert(rows.length === 5)
+    var anyNoise = false
+    rows.foreach { r =>
+      val nTrue = r.getLong(r.fieldIndex("n_true")).toDouble
+      val nNoisy = r.getDouble(r.fieldIndex("n_noisy"))
+      // Laplace(b=1) inverse-CDF from u in (0,1): |noise| <= ln(P) ~ 20.7
+      assert(math.abs(nNoisy - nTrue) <= 21.0,
+        s"noise out of the inverse-CDF range for ${r.getString(0)}")
+      if (nNoisy != nTrue) anyNoise = true
+    }
+    assert(anyNoise, "at least one group must receive nonzero noise")
+    // determinism: same key -> same noise on a rerun
+    val again = graft.SparkEntry.queries("q_dp_counts")(spark, Dir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+}
