@@ -1148,10 +1148,114 @@ object MiningQueries {
       FROM sh GROUP BY 1 ORDER BY r_name""")
   )
 
+  // ------------------------------------------------------------ LPA / BFS
+
+  /** Top-`k` strongest out-edges per source (ties on weight broken by
+    * dst): the kNN-graph sparsification that keeps community structure
+    * while bounding per-vertex degree — shared by q_label_prop and
+    * q_bfs_hops, mirrored as a ROW_NUMBER window in their oracles. */
+  private def knnEdges(e: org.apache.spark.sql.DataFrame, k: Int) =
+    e.withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst"))))
+      .filter(col("rn") <= k).select(col("src"), col("dst"), col("w"))
+
+  private val knnEdgesSql =
+    """kn AS (SELECT src, dst, w FROM (
+        SELECT src, dst, w,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM e) t WHERE rn <= 3)"""
+
+  /** The LPA oracle: every synchronous round unrolls into three CTEs
+    * (incident label-weight sums → per-vertex argmax with min-label
+    * tie-break → label update), a pure function of the previous round —
+    * the same replay style as the pagerank/HITS oracles. */
+  private def lpaOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH $tradeEdgesSql,
+      $knnEdgesSql,
+      sym AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+          SELECT src, dst, w FROM kn
+          UNION ALL SELECT dst AS src, src AS dst, w FROM kn) u
+        WHERE src <> dst GROUP BY 1, 2),
+      v AS (SELECT DISTINCT id FROM (
+          SELECT src AS id FROM sym UNION ALL SELECT dst FROM sym) t2),
+      l0 AS (SELECT id, id AS lab FROM v)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+      c$r AS (SELECT s.dst AS vid, l.lab, SUM(s.w) AS wt
+        FROM sym s JOIN l${r - 1} l ON s.src = l.id GROUP BY 1, 2),
+      p$r AS (SELECT vid, lab FROM (
+          SELECT vid, lab,
+            ROW_NUMBER() OVER (PARTITION BY vid ORDER BY wt DESC, lab) AS rn
+          FROM c$r) t WHERE rn = 1),
+      l$r AS (SELECT l.id, COALESCE(p.lab, l.lab) AS lab
+        FROM l${r - 1} l LEFT JOIN p$r p ON l.id = p.vid)""")
+    }
+    sb.append(s"""
+      SELECT n1.n_name AS n_name, n2.n_name AS community
+      FROM l$rounds f
+      JOIN nation n1 ON f.id = n1.n_nationkey
+      JOIN nation n2 ON f.lab = n2.n_nationkey
+      ORDER BY community, n_name""")
+    sb.toString
+  }
+
+  /** Community detection on the kNN-sparsified trade graph via
+    * deterministic synchronous label propagation ([[Graphs.labelPropagation]]):
+    * 4 rounds, min-label tie-break, integer weights — engine-exact, so
+    * the run replays as 12 unrolled CTEs. The kNN sparsification (top-3
+    * out-edges per nation) is the standard density bound that makes LPA
+    * behave on dense graphs and keeps per-vertex fan-in O(k) at scale. */
+  val qLabelProp = GraftQuery(
+    "q_label_prop",
+    (s, dir) => {
+      import s.implicits._
+      val labels = Graphs.labelPropagation(
+        knnEdges(tradeEdges(s, dir), 3), "src", "dst", "w", rounds = 4)
+      val n1 = Tables.nation(s, dir).select($"n_nationkey".as("id"), $"n_name")
+      val n2 = Tables.nation(s, dir)
+        .select($"n_nationkey".as("lab"), $"n_name".as("community"))
+      labels.join(broadcast(n1), "id").join(broadcast(n2), "lab")
+        .select($"n_name", $"community")
+        .orderBy($"community", $"n_name")
+    },
+    Some(lpaOracle(rounds = 4))
+  )
+
+  /** Min-hop BFS reach from ALGERIA (nation 0) over the directed kNN
+    * trade graph, depth-bounded at 3 ([[Graphs.bfs]]) — the reachability
+    * primitive (supply-chain blast radius). The oracle is a recursive
+    * CTE with UNION (set) semantics: (id, hop) pairs dedup against the
+    * full result, so the recursion is V×maxHops-bounded even on cycles,
+    * and MIN(hop) per vertex equals the operator's frontier min-merge. */
+  val qBfsHops = GraftQuery(
+    "q_bfs_hops",
+    (s, dir) => {
+      import s.implicits._
+      val d = Graphs.bfs(knnEdges(tradeEdges(s, dir), 3), "src", "dst",
+        source = 0L, maxHops = 3)
+      val nation = Tables.nation(s, dir)
+      d.join(broadcast(nation), d("id") === nation("n_nationkey"))
+        .select($"n_name", $"hops")
+        .orderBy($"hops", $"n_name")
+    },
+    Some(s"""WITH RECURSIVE $tradeEdgesSql,
+      $knnEdgesSql,
+      walk AS (
+        SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS hop
+        UNION
+        SELECT kn.dst, w.hop + 1 FROM walk w JOIN kn ON kn.src = w.id
+        WHERE w.hop < 3),
+      d AS (SELECT id, CAST(MIN(hop) AS BIGINT) AS hops FROM walk GROUP BY id)
+      SELECT n.n_name, d.hops FROM d
+      JOIN nation n ON d.id = n.n_nationkey
+      ORDER BY d.hops, n.n_name""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
       qCorrMatrix, qTargetEncode, qCopurchase, qMultiOls,
-      qChisqIndependence, qHhi)
+      qChisqIndependence, qHhi, qLabelProp, qBfsHops)
 }

@@ -392,4 +392,78 @@ object Graphs {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("triangles"))
   }
+
+  /** Synchronous weighted LABEL PROPAGATION over `rounds` rounds: the
+    * standard near-linear community detector. Edges are symmetrized
+    * (both directions, weights summed, self-loops dropped); every vertex
+    * starts labeled with its own id; each round every vertex adopts the
+    * label with the largest incident weight sum, ties broken by the
+    * SMALLEST label — the deterministic-sweep variant (classic LPA
+    * breaks ties randomly, which is unverifiable; synchronous + min-tie
+    * makes every round a pure function of the previous labeling, so the
+    * whole run unrolls into SQL).
+    *
+    * One round = one graph-sized equi-join (labels ⋈ edges on src) + one
+    * (vertex, label)-keyed partial-aggregated sum + one per-vertex
+    * row_number pick — all key-partitioned shuffles, label state O(V).
+    * Integer weights keep the argmax engine-exact. Each round ends in a
+    * localCheckpoint so lineage stays flat at any round count. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), col(weightCol).cast("long").as("w"))
+    val sym = Caches.register(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+    val vertices = Caches.register(
+      sym.select(col("src").as("id")).union(sym.select(col("dst").as("id"))).distinct())
+    var labels = vertices.select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to rounds) {
+      val contrib = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("vid"), col("lab")).agg(sum(col("w")).as("wt"))
+      val pick = contrib
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vid")).orderBy(col("wt").desc, col("lab"))))
+        .filter(col("rn") === 1)
+        .select(col("vid").as("id"), col("lab").as("newlab"))
+      labels = labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Minimum-hop BFS distances from `source` over the DIRECTED edge
+    * list, bounded at `maxHops` rounds (the bound is semantic — both the
+    * operator and its recursive-CTE oracle stop at the same depth).
+    * Returns (id, hops) for every vertex reached within the bound;
+    * unreached vertices are absent.
+    *
+    * One round = the CURRENT frontier (vertices first reached last
+    * round) joined to the edge relation, then a min-hop merge into the
+    * known-distance relation — frontier-sized work per round, distance
+    * state O(V), all equi-shuffles on the vertex key. localCheckpoint
+    * per round keeps the loop's lineage flat. */
+  def bfs(edges: DataFrame, srcCol: String, dstCol: String,
+      source: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops=$maxHops must be >= 1")
+    val e = Caches.register(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("id", "hops").localCheckpoint()
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (h - 1))
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"), lit(h.toLong).as("hops"))
+      dist = dist.union(next)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }

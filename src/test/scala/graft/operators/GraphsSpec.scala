@@ -203,4 +203,40 @@ class GraphsSpec extends SparkSpec {
     val got = core(tri, k = 2)
     assert(got === Map(0L -> 2L, 1L -> 2L, 2L -> 2L), s"triangle 2-core: $got")
   }
+
+  test("labelPropagation: two cliques joined by a weak bridge split cleanly") {
+    // cliques {0,1,2} and {10,11,12} with weight-5 internal edges and a
+    // weight-1 bridge 2-10: LPA must label each clique by its min vertex
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b, 5L)
+    val edges = (clique(Seq(0L, 1L, 2L)) ++ clique(Seq(10L, 11L, 12L)) :+
+      (2L, 10L, 1L)).toDF("src", "dst", "w")
+    val got = Graphs.labelPropagation(edges, "src", "dst", "w", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(got(_) == 0L), s"left clique: $got")
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L), s"right clique: $got")
+  }
+
+  test("labelPropagation: deterministic across partitionings") {
+    val edges = (for (a <- 0L to 9L; b <- 0L to 9L if a != b && (a + b) % 3 == 0)
+      yield (a, b, (a * 7 + b) % 5 + 1)).toDF("src", "dst", "w")
+    def run() = Graphs.labelPropagation(edges, "src", "dst", "w", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val base = run()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      assert(run() === base, "LPA must not depend on partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("bfs: min-hop on a diamond with a shortcut; depth bound respected") {
+    // 0->1->3, 0->2->3, 0->3 direct; 3->4->5 beyond the bound
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (0L, 3L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graphs.bfs(edges, "src", "dst", source = 0L, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+      s"expected shortcut-min hops within bound 2, got $got")
+  }
 }
