@@ -2047,7 +2047,81 @@ object DocQueries {
       ORDER BY span_tokens DESC, doc_a, doc_b, start_a, start_b LIMIT 50""")
   )
 
+  /** BM25 retrieval scoring (Robertson k1=1.2, b=0.75) for a fixed
+    * conjunctive query over the document corpus — the classical ranking
+    * baseline every retrieval stack (and every retrieval-eval harness)
+    * needs beside the embedding ANN path. Float determinism: tf/df/dl
+    * are exact integers; each query term's contribution is isolated into
+    * its OWN conditional-sum column (adding 0.0 is exact, so the
+    * per-term sums are order-independent) and the final score adds the
+    * four columns in one fixed left-associative expression — no
+    * unordered double summation anywhere. Scale shape: the tf relation
+    * is filtered to query terms BEFORE any shuffle (tokens explode →
+    * isin filter → (doc,term) rollup), df is a terms-sized broadcast,
+    * dl a one-pass rollup; top-20 via rounded-score order. */
+  val qBm25 = GraftQuery(
+    "q_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val terms = Seq("hash", "join", "stream", "window")
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      val dl = docs.select($"doc_id", size($"toks").cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum($"dl").as("total_dl"))
+      val tf = docs.select($"doc_id", explode($"toks").as("tok"))
+        .filter($"tok".isin(terms: _*))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val contrib = tf
+        .join(broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", $"total_dl".cast("double") / $"n".cast("double"))
+        .withColumn("idf",
+          log(lit(1.0) + (($"n" - $"df").cast("double") + lit(0.5)) /
+            ($"df".cast("double") + lit(0.5))))
+        .withColumn("w",
+          $"idf" * ($"tf".cast("double") * lit(2.2)) /
+            ($"tf".cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl".cast("double") / $"avgdl"))))
+      val score = terms.foldLeft(lit(0.0)) { (acc, t) =>
+        acc + sum(when($"tok" === t, $"w").otherwise(lit(0.0)))
+      }
+      contrib.groupBy($"doc_id")
+        .agg(round(score, 6).as("score_bm25"))
+        .orderBy($"score_bm25".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""WITH docs AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      dl AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM docs),
+      stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(toks) AS tok FROM docs) t
+        WHERE tok IN ('hash', 'join', 'stream', 'window')
+        GROUP BY 1, 2),
+      df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      c AS (SELECT tf.doc_id, tf.tok,
+          LN(1.0 + (CAST(s.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+            * (CAST(tf.tf AS DOUBLE) * 2.2) /
+            (CAST(tf.tf AS DOUBLE) +
+             1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+               (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))) AS w
+        FROM tf JOIN df ON tf.tok = df.tok
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s)
+      SELECT doc_id,
+        ROUND(((SUM(CASE WHEN tok = 'hash' THEN w ELSE 0.0 END)
+          + SUM(CASE WHEN tok = 'join' THEN w ELSE 0.0 END))
+          + SUM(CASE WHEN tok = 'stream' THEN w ELSE 0.0 END))
+          + SUM(CASE WHEN tok = 'window' THEN w ELSE 0.0 END), 6) AS score_bm25
+      FROM c GROUP BY doc_id
+      ORDER BY score_bm25 DESC, doc_id LIMIT 20""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qBm25,
     qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,

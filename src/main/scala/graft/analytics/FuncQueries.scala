@@ -185,6 +185,40 @@ object FuncQueries {
       ORDER BY media_id""")
   )
 
+  /** Semi-structured ingestion through Spark's VARIANT type: the event
+    * props JSON is parsed ONCE into the binary variant encoding
+    * (`parse_json`) and fields are extracted with typed `variant_get` /
+    * `try_variant_get` paths — the Spark-4 shredding-friendly path for
+    * schema-on-read at scale (one parse per row, typed extraction
+    * pushes into codegen, no per-access JSON re-parse the way repeated
+    * get_json_object calls would). try_variant_get on an absent path
+    * yields NULL, not an error — counted to certify the lenient path.
+    * Oracle: DuckDB's JSON extraction over the same strings. */
+  val qVariantExtract = GraftQuery(
+    "q_variant_extract",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("v", parse_json($"props"))
+        .select($"event_type",
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("try_variant_get(v, '$.missing', 'bigint')").as("m"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          min($"k").as("min_k"), max($"k").as("max_k"),
+          sum($"k").as("sum_k"),
+          count($"m").as("n_with_missing_path"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+          THEN 1 END) AS n_with_missing_path
+      FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[GraftQuery] = Seq(qPriceParse, qHashDigits, qMultimodalMeta,
-    qMultimodalDecode, qWavDecode, qMp4Decode)
+    qMultimodalDecode, qWavDecode, qMp4Decode, qVariantExtract)
 }

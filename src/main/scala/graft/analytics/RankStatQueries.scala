@@ -258,5 +258,91 @@ object RankStatQueries {
       FROM h ORDER BY event_type""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qSpearman, qMannWhitney, qAuc, qDpCounts)
+  /** Poisson(1) CDF boundaries for the deterministic bootstrap weights:
+    * P(X<=k) = e^{-1}·Σ 1/i!. Shared literal-for-literal with the oracle
+    * SQL — the CASE ladder must be the same bit pattern in both engines. */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119)
+
+  /** Bootstrap 95% CI for mean(l_extendedprice) via the POISSON
+    * bootstrap — the resampling scheme that actually works at 100 TB:
+    * instead of drawing n rows with replacement (a global shuffle per
+    * replicate), every row independently receives a Poisson(1) weight
+    * per replicate, so all B replicates stream in ONE pass with map-side
+    * partial aggregation to B rows. Weights come from the inverse CDF of
+    * a keyed-PRF uniform (portable hash of row key × replicate), making
+    * the whole procedure deterministic and DuckDB-replayable. The CI is
+    * explicit order statistics of the B=64 replicate means (2nd / 63rd)
+    * — no quantile interpolation to diverge across engines. */
+  val qBootstrapCi = GraftQuery(
+    "q_bootstrap_ci",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      val b = 64
+      val base = ((($"l_orderkey" % P) * 1000003L + $"l_linenumber" * 131L + $"b") % P + 1L) % P
+      val hv = (lit(48271L) * ((lit(48271L) * base) % P)) % P
+      val u = hv.cast(DoubleType) / lit(P.toDouble)
+      // ascending CASE ladder: first threshold that exceeds u wins
+      val w = PoissonCdf.zipWithIndex.foldRight(lit(7L)) { case ((t, k), acc) =>
+        when(u < t, lit(k.toLong)).otherwise(acc)
+      }
+      // one pass: explode 64 replicates per row, weight, partial-agg to 64 rows
+      val reps = li.withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+        .withColumn("w", w)
+        .groupBy($"b")
+        .agg(sum($"w").as("nw"),
+          sum($"w" * $"l_extendedprice".cast(DecimalType(18, 2))).as("sw"))
+        .select($"b", ($"sw".cast(DoubleType) / $"nw".cast(DoubleType)).as("m"))
+      val ordered = reps.withColumn("rn",
+        row_number().over(Window.orderBy($"m", $"b")))
+      val ci = ordered.agg(
+        round(min(when($"rn" === 2, $"m")), 6).as("ci_lo"),
+        round(min(when($"rn" === b - 1, $"m")), 6).as("ci_hi"))
+      val point = li.agg(
+        round(sum($"l_extendedprice".cast(DecimalType(18, 2))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("mean_price"),
+        count(lit(1)).as("n"))
+      point.crossJoin(ci).select($"n", $"mean_price", $"ci_lo", $"ci_hi",
+        lit(b).cast(LongType).as("n_replicates"))
+    },
+    Some(s"""WITH reps AS (
+        SELECT t.b,
+          CAST(SUM(w) AS BIGINT) AS nw,
+          SUM(w * CAST(l_extendedprice AS DECIMAL(18,2))) AS sw
+        FROM (
+          SELECT b, l_extendedprice,
+            CASE
+              WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              WHEN u < 0.9999167588507119 THEN 6
+              ELSE 7 END AS w
+          FROM (
+            SELECT b, l_extendedprice,
+              CAST((48271 * ((48271 * (((l_orderkey % 1000000007) * 1000003
+                + l_linenumber * 131 + b) % 1000000007 + 1) % 1000000007)) % 1000000007)
+                % 1000000007 AS DOUBLE) / 1000000007.0 AS u
+            FROM lineitem CROSS JOIN (SELECT unnest(range(64)) AS b) bb) h) t
+        GROUP BY t.b),
+      m AS (SELECT b, CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) AS m FROM reps),
+      o AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM m),
+      ci AS (SELECT ROUND(MIN(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
+                    ROUND(MIN(CASE WHEN rn = 63 THEN m END), 6) AS ci_hi FROM o),
+      pt AS (SELECT COUNT(*) AS n,
+          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS mean_price
+        FROM lineitem)
+      SELECT n, mean_price, ci_lo, ci_hi, CAST(64 AS BIGINT) AS n_replicates
+      FROM pt, ci""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qSpearman, qMannWhitney, qAuc, qDpCounts, qBootstrapCi)
 }

@@ -91,6 +91,35 @@ class RankStatSpec extends SparkSpec {
       s"AUC symmetry broken: $auc + $aucFlipped != 1")
   }
 
+  test("q_bootstrap_ci: interval is ordered, brackets the point estimate, tight") {
+    val r = graft.SparkEntry.queries("q_bootstrap_ci")(spark, Dir).head()
+    val mean = r.getDouble(r.fieldIndex("mean_price"))
+    val lo = r.getDouble(r.fieldIndex("ci_lo"))
+    val hi = r.getDouble(r.fieldIndex("ci_hi"))
+    assert(lo < hi, s"degenerate interval [$lo, $hi]")
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket mean $mean")
+    // n=60k: the bootstrap SE of the mean is ~sigma/sqrt(n); the 95% CI
+    // must be a small fraction of the mean, not a degenerate wide band
+    assert((hi - lo) / mean < 0.05, s"CI width ${hi - lo} implausibly wide")
+  }
+
+  test("q_bm25: scores positive, descending, and hit docs contain a query term") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q_bm25")(spark, Dir).collect()
+    assert(rows.length === 20)
+    val scores = rows.map(r => r.getDouble(r.fieldIndex("score_bm25")))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sameElements(scores.sortBy(-_)), "must be score-descending")
+    val ids = rows.map(_.getLong(0))
+    val hasTerm = graft.Tables.documents(spark, Dir)
+      .filter($"doc_id".isin(ids: _*))
+      .select($"doc_id",
+        arrays_overlap(graft.functions.TextAnalysis.tokens($"text"),
+          typedLit(Seq("hash", "join", "stream", "window"))).as("hit"))
+      .collect()
+    assert(hasTerm.forall(_.getBoolean(1)), "every ranked doc must contain a term")
+  }
+
   test("q_dp_counts: noise is bounded, keyed, and nonzero somewhere") {
     val rows = graft.SparkEntry.queries("q_dp_counts")(spark, Dir).collect()
     assert(rows.length === 5)
