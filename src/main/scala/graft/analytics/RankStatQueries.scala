@@ -290,13 +290,25 @@ object RankStatQueries {
       val w = PoissonCdf.zipWithIndex.foldRight(lit(7L)) { case ((t, k), acc) =>
         when(u < t, lit(k.toLong)).otherwise(acc)
       }
-      // one pass: explode 64 replicates per row, weight, partial-agg to 64 rows
-      val reps = li.withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      // one pass: the 64 replicate ids ride as a CONSTANT array literal
+      // exploded in the same codegen stage (a broadcast join would drop
+      // to BroadcastNestedLoopJoin's row-at-a-time copies; a
+      // sequence() call would build the array per row). Prices convert
+      // to exact integer CENTS once per INPUT row (before the 64x
+      // fan-out), so the hot replicate loop is pure long arithmetic in
+      // whole-stage codegen — no per-row decimal boxing. Long-sum
+      // headroom: w<=7, cents<~1e7 -> overflow needs >1e11 rows; past
+      // that, salt the rollup (b, hash%k) and decimal-merge the k
+      // partials.
+      val cents = li.withColumn("cents",
+        ($"l_extendedprice".cast(DecimalType(18, 2)) * 100).cast(LongType))
+      val reps = cents
+        .withColumn("b", explode(typedLit((0 until b).toArray)))
         .withColumn("w", w)
         .groupBy($"b")
-        .agg(sum($"w").as("nw"),
-          sum($"w" * $"l_extendedprice".cast(DecimalType(18, 2))).as("sw"))
-        .select($"b", ($"sw".cast(DoubleType) / $"nw".cast(DoubleType)).as("m"))
+        .agg(sum($"w").as("nw"), sum($"w" * $"cents").as("sw"))
+        .select($"b",
+          ($"sw".cast(DoubleType) / $"nw".cast(DoubleType) / lit(100.0)).as("m"))
       val ordered = reps.withColumn("rn",
         row_number().over(Window.orderBy($"m", $"b")))
       val ci = ordered.agg(
@@ -312,9 +324,9 @@ object RankStatQueries {
     Some(s"""WITH reps AS (
         SELECT t.b,
           CAST(SUM(w) AS BIGINT) AS nw,
-          SUM(w * CAST(l_extendedprice AS DECIMAL(18,2))) AS sw
+          CAST(SUM(w * cents) AS BIGINT) AS sw
         FROM (
-          SELECT b, l_extendedprice,
+          SELECT b, cents,
             CASE
               WHEN u < 0.36787944117144233 THEN 0
               WHEN u < 0.7357588823428847 THEN 1
@@ -325,13 +337,14 @@ object RankStatQueries {
               WHEN u < 0.9999167588507119 THEN 6
               ELSE 7 END AS w
           FROM (
-            SELECT b, l_extendedprice,
+            SELECT b,
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
               CAST((48271 * ((48271 * (((l_orderkey % 1000000007) * 1000003
                 + l_linenumber * 131 + b) % 1000000007 + 1) % 1000000007)) % 1000000007)
                 % 1000000007 AS DOUBLE) / 1000000007.0 AS u
             FROM lineitem CROSS JOIN (SELECT unnest(range(64)) AS b) bb) h) t
         GROUP BY t.b),
-      m AS (SELECT b, CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) AS m FROM reps),
+      m AS (SELECT b, CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) / 100.0 AS m FROM reps),
       o AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM m),
       ci AS (SELECT ROUND(MIN(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
                     ROUND(MIN(CASE WHEN rn = 63 THEN m END), 6) AS ci_hi FROM o),
