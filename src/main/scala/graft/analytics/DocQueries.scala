@@ -2120,8 +2120,171 @@ object DocQueries {
       ORDER BY score_bm25 DESC, doc_id LIMIT 20""")
   )
 
+  /** Maximal Marginal Relevance re-rank: greedy λ-tradeoff between
+    * relevance to the query and similarity to the already-selected set —
+    * the standard diversification pass between retrieval and a context
+    * window (dedup-at-selection-time for RAG and for eval-set
+    * construction). Greedy selection is inherently sequential, but each
+    * of the 5 rounds is a pure DataFrame program over the CACHED
+    * 20-candidate relation (anti-join the selected set → max-sim to
+    * selected → one round-6 scalar → top-1 pick); nothing but the
+    * selection order ever leaves the executors, and the candidate and
+    * pair-sim relations are k- and k²-sized regardless of corpus size.
+    * λ = 0.7; all scores rounded to 6dp BEFORE comparison so the argmax
+    * (ties broken by vec_id) is engine-exact; the oracle unrolls the
+    * same 5 rounds as CTE triples. */
+  val qMmrDiversify = GraftQuery(
+    "q_mmr_diversify",
+    (s, dir) => {
+      import s.implicits._
+      val emb = graft.operators.Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
+      val q = emb.orderBy($"vec_id").limit(1)
+        .select($"embedding").collect()(0).getSeq[Double](0)
+      val cands = graft.operators.Caches.register(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+          .withColumnRenamed("cos_sim", "rel"))
+      val ce = graft.operators.Caches.register(
+        cands.join(emb, "vec_id").select($"vec_id", $"embedding", $"rel"))
+      val pair = graft.operators.Caches.register(
+        ce.as("x").join(ce.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+            round(Similarity.cosineNative(col("x.embedding"), col("y.embedding")), 6)
+              .as("sim")))
+      var selected = cands.orderBy($"rel".desc, $"vec_id").limit(1)
+        .select($"vec_id", $"rel", $"rel".as("mmr"), lit(1).as("sel_rank"))
+        .localCheckpoint()
+      for (r <- 2 to 5) {
+        val selIds = selected.select($"vec_id")
+        val scored = cands.join(selIds, Seq("vec_id"), "left_anti")
+          .join(pair, $"vec_id" === pair("a"))
+          .join(selIds.select($"vec_id".as("b")), "b")
+          .groupBy($"vec_id", $"rel")
+          .agg(round(lit(0.7) * $"rel" - lit(0.3) * max($"sim"), 6).as("mmr"))
+        val pick = scored.orderBy($"mmr".desc, $"vec_id").limit(1)
+          .select($"vec_id", $"rel", $"mmr", lit(r).as("sel_rank"))
+        selected = selected.union(pick).localCheckpoint()
+      }
+      selected.select($"sel_rank", $"vec_id", $"rel", $"mmr").orderBy($"sel_rank")
+    },
+    Some {
+      val cos = (a: String, b: String) =>
+        s"""ROUND(list_dot_product($a, $b) /
+          (SQRT(list_dot_product($a, $a)) * SQRT(list_dot_product($b, $b))), 6)"""
+      val sb = new StringBuilder
+      sb.append(s"""WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e2 ORDER BY vec_id LIMIT 1),
+      cands AS (SELECT vec_id, v, ${cos("v", "qv")} AS rel
+        FROM e2, q ORDER BY rel DESC, vec_id LIMIT 20),
+      pair AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cos("x.v", "y.v")} AS sim
+        FROM cands x JOIN cands y ON x.vec_id <> y.vec_id),
+      sel1 AS (SELECT vec_id, rel, rel AS mmr, 1 AS sel_rank
+        FROM cands ORDER BY rel DESC, vec_id LIMIT 1)""")
+      for (r <- 2 to 5) {
+        sb.append(s""",
+      sc$r AS (SELECT c.vec_id, c.rel, ROUND(0.7 * c.rel - 0.3 * MAX(p.sim), 6) AS mmr
+        FROM cands c JOIN pair p ON p.a = c.vec_id
+        WHERE p.b IN (SELECT vec_id FROM sel${r - 1})
+          AND c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+        GROUP BY c.vec_id, c.rel),
+      pk$r AS (SELECT vec_id, rel, mmr, $r AS sel_rank
+        FROM sc$r ORDER BY mmr DESC, vec_id LIMIT 1),
+      sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pk$r)""")
+      }
+      sb.append("""
+      SELECT sel_rank, vec_id, rel, mmr FROM sel5 ORDER BY sel_rank""")
+      sb.toString
+    }
+  )
+
+  /** NDCG@10 of the IVF probe search against the exact cosine ranking —
+    * the position-discounted companion to q_ivf_topk's recall_at_k
+    * (recall says WHETHER the right vectors surfaced; NDCG says whether
+    * they surfaced in the right ORDER). Probes ONE cell (vs q_ivf_topk's
+    * two) so the metric exercises a genuinely degraded ranking rather
+    * than certifying a trivial 1.0. Relevance of a returned vector
+    * is graded by its exact rank (gain 10..1, 0 if outside the exact
+    * top-10). Per-position DCG terms are fixed-pointed to integer ppm
+    * (floor(gain·1e6/log2(pos+1) + 0.5)) BEFORE summing — an unordered
+    * double sum would be partition-order-dependent; an integer sum is
+    * not. One row: dcg_ppm, idcg_ppm, ndcg. */
+  val qNdcg = GraftQuery(
+    "q_ndcg",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.FixedPointKMeans
+      val emb = graft.operators.Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
+      val q = emb.orderBy($"vec_id").limit(1)
+        .select($"embedding").collect()(0).getSeq[Double](0)
+      val quant = graft.operators.Caches.register(
+        emb.select($"vec_id", $"embedding",
+          FixedPointKMeans.quantize($"embedding").as("v")))
+      val cents = FixedPointKMeans.fit(quant, "vec_id", "v", k = 8, rounds = 2)
+      val qv = FixedPointKMeans.quantizeLocal(q)
+      val cells = cents.map { case (j, c) =>
+          (j, FixedPointKMeans.sqDistLocal(qv, c)) }
+        .sortBy { case (j, d) => (d, j) }.take(1).map(_._1)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"cos_sim".desc, $"vec_id")
+      val sys = FixedPointKMeans.assign(quant, "v", cents)
+        .filter($"cluster".isin(cells: _*))
+        .select($"vec_id",
+          round(Similarity.cosineNative($"embedding", typedLit(q)), 6).as("cos_sim"))
+        .withColumn("pos", row_number().over(w)).filter($"pos" <= 10)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .withColumn("rank_ex", row_number().over(w))
+      def termPpm(gain: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column) =
+        floor(gain.cast("double") * lit(1000000.0) /
+          (log(pos.cast("double") + lit(1.0)) / log(lit(2.0))) + lit(0.5))
+          .cast("long")
+      val dcg = sys.join(exact.select($"vec_id", $"rank_ex"), Seq("vec_id"), "left")
+        .select(termPpm(coalesce(lit(11) - $"rank_ex", lit(0)), $"pos").as("t"))
+        .agg(coalesce(sum($"t"), lit(0L)).as("dcg_ppm"))
+      val idcg = exact
+        .select(termPpm(lit(11) - $"rank_ex", $"rank_ex").as("t"))
+        .agg(sum($"t").as("idcg_ppm"))
+      dcg.crossJoin(idcg)
+        .select($"dcg_ppm", $"idcg_ppm",
+          round($"dcg_ppm".cast("double") / $"idcg_ppm".cast("double"), 6)
+            .as("ndcg"))
+    },
+    Some {
+      val cosine = """ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qd.qe) /
+          (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+           SQRT(list_dot_product(qd.qe, qd.qe))), 6)"""
+      s"""WITH ${CorpusStatsQueries.kmeansOracleCtes(8, 2)},
+      qd AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 1),
+      qq AS (SELECT v FROM q ORDER BY vec_id LIMIT 1),
+      cellsel AS (SELECT c.j FROM c2 c, qq
+        ORDER BY ${CorpusStatsQueries.kmeansDistSql("qq.v", "c.c")}, c.j LIMIT 1),
+      cand AS (SELECT vec_id FROM a3 WHERE j IN (SELECT j FROM cellsel)),
+      sys AS (SELECT vec_id, pos FROM (
+          SELECT e.vec_id, $cosine AS cos_sim,
+            ROW_NUMBER() OVER (ORDER BY $cosine DESC, e.vec_id) AS pos
+          FROM embeddings e JOIN cand USING (vec_id), qd) t WHERE pos <= 10),
+      exact AS (SELECT vec_id, rank_ex FROM (
+          SELECT e.vec_id,
+            ROW_NUMBER() OVER (ORDER BY $cosine DESC, e.vec_id) AS rank_ex
+          FROM embeddings e, qd) t WHERE rank_ex <= 10),
+      dcg AS (SELECT COALESCE(CAST(SUM(CAST(FLOOR(
+            CAST(COALESCE(11 - x.rank_ex, 0) AS DOUBLE) * 1000000.0 /
+              (LN(CAST(s.pos AS DOUBLE) + 1.0) / LN(2.0)) + 0.5) AS BIGINT)) AS BIGINT), 0)
+          AS dcg_ppm
+        FROM sys s LEFT JOIN exact x USING (vec_id)),
+      idcg AS (SELECT CAST(SUM(CAST(FLOOR(
+            CAST(11 - rank_ex AS DOUBLE) * 1000000.0 /
+              (LN(CAST(rank_ex AS DOUBLE) + 1.0) / LN(2.0)) + 0.5) AS BIGINT)) AS BIGINT)
+          AS idcg_ppm
+        FROM exact)
+      SELECT dcg_ppm, idcg_ppm,
+        ROUND(CAST(dcg_ppm AS DOUBLE) / CAST(idcg_ppm AS DOUBLE), 6) AS ndcg
+      FROM dcg, idcg"""
+    }
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qBm25,
+    qBm25, qMmrDiversify, qNdcg,
     qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,

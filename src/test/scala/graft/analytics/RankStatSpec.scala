@@ -120,6 +120,37 @@ class RankStatSpec extends SparkSpec {
     assert(hasTerm.forall(_.getBoolean(1)), "every ranked doc must contain a term")
   }
 
+  test("q_mmr_diversify: 5 distinct picks, relevance-first, diversity-penalized") {
+    val rows = graft.SparkEntry.queries("q_mmr_diversify")(spark, Dir).collect()
+    assert(rows.length === 5)
+    val ids = rows.map(r => r.getLong(r.fieldIndex("vec_id")))
+    assert(ids.distinct.length === 5, "picks must be distinct")
+    val rels = rows.map(r => r.getDouble(r.fieldIndex("rel")))
+    val mmrs = rows.map(r => r.getDouble(r.fieldIndex("mmr")))
+    // rank 1 is the pure-relevance argmax; later picks trade relevance
+    // for diversity, so their mmr is strictly below their own relevance
+    assert(mmrs(0) === rels(0))
+    (1 until 5).foreach(i => assert(mmrs(i) < rels(i),
+      s"pick $i must pay a diversity penalty"))
+    // greedy invariant: the rank-2 pick maximizes 0.7*rel - 0.3*sim(to #1),
+    // so no unpicked candidate may beat it (spot-check the ordering is real:
+    // mmr scores are non-increasing down the selection)
+    (1 until 4).foreach(i => assert(mmrs(i) >= mmrs(i + 1) - 1e-9))
+  }
+
+  test("q_ndcg: in (0,1], consistent with its own ppm terms") {
+    val r = graft.SparkEntry.queries("q_ndcg")(spark, Dir).head()
+    val dcg = r.getLong(r.fieldIndex("dcg_ppm"))
+    val idcg = r.getLong(r.fieldIndex("idcg_ppm"))
+    val ndcg = r.getDouble(r.fieldIndex("ndcg"))
+    assert(idcg > 0 && dcg >= 0 && dcg <= idcg, s"dcg=$dcg idcg=$idcg")
+    assert(math.abs(ndcg - dcg.toDouble / idcg) < 1e-6)
+    // ideal DCG of gains 10..1 at positions 1..10 in ppm, computed directly
+    val expIdcg = (1 to 10).map(i =>
+      math.floor((11 - i) * 1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong).sum
+    assert(idcg === expIdcg, s"idcg $idcg != closed-form $expIdcg")
+  }
+
   test("q_dp_counts: noise is bounded, keyed, and nonzero somewhere") {
     val rows = graft.SparkEntry.queries("q_dp_counts")(spark, Dir).collect()
     assert(rows.length === 5)
