@@ -1252,10 +1252,62 @@ object MiningQueries {
       ORDER BY d.hops, n.n_name""")
   )
 
+  /** Adamic-Adar link prediction on the undirected kNN trade graph:
+    * for every NON-adjacent pair with a common neighbor, score
+    * Σ_z 1/ln(deg z) — the classic "which edge appears next" primitive
+    * (recommendation candidates, entity-linking hints). Per-wedge terms
+    * are fixed-pointed to integer ppm BEFORE the sum (an unordered
+    * double sum over common neighbors would be partition-order-
+    * dependent); common neighbors have deg ≥ 2, so ln(deg) > 0 always.
+    * Scale shape: the wedge join fans out per-vertex-degree² — bounded
+    * by the kNN sparsification (deg ≤ 2k) before the join, the same
+    * guard q_label_prop uses. */
+  val qAdamicAdar = GraftQuery(
+    "q_adamic_adar",
+    (s, dir) => {
+      import s.implicits._
+      val kn = knnEdges(tradeEdges(s, dir), 3).select($"src", $"dst")
+      val und = graft.operators.Caches.register(
+        kn.union(kn.select($"dst".as("src"), $"src".as("dst")))
+          .filter($"src" =!= $"dst").distinct())
+      val deg = und.groupBy($"src".as("z_id")).agg(count(lit(1)).as("deg"))
+      val wedge = und.as("e1").join(und.as("e2"),
+          col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+        .select(col("e1.src").as("a"), col("e2.dst").as("b"), col("e1.dst").as("z"))
+      val scored = wedge.join(deg, wedge("z") === deg("z_id"))
+        .withColumn("t_ppm",
+          floor(lit(1000000.0) / log($"deg".cast("double")) + lit(0.5)).cast("long"))
+        .groupBy($"a", $"b")
+        .agg(count(lit(1)).as("n_common"), sum($"t_ppm").as("aa_ppm"))
+      scored.join(und.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"), "left_anti")
+        .select($"a", $"b", $"n_common", $"aa_ppm",
+          round($"aa_ppm".cast("double") / lit(1000000.0), 6).as("aa_score"))
+        .orderBy($"aa_ppm".desc, $"a", $"b").limit(10)
+    },
+    Some(s"""WITH $tradeEdgesSql,
+      $knnEdgesSql,
+      und AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM kn UNION ALL SELECT dst AS src, src AS dst FROM kn) u
+        WHERE src <> dst),
+      deg AS (SELECT src AS z_id, COUNT(*) AS deg FROM und GROUP BY 1),
+      w AS (SELECT e1.src AS a, e2.dst AS b, e1.dst AS z
+        FROM und e1 JOIN und e2 ON e1.dst = e2.src AND e1.src < e2.dst),
+      sc AS (SELECT a, b, COUNT(*) AS n_common,
+          CAST(SUM(CAST(FLOOR(1000000.0 / LN(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT)
+            AS aa_ppm
+        FROM w JOIN deg ON w.z = deg.z_id GROUP BY 1, 2),
+      nonadj AS (SELECT sc.* FROM sc
+        LEFT JOIN und ON sc.a = und.src AND sc.b = und.dst
+        WHERE und.src IS NULL)
+      SELECT a, b, n_common, aa_ppm,
+        ROUND(CAST(aa_ppm AS DOUBLE) / 1000000.0, 6) AS aa_score
+      FROM nonadj ORDER BY aa_ppm DESC, a, b LIMIT 10""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
       qCorrMatrix, qTargetEncode, qCopurchase, qMultiOls,
-      qChisqIndependence, qHhi, qLabelProp, qBfsHops)
+      qChisqIndependence, qHhi, qLabelProp, qBfsHops, qAdamicAdar)
 }

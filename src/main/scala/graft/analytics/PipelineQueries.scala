@@ -1450,8 +1450,75 @@ object PipelineQueries {
       FROM $wf, acc"""
   }
 
+  /** CONTENT-DEFINED chunking (Rabin-style) with per-source dedup stats —
+    * the shift-resistant sibling of q_chunk_dedup's fixed-stride split:
+    * a chunk boundary falls after every token whose portable hash is
+    * ≡ 0 (mod 16), so inserting a sentence into a document moves ONE
+    * chunk's fingerprint, not every downstream chunk's (the property
+    * that makes CDC the dedup layer for append-mostly corpora and
+    * delta-storage). Expected chunk length = 16 tokens, set by the
+    * modulus alone. The per-token hash is the same base-31 fold the
+    * whole portable sketch family replays; the boundary prefix-count is
+    * a per-doc window over the exploded tokens (doc-keyed shuffle), and
+    * the rollup is bounded by chunk count. */
+  val qCdcChunks = GraftQuery(
+    "q_cdc_chunks",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", $"source", TextAnalysis.tokens($"text").as("toks"))
+        .select($"doc_id", $"source",
+          posexplode(arrays_zip($"toks",
+            graft.expressions.TextHashExprs
+              .positionalShingleHashes64($"toks", 1, portable = true).as("h"))))
+        .select($"doc_id", $"source", $"pos",
+          $"col.toks".as("tok"), $"col.h".as("h"))
+      val cid = toks
+        .withColumn("bnd", ($"h" % 16 === 0).cast("long"))
+        .withColumn("chunk_id", coalesce(
+          sum($"bnd").over(Window.partitionBy($"doc_id").orderBy($"pos")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val chunks = cid.groupBy($"doc_id", $"source", $"chunk_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct($"pos", $"tok"))),
+              x => x.getField("tok")), " ")).as("fp"))
+      chunks.groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct($"fp").as("n_distinct"),
+          round(lit(1.0) - countDistinct($"fp").cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 6).as("dup_ratio"),
+          round(sum($"n_tokens").cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 6).as("avg_chunk_tokens"))
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      tok AS (SELECT doc_id, source, CAST(i AS INT) AS pos, ts[i + 1] AS tok,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(ts[i + 1], '.'), c -> CAST(ord(c) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        FROM t, UNNEST([j FOR j IN range(LEN(ts))]) AS u(i)),
+      b AS (SELECT doc_id, source, pos, tok,
+          CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END AS bnd FROM tok),
+      cid AS (SELECT doc_id, source, pos, tok,
+          COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        FROM b),
+      ch AS (SELECT doc_id, source, chunk_id, COUNT(*) AS n_tokens,
+          md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+        FROM cid GROUP BY 1, 2, 3)
+      SELECT source, COUNT(*) AS n_chunks, COUNT(DISTINCT fp) AS n_distinct,
+        ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+          AS dup_ratio,
+        ROUND(CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+          AS avg_chunk_tokens
+      FROM ch GROUP BY source ORDER BY source""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qMixAllocation, qQualityLogreg,
+    qMixAllocation, qQualityLogreg, qCdcChunks,
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,

@@ -356,6 +356,68 @@ object RankStatQueries {
       FROM pt, ci""")
   )
 
+  /** One-way ANOVA F-test of `value` across the five event types — does
+    * the spend metric differ by event type at all (the k-group
+    * generalization the pairwise q_ab_test / q_mannwhitney can't give).
+    * Determinism: the five groups are KNOWN literals, so every group
+    * moment (n, Σcents, Σcents²) is its own conditional-sum column over
+    * exact integer cents — one map-side-combined pass, no unordered
+    * float accumulation — and the F/η² expression combines the 15 exact
+    * integers in one fixed left-associative IEEE tree. Long-sum
+    * headroom: cents² < 2.5e9 → overflow needs >3.7e9 rows per type;
+    * past that widen the three sums to DECIMAL(38,0). */
+  val qAnova = GraftQuery(
+    "q_anova",
+    (s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cents = ($"value".cast(DecimalType(18, 2)) * 100).cast(LongType)
+      val aggs = types.flatMap { t =>
+        Seq(
+          sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"n_$t"),
+          sum(when($"event_type" === t, cents).otherwise(0L)).as(s"s_$t"),
+          sum(when($"event_type" === t, cents * cents).otherwise(0L)).as(s"ss_$t"))
+      }
+      val m = Tables.events(s, dir).agg(aggs.head, aggs.tail: _*)
+      val n = types.map(t => col(s"n_$t")).reduceLeft(_ + _)
+      val sTot = types.map(t => col(s"s_$t")).reduceLeft(_ + _)
+      val ssTot = types.map(t => col(s"ss_$t")).reduceLeft(_ + _)
+      val grand = sTot.cast(DoubleType) * sTot.cast(DoubleType) / n.cast(DoubleType)
+      val ssb = types.map(t =>
+          col(s"s_$t").cast(DoubleType) * col(s"s_$t").cast(DoubleType) /
+            col(s"n_$t").cast(DoubleType))
+        .reduceLeft(_ + _) - grand
+      val sst = ssTot.cast(DoubleType) - grand
+      m.select(
+        n.as("n"),
+        round((ssb / lit(4.0)) / ((sst - ssb) / (n - lit(5L)).cast(DoubleType)), 6)
+          .as("f_stat"),
+        round(ssb / sst, 6).as("eta_sq"))
+    },
+    Some {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cents = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      val aggs = types.map { t =>
+        s"""CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t,
+          CAST(SUM(CASE WHEN event_type = '$t' THEN $cents ELSE 0 END) AS BIGINT) AS s_$t,
+          CAST(SUM(CASE WHEN event_type = '$t' THEN $cents * $cents ELSE 0 END) AS BIGINT) AS ss_$t"""
+      }.mkString(",\n          ")
+      val n = types.map(t => s"n_$t").mkString(" + ")
+      val sTot = types.map(t => s"s_$t").mkString(" + ")
+      val ssTot = types.map(t => s"ss_$t").mkString(" + ")
+      val grand = s"CAST($sTot AS DOUBLE) * CAST($sTot AS DOUBLE) / CAST($n AS DOUBLE)"
+      val ssb = types.map(t =>
+          s"CAST(s_$t AS DOUBLE) * CAST(s_$t AS DOUBLE) / CAST(n_$t AS DOUBLE)")
+        .mkString(" + ") + s" - ($grand)"
+      val sst = s"CAST($ssTot AS DOUBLE) - ($grand)"
+      s"""WITH m AS (SELECT $aggs FROM events)
+      SELECT $n AS n,
+        ROUND((($ssb) / 4.0) / ((($sst) - ($ssb)) / CAST($n - 5 AS DOUBLE)), 6) AS f_stat,
+        ROUND(($ssb) / ($sst), 6) AS eta_sq
+      FROM m"""
+    }
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qSpearman, qMannWhitney, qAuc, qDpCounts, qBootstrapCi)
+    Seq(qSpearman, qMannWhitney, qAuc, qDpCounts, qBootstrapCi, qAnova)
 }

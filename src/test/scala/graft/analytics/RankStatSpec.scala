@@ -151,6 +151,67 @@ class RankStatSpec extends SparkSpec {
     assert(idcg === expIdcg, s"idcg $idcg != closed-form $expIdcg")
   }
 
+  test("q_anova: F >= 0, eta^2 in [0,1), and F agrees with a direct computation") {
+    val r = graft.SparkEntry.queries("q_anova")(spark, Dir).head()
+    val f = r.getDouble(r.fieldIndex("f_stat"))
+    val eta = r.getDouble(r.fieldIndex("eta_sq"))
+    assert(f >= 0.0 && eta >= 0.0 && eta < 1.0)
+    // direct recomputation from per-group double moments (different
+    // aggregation path; tolerance for float accumulation order)
+    import spark.implicits._
+    val g = graft.Tables.events(spark, Dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("n"), sum($"value").as("s"),
+        sum($"value" * $"value").as("ss"))
+      .collect()
+    val nTot = g.map(_.getDouble(1)).sum
+    val sTot = g.map(_.getDouble(2)).sum
+    val grand = sTot * sTot / nTot
+    val ssb = g.map(r0 => r0.getDouble(2) * r0.getDouble(2) / r0.getDouble(1)).sum - grand
+    val sst = g.map(_.getDouble(3)).sum - grand
+    val fDirect = (ssb / (g.length - 1)) / ((sst - ssb) / (nTot - g.length))
+    assert(math.abs(f - fDirect) < 1e-3, s"F $f vs direct $fDirect")
+  }
+
+  test("q_adamic_adar: pairs non-adjacent, scores positive and consistent") {
+    val rows = graft.SparkEntry.queries("q_adamic_adar")(spark, Dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())
+      assert(a < b, "pair must be ordered")
+      val nCommon = r.getLong(r.fieldIndex("n_common"))
+      val ppm = r.getLong(r.fieldIndex("aa_ppm"))
+      // each common neighbor contributes at most 1/ln(2) and at least
+      // 1/ln(maxDeg): aa_ppm must sit inside those integer-ppm envelopes
+      assert(ppm > 0 && ppm <= math.floor(nCommon * 1e6 / math.log(2.0) + 0.5),
+        s"pair ($a,$b) ppm $ppm out of envelope for $nCommon common")
+    }
+  }
+
+  test("q_cdc_chunks: chunk accounting closes against the token count") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q_cdc_chunks")(spark, Dir).collect()
+    assert(rows.length === 20) // one row per source
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_chunks"))
+      val d = r.getLong(r.fieldIndex("n_distinct"))
+      assert(d > 0 && d <= n)
+      val avg = r.getDouble(r.fieldIndex("avg_chunk_tokens"))
+      // modulus 16 -> expected length 16; allow a generous band
+      assert(avg > 4.0 && avg < 64.0, s"implausible avg chunk length $avg")
+    }
+    // total chunk tokens across sources == total corpus tokens (no token
+    // lost or duplicated by the boundary rule)
+    val totTokens = graft.Tables.documents(spark, Dir)
+      .select(size(graft.functions.TextAnalysis.tokens($"text")).cast("long").as("n"))
+      .agg(sum($"n")).head().getLong(0)
+    val chunkTokens = rows.map(r =>
+      math.round(r.getDouble(r.fieldIndex("avg_chunk_tokens")) *
+        r.getLong(r.fieldIndex("n_chunks")))).sum
+    assert(math.abs(chunkTokens - totTokens) <= rows.length,
+      s"chunk token mass $chunkTokens vs corpus $totTokens")
+  }
+
   test("q_dp_counts: noise is bounded, keyed, and nonzero somewhere") {
     val rows = graft.SparkEntry.queries("q_dp_counts")(spark, Dir).collect()
     assert(rows.length === 5)
