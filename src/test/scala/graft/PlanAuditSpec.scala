@@ -715,4 +715,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pk7.contains("CartesianProduct"),
       s"q_key_skew_report went cartesian:\n$pk7")
   }
+
+  test("round-8 rank/retrieval additions: distinct-value ranks, filtered tf, one-pass moments") {
+    def exchanges(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    // spearman: ranks come from the distinct-value relation — the fact
+    // table is never globally sorted (no Exchange rangepartitioning over
+    // lineitem; the only single-partition exchanges carry the tiny
+    // distinct-value relations into their prefix-sum windows)
+    val ps = plan("q_spearman")
+    assert(!ps.contains("Exchange rangepartitioning"),
+      s"q_spearman must not globally sort the fact table:\n$ps")
+    // bm25: the isin(query terms) filter sits under the tf aggregation —
+    // it must reach the exploded-token side BEFORE any exchange
+    val pb = plan("q_bm25")
+    assert(pb.contains("hash, join, stream, window")
+      || pb.contains("(hash, join, stream, window)")
+      || pb.contains("hash,join,stream,window"),
+      s"q_bm25 lost its query-term filter:\n$pb")
+    assert(!pb.contains("CartesianProduct"),
+      s"q_bm25 data relations went cartesian (stats 1-row broadcast is BNLJ):\n$pb")
+    // bootstrap: ONE aggregation pass over the exploded replicates —
+    // a single hash-partitioned exchange for the 64-group rollup; the
+    // order-statistic window runs on the 64-row relation
+    val pc = plan("q_bootstrap_ci")
+    assert(exchanges(pc) <= 2,
+      s"q_bootstrap_ci grew extra shuffles:\n$pc")
+    assert(pc.contains("Generate explode"),
+      s"q_bootstrap_ci replicate fan-out is not a codegen explode:\n$pc")
+    // anova: one map-side-combined aggregate, no shuffle keyed on the
+    // group column at all (groups are conditional columns)
+    val pa = plan("q_anova")
+    assert(!pa.contains("hashpartitioning(event_type"),
+      s"q_anova must not shuffle by event_type (conditional sums):\n$pa")
+    // dp counts / variant extract: single keyed rollup each, no cartesian
+    Seq("q_dp_counts", "q_variant_extract").foreach { q =>
+      val p = plan(q)
+      assert(exchanges(p) == 1, s"$q must have exactly one keyed exchange:\n$p")
+    }
+    // adamic-adar: top-10 via TakeOrdered; no cartesian wedge explosion
+    val pd = plan("q_adamic_adar")
+    assert(pd.contains("TakeOrderedAndProject"),
+      s"q_adamic_adar top-10 is not a TakeOrdered:\n$pd")
+    assert(!pd.contains("CartesianProduct"),
+      s"q_adamic_adar went cartesian:\n$pd")
+    // cdc chunking: the boundary window partitions by doc_id, never global
+    val pw8 = plan("q_cdc_chunks")
+    assert(pw8.contains("windowspecdefinition(doc_id"),
+      s"q_cdc_chunks boundary window must partition by doc_id (never global):\n$pw8")
+    assert(pw8.contains("hashpartitioning(doc_id"),
+      s"q_cdc_chunks boundary window lost its doc-keyed exchange:\n$pw8")
+  }
 }
