@@ -735,8 +735,153 @@ object TimeSeriesQueries {
       FROM terms GROUP BY 1 ORDER BY event_type""")
   )
 
+  /** Shared by the robust-trend pair: the same per-type daily count
+    * series q_trend regresses over (x = epoch-day index, y = count). */
+  private def dailySeries(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .select($"event_type",
+        datediff($"d", lit("2024-01-01").cast("date")).cast("long").as("x"), $"y")
+  }
+
+  private val dailySeriesSql =
+    """daily AS (SELECT event_type, DATE_TRUNC('day', ts) AS d, COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+      d AS (SELECT event_type,
+          CAST(DATEDIFF('day', DATE '2024-01-01', CAST(d AS DATE)) AS BIGINT) AS x, y
+        FROM daily)"""
+
+  /** THEIL-SEN robust slope/intercept of the daily series — q_trend's
+    * outlier-proof sibling (OLS moves with one bad day; the median of
+    * pairwise slopes needs >50% of pairs corrupted). Pair fan-out is
+    * days², and days are CALENDAR-bounded, not data-bounded: 10× the
+    * events is the same ~580 days per type, so the pair relation does
+    * not grow with corpus size. Medians are explicit middle-order
+    * statistics (both middles averaged — one commutative 2-term add),
+    * never interpolating quantile functions. */
+  val qTheilSen = GraftQuery(
+    "q_theil_sen",
+    (s, dir) => {
+      import s.implicits._
+      val d = graft.operators.Caches.register(dailySeries(s, dir))
+      val p = d.as("a").join(d.as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.x") < col("b.x"))
+        .select(col("a.event_type").as("event_type"),
+          col("a.x").as("ax"), col("b.x").as("bx"),
+          ((col("b.y") - col("a.y")).cast(DoubleType) / (col("b.x") - col("a.x")))
+            .as("slope"))
+      val wp = Window.partitionBy($"event_type")
+      val ranked = p
+        .withColumn("rn", row_number().over(wp.orderBy($"slope", $"ax", $"bx")))
+        .withColumn("np", count(lit(1)).over(wp))
+      val sl = ranked
+        .filter($"rn" === (($"np" + 1) / 2).cast("long") ||
+          $"rn" === (($"np" + 2) / 2).cast("long"))
+        .groupBy($"event_type")
+        .agg(avg($"slope").as("slope_med"), max($"np").as("n_pairs"))
+      val res = d.join(broadcast(sl), "event_type")
+        .withColumn("res", $"y" - $"slope_med" * $"x")
+      val ranked2 = res
+        .withColumn("rn", row_number().over(wp.orderBy($"res", $"x")))
+        .withColumn("nd", count(lit(1)).over(wp))
+      val ic = ranked2
+        .filter($"rn" === (($"nd" + 1) / 2).cast("long") ||
+          $"rn" === (($"nd" + 2) / 2).cast("long"))
+        .groupBy($"event_type")
+        .agg(avg($"res").as("icept"), max($"nd").as("n_days"))
+      sl.join(ic, "event_type")
+        .select($"event_type", $"n_days", $"n_pairs",
+          round($"slope_med", 6).as("slope"), round($"icept", 6).as("intercept"))
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH $dailySeriesSql,
+      p AS (SELECT a.event_type, a.x AS ax, b.x AS bx,
+          CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+        FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x),
+      r AS (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope, ax, bx) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM p),
+      sl AS (SELECT event_type, AVG(slope) AS slope_med, MAX(np) AS n_pairs
+        FROM r WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2 GROUP BY 1),
+      ir AS (SELECT d.event_type, d.x, d.y - sl.slope_med * d.x AS res
+        FROM d JOIN sl USING (event_type)),
+      ir2 AS (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY res, x) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM ir),
+      ic AS (SELECT event_type, AVG(res) AS icept, MAX(nd) AS n_days
+        FROM ir2 WHERE rn = (nd + 1) // 2 OR rn = (nd + 2) // 2 GROUP BY 1)
+      SELECT sl.event_type, ic.n_days, sl.n_pairs,
+        ROUND(sl.slope_med, 6) AS slope, ROUND(ic.icept, 6) AS intercept
+      FROM sl JOIN ic ON sl.event_type = ic.event_type
+      ORDER BY sl.event_type""")
+  )
+
+  /** MANN-KENDALL trend test on the same daily series: S = Σ sign(yⱼ−yᵢ)
+    * over ordered day pairs — a pure INTEGER statistic, with the
+    * tie-corrected variance also integer until the single z expression.
+    * The nonparametric "is there a monotone trend at all" gate that
+    * belongs next to q_theil_sen's "how steep" (the classic pairing).
+    * Same calendar-bounded pair relation as q_theil_sen. */
+  val qMkTrend = GraftQuery(
+    "q_mk_trend",
+    (s, dir) => {
+      import s.implicits._
+      val d = graft.operators.Caches.register(dailySeries(s, dir))
+      val pairs = d.as("a").join(d.as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.x") < col("b.x"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(signum((col("b.y") - col("a.y")).cast(DoubleType)).cast("long"))
+            .as("s_stat"),
+          count(lit(1)).as("n_pairs"))
+      val nd = d.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+      val ties = d.groupBy($"event_type", $"y").agg(count(lit(1)).as("t"))
+        .groupBy($"event_type")
+        .agg(sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tie_term"))
+      val varS = ($"n_days" * ($"n_days" - 1L) * (lit(2L) * $"n_days" + 5L) -
+        $"tie_term").cast(DoubleType) / lit(18.0)
+      pairs.join(nd, "event_type").join(ties, "event_type")
+        .withColumn("var_s", varS)
+        .select($"event_type", $"n_days", $"s_stat",
+          round($"var_s", 6).as("var_s"),
+          round(
+            when($"var_s" <= 0.0, lit(0.0))
+              .when($"s_stat" > 0L,
+                ($"s_stat" - 1L).cast(DoubleType) / sqrt($"var_s"))
+              .when($"s_stat" < 0L,
+                ($"s_stat" + 1L).cast(DoubleType) / sqrt($"var_s"))
+              .otherwise(lit(0.0)), 6).as("z"))
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH $dailySeriesSql,
+      p AS (SELECT a.event_type,
+          CAST(SUM(CAST(SIGN(CAST(b.y - a.y AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_stat,
+          COUNT(*) AS n_pairs
+        FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x
+        GROUP BY 1),
+      nd AS (SELECT event_type, COUNT(*) AS n_days FROM d GROUP BY 1),
+      ties AS (SELECT event_type,
+          CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, y, COUNT(*) AS t FROM d GROUP BY 1, 2) g
+        GROUP BY 1),
+      m AS (SELECT p.event_type, nd.n_days, p.s_stat,
+          CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - ties.tie_term
+            AS DOUBLE) / 18.0 AS var_s
+        FROM p JOIN nd ON p.event_type = nd.event_type
+        JOIN ties ON p.event_type = ties.event_type)
+      SELECT event_type, n_days, s_stat, ROUND(var_s, 6) AS var_s,
+        ROUND(CASE WHEN var_s <= 0.0 THEN 0.0
+          WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / SQRT(var_s)
+          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / SQRT(var_s)
+          ELSE 0.0 END, 6) AS z
+      FROM m ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi,
       qSeasonalBaseline, qCusum, qPriceIndex, qAcf, qChangepoint,
-      qForecastBacktest)
+      qForecastBacktest, qTheilSen, qMkTrend)
 }

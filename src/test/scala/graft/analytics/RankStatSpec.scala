@@ -212,6 +212,54 @@ class RankStatSpec extends SparkSpec {
       s"chunk token mass $chunkTokens vs corpus $totTokens")
   }
 
+  test("q_theil_sen and q_mk_trend: robust pair agrees with itself and with OLS direction") {
+    val ts = graft.SparkEntry.queries("q_theil_sen")(spark, Dir).collect()
+    val mk = graft.SparkEntry.queries("q_mk_trend")(spark, Dir).collect()
+    assert(ts.length === 5 && mk.length === 5)
+    val mkByType = mk.map(r => r.getString(0) -> r).toMap
+    ts.foreach { r =>
+      val t = r.getString(0)
+      val nDays = r.getLong(r.fieldIndex("n_days"))
+      val nPairs = r.getLong(r.fieldIndex("n_pairs"))
+      assert(nPairs === nDays * (nDays - 1) / 2, s"$t pair count wrong")
+      val slope = r.getDouble(r.fieldIndex("slope"))
+      val m = mkByType(t)
+      val s = m.getLong(m.fieldIndex("s_stat"))
+      // Theil-Sen slope and Mann-Kendall S share a sign by construction
+      // (S counts the same pairwise differences the slopes divide)
+      assert(slope * s >= 0.0, s"$t: slope $slope vs S $s disagree on direction")
+      assert(math.abs(s) <= nPairs, s"$t: |S| cannot exceed pair count")
+      val z = m.getDouble(m.fieldIndex("z"))
+      val varS = m.getDouble(m.fieldIndex("var_s"))
+      assert(varS > 0.0)
+      assert(z * s >= 0.0, s"$t: z sign must follow S")
+    }
+  }
+
+  test("theil-sen median is outlier-robust where OLS is not") {
+    // y = 2x with one catastrophic outlier: OLS slope moves far from 2,
+    // the pairwise-slope median stays exactly 2 (same formula shape as
+    // the query: explicit middle order statistics of pairwise slopes)
+    import spark.implicits._
+    val pts = ((0 until 30).map(i => (i.toLong, 2L * i)) :+ (30L, 100000L))
+      .toDF("x", "y")
+    val p = pts.as("a").join(pts.as("b"), col("a.x") < col("b.x"))
+      .select(((col("b.y") - col("a.y")).cast("double") /
+        (col("b.x") - col("a.x"))).as("slope"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"slope")
+    val ranked = p.withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val med = ranked.filter($"rn" === (($"np" + 1) / 2).cast("long") ||
+        $"rn" === (($"np" + 2) / 2).cast("long"))
+      .agg(avg($"slope")).head().getDouble(0)
+    assert(med === 2.0, s"robust median slope $med != 2.0")
+    val ols = pts.agg(
+      (count(lit(1)) * sum($"x" * $"y") - sum($"x") * sum($"y")).cast("double") /
+        (count(lit(1)) * sum($"x" * $"x") - sum($"x") * sum($"x"))).head().getDouble(0)
+    assert(math.abs(ols - 2.0) > 10.0, s"OLS $ols should be wrecked by the outlier")
+  }
+
   test("q_dp_counts: noise is bounded, keyed, and nonzero somewhere") {
     val rows = graft.SparkEntry.queries("q_dp_counts")(spark, Dir).collect()
     assert(rows.length === 5)
