@@ -1169,9 +1169,12 @@ object MiningQueries {
     * (incident label-weight sums → per-vertex argmax with min-label
     * tie-break → label update), a pure function of the previous round —
     * the same replay style as the pagerank/HITS oracles. */
-  private def lpaOracle(rounds: Int): String = {
+  /** The shared WITH-body of the LPA replay (kNN sparsify → symmetrize →
+    * `rounds` unrolled label updates ending in CTE l`rounds`), reused by
+    * q_label_prop and q_modularity. */
+  private def lpaCtes(rounds: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"""WITH $tradeEdgesSql,
+    sb.append(s"""$tradeEdgesSql,
       $knnEdgesSql,
       sym AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
           SELECT src, dst, w FROM kn
@@ -1191,14 +1194,16 @@ object MiningQueries {
       l$r AS (SELECT l.id, COALESCE(p.lab, l.lab) AS lab
         FROM l${r - 1} l LEFT JOIN p$r p ON l.id = p.vid)""")
     }
-    sb.append(s"""
+    sb.toString
+  }
+
+  private def lpaOracle(rounds: Int): String =
+    s"""WITH ${lpaCtes(rounds)}
       SELECT n1.n_name AS n_name, n2.n_name AS community
       FROM l$rounds f
       JOIN nation n1 ON f.id = n1.n_nationkey
       JOIN nation n2 ON f.lab = n2.n_nationkey
-      ORDER BY community, n_name""")
-    sb.toString
-  }
+      ORDER BY community, n_name"""
 
   /** Community detection on the kNN-sparsified trade graph via
     * deterministic synchronous label propagation ([[Graphs.labelPropagation]]):
@@ -1304,10 +1309,63 @@ object MiningQueries {
       FROM nonadj ORDER BY aa_ppm DESC, a, b LIMIT 10""")
   )
 
+  /** Newman MODULARITY of the LPA partition — the score that says
+    * whether the communities q_label_prop found are real structure or
+    * noise (Q ≈ 0 means no better than random given degrees). Algebra
+    * kept engine-exact by clearing denominators: Q = Σ_c e_c/m₂ −
+    * Σ_c (d_c/m₂)² = (m₂·Σe_c − Σd_c²)/m₂², where Σe_c (within-community
+    * directed weight) is ONE conditional integer sum over the symmetric
+    * edge relation — no per-community float terms — and Σd_c² sums exact
+    * integer community degrees. One IEEE division at the end. */
+  val qModularity = GraftQuery(
+    "q_modularity",
+    (s, dir) => {
+      import s.implicits._
+      val kn = knnEdges(tradeEdges(s, dir), 3)
+      val e = kn.select($"src", $"dst", $"w")
+      val sym = graft.operators.Caches.register(
+        e.union(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
+          .filter($"src" =!= $"dst")
+          .groupBy($"src", $"dst").agg(sum($"w").as("w")))
+      val labels = graft.operators.Caches.register(
+        Graphs.labelPropagation(kn, "src", "dst", "w", rounds = 4))
+      val la = labels.select($"id".as("src"), $"lab".as("lab_a"))
+      val lb = labels.select($"id".as("dst"), $"lab".as("lab_b"))
+      val within = sym.join(broadcast(la), "src").join(broadcast(lb), "dst")
+        .agg(sum(when($"lab_a" === $"lab_b", $"w").otherwise(0L)).as("within_w"),
+          sum($"w").as("m2"))
+      val degSq = sym.groupBy($"src").agg(sum($"w").as("d"))
+        .join(broadcast(labels.select($"id".as("src"), $"lab")), "src")
+        .groupBy($"lab").agg(sum($"d").as("d_c"))
+        .agg(sum($"d_c" * $"d_c").as("deg_sq"), count(lit(1)).as("n_communities"))
+      within.crossJoin(degSq)
+        .select($"n_communities", $"m2", $"within_w", $"deg_sq",
+          round(($"m2" * $"within_w" - $"deg_sq").cast("double") /
+            ($"m2".cast("double") * $"m2".cast("double")), 6).as("modularity"))
+    },
+    Some(s"""WITH ${lpaCtes(4)},
+      j AS (SELECT sym.w, la.lab AS lab_a, lb.lab AS lab_b
+        FROM sym JOIN l4 la ON sym.src = la.id JOIN l4 lb ON sym.dst = lb.id),
+      wi AS (SELECT
+          CAST(SUM(CASE WHEN lab_a = lab_b THEN w ELSE 0 END) AS BIGINT) AS within_w,
+          CAST(SUM(w) AS BIGINT) AS m2
+        FROM j),
+      dg AS (SELECT l4.lab, CAST(SUM(d.d) AS BIGINT) AS d_c
+        FROM (SELECT src, CAST(SUM(w) AS BIGINT) AS d FROM sym GROUP BY 1) d
+        JOIN l4 ON d.src = l4.id GROUP BY 1),
+      ds AS (SELECT CAST(SUM(d_c * d_c) AS BIGINT) AS deg_sq,
+          COUNT(*) AS n_communities FROM dg)
+      SELECT n_communities, m2, within_w, deg_sq,
+        ROUND(CAST(m2 * within_w - deg_sq AS DOUBLE) /
+          (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6) AS modularity
+      FROM wi, ds""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
       qCorrMatrix, qTargetEncode, qCopurchase, qMultiOls,
-      qChisqIndependence, qHhi, qLabelProp, qBfsHops, qAdamicAdar)
+      qChisqIndependence, qHhi, qLabelProp, qBfsHops, qAdamicAdar,
+      qModularity)
 }

@@ -230,6 +230,40 @@ class GraphsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("modularity closure: identity on the query's own accounting, and positive on real cliques") {
+    // q_modularity invariants on sf0.01: |Q| <= 1 and the emitted
+    // integers reproduce the rounded Q exactly
+    val r = graft.SparkEntry.queries("q_modularity")(spark, "/root/testdata/sf0.01").head()
+    val m2 = r.getLong(r.fieldIndex("m2"))
+    val wi = r.getLong(r.fieldIndex("within_w"))
+    val ds = r.getLong(r.fieldIndex("deg_sq"))
+    val q = r.getDouble(r.fieldIndex("modularity"))
+    assert(q >= -1.0 && q <= 1.0)
+    val recomputed = (m2.toDouble * wi - ds) / (m2.toDouble * m2.toDouble)
+    assert(math.abs(q - math.rint(recomputed * 1e6) / 1e6) < 1e-9)
+    // and the formula itself scores a genuinely clustered graph positive:
+    // two weight-5 cliques + weak bridge, LPA labels, same algebra
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b, 5L)
+    val edges = (clique(Seq(0L, 1L, 2L)) ++ clique(Seq(10L, 11L, 12L)) :+
+      (2L, 10L, 1L)).toDF("src", "dst", "w")
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .filter(col("src") =!= col("dst")).groupBy("src", "dst").agg(sum("w").as("w"))
+    val labels = Graphs.labelPropagation(edges, "src", "dst", "w", rounds = 4)
+    val la = labels.select(col("id").as("src"), col("lab").as("la"))
+    val lb = labels.select(col("id").as("dst"), col("lab").as("lb"))
+    val row = sym.join(la, "src").join(lb, "dst")
+      .agg(sum(when(col("la") === col("lb"), col("w")).otherwise(0L)),
+        sum(col("w"))).head()
+    val (wi2, m22) = (row.getLong(0), row.getLong(1))
+    val ds2 = sym.groupBy("src").agg(sum("w").as("d"))
+      .join(labels.select(col("id").as("src"), col("lab")), "src")
+      .groupBy("lab").agg(sum("d").as("dc"))
+      .agg(sum(col("dc") * col("dc"))).head().getLong(0)
+    val q2 = (m22.toDouble * wi2 - ds2) / (m22.toDouble * m22.toDouble)
+    assert(q2 > 0.3, s"two-clique graph must score clearly positive, got $q2")
+  }
+
   test("bfs: min-hop on a diamond with a shortcut; depth bound respected") {
     // 0->1->3, 0->2->3, 0->3 direct; 3->4->5 beyond the bound
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (0L, 3L),
