@@ -1361,8 +1361,53 @@ object MiningQueries {
       FROM wi, ds""")
   )
 
+  /** 2-D SKYLINE (dominance frontier): parts not dominated on
+    * (cheaper price, larger size) — the multi-objective shortlist
+    * operator (cost/quality frontiers, model-size/score frontiers).
+    * The naive formulation is an O(n²) NOT-EXISTS self-join; in 2-D it
+    * collapses to ONE ordered window: a part is dominated iff a
+    * strictly-cheaper part has size ≥ its own (RANGE-framed max over
+    * cheaper cents) or an equal-price part has size strictly larger
+    * (RANGE max including the current price group). Integer cents +
+    * integer sizes keep every comparison engine-exact. One sort, one
+    * window, zero joins — the shape that survives any corpus size
+    * (at 100 TB the sort is Spark's range-partitioned ordering; the
+    * RANGE frame never needs cross-partition state beyond the sort). */
+  val qSkyline = GraftQuery(
+    "q_skyline",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"cents")
+      Tables.part(s, dir)
+        .select($"p_partkey", $"p_retailprice", $"p_size",
+          ($"p_retailprice".cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        .withColumn("max_sz_cheaper",
+          max($"p_size").over(w.rangeBetween(Window.unboundedPreceding, -1)))
+        .withColumn("max_sz_upto",
+          max($"p_size").over(w.rangeBetween(Window.unboundedPreceding, 0)))
+        .filter(coalesce($"max_sz_cheaper" < $"p_size", lit(true)) &&
+          !($"max_sz_upto" > $"p_size"))
+        .select($"p_partkey", $"p_retailprice", $"p_size")
+        .orderBy($"p_retailprice", $"p_partkey")
+    },
+    Some("""WITH c AS (SELECT p_partkey, p_retailprice, p_size,
+        CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM part),
+      f AS (SELECT p_partkey, p_retailprice, p_size,
+        MAX(p_size) OVER (ORDER BY cents
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_sz_cheaper,
+        MAX(p_size) OVER (ORDER BY cents
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_sz_upto
+      FROM c)
+      SELECT p_partkey, p_retailprice, p_size FROM f
+      WHERE COALESCE(max_sz_cheaper < p_size, TRUE)
+        AND NOT (max_sz_upto > p_size)
+      ORDER BY p_retailprice, p_partkey""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
+    Seq(qSkyline,
+      qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
       qCorrMatrix, qTargetEncode, qCopurchase, qMultiOls,

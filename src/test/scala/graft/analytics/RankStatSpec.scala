@@ -260,6 +260,28 @@ class RankStatSpec extends SparkSpec {
     assert(math.abs(ols - 2.0) > 10.0, s"OLS $ols should be wrecked by the outlier")
   }
 
+  test("q_skyline: window formulation equals the brute-force NOT-EXISTS dominance check") {
+    import spark.implicits._
+    val sky = graft.SparkEntry.queries("q_skyline")(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(sky.nonEmpty)
+    // frontier shape: along ascending price, sizes strictly increase
+    val sizes = sky.sortBy(x => (x._2, x._1)).map(_._3)
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a < b },
+      s"frontier sizes must strictly increase: ${sizes.mkString(",")}")
+    // brute force on the same data (n=2000: the O(n^2) check is fine here)
+    val pts = graft.Tables.part(spark, Dir)
+      .select($"p_partkey", $"p_retailprice", $"p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val brute = pts.filter { case (k, p, sz) =>
+      !pts.exists { case (k2, p2, sz2) =>
+        k2 != k && p2 <= p && sz2 >= sz && (p2 < p || sz2 > sz)
+      }
+    }.map(_._1).toSet
+    assert(sky.map(_._1).toSet === brute,
+      s"window skyline ${sky.map(_._1).toSet} != brute force $brute")
+  }
+
   test("q_dp_counts: noise is bounded, keyed, and nonzero somewhere") {
     val rows = graft.SparkEntry.queries("q_dp_counts")(spark, Dir).collect()
     assert(rows.length === 5)
