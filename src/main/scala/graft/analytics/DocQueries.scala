@@ -2059,40 +2059,53 @@ object DocQueries {
     * is filtered to query terms BEFORE any shuffle (tokens explode →
     * isin filter → (doc,term) rollup), df is a terms-sized broadcast,
     * dl a one-pass rollup; top-20 via rounded-score order. */
+  /** Full-corpus BM25 scoring relation (doc_id, score_bm25) — the Spark
+    * twin of [[bm25Ctes]], shared by q_bm25 and q_rrf_fusion. */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val terms = Seq("hash", "join", "stream", "window")
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+    val dl = docs.select($"doc_id", size($"toks").cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum($"dl").as("total_dl"))
+    val tf = docs.select($"doc_id", explode($"toks").as("tok"))
+      .filter($"tok".isin(terms: _*))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"total_dl".cast("double") / $"n".cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (($"n" - $"df").cast("double") + lit(0.5)) /
+          ($"df".cast("double") + lit(0.5))))
+      .withColumn("w",
+        $"idf" * ($"tf".cast("double") * lit(2.2)) /
+          ($"tf".cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl".cast("double") / $"avgdl"))))
+    val score = terms.foldLeft(lit(0.0)) { (acc, t) =>
+      acc + sum(when($"tok" === t, $"w").otherwise(lit(0.0)))
+    }
+    contrib.groupBy($"doc_id").agg(round(score, 6).as("score_bm25"))
+  }
+
   val qBm25 = GraftQuery(
     "q_bm25",
     (s, dir) => {
       import s.implicits._
-      val terms = Seq("hash", "join", "stream", "window")
-      val docs = Tables.documents(s, dir)
-        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
-      val dl = docs.select($"doc_id", size($"toks").cast("long").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n"), sum($"dl").as("total_dl"))
-      val tf = docs.select($"doc_id", explode($"toks").as("tok"))
-        .filter($"tok".isin(terms: _*))
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-      val contrib = tf
-        .join(broadcast(df), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("avgdl", $"total_dl".cast("double") / $"n".cast("double"))
-        .withColumn("idf",
-          log(lit(1.0) + (($"n" - $"df").cast("double") + lit(0.5)) /
-            ($"df".cast("double") + lit(0.5))))
-        .withColumn("w",
-          $"idf" * ($"tf".cast("double") * lit(2.2)) /
-            ($"tf".cast("double") +
-              lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl".cast("double") / $"avgdl"))))
-      val score = terms.foldLeft(lit(0.0)) { (acc, t) =>
-        acc + sum(when($"tok" === t, $"w").otherwise(lit(0.0)))
-      }
-      contrib.groupBy($"doc_id")
-        .agg(round(score, 6).as("score_bm25"))
-        .orderBy($"score_bm25".desc, $"doc_id")
-        .limit(20)
+      bm25Scored(s, dir).orderBy($"score_bm25".desc, $"doc_id").limit(20)
     },
-    Some("""WITH docs AS (SELECT doc_id,
+    Some(s"""WITH $bm25Ctes
+      SELECT doc_id, score_bm25 FROM bm25sc
+      ORDER BY score_bm25 DESC, doc_id LIMIT 20""")
+  )
+
+  /** CTE chain producing `bm25sc(doc_id, score_bm25)` — the full corpus
+    * BM25 scoring shared by q_bm25's top-20 and q_rrf_fusion's rank list.
+    * (def, not val: referenced from queries declared lexically earlier.) */
+  private def bm25Ctes: String =
+    """docs AS (SELECT doc_id,
         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
       FROM documents),
       dl AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM docs),
@@ -2110,14 +2123,77 @@ object DocQueries {
                (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))) AS w
         FROM tf JOIN df ON tf.tok = df.tok
         JOIN dl ON tf.doc_id = dl.doc_id
-        CROSS JOIN stats s)
-      SELECT doc_id,
+        CROSS JOIN stats s),
+      bm25sc AS (SELECT doc_id,
         ROUND(((SUM(CASE WHEN tok = 'hash' THEN w ELSE 0.0 END)
           + SUM(CASE WHEN tok = 'join' THEN w ELSE 0.0 END))
           + SUM(CASE WHEN tok = 'stream' THEN w ELSE 0.0 END))
           + SUM(CASE WHEN tok = 'window' THEN w ELSE 0.0 END), 6) AS score_bm25
-      FROM c GROUP BY doc_id
-      ORDER BY score_bm25 DESC, doc_id LIMIT 20""")
+      FROM c GROUP BY doc_id)"""
+
+  /** Reciprocal-rank fusion (k=60) of the BM25 relevance ranking with
+    * the quality-score ranking — hybrid retrieval's standard fusion, and
+    * exactly how curation pipelines blend "matches the query" with "is
+    * worth training on". Rank lists are deterministic (explicit
+    * tie-breaks), each system's 1/(60+rank) term quantizes to integer
+    * ppm, and the two-term fusion adds in fixed order — the whole
+    * ranking is engine-exact. Docs in only one list keep their single
+    * term (full outer join), the RRF convention. */
+  val qRrfFusion = GraftQuery(
+    "q_rrf_fusion",
+    (s, dir) => {
+      import s.implicits._
+      val wA = Window.orderBy($"score_bm25".desc, $"doc_id")
+      val ra = bm25Scored(s, dir)
+        .withColumn("rank_bm25", row_number().over(wA))
+        .filter($"rank_bm25" <= 50).select($"doc_id", $"rank_bm25")
+      val wB = Window.orderBy($"q".desc, $"doc_id")
+      val rb = Tables.documents(s, dir)
+        .select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+        .withColumn("rank_quality", row_number().over(wB))
+        .filter($"rank_quality" <= 50).select($"doc_id", $"rank_quality")
+      def term(rank: org.apache.spark.sql.Column) =
+        coalesce(floor(lit(1000000.0) / (lit(60) + rank) + lit(0.5)).cast("long"),
+          lit(0L))
+      ra.join(rb, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_ppm", term($"rank_bm25") + term($"rank_quality"))
+        .orderBy($"rrf_ppm".desc, $"doc_id").limit(20)
+        .select($"doc_id", $"rank_bm25", $"rank_quality", $"rrf_ppm",
+          round($"rrf_ppm".cast("double") / lit(1000000.0), 6).as("rrf_score"))
+    },
+    Some(s"""WITH $bm25Ctes,
+      ra AS (SELECT doc_id, rank_bm25 FROM (
+          SELECT doc_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY score_bm25 DESC, doc_id) AS INTEGER)
+              AS rank_bm25
+          FROM bm25sc) t WHERE rank_bm25 <= 50),
+      tq AS (SELECT doc_id, text,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents),
+      mq AS (SELECT doc_id,
+          CAST(LENGTH(text) AS DOUBLE) AS len,
+          CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+          CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+        FROM tq),
+      qsc AS (SELECT doc_id,
+          ROUND(LEAST(len / 50.0, 1.0) * (CASE WHEN len > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+            + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+            + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) AS q
+        FROM mq),
+      rb AS (SELECT doc_id, rank_quality FROM (
+          SELECT doc_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS INTEGER)
+              AS rank_quality
+          FROM qsc) t WHERE rank_quality <= 50),
+      f AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+          ra.rank_bm25, rb.rank_quality,
+          COALESCE(CAST(FLOOR(1000000.0 / (60 + ra.rank_bm25) + 0.5) AS BIGINT), 0)
+            + COALESCE(CAST(FLOOR(1000000.0 / (60 + rb.rank_quality) + 0.5) AS BIGINT), 0)
+            AS rrf_ppm
+        FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+      SELECT doc_id, rank_bm25, rank_quality, rrf_ppm,
+        ROUND(CAST(rrf_ppm AS DOUBLE) / 1000000.0, 6) AS rrf_score
+      FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 20""")
   )
 
   /** Maximal Marginal Relevance re-rank: greedy λ-tradeoff between
@@ -2284,7 +2360,7 @@ object DocQueries {
   )
 
   val all: Seq[GraftQuery] = Seq(
-    qBm25, qMmrDiversify, qNdcg,
+    qBm25, qMmrDiversify, qNdcg, qRrfFusion,
     qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,

@@ -282,6 +282,26 @@ class RankStatSpec extends SparkSpec {
       s"window skyline ${sky.map(_._1).toSet} != brute force $brute")
   }
 
+  test("q_rrf_fusion: ppm terms reproduce the ranks; ordering is total") {
+    val rows = graft.SparkEntry.queries("q_rrf_fusion")(spark, Dir).collect()
+    assert(rows.length === 20)
+    def ppm(rank: Any): Long = rank match {
+      case null => 0L
+      case i: Int => math.floor(1e6 / (60 + i) + 0.5).toLong
+    }
+    rows.foreach { r =>
+      val expected = ppm(r.get(r.fieldIndex("rank_bm25"))) +
+        ppm(r.get(r.fieldIndex("rank_quality")))
+      assert(r.getLong(r.fieldIndex("rrf_ppm")) === expected)
+      assert(r.get(r.fieldIndex("rank_bm25")) != null ||
+        r.get(r.fieldIndex("rank_quality")) != null,
+        "a fused row must come from at least one system")
+    }
+    val ppms = rows.map(_.getLong(rows.head.fieldIndex("rrf_ppm")))
+    assert(ppms.zip(ppms.tail).forall { case (a, b) => a >= b },
+      "fusion output must be score-descending")
+  }
+
   test("q_dp_counts: noise is bounded, keyed, and nonzero somewhere") {
     val rows = graft.SparkEntry.queries("q_dp_counts")(spark, Dir).collect()
     assert(rows.length === 5)
