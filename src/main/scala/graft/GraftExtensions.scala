@@ -114,6 +114,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val d = if (c.length == 3) intLit(c(2), "graft_jl_project", "dim") else 64
       graft.expressions.JlProject(c.head, p, d)
     }
+    register("graft_jaro_winkler", classOf[graft.expressions.JaroWinkler],
+        "graft_jaro_winkler(a, b)") { c =>
+      require(c.length == 2, "graft_jaro_winkler(a, b)")
+      graft.expressions.JaroWinkler(c.head, c(1))
+    }
     register("graft_gram_matrix", classOf[graft.expressions.GramMatrix],
         "graft_gram_matrix(vec)") { c =>
       require(c.length == 1, "graft_gram_matrix(vec)")

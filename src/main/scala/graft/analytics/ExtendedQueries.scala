@@ -1156,7 +1156,77 @@ object ExtendedQueries {
       GROUP BY f.flag ORDER BY f.flag""")
   )
 
+  /** Jaro-Winkler record-linkage ACCURACY experiment through the native
+    * codegen'd [[graft.expressions.JaroWinkler]] expression (Spark has
+    * levenshtein built in but no JW — the prefix-weighted,
+    * transposition-tolerant similarity record linkage actually uses).
+    * Each customer name gets a keyed adjacent-digit TRANSPOSITION (the
+    * exact error class JW was designed for: levenshtein charges it 2,
+    * JW barely moves); the corrupted name is then scored against its
+    * true source and against the next customer's name as a decoy, and
+    * the summary row reports how often JW ranks truth above decoy.
+    * The oracle rebuilds the identical corruption and scores with
+    * DuckDB's jaro_winkler_similarity — an independent C++
+    * implementation of the same jellyfish algorithm, so the expression
+    * is cross-engine certified (round-6 scores; the byte-wise integer
+    * match/transposition counts must agree exactly). JW score sums
+    * quantize to integer ppm — no unordered double accumulation. All
+    * joins are key-equi; one output row. */
+  val qJwMatch = GraftQuery(
+    "q_jw_match",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+        .filter($"c_name".isNotNull)
+        .select($"c_custkey", $"c_name")
+        .withColumn("p", (lit(10) + $"c_custkey" % 7).cast("int"))
+        .withColumn("corr", expr(
+          """concat(substring(c_name, 1, p - 1),
+             substring(c_name, p + 1, 1),
+             substring(c_name, p, 1),
+             substring(c_name, p + 2, length(c_name)))"""))
+      val nxt = c.select(($"c_custkey" - 1).as("c_custkey"),
+        $"c_name".as("decoy_name"))
+      val jwE = graft.expressions.JaroWinklerExpr.jaroWinkler _
+      val scored = c.join(nxt, "c_custkey")
+        .withColumn("jw_self", round(jwE($"corr", $"c_name"), 6))
+        .withColumn("jw_decoy", round(jwE($"corr", $"decoy_name"), 6))
+      scored.agg(
+        count(lit(1)).as("n"),
+        sum(when($"jw_self" > $"jw_decoy", 1L).otherwise(0L)).as("n_correct"),
+        round(sum(when($"jw_self" > $"jw_decoy", 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6).as("accuracy"),
+        round(min($"jw_self"), 6).as("min_jw_self"),
+        round(max($"jw_decoy"), 6).as("max_jw_decoy"),
+        sum(floor($"jw_self" * 1000000.0 + 0.5).cast(LongType)).as("sum_self_ppm"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_name,
+        CAST(10 + c_custkey % 7 AS INT) AS p
+      FROM customer WHERE c_name IS NOT NULL),
+      k AS (SELECT c_custkey, c_name,
+        substring(c_name, 1, p - 1) || substring(c_name, p + 1, 1)
+          || substring(c_name, p, 1) || substring(c_name, p + 2, length(c_name)) AS corr
+      FROM c),
+      j AS (SELECT k.c_custkey, k.c_name, k.corr, n.c_name AS decoy_name
+        FROM k JOIN (SELECT c_custkey - 1 AS c_custkey, c_name FROM c) n
+          USING (c_custkey)),
+      sc AS (SELECT
+          ROUND(jaro_winkler_similarity(corr, c_name), 6) AS jw_self,
+          ROUND(jaro_winkler_similarity(corr, decoy_name), 6) AS jw_decoy
+        FROM j)
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CASE WHEN jw_self > jw_decoy THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        ROUND(CAST(SUM(CASE WHEN jw_self > jw_decoy THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+        ROUND(MIN(jw_self), 6) AS min_jw_self,
+        ROUND(MAX(jw_decoy), 6) AS max_jw_decoy,
+        CAST(SUM(CAST(FLOOR(jw_self * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS sum_self_ppm
+      FROM sc""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qJwMatch,
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
