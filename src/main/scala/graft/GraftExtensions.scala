@@ -119,6 +119,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(c.length == 2, "graft_jaro_winkler(a, b)")
       graft.expressions.JaroWinkler(c.head, c(1))
     }
+    register("graft_damerau", classOf[graft.expressions.DamerauLevenshtein],
+        "graft_damerau(a, b)") { c =>
+      require(c.length == 2, "graft_damerau(a, b)")
+      graft.expressions.DamerauLevenshtein(c.head, c(1))
+    }
+    register("graft_hamming", classOf[graft.expressions.HammingDistance],
+        "graft_hamming(a, b)") { c =>
+      require(c.length == 2, "graft_hamming(a, b)")
+      graft.expressions.HammingDistance(c.head, c(1))
+    }
+    register("graft_char_jaccard", classOf[graft.expressions.CharSetJaccard],
+        "graft_char_jaccard(a, b)") { c =>
+      require(c.length == 2, "graft_char_jaccard(a, b)")
+      graft.expressions.CharSetJaccard(c.head, c(1))
+    }
     register("graft_gram_matrix", classOf[graft.expressions.GramMatrix],
         "graft_gram_matrix(vec)") { c =>
       require(c.length == 1, "graft_gram_matrix(vec)")

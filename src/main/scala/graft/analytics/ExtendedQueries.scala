@@ -1225,8 +1225,74 @@ object ExtendedQueries {
       FROM sc""")
   )
 
+  /** The full record-linkage metric PANEL over three keyed corruption
+    * classes (adjacent-digit transposition / substitution / deletion):
+    * built-in levenshtein beside the three native kernels
+    * ([[graft.expressions.StringMetricKernels]] — unrestricted
+    * Damerau-Levenshtein, Hamming, char-set Jaccard), rolled up by
+    * (class, distance triple). The panel certifies each metric's
+    * CHARACTERISTIC signature: a transposition costs levenshtein 2 but
+    * Damerau 1; deletion voids Hamming (length mismatch → NULL, where
+    * DuckDB raises — the oracle guards on length like any caller must);
+    * transposition leaves char-set Jaccard at exactly 1. All map-side
+    * kernel calls; one rollup bounded by the handful of signatures. */
+  val qStringMetrics = GraftQuery(
+    "q_string_metrics",
+    (s, dir) => {
+      import s.implicits._
+      import graft.expressions.JaroWinklerExpr._
+      val c = Tables.customer(s, dir)
+        .filter($"c_name".isNotNull)
+        .withColumn("p", (lit(10) + $"c_custkey" % 7).cast("int"))
+        .withColumn("cls", ($"c_custkey" % 3).cast("int"))
+        .withColumn("corr", expr(
+          """CASE CAST(c_custkey % 3 AS INT)
+             WHEN 0 THEN concat(substring(c_name, 1, p - 1),
+               substring(c_name, p + 1, 1), substring(c_name, p, 1),
+               substring(c_name, p + 2, length(c_name)))
+             WHEN 1 THEN concat(substring(c_name, 1, p - 1), 'x',
+               substring(c_name, p + 1, length(c_name)))
+             ELSE concat(substring(c_name, 1, p - 1),
+               substring(c_name, p + 1, length(c_name))) END"""))
+      c.select($"cls",
+          levenshtein($"corr", $"c_name").as("lev_dist"),
+          damerau($"corr", $"c_name").as("dam_dist"),
+          hammingDist($"corr", $"c_name").as("ham_dist"),
+          round(charJaccard($"corr", $"c_name"), 6).as("jac"))
+        .groupBy($"cls", $"lev_dist", $"dam_dist", $"ham_dist")
+        .agg(count(lit(1)).as("n"),
+          round(min($"jac"), 6).as("min_jac"),
+          round(max($"jac"), 6).as("max_jac"))
+        .orderBy($"cls", $"lev_dist", $"dam_dist", asc_nulls_first("ham_dist"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_name,
+        CAST(10 + c_custkey % 7 AS INT) AS p,
+        CAST(c_custkey % 3 AS INT) AS cls
+      FROM customer WHERE c_name IS NOT NULL),
+      k AS (SELECT cls, c_name,
+        CASE cls
+          WHEN 0 THEN substring(c_name, 1, p - 1) || substring(c_name, p + 1, 1)
+            || substring(c_name, p, 1) || substring(c_name, p + 2, length(c_name))
+          WHEN 1 THEN substring(c_name, 1, p - 1) || 'x'
+            || substring(c_name, p + 1, length(c_name))
+          ELSE substring(c_name, 1, p - 1)
+            || substring(c_name, p + 1, length(c_name)) END AS corr
+      FROM c),
+      m AS (SELECT cls,
+          CAST(levenshtein(corr, c_name) AS INT) AS lev_dist,
+          CAST(damerau_levenshtein(corr, c_name) AS INT) AS dam_dist,
+          CASE WHEN length(corr) = length(c_name)
+            THEN CAST(hamming(corr, c_name) AS INT) ELSE NULL END AS ham_dist,
+          ROUND(jaccard(corr, c_name), 6) AS jac
+        FROM k)
+      SELECT cls, lev_dist, dam_dist, ham_dist, COUNT(*) AS n,
+        ROUND(MIN(jac), 6) AS min_jac, ROUND(MAX(jac), 6) AS max_jac
+      FROM m GROUP BY 1, 2, 3, 4
+      ORDER BY cls, lev_dist, dam_dist, ham_dist NULLS FIRST""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qJwMatch,
+    qJwMatch, qStringMetrics,
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,

@@ -42,6 +42,41 @@ class JaroWinklerSpec extends SparkSpec {
     }
   }
 
+  test("damerau-levenshtein matches DuckDB (UNRESTRICTED variant) on reference pairs") {
+    def dl(a: String, b: String): Int =
+      StringMetricKernels.damerauLevenshtein(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // values probed from DuckDB damerau_levenshtein; ("ca","abc") = 2 is
+    // the unrestricted-vs-OSA witness (OSA would answer 3)
+    val ref = Seq(
+      ("ca", "abc", 2), ("abcdef", "abcfad", 3), ("martha", "marhta", 1),
+      ("kitten", "sitting", 3), ("abc", "abc", 0), ("", "abc", 3),
+      ("abc", "", 3), ("spark", "sprak", 1))
+    ref.foreach { case (a, b, expected) =>
+      assert(dl(a, b) === expected, s"damerau($a, $b)")
+      assert(dl(b, a) === expected, s"damerau symmetry ($a, $b)")
+    }
+  }
+
+  test("hamming and char-jaccard kernels: DuckDB semantics") {
+    def h(a: String, b: String): Int =
+      StringMetricKernels.hamming(UTF8String.fromString(a), UTF8String.fromString(b))
+    def j(a: String, b: String): Double =
+      StringMetricKernels.charJaccard(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(h("abcde", "abcdf") === 1)           // DuckDB: hamming = 1
+    assert(h("abc", "abc") === 0)
+    assert(h("ab", "abc") === Int.MinValue)     // mismatch sentinel -> NULL
+    assert(j("spark", "sprak") === 1.0)         // set semantics
+    assert(j("aab", "ab") === 1.0)              // multiset collapses
+    assert(j("abc", "xyz") === 0.0)
+    assert(j("", "abc").isNaN)                  // empty sentinel -> NULL
+    // SQL surface returns NULL for the sentinel cases
+    import spark.implicits._
+    val r = Seq(("ab", "abc")).toDF("a", "b")
+      .selectExpr("graft_hamming(a, b)", "graft_char_jaccard('', b)").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("SQL registration and codegen path agree with the kernel") {
     import spark.implicits._
     val df = Seq(("martha", "marhta"), ("dixon", "dicksonx"), ("spark", "sprak"))
