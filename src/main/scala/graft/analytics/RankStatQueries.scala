@@ -418,6 +418,83 @@ object RankStatQueries {
     }
   )
 
+  /** HUBER robust mean of purchase spend — the M-estimator between the
+    * outlier-fragile mean and the inefficiency of the median, via 3
+    * fixed IRLS rounds (clip at μ±c, re-average). Engine-exactness
+    * comes from INTEGER STATE: observations live in exact micro-dollar
+    * longs, the clip width c (1.345·1.4826·MAD, the textbook 95%-
+    * efficiency constant) quantizes once to micro-dollars, and each
+    * round's new μ is floor(mean-of-clipped + 0.5) back to integer
+    * micro-dollars — so every round's sum is an exact integer sum and
+    * the whole fixed point unrolls into three oracle CTEs. Start point
+    * is the exact median (ExactQuantiles ↔ QUANTILE_CONT parity,
+    * established by the quantile family). */
+  val qHuberMean = GraftQuery(
+    "q_huber_mean",
+    (s, dir) => {
+      import s.implicits._
+      import graft.expressions.ExactQuantiles
+      val ev = graft.operators.Caches.register(
+        Tables.events(s, dir).filter($"event_type" === "purchase")
+          .select((($"value".cast(DecimalType(18, 2)) * 100).cast(LongType) *
+            lit(10000L)).as("xm"), $"value"))
+      val med = ev.agg(element_at(
+        ExactQuantiles.quantiles($"value", Seq(0.5)), 1).as("med"))
+      val mad = ev.crossJoin(broadcast(med))
+        .agg(element_at(
+          ExactQuantiles.quantiles(abs($"value" - $"med"), Seq(0.5)), 1).as("mad"))
+      val params = med.crossJoin(mad)
+        .select($"med",
+          floor($"med" * lit(1000000.0) + lit(0.5)).cast(LongType).as("mu"),
+          floor(lit(1.345) * lit(1.4826) * $"mad" * lit(1000000.0) + lit(0.5))
+            .cast(LongType).as("c"))
+      var state = params.select($"mu", $"c")
+      for (_ <- 1 to 3) {
+        state = ev.crossJoin(broadcast(state))
+          .agg(
+            floor(sum(least(greatest($"xm", $"mu" - $"c"), $"mu" + $"c"))
+              .cast(DoubleType) / count(lit(1)).cast(DoubleType) + lit(0.5))
+              .cast(LongType).as("mu"),
+            max($"c").as("c"))
+      }
+      val st = ev.agg(count(lit(1)).as("n"), sum($"xm").as("sx"))
+      st.crossJoin(broadcast(params.select($"med", $"c")))
+        .crossJoin(broadcast(state.select($"mu")))
+        .select($"n",
+          round($"med", 6).as("median"),
+          round($"c".cast(DoubleType) / lit(1000000.0), 6).as("clip_width"),
+          round($"mu".cast(DoubleType) / lit(1000000.0), 6).as("mu_huber"),
+          round($"sx".cast(DoubleType) / $"n".cast(DoubleType) / lit(1000000.0), 6)
+            .as("mean_plain"))
+    },
+    Some("""WITH ev AS (SELECT
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000 AS xm, value
+      FROM events WHERE event_type = 'purchase'),
+      med AS (SELECT QUANTILE_CONT(value, 0.5) AS med FROM ev),
+      mad AS (SELECT QUANTILE_CONT(ABS(value - med), 0.5) AS mad FROM ev, med),
+      par AS (SELECT med.med,
+          CAST(FLOOR(med.med * 1000000.0 + 0.5) AS BIGINT) AS mu,
+          CAST(FLOOR(1.345 * 1.4826 * mad.mad * 1000000.0 + 0.5) AS BIGINT) AS c
+        FROM med, mad),
+      r1 AS (SELECT CAST(FLOOR(CAST(SUM(LEAST(GREATEST(xm, mu - c), mu + c)) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS mu, MAX(c) AS c
+        FROM ev, par),
+      r2 AS (SELECT CAST(FLOOR(CAST(SUM(LEAST(GREATEST(xm, mu - c), mu + c)) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS mu, MAX(c) AS c
+        FROM ev, r1),
+      r3 AS (SELECT CAST(FLOOR(CAST(SUM(LEAST(GREATEST(xm, mu - c), mu + c)) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS mu, MAX(c) AS c
+        FROM ev, r2),
+      st AS (SELECT COUNT(*) AS n, CAST(SUM(xm) AS BIGINT) AS sx FROM ev)
+      SELECT st.n, ROUND(par.med, 6) AS median,
+        ROUND(CAST(par.c AS DOUBLE) / 1000000.0, 6) AS clip_width,
+        ROUND(CAST(r3.mu AS DOUBLE) / 1000000.0, 6) AS mu_huber,
+        ROUND(CAST(st.sx AS DOUBLE) / CAST(st.n AS DOUBLE) / 1000000.0, 6)
+          AS mean_plain
+      FROM st, par, r3""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qSpearman, qMannWhitney, qAuc, qDpCounts, qBootstrapCi, qAnova)
+    Seq(qSpearman, qMannWhitney, qAuc, qDpCounts, qBootstrapCi, qAnova,
+      qHuberMean)
 }

@@ -302,6 +302,20 @@ class RankStatSpec extends SparkSpec {
       "fusion output must be score-descending")
   }
 
+  test("q_huber_mean: sits between median and mean on right-skewed spend") {
+    val r = graft.SparkEntry.queries("q_huber_mean")(spark, Dir).head()
+    val med = r.getDouble(r.fieldIndex("median"))
+    val hub = r.getDouble(r.fieldIndex("mu_huber"))
+    val mean = r.getDouble(r.fieldIndex("mean_plain"))
+    val c = r.getDouble(r.fieldIndex("clip_width"))
+    assert(c > 0.0)
+    // spend is right-skewed: the robust location must be pulled DOWN
+    // from the mean toward the median, but not past it
+    assert(mean > med, "precondition: skewed data")
+    assert(hub < mean && hub > med,
+      s"huber $hub must sit strictly between median $med and mean $mean")
+  }
+
   test("q_dp_counts: noise is bounded, keyed, and nonzero somewhere") {
     val rows = graft.SparkEntry.queries("q_dp_counts")(spark, Dir).collect()
     assert(rows.length === 5)
