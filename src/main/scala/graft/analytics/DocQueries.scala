@@ -2359,8 +2359,90 @@ object DocQueries {
     }
   )
 
+  /** One-row DATASET CARD for the document corpus — the summary block
+    * every published training set ships (size, vocabulary, duplication,
+    * language mix, quality): n_docs, token mass, exact vocabulary size,
+    * exact-dup rate, English share, language-mix Shannon entropy, mean
+    * quality and mean length. Composition of already-certified kernels;
+    * every float lands through the house quantizations (per-language
+    * entropy terms → integer nano units, per-doc quality → integer ppm)
+    * so no unordered double sum exists anywhere in the row. */
+  val qCorpusCard = GraftQuery(
+    "q_corpus_card",
+    (s, dir) => {
+      import s.implicits._
+      val docs = graft.operators.Caches.register(
+        Tables.documents(s, dir).select($"doc_id", $"lang", $"text",
+          TextAnalysis.tokens($"text").as("toks"),
+          TextAnalysis.qualityScore($"text").as("q")))
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size($"toks").cast("long")).as("total_tokens"),
+        countDistinct(md5($"text")).as("n_distinct_texts"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(floor($"q" * lit(1000000.0) + lit(0.5)).cast("long")).as("q_ppm"))
+      val vocab = docs.select(explode($"toks").as("tok"))
+        .agg(countDistinct($"tok").as("vocab_size"))
+      val ent = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+        .select(floor(($"c".cast("double") / $"nd".cast("double")) *
+          log($"nd".cast("double") / $"c".cast("double")) * lit(1.0e9) + lit(0.5))
+          .cast("long").as("t"))
+        .agg(sum($"t").as("ent_nano"))
+      base.crossJoin(vocab).crossJoin(ent)
+        .select($"n_docs", $"total_tokens", $"vocab_size",
+          round(lit(1.0) - $"n_distinct_texts".cast("double") /
+            $"n_docs".cast("double"), 6).as("dup_rate"),
+          round($"n_en".cast("double") / $"n_docs".cast("double"), 6)
+            .as("en_share"),
+          round($"ent_nano".cast("double") / lit(1.0e9), 6).as("lang_entropy"),
+          round($"q_ppm".cast("double") / $"n_docs".cast("double") /
+            lit(1000000.0), 6).as("mean_quality"),
+          round($"total_tokens".cast("double") / $"n_docs".cast("double"), 6)
+            .as("mean_tokens"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      mq AS (SELECT doc_id,
+          CAST(LENGTH(text) AS DOUBLE) AS len,
+          CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+          CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+        FROM t),
+      qs AS (SELECT doc_id,
+          ROUND(LEAST(len / 50.0, 1.0) * (CASE WHEN len > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+            + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+            + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) AS q
+        FROM mq),
+      base AS (SELECT COUNT(*) AS n_docs,
+          CAST(SUM(LEN(toks)) AS BIGINT) AS total_tokens,
+          COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        FROM t),
+      qp AS (SELECT CAST(SUM(CAST(FLOOR(q * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS q_ppm FROM qs),
+      vocab AS (SELECT COUNT(DISTINCT tok) AS vocab_size
+        FROM (SELECT unnest(toks) AS tok FROM t) u),
+      ent AS (SELECT CAST(SUM(CAST(FLOOR(
+            (CAST(c AS DOUBLE) / CAST(nd AS DOUBLE))
+              * LN(CAST(nd AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000000.0 + 0.5)
+            AS BIGINT)) AS BIGINT) AS ent_nano
+        FROM (SELECT lang, COUNT(*) AS c FROM t GROUP BY 1) g,
+          (SELECT COUNT(*) AS nd FROM t) n)
+      SELECT base.n_docs, base.total_tokens, vocab.vocab_size,
+        ROUND(1.0 - CAST(base.n_distinct_texts AS DOUBLE) / CAST(base.n_docs AS DOUBLE), 6)
+          AS dup_rate,
+        ROUND(CAST(base.n_en AS DOUBLE) / CAST(base.n_docs AS DOUBLE), 6) AS en_share,
+        ROUND(CAST(ent.ent_nano AS DOUBLE) / 1000000000.0, 6) AS lang_entropy,
+        ROUND(CAST(qp.q_ppm AS DOUBLE) / CAST(base.n_docs AS DOUBLE) / 1000000.0, 6)
+          AS mean_quality,
+        ROUND(CAST(base.total_tokens AS DOUBLE) / CAST(base.n_docs AS DOUBLE), 6)
+          AS mean_tokens
+      FROM base, qp, vocab, ent""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qBm25, qMmrDiversify, qNdcg, qRrfFusion,
+    qBm25, qMmrDiversify, qNdcg, qRrfFusion, qCorpusCard,
     qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
