@@ -1517,8 +1517,83 @@ object PipelineQueries {
       FROM ch GROUP BY source ORDER BY source""")
   )
 
+  /** RAKING (iterative proportional fitting) of the customer
+    * segment × region panel to uniform margins — the 2-D generalization
+    * of q_mix_allocation's 1-D quota, and the standard reweighting step
+    * when a corpus must match target marginals on two attributes at
+    * once (survey weighting; domain × language rebalancing). Three full
+    * IPF rounds (row-scale then column-scale), with weights held in
+    * INTEGER MICRO-UNITS and every scaling a floor(w·ratio + 0.5) — so
+    * all six scalings unroll into window-CTE replays and the fixed
+    * point is engine-exact. Cell relation is |segments|×|regions|;
+    * every window partitions by a margin key. */
+  val qRaking = GraftQuery(
+    "q_raking",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"c_mktsegment".as("seg"), $"r_name".as("reg"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg((sum($"n") * lit(1000000L)).as("t"))
+      def scaleTo(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.withColumn("gs", sum($"w").over(Window.partitionBy(col(key))))
+          .withColumn("w", floor($"w".cast(DoubleType) *
+            (($"t".cast(DoubleType) / lit(5.0)) / $"gs".cast(DoubleType)) +
+            lit(0.5)).cast("long"))
+          .drop("gs")
+      var w = cells.crossJoin(broadcast(tot))
+        .withColumn("w", $"n" * lit(1000000L))
+      for (_ <- 1 to 3) {
+        w = scaleTo(w, "seg")
+        w = scaleTo(w, "reg")
+      }
+      w.withColumn("row_sum", sum($"w").over(Window.partitionBy($"seg")))
+        .select($"seg", $"reg", $"n",
+          round($"w".cast(DoubleType) / lit(1000000.0), 6).as("weight"),
+          floor(abs($"row_sum".cast(DoubleType) - $"t".cast(DoubleType) / lit(5.0)) /
+            ($"t".cast(DoubleType) / lit(5.0)) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("row_err_ppm"))
+        .orderBy($"seg", $"reg")
+    },
+    Some {
+      val sb = new StringBuilder
+      sb.append("""WITH cells AS (SELECT c_mktsegment AS seg, r_name AS reg, COUNT(*) AS n
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+      tt AS (SELECT CAST(SUM(n) * 1000000 AS BIGINT) AS t FROM cells),
+      w0 AS (SELECT seg, reg, n, CAST(n * 1000000 AS BIGINT) AS w, t
+        FROM cells, tt)""")
+      var prev = "w0"
+      var idx = 0
+      for (_ <- 1 to 3; key <- Seq("seg", "reg")) {
+        idx += 1
+        sb.append(s""",
+      w$idx AS (SELECT seg, reg, n, t,
+          CAST(FLOOR(CAST(w AS DOUBLE) *
+            ((CAST(t AS DOUBLE) / 5.0) / CAST(SUM(w) OVER (PARTITION BY $key) AS DOUBLE))
+            + 0.5) AS BIGINT) AS w
+        FROM $prev)""")
+        prev = s"w$idx"
+      }
+      sb.append(s"""
+      SELECT seg, reg, n,
+        ROUND(CAST(w AS DOUBLE) / 1000000.0, 6) AS weight,
+        CAST(FLOOR(ABS(CAST(SUM(w) OVER (PARTITION BY seg) AS DOUBLE)
+            - CAST(t AS DOUBLE) / 5.0) / (CAST(t AS DOUBLE) / 5.0) * 1000000.0 + 0.5)
+          AS BIGINT) AS row_err_ppm
+      FROM $prev ORDER BY seg, reg""")
+      sb.toString
+    }
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qMixAllocation, qQualityLogreg, qCdcChunks,
+    qMixAllocation, qQualityLogreg, qCdcChunks, qRaking,
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,

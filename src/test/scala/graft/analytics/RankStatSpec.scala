@@ -316,6 +316,25 @@ class RankStatSpec extends SparkSpec {
       s"huber $hub must sit strictly between median $med and mean $mean")
   }
 
+  test("q_raking: both margins converge to uniform targets, mass is conserved") {
+    val rows = graft.SparkEntry.queries("q_raking")(spark, Dir).collect()
+    assert(rows.length === 25)
+    val n = rows.map(r => r.getLong(r.fieldIndex("n"))).sum.toDouble
+    val target = n / 5.0
+    val bySeg = rows.groupBy(_.getString(0))
+      .map { case (_, rs) => rs.map(r => r.getDouble(r.fieldIndex("weight"))).sum }
+    val byReg = rows.groupBy(_.getString(1))
+      .map { case (_, rs) => rs.map(r => r.getDouble(r.fieldIndex("weight"))).sum }
+    bySeg.foreach(s => assert(math.abs(s - target) / target < 1e-3,
+      s"row margin $s vs target $target"))
+    byReg.foreach(s => assert(math.abs(s - target) / target < 1e-3,
+      s"col margin $s vs target $target"))
+    val mass = rows.map(r => r.getDouble(r.fieldIndex("weight"))).sum
+    assert(math.abs(mass - n) / n < 1e-3, s"total mass $mass vs $n")
+    rows.foreach(r => assert(r.getLong(r.fieldIndex("row_err_ppm")) < 1000,
+      "reported row error must certify convergence under 0.1%"))
+  }
+
   test("q_dp_counts: noise is bounded, keyed, and nonzero somewhere") {
     val rows = graft.SparkEntry.queries("q_dp_counts")(spark, Dir).collect()
     assert(rows.length === 5)
