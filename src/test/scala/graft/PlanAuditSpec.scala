@@ -766,4 +766,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(pw8.contains("hashpartitioning(doc_id"),
       s"q_cdc_chunks boundary window lost its doc-keyed exchange:\n$pw8")
   }
+
+  test("round-8 wave 2: join-free skyline, map-side kernels, margin windows") {
+    def exchanges(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    // skyline: zero joins — one sort, two range-framed windows
+    val ps = plan("q_skyline")
+    assert(!ps.contains("Join"), s"q_skyline must be join-free:\n$ps")
+    assert(ps.contains("specifiedwindowframe(RangeFrame"),
+      s"q_skyline lost its RANGE frames:\n$ps")
+    // jw linkage: equi-joins only (key and key+1), codegen'd kernel calls
+    val pj = plan("q_jw_match")
+    assert(!pj.contains("CartesianProduct") && !pj.contains("BroadcastNestedLoop"),
+      s"q_jw_match pairs must come from equi-joins:\n$pj")
+    // string metrics: single signature rollup, no joins at all
+    val pm = plan("q_string_metrics")
+    assert(!pm.contains("Join"), s"q_string_metrics must be join-free:\n$pm")
+    assert(exchanges(pm) == 1,
+      s"q_string_metrics must have exactly the signature-rollup exchange:\n$pm")
+    // huber: 1-row IRLS state broadcasts into each round (BNLJ on the
+    // 1-row side is the cheap correct shape); the event scan is cached
+    val ph = plan("q_huber_mean")
+    assert(ph.contains("InMemoryTableScan"),
+      s"q_huber_mean must iterate over the CACHED purchase relation:\n$ph")
+    // raking: every IPF window partitions by a margin key — no global
+    // (empty-partition) window anywhere
+    val pr = plan("q_raking")
+    assert(pr.contains("windowspecdefinition(seg") &&
+      pr.contains("windowspecdefinition(reg"),
+      s"q_raking must window by both margin keys:\n$pr")
+    assert(!pr.contains("windowspecdefinition(,"),
+      s"q_raking must not contain a global window:\n$pr")
+    // corpus card / rrf: no cartesian on data relations
+    Seq("q_corpus_card", "q_rrf_fusion", "q_modularity").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+  }
 }
