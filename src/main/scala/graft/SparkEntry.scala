@@ -19,7 +19,7 @@ object SparkEntry {
       analytics.WarehouseQueries.all ++ analytics.FunnelQueries.all ++
       analytics.SourceQueries.all ++ analytics.MiningQueries.all ++
       analytics.CorpusStatsQueries.all ++ analytics.PlanningQueries.all ++
-      analytics.RankStatQueries.all
+      analytics.RankStatQueries.all ++ analytics.SelectionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Top-10 customers by revenue: scan → broadcast dim joins → grouped
