@@ -5,6 +5,7 @@ import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Scale-extension queries over the documents/embeddings tables: text
   * analysis, dedup family, similarity search (the north-star operators
@@ -17,6 +18,9 @@ import org.apache.spark.sql.functions._
   * cross-validation against the exact operators in ScalaTest instead.
   */
 object DocQueries {
+
+  private def dec38(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(38, 0))
 
   /** Text quality metrics (token counting + ratios), F19 generalized. */
   val qTextStats = GraftQuery(
@@ -2441,7 +2445,74 @@ object DocQueries {
       FROM base, qp, vocab, ent""")
   )
 
+  /** Interpolated Kneser-Ney bigram probabilities (discount D = 3/4) for
+    * the five most frequent contexts — the smoothing every production
+    * n-gram LM ships (the continuation-count backoff is what separates
+    * KN from the add-k smoothing of q_unigram_xent/q_bigram_xent).
+    * Exact-rational form: with quarters 4·c keeping the discount
+    * integral, P_KN(w₂|w₁) over common denominator 4·c(w₁)·T is
+    * num = (4·c₁₂−3)·T + 3·N₁₊(w₁·)·N₁₊(·w₂), den = 4·c(w₁)·T
+    * (T = distinct bigram types; 4c₁₂−3 ≥ 1 so the max(·,0) clamp never
+    * binds on observed bigrams). Within a context the denominator is
+    * constant, so the top-5 ranking happens on the INTEGER numerator —
+    * no float enters until the final rounded divide. Scale shape: counts
+    * are map-side-combined token rollups; the per-context top-5 is a
+    * bounded window over the 5 filtered contexts' continuations. */
+  val qKneserNey = GraftQuery(
+    "q_kneser_ney",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TextAnalysis.tokens($"text")
+      val prs = zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      val bg = Tables.documents(s, dir)
+        .filter(size(toks) >= 2)
+        .select(explode(prs).as("p"))
+        .select($"p.w1", $"p.w2")
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val ctxAll = bg.groupBy($"w1")
+        .agg(sum($"c12").as("c1"), count(lit(1)).as("n1fw"))
+      val ctx = ctxAll.orderBy($"c1".desc, $"w1").limit(5)
+      val bw = bg.groupBy($"w2").agg(count(lit(1)).as("n1bw"))
+      val t = bg.agg(count(lit(1)).as("tt"))
+      val j = bg.join(broadcast(ctx), "w1").join(bw, "w2").crossJoin(broadcast(t))
+        .withColumn("num",
+          (dec38($"c12") * 4 - 3) * dec38($"tt") + dec38($"n1fw") * dec38($"n1bw") * 3)
+        .withColumn("den", dec38($"c1") * 4 * dec38($"tt"))
+      j.withColumn("rank", row_number().over(
+          Window.partitionBy($"w1").orderBy($"num".desc, $"w2")))
+        .filter($"rank" <= 5)
+        .select($"w1", $"rank".cast(LongType).as("rank"), $"w2", $"c12",
+          round($"num".cast(DoubleType) / $"den".cast(DoubleType), 6).as("p_kn"))
+        .orderBy($"w1", $"rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      e AS (SELECT u.b FROM (
+          SELECT [array_to_string(ts[i+1:i+2], ' ') for i in range(0, LEN(ts)-1)] AS bs
+          FROM toks WHERE LEN(ts) >= 2), UNNEST(bs) AS u(b)),
+      bg AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        CAST(COUNT(*) AS HUGEINT) AS c12 FROM e GROUP BY 1, 2),
+      ctxall AS (SELECT w1, SUM(c12) AS c1, CAST(COUNT(*) AS HUGEINT) AS n1fw
+        FROM bg GROUP BY 1),
+      ctx AS (SELECT * FROM ctxall ORDER BY c1 DESC, w1 LIMIT 5),
+      bw AS (SELECT w2, CAST(COUNT(*) AS HUGEINT) AS n1bw FROM bg GROUP BY 1),
+      t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS tt FROM bg),
+      j AS (SELECT bg.w1, bg.w2, bg.c12,
+          (bg.c12 * 4 - 3) * tt + ctx.n1fw * bw.n1bw * 3 AS num,
+          ctx.c1 * 4 * tt AS den
+        FROM bg JOIN ctx ON bg.w1 = ctx.w1 JOIN bw ON bg.w2 = bw.w2 CROSS JOIN t),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY num DESC, w2) AS rank
+        FROM j)
+      SELECT w1, CAST(rank AS BIGINT) AS rank, w2, CAST(c12 AS BIGINT) AS c12,
+        ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS p_kn
+      FROM r WHERE rank <= 5 ORDER BY w1, rank""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qKneserNey,
     qBm25, qMmrDiversify, qNdcg, qRrfFusion, qCorpusCard,
     qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,

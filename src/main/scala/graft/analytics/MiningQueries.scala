@@ -1405,8 +1405,116 @@ object MiningQueries {
       ORDER BY p_retailprice, p_partkey""")
   )
 
+  private def dec38(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(38, 0))
+
+  /** Fellegi-Sunter probabilistic record linkage over the blocked
+    * customer pair graph — the WEIGHTED counterpart of q_er_clusters'
+    * binary edit-distance gate, and the classic output shape: one row
+    * per AGREEMENT PATTERN (name-within-1-edit, same nation, same
+    * segment, balance-within-$100), with its pair count, composite
+    * log₂(m/u) match weight, and match/possible/non-match tier. The
+    * m-probabilities are declared priors; u-probabilities for the two
+    * categorical fields are estimated EXACTLY from value frequencies
+    * (u = Σf(f−1) / N(N−1), the random-pair agreement probability —
+    * both integers, so the only floats are the per-FIELD log weights,
+    * quantized to ppm once before the per-pattern integer sum). The
+    * declared-prior field weights are hardcoded ppm literals
+    * (ln(950)/ln2 etc.) shared by both engines. Scale shape: pairs come
+    * from the same df-capped prefix blocking as q_er_clusters (≤ cap²
+    * work per block), and the output is the 16-row pattern lattice —
+    * constant regardless of corpus size. */
+  val qFellegiSunter = GraftQuery(
+    "q_fellegi_sunter",
+    (s, dir) => {
+      import s.implicits._
+      val cents = floor($"c_acctbal" * 100 + 0.5).cast("long")
+      val keyed = Tables.customer(s, dir).filter($"c_name".isNotNull)
+        .select($"c_custkey".as("id"), $"c_name".as("name"),
+          $"c_nationkey".as("nat"), $"c_mktsegment".as("seg"), cents.as("bal"),
+          expr("substring(c_name, 1, greatest(length(c_name) - 2, 1))").as("blk"))
+      val kept = keyed.groupBy($"blk").agg(count(lit(1)).as("_f"))
+        .filter($"_f" <= 10000).select($"blk")
+      val b = keyed.join(kept, "blk")
+      val pats = b.as("a").join(b.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        .select(
+          when(levenshtein(col("a.name"), col("b.name"), 1) >= 0, 1L).otherwise(0L)
+            .as("a_name"),
+          when(col("a.nat") === col("b.nat"), 1L).otherwise(0L).as("a_nation"),
+          when(col("a.seg") === col("b.seg"), 1L).otherwise(0L).as("a_segment"),
+          when(abs(col("a.bal") - col("b.bal")) <= 10000L, 1L).otherwise(0L)
+            .as("a_balance"))
+        .groupBy($"a_name", $"a_nation", $"a_segment", $"a_balance")
+        .agg(count(lit(1)).as("n_pairs"))
+      val cust = Tables.customer(s, dir)
+      val n = cust.agg(count(lit(1)).as("n"))
+      def uAgg(c: String, num: String) = cust.groupBy(col(c)).agg(count(lit(1)).as("f"))
+        .agg(sum(dec38($"f") * (dec38($"f") - 1)).as(num))
+      val u = n.crossJoin(uAgg("c_nationkey", "nn")).crossJoin(uAgg("c_mktsegment", "sn"))
+        .select(
+          (dec38($"n") * (dec38($"n") - 1)).cast(DoubleType).as("nd"),
+          $"nn".cast(DoubleType).as("nn"), $"sn".cast(DoubleType).as("sn"))
+        .select(
+          floor(log(lit(0.9) * $"nd" / $"nn") / log(lit(2.0)) * 1e6 + 0.5).cast("long").as("w_nat_a"),
+          floor(log(lit(0.1) * $"nd" / ($"nd" - $"nn")) / log(lit(2.0)) * 1e6 + 0.5).cast("long").as("w_nat_d"),
+          floor(log(lit(0.9) * $"nd" / $"sn") / log(lit(2.0)) * 1e6 + 0.5).cast("long").as("w_seg_a"),
+          floor(log(lit(0.1) * $"nd" / ($"nd" - $"sn")) / log(lit(2.0)) * 1e6 + 0.5).cast("long").as("w_seg_d"))
+      pats.crossJoin(broadcast(u))
+        .withColumn("score_ppm",
+          $"a_name" * 9891784L + (lit(1L) - $"a_name") * -4320485L +
+          $"a_nation" * $"w_nat_a" + (lit(1L) - $"a_nation") * $"w_nat_d" +
+          $"a_segment" * $"w_seg_a" + (lit(1L) - $"a_segment") * $"w_seg_d" +
+          $"a_balance" * 5321928L + (lit(1L) - $"a_balance") * -2292782L)
+        .select($"a_name", $"a_nation", $"a_segment", $"a_balance", $"n_pairs",
+          $"score_ppm",
+          when($"score_ppm" >= 8000000L, lit("match"))
+            .when($"score_ppm" >= 0L, lit("possible"))
+            .otherwise(lit("non_match")).as("tier"))
+        .orderBy($"score_ppm".desc, $"a_name", $"a_nation", $"a_segment", $"a_balance")
+    },
+    Some("""WITH c AS (SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+        c_mktsegment AS seg, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+        substring(c_name, 1, GREATEST(length(c_name) - 2, 1)) AS blk
+      FROM customer WHERE c_name IS NOT NULL),
+      kept AS (SELECT blk FROM c GROUP BY blk HAVING COUNT(*) <= 10000),
+      b AS (SELECT c.* FROM c JOIN kept USING (blk)),
+      pats AS (SELECT
+          CASE WHEN levenshtein(a.name, d.name) <= 1 THEN 1 ELSE 0 END AS a_name,
+          CASE WHEN a.nat = d.nat THEN 1 ELSE 0 END AS a_nation,
+          CASE WHEN a.seg = d.seg THEN 1 ELSE 0 END AS a_segment,
+          CASE WHEN ABS(a.bal - d.bal) <= 10000 THEN 1 ELSE 0 END AS a_balance,
+          COUNT(*) AS n_pairs
+        FROM b a JOIN b d ON a.blk = d.blk AND a.id < d.id
+        GROUP BY 1, 2, 3, 4),
+      nrow AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM customer),
+      un AS (SELECT SUM(CAST(f AS HUGEINT) * (CAST(f AS HUGEINT) - 1)) AS nn
+        FROM (SELECT COUNT(*) AS f FROM customer GROUP BY c_nationkey)),
+      us AS (SELECT SUM(CAST(f AS HUGEINT) * (CAST(f AS HUGEINT) - 1)) AS sn
+        FROM (SELECT COUNT(*) AS f FROM customer GROUP BY c_mktsegment)),
+      w AS (SELECT
+          CAST(FLOOR(LN(0.9 * nd / nn) / LN(2.0) * 1e6 + 0.5) AS BIGINT) AS w_nat_a,
+          CAST(FLOOR(LN(0.1 * nd / (nd - nn)) / LN(2.0) * 1e6 + 0.5) AS BIGINT) AS w_nat_d,
+          CAST(FLOOR(LN(0.9 * nd / sn) / LN(2.0) * 1e6 + 0.5) AS BIGINT) AS w_seg_a,
+          CAST(FLOOR(LN(0.1 * nd / (nd - sn)) / LN(2.0) * 1e6 + 0.5) AS BIGINT) AS w_seg_d
+        FROM (SELECT CAST(n * (n - 1) AS DOUBLE) AS nd, CAST(nn AS DOUBLE) AS nn,
+            CAST(sn AS DOUBLE) AS sn FROM nrow, un, us)),
+      sc AS (SELECT a_name, a_nation, a_segment, a_balance, n_pairs,
+          a_name * 9891784 + (1 - a_name) * -4320485 +
+          a_nation * w_nat_a + (1 - a_nation) * w_nat_d +
+          a_segment * w_seg_a + (1 - a_segment) * w_seg_d +
+          a_balance * 5321928 + (1 - a_balance) * -2292782 AS score_ppm
+        FROM pats, w)
+      SELECT a_name, a_nation, a_segment, a_balance, n_pairs, score_ppm,
+        CASE WHEN score_ppm >= 8000000 THEN 'match'
+             WHEN score_ppm >= 0 THEN 'possible'
+             ELSE 'non_match' END AS tier
+      FROM sc
+      ORDER BY score_ppm DESC, a_name, a_nation, a_segment, a_balance""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qSkyline,
+    Seq(qSkyline, qFellegiSunter,
       qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
