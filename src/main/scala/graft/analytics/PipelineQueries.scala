@@ -3,6 +3,7 @@ package graft.analytics
 import graft.{GraftQuery, Tables}
 import graft.functions.TextAnalysis
 import graft.operators.Bloom
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
@@ -1592,7 +1593,125 @@ object PipelineQueries {
     }
   )
 
+  /** DSIR-style importance resampling (Xie et al.'s data-selection
+    * recipe reduced to its deterministic core): hashed-unigram bag
+    * features (portable base-31 token hash into 1024 buckets), add-1
+    * smoothed unigram LMs for the TARGET domain (sources src0–src3)
+    * and the RAW pool (everything else), per-document importance weight
+    * log p_target(x) − log p_raw(x), and selection of the top-20% raw
+    * documents by weight. Each bucket's log-likelihood ratio is
+    * quantized to ppm ONCE (from exact integer counts), so per-document
+    * weights are integer sums — order-independent and replayable. Scale
+    * shape: two token-bucket rollups (1024 rows) + one per-doc integer
+    * aggregate; the global top-20% rank is a doc-count window — at
+    * 100 TB you'd replace it with a weight-threshold selected from the
+    * 1024-row LLR table's quantiles, leaving everything else unchanged. */
+  val qDsir = GraftQuery(
+    "q_dsir",
+    (s, dir) => {
+      import s.implicits._
+      val P = 1000000007L
+      val fold = (acc: Column, v: Column) => (acc * lit(31L) + v) % lit(P)
+      val tokHash = (t: Column) => aggregate(
+        transform(filter(split(t, ""), c => length(c) > 0),
+          c => ascii(c).cast("long")),
+        lit(0L), fold)
+      val tok = graft.operators.Caches.register(
+        Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            $"source".isin("src0", "src1", "src2", "src3").as("is_t"),
+            explode(TextAnalysis.tokens($"text")).as("tok"))
+          .withColumn("bk", tokHash($"tok") % 1024))
+      val bc = tok.groupBy($"bk").agg(
+        sum(when($"is_t", 1L).otherwise(0L)).as("ct"),
+        sum(when($"is_t", 0L).otherwise(1L)).as("cr"))
+      val tot = bc.agg(sum($"ct").as("tt"), sum($"cr").as("tr"))
+      val llr = bc.crossJoin(broadcast(tot))
+        .select($"bk", floor(
+          log(($"ct" + 1.0) * ($"tr" + 1024.0) / (($"cr" + 1.0) * ($"tt" + 1024.0)))
+            * 1e6 + 0.5).cast("long").as("l"))
+      val dw = tok.filter(!$"is_t")
+        .groupBy($"doc_id", $"source", $"bk").agg(count(lit(1)).as("c"))
+        .join(llr, "bk")
+        .groupBy($"doc_id", $"source").agg(sum($"c" * $"l").as("w"))
+      val k = dw.agg(expr("count(1) DIV 5").as("k"))
+      dw.withColumn("rn", row_number().over(Window.orderBy($"w".desc, $"doc_id")))
+        .crossJoin(broadcast(k))
+        .withColumn("sel", when($"rn" <= $"k", 1L).otherwise(0L))
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"sel").as("n_selected"),
+          coalesce(
+            round(sum(when($"sel" === 1L, $"w")).cast(DoubleType) /
+              nullif(sum($"sel"), lit(0)).cast(DoubleType), 6),
+            lit(0.0)).as("avg_sel_weight_ppm"))
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+        source IN ('src0','src1','src2','src3') AS is_t,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      tok AS (SELECT doc_id, source, is_t,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(regexp_extract_all(u.tok, '.'), c -> CAST(ord(c) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % 1000000007) % 1024 AS bk
+      FROM t, UNNEST(ts) AS u(tok)),
+      bc AS (SELECT bk, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM bc),
+      llr AS (SELECT bk, CAST(FLOOR(
+          LN((ct + 1.0) * (tr + 1024.0) / ((cr + 1.0) * (tt + 1024.0))) * 1e6 + 0.5)
+          AS BIGINT) AS l
+        FROM bc, tot),
+      dt AS (SELECT doc_id, source, bk, COUNT(*) AS c FROM tok WHERE NOT is_t
+        GROUP BY 1, 2, 3),
+      dw AS (SELECT doc_id, source, CAST(SUM(c * l) AS BIGINT) AS w
+        FROM dt JOIN llr USING (bk) GROUP BY 1, 2),
+      kk AS (SELECT COUNT(*) // 5 AS k FROM dw),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS rn FROM dw)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN rn <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+        COALESCE(ROUND(CAST(SUM(CASE WHEN rn <= k THEN w END) AS DOUBLE) /
+          CAST(NULLIF(SUM(CASE WHEN rn <= k THEN 1 ELSE 0 END), 0) AS DOUBLE), 6), 0.0)
+          AS avg_sel_weight_ppm
+      FROM r, kk GROUP BY source ORDER BY source""")
+  )
+
+  /** Small-file compaction planner: the greedy streaming packer every
+    * warehouse writer implements (close a shard once its fill passes
+    * the target), expressed as a prefix-sum window — shard index =
+    * ⌊bytes-before / target⌋ over docs in (source, doc_id) order, so a
+    * shard keeps accepting until it crosses 2048 bytes and the doc that
+    * crosses stays with it. Emits the plan a compaction job would
+    * execute: per-shard doc count, bytes and fill ratio. Scale shape:
+    * one partitioned window per source (the 100 TB layout: one planner
+    * task per table partition), no data movement — the plan is metadata. */
+  val qCompactionPlan = GraftQuery(
+    "q_compaction_plan",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+        .withColumn("cum", sum($"n_chars").over(w))
+        .withColumn("shard", expr("(cum - n_chars) DIV 2048"))
+        .groupBy($"source", $"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("bytes"))
+        .withColumn("fill_ratio", round($"bytes".cast(DoubleType) / 2048.0, 6))
+        .orderBy($"source", $"shard")
+    },
+    Some("""WITH c AS (SELECT doc_id, source, n_chars,
+        SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents),
+      sh AS (SELECT source, CAST((cum - n_chars) // 2048 AS BIGINT) AS shard, n_chars FROM c)
+      SELECT source, shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bytes,
+        ROUND(CAST(SUM(n_chars) AS DOUBLE) / 2048.0, 6) AS fill_ratio
+      FROM sh GROUP BY 1, 2 ORDER BY source, shard""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qDsir, qCompactionPlan,
     qMixAllocation, qQualityLogreg, qCdcChunks, qRaking,
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
