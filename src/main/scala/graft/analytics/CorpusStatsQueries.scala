@@ -391,6 +391,72 @@ object CorpusStatsQueries {
       FROM pq, hit ORDER BY adc_dist, vec_id"""
   }
 
+  /** k-center greedy coreset (farthest-first traversal, k = 8) over the
+    * quantized embedding relation — the 2-approximation data-selection
+    * primitive behind diversity sampling: each round picks the point
+    * farthest from every chosen center (max-min integer distance, tie
+    * broken by min vec_id), so the k-th pick's distance IS the coverage
+    * radius of the (k−1)-center set. Runs in the same shifted-integer
+    * arithmetic as [[qKmeans]]; the emitted `coverage_radius_l2`
+    * converts back to original units via one sqrt of the exact integer.
+    * Scale shape: one cached scan per round folding a ≤k×d centroid
+    * literal map-side (no shuffle at all — the argmax is a 1-row
+    * aggregate), driver state = k quantized vectors; the oracle replays
+    * all 8 rounds as an unrolled CTE chain. */
+  val qCoreset = GraftQuery(
+    "q_coreset",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.FixedPointKMeans
+      val emb = graft.operators.Caches.register(
+        Tables.embeddings(s, dir).select($"vec_id",
+          FixedPointKMeans.quantize($"embedding").as("v")))
+      val first = emb.orderBy($"vec_id").limit(1).select($"vec_id", $"v").head()
+      var centers = Vector((0, first.getLong(0), first.getSeq[Long](1)))
+      val rows = Vector.newBuilder[(Long, Long, Long)]
+      for (r <- 1 to 8) {
+        val p = FixedPointKMeans.assign(emb, "v",
+            centers.map { case (j, _, c) => (j, c) })
+          .orderBy($"dist".desc, $"vec_id").limit(1)
+          .select($"vec_id", $"v", $"dist").head()
+        rows += ((r.toLong, centers(r - 1)._2, p.getLong(2)))
+        if (r < 8) centers :+= ((r, p.getLong(0), p.getSeq[Long](1)))
+      }
+      s.createDataFrame(rows.result()).toDF("k", "center_id", "radius_q")
+        .select($"k", $"center_id", $"radius_q",
+          round(sqrt($"radius_q".cast("double")) / QScale, 6).as("coverage_radius_l2"))
+        .orderBy($"k")
+    },
+    Some {
+      def dist(v: String, c: String) = kmeansDistSql(v, c)
+      val rounds = (1 to 8).map { r =>
+        val prevPick = if (r == 1) "s0" else s"p${r - 1}"
+        val prevD = if (r == 1) "q" else s"d${r - 1}"
+        val dminExpr =
+          if (r == 1) s"${dist("q.v", "s0.v")}"
+          else s"LEAST($prevD.dmin, ${dist(s"$prevD.v", s"$prevPick.v")})"
+        s"""d$r AS (SELECT $prevD.vec_id, $prevD.v, $dminExpr AS dmin
+            FROM $prevD, $prevPick),
+          p$r AS (SELECT vec_id, v, dmin FROM d$r ORDER BY dmin DESC, vec_id LIMIT 1)"""
+      }.mkString(",\n")
+      val outRows = (1 to 8).map { r =>
+        val center = if (r == 1) "s0" else s"p${r - 1}"
+        s"""SELECT $r AS k, $center.vec_id AS center_id,
+            CAST(p$r.dmin AS BIGINT) AS radius_q,
+            ROUND(SQRT(CAST(p$r.dmin AS DOUBLE)) / $QScale, 6) AS coverage_radius_l2
+          FROM $center, p$r"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(FLOOR(x * $QScale + 0.5) AS BIGINT) + $QShift) AS v
+        FROM embeddings),
+        s0 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+        $rounds
+        SELECT CAST(k AS BIGINT) AS k, center_id, radius_q, coverage_radius_l2
+        FROM ($outRows) ORDER BY k"""
+    }
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qKmeans, qPqRecall, qSourceKl, qHeapsLaw, qZipfFit)
+    Seq(qKmeans, qPqRecall, qSourceKl, qHeapsLaw, qZipfFit, qCoreset)
 }
