@@ -880,8 +880,108 @@ object TimeSeriesQueries {
       FROM m ORDER BY event_type""")
   )
 
+  /** Additive Holt-Winters (triple exponential smoothing, period 24)
+    * over the last 96 hours of each event-type series, emitting the
+    * next-24-hour forecast — the seasonal upgrade of q_ewma /
+    * q_seasonal_baseline. The recurrence runs in EXACT integer
+    * micro-units with rational smoothing constants (α=3/10, β=1/20,
+    * γ=2/10) and a floored divide per step, so the inherently
+    * sequential triple recursion is replayed bit-for-bit: Spark folds
+    * each series with one codegen'd higher-order `aggregate` whose
+    * seasonal state is a ROTATING 24-slot queue (head = current season
+    * slot — no index arithmetic inside the lambda), DuckDB walks the
+    * identical 72 steps in a recursive CTE with the same queue. The
+    * floored divide is floor(x/10.0) on doubles — safe because |x| stays
+    * ≤ ~1e13, where a 1-ulp division error (~1e-3 below the 0.1 step
+    * between representable quotients) cannot cross an integer boundary
+    * except at exact multiples, which divide exactly.
+    * Scale shape: the fact table collapses to a 96-slot zero-filled
+    * grid per series BEFORE any sequential work; the fold is per-series
+    * map-side work over a 96-element array — one task per series,
+    * thousands of series in parallel on a cluster, driver holds
+    * nothing. */
+  val qHoltWinters = GraftQuery(
+    "q_holt_winters",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.LongType
+      val hourly = Tables.events(s, dir)
+        .groupBy($"event_type",
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("t"))
+        .agg(count(lit(1)).as("y"))
+      val mx = hourly.agg(max($"t").as("mx"))
+      val grid = hourly.select($"event_type").distinct()
+        .crossJoin(broadcast(mx))
+        .select($"event_type", explode(sequence($"mx" - 95L, $"mx")).as("t"))
+        .join(hourly, Seq("event_type", "t"), "left")
+        .select($"event_type", $"t", (coalesce($"y", lit(0L)) * 1000000L).as("ym"))
+      val series = grid.groupBy($"event_type")
+        .agg(transform(sort_array(collect_list(struct($"t", $"ym"))),
+          p => p("ym")).as("a"))
+      def fdiv(x: Column, d: Double): Column =
+        floor(x.cast("double") / d).cast(LongType)
+      val l0 = fdiv(aggregate(slice($"a", 1, 24), lit(0L), _ + _), 24.0)
+      val s0 = transform(slice($"a", 1, 24), x => x - $"l0")
+      val folded = series
+        .withColumn("l0", l0)
+        .withColumn("st", aggregate(
+          slice($"a", 25, 72),
+          struct($"l0".as("l"), lit(0L).as("b"), s0.as("s")),
+          (st, y) => {
+            val sold = element_at(st("s"), 1)
+            val lnew = fdiv((y - sold) * 3L + (st("l") + st("b")) * 7L, 10.0)
+            val bnew = fdiv((lnew - st("l")) + st("b") * 19L, 20.0)
+            val snew = fdiv((y - lnew) * 2L + sold * 8L, 10.0)
+            struct(lnew.as("l"), bnew.as("b"),
+              concat(slice(st("s"), 2, 23), array(snew)).as("s"))
+          }))
+      folded
+        .select($"event_type", explode(sequence(lit(1L), lit(24L))).as("h"),
+          $"st.l".as("l"), $"st.b".as("b"), $"st.s".as("s"))
+        .select($"event_type", $"h",
+          round(($"l" + $"h" * $"b" + element_at($"s", $"h".cast("int")))
+            .cast(DoubleType) / 1000000.0, 6).as("fc"))
+        .orderBy($"event_type", $"h")
+    },
+    Some("""WITH RECURSIVE hourly AS (SELECT event_type,
+          epoch_us(DATE_TRUNC('hour', ts)) // 3600000000 AS t, COUNT(*) AS y
+        FROM events GROUP BY 1, 2),
+      mx AS (SELECT MAX(t) AS mx FROM hourly),
+      grid AS (SELECT et.event_type, g.x AS i,
+          COALESCE(h.y, 0) * 1000000 AS ym
+        FROM (SELECT DISTINCT event_type FROM hourly) et
+        CROSS JOIN mx CROSS JOIN UNNEST(range(96)) AS g(x)
+        LEFT JOIN hourly h ON h.event_type = et.event_type
+          AND h.t = mx.mx - 95 + g.x),
+      arrs AS (SELECT event_type, list(ym ORDER BY i) AS a FROM grid GROUP BY 1),
+      init AS (SELECT event_type, a,
+          CAST(FLOOR(CAST(list_sum(a[1:24]) AS DOUBLE) / 24.0) AS BIGINT) AS l0
+        FROM arrs),
+      state AS (
+        SELECT event_type, a, 24 AS t, l0 AS l, CAST(0 AS BIGINT) AS b,
+          list_transform(a[1:24], x -> x - l0) AS s
+        FROM init
+        UNION ALL
+        SELECT event_type, a, t + 1,
+          lnew,
+          CAST(FLOOR(CAST((lnew - l) + b * 19 AS DOUBLE) / 20.0) AS BIGINT),
+          list_concat(s[2:24],
+            [CAST(FLOOR(CAST((y - lnew) * 2 + sold * 8 AS DOUBLE) / 10.0) AS BIGINT)])
+        FROM (SELECT *,
+            CAST(FLOOR(CAST((y - sold) * 3 + (l + b) * 7 AS DOUBLE) / 10.0) AS BIGINT)
+              AS lnew
+          FROM (SELECT event_type, a, t, l, b, s, a[t + 1] AS y, s[1] AS sold
+            FROM state WHERE t < 96))),
+      fin AS (SELECT event_type, l, b, s FROM state WHERE t = 96)
+      SELECT event_type, CAST(g.h AS BIGINT) AS h,
+        ROUND(CAST(l + g.h * b + s[g.h] AS DOUBLE) / 1000000.0, 6) AS fc
+      FROM fin CROSS JOIN UNNEST(range(1, 25)) AS g(h)
+      ORDER BY event_type, h""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi,
       qSeasonalBaseline, qCusum, qPriceIndex, qAcf, qChangepoint,
-      qForecastBacktest, qTheilSen, qMkTrend)
+      qForecastBacktest, qTheilSen, qMkTrend, qHoltWinters)
 }
