@@ -494,7 +494,135 @@ object RankStatQueries {
       FROM st, par, r3""")
   )
 
+  /** Kendall's τ-b between quantity and the price VENTILE, computed
+    * from the 50×20 contingency grid instead of row pairs: concordant /
+    * discordant counts are Σ n₁·n₂ over ordered cell pairs — a self-join
+    * of the ~1000-cell grid, constant work at any corpus size — and the
+    * tie corrections come from the grid marginals. Everything through
+    * the doubled identity 2(C−D)/√((m₀−m₁)(m₀−m₂)) (m = doubled pair
+    * counts) stays exact integer/decimal; one final sqrt+divide.
+    * The τ-b companion to q_spearman: τ is the statistic of choice when
+    * the data are heavily tied — which bucketing makes explicit. */
+  val qKendallTau = GraftQuery(
+    "q_kendall_tau",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_quantity", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        .withColumn("yb", ntile(20).over(
+          Window.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")).cast(LongType))
+      val grid = li.groupBy($"l_quantity".as("x"), $"yb".as("y"))
+        .agg(count(lit(1)).as("cnt"))
+      val cd = grid.as("a").join(grid.as("b"), col("a.x") < col("b.x"))
+        .agg(
+          dec38(sum(when(col("a.y") < col("b.y"),
+            dec38(col("a.cnt")) * dec38(col("b.cnt"))).otherwise(dec38(lit(0L))))).as("c"),
+          dec38(sum(when(col("a.y") > col("b.y"),
+            dec38(col("a.cnt")) * dec38(col("b.cnt"))).otherwise(dec38(lit(0L))))).as("d"))
+      val n = grid.agg(dec38(sum($"cnt")).as("n"))
+      val m1 = grid.groupBy($"x").agg(sum($"cnt").as("t"))
+        .agg(dec38(sum(dec38($"t") * (dec38($"t") - 1))).as("m1"))
+      val m2 = grid.groupBy($"y").agg(sum($"cnt").as("t"))
+        .agg(dec38(sum(dec38($"t") * (dec38($"t") - 1))).as("m2"))
+      cd.crossJoin(n).crossJoin(m1).crossJoin(m2)
+        .withColumn("m0", $"n" * ($"n" - 1))
+        .select($"n".cast(LongType).as("n"),
+          $"c".cast(LongType).as("concordant"), $"d".cast(LongType).as("discordant"),
+          round(lit(2.0) * ($"c" - $"d").cast(DoubleType) /
+            sqrt(($"m0" - $"m1").cast(DoubleType) * ($"m0" - $"m2").cast(DoubleType)), 6)
+            .as("tau_b"))
+    },
+    Some("""WITH li AS (SELECT l_quantity AS x,
+        CAST(NTILE(20) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+          AS BIGINT) AS y
+      FROM lineitem),
+      grid AS (SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS cnt FROM li GROUP BY 1, 2),
+      cd AS (SELECT
+          SUM(CASE WHEN a.y < b.y THEN a.cnt * b.cnt ELSE 0 END) AS c,
+          SUM(CASE WHEN a.y > b.y THEN a.cnt * b.cnt ELSE 0 END) AS d
+        FROM grid a JOIN grid b ON a.x < b.x),
+      nn AS (SELECT SUM(cnt) AS n FROM grid),
+      mm1 AS (SELECT SUM(t * (t - 1)) AS m1 FROM
+        (SELECT SUM(cnt) AS t FROM grid GROUP BY x)),
+      mm2 AS (SELECT SUM(t * (t - 1)) AS m2 FROM
+        (SELECT SUM(cnt) AS t FROM grid GROUP BY y))
+      SELECT CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS concordant,
+        CAST(d AS BIGINT) AS discordant,
+        ROUND(2.0 * CAST(c - d AS DOUBLE) /
+          SQRT(CAST(n * (n - 1) - m1 AS DOUBLE) * CAST(n * (n - 1) - m2 AS DOUBLE)), 6)
+          AS tau_b
+      FROM cd, nn, mm1, mm2""")
+  )
+
+  /** Paired sign-flip permutation test for the within-user
+    * purchase-vs-click value difference — exact finite-sample inference
+    * with ZERO transcendentals: per-user mean difference quantized to
+    * integer milli-units, 64 deterministic sign-flip replicates from
+    * the keyed-PRF parity (user × replicate, the q_bootstrap_ci
+    * machinery), each replicate statistic an order-independent integer
+    * sum, and p = (#{|T_b| ≥ |T₀|} + 1)/(B+1) — integer comparisons all
+    * the way to the final divide. The 64 replicate ids ride the same
+    * constant-array explode that made q_bootstrap_ci codegen-hot.
+    * Scale shape: one user-keyed rollup, then a 64× map-side fan-out
+    * into B partial-aggregated sums. */
+  val qPermutationTest = GraftQuery(
+    "q_permutation_test",
+    (s, dir) => {
+      import s.implicits._
+      val vc = ($"value".cast(DecimalType(18, 2)) * 100).cast(LongType)
+      val ev = Tables.events(s, dir)
+        .filter($"event_type".isin("purchase", "click"))
+        .select($"user_id", $"event_type", vc.as("vc"))
+        .groupBy($"user_id").agg(
+          sum(when($"event_type" === "purchase", $"vc")).as("sp"),
+          count(when($"event_type" === "purchase", lit(1))).as("np"),
+          sum(when($"event_type" === "click", $"vc")).as("sc"),
+          count(when($"event_type" === "click", lit(1))).as("nc"))
+        .filter($"np" > 0 && $"nc" > 0)
+        .select($"user_id",
+          floor(($"sp".cast(DoubleType) / $"np" - $"sc".cast(DoubleType) / $"nc") * 10 + 0.5)
+            .cast(LongType).as("d"))
+      val base = ev.crossJoin(
+        s.range(1).select(explode(typedLit((0 until 64).map(_.toLong))).as("b")))
+      val h = (lit(48271L) * ((lit(48271L) *
+        ((($"user_id" % P) * 1000003L + $"b" * 131L) % P + 1L)) % P)) % P
+      val reps = base
+        .withColumn("sgn", when(h % 2 === 0L, lit(1L)).otherwise(lit(-1L)))
+        .groupBy($"b").agg(sum($"sgn" * $"d").as("t"))
+      val t0 = ev.agg(sum($"d").as("t0"), count(lit(1)).as("n_users"))
+      reps.crossJoin(broadcast(t0))
+        .agg(max($"n_users").as("n_users"), max($"t0").as("t0_milli"),
+          sum(when(abs($"t") >= abs($"t0"), 1L).otherwise(0L)).as("n_extreme"))
+        .select($"n_users", $"t0_milli", $"n_extreme",
+          round(($"n_extreme" + 1).cast(DoubleType) / 65.0, 6).as("p_value"))
+    },
+    Some("""WITH u AS (SELECT user_id,
+        SUM(CASE WHEN event_type = 'purchase'
+          THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS sp,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS np,
+        SUM(CASE WHEN event_type = 'click'
+          THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS sc,
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS nc
+      FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+      d AS (SELECT user_id,
+          CAST(FLOOR((CAST(sp AS DOUBLE) / np - CAST(sc AS DOUBLE) / nc) * 10 + 0.5)
+            AS BIGINT) AS d
+        FROM u WHERE np > 0 AND nc > 0),
+      reps AS (SELECT g.b,
+          CAST(SUM(CASE WHEN ((48271 * ((48271 *
+            (((user_id % 1000000007) * 1000003 + g.b * 131) % 1000000007 + 1))
+            % 1000000007)) % 1000000007) % 2 = 0 THEN d ELSE -d END) AS BIGINT) AS t
+        FROM d CROSS JOIN UNNEST(range(64)) AS g(b) GROUP BY 1),
+      t0 AS (SELECT CAST(SUM(d) AS BIGINT) AS t0, COUNT(*) AS n_users FROM d)
+      SELECT t0.n_users, t0.t0 AS t0_milli,
+        CAST(SUM(CASE WHEN ABS(t) >= ABS(t0.t0) THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_extreme,
+        ROUND(CAST(SUM(CASE WHEN ABS(t) >= ABS(t0.t0) THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+          / 65.0, 6) AS p_value
+      FROM reps, t0 GROUP BY t0.n_users, t0.t0""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qSpearman, qMannWhitney, qAuc, qDpCounts, qBootstrapCi, qAnova,
-      qHuberMean)
+      qHuberMean, qKendallTau, qPermutationTest)
 }
