@@ -803,4 +803,80 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
     }
   }
+
+  test("round-8 wave 3: panel-sized windows, broadcast models, per-series folds") {
+    def exchanges(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    // bh_fdr: the BH step-up windows run over the 125-cell PANEL — the
+    // only hash exchange is the cell rollup (global moments ride a 1-row
+    // broadcast BNLJ)
+    val pf = plan("q_bh_fdr")
+    assert(exchanges(pf) == 1,
+      s"q_bh_fdr must shuffle only the cell rollup:\n$pf")
+    assert(!pf.contains("CartesianProduct"), s"q_bh_fdr went cartesian:\n$pf")
+    // conformal: per-priority model and qhat both BROADCAST into the
+    // scored fact relation; the order-statistic window partitions by
+    // priority, never globally
+    val pc = plan("q_conformal")
+    assert(pc.contains("BroadcastHashJoin"),
+      s"q_conformal model join lost its broadcast:\n$pc")
+    assert(pc.contains("windowspecdefinition(o_orderpriority"),
+      s"q_conformal qhat window must partition by priority:\n$pc")
+    // sprt: the LLR walk is a bucket-partitioned running sum — the
+    // exact shape it keeps on a 1000-executor cluster
+    val ps = plan("q_sprt")
+    assert(ps.contains("windowspecdefinition(bucket"),
+      s"q_sprt walk must partition by bucket:\n$ps")
+    // isotonic: the PAVA minimax argmin/argmax run over the (k,i)
+    // candidate panel — and the rn=1 filters rewrite to the native
+    // TopKPerKey operator (no full window materialization)
+    val pi = plan("q_isotonic")
+    assert(pi.contains("TopKPerKey [k"),
+      s"q_isotonic minimax picks must run as TopKPerKey over k:\n$pi")
+    // kneser-ney: the 5-context filter broadcasts into the bigram
+    // relation before the continuation join
+    val pk = plan("q_kneser_ney")
+    assert(pk.contains("BroadcastHashJoin"),
+      s"q_kneser_ney context restriction lost its broadcast:\n$pk")
+    assert(!pk.contains("CartesianProduct"), s"q_kneser_ney went cartesian:\n$pk")
+    // fellegi-sunter: candidate pairs come from the blk equi-join (the
+    // 16-pattern lattice + 1-row weights may ride broadcasts)
+    val pfs = plan("q_fellegi_sunter")
+    assert(!pfs.contains("CartesianProduct"),
+      s"q_fellegi_sunter pair generation went cartesian:\n$pfs")
+    // dsir: the token relation is CACHED (feeds the bucket rollup, the
+    // totals and the per-doc weights)
+    val pd = plan("q_dsir")
+    assert(pd.contains("InMemoryTableScan"),
+      s"q_dsir must reuse the cached token relation:\n$pd")
+    // compaction plan: the packer window partitions by source — one
+    // planner task per table partition, no global sort
+    val pp = plan("q_compaction_plan")
+    assert(pp.contains("windowspecdefinition(source"),
+      s"q_compaction_plan must window per source:\n$pp")
+    assert(!pp.contains("windowspecdefinition(,"),
+      s"q_compaction_plan must not contain a global window:\n$pp")
+    // holt-winters: series fold is a per-type object aggregate — no
+    // global range sort anywhere (sort_array orders within each row)
+    val ph = plan("q_holt_winters")
+    assert(ph.contains("ObjectHashAggregate"),
+      s"q_holt_winters series assembly must be an object aggregate:\n$ph")
+    // the only range sort is the final 120-row ordered output ABOVE the
+    // fold — nothing below the series aggregate may globally sort
+    val belowFold = ph.substring(ph.indexOf("ObjectHashAggregate"))
+    assert(!belowFold.contains("rangepartitioning"),
+      s"q_holt_winters must not globally sort under the series fold:\n$ph")
+    // kendall: C/D come from the bounded contingency-grid self-join —
+    // both join inputs are aggregates, never raw lineitem
+    val pt = plan("q_kendall_tau")
+    assert(!pt.contains("CartesianProduct"),
+      s"q_kendall_tau grid pairing must stay a (bounded) broadcast:\n$pt")
+    // permutation test: replicate fan-out is a codegen explode over the
+    // user rollup; only the user and replicate rollups shuffle
+    val pm = plan("q_permutation_test")
+    assert(pm.contains("Generate explode"),
+      s"q_permutation_test fan-out is not a codegen explode:\n$pm")
+    assert(exchanges(pm) <= 3,
+      s"q_permutation_test grew extra shuffles:\n$pm")
+  }
 }
