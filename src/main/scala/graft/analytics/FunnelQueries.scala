@@ -1383,10 +1383,104 @@ object FunnelQueries {
       FROM g ORDER BY lateness""")
   )
 
+  /** Propensity-stratified IPW / post-stratification ATE of "did the
+    * user sign up" on total purchase spend — the observational-causal
+    * companion to q_did: with the propensity estimated as the exact
+    * treated share per activity stratum, the Horvitz-Thompson IPW
+    * estimator collapses algebraically to the post-stratified
+    * difference Σ_s (n_s/N)·(ȳ₁ₛ − ȳ₀ₛ), so every term is a rational of
+    * integer cent sums. Strata where either arm is empty are reported
+    * but excluded from the estimate (their counterfactual is
+    * unidentified), with the excluded unit count in every row. The
+    * per-stratum difference is quantized to ppm-of-a-cent BEFORE the
+    * N-weighted integer combination — no ordered double sum anywhere.
+    * Scale shape: one user rollup (the module's standard first shuffle),
+    * then an 8-row stratum panel. */
+  val qIpwAte = GraftQuery(
+    "q_ipw_ate",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      // treatment = the user's FIRST event is a signup (~1 in 5 users),
+      // so every activity stratum carries both arms
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val users = Tables.events(s, dir)
+        .select($"user_id", $"event_type", $"ts", $"event_id",
+          ($"value".cast(DecimalType(18, 2)) * 100).cast(LongType).as("vc"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy($"user_id").agg(
+          count(lit(1)).as("n_ev"),
+          max(when($"rn" === 1 && $"event_type" === "signup", 1L).otherwise(0L)).as("t"),
+          sum(when($"event_type" === "purchase", $"vc").otherwise(0L)).as("y"))
+        .withColumn("stratum", least(expr("n_ev DIV 8"), lit(7L)))
+      val strata = users.groupBy($"stratum").agg(
+        count(lit(1)).as("n"),
+        sum($"t").as("n_treated"),
+        sum(when($"t" === 1L, $"y").otherwise(0L)).as("s1"),
+        sum(when($"t" === 0L, $"y").otherwise(0L)).as("s0"))
+      val scored = strata
+        .withColumn("identified", $"n_treated" > 0L && $"n_treated" < $"n")
+        // greatest(..,1) floors keep ANSI division total; when identified
+        // is true the floors are no-ops (both arms non-empty)
+        .withColumn("diff_ppm", when($"identified",
+          floor(($"s1".cast(DoubleType) / greatest($"n_treated", lit(1L)) -
+            $"s0".cast(DoubleType) / greatest($"n" - $"n_treated", lit(1L)))
+            * 10000 + 0.5).cast(LongType)).otherwise(lit(0L)))
+      val tot = scored.agg(
+        sum(when($"identified", $"n").otherwise(0L)).as("n_identified"),
+        sum(when(!$"identified", $"n").otherwise(0L)).as("n_excluded"),
+        sum($"diff_ppm" * $"n").as("wsum"))
+      scored.crossJoin(broadcast(tot))
+        .select($"stratum", $"n", $"n_treated",
+          when($"identified", round($"diff_ppm".cast(DoubleType) / 1000000.0, 6))
+            .otherwise(lit(0.0)).as("diff_usd"),
+          $"identified".cast(LongType).as("identified"),
+          $"n_excluded",
+          round($"wsum".cast(DoubleType) / $"n_identified".cast(DoubleType)
+            / 1000000.0, 6).as("ate_usd"))
+        .orderBy($"stratum")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+      u AS (SELECT user_id, COUNT(*) AS n_ev,
+        MAX(CASE WHEN rn = 1 AND event_type = 'signup' THEN 1 ELSE 0 END) AS t,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+          THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS y
+      FROM e GROUP BY 1),
+      su AS (SELECT LEAST(n_ev // 8, 7) AS stratum, t, y FROM u),
+      st AS (SELECT stratum, COUNT(*) AS n,
+        CAST(SUM(t) AS BIGINT) AS n_treated,
+        CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS s0
+      FROM su GROUP BY 1),
+      sc AS (SELECT *, (n_treated > 0 AND n_treated < n) AS identified,
+        CASE WHEN n_treated > 0 AND n_treated < n THEN
+          CAST(FLOOR((CAST(s1 AS DOUBLE) / GREATEST(n_treated, 1) -
+            CAST(s0 AS DOUBLE) / GREATEST(n - n_treated, 1)) * 10000 + 0.5) AS BIGINT)
+        ELSE 0 END AS diff_ppm
+      FROM st),
+      tot AS (SELECT
+        CAST(SUM(CASE WHEN identified THEN n ELSE 0 END) AS BIGINT) AS n_identified,
+        CAST(SUM(CASE WHEN identified THEN 0 ELSE n END) AS BIGINT) AS n_excluded,
+        CAST(SUM(diff_ppm * n) AS BIGINT) AS wsum
+      FROM sc)
+      SELECT sc.stratum, sc.n, sc.n_treated,
+        CASE WHEN sc.identified
+          THEN ROUND(CAST(sc.diff_ppm AS DOUBLE) / 1000000.0, 6) ELSE 0.0 END
+          AS diff_usd,
+        CASE WHEN sc.identified THEN 1 ELSE 0 END AS identified,
+        tot.n_excluded,
+        ROUND(CAST(tot.wsum AS DOUBLE) / CAST(tot.n_identified AS DOUBLE)
+          / 1000000.0, 6) AS ate_usd
+      FROM sc, tot ORDER BY sc.stratum""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
       qMarkovAttribution, qCohortLtv, qDid, qDidEpoch, qFunnelWindowed, qBotBurst,
       qWindowDedup, qDecayScore, qMarkovEval, qShapleyAttribution,
-      qSessionEntropy, qWatermarkLateness)
+      qSessionEntropy, qWatermarkLateness, qIpwAte)
 }

@@ -1513,8 +1513,85 @@ object MiningQueries {
       ORDER BY score_ppm DESC, a_name, a_nation, a_segment, a_balance""")
   )
 
+  /** Golden-record construction (survivorship merge) over the ER
+    * clusters — the step AFTER q_er_clusters finds duplicate groups: one
+    * canonical row per multi-member entity with field-level survivorship
+    * rules (first name by lowest key, modal nation and segment with
+    * lowest-value tie-break, maximum balance). Every rule is an exact
+    * aggregate — min-of-struct, count-mode via (count desc, value)
+    * row_number, integer-cent max — so the merged record is
+    * deterministic and the oracle replays the same closure + rules over
+    * the recursive-CTE components. Scale shape: the cluster relation is
+    * pair-graph-sized; each survivorship rule is one partial-aggregated
+    * rollup keyed by entity. */
+  val qGoldenRecord = GraftQuery(
+    "q_golden_record",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.FuzzyMatch.nameDupPairs(
+        Tables.customer(s, dir), "c_custkey", "c_name",
+        maxDist = 1, tailDrop = 2)
+      val comp = graft.operators.Dedup.connectedComponents(
+        pairs.select($"id_a", $"id_b"))
+      val mem = comp.select($"label".as("entity"), $"id")
+        .join(Tables.customer(s, dir), $"id" === $"c_custkey")
+      val base = mem.groupBy($"entity").agg(
+        count(lit(1)).as("n_members"),
+        min(struct($"c_custkey", $"c_name")).as("m"),
+        max(floor($"c_acctbal" * 100 + 0.5).cast("long")).as("mx"))
+        .select($"entity", $"n_members", $"m.c_name".as("name_first"), $"mx")
+      def mode(c: String, out: String) = mem
+        .groupBy($"entity", col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"entity").orderBy($"cnt".desc, col(c))))
+        .filter($"rn" === 1).select($"entity", col(c).as(out))
+      base
+        .join(mode("c_nationkey", "nation_mode"), "entity")
+        .join(mode("c_mktsegment", "segment_mode"), "entity")
+        .select($"entity", $"n_members", $"name_first",
+          $"nation_mode".cast("long").as("nation_mode"), $"segment_mode",
+          round($"mx".cast(DoubleType) / 100.0, 2).as("acctbal_max"))
+        .orderBy($"entity")
+    },
+    Some("""WITH RECURSIVE c AS (SELECT c_custkey, c_name,
+        substring(c_name, 1, GREATEST(length(c_name) - 2, 1)) AS blk
+      FROM customer WHERE c_name IS NOT NULL),
+      kept AS (SELECT blk FROM c GROUP BY blk HAVING COUNT(*) <= 10000),
+      b AS (SELECT c.* FROM c JOIN kept USING (blk)),
+      pairs AS (SELECT a.c_custkey AS id_a, d.c_custkey AS id_b
+        FROM b a JOIN b d ON a.blk = d.blk AND a.c_custkey < d.c_custkey
+        WHERE levenshtein(a.c_name, d.c_name) <= 1),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.src, e.b FROM walk w JOIN edges e ON w.dst = e.a),
+      comp AS (SELECT src AS id, MIN(dst) AS entity FROM walk GROUP BY src),
+      mem AS (SELECT comp.entity, cu.c_custkey, cu.c_name, cu.c_nationkey,
+          cu.c_mktsegment, cu.c_acctbal
+        FROM comp JOIN customer cu ON comp.id = cu.c_custkey),
+      base AS (SELECT entity, COUNT(*) AS n_members,
+          arg_min(c_name, c_custkey) AS name_first,
+          MAX(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS mx
+        FROM mem GROUP BY 1),
+      nm AS (SELECT entity, c_nationkey AS nation_mode FROM (
+          SELECT entity, c_nationkey, ROW_NUMBER() OVER (PARTITION BY entity
+            ORDER BY COUNT(*) DESC, c_nationkey) AS rn
+          FROM mem GROUP BY entity, c_nationkey) WHERE rn = 1),
+      sm AS (SELECT entity, c_mktsegment AS segment_mode FROM (
+          SELECT entity, c_mktsegment, ROW_NUMBER() OVER (PARTITION BY entity
+            ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+          FROM mem GROUP BY entity, c_mktsegment) WHERE rn = 1)
+      SELECT base.entity, base.n_members, base.name_first,
+        CAST(nm.nation_mode AS BIGINT) AS nation_mode, sm.segment_mode,
+        ROUND(CAST(base.mx AS DOUBLE) / 100.0, 2) AS acctbal_max
+      FROM base JOIN nm USING (entity) JOIN sm USING (entity)
+      ORDER BY entity""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qSkyline, qFellegiSunter,
+    Seq(qSkyline, qFellegiSunter, qGoldenRecord,
       qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,

@@ -319,5 +319,89 @@ object SelectionQueries {
       FROM omax ORDER BY ventile""")
   )
 
-  def all: Seq[GraftQuery] = Seq(qBhFdr, qConformal, qSprt, qIsotonic)
+  // -------------------------------------------------------------------
+  // Brier score with Murphy decomposition
+
+  /** Brier score of an hour-of-day purchase-probability predictor with
+    * the Murphy reliability/resolution/uncertainty decomposition — the
+    * proper-scoring-rule evaluation a calibrated classifier ships with
+    * (and the quantitative counterpart of q_isotonic's calibration
+    * curve). Predictor: train-split purchase rate per hour-of-day (24
+    * buckets, keyed-PRF even/odd split); evaluation on the held-out
+    * split. Every rate is a rational of integer counts; each bucket's
+    * score term is quantized to ppm independently and the totals are
+    * integer sums — so REL − RES + UNC reproduces the Brier score up to
+    * quantization, and the oracle replays every term bit-for-bit. Scale
+    * shape: two 24-row rollups; no per-event state. */
+  val qBrierDecomp = GraftQuery(
+    "q_brier_decomp",
+    (s, dir) => {
+      import s.implicits._
+      val u = (lit(48271L) * ((lit(48271L) * (($"event_id" % P) + 1L)) % P)) % P
+      val ev = Tables.events(s, dir).select(
+        hour($"ts").cast(LongType).as("hb"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("y"),
+        (u % 2).as("split"))
+      val train = ev.filter($"split" === 0L).groupBy($"hb")
+        .agg(count(lit(1)).as("nt"), sum($"y").as("yt"))
+      val test = ev.filter($"split" === 1L).groupBy($"hb")
+        .agg(count(lit(1)).as("nb"), sum($"y").as("yb"))
+      val g = test.agg(sum($"nb").as("n"), sum($"yb").as("ypos"))
+      val terms = test.join(train, "hb").crossJoin(broadcast(g))
+        .withColumn("p", $"yt".cast(DoubleType) / $"nt".cast(DoubleType))
+        .withColumn("o", $"yb".cast(DoubleType) / $"nb".cast(DoubleType))
+        .withColumn("gy", $"ypos".cast(DoubleType) / $"n".cast(DoubleType))
+        .select($"n", $"ypos",
+          floor($"nb" * (($"p" - $"o") * ($"p" - $"o")) * 1e6 / $"n" + 0.5)
+            .cast(LongType).as("rel_t"),
+          floor($"nb" * (($"o" - $"gy") * ($"o" - $"gy")) * 1e6 / $"n" + 0.5)
+            .cast(LongType).as("res_t"),
+          floor($"nb" * (($"p" - $"o") * ($"p" - $"o") + $"o" * (lit(1.0) - $"o"))
+            * 1e6 / $"n" + 0.5).cast(LongType).as("bri_t"))
+      terms.groupBy($"n", $"ypos")
+        .agg(sum($"rel_t").as("rel_ppm"), sum($"res_t").as("res_ppm"),
+          sum($"bri_t").as("brier_ppm"))
+        .select($"n".as("n_test"),
+          round($"brier_ppm".cast(DoubleType) / 1e6, 6).as("brier"),
+          round($"rel_ppm".cast(DoubleType) / 1e6, 6).as("reliability"),
+          round($"res_ppm".cast(DoubleType) / 1e6, 6).as("resolution"),
+          round(($"ypos".cast(DoubleType) / $"n".cast(DoubleType)) *
+            (lit(1.0) - $"ypos".cast(DoubleType) / $"n".cast(DoubleType)), 6)
+            .as("uncertainty"))
+    },
+    Some("""WITH ev AS (SELECT
+        CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hb,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        ((48271 * ((48271 * ((event_id % 1000000007) + 1)) % 1000000007)) % 1000000007) % 2
+          AS split
+      FROM events),
+      train AS (SELECT hb, COUNT(*) AS nt, CAST(SUM(y) AS BIGINT) AS yt
+        FROM ev WHERE split = 0 GROUP BY 1),
+      test AS (SELECT hb, COUNT(*) AS nb, CAST(SUM(y) AS BIGINT) AS yb
+        FROM ev WHERE split = 1 GROUP BY 1),
+      g AS (SELECT CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(yb) AS BIGINT) AS ypos
+        FROM test),
+      terms AS (SELECT g.n, g.ypos,
+          CAST(FLOOR(nb * ((CAST(yt AS DOUBLE) / nt - CAST(yb AS DOUBLE) / nb) *
+            (CAST(yt AS DOUBLE) / nt - CAST(yb AS DOUBLE) / nb)) * 1e6 / g.n + 0.5)
+            AS BIGINT) AS rel_t,
+          CAST(FLOOR(nb * ((CAST(yb AS DOUBLE) / nb - CAST(ypos AS DOUBLE) / g.n) *
+            (CAST(yb AS DOUBLE) / nb - CAST(ypos AS DOUBLE) / g.n)) * 1e6 / g.n + 0.5)
+            AS BIGINT) AS res_t,
+          CAST(FLOOR(nb * ((CAST(yt AS DOUBLE) / nt - CAST(yb AS DOUBLE) / nb) *
+            (CAST(yt AS DOUBLE) / nt - CAST(yb AS DOUBLE) / nb) +
+            (CAST(yb AS DOUBLE) / nb) * (1.0 - CAST(yb AS DOUBLE) / nb))
+            * 1e6 / g.n + 0.5) AS BIGINT) AS bri_t
+        FROM test JOIN train USING (hb) CROSS JOIN g)
+      SELECT n AS n_test,
+        ROUND(CAST(SUM(bri_t) AS DOUBLE) / 1e6, 6) AS brier,
+        ROUND(CAST(SUM(rel_t) AS DOUBLE) / 1e6, 6) AS reliability,
+        ROUND(CAST(SUM(res_t) AS DOUBLE) / 1e6, 6) AS resolution,
+        ROUND((CAST(ypos AS DOUBLE) / n) * (1.0 - CAST(ypos AS DOUBLE) / n), 6)
+          AS uncertainty
+      FROM terms GROUP BY n, ypos""")
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(qBhFdr, qConformal, qSprt, qIsotonic, qBrierDecomp)
 }
