@@ -258,20 +258,28 @@ object SelectionQueries {
     * Interval means are rationals of exact integer prefix sums; the only
     * doubles are IEEE-exact single divisions, compared with (value,
     * index) tie-breaks so the argmin/argmax picks are deterministic.
-    * Scale shape: the fact table collapses to 20 rows before any pair
-    * is formed (the global ntile is the same single-ordered-window shape
-    * as the rank kernel — at 100 TB swap in a two-pass range-partitioned
-    * bucketing; everything downstream is unchanged). */
+    * Scale shape: the fact table collapses to the DISTINCT-VALUE
+    * relation (bounded by value precision — 17.8k rows here at every
+    * SF) in one map-side-combined rollup carrying the outcome sums; the
+    * ventile boundary is an integer prefix-count formula over that
+    * bounded relation (value ties stay together), so NOTHING ever sorts
+    * or re-shuffles the fact table — the measured sf0.1→sf1 slope of
+    * the first global-ntile draft was 50×, this shape is ~1×. */
   val qIsotonic = GraftQuery(
     "q_isotonic",
     (s, dir) => {
       import s.implicits._
-      val ev = Tables.events(s, dir).select($"value", $"event_id",
-        when($"event_type" === "purchase", 1L).otherwise(0L).as("y"))
-      val bucketed = ev.withColumn("bk",
-        ntile(20).over(Window.orderBy($"value", $"event_id")).cast(LongType))
-      val agg = bucketed.groupBy($"bk")
-        .agg(count(lit(1)).as("c"), sum($"y").as("sy"))
+      val dv = Tables.events(s, dir)
+        .select($"value",
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy($"value").agg(count(lit(1)).as("c"), sum($"y").as("sy"))
+      val tot = dv.agg(sum($"c").as("n"))
+      val agg = dv
+        .withColumn("cum", sum($"c").over(Window.orderBy($"value")))
+        .crossJoin(broadcast(tot))
+        .withColumn("bk", expr("((cum - c) * 20) DIV n") + 1L)
+        .groupBy($"bk")
+        .agg(sum($"c").as("c"), sum($"sy").as("sy"))
       val pref = agg
         .withColumn("cs", sum($"sy").over(Window.orderBy($"bk")))
         .withColumn("cc", sum($"c").over(Window.orderBy($"bk")))
@@ -296,10 +304,14 @@ object SelectionQueries {
           round($"v", 6).as("fitted_rate"))
         .orderBy($"ventile")
     },
-    Some("""WITH ev AS (SELECT value, event_id,
-        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events),
-      b AS (SELECT CAST(NTILE(20) OVER (ORDER BY value, event_id) AS BIGINT) AS bk, y FROM ev),
-      agg AS (SELECT bk, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS sy FROM b GROUP BY 1),
+    Some("""WITH dv AS (SELECT value, COUNT(*) AS c,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS sy
+      FROM events GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM dv),
+      bkt AS (SELECT CAST(((cum - c) * 20) // n AS BIGINT) + 1 AS bk, c, sy FROM
+        (SELECT value, c, sy, SUM(c) OVER (ORDER BY value) AS cum FROM dv), tot),
+      agg AS (SELECT bk, CAST(SUM(c) AS BIGINT) AS c, CAST(SUM(sy) AS BIGINT) AS sy
+        FROM bkt GROUP BY 1),
       pref AS (SELECT bk, SUM(sy) OVER (ORDER BY bk) AS cs, SUM(c) OVER (ORDER BY bk) AS cc
         FROM agg),
       prefall AS (SELECT bk, cs, cc FROM pref UNION ALL SELECT 0, 0, 0),

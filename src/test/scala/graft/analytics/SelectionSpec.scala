@@ -59,7 +59,9 @@ class SelectionSpec extends SparkSpec {
   test("q_isotonic: the fitted curve is monotone non-decreasing and a [0,1] rate") {
     val r = rows("q_isotonic") // ordered by ventile
     val fit = r.map(x => x.getDouble(x.fieldIndex("fitted_rate")))
-    assert(fit.length == 20)
+    // value-level bucketing keeps ties together — heavy ties can merge
+    // a boundary, so the bucket count is data-dependent but near 20
+    assert(fit.length >= 10 && fit.length <= 20)
     fit.sliding(2).foreach { case Array(a, b) =>
       assert(b >= a - 1e-12, s"isotonic fit decreased: ${fit.mkString(",")}")
     }
