@@ -2511,8 +2511,54 @@ object DocQueries {
       FROM r WHERE rank <= 5 ORDER BY w1, rank""")
   )
 
+  /** Per-document character-distribution entropy, rolled up per source —
+    * the binary/template junk detector every corpus ingester runs before
+    * text models see the bytes: natural text sits near 3 nats of char
+    * entropy, templated/repetitive content falls well below, and
+    * compressed/binary junk pushes toward the alphabet maximum. Terms
+    * (c/n)·ln(n/c) go through DECIMAL(18,12) before the per-doc sum
+    * (the q_source_kl discipline — order-independent, ln's last-ulp
+    * noise 6 digits under the rounding), and the low-entropy flag
+    * compares the QUANTIZED decimal, so the count is engine-exact.
+    * Scale shape: one (doc, char) rollup with a per-doc window over the
+    * ≤alphabet-sized char relation; the corpus never sorts. */
+  val qCharEntropy = GraftQuery(
+    "q_char_entropy",
+    (s, dir) => {
+      import s.implicits._
+      val chars = Tables.documents(s, dir)
+        .select($"doc_id", $"source",
+          explode(filter(split($"text", ""), c => c.rlike("\\S"))).as("ch"))
+      val cc = chars.groupBy($"doc_id", $"source", $"ch").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"doc_id")))
+      val docEnt = cc
+        .withColumn("term", (($"c".cast(DoubleType) / $"n") *
+          log($"n".cast(DoubleType) / $"c".cast(DoubleType)))
+          .cast(DecimalType(18, 12)))
+        .groupBy($"doc_id", $"source").agg(sum($"term").as("ent"))
+      docEnt.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          round(sum($"ent").cast(DoubleType) / count(lit(1)), 6).as("avg_entropy"),
+          sum(when($"ent" < 2.5, 1L).otherwise(0L)).as("n_low_entropy"))
+        .orderBy($"source")
+    },
+    Some("""WITH chars AS (SELECT doc_id, source,
+        unnest(regexp_extract_all(text, '\S')) AS ch
+      FROM documents),
+      cc AS (SELECT doc_id, source, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2, 3),
+      cn AS (SELECT *, SUM(c) OVER (PARTITION BY doc_id) AS n FROM cc),
+      de AS (SELECT doc_id, source,
+          SUM(CAST((CAST(c AS DOUBLE) / n) *
+            LN(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) AS DECIMAL(18,12))) AS ent
+        FROM cn GROUP BY 1, 2)
+      SELECT source, COUNT(*) AS n_docs,
+        ROUND(CAST(SUM(ent) AS DOUBLE) / COUNT(*), 6) AS avg_entropy,
+        CAST(SUM(CASE WHEN ent < 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
+      FROM de GROUP BY 1 ORDER BY source""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qKneserNey,
+    qKneserNey, qCharEntropy,
     qBm25, qMmrDiversify, qNdcg, qRrfFusion, qCorpusCard,
     qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,

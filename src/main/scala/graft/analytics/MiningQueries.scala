@@ -1590,8 +1590,75 @@ object MiningQueries {
       ORDER BY entity""")
   )
 
+  /** Simpson's-paradox audit of the price~quantity relationship: the
+    * global OLS slope sign versus the within-nation slope signs — the
+    * aggregation-reversal check that belongs next to every pooled KPI
+    * (q_multi_ols's cautionary sibling). Slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²) from exact integer-cent moments, so the SIGN
+    * comparison — the entire point of the audit — is an exact decimal
+    * comparison (denominators are always positive); slope values go
+    * double only for display. Scale shape: one broadcast dim join
+    * (supplier → nation), one map-side-combined 25-group moment rollup;
+    * the global moments are the groups' exact sums. */
+  val qSimpsons = GraftQuery(
+    "q_simpsons",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+          .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+        .select($"s_nationkey".as("g"), $"l_quantity".cast("long").as("x"),
+          floor($"l_extendedprice" * 100 + 0.5).cast("long").as("y"))
+      val grp = li.groupBy($"g").agg(
+        count(lit(1)).as("n"),
+        dec38(sum(dec38($"x"))).as("sx"), dec38(sum(dec38($"y"))).as("sy"),
+        dec38(sum(dec38($"x") * dec38($"x"))).as("sxx"),
+        dec38(sum(dec38($"x") * dec38($"y"))).as("sxy"))
+        .withColumn("num", dec38($"n") * $"sxy" - $"sx" * $"sy")
+        .withColumn("den", dec38($"n") * $"sxx" - $"sx" * $"sx")
+      val glob = grp.agg(
+        dec38(sum($"n")).as("n"), dec38(sum($"sx")).as("sx"),
+        dec38(sum($"sy")).as("sy"), dec38(sum($"sxx")).as("sxx"),
+        dec38(sum($"sxy")).as("sxy"))
+        .select((($"n" * $"sxy") - ($"sx" * $"sy")).as("gnum"),
+          (($"n" * $"sxx") - ($"sx" * $"sx")).as("gden"))
+      grp.crossJoin(broadcast(glob))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(($"num" > 0 && $"gnum" <= 0) || ($"num" < 0 && $"gnum" >= 0)
+            || ($"num" === 0 && $"gnum" =!= 0), 1L).otherwise(0L)).as("n_disagree"),
+          max(round($"gnum".cast(DoubleType) / $"gden".cast(DoubleType) / 100.0, 6))
+            .as("global_slope"),
+          round(min($"num".cast(DoubleType) / $"den".cast(DoubleType) / 100.0), 6)
+            .as("min_group_slope"),
+          round(max($"num".cast(DoubleType) / $"den".cast(DoubleType) / 100.0), 6)
+            .as("max_group_slope"))
+    },
+    Some("""WITH li AS (SELECT s.s_nationkey AS g, CAST(l_quantity AS BIGINT) AS x,
+        CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      grp AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+          SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+          SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM li GROUP BY 1),
+      gd AS (SELECT g, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM grp),
+      gtot AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+          SUM(sxx) AS sxx, SUM(sxy) AS sxy FROM grp),
+      gg AS (SELECT n * sxy - sx * sy AS gnum, n * sxx - sx * sx AS gden FROM gtot)
+      SELECT COUNT(*) AS n_groups,
+        CAST(SUM(CASE WHEN (num > 0 AND gnum <= 0) OR (num < 0 AND gnum >= 0)
+          OR (num = 0 AND gnum <> 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+        MAX(ROUND(CAST(gnum AS DOUBLE) / CAST(gden AS DOUBLE) / 100.0, 6))
+          AS global_slope,
+        ROUND(MIN(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0), 6)
+          AS min_group_slope,
+        ROUND(MAX(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0), 6)
+          AS max_group_slope
+      FROM gd, gg""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qSkyline, qFellegiSunter, qGoldenRecord,
+    Seq(qSkyline, qFellegiSunter, qGoldenRecord, qSimpsons,
       qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,

@@ -622,7 +622,43 @@ object RankStatQueries {
       FROM reps, t0 GROUP BY t0.n_users, t0.t0""")
   )
 
+  /** k-anonymity audit of the (event_type, hour-of-day) release grid —
+    * the OTHER half of the privacy panel next to q_dp_counts: before a
+    * cell table ships, every cell with fewer than k=25 contributors must
+    * be suppressed, and the release owner needs the damage report. Pure
+    * integer counting: per event_type, how many of its 24 hour cells
+    * fall under k, how many rows that suppresses, and the suppressed
+    * share (one exact divide). Scale shape: one map-side-combined
+    * rollup to the 120-cell grid; everything after is panel-sized. */
+  val qKAnonymity = GraftQuery(
+    "q_k_anonymity",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.events(s, dir)
+        .groupBy($"event_type", hour($"ts").as("hb"))
+        .agg(count(lit(1)).as("c"))
+      cells.groupBy($"event_type").agg(
+          count(lit(1)).as("n_cells"),
+          sum(when($"c" < 25L, 1L).otherwise(0L)).as("n_suppressed_cells"),
+          sum(when($"c" < 25L, $"c").otherwise(0L)).as("n_suppressed_rows"),
+          sum($"c").as("n_rows"))
+        .select($"event_type", $"n_cells", $"n_suppressed_cells",
+          $"n_suppressed_rows",
+          round($"n_suppressed_rows".cast(DoubleType) * 100.0 /
+            $"n_rows".cast(DoubleType), 6).as("suppressed_pct"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH cells AS (SELECT event_type, EXTRACT(hour FROM ts) AS hb,
+        COUNT(*) AS c FROM events GROUP BY 1, 2)
+      SELECT event_type, COUNT(*) AS n_cells,
+        CAST(SUM(CASE WHEN c < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed_cells,
+        CAST(SUM(CASE WHEN c < 25 THEN c ELSE 0 END) AS BIGINT) AS n_suppressed_rows,
+        ROUND(CAST(SUM(CASE WHEN c < 25 THEN c ELSE 0 END) AS DOUBLE) * 100.0 /
+          CAST(SUM(c) AS DOUBLE), 6) AS suppressed_pct
+      FROM cells GROUP BY 1 ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qSpearman, qMannWhitney, qAuc, qDpCounts, qBootstrapCi, qAnova,
-      qHuberMean, qKendallTau, qPermutationTest)
+      qHuberMean, qKendallTau, qPermutationTest, qKAnonymity)
 }
