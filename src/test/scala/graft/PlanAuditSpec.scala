@@ -879,4 +879,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(pm) <= 3,
       s"q_permutation_test grew extra shuffles:\n$pm")
   }
+
+  test("round-8 waves 4-5: user-keyed rollups, broadcast dims, panel-only windows") {
+    def exchanges(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    // ipw: the first-event window and the rollup share ONE user-keyed
+    // exchange; the stratum panel is 8 rows
+    val pi = plan("q_ipw_ate")
+    assert(pi.contains("windowspecdefinition(user_id"),
+      s"q_ipw_ate first-event window must partition by user:\n$pi")
+    assert(!pi.contains("CartesianProduct"), s"q_ipw_ate went cartesian:\n$pi")
+    // brier: two 24-row rollups, no window at all
+    val pb = plan("q_brier_decomp")
+    assert(!pb.contains("windowspecdefinition"),
+      s"q_brier_decomp needs no window:\n$pb")
+    // golden record: survivorship modes window the entity panel, never
+    // the customer table
+    val pg = plan("q_golden_record")
+    assert(pg.contains("windowspecdefinition(entity") ||
+      pg.contains("TopKPerKey [entity"),
+      s"q_golden_record mode pick must key by entity:\n$pg")
+    // k-anonymity / char entropy: keyed rollups only, no cartesian,
+    // per-doc window for entropy (never global)
+    val pk = plan("q_k_anonymity")
+    assert(!pk.contains("Join"), s"q_k_anonymity must be join-free:\n$pk")
+    val pe = plan("q_char_entropy")
+    assert(pe.contains("windowspecdefinition(doc_id"),
+      s"q_char_entropy totals window must partition by doc:\n$pe")
+    assert(!pe.contains("windowspecdefinition(,"),
+      s"q_char_entropy must not contain a global window:\n$pe")
+    // simpsons: supplier dim broadcasts into the fact scan; the moment
+    // rollup is the only fact-sized shuffle
+    val psm = plan("q_simpsons")
+    assert(psm.contains("BroadcastHashJoin"),
+      s"q_simpsons supplier join lost its broadcast:\n$psm")
+    assert(!psm.contains("CartesianProduct"), s"q_simpsons went cartesian:\n$psm")
+    // isotonic (rebucketed): NOTHING below the distinct-value rollup may
+    // sort or exchange the fact table by range
+    val pis = plan("q_isotonic")
+    assert(!pis.contains("Exchange rangepartitioning(value"),
+      s"q_isotonic must not range-sort the fact table:\n$pis")
+  }
 }
