@@ -1477,10 +1477,93 @@ object FunnelQueries {
       FROM sc, tot ORDER BY sc.stratum""")
   )
 
+  /** CUPED variance reduction for the purchase-spend A/B readout — the
+    * pre-experiment-covariate adjustment every mature experimentation
+    * platform applies before reading a spend metric: θ = cov(X,Y)/var(X)
+    * with X = pre-period spend, Y = post-period spend (corpus epoch-day
+    * midpoint split, the q_did_epoch convention), adjusted arm mean =
+    * Ȳₐ − θ·(X̄ₐ − X̄). All covariance/variance numerators are exact
+    * decimal integer-cent moments; θ and ρ² (the variance-reduction
+    * factor, computed as (a/b)·(a/c) on the decimal-exact numerators
+    * cast once to double — the squared products would overflow
+    * DECIMAL(38)) are single identical float expressions in both
+    * engines. Scale shape: one user rollup, one 1-row moment aggregate,
+    * a 2-row arm panel. */
+  val qCuped = GraftQuery(
+    "q_cuped",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      def dec38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val ev = Tables.events(s, dir).select($"user_id",
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        when($"event_type" === "purchase",
+          ($"value".cast(DecimalType(18, 2)) * 100).cast(LongType))
+          .otherwise(0L).as("vc"))
+      val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      val per = ev.crossJoin(broadcast(mid)).groupBy($"user_id").agg(
+          sum(when($"day" <= $"mid", $"vc").otherwise(0L)).as("x"),
+          sum(when($"day" > $"mid", $"vc").otherwise(0L)).as("y"))
+        .withColumn("arm", pmod($"user_id", lit(2L)))
+      val m = per.agg(
+        count(lit(1)).as("n"),
+        dec38(sum(dec38($"x"))).as("sx"), dec38(sum(dec38($"y"))).as("sy"),
+        dec38(sum(dec38($"x") * dec38($"x"))).as("sxx"),
+        dec38(sum(dec38($"x") * dec38($"y"))).as("sxy"),
+        dec38(sum(dec38($"y") * dec38($"y"))).as("syy"))
+        .select($"n",
+          (dec38($"n") * $"sxy" - $"sx" * $"sy").cast(DoubleType).as("a"),
+          (dec38($"n") * $"sxx" - $"sx" * $"sx").cast(DoubleType).as("b"),
+          (dec38($"n") * $"syy" - $"sy" * $"sy").cast(DoubleType).as("c"),
+          $"sx".cast(DoubleType).as("sxd"))
+      val arms = per.groupBy($"arm").agg(
+        count(lit(1)).as("n_users"),
+        dec38(sum(dec38($"x"))).cast(DoubleType).as("sxa"),
+        dec38(sum(dec38($"y"))).cast(DoubleType).as("sya"))
+      arms.crossJoin(broadcast(m))
+        .withColumn("theta", $"a" / $"b")
+        .select($"arm", $"n_users",
+          round($"sya" / $"n_users" / 100.0, 6).as("mean_y_usd"),
+          round(($"sya" / $"n_users" -
+            $"theta" * ($"sxa" / $"n_users" - $"sxd" / $"n")) / 100.0, 6)
+            .as("mean_y_adj_usd"),
+          round($"theta", 6).as("theta"),
+          round(($"a" / $"b") * ($"a" / $"c") * 100.0, 6).as("var_reduction_pct"))
+        .orderBy($"arm")
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        CASE WHEN event_type = 'purchase'
+          THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END AS vc
+      FROM events),
+      mid AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev),
+      per AS (SELECT user_id, user_id % 2 AS arm,
+          CAST(SUM(CASE WHEN day <= mid THEN vc ELSE 0 END) AS HUGEINT) AS x,
+          CAST(SUM(CASE WHEN day > mid THEN vc ELSE 0 END) AS HUGEINT) AS y
+        FROM ev, mid GROUP BY 1, 2),
+      m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy FROM per),
+      md AS (SELECT CAST(n AS BIGINT) AS n,
+          CAST(n * sxy - sx * sy AS DOUBLE) AS a,
+          CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+          CAST(n * syy - sy * sy AS DOUBLE) AS c,
+          CAST(sx AS DOUBLE) AS sxd
+        FROM m),
+      arms AS (SELECT arm, COUNT(*) AS n_users,
+          CAST(SUM(x) AS DOUBLE) AS sxa, CAST(SUM(y) AS DOUBLE) AS sya
+        FROM per GROUP BY 1)
+      SELECT arm, n_users,
+        ROUND(sya / n_users / 100.0, 6) AS mean_y_usd,
+        ROUND((sya / n_users - (a / b) * (sxa / n_users - sxd / n)) / 100.0, 6)
+          AS mean_y_adj_usd,
+        ROUND(a / b, 6) AS theta,
+        ROUND((a / b) * (a / c) * 100.0, 6) AS var_reduction_pct
+      FROM arms, md ORDER BY arm""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
       qMarkovAttribution, qCohortLtv, qDid, qDidEpoch, qFunnelWindowed, qBotBurst,
       qWindowDedup, qDecayScore, qMarkovEval, qShapleyAttribution,
-      qSessionEntropy, qWatermarkLateness, qIpwAte)
+      qSessionEntropy, qWatermarkLateness, qIpwAte, qCuped)
 }

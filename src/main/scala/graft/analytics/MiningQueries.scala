@@ -1657,8 +1657,114 @@ object MiningQueries {
       FROM gd, gg""")
   )
 
+  /** Degree assortativity of the part co-purchase graph: the Pearson
+    * correlation of endpoint degrees over the undirected edge list —
+    * one number answering "do popular parts co-occur with popular
+    * parts" (positive = assortative hubs, negative = hub-and-spoke).
+    * Co-purchase pairs are order-bounded (≤ ~7 lineitems per order →
+    * ≤ 21 pairs), degrees are distinct-partner counts, and all
+    * correlation moments are exact decimal sums — one final
+    * sqrt/divide. Scale shape: pair generation is the q_copurchase
+    * within-order self-join (never cross-order), then two degree-keyed
+    * rollups. */
+  val qAssortativity = GraftQuery(
+    "q_assortativity",
+    (s, dir) => {
+      import s.implicits._
+      val op = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val pairs = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val und = pairs.union(pairs.select($"v".as("u"), $"u".as("v")))
+      val deg = und.groupBy($"u".as("id")).agg(count(lit(1)).as("deg"))
+      val e = und
+        .join(deg.select($"id".as("u"), $"deg".as("du")), "u")
+        .join(deg.select($"id".as("v"), $"deg".as("dv")), "v")
+      e.agg(
+          (count(lit(1)) / 2).cast("long").as("n_edges"),
+          dec38(count(lit(1))).as("m"),
+          dec38(sum(dec38($"du"))).as("sx"), dec38(sum(dec38($"dv"))).as("sy"),
+          dec38(sum(dec38($"du") * dec38($"du"))).as("sxx"),
+          dec38(sum(dec38($"dv") * dec38($"dv"))).as("syy"),
+          dec38(sum(dec38($"du") * dec38($"dv"))).as("sxy"))
+        .select($"n_edges",
+          round(($"m" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
+            sqrt(($"m" * $"sxx" - $"sx" * $"sx").cast(DoubleType) *
+                 ($"m" * $"syy" - $"sy" * $"sy").cast(DoubleType)), 6)
+            .as("assortativity"))
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+      deg AS (SELECT u AS id, CAST(COUNT(*) AS HUGEINT) AS deg FROM und GROUP BY 1),
+      e AS (SELECT d1.deg AS du, d2.deg AS dv
+        FROM und JOIN deg d1 ON und.u = d1.id JOIN deg d2 ON und.v = d2.id),
+      m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m, COUNT(*) / 2 AS n_edges,
+          SUM(du) AS sx, SUM(dv) AS sy, SUM(du * du) AS sxx,
+          SUM(dv * dv) AS syy, SUM(du * dv) AS sxy
+        FROM e)
+      SELECT CAST(n_edges AS BIGINT) AS n_edges,
+        ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+          SQRT(CAST(m * sxx - sx * sx AS DOUBLE) *
+               CAST(m * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+      FROM m""")
+  )
+
+  /** Item-to-item cosine recommendations from co-purchase evidence —
+    * the classic "customers who bought X also bought Y" memory-based
+    * recommender: cos(i,j) = cooc(i,j)/√(n_i·n_j) over order baskets,
+    * top-3 recommendations for each of the 20 most-purchased anchor
+    * parts. Cosines are single sqrt/divides of exact integers; ranking
+    * ties break by (cooc desc, partner id). Scale shape: within-order
+    * pair generation (order-size bounded), anchor restriction broadcasts
+    * BEFORE the partner join, the top-3 is a 20-partition window. */
+  val qItemRecs = GraftQuery(
+    "q_item_recs",
+    (s, dir) => {
+      import s.implicits._
+      val op = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val n = op.groupBy($"p").agg(count(lit(1)).as("n_ord"))
+      val pairs = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("cooc"))
+      val und = pairs.union(pairs.select($"v".as("u"), $"u".as("v"), $"cooc"))
+      val anchors = n.orderBy($"n_ord".desc, $"p").limit(20)
+        .select($"p".as("u"), $"n_ord".as("nu"))
+      val scored = und.join(broadcast(anchors), "u")
+        .join(n.select($"p".as("v"), $"n_ord".as("nv")), "v")
+        .withColumn("cosine", $"cooc".cast(DoubleType) /
+          sqrt($"nu".cast(DoubleType) * $"nv".cast(DoubleType)))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy($"u").orderBy($"cosine".desc, $"cooc".desc, $"v")))
+        .filter($"rank" <= 3)
+        .select($"u".as("anchor"), $"rank".cast("long").as("rank"),
+          $"v".as("rec"), $"cooc", round($"cosine", 6).as("cosine"))
+        .orderBy($"anchor", $"rank")
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      np AS (SELECT p, COUNT(*) AS n_ord FROM op GROUP BY 1),
+      pairs AS (SELECT a.p AS u, b.p AS v, COUNT(*) AS cooc
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      und AS (SELECT u, v, cooc FROM pairs UNION ALL SELECT v, u, cooc FROM pairs),
+      anchors AS (SELECT p AS u, n_ord AS nu FROM np ORDER BY n_ord DESC, p LIMIT 20),
+      scored AS (SELECT und.u, und.v, und.cooc,
+          CAST(und.cooc AS DOUBLE) / SQRT(CAST(a.nu AS DOUBLE) * CAST(n2.n_ord AS DOUBLE))
+            AS cosine
+        FROM und JOIN anchors a ON und.u = a.u JOIN np n2 ON und.v = n2.p),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+          ORDER BY cosine DESC, cooc DESC, v) AS rank FROM scored)
+      SELECT u AS anchor, CAST(rank AS BIGINT) AS rank, v AS rec, cooc,
+        ROUND(cosine, 6) AS cosine
+      FROM r WHERE rank <= 3 ORDER BY anchor, rank""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qSkyline, qFellegiSunter, qGoldenRecord, qSimpsons,
+      qAssortativity, qItemRecs,
       qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,

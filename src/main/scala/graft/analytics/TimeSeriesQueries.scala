@@ -980,8 +980,71 @@ object TimeSeriesQueries {
       ORDER BY event_type, h""")
   )
 
+  /** Seasonality strength per event-type series: the share of hourly
+    * variance explained by the hour-of-day profile, 1 − SSW/SST with
+    * SSW = Σy² − Σₕ Sₕ²/nₕ (within-hour-of-day) and SST = Σy² − S²/n —
+    * the one-number answer to "is this series worth a seasonal model"
+    * (and the quantitative justification for q_holt_winters' period-24
+    * state). Each Sₕ²/nₕ term is quantized to micro-units independently
+    * (24 terms, exact integer inputs), so the variance ratio is a
+    * single double division of two integers. Scale shape: two
+    * map-side-combined rollups (hourly grid, then 24-slot profile). */
+  val qSeasonalityStrength = GraftQuery(
+    "q_seasonality_strength",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val hourly = Tables.events(s, dir)
+        .groupBy($"event_type",
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("t"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("h", pmod($"t", lit(24L)))
+      val prof = hourly.groupBy($"event_type", $"h")
+        .agg(count(lit(1)).as("nh"), sum($"y").as("sh"))
+        .select($"event_type",
+          floor($"sh".cast(DoubleType) * $"sh" * 1e6 / $"nh" + 0.5)
+            .cast(LongType).as("th"))
+        .groupBy($"event_type").agg(sum($"th").as("ssb_micro"))
+      val tot = hourly.groupBy($"event_type").agg(
+          count(lit(1)).as("n"), sum($"y").as("sy"),
+          sum($"y" * $"y").as("qy"))
+        .select($"event_type", $"n", ($"qy" * 1000000L).as("q_micro"),
+          floor($"sy".cast(DoubleType) * $"sy" * 1e6 / $"n" + 0.5)
+            .cast(LongType).as("tg_micro"))
+      tot.join(prof, "event_type")
+        .select($"event_type", $"n".as("n_hours"),
+          round(greatest(lit(0.0),
+            lit(1.0) - ($"q_micro" - $"ssb_micro").cast(DoubleType) /
+              ($"q_micro" - $"tg_micro").cast(DoubleType)), 6)
+            .as("seasonality_strength"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH hourly AS (SELECT event_type,
+          epoch_us(DATE_TRUNC('hour', ts)) // 3600000000 AS t, COUNT(*) AS y
+        FROM events GROUP BY 1, 2),
+      hh AS (SELECT event_type, t % 24 AS h, y FROM hourly),
+      prof AS (SELECT event_type,
+          CAST(SUM(th) AS BIGINT) AS ssb_micro FROM (
+            SELECT event_type,
+              CAST(FLOOR(CAST(SUM(y) AS DOUBLE) * SUM(y) * 1e6 / COUNT(*) + 0.5)
+                AS BIGINT) AS th
+            FROM hh GROUP BY event_type, h) GROUP BY 1),
+      tot AS (SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(y * y) * 1000000 AS BIGINT) AS q_micro,
+          CAST(FLOOR(CAST(SUM(y) AS DOUBLE) * SUM(y) * 1e6 / COUNT(*) + 0.5)
+            AS BIGINT) AS tg_micro
+        FROM hh GROUP BY 1)
+      SELECT tot.event_type, tot.n AS n_hours,
+        ROUND(GREATEST(0.0,
+          1.0 - CAST(tot.q_micro - prof.ssb_micro AS DOUBLE) /
+            CAST(tot.q_micro - tot.tg_micro AS DOUBLE)), 6)
+          AS seasonality_strength
+      FROM tot JOIN prof USING (event_type) ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi,
       qSeasonalBaseline, qCusum, qPriceIndex, qAcf, qChangepoint,
-      qForecastBacktest, qTheilSen, qMkTrend, qHoltWinters)
+      qForecastBacktest, qTheilSen, qMkTrend, qHoltWinters,
+      qSeasonalityStrength)
 }
