@@ -1291,7 +1291,73 @@ object ExtendedQueries {
       ORDER BY cls, lev_dist, dam_dist, ham_dist NULLS FIRST""")
   )
 
+  /** Streaming CEP: the view→click→purchase funnel pattern matched by a
+    * per-user DFA in [[graft.streaming.PatternMatch]]
+    * (flatMapGroupsWithState, O(1) state, greedy non-overlapping) run as
+    * a real streaming job. With a single AvailableNow batch every match
+    * that completes within the corpus emits (a partial match is carried
+    * in state, and no future batch exists), so the oracle is the batch
+    * complete-triple chain: v₁ = first view, vₖ₊₁ = first view after
+    * p(vₖ), replayed as a recursive CTE over first-following-click /
+    * first-following-purchase window minima — see the equivalence
+    * argument in PatternMatch's scaladoc. Same single-file precondition
+    * as q_stream_sessions. */
+  val qStreamFunnel = GraftQuery(
+    "q_stream_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_funnel_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+      val ev = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+      val m = graft.streaming.PatternMatch.matches(
+        ev.select($"user_id", $"ts", $"event_id", $"event_type"))
+      graft.streaming.EventsStream
+        .runAvailableNow(s, m.toDF(), name, checkpoint, OutputMode.Append())
+        .select($"user_id", $"view_event_id",
+          date_format($"t_view", "yyyy-MM-dd HH:mm:ss").as("t_view"),
+          date_format($"t_click", "yyyy-MM-dd HH:mm:ss").as("t_click"),
+          date_format($"t_purchase", "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
+          $"latency_sec")
+        .orderBy($"user_id", $"view_event_id")
+    },
+    Some("""WITH RECURSIVE ev AS (SELECT user_id, ts, event_id, event_type
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      w AS (SELECT user_id, ts, event_id, event_type,
+          MIN(CASE WHEN event_type = 'click' THEN ROW(ts, event_id) END)
+            OVER nxt AS nc,
+          MIN(CASE WHEN event_type = 'purchase' THEN ROW(ts, event_id) END)
+            OVER nxt AS np
+        FROM ev
+        WINDOW nxt AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      trip AS (SELECT v.user_id, ROW(v.ts, v.event_id) AS vk, v.event_id AS v_id,
+          v.ts AS t_view, c.ts AS t_click, c.np AS pk
+        FROM w v JOIN w c ON v.user_id = c.user_id
+          AND c.event_type = 'click' AND ROW(c.ts, c.event_id) = v.nc
+        WHERE v.event_type = 'view' AND v.nc IS NOT NULL AND c.np IS NOT NULL),
+      tripp AS (SELECT t.user_id, t.vk, t.v_id, t.t_view, t.t_click, t.pk,
+          p.ts AS t_purchase
+        FROM trip t JOIN w p ON t.user_id = p.user_id
+          AND ROW(p.ts, p.event_id) = t.pk),
+      walk AS (
+        SELECT t.* FROM tripp t WHERE NOT EXISTS (
+          SELECT 1 FROM tripp t2 WHERE t2.user_id = t.user_id AND t2.vk < t.vk)
+        UNION ALL
+        SELECT t.* FROM walk wk JOIN tripp t
+          ON t.user_id = wk.user_id AND t.vk > wk.pk
+        WHERE NOT EXISTS (SELECT 1 FROM tripp t2
+          WHERE t2.user_id = t.user_id AND t2.vk > wk.pk AND t2.vk < t.vk))
+      SELECT user_id, v_id AS view_event_id,
+        STRFTIME(t_view, '%Y-%m-%d %H:%M:%S') AS t_view,
+        STRFTIME(t_click, '%Y-%m-%d %H:%M:%S') AS t_click,
+        STRFTIME(t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+        (epoch_us(t_purchase) - epoch_us(t_view)) // 1000000 AS latency_sec
+      FROM walk ORDER BY user_id, view_event_id""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qStreamFunnel,
     qJwMatch, qStringMetrics,
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
