@@ -633,4 +633,44 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(sessions === Seq((1L, 2L), (2L, 1L), (2L, 1L)),
       s"boundary semantics drifted: $sessions")
   }
+
+  test("CEP funnel matcher: state carries across micro-batches (3-file = 1-file)") {
+    import graft.streaming.PatternMatch
+    // the q_stream_funnel oracle only certifies the single-batch run;
+    // this pins the STREAMING property — a partial match (view or
+    // view+click) open at a batch boundary completes in a later batch
+    val raw0 = rawEvents()
+    val raw = raw0.withColumn("tsn", tsNum(raw0))
+    val Array(q1, q2) = raw.stat.approxQuantile("tsn", Array(0.33, 0.66), 0.0)
+    val srcDir = s"$tmp/events_split_cep"
+    new java.io.File(srcDir).mkdirs()
+    val parts = Seq(
+      raw.filter(col("tsn") <= q1),
+      raw.filter(col("tsn") > q1 && col("tsn") <= q2),
+      raw.filter(col("tsn") > q2)).map(_.drop("tsn"))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val stage = s"$tmp/events_split_cep_stage_$i"
+      p.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"events_$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    def run(path: String, maxFiles: Int): Set[(Long, Long, Long)] = {
+      val ev = EventsStream.readEvents(spark, path, maxFilesPerTrigger = maxFiles)
+      val m = PatternMatch.matches(
+        ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+      EventsStream.runAvailableNow(spark, m.toDF(),
+          s"cep_multi_${path.hashCode.abs}_$maxFiles",
+          s"$tmp/ckpt_cep${path.hashCode.abs}_$maxFiles")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(r.fieldIndex("latency_sec")))).toSet
+    }
+    val single = run(s"$Dir/events.parquet", 1)
+    val multi = run(srcDir, 1)     // 3 micro-batches, DFA state carried
+    assert(single.nonEmpty, "corpus must contain at least one full funnel")
+    assert(multi === single,
+      "time-ordered multi-batch matching must emit the same match set")
+  }
 }
