@@ -2557,8 +2557,73 @@ object DocQueries {
       FROM de GROUP BY 1 ORDER BY source""")
   )
 
+  /** Monroe et al.'s "fightin' words": log-odds-ratio with an
+    * informative Dirichlet prior between the first-10 and last-10
+    * source groups, z-scored — the statistically-grounded answer to
+    * "which tokens actually distinguish these corpora" (raw tf-idf and
+    * PMI over-rank rare tokens; the Dirichlet prior α_w = α₀·p(w)
+    * shrinks exactly those). δ_w = ln-odds difference with prior
+    * pseudo-counts, z = δ/√(1/(y_a+α) + 1/(y_b+α)); top-10 per side.
+    * All counts exact integers; δ and z are single identical float
+    * expressions. Scale shape: token-keyed rollups (vocabulary-sized),
+    * two TakeOrdered top-10s. */
+  val qDistinctiveTerms = GraftQuery(
+    "q_distinctive_terms",
+    (s, dir) => {
+      import s.implicits._
+      val tok = Tables.documents(s, dir)
+        .select((expr("cast(substring(source, 4) as int)") < 10).as("is_a"),
+          explode(TextAnalysis.tokens($"text")).as("token"))
+      val tc = tok.groupBy($"token").agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("ya"),
+        sum(when($"is_a", 0L).otherwise(1L)).as("yb"))
+      val tot = tc.agg(sum($"ya").as("na"), sum($"yb").as("nb"))
+      val scored = tc.crossJoin(broadcast(tot))
+        .withColumn("aw", lit(500.0) * ($"ya" + $"yb") / ($"na" + $"nb"))
+        .withColumn("dlt",
+          log(($"ya" + $"aw") / ($"na" + 500.0 - $"ya" - $"aw")) -
+          log(($"yb" + $"aw") / ($"nb" + 500.0 - $"yb" - $"aw")))
+        .withColumn("z", $"dlt" / sqrt(lit(1.0) / ($"ya" + $"aw") +
+          lit(1.0) / ($"yb" + $"aw")))
+      def side(df: org.apache.spark.sql.DataFrame, tag: String, asc: Boolean) = {
+        val lim = (if (asc) df.orderBy($"z", $"token")
+                   else df.orderBy($"z".desc, $"token")).limit(10)
+        val w = if (asc) Window.orderBy($"z", $"token")
+                else Window.orderBy($"z".desc, $"token")
+        lim.withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("side", lit(tag))
+      }
+      side(scored, "A", asc = false).union(side(scored, "B", asc = true))
+        .select($"side", $"rank", $"token", $"ya", $"yb", round($"z", 6).as("z"))
+        .orderBy($"side", $"rank")
+    },
+    Some("""WITH tok AS (SELECT CAST(substring(source, 4) AS INT) < 10 AS is_a,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          x -> x <> '')) AS token
+      FROM documents),
+      tc AS (SELECT token,
+          CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+          CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS yb
+        FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ya) AS BIGINT) AS na, CAST(SUM(yb) AS BIGINT) AS nb
+        FROM tc),
+      sc AS (SELECT token, ya, yb,
+          (LN((ya + aw) / (na + 500.0 - ya - aw)) -
+           LN((yb + aw) / (nb + 500.0 - yb - aw))) /
+          SQRT(1.0 / (ya + aw) + 1.0 / (yb + aw)) AS z
+        FROM (SELECT tc.*, tot.na, tot.nb,
+            500.0 * (ya + yb) / (na + nb) AS aw FROM tc, tot)),
+      a AS (SELECT 'A' AS side, CAST(ROW_NUMBER() OVER (ORDER BY z DESC, token)
+          AS BIGINT) AS rank, token, ya, yb, ROUND(z, 6) AS z
+        FROM sc ORDER BY z DESC, token LIMIT 10),
+      b AS (SELECT 'B' AS side, CAST(ROW_NUMBER() OVER (ORDER BY z, token)
+          AS BIGINT) AS rank, token, ya, yb, ROUND(z, 6) AS z
+        FROM sc ORDER BY z, token LIMIT 10)
+      SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY side, rank""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qKneserNey, qCharEntropy,
+    qKneserNey, qCharEntropy, qDistinctiveTerms,
     qBm25, qMmrDiversify, qNdcg, qRrfFusion, qCorpusCard,
     qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,

@@ -1560,10 +1560,52 @@ object FunnelQueries {
       FROM arms, md ORDER BY arm""")
   )
 
+  /** Power analysis for the conversion A/B setup: the minimum
+    * detectable effect at α=0.05 / power=0.80 across a grid of
+    * per-arm sample sizes — the "how long must this test run" table
+    * every experiment review asks for. MDE = (z_{α/2}+z_β)·√(2p(1−p)/n)
+    * with the z-sum hardcoded as the literal 2.801585 (no inverse-CDF
+    * in either engine) and p the exact observed converter share
+    * (q_ab_test's conversion definition). The n grid rides a constant
+    * literal array — one 1-row aggregate, then 4 rows of scalar math. */
+  val qPowerMde = GraftQuery(
+    "q_power_mde",
+    (s, dir) => {
+      import s.implicits._
+      val conv = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c"))
+        .agg(count(lit(1)).as("n_users"), sum($"c").as("n_conv"))
+      conv
+        .select($"n_users", $"n_conv",
+          ($"n_conv".cast(DoubleType) / $"n_users".cast(DoubleType)).as("p"),
+          explode(typedLit(Seq(1000L, 10000L, 100000L, 1000000L))).as("n_per_arm"))
+        .select($"n_per_arm", round($"p", 6).as("base_rate"),
+          round(lit(2.801585) * sqrt(lit(2.0) * $"p" * (lit(1.0) - $"p") /
+            $"n_per_arm".cast(DoubleType)) * 100.0, 6).as("mde_pct_points"),
+          round(lit(2.801585) * sqrt(lit(2.0) * $"p" * (lit(1.0) - $"p") /
+            $"n_per_arm".cast(DoubleType)) / $"p" * 100.0, 6).as("mde_relative_pct"))
+        .orderBy($"n_per_arm")
+    },
+    Some("""WITH u AS (SELECT user_id,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY 1),
+      conv AS (SELECT COUNT(*) AS n_users, CAST(SUM(c) AS BIGINT) AS n_conv FROM u),
+      grid AS (SELECT conv.*, CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+          CAST(g.n AS BIGINT) AS n_per_arm
+        FROM conv CROSS JOIN (SELECT UNNEST([1000, 10000, 100000, 1000000]) AS n) g)
+      SELECT n_per_arm, ROUND(p, 6) AS base_rate,
+        ROUND(2.801585 * SQRT(2.0 * p * (1.0 - p) / CAST(n_per_arm AS DOUBLE))
+          * 100.0, 6) AS mde_pct_points,
+        ROUND(2.801585 * SQRT(2.0 * p * (1.0 - p) / CAST(n_per_arm AS DOUBLE))
+          / p * 100.0, 6) AS mde_relative_pct
+      FROM grid ORDER BY n_per_arm""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
       qMarkovAttribution, qCohortLtv, qDid, qDidEpoch, qFunnelWindowed, qBotBurst,
       qWindowDedup, qDecayScore, qMarkovEval, qShapleyAttribution,
-      qSessionEntropy, qWatermarkLateness, qIpwAte, qCuped)
+      qSessionEntropy, qWatermarkLateness, qIpwAte, qCuped, qPowerMde)
 }

@@ -1762,9 +1762,73 @@ object MiningQueries {
       FROM r WHERE rank <= 3 ORDER BY anchor, rank""")
   )
 
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-part return
+    * rates — the principled version of q_target_encode's smoothing: the
+    * prior (α, β) is estimated from the data by method of moments over
+    * parts with ≥5 lineitems (rates quantized to ppm so the moment sums
+    * are exact integers; μ(1−μ)/s² − 1 gives the prior strength M,
+    * clamped to ≥1), and every part's rate shrinks to
+    * (x + μM)/(n + M). Emits the 15 biggest movers |raw − shrunk| —
+    * exactly the low-volume parts whose raw rates were noise. All
+    * float expressions are single identical formulas over exact
+    * integer moments. Scale shape: one part-keyed rollup, one 1-row
+    * prior, a TakeOrdered top-15. */
+  val qEbShrinkage = GraftQuery(
+    "q_eb_shrinkage",
+    (s, dir) => {
+      import s.implicits._
+      val parts = Tables.lineitem(s, dir).groupBy($"l_partkey").agg(
+        count(lit(1)).as("n"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("x"))
+      val withP = parts.withColumn("p_ppm",
+        floor($"x".cast(DoubleType) * 1e6 / $"n" + 0.5).cast("long"))
+      val prior = withP.filter($"n" >= 5L).agg(
+          count(lit(1)).as("k"),
+          dec38(sum(dec38($"p_ppm"))).as("sp"),
+          dec38(sum(dec38($"p_ppm") * dec38($"p_ppm"))).as("spp"),
+          dec38(sum(dec38($"x"))).as("sx"), dec38(sum(dec38($"n"))).as("sn"))
+        .select(
+          ($"sx".cast(DoubleType) / $"sn".cast(DoubleType)).as("mu"),
+          ((dec38($"k") * $"spp" - $"sp" * $"sp").cast(DoubleType) /
+            (dec38($"k") * dec38($"k")).cast(DoubleType) / 1e12).as("s2"))
+        .select($"mu",
+          greatest(lit(1.0), $"mu" * (lit(1.0) - $"mu") / $"s2" - 1.0).as("bigm"))
+      withP.crossJoin(broadcast(prior))
+        .withColumn("raw", $"p_ppm".cast(DoubleType) / 1e6)
+        .withColumn("shrunk",
+          ($"x".cast(DoubleType) + $"mu" * $"bigm") / ($"n".cast(DoubleType) + $"bigm"))
+        .withColumn("mv", abs($"raw" - $"shrunk"))
+        .orderBy($"mv".desc, $"l_partkey")
+        .limit(15)
+        .select($"l_partkey", $"n", $"x", round($"raw", 6).as("raw_rate"),
+          round($"shrunk", 6).as("shrunk_rate"), round($"mv", 6).as("abs_move"))
+    },
+    Some("""WITH parts AS (SELECT l_partkey, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM lineitem GROUP BY 1),
+      wp AS (SELECT *, CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 / n + 0.5) AS BIGINT)
+        AS p_ppm FROM parts),
+      pr AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+          SUM(CAST(p_ppm AS HUGEINT)) AS sp,
+          SUM(CAST(p_ppm AS HUGEINT) * p_ppm) AS spp,
+          SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(n AS HUGEINT)) AS sn
+        FROM wp WHERE n >= 5),
+      pm AS (SELECT CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE) AS mu,
+          CAST(k * spp - sp * sp AS DOUBLE) / CAST(k * k AS DOUBLE) / 1e12 AS s2
+        FROM pr),
+      pb AS (SELECT mu, GREATEST(1.0, mu * (1.0 - mu) / s2 - 1.0) AS bigm FROM pm),
+      sc AS (SELECT l_partkey, n, x,
+          CAST(p_ppm AS DOUBLE) / 1e6 AS raw,
+          (CAST(x AS DOUBLE) + mu * bigm) / (CAST(n AS DOUBLE) + bigm) AS shrunk
+        FROM wp, pb)
+      SELECT l_partkey, n, x, ROUND(raw, 6) AS raw_rate,
+        ROUND(shrunk, 6) AS shrunk_rate, ROUND(ABS(raw - shrunk), 6) AS abs_move
+      FROM sc ORDER BY ABS(raw - shrunk) DESC, l_partkey LIMIT 15""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qSkyline, qFellegiSunter, qGoldenRecord, qSimpsons,
-      qAssortativity, qItemRecs,
+      qAssortativity, qItemRecs, qEbShrinkage,
       qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
