@@ -920,4 +920,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pis.contains("Exchange rangepartitioning(value"),
       s"q_isotonic must not range-sort the fact table:\n$pis")
   }
+
+  test("round-8 waves 6-7: moment rollups, TakeOrdered tops, broadcast priors") {
+    def exchanges(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    // cuped: one user rollup feeds both the pooled moments and the arm
+    // panel; the 1-row moment relation broadcasts
+    val pc = plan("q_cuped")
+    assert(exchanges(pc) <= 3, s"q_cuped grew extra shuffles:\n$pc")
+    assert(!pc.contains("CartesianProduct"), s"q_cuped went cartesian:\n$pc")
+    // seasonality: two keyed rollups, join on the 5-type panel
+    val ps = plan("q_seasonality_strength")
+    assert(!ps.contains("windowspecdefinition"),
+      s"q_seasonality_strength needs no window:\n$ps")
+    // assortativity / item recs: within-order pair self-join only (an
+    // equi-join on the order key), no cartesian
+    Seq("q_assortativity", "q_item_recs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+    // item recs: the 20-anchor restriction broadcasts into the pair
+    // relation before the partner-count join
+    assert(plan("q_item_recs").contains("BroadcastHashJoin"),
+      "q_item_recs anchor restriction lost its broadcast")
+    // eb shrinkage: top movers via TakeOrdered, prior is a 1-row
+    // broadcast
+    val pe = plan("q_eb_shrinkage")
+    assert(pe.contains("TakeOrderedAndProject"),
+      s"q_eb_shrinkage top-15 is not a TakeOrdered:\n$pe")
+    // power mde: the n grid is a constant-array explode in codegen
+    val pp = plan("q_power_mde")
+    assert(pp.contains("Generate explode"),
+      s"q_power_mde grid is not a codegen explode:\n$pp")
+    // distinctive terms: token rollup is the only vocab-sized shuffle;
+    // both top-10 sides are TakeOrdered
+    val pd = plan("q_distinctive_terms")
+    assert(pd.contains("TakeOrderedAndProject"),
+      s"q_distinctive_terms sides are not TakeOrdered:\n$pd")
+    assert(!pd.contains("CartesianProduct"),
+      s"q_distinctive_terms went cartesian:\n$pd")
+  }
 }
