@@ -2622,8 +2622,236 @@ object DocQueries {
       SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY side, rank""")
   )
 
+  /** Flesch readability rollup per source: reading-ease and grade-level
+    * from the classic surface counts — words (the corpus tokenizer),
+    * sentences (runs of `[.!?]`, floored at 1), syllables (vowel-group
+    * runs, the standard dictionary-free heuristic). Per-doc scores are a
+    * single double expression over integer counts, fixed-pointed to ppm
+    * BEFORE the per-source average so the rollup is an integer sum (no
+    * addition-order drift). hard_share = fraction below FRE 30 ("very
+    * difficult"). Scale shape: one map-side pass into a |sources|-sized
+    * rollup — no shuffle beyond the final groupBy. */
+  val qReadability = GraftQuery(
+    "q_readability",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select($"source",
+          TextAnalysis.tokenCount($"text").cast(LongType).as("w"),
+          greatest(coalesce(regexp_count($"text", lit("[.!?]+")), lit(0)), lit(1))
+            .cast(LongType).as("sent"),
+          coalesce(regexp_count(lower($"text"), lit("[aeiouy]+")), lit(0))
+            .cast(LongType).as("syl"))
+        .filter($"w" > 0)
+        .withColumn("wd", $"w".cast(DoubleType))
+        .withColumn("fre_ppm",
+          floor((lit(206.835) - lit(1.015) * ($"wd" / $"sent".cast(DoubleType)) -
+            lit(84.6) * ($"syl".cast(DoubleType) / $"wd")) * 1000000.0 + 0.5)
+            .cast(LongType))
+        .withColumn("fk_ppm",
+          floor((lit(0.39) * ($"wd" / $"sent".cast(DoubleType)) +
+            lit(11.8) * ($"syl".cast(DoubleType) / $"wd") - lit(15.59)) * 1000000.0 + 0.5)
+            .cast(LongType))
+      d.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum($"fre_ppm").cast(DoubleType) / count(lit(1)) / 1000000.0, 6)
+            .as("avg_fre"),
+          round(sum($"fk_ppm").cast(DoubleType) / count(lit(1)) / 1000000.0, 6)
+            .as("avg_fk_grade"),
+          round(sum(when($"fre_ppm" < 30000000L, 1L).otherwise(0L)).cast(DoubleType) /
+            count(lit(1)), 6).as("hard_share"))
+        .orderBy($"source")
+    },
+    Some("""WITH d AS (SELECT source,
+        CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          x -> x <> '')) AS BIGINT) AS w,
+        CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sent,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+      FROM documents),
+      p AS (SELECT source,
+        CAST(FLOOR((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE)) -
+          84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))) * 1000000.0 + 0.5)
+          AS BIGINT) AS fre_ppm,
+        CAST(FLOOR((0.39 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE)) +
+          11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59) * 1000000.0 + 0.5)
+          AS BIGINT) AS fk_ppm
+      FROM d WHERE w > 0)
+      SELECT source, COUNT(*) AS n_docs,
+        ROUND(CAST(SUM(fre_ppm) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_fre,
+        ROUND(CAST(SUM(fk_ppm) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_fk_grade,
+        ROUND(CAST(SUM(CASE WHEN fre_ppm < 30000000 THEN 1 ELSE 0 END) AS DOUBLE) /
+          COUNT(*), 6) AS hard_share
+      FROM p GROUP BY 1 ORDER BY source""")
+  )
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal token runs between punctuation/stopword boundaries; a word
+    * scores deg/freq (deg = Σ phrase length over its occurrences) and a
+    * phrase scores the sum of its member word scores — top-15 phrases.
+    * Word scores are fixed-pointed to ppm so the per-phrase sum is an
+    * integer. Both engines run the identical two-step regex chain
+    * (punctuation→'|', then stopword tokens→'|') before splitting.
+    * Scale shape: phrase/word-keyed rollups (vocabulary-sized), one
+    * token-keyed join, one TakeOrdered(15) — no cross products. */
+  val qRakeKeywords = GraftQuery(
+    "q_rake_keywords",
+    (s, dir) => {
+      import s.implicits._
+      val stopAlt = TextAnalysis.Stopwords("en").mkString("|")
+      val seg = Tables.documents(s, dir)
+        .select(explode(split(
+          regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]+", "|"),
+            s"\\b($stopAlt)\\b", "|"), "\\|")).as("seg"))
+        .select(trim(regexp_replace($"seg", " +", " ")).as("phrase"))
+        .filter($"phrase" =!= "")
+        .withColumn("wc", size(split($"phrase", " ")).cast(LongType))
+        .filter($"wc" <= 4)
+      val pf = graft.operators.Caches.register(
+        seg.groupBy($"phrase", $"wc").agg(count(lit(1)).as("pfreq")))
+      val occ = pf.select($"phrase", $"wc", $"pfreq",
+        explode(split($"phrase", " ")).as("w"))
+      val ws = occ.groupBy($"w")
+        .agg(sum($"pfreq").as("freq"), sum($"pfreq" * $"wc").as("deg"))
+        .select($"w",
+          floor($"deg".cast(DoubleType) * 1000000.0 / $"freq".cast(DoubleType) + 0.5)
+            .cast(LongType).as("wscore_ppm"))
+      occ.join(ws, "w")
+        .groupBy($"phrase", $"wc", $"pfreq")
+        .agg(sum($"wscore_ppm").cast(LongType).as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"phrase").limit(15)
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"score_ppm".desc, $"phrase")).cast(LongType))
+        .select($"rank", $"phrase", $"wc".as("n_words"), $"pfreq".as("phrase_freq"),
+          round($"score_ppm" / 1000000.0, 6).as("score"))
+        .orderBy($"rank")
+    },
+    Some("""WITH seg AS (SELECT unnest(string_split(
+        regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', '|', 'g'),
+          '\b(the|a|of|and|to|in|is|that|it|for|on|with|as|was|at)\b', '|', 'g'),
+        '|')) AS seg
+      FROM documents),
+      ph AS (SELECT phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS wc
+        FROM (SELECT trim(regexp_replace(seg, ' +', ' ', 'g')) AS phrase FROM seg)
+        WHERE phrase <> ''),
+      pf AS (SELECT phrase, wc, COUNT(*) AS pfreq FROM ph WHERE wc <= 4 GROUP BY 1, 2),
+      occ AS (SELECT phrase, wc, pfreq, unnest(string_split(phrase, ' ')) AS w FROM pf),
+      ws AS (SELECT w, CAST(FLOOR(CAST(SUM(pfreq * wc) AS DOUBLE) * 1000000.0 /
+          CAST(SUM(pfreq) AS DOUBLE) + 0.5) AS BIGINT) AS wscore_ppm
+        FROM occ GROUP BY 1),
+      sc AS (SELECT phrase, wc, pfreq, CAST(SUM(wscore_ppm) AS BIGINT) AS score_ppm
+        FROM occ JOIN ws USING (w) GROUP BY 1, 2, 3)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, phrase) AS BIGINT) AS rank,
+        phrase, wc AS n_words, CAST(pfreq AS BIGINT) AS phrase_freq,
+        ROUND(score_ppm / 1000000.0, 6) AS score
+      FROM sc ORDER BY score_ppm DESC, phrase LIMIT 15""")
+  )
+
+  /** Multinomial naive Bayes source classifier: train on doc_id%5≠4,
+    * Laplace-smoothed token likelihoods for the first-10 vs last-10
+    * source groups, score the held-out fold, emit the confusion matrix.
+    * Every log-likelihood is fixed-pointed to ppm at the token level, so
+    * per-doc scores are integer sums (order-free) and the argmax tie
+    * (sa+pa ≥ sb+pb, exact integers) is deterministic. Unseen test
+    * tokens get the smoothed floor ln(1/(N_c+V)). Test docs with zero
+    * alnum tokens drop in both engines (scores come from token
+    * occurrences). Scale shape: token-keyed train rollup, one
+    * broadcastable token→ppm relation joined to test occurrences, then a
+    * doc-keyed rollup into 4 confusion cells. */
+  val qNaiveBayes = GraftQuery(
+    "q_naive_bayes",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id",
+          (expr("cast(substring(source, 4) as int)") < 10).as("is_a"),
+          TextAnalysis.tokens($"text").as("toks"))
+      val occ = graft.operators.Caches.register(
+        docs.select($"doc_id", $"is_a", ($"doc_id" % 5 === 4).as("is_test"),
+          explode($"toks").as("token")))
+      val tc = occ.filter(!$"is_test").groupBy($"token").agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("ca"),
+        sum(when($"is_a", 0L).otherwise(1L)).as("cb"))
+      val tot = tc.agg(sum($"ca").cast(LongType).as("na"),
+        sum($"cb").cast(LongType).as("nb"),
+        count(lit(1)).cast(LongType).as("v"))
+      val priP = docs.filter($"doc_id" % 5 =!= 4)
+        .agg(sum(when($"is_a", 1L).otherwise(0L)).cast(LongType).as("da"),
+          sum(when($"is_a", 0L).otherwise(1L)).cast(LongType).as("db"))
+        .select(
+          floor(log($"da".cast(DoubleType) / ($"da" + $"db").cast(DoubleType)) *
+            1000000.0 + 0.5).cast(LongType).as("pa"),
+          floor(log($"db".cast(DoubleType) / ($"da" + $"db").cast(DoubleType)) *
+            1000000.0 + 0.5).cast(LongType).as("pb"))
+      val ll = tc.crossJoin(broadcast(tot))
+        .select($"token",
+          floor(log(($"ca" + lit(1L)).cast(DoubleType) / ($"na" + $"v").cast(DoubleType)) *
+            1000000.0 + 0.5).cast(LongType).as("lla"),
+          floor(log(($"cb" + lit(1L)).cast(DoubleType) / ($"nb" + $"v").cast(DoubleType)) *
+            1000000.0 + 0.5).cast(LongType).as("llb"))
+      occ.filter($"is_test")
+        .join(ll, Seq("token"), "left")
+        .crossJoin(broadcast(tot))
+        .select($"doc_id", $"is_a",
+          coalesce($"lla",
+            floor(log(lit(1.0) / ($"na" + $"v").cast(DoubleType)) * 1000000.0 + 0.5)
+              .cast(LongType)).as("la"),
+          coalesce($"llb",
+            floor(log(lit(1.0) / ($"nb" + $"v").cast(DoubleType)) * 1000000.0 + 0.5)
+              .cast(LongType)).as("lb"))
+        .groupBy($"doc_id", $"is_a")
+        .agg(sum($"la").as("sa"), sum($"lb").as("sb"))
+        .crossJoin(broadcast(priP))
+        .select($"is_a", ($"sa" + $"pa" >= $"sb" + $"pb").as("pred_a"))
+        .select(when($"is_a", "A").otherwise("B").as("actual"),
+          when($"pred_a", "A").otherwise("B").as("predicted"))
+        .groupBy($"actual", $"predicted").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"actual", $"predicted")
+    },
+    Some("""WITH docs AS (SELECT doc_id,
+        CAST(substring(source, 4) AS INT) < 10 AS is_a,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      occ AS (SELECT doc_id, is_a, doc_id % 5 = 4 AS is_test, unnest(toks) AS token
+        FROM docs),
+      tc AS (SELECT token,
+          CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM occ WHERE NOT is_test GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+          CAST(COUNT(*) AS BIGINT) AS v FROM tc),
+      prip AS (SELECT
+          CAST(FLOOR(LN(CAST(da AS DOUBLE) / CAST(da + db AS DOUBLE)) * 1000000.0 + 0.5)
+            AS BIGINT) AS pa,
+          CAST(FLOOR(LN(CAST(db AS DOUBLE) / CAST(da + db AS DOUBLE)) * 1000000.0 + 0.5)
+            AS BIGINT) AS pb
+        FROM (SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS da,
+            CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS db
+          FROM docs WHERE doc_id % 5 <> 4)),
+      ll AS (SELECT token,
+          CAST(FLOOR(LN(CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)) * 1000000.0 + 0.5)
+            AS BIGINT) AS lla,
+          CAST(FLOOR(LN(CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)) * 1000000.0 + 0.5)
+            AS BIGINT) AS llb
+        FROM tc, tot),
+      sc AS (SELECT o.doc_id, o.is_a,
+          CAST(SUM(COALESCE(l.lla,
+            CAST(FLOOR(LN(1.0 / CAST(na + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)))
+            AS BIGINT) AS sa,
+          CAST(SUM(COALESCE(l.llb,
+            CAST(FLOOR(LN(1.0 / CAST(nb + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)))
+            AS BIGINT) AS sb
+        FROM occ o LEFT JOIN ll l USING (token), tot
+        WHERE o.is_test GROUP BY 1, 2),
+      pred AS (SELECT CASE WHEN is_a THEN 'A' ELSE 'B' END AS actual,
+          CASE WHEN sa + pa >= sb + pb THEN 'A' ELSE 'B' END AS predicted
+        FROM sc, prip)
+      SELECT actual, predicted, COUNT(*) AS n_docs
+      FROM pred GROUP BY 1, 2 ORDER BY actual, predicted""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qKneserNey, qCharEntropy, qDistinctiveTerms,
+    qReadability, qRakeKeywords, qNaiveBayes,
     qBm25, qMmrDiversify, qNdcg, qRrfFusion, qCorpusCard,
     qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,
