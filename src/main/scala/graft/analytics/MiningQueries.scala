@@ -32,7 +32,16 @@ object MiningQueries {
     * the (literal) seed set, divided by |S| instead of n — the exact
     * integer expressions mirror the Scala driver-side `RankScale / nT`
     * (Long division by a literal) as `1000000000000 // |S|`. */
-  private def pagerankOracle(teleport: Option[Seq[Long]]): String = {
+  /** Build the fixed-point PageRank CTE replay over any edge prologue.
+    * `edgeCte` must end with an `e AS MATERIALIZED (... src, dst, w)`
+    * CTE (plus any prologue CTEs it needs); `epilogue` is the final
+    * SELECT, reading ranks from `r$PrIters`. Defaults replay the nation
+    * trade graph (q_pagerank / q_ppr); q_textrank passes the token
+    * co-occurrence graph instead. */
+  private def pagerankOracle(
+      teleport: Option[Seq[Long]],
+      edgeCte: String = tradeEdgeCte,
+      epilogue: String = tradeEpilogue): String = {
     val nT = teleport.map(_.size.toString).getOrElse("cnt.n")
     def seeded(idRef: String, e: String): String = teleport match {
       case None => e
@@ -54,13 +63,7 @@ object MiningQueries {
           FROM r$p JOIN shares sh ON sh.src = r$p.id GROUP BY sh.dst) c
           ON c.id = v.id)"""
     }.mkString(",\n      ")
-    s"""WITH e AS MATERIALIZED (
-        SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
-        FROM lineitem l
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY 1, 2),
+    s"""WITH $edgeCte,
       outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
       shares AS MATERIALIZED (SELECT e.src, e.dst, e.w * 1000000 // o.outw AS share_ppm
         FROM e JOIN outw o ON e.src = o.src),
@@ -70,11 +73,23 @@ object MiningQueries {
       r0 AS MATERIALIZED (SELECT id, ${seeded("id", s"1000000000000 // $nT")} AS rank_fp
         FROM nodes, cnt),
       $iters
-      SELECT n.n_name, r$PrIters.rank_fp,
+      $epilogue"""
+  }
+
+  private val tradeEdgeCte: String =
+    """e AS MATERIALIZED (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2)"""
+
+  private val tradeEpilogue: String =
+    s"""SELECT n.n_name, r$PrIters.rank_fp,
         ROUND(CAST(r$PrIters.rank_fp AS DOUBLE) / 1000000000000, 6) AS rank
       FROM r$PrIters JOIN nation n ON n.n_nationkey = r$PrIters.id
       ORDER BY rank_fp DESC, n_name"""
-  }
 
   private val pagerankSql: String = pagerankOracle(None)
 
@@ -143,6 +158,70 @@ object MiningQueries {
         .orderBy($"rank_fp".desc, $"n_name")
     },
     Some(pagerankOracle(Some(PprSeeds)))
+  )
+
+  /** TextRank keyword ranking (Mihalcea & Tarau 2004): PageRank over the
+    * token co-occurrence graph — vertices are the corpus's top-100 tokens
+    * (freq desc, token asc tie-break), edges are adjacent-token
+    * co-occurrences (window 2, both directions, self-loops dropped),
+    * weighted by count. Reuses [[Graphs.pagerank]]'s integer fixed point
+    * verbatim, so the 5-round ranks hash-match the unrolled-CTE replay —
+    * the same `pagerankOracle` chain with the co-occurrence prologue
+    * swapped in for the trade graph. Scale shape: token-keyed rollups;
+    * the graph itself is vocabulary-bounded (≤100 vertices) so every
+    * iteration is broadcast-sized regardless of corpus size. */
+  val qTextrank = GraftQuery(
+    "q_textrank",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", graft.functions.TextAnalysis.tokens($"text").as("toks"))
+      val top = graft.operators.Caches.register(
+        docs.select(explode($"toks").as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("freq"))
+          .orderBy($"freq".desc, $"token").limit(100)
+          .withColumn("id",
+            row_number().over(Window.orderBy($"freq".desc, $"token")).cast("long")))
+      val adj = docs.select(explode(expr(
+          """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                      slice(toks, 2, greatest(size(toks) - 1, 0)),
+                      (x, y) -> struct(x AS a, y AS b))""")).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+        .filter($"a" =!= $"b")
+      val und = adj
+        .join(broadcast(top.select($"token".as("a"), $"id".as("ida"))), "a")
+        .join(broadcast(top.select($"token".as("b"), $"id".as("idb"))), "b")
+        .select($"ida", $"idb")
+      val edges = und.select($"ida".as("src"), $"idb".as("dst"))
+        .union(und.select($"idb".as("src"), $"ida".as("dst")))
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      val ranks = Graphs.pagerank(edges, "src", "dst", "w", iterations = PrIters)
+      ranks.join(broadcast(top), "id")
+        .select($"token", $"rank_fp", $"rank")
+        .orderBy($"rank_fp".desc, $"token").limit(20)
+    },
+    Some(pagerankOracle(None,
+      edgeCte = """docs AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents),
+      topt AS MATERIALIZED (SELECT token, freq,
+          CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS id
+        FROM (SELECT token, COUNT(*) AS freq
+          FROM (SELECT unnest(toks) AS token FROM docs) GROUP BY 1)
+        ORDER BY freq DESC, token LIMIT 100),
+      adj AS (SELECT p[1] AS a, p[2] AS b
+        FROM (SELECT unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS p FROM docs)
+        WHERE p[1] <> p[2]),
+      und AS (SELECT ta.id AS ida, tb.id AS idb
+        FROM adj JOIN topt ta ON ta.token = adj.a JOIN topt tb ON tb.token = adj.b),
+      e AS MATERIALIZED (SELECT src, dst, COUNT(*) AS w
+        FROM (SELECT ida AS src, idb AS dst FROM und
+              UNION ALL SELECT idb, ida FROM und)
+        GROUP BY 1, 2)""",
+      epilogue = s"""SELECT t.token, r$PrIters.rank_fp,
+        ROUND(CAST(r$PrIters.rank_fp AS DOUBLE) / 1000000000000, 6) AS rank
+      FROM r$PrIters JOIN topt t ON t.id = r$PrIters.id
+      ORDER BY rank_fp DESC, token LIMIT 20"""))
   )
 
   /** Market-basket association rules over order baskets: for part pairs
@@ -1829,7 +1908,7 @@ object MiningQueries {
   val all: Seq[GraftQuery] =
     Seq(qSkyline, qFellegiSunter, qGoldenRecord, qSimpsons,
       qAssortativity, qItemRecs, qEbShrinkage,
-      qPagerank, qPpr, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
+      qPagerank, qPpr, qTextrank, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
       qCorrMatrix, qTargetEncode, qCopurchase, qMultiOls,

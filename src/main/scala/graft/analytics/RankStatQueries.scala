@@ -658,7 +658,79 @@ object RankStatQueries {
       FROM cells GROUP BY 1 ORDER BY event_type""")
   )
 
+  /** Brown–Forsythe test (Levene with median centers) for variance
+    * homogeneity of l_quantity across the three return flags — the
+    * robust precondition check behind q_anova (classic ANOVA assumes
+    * equal variances; this is the test that says whether that holds).
+    * Exactness: l_quantity is integral and the group median of an
+    * integral column is a multiple of 0.5, so every |x−med| deviation is
+    * a multiple of 0.5 and every z/z² sum is exactly representable —
+    * order-independent without quantization. The three cross-group
+    * between/within terms ARE ppm-fixed-pointed (they involve divisions)
+    * before the final 3-row integer sum. One fact-table pass per side of
+    * the median join; everything after is |groups|-sized. */
+  val qLevene = GraftQuery(
+    "q_levene",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_returnflag".as("flag"), $"l_quantity".as("x"))
+      val med = li.groupBy($"flag").agg(percentile($"x", lit(0.5)).as("med"))
+      val g = li.join(broadcast(med), "flag")
+        .select($"flag", abs($"x" - $"med").as("z"))
+        .groupBy($"flag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum($"z").as("sz"), sum($"z" * $"z").as("szz"))
+      val tot = g.agg(sum($"n").cast(LongType).as("nt"),
+        count(lit(1)).cast(LongType).as("k"), sum($"sz").as("szt"))
+      g.crossJoin(broadcast(tot))
+        .select($"nt", $"k",
+          ($"sz" / $"n".cast(DoubleType)).as("zbar"),
+          floor($"n".cast(DoubleType) *
+            ($"sz" / $"n".cast(DoubleType) - $"szt" / $"nt".cast(DoubleType)) *
+            ($"sz" / $"n".cast(DoubleType) - $"szt" / $"nt".cast(DoubleType)) *
+            1000000.0 + 0.5).cast(LongType).as("tb_ppm"),
+          floor(($"szz" - $"sz" * $"sz" / $"n".cast(DoubleType)) * 1000000.0 + 0.5)
+            .cast(LongType).as("tw_ppm"))
+        .groupBy($"nt", $"k")
+        .agg(sum($"tb_ppm").cast(LongType).as("ssb_ppm"),
+          sum($"tw_ppm").cast(LongType).as("ssw_ppm"),
+          round(max($"zbar"), 6).as("max_group_mad"),
+          round(min($"zbar"), 6).as("min_group_mad"))
+        .select($"nt".as("n"), $"k",
+          ($"k" - 1L).as("dof1"), ($"nt" - $"k").as("dof2"),
+          round(($"nt" - $"k").cast(DoubleType) / ($"k" - 1L).cast(DoubleType) *
+            ($"ssb_ppm".cast(DoubleType) / $"ssw_ppm".cast(DoubleType)), 6)
+            .as("bf_stat"),
+          $"max_group_mad", $"min_group_mad")
+    },
+    Some("""WITH li AS (SELECT l_returnflag AS flag, l_quantity AS x FROM lineitem),
+      med AS (SELECT flag, quantile_cont(x, 0.5) AS med FROM li GROUP BY 1),
+      g AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(ABS(x - med)) AS sz, SUM(ABS(x - med) * ABS(x - med)) AS szz
+        FROM li JOIN med USING (flag) GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS k,
+          SUM(sz) AS szt FROM g),
+      terms AS (SELECT nt, k, sz / CAST(n AS DOUBLE) AS zbar,
+          CAST(FLOOR(CAST(n AS DOUBLE) *
+            (sz / CAST(n AS DOUBLE) - szt / CAST(nt AS DOUBLE)) *
+            (sz / CAST(n AS DOUBLE) - szt / CAST(nt AS DOUBLE)) *
+            1000000.0 + 0.5) AS BIGINT) AS tb_ppm,
+          CAST(FLOOR((szz - sz * sz / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+            AS BIGINT) AS tw_ppm
+        FROM g, tot),
+      agg AS (SELECT nt, k, CAST(SUM(tb_ppm) AS BIGINT) AS ssb_ppm,
+          CAST(SUM(tw_ppm) AS BIGINT) AS ssw_ppm,
+          ROUND(MAX(zbar), 6) AS max_group_mad, ROUND(MIN(zbar), 6) AS min_group_mad
+        FROM terms GROUP BY 1, 2)
+      SELECT nt AS n, k, k - 1 AS dof1, nt - k AS dof2,
+        ROUND(CAST(nt - k AS DOUBLE) / CAST(k - 1 AS DOUBLE) *
+          (CAST(ssb_ppm AS DOUBLE) / CAST(ssw_ppm AS DOUBLE)), 6) AS bf_stat,
+        max_group_mad, min_group_mad
+      FROM agg""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qSpearman, qMannWhitney, qAuc, qDpCounts, qBootstrapCi, qAnova,
-      qHuberMean, qKendallTau, qPermutationTest, qKAnonymity)
+      qHuberMean, qKendallTau, qPermutationTest, qKAnonymity, qLevene)
 }

@@ -1042,9 +1042,89 @@ object TimeSeriesQueries {
       FROM tot JOIN prof USING (event_type) ORDER BY event_type""")
   )
 
+  /** SAX (Symbolic Aggregate approXimation, Lin et al. 2003) of each
+    * event type's 28-day daily-count series: PAA into seven 4-day
+    * segments, z-normalize against the series' own 28-day mean/sd, map
+    * to a 4-symbol alphabet at the standard N(0,1) quartile breakpoints
+    * (±0.6745, 0) — the index-sized word that makes motif/discord search
+    * a string problem. Exactness: every input to the float expressions
+    * is an integer count sum (missing days are true zeros via the dense
+    * type×segment grid), so mu/sd/paa/z are single identical double
+    * trees in both engines and the symbol comparisons bit-match; a
+    * zero-variance series degenerates to 'b's by the same guard. Scale
+    * shape: one (type, day) partial-aggregated shuffle, then
+    * |types|×7-sized work. */
+  val qSax = GraftQuery(
+    "q_sax",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"event_type", to_date($"ts").as("d"))
+      val d0 = ev.agg(min($"d").as("d0"))
+      val daily = graft.operators.Caches.register(
+        ev.crossJoin(broadcast(d0))
+          .select($"event_type", datediff($"d", $"d0").as("day"))
+          .filter($"day" >= 0 && $"day" < 28)
+          .groupBy($"event_type", $"day").agg(count(lit(1)).as("c")))
+      val st = daily.groupBy($"event_type")
+        .agg(sum($"c").cast("long").as("sx"), sum($"c" * $"c").cast("long").as("sxx"))
+      val grid = st.select($"event_type", $"sx", $"sxx",
+        explode(typedLit((0L to 6L).toSeq)).as("seg"))
+      val segs = daily.withColumn("seg", ($"day" / 4).cast("long"))
+        .groupBy($"event_type", $"seg").agg(sum($"c").cast("long").as("segsum"))
+      val z = grid.join(segs, Seq("event_type", "seg"), "left")
+        .withColumn("segsum", coalesce($"segsum", lit(0L)))
+        .withColumn("mu", $"sx".cast(DoubleType) / 28.0)
+        .withColumn("sd", sqrt(($"sxx".cast(DoubleType) -
+          $"sx".cast(DoubleType) * $"sx".cast(DoubleType) / 28.0) / 28.0))
+        .withColumn("zz", ($"segsum".cast(DoubleType) / 4.0 - $"mu") / $"sd")
+        .withColumn("sym",
+          when($"sd" === 0.0, "b")
+            .when($"zz" < -0.6745, "a")
+            .when($"zz" < 0.0, "b")
+            .when($"zz" < 0.6745, "c")
+            .otherwise("d"))
+      z.groupBy($"event_type")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(seg, sym))), x -> x.sym), '')")
+            .as("sax_word"),
+          max($"sx").as("n_events"),
+          round(max($"mu"), 6).as("mean_daily"),
+          round(max($"sd"), 6).as("sd_daily"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+      d0 AS (SELECT MIN(d) AS d0 FROM ev),
+      daily AS (SELECT event_type, date_diff('day', d0, d) AS day, COUNT(*) AS c
+        FROM ev, d0 WHERE date_diff('day', d0, d) >= 0 AND date_diff('day', d0, d) < 28
+        GROUP BY 1, 2),
+      st AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS sx,
+          CAST(SUM(c * c) AS BIGINT) AS sxx FROM daily GROUP BY 1),
+      grid AS (SELECT event_type, sx, sxx, CAST(g.seg AS BIGINT) AS seg
+        FROM st CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6]) AS seg) g),
+      segs AS (SELECT event_type, CAST(day // 4 AS BIGINT) AS seg,
+          CAST(SUM(c) AS BIGINT) AS segsum FROM daily GROUP BY 1, 2),
+      z AS (SELECT grid.event_type, grid.seg, grid.sx,
+          COALESCE(segs.segsum, 0) AS segsum,
+          CAST(grid.sx AS DOUBLE) / 28.0 AS mu,
+          SQRT((CAST(grid.sxx AS DOUBLE) -
+            CAST(grid.sx AS DOUBLE) * CAST(grid.sx AS DOUBLE) / 28.0) / 28.0) AS sd
+        FROM grid LEFT JOIN segs
+          ON segs.event_type = grid.event_type AND segs.seg = grid.seg),
+      sym AS (SELECT event_type, seg, sx, mu, sd,
+          CASE WHEN sd = 0.0 THEN 'b'
+               WHEN (CAST(segsum AS DOUBLE) / 4.0 - mu) / sd < -0.6745 THEN 'a'
+               WHEN (CAST(segsum AS DOUBLE) / 4.0 - mu) / sd < 0.0 THEN 'b'
+               WHEN (CAST(segsum AS DOUBLE) / 4.0 - mu) / sd < 0.6745 THEN 'c'
+               ELSE 'd' END AS sym
+        FROM z)
+      SELECT event_type, string_agg(sym, '' ORDER BY seg) AS sax_word,
+        MAX(sx) AS n_events, ROUND(MAX(mu), 6) AS mean_daily,
+        ROUND(MAX(sd), 6) AS sd_daily
+      FROM sym GROUP BY 1 ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi,
       qSeasonalBaseline, qCusum, qPriceIndex, qAcf, qChangepoint,
       qForecastBacktest, qTheilSen, qMkTrend, qHoltWinters,
-      qSeasonalityStrength)
+      qSeasonalityStrength, qSax)
 }
