@@ -1602,10 +1602,92 @@ object FunnelQueries {
       FROM grid ORDER BY n_per_arm""")
   )
 
+  /** DAU / WAU / stickiness: per-day distinct actives, 7-day trailing
+    * distinct actives, and their ratio — the engagement panel every
+    * product review opens with. The scale-aware rewrite: Spark has no
+    * distinct-over-range window, so instead of recomputing a 7-day
+    * distinct per day (O(days × span) rescans), each distinct user-day
+    * fans out to the ≤7 window ends it can serve (a constant ±7 literal
+    * explode, stays in codegen) and WAU is one distinct-count per window
+    * end — linear in user-days at any scale. Only full windows (day ≥
+    * min+6) are emitted. All counts exact integers; stickiness is one
+    * per-row division. */
+  val qDauWau = GraftQuery(
+    "q_dau_wau",
+    (s, dir) => {
+      import s.implicits._
+      val ud = graft.operators.Caches.register(
+        Tables.events(s, dir)
+          .select($"user_id", to_date($"ts").as("d"))
+          .distinct()
+          .withColumn("di", unix_date($"d")))
+      val dau = ud.groupBy($"di").agg(max($"d").as("day"), count(lit(1)).as("dau"))
+      val lo = ud.agg(min($"di").as("di0"))
+      val wau = ud
+        .select($"user_id", $"di", explode(typedLit(Seq(0, 1, 2, 3, 4, 5, 6))).as("o"))
+        .select($"user_id", ($"di" + $"o").as("wend"))
+        .distinct()
+        .groupBy($"wend").agg(count(lit(1)).as("wau"))
+      dau.join(wau, dau("di") === wau("wend"))
+        .crossJoin(broadcast(lo))
+        .filter($"di" >= $"di0" + 6)
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"wau",
+          round($"dau".cast(DoubleType) / $"wau".cast(DoubleType), 6).as("stickiness"))
+        .orderBy($"day")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      udi AS (SELECT user_id, d, date_diff('day', DATE '1970-01-01', d) AS di FROM ud),
+      dau AS (SELECT di, MAX(d) AS day, COUNT(*) AS dau FROM udi GROUP BY 1),
+      lo AS (SELECT MIN(di) AS di0 FROM udi),
+      wau AS (SELECT wend, COUNT(*) AS wau FROM (
+          SELECT DISTINCT user_id, di + o AS wend
+          FROM udi CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6]) AS o))
+        GROUP BY 1)
+      SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+        ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+      FROM dau JOIN wau ON wau.wend = dau.di, lo
+      WHERE di >= di0 + 6 ORDER BY day""")
+  )
+
+  /** Longest consecutive-day activity streak per user, rolled into the
+    * streak-length distribution — the gaps-and-islands kernel (island id
+    * = day − row_number over the user's ordered distinct days, constant
+    * within a consecutive run). Per-user windows partition cleanly at
+    * any scale (no global sort); the output is bounded by the maximum
+    * streak length. All integers. */
+  val qActiveStreaks = GraftQuery(
+    "q_active_streaks",
+    (s, dir) => {
+      import s.implicits._
+      val ud = Tables.events(s, dir)
+        .select($"user_id", unix_date(to_date($"ts")).as("di"))
+        .distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"di")
+      val streaks = ud
+        .withColumn("grp", $"di" - row_number().over(w))
+        .groupBy($"user_id", $"grp").agg(count(lit(1)).as("len"))
+        .groupBy($"user_id").agg(max($"len").as("best_streak"))
+      streaks.groupBy($"best_streak")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"best_streak")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di FROM events),
+      isl AS (SELECT user_id,
+          di - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY di) AS grp
+        FROM ud),
+      runs AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2),
+      best AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS best_streak
+        FROM runs GROUP BY 1)
+      SELECT best_streak, COUNT(*) AS n_users
+      FROM best GROUP BY 1 ORDER BY best_streak""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
       qMarkovAttribution, qCohortLtv, qDid, qDidEpoch, qFunnelWindowed, qBotBurst,
       qWindowDedup, qDecayScore, qMarkovEval, qShapleyAttribution,
-      qSessionEntropy, qWatermarkLateness, qIpwAte, qCuped, qPowerMde)
+      qSessionEntropy, qWatermarkLateness, qIpwAte, qCuped, qPowerMde,
+      qDauWau, qActiveStreaks)
 }

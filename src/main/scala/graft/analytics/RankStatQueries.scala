@@ -658,6 +658,56 @@ object RankStatQueries {
       FROM cells GROUP BY 1 ORDER BY event_type""")
   )
 
+  /** l-diversity audit — the companion to [[qKAnonymity]]: k-anonymity
+    * bounds group SIZE but a uniform-sensitive group still leaks, so this
+    * measures, per quasi-identifier cell (event_type × hour, the same
+    * cells as q_k_anonymity), the diversity of a sensitive attribute
+    * (user_id mod 8, a deterministic stand-in class since the synthetic
+    * schema carries no real sensitive column). Reports per event type:
+    * distinct-l minimum, the count/share of cells below l=3, and the
+    * minimum cell ENTROPY-l (exp of cell entropy — the stricter
+    * criterion). Entropy terms are ppm-fixed-pointed per sensitive value
+    * before the per-cell integer sum; exp/ln are single identical double
+    * expressions. Scale shape: one (type, hour, class) rollup — cells ×
+    * 8 rows of post-shuffle work. */
+  val qLDiversity = GraftQuery(
+    "q_l_diversity",
+    (s, dir) => {
+      import s.implicits._
+      val sv = Tables.events(s, dir)
+        .groupBy($"event_type", hour($"ts").as("hb"), ($"user_id" % 8).as("sens"))
+        .agg(count(lit(1)).as("c"))
+      val cellTot = sv.groupBy($"event_type", $"hb")
+        .agg(sum($"c").as("t"), count(lit(1)).cast(LongType).as("l"))
+      val cells = sv.join(cellTot, Seq("event_type", "hb"))
+        .withColumn("term_ppm",
+          floor(-($"c".cast(DoubleType) / $"t".cast(DoubleType)) *
+            log($"c".cast(DoubleType) / $"t".cast(DoubleType)) * 1000000.0 + 0.5)
+            .cast(LongType))
+        .groupBy($"event_type", $"hb", $"l")
+        .agg(sum($"term_ppm").cast(LongType).as("ent_ppm"))
+      cells.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_cells"),
+          min($"l").as("min_l"),
+          sum(when($"l" < 3L, 1L).otherwise(0L)).as("n_cells_l_lt_3"),
+          round(exp(min($"ent_ppm") / 1000000.0), 6).as("min_entropy_l"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH sv AS (SELECT event_type, EXTRACT(hour FROM ts) AS hb,
+        user_id % 8 AS sens, COUNT(*) AS c FROM events GROUP BY 1, 2, 3),
+      ct AS (SELECT event_type, hb, CAST(SUM(c) AS BIGINT) AS t,
+          CAST(COUNT(*) AS BIGINT) AS l FROM sv GROUP BY 1, 2),
+      cells AS (SELECT sv.event_type, sv.hb, ct.l,
+          CAST(SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) *
+            LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS ent_ppm
+        FROM sv JOIN ct USING (event_type, hb) GROUP BY 1, 2, 3)
+      SELECT event_type, COUNT(*) AS n_cells, MIN(l) AS min_l,
+        CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_cells_l_lt_3,
+        ROUND(EXP(MIN(ent_ppm) / 1000000.0), 6) AS min_entropy_l
+      FROM cells GROUP BY 1 ORDER BY event_type""")
+  )
+
   /** Brown–Forsythe test (Levene with median centers) for variance
     * homogeneity of l_quantity across the three return flags — the
     * robust precondition check behind q_anova (classic ANOVA assumes
@@ -732,5 +782,6 @@ object RankStatQueries {
 
   val all: Seq[GraftQuery] =
     Seq(qSpearman, qMannWhitney, qAuc, qDpCounts, qBootstrapCi, qAnova,
-      qHuberMean, qKendallTau, qPermutationTest, qKAnonymity, qLevene)
+      qHuberMean, qKendallTau, qPermutationTest, qKAnonymity, qLevene,
+      qLDiversity)
 }
