@@ -960,4 +960,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pd.contains("CartesianProduct"),
       s"q_distinctive_terms went cartesian:\n$pd")
   }
+
+  test("round-8 waves 8-10: map-side text scores, bounded graphs, island windows") {
+    // readability: pure map-side scoring into a |sources| rollup — a
+    // single hash-partition exchange, no join at all
+    val pr = plan("q_readability")
+    assert("Exchange hashpartitioning".r.findAllIn(pr).length <= 1,
+      s"q_readability should shuffle once (the source rollup):\n$pr")
+    assert(!pr.contains("Join"), s"q_readability needs no join:\n$pr")
+    // rake: phrase/word rollups + one token-keyed join; top-15 is a
+    // TakeOrdered, nothing cartesian
+    val pk = plan("q_rake_keywords")
+    assert(pk.contains("TakeOrderedAndProject"),
+      s"q_rake_keywords top-15 is not a TakeOrdered:\n$pk")
+    assert(!pk.contains("CartesianProduct"), s"q_rake_keywords went cartesian:\n$pk")
+    // naive bayes: the token->ppm relation and the 1-row totals/priors
+    // broadcast; the only fact-sized shuffles are the token rollup and
+    // the per-doc score rollup
+    val pn = plan("q_naive_bayes")
+    assert(pn.contains("BroadcastHashJoin") || pn.contains("BroadcastNestedLoopJoin"),
+      s"q_naive_bayes lost its broadcasts:\n$pn")
+    // textrank: the co-occurrence graph is vocabulary-bounded, so the
+    // top-100 relation broadcasts into the adjacency restriction and the
+    // final top-20 is a TakeOrdered
+    val pt = plan("q_textrank")
+    assert(pt.contains("BroadcastHashJoin"),
+      s"q_textrank top-100 restriction lost its broadcast:\n$pt")
+    assert(pt.contains("TakeOrderedAndProject"),
+      s"q_textrank top-20 is not a TakeOrdered:\n$pt")
+    // levene: the 3-row median relation broadcasts into the fact pass;
+    // no window, no cartesian on the fact table
+    val pl = plan("q_levene")
+    assert(pl.contains("BroadcastHashJoin"),
+      s"q_levene median join must broadcast:\n$pl")
+    assert(!pl.contains("windowspecdefinition"), s"q_levene needs no window:\n$pl")
+    // sax: one (type, day) rollup, then |types|x7 work; the daily
+    // aggregate is partially aggregated before its exchange
+    val px = plan("q_sax")
+    assert(px.contains("partial_count") || px.contains("HashAggregate"),
+      s"q_sax daily rollup lost partial aggregation:\n$px")
+    // dau/wau: the window-end fanout is a constant-array explode that
+    // stays in codegen; no per-day rescan joins
+    val pw = plan("q_dau_wau")
+    assert(pw.contains("Generate explode"),
+      s"q_dau_wau fanout is not a codegen explode:\n$pw")
+    assert(!pw.contains("CartesianProduct"), s"q_dau_wau went cartesian:\n$pw")
+    // streaks: per-user window partitions on user_id — no global sort
+    // of the fact table
+    val pg = plan("q_active_streaks")
+    assert(pg.contains("windowspecdefinition"),
+      s"q_active_streaks lost its per-user window:\n$pg")
+    assert(!pg.contains("Exchange rangepartitioning(di"),
+      s"q_active_streaks must not globally range-sort user-days:\n$pg")
+    // l-diversity: one (type, hour, class) rollup; everything after is
+    // cells-sized
+    val pv = plan("q_l_diversity")
+    assert(!pv.contains("CartesianProduct"), s"q_l_diversity went cartesian:\n$pv")
+  }
 }
