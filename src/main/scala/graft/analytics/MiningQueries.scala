@@ -1905,8 +1905,102 @@ object MiningQueries {
       FROM sc ORDER BY ABS(raw - shrunk) DESC, l_partkey LIMIT 15""")
   )
 
+  /** Decision-stump learner: the best Gini split per candidate feature
+    * (quantity, discount, ship month) for predicting a returned line
+    * (l_returnflag = 'R') — the single-node kernel every tree ensemble
+    * repeats, and the q_isotonic lesson applied: thresholds are
+    * evaluated by PREFIX SUMS over the bounded distinct-value relation
+    * (≤50 rows per feature), never by sorting the fact table. One fact
+    * pass fans each row out to its 3 (feature, value) pairs; the
+    * weighted-Gini expression is a single double tree over exact BIGINT
+    * prefix counts, so the argmin (Gini asc, value asc) bit-matches.
+    * Output: per feature, the best threshold with its impurity drop. */
+  val qDecisionStump = GraftQuery(
+    "q_decision_stump",
+    (s, dir) => {
+      import s.implicits._
+      val dv = Tables.lineitem(s, dir)
+        .select(($"l_returnflag" === "R").cast("long").as("y"),
+          explode(array(
+            struct(lit("discount").as("feat"), $"l_discount".as("v")),
+            struct(lit("month").as("feat"),
+              month($"l_shipdate").cast(DoubleType).as("v")),
+            struct(lit("quantity").as("feat"), $"l_quantity".as("v")))).as("fv"))
+        .groupBy($"fv.feat".as("feat"), $"fv.v".as("v"))
+        .agg(count(lit(1)).as("cnt"), sum($"y").as("pos"))
+      val tot = dv.groupBy($"feat")
+        .agg(sum($"cnt").as("n"), sum($"pos").as("p"))
+      val w = Window.partitionBy($"feat").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = dv
+        .withColumn("nl", sum($"cnt").over(w))
+        .withColumn("pl", sum($"pos").over(w))
+        .join(broadcast(tot), "feat")
+        .filter($"nl" < $"n")
+        .withColumn("nr", $"n" - $"nl")
+        .withColumn("pr", $"p" - $"pl")
+        .withColumn("gini",
+          (($"nl".cast(DoubleType) -
+            ($"pl" * $"pl" + ($"nl" - $"pl") * ($"nl" - $"pl")).cast(DoubleType) /
+              $"nl".cast(DoubleType)) +
+           ($"nr".cast(DoubleType) -
+            ($"pr" * $"pr" + ($"nr" - $"pr") * ($"nr" - $"pr")).cast(DoubleType) /
+              $"nr".cast(DoubleType))) / $"n".cast(DoubleType))
+        .withColumn("base_gini",
+          lit(1.0) - ($"p".cast(DoubleType) / $"n".cast(DoubleType)) *
+            ($"p".cast(DoubleType) / $"n".cast(DoubleType)) -
+            (($"n" - $"p").cast(DoubleType) / $"n".cast(DoubleType)) *
+            (($"n" - $"p").cast(DoubleType) / $"n".cast(DoubleType)))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"feat").orderBy($"gini", $"v")))
+        .filter($"rn" === 1)
+        .select($"feat", $"v".as("threshold"), $"nl".as("n_left"),
+          $"nr".as("n_right"), round($"gini", 6).as("gini"),
+          round($"base_gini", 6).as("base_gini"),
+          round($"base_gini" - $"gini", 6).as("gain"))
+        .orderBy($"feat")
+    },
+    Some("""WITH fv AS (
+        SELECT 'discount' AS feat, l_discount AS v,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem
+        UNION ALL
+        SELECT 'month', CAST(EXTRACT(month FROM l_shipdate) AS DOUBLE),
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+        UNION ALL
+        SELECT 'quantity', l_quantity,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem),
+      dv AS (SELECT feat, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+          CAST(SUM(y) AS BIGINT) AS pos FROM fv GROUP BY 1, 2),
+      tot AS (SELECT feat, CAST(SUM(cnt) AS BIGINT) AS n,
+          CAST(SUM(pos) AS BIGINT) AS p FROM dv GROUP BY 1),
+      pre AS (SELECT feat, v,
+          CAST(SUM(cnt) OVER (PARTITION BY feat ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+          CAST(SUM(pos) OVER (PARTITION BY feat ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+        FROM dv),
+      sc AS (SELECT pre.feat, v, nl, pl, n - nl AS nr, p - pl AS pr, n, p,
+          ((CAST(nl AS DOUBLE) -
+            CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE) / CAST(nl AS DOUBLE)) +
+           (CAST(n - nl AS DOUBLE) -
+            CAST((p - pl) * (p - pl) + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl))
+              AS DOUBLE) / CAST(n - nl AS DOUBLE))) / CAST(n AS DOUBLE) AS gini,
+          1.0 - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) -
+            (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE)) AS base_gini
+        FROM pre JOIN tot ON tot.feat = pre.feat WHERE nl < n),
+      best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY feat ORDER BY gini, v) AS rn
+        FROM sc)
+      SELECT feat, v AS threshold, nl AS n_left, nr AS n_right,
+        ROUND(gini, 6) AS gini, ROUND(base_gini, 6) AS base_gini,
+        ROUND(base_gini - gini, 6) AS gain
+      FROM best WHERE rn = 1 ORDER BY feat""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qSkyline, qFellegiSunter, qGoldenRecord, qSimpsons,
+    Seq(qSkyline, qFellegiSunter, qGoldenRecord, qSimpsons, qDecisionStump,
       qAssortativity, qItemRecs, qEbShrinkage,
       qPagerank, qPpr, qTextrank, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,

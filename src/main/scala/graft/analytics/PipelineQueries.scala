@@ -1710,7 +1710,91 @@ object PipelineQueries {
       FROM sh GROUP BY 1, 2 ORDER BY source, shard""")
   )
 
+  /** Hashing-trick quality audit: per-source token vectors are hashed
+    * into 64 buckets (the portable base-31 fold — the q_dsir bucketing
+    * promoted to a featurizer) and every source pair's cosine similarity
+    * is computed twice — over exact token counts and over the hashed
+    * 64-dim vectors — so the output quantifies exactly how much signal
+    * the collision compression costs (hashed cosine is biased UP: 64
+    * buckets ≪ vocab forces collisions). Dot products are exact BIGINT
+    * sums (order-free); each cosine is one double expression. Scale
+    * shape: token-keyed rollups; the exact-pair join fans out by
+    * sources-per-token (≤20), the hashed side is 64×20 rows — no
+    * corpus-sized cross product. */
+  val qFeatureHash = GraftQuery(
+    "q_feature_hash",
+    (s, dir) => {
+      import s.implicits._
+      val P = 1000000007L
+      val fold = (acc: Column, v: Column) => (acc * lit(31L) + v) % lit(P)
+      val tokHash = (t: Column) => aggregate(
+        transform(filter(split(t, ""), c => length(c) > 0),
+          c => ascii(c).cast("long")),
+        lit(0L), fold)
+      val tok = graft.operators.Caches.register(
+        Tables.documents(s, dir)
+          .select($"source", explode(TextAnalysis.tokens($"text")).as("tok"))
+          .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+          .withColumn("bk", tokHash($"tok") % 64L))
+      def cosPairs(df: org.apache.spark.sql.DataFrame, key: String, out: String) = {
+        val dot = df.as("a").join(df.as("b"),
+            col(s"a.$key") === col(s"b.$key") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(sum(col("a.c") * col("b.c")).as("dot"))
+        val nrm = df.groupBy($"source").agg(sum($"c" * $"c").as("nn"))
+        dot
+          .join(broadcast(nrm.select($"source".as("src_a"), $"nn".as("na"))), "src_a")
+          .join(broadcast(nrm.select($"source".as("src_b"), $"nn".as("nb"))), "src_b")
+          .select($"src_a", $"src_b",
+            ($"dot".cast(DoubleType) /
+              sqrt($"na".cast(DoubleType)) / sqrt($"nb".cast(DoubleType))).as(out))
+      }
+      val exact = cosPairs(tok, "tok", "cos_exact")
+      val hashed = cosPairs(
+        tok.groupBy($"source", $"bk").agg(sum($"c").as("c")), "bk", "cos_hashed")
+      exact.join(hashed, Seq("src_a", "src_b"))
+        .select($"src_a", $"src_b",
+          round($"cos_exact", 6).as("cos_exact"),
+          round($"cos_hashed", 6).as("cos_hashed"),
+          round(abs($"cos_hashed" - $"cos_exact"), 6).as("distortion"))
+        .orderBy($"src_a", $"src_b")
+    },
+    Some("""WITH occ AS (SELECT source,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          x -> x <> '')) AS tok
+      FROM documents),
+      tok AS (SELECT source, tok, COUNT(*) AS c,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(tok, '.'),
+              ch -> CAST(ord(ch) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS bk
+        FROM occ GROUP BY 1, 2),
+      hb AS (SELECT source, bk, CAST(SUM(c) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      de AS (SELECT a.source AS src_a, b.source AS src_b,
+          CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2),
+      dh AS (SELECT a.source AS src_a, b.source AS src_b,
+          CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        FROM hb a JOIN hb b ON a.bk = b.bk AND a.source < b.source
+        GROUP BY 1, 2),
+      ne AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS nn FROM tok GROUP BY 1),
+      nh AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS nn FROM hb GROUP BY 1),
+      ce AS (SELECT src_a, src_b, CAST(dot AS DOUBLE) /
+          SQRT(CAST(na.nn AS DOUBLE)) / SQRT(CAST(nb.nn AS DOUBLE)) AS cos_exact
+        FROM de JOIN ne na ON na.source = de.src_a JOIN ne nb ON nb.source = de.src_b),
+      ch AS (SELECT src_a, src_b, CAST(dot AS DOUBLE) /
+          SQRT(CAST(na.nn AS DOUBLE)) / SQRT(CAST(nb.nn AS DOUBLE)) AS cos_hashed
+        FROM dh JOIN nh na ON na.source = dh.src_a JOIN nh nb ON nb.source = dh.src_b)
+      SELECT src_a, src_b, ROUND(cos_exact, 6) AS cos_exact,
+        ROUND(cos_hashed, 6) AS cos_hashed,
+        ROUND(ABS(cos_hashed - cos_exact), 6) AS distortion
+      FROM ce JOIN ch USING (src_a, src_b) ORDER BY src_a, src_b""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qFeatureHash,
     qDsir, qCompactionPlan,
     qMixAllocation, qQualityLogreg, qCdcChunks, qRaking,
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
