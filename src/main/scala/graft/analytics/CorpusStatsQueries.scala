@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.{GraftQuery, Tables}
 import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -457,6 +458,193 @@ object CorpusStatsQueries {
     }
   )
 
+  private val NmfRounds = 3
+
+  /** The DuckDB replay of [[qNmfTopics]]'s multiplicative updates: one
+    * CTE block per round (wh → H-update → wh with the new H → W-update),
+    * generated by the same loop bounds the Spark side runs. Lateral
+    * column aliases (w0/h0/wh) keep the double expressions literally
+    * identical to the Spark withColumn chain. */
+  private val nmfOracle: String = {
+    def winit(k: Int) = s"1000000 + ((tid * 3 + $k) % 5) * 250000"
+    def hinit(k: Int) = s"1000000 + ((sid * 3 + $k) % 7) * 200000"
+    def whCte(name: String, pw: String, hrel: String) =
+      s"""$name AS (SELECT v.tid, v.sid, v.v,
+        CAST(w0fp AS DOUBLE) / 1000000.0 AS w0,
+        CAST(w1fp AS DOUBLE) / 1000000.0 AS w1,
+        CAST(w2fp AS DOUBLE) / 1000000.0 AS w2,
+        CAST(h0fp AS DOUBLE) / 1000000.0 AS h0,
+        CAST(h1fp AS DOUBLE) / 1000000.0 AS h1,
+        CAST(h2fp AS DOUBLE) / 1000000.0 AS h2,
+        w0 * h0 + w1 * h1 + w2 * h2 AS wh
+      FROM v JOIN $pw ON $pw.tid = v.tid JOIN $hrel ON $hrel.sid = v.sid)"""
+    def updCase(cur: String, k: Int) =
+      s"""CASE WHEN d$k = 0 THEN ${cur}${k}fp
+        ELSE CAST(FLOOR(CAST(${cur}${k}fp AS DOUBLE) / 1000000.0 *
+          (CAST(n$k AS DOUBLE) / CAST(d$k AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        END AS ${cur}${k}fp"""
+    val rounds = (1 to NmfRounds).map { r =>
+      val pw = s"wm${r - 1}"; val ph = s"hm${r - 1}"
+      def sums(a: String, b: String) = (0 to 2).map { k =>
+        s"""CAST(SUM(CAST(FLOOR($a$k * $b * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS n$k,
+        CAST(SUM(CAST(FLOOR($a$k * wh * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS d$k"""
+      }.mkString(",\n        ")
+      s"""${whCte(s"wha$r", pw, ph)},
+      hu$r AS (SELECT sid,
+        ${sums("w", "v")}
+      FROM wha$r GROUP BY 1),
+      hm$r AS MATERIALIZED (SELECT h.sid,
+        ${(0 to 2).map(updCase("h", _)).mkString(",\n        ")}
+      FROM $ph h JOIN hu$r USING (sid)),
+      ${whCte(s"whb$r", pw, s"hm$r")},
+      wu$r AS (SELECT tid,
+        ${(0 to 2).map { k =>
+          s"""CAST(SUM(CAST(FLOOR(v * h$k * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS n$k,
+        CAST(SUM(CAST(FLOOR(wh * h$k * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS d$k"""
+        }.mkString(",\n        ")}
+      FROM whb$r GROUP BY 1),
+      wm$r AS MATERIALIZED (SELECT w.tid,
+        ${(0 to 2).map(updCase("w", _)).mkString(",\n        ")}
+      FROM $pw w JOIN wu$r USING (tid))"""
+    }.mkString(",\n      ")
+    s"""WITH occ AS (SELECT source,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          x -> x <> '')) AS token
+      FROM documents),
+      topt AS MATERIALIZED (SELECT token, freq,
+          CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS tid
+        FROM (SELECT token, COUNT(*) AS freq FROM occ GROUP BY 1)
+        ORDER BY freq DESC, token LIMIT 50),
+      cc AS (SELECT t.tid, CAST(substring(o.source, 4) AS BIGINT) AS sid,
+          COUNT(*) AS c
+        FROM occ o JOIN topt t ON t.token = o.token GROUP BY 1, 2),
+      sids AS (SELECT DISTINCT CAST(substring(source, 4) AS BIGINT) AS sid
+        FROM documents),
+      v AS MATERIALIZED (SELECT topt.tid, sids.sid,
+          CAST(COALESCE(cc.c, 0) AS BIGINT) AS v
+        FROM topt CROSS JOIN sids
+        LEFT JOIN cc ON cc.tid = topt.tid AND cc.sid = sids.sid),
+      wm0 AS MATERIALIZED (SELECT tid, ${winit(0)} AS w0fp, ${winit(1)} AS w1fp,
+          ${winit(2)} AS w2fp FROM topt),
+      hm0 AS MATERIALIZED (SELECT sid, ${hinit(0)} AS h0fp, ${hinit(1)} AS h1fp,
+          ${hinit(2)} AS h2fp FROM sids),
+      $rounds,
+      melt AS (SELECT 0 AS factor, t.token, w.w0fp AS wfp
+          FROM wm$NmfRounds w JOIN topt t USING (tid)
+        UNION ALL SELECT 1, t.token, w.w1fp
+          FROM wm$NmfRounds w JOIN topt t USING (tid)
+        UNION ALL SELECT 2, t.token, w.w2fp
+          FROM wm$NmfRounds w JOIN topt t USING (tid)),
+      rk AS (SELECT factor, token, wfp,
+          ROW_NUMBER() OVER (PARTITION BY factor ORDER BY wfp DESC, token) AS rnk
+        FROM melt)
+      SELECT CAST(factor AS BIGINT) AS factor, CAST(rnk AS BIGINT) AS rank,
+        token, ROUND(wfp / 1000000.0, 6) AS weight
+      FROM rk WHERE rnk <= 5 ORDER BY factor, rank"""
+  }
+
+  /** Deterministic NMF topic model: Lee–Seung multiplicative updates
+    * (Frobenius objective) on the dense top-50-token × source count
+    * matrix, 3 unrolled rounds, 3 factors, replayed CTE-for-CTE by
+    * [[nmfOracle]]. Determinism discipline: W/H live as ppm fixed-point
+    * BIGINTs between rounds; every Σ_t / Σ_s in the update ratios is a
+    * sum of per-cell FLOOR(…·10⁶) integers (order-free), the 3-term
+    * inner product Σ_k w_k·h_k is a fixed-order double expression, and
+    * each updated entry re-quantizes to ppm — so both engines walk the
+    * identical integer trajectory. Scale shape: the corpus-sized work is
+    * ONE token rollup; the iteration runs on the 50×20 grid (broadcast
+    * joins, localCheckpoint per round), so rounds cost the same at any
+    * corpus size. */
+  val qNmfTopics = GraftQuery(
+    "q_nmf_topics",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val S = 1000000.0
+      val tokc = graft.operators.Caches.register(
+        Tables.documents(s, dir)
+          .select(expr("cast(substring(source, 4) as bigint)").as("sid"),
+            explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token", $"sid").agg(count(lit(1)).as("c")))
+      val top = tokc.groupBy($"token").agg(sum($"c").as("freq"))
+        .orderBy($"freq".desc, $"token").limit(50)
+        .withColumn("tid",
+          row_number().over(Window.orderBy($"freq".desc, $"token")).cast("long"))
+        .select($"token", $"tid")
+      val cc = tokc.join(broadcast(top), "token")
+        .select($"tid", $"sid", $"c")
+      val sids = tokc.select($"sid").distinct()
+      val v = graft.operators.Caches.register(
+        top.join(broadcast(sids)) // 50×20 grid: missing cells are true zeros
+          .join(cc, Seq("tid", "sid"), "left")
+          .select($"tid", $"sid", coalesce($"c", lit(0L)).as("v")))
+      def init(id: Column, k: Int, m: Long, step: Long) =
+        lit(1000000L) + ((id * 3 + k) % m) * step
+      var w = top.select($"tid",
+        init($"tid", 0, 5L, 250000L).as("w0fp"),
+        init($"tid", 1, 5L, 250000L).as("w1fp"),
+        init($"tid", 2, 5L, 250000L).as("w2fp")).localCheckpoint()
+      var h = sids.select($"sid",
+        init($"sid", 0, 7L, 200000L).as("h0fp"),
+        init($"sid", 1, 7L, 200000L).as("h1fp"),
+        init($"sid", 2, 7L, 200000L).as("h2fp")).localCheckpoint()
+      def withWh(wdf: DataFrame, hdf: DataFrame): DataFrame = {
+        var d = v.join(broadcast(wdf), "tid").join(broadcast(hdf), "sid")
+        Seq("w0" -> "w0fp", "w1" -> "w1fp", "w2" -> "w2fp",
+          "h0" -> "h0fp", "h1" -> "h1fp", "h2" -> "h2fp").foreach { case (a, fp) =>
+          d = d.withColumn(a, col(fp).cast("double") / S)
+        }
+        d.withColumn("wh", $"w0" * $"h0" + $"w1" * $"h1" + $"w2" * $"h2")
+      }
+      def upd(cur: String, k: Int) =
+        when(col(s"d$k") === 0L, col(s"$cur${k}fp")).otherwise(
+          floor(col(s"$cur${k}fp").cast("double") / S *
+            (col(s"n$k").cast("double") / col(s"d$k").cast("double")) * S + 0.5)
+            .cast("long")).as(s"$cur${k}fp")
+      for (_ <- 1 to NmfRounds) {
+        val wha = withWh(w, h)
+        val hu = wha.groupBy($"sid").agg(
+          sum(floor($"w0" * $"v" * S + 0.5).cast("long")).as("n0"),
+          sum(floor($"w0" * $"wh" * S + 0.5).cast("long")).as("d0"),
+          sum(floor($"w1" * $"v" * S + 0.5).cast("long")).as("n1"),
+          sum(floor($"w1" * $"wh" * S + 0.5).cast("long")).as("d1"),
+          sum(floor($"w2" * $"v" * S + 0.5).cast("long")).as("n2"),
+          sum(floor($"w2" * $"wh" * S + 0.5).cast("long")).as("d2"))
+        h = h.join(hu, "sid")
+          .select($"sid", upd("h", 0), upd("h", 1), upd("h", 2))
+          .localCheckpoint()
+        val whb = withWh(w, h)
+        val wu = whb.groupBy($"tid").agg(
+          sum(floor($"v" * $"h0" * S + 0.5).cast("long")).as("n0"),
+          sum(floor($"wh" * $"h0" * S + 0.5).cast("long")).as("d0"),
+          sum(floor($"v" * $"h1" * S + 0.5).cast("long")).as("n1"),
+          sum(floor($"wh" * $"h1" * S + 0.5).cast("long")).as("d1"),
+          sum(floor($"v" * $"h2" * S + 0.5).cast("long")).as("n2"),
+          sum(floor($"wh" * $"h2" * S + 0.5).cast("long")).as("d2"))
+        w = w.join(wu, "tid")
+          .select($"tid", upd("w", 0), upd("w", 1), upd("w", 2))
+          .localCheckpoint()
+      }
+      val melt = (0 to 2).map { k =>
+        w.join(broadcast(top), "tid")
+          .select(lit(k.toLong).as("factor"), $"token", col(s"w${k}fp").as("wfp"))
+      }.reduce(_ union _)
+      melt
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"factor").orderBy($"wfp".desc, $"token")).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"factor", $"rank", $"token",
+          round($"wfp" / 1000000.0, 6).as("weight"))
+        .orderBy($"factor", $"rank")
+    },
+    Some(nmfOracle)
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qKmeans, qPqRecall, qSourceKl, qHeapsLaw, qZipfFit, qCoreset)
+    Seq(qKmeans, qPqRecall, qSourceKl, qHeapsLaw, qZipfFit, qCoreset,
+      qNmfTopics)
 }
