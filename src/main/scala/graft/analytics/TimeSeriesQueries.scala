@@ -1122,9 +1122,110 @@ object TimeSeriesQueries {
       FROM sym GROUP BY 1 ORDER BY event_type""")
   )
 
+  /** Viterbi decoding of a 2-state HMM over each event type's 28-day
+    * daily-count series: high/low activity regimes with Poisson-rate
+    * emissions (λ = 1.5μ / 0.5μ from the series' own mean; the
+    * state-independent ln(c!) term cancels in every comparison) and a
+    * 0.8-stay / 0.2-switch transition matrix whose log weights ride as
+    * PRE-QUANTIZED ppm integer literals in BOTH engines. The whole
+    * max-product recursion is ONE higher-order aggregate fold over the
+    * day-sorted array — integer adds, string-append backpointers,
+    * prefer-H tie-break — so it stays in codegen (no UDF, no driver
+    * loop) and DuckDB's list_reduce replays it bit for bit. The uniform
+    * pseudo-transition the fold applies before day 0 adds the same
+    * constant to both states and cancels. Scale shape: one (type, day)
+    * rollup; the fold runs on 28-element arrays per type. */
+  val qHmmRegimes = GraftQuery(
+    "q_hmm_regimes",
+    (s, dir) => {
+      import s.implicits._
+      val LS = math.floor(math.log(0.8) * 1e6 + 0.5).toLong // -223144
+      val LW = math.floor(math.log(0.2) * 1e6 + 0.5).toLong // -1609438
+      val ev = Tables.events(s, dir).select($"event_type", to_date($"ts").as("d"))
+      val d0 = ev.agg(min($"d").as("d0"))
+      val daily = ev.crossJoin(broadcast(d0))
+        .select($"event_type", datediff($"d", $"d0").as("day"))
+        .filter($"day" >= 0 && $"day" < 28)
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+      val st = daily.groupBy($"event_type").agg(sum($"c").cast("long").as("sx"))
+      val grid = st.select($"event_type", $"sx",
+        explode(typedLit((0L to 27L).toSeq)).as("day"))
+      val em = grid.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce($"c", lit(0L)))
+        .withColumn("mu", $"sx".cast(DoubleType) / 28.0)
+        .withColumn("eh", floor(($"c".cast(DoubleType) * log(lit(1.5) * $"mu") -
+          lit(1.5) * $"mu") * 1000000.0 + 0.5).cast("long"))
+        .withColumn("el", floor(($"c".cast(DoubleType) * log(lit(0.5) * $"mu") -
+          lit(0.5) * $"mu") * 1000000.0 + 0.5).cast("long"))
+      em.groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"day", $"eh", $"el"))).as("arr"))
+        .withColumn("st", expr(
+          s"""aggregate(arr,
+            named_struct('vh', CAST(0 AS BIGINT), 'vl', CAST(0 AS BIGINT),
+                         'ph', '', 'pl', ''),
+            (acc, x) -> named_struct(
+              'vh', greatest(acc.vh + $LS, acc.vl + $LW) + x.eh,
+              'vl', greatest(acc.vl + $LS, acc.vh + $LW) + x.el,
+              'ph', CASE WHEN acc.vh + $LS >= acc.vl + $LW
+                    THEN concat(acc.ph, 'H') ELSE concat(acc.pl, 'H') END,
+              'pl', CASE WHEN acc.vl + $LS >= acc.vh + $LW
+                    THEN concat(acc.pl, 'L') ELSE concat(acc.ph, 'L') END))"""))
+        .select($"event_type",
+          when($"st.vh" >= $"st.vl", $"st.ph").otherwise($"st.pl").as("regime"),
+          (length(when($"st.vh" >= $"st.vl", $"st.ph").otherwise($"st.pl")) -
+            length(regexp_replace(
+              when($"st.vh" >= $"st.vl", $"st.ph").otherwise($"st.pl"), "H", "")))
+            .cast("long").as("n_high_days"),
+          round(greatest($"st.vh", $"st.vl") / 1000000.0, 6).as("log_prob"))
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+      d0 AS (SELECT MIN(d) AS d0 FROM ev),
+      daily AS (SELECT event_type, date_diff('day', d0, d) AS day, COUNT(*) AS c
+        FROM ev, d0 WHERE date_diff('day', d0, d) >= 0 AND date_diff('day', d0, d) < 28
+        GROUP BY 1, 2),
+      stt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS sx FROM daily GROUP BY 1),
+      grid AS (SELECT event_type, sx, CAST(g.day AS BIGINT) AS day
+        FROM stt CROSS JOIN (SELECT UNNEST(range(28)) AS day) g),
+      em AS (SELECT grid.event_type, grid.day,
+          CAST(COALESCE(daily.c, 0) AS BIGINT) AS c,
+          CAST(grid.sx AS DOUBLE) / 28.0 AS mu
+        FROM grid LEFT JOIN daily
+          ON daily.event_type = grid.event_type AND daily.day = grid.day),
+      emq AS (SELECT event_type, day,
+          CAST(FLOOR((CAST(c AS DOUBLE) * LN(1.5 * mu) - 1.5 * mu) * 1000000.0 + 0.5)
+            AS BIGINT) AS eh,
+          CAST(FLOOR((CAST(c AS DOUBLE) * LN(0.5 * mu) - 0.5 * mu) * 1000000.0 + 0.5)
+            AS BIGINT) AS el
+        FROM em),
+      folded AS (SELECT event_type, list_reduce(
+          list_prepend({'day': CAST(-1 AS BIGINT), 'eh': CAST(0 AS BIGINT),
+              'el': CAST(0 AS BIGINT), 'vh': CAST(0 AS BIGINT),
+              'vl': CAST(0 AS BIGINT), 'ph': '', 'pl': ''},
+            list({'day': day, 'eh': eh, 'el': el, 'vh': CAST(0 AS BIGINT),
+              'vl': CAST(0 AS BIGINT), 'ph': '', 'pl': ''} ORDER BY day)),
+          (acc, x) -> {
+            'day': x.day, 'eh': CAST(0 AS BIGINT), 'el': CAST(0 AS BIGINT),
+            'vh': GREATEST(acc.vh + (-223144), acc.vl + (-1609438)) + x.eh,
+            'vl': GREATEST(acc.vl + (-223144), acc.vh + (-1609438)) + x.el,
+            'ph': CASE WHEN acc.vh + (-223144) >= acc.vl + (-1609438)
+                  THEN acc.ph || 'H' ELSE acc.pl || 'H' END,
+            'pl': CASE WHEN acc.vl + (-223144) >= acc.vh + (-1609438)
+                  THEN acc.pl || 'L' ELSE acc.ph || 'L' END
+          }) AS st
+        FROM emq GROUP BY 1)
+      SELECT event_type,
+        CASE WHEN st.vh >= st.vl THEN st.ph ELSE st.pl END AS regime,
+        CAST(length(CASE WHEN st.vh >= st.vl THEN st.ph ELSE st.pl END) -
+          length(replace(CASE WHEN st.vh >= st.vl THEN st.ph ELSE st.pl END, 'H', ''))
+          AS BIGINT) AS n_high_days,
+        ROUND(GREATEST(st.vh, st.vl) / 1000000.0, 6) AS log_prob
+      FROM folded ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi,
       qSeasonalBaseline, qCusum, qPriceIndex, qAcf, qChangepoint,
       qForecastBacktest, qTheilSen, qMkTrend, qHoltWinters,
-      qSeasonalityStrength, qSax)
+      qSeasonalityStrength, qSax, qHmmRegimes)
 }
