@@ -1127,20 +1127,32 @@ object TimeSeriesQueries {
     * emissions (λ = 1.5μ / 0.5μ from the series' own mean; the
     * state-independent ln(c!) term cancels in every comparison) and a
     * 0.8-stay / 0.2-switch transition matrix whose log weights ride as
-    * PRE-QUANTIZED ppm integer literals in BOTH engines. The whole
-    * max-product recursion is ONE higher-order aggregate fold over the
-    * day-sorted array — integer adds, string-append backpointers,
-    * prefer-H tie-break — so it stays in codegen (no UDF, no driver
-    * loop) and DuckDB's list_reduce replays it bit for bit. The uniform
-    * pseudo-transition the fold applies before day 0 adds the same
-    * constant to both states and cancels. Scale shape: one (type, day)
-    * rollup; the fold runs on 28-element arrays per type. */
+    * PRE-QUANTIZED ppm integer literals in BOTH engines. Emission
+    * weights are integer-portable too: since every path consumes every
+    * day exactly once, the state-independent c·ln(μ) term cancels in
+    * all comparisons, leaving eh = c·L15 − q(1.5μ) and
+    * el = c·L05 − q(0.5μ) with L15 = ⌊ln(1.5)·10⁶+½⌋ = 405465 and
+    * L05 = ⌊ln(0.5)·10⁶+½⌋ = −693147 as integer LITERALS (like LS/LW)
+    * and q(x) = ⌊x·10⁶+½⌋ built from IEEE-exact ×/÷ only — no runtime
+    * libm call anywhere, so both engines fold identical integers. The
+    * reported log_prob is therefore the NORMALIZED score (the true
+    * log-likelihood minus the path-invariant Σc·ln(μ) + Σln(c!)
+    * constants). The whole max-product recursion is ONE higher-order
+    * aggregate fold over the day-sorted array — integer adds,
+    * string-append backpointers, prefer-H tie-break — so it stays in
+    * codegen (no UDF, no driver loop) and DuckDB's list_reduce replays
+    * it bit for bit. The uniform pseudo-transition the fold applies
+    * before day 0 adds the same constant to both states and cancels.
+    * Scale shape: one (type, day) rollup; the fold runs on 28-element
+    * arrays per type. */
   val qHmmRegimes = GraftQuery(
     "q_hmm_regimes",
     (s, dir) => {
       import s.implicits._
       val LS = math.floor(math.log(0.8) * 1e6 + 0.5).toLong // -223144
       val LW = math.floor(math.log(0.2) * 1e6 + 0.5).toLong // -1609438
+      val L15 = math.floor(math.log(1.5) * 1e6 + 0.5).toLong // 405465
+      val L05 = math.floor(math.log(0.5) * 1e6 + 0.5).toLong // -693147
       val ev = Tables.events(s, dir).select($"event_type", to_date($"ts").as("d"))
       val d0 = ev.agg(min($"d").as("d0"))
       val daily = ev.crossJoin(broadcast(d0))
@@ -1153,10 +1165,10 @@ object TimeSeriesQueries {
       val em = grid.join(daily, Seq("event_type", "day"), "left")
         .withColumn("c", coalesce($"c", lit(0L)))
         .withColumn("mu", $"sx".cast(DoubleType) / 28.0)
-        .withColumn("eh", floor(($"c".cast(DoubleType) * log(lit(1.5) * $"mu") -
-          lit(1.5) * $"mu") * 1000000.0 + 0.5).cast("long"))
-        .withColumn("el", floor(($"c".cast(DoubleType) * log(lit(0.5) * $"mu") -
-          lit(0.5) * $"mu") * 1000000.0 + 0.5).cast("long"))
+        .withColumn("eh", ($"c" * lit(L15) -
+          floor(lit(1.5) * $"mu" * 1000000.0 + 0.5).cast("long")))
+        .withColumn("el", ($"c" * lit(L05) -
+          floor(lit(0.5) * $"mu" * 1000000.0 + 0.5).cast("long")))
       em.groupBy($"event_type")
         .agg(sort_array(collect_list(struct($"day", $"eh", $"el"))).as("arr"))
         .withColumn("st", expr(
@@ -1179,7 +1191,14 @@ object TimeSeriesQueries {
           round(greatest($"st.vh", $"st.vl") / 1000000.0, 6).as("log_prob"))
         .orderBy($"event_type")
     },
-    Some(s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+    // NOTE: the oracle replays the Viterbi recursion as WITH RECURSIVE, not
+    // list_reduce — DuckDB 1.0.0's list_reduce evaluates multi-field struct
+    // lambdas with inconsistent cross-field references (a field expression can
+    // observe an already-updated sibling of the same step), which silently
+    // corrupts the backpointer strings. A recursive CTE reads every column
+    // from the PRIOR iteration's row, which is the semantics the Spark-side
+    // `aggregate` fold has.
+    Some(s"""WITH RECURSIVE ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
       d0 AS (SELECT MIN(d) AS d0 FROM ev),
       daily AS (SELECT event_type, date_diff('day', d0, d) AS day, COUNT(*) AS c
         FROM ev, d0 WHERE date_diff('day', d0, d) >= 0 AND date_diff('day', d0, d) < 28
@@ -1193,34 +1212,30 @@ object TimeSeriesQueries {
         FROM grid LEFT JOIN daily
           ON daily.event_type = grid.event_type AND daily.day = grid.day),
       emq AS (SELECT event_type, day,
-          CAST(FLOOR((CAST(c AS DOUBLE) * LN(1.5 * mu) - 1.5 * mu) * 1000000.0 + 0.5)
-            AS BIGINT) AS eh,
-          CAST(FLOOR((CAST(c AS DOUBLE) * LN(0.5 * mu) - 0.5 * mu) * 1000000.0 + 0.5)
-            AS BIGINT) AS el
+          c * 405465 - CAST(FLOOR(1.5 * mu * 1000000.0 + 0.5) AS BIGINT) AS eh,
+          c * (-693147) - CAST(FLOOR(0.5 * mu * 1000000.0 + 0.5) AS BIGINT) AS el
         FROM em),
-      folded AS (SELECT event_type, list_reduce(
-          list_prepend({'day': CAST(-1 AS BIGINT), 'eh': CAST(0 AS BIGINT),
-              'el': CAST(0 AS BIGINT), 'vh': CAST(0 AS BIGINT),
-              'vl': CAST(0 AS BIGINT), 'ph': '', 'pl': ''},
-            list({'day': day, 'eh': eh, 'el': el, 'vh': CAST(0 AS BIGINT),
-              'vl': CAST(0 AS BIGINT), 'ph': '', 'pl': ''} ORDER BY day)),
-          (acc, x) -> {
-            'day': x.day, 'eh': CAST(0 AS BIGINT), 'el': CAST(0 AS BIGINT),
-            'vh': GREATEST(acc.vh + (-223144), acc.vl + (-1609438)) + x.eh,
-            'vl': GREATEST(acc.vl + (-223144), acc.vh + (-1609438)) + x.el,
-            'ph': CASE WHEN acc.vh + (-223144) >= acc.vl + (-1609438)
-                  THEN acc.ph || 'H' ELSE acc.pl || 'H' END,
-            'pl': CASE WHEN acc.vl + (-223144) >= acc.vh + (-1609438)
-                  THEN acc.pl || 'L' ELSE acc.ph || 'L' END
-          }) AS st
-        FROM emq GROUP BY 1)
+      step AS (
+        SELECT event_type, CAST(-1 AS BIGINT) AS day, CAST(0 AS BIGINT) AS vh,
+               CAST(0 AS BIGINT) AS vl, '' AS ph, '' AS pl
+        FROM (SELECT DISTINCT event_type FROM emq)
+        UNION ALL
+        SELECT e.event_type, e.day,
+          GREATEST(s.vh + (-223144), s.vl + (-1609438)) + e.eh,
+          GREATEST(s.vl + (-223144), s.vh + (-1609438)) + e.el,
+          CASE WHEN s.vh + (-223144) >= s.vl + (-1609438)
+               THEN s.ph || 'H' ELSE s.pl || 'H' END,
+          CASE WHEN s.vl + (-223144) >= s.vh + (-1609438)
+               THEN s.pl || 'L' ELSE s.ph || 'L' END
+        FROM step s JOIN emq e
+          ON e.event_type = s.event_type AND e.day = s.day + 1)
       SELECT event_type,
-        CASE WHEN st.vh >= st.vl THEN st.ph ELSE st.pl END AS regime,
-        CAST(length(CASE WHEN st.vh >= st.vl THEN st.ph ELSE st.pl END) -
-          length(replace(CASE WHEN st.vh >= st.vl THEN st.ph ELSE st.pl END, 'H', ''))
+        CASE WHEN vh >= vl THEN ph ELSE pl END AS regime,
+        CAST(length(CASE WHEN vh >= vl THEN ph ELSE pl END) -
+          length(replace(CASE WHEN vh >= vl THEN ph ELSE pl END, 'H', ''))
           AS BIGINT) AS n_high_days,
-        ROUND(GREATEST(st.vh, st.vl) / 1000000.0, 6) AS log_prob
-      FROM folded ORDER BY event_type""")
+        ROUND(GREATEST(vh, vl) / 1000000.0, 6) AS log_prob
+      FROM step WHERE day = 27 ORDER BY event_type""")
   )
 
   val all: Seq[GraftQuery] =
