@@ -510,7 +510,8 @@ object RankStatQueries {
       val li = Tables.lineitem(s, dir)
         .select($"l_quantity", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
         .withColumn("yb", ntile(20).over(
-          Window.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")).cast(LongType))
+          Window.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber",
+            $"l_quantity")).cast(LongType))
       val grid = li.groupBy($"l_quantity".as("x"), $"yb".as("y"))
         .agg(count(lit(1)).as("cnt"))
       val cd = grid.as("a").join(grid.as("b"), col("a.x") < col("b.x"))
@@ -533,8 +534,8 @@ object RankStatQueries {
             .as("tau_b"))
     },
     Some("""WITH li AS (SELECT l_quantity AS x,
-        CAST(NTILE(20) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
-          AS BIGINT) AS y
+        CAST(NTILE(20) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+          l_quantity) AS BIGINT) AS y
       FROM lineitem),
       grid AS (SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS cnt FROM li GROUP BY 1, 2),
       cd AS (SELECT
@@ -557,7 +558,8 @@ object RankStatQueries {
   /** Paired sign-flip permutation test for the within-user
     * purchase-vs-click value difference — exact finite-sample inference
     * with ZERO transcendentals: per-user mean difference quantized to
-    * integer milli-units, 64 deterministic sign-flip replicates from
+    * integer deci-cents (⌊cents·10+½⌋, i.e. thousandths of a currency
+    * unit), 64 deterministic sign-flip replicates from
     * the keyed-PRF parity (user × replicate, the q_bootstrap_ci
     * machinery), each replicate statistic an order-independent integer
     * sum, and p = (#{|T_b| ≥ |T₀|} + 1)/(B+1) — integer comparisons all
@@ -591,9 +593,9 @@ object RankStatQueries {
         .groupBy($"b").agg(sum($"sgn" * $"d").as("t"))
       val t0 = ev.agg(sum($"d").as("t0"), count(lit(1)).as("n_users"))
       reps.crossJoin(broadcast(t0))
-        .agg(max($"n_users").as("n_users"), max($"t0").as("t0_milli"),
+        .agg(max($"n_users").as("n_users"), max($"t0").as("t0_decicents"),
           sum(when(abs($"t") >= abs($"t0"), 1L).otherwise(0L)).as("n_extreme"))
-        .select($"n_users", $"t0_milli", $"n_extreme",
+        .select($"n_users", $"t0_decicents", $"n_extreme",
           round(($"n_extreme" + 1).cast(DoubleType) / 65.0, 6).as("p_value"))
     },
     Some("""WITH u AS (SELECT user_id,
@@ -614,7 +616,7 @@ object RankStatQueries {
             % 1000000007)) % 1000000007) % 2 = 0 THEN d ELSE -d END) AS BIGINT) AS t
         FROM d CROSS JOIN UNNEST(range(64)) AS g(b) GROUP BY 1),
       t0 AS (SELECT CAST(SUM(d) AS BIGINT) AS t0, COUNT(*) AS n_users FROM d)
-      SELECT t0.n_users, t0.t0 AS t0_milli,
+      SELECT t0.n_users, t0.t0 AS t0_decicents,
         CAST(SUM(CASE WHEN ABS(t) >= ABS(t0.t0) THEN 1 ELSE 0 END) AS BIGINT)
           AS n_extreme,
         ROUND(CAST(SUM(CASE WHEN ABS(t) >= ABS(t0.t0) THEN 1 ELSE 0 END) + 1 AS DOUBLE)

@@ -443,10 +443,12 @@ object Graphs {
     * unreached vertices are absent.
     *
     * One round = the CURRENT frontier (vertices first reached last
-    * round) joined to the edge relation, then a min-hop merge into the
-    * known-distance relation — frontier-sized work per round, distance
-    * state O(V), all equi-shuffles on the vertex key. localCheckpoint
-    * per round keeps the loop's lineage flat. */
+    * round) joined to the edge relation — frontier-sized EXPANSION — then
+    * a min-hop merge into the known-distance relation. The merge
+    * re-aggregates dist ∪ expanded, so each round shuffles O(V) distance
+    * state (distance-state-sized merge, not frontier-sized); all
+    * equi-shuffles on the vertex key. localCheckpoint per round keeps
+    * the loop's lineage flat. */
   def bfs(edges: DataFrame, srcCol: String, dstCol: String,
       source: Long, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops=$maxHops must be >= 1")

@@ -47,7 +47,18 @@ object PatternMatch {
   }
 
   /** The per-group automaton step: fold this batch's (sorted) events
-    * into the carried state, emitting every completed match. */
+    * into the carried state, emitting every completed match.
+    *
+    * PRECONDITION (in-order arrival across batches): events are sorted
+    * by event time only WITHIN each micro-batch; the DFA assumes
+    * micro-batches themselves arrive in event-time order (as
+    * q_stream_sessions also requires of its source). A late event whose
+    * event time precedes an already-processed batch is folded at its
+    * ARRIVAL position, which can produce a different match set than the
+    * batch oracle — there is no watermark to drop or reorder it. At
+    * scale, front the stream with a watermark + event-time sort per
+    * key (or widen FunnelState to buffer a reorder window) before
+    * relying on cross-batch ordering. */
   def matchFunnel(
       userId: Long,
       events: Iterator[PEvent],
