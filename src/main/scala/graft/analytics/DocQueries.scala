@@ -322,6 +322,87 @@ object DocQueries {
       ORDER BY doc_id""")
   )
 
+  /** Cross-document repeated-span REMOVAL (exact-substring dedup,
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better", approximated with fixed 5-token windows): where
+    * q_repeated_spans DETECTS repeated spans and q_shared_spans
+    * ATTRIBUTES them pairwise, this query produces the removal
+    * accounting that actually dedups the corpus — keep-one-copy
+    * semantics. Every positional 5-gram that occurs in ≥ 2 distinct
+    * documents elects the MINIMUM doc_id holding it as the canonical
+    * copy; in every OTHER document, all token positions covered by that
+    * 5-gram are excised. Overlapping removable windows merge (distinct
+    * positions), adjacent removed positions merge into maximal spans
+    * via gaps-and-islands, and each surviving document reports
+    * (n_tokens, n_removed, n_spans, n_kept, pct_removed).
+    *
+    * Scale: this is BLOCKED, never all-pairs — the corpus-sized
+    * relations only ever equi-join on the 8-byte window hash, and the
+    * right side of that join is the per-hash AGGREGATE (one row per
+    * hash: keep_doc + df), so no hot 5-gram can pair-expand the join;
+    * no df cap is even needed. The df pass and the join-back shuffle
+    * the SAME hash key (exchange reuse); removed positions shuffle per
+    * doc for the island window, bounded by matched-span volume, not the
+    * token stream. Text never shuffles — only hashes and positions. */
+  val qSpanDedup = GraftQuery(
+    "q_span_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      val sh = toks.filter(size($"toks") >= 5)
+        .select($"doc_id",
+          posexplode(expr("transform(sequence(0, size(toks) - 5), " +
+            "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 5))))"))
+            .as(Seq("start", "sh")))
+      val stats = sh.select($"sh", $"doc_id").distinct()
+        .groupBy($"sh").agg(min($"doc_id").as("keep_doc"), count(lit(1)).as("df"))
+        .filter($"df" >= 2)
+      val removed = sh.join(stats, "sh")
+        .filter($"doc_id" =!= $"keep_doc")
+        .select($"doc_id", explode(sequence($"start", $"start" + 4)).as("pos"))
+        .distinct()
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val agg = removed
+        .withColumn("prev", lag($"pos", 1).over(w))
+        .withColumn("is_start",
+          when($"prev".isNull || $"pos" - $"prev" =!= 1, 1L).otherwise(0L))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_removed"), sum($"is_start").as("n_spans"))
+      toks.select($"doc_id", size($"toks").as("n_tokens"))
+        .join(agg, "doc_id")
+        .select($"doc_id", $"n_tokens", $"n_removed", $"n_spans",
+          ($"n_tokens" - $"n_removed").cast("int").as("n_kept"),
+          (floor($"n_removed" * 1000000.0 / $"n_tokens" + 0.5) / 1000000.0)
+            .as("pct_removed"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      sp AS (SELECT doc_id, u.i AS start,
+          array_to_string(ts[u.i+1:u.i+5], ' ') AS s
+        FROM toks, UNNEST(range(LEN(ts) - 4)) AS u(i)
+        WHERE LEN(ts) >= 5),
+      stats AS (SELECT s, MIN(doc_id) AS keep_doc
+        FROM sp GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT sp.doc_id, sp.start + o.o AS pos
+        FROM sp JOIN stats USING (s), UNNEST(range(5)) AS o(o)
+        WHERE sp.doc_id <> stats.keep_doc),
+      runs AS (SELECT doc_id, pos,
+          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM cov),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed,
+          CAST(SUM(CASE WHEN prev IS NULL OR pos - prev <> 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_spans
+        FROM runs GROUP BY doc_id),
+      base AS (SELECT doc_id, CAST(LEN(ts) AS INTEGER) AS n_tokens FROM toks)
+      SELECT base.doc_id, base.n_tokens, agg.n_removed, agg.n_spans,
+        CAST(base.n_tokens - agg.n_removed AS INTEGER) AS n_kept,
+        FLOOR(agg.n_removed * 1000000.0 / base.n_tokens + 0.5) / 1000000.0
+          AS pct_removed
+      FROM base JOIN agg USING (doc_id) ORDER BY doc_id""")
+  )
+
   /** Repetition scoring: distinct-5-gram share of each document's 5-gram
     * positions — boilerplate/loop-generated text scores low. Map-only
     * (two array expressions per row, no shuffle at all). */
@@ -2859,6 +2940,7 @@ object DocQueries {
     qBpeEncode, qDictEncode, qInvertedIndex,
     qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
+    qSpanDedup,
     qUnigramXent, qBigramXent, qVocabCoverage,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,

@@ -1017,4 +1017,48 @@ class PlanAuditSpec extends SparkSpec {
     val pv = plan("q_l_diversity")
     assert(!pv.contains("CartesianProduct"), s"q_l_diversity went cartesian:\n$pv")
   }
+
+  test("round-8 final wave + span dedup: broadcasts and bounded shuffles") {
+    for (q <- Seq("q_nmf_topics", "q_hmm_regimes", "q_decision_stump",
+        "q_feature_hash", "q_span_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+    // NMF: the corpus contributes ONE token rollup; every Lee-Seung
+    // round joins the 50x20 factor grid by BROADCAST — a SortMergeJoin
+    // anywhere means a factor-grid join fell off the broadcast path and
+    // iterations would shuffle at corpus scale
+    val pn = plan("q_nmf_topics")
+    assert(pn.contains("BroadcastHashJoin"),
+      s"q_nmf_topics lost the factor-grid broadcasts:\n$pn")
+    assert(!pn.contains("SortMergeJoin"),
+      s"q_nmf_topics grew a non-broadcast join in the update loop:\n$pn")
+    // HMM: one (type, day) rollup + the per-type 28-element fold; the
+    // 1-row min-date relation rides a BroadcastNestedLoopJoin and the
+    // day-grid join back broadcasts — at most the rollup + fold
+    // exchanges, never a corpus-sized sort
+    val ph = plan("q_hmm_regimes")
+    assert(ph.contains("BroadcastNestedLoopJoin"),
+      s"q_hmm_regimes lost the 1-row min-date broadcast:\n$ph")
+    assert("Exchange hashpartitioning".r.findAllIn(ph).length <= 3,
+      s"q_hmm_regimes shuffles more than rollup + fold:\n$ph")
+    // decision stump: threshold candidates come from the distinct-value
+    // relation (broadcast side), the fact table is scanned, rolled up,
+    // and never pair-expanded
+    val pd = plan("q_decision_stump")
+    assert(pd.contains("BroadcastHashJoin"),
+      s"q_decision_stump lost the candidate broadcast:\n$pd")
+    assert("Exchange hashpartitioning".r.findAllIn(pd).length <= 4,
+      s"q_decision_stump shuffles more than its rollups:\n$pd")
+    // span dedup: corpus relations only ever equi-join on the window
+    // hash against the PER-HASH AGGREGATE (one row per hash), so no
+    // hot 5-gram can pair-expand; removed positions shuffle per doc for
+    // the islands window — shingle rollup + join-back + islands +
+    // final join, nothing more
+    val ps = plan("q_span_dedup")
+    assert(ps.contains("windowspecdefinition"),
+      s"q_span_dedup lost the gaps-and-islands window:\n$ps")
+    assert("Exchange hashpartitioning".r.findAllIn(ps).length <= 5,
+      s"q_span_dedup shuffles beyond rollup/join-back/islands:\n$ps")
+  }
 }
