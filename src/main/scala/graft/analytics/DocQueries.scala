@@ -1623,6 +1623,122 @@ object DocQueries {
       ORDER BY l_returnflag""")
   )
 
+  /** KMV sketch SET ALGEBRA: pairwise audience overlap between event
+    * types estimated from mergeable k-minimum-value sketches (k = 256,
+    * portable Lehmer hash family), with the exact intersection as the
+    * bench-scale certificate — the theta-sketch workflow (Dasgupta et
+    * al., "Theta sketches") that replaces all-pairs exact intersection
+    * joins at corpus scale. Per pair: merge the two k-min sets, take
+    * the k smallest of the union; the union estimate is (k−1)/(τ/P)
+    * past capacity (exact below it — same estimator as q_kmv_distinct);
+    * the intersection estimate is the Jaccard of the merged k-set
+    * (share present in BOTH sketches) times the union estimate.
+    *
+    * Scale: the only fact-sized work is ONE distinct (type, user)
+    * rollup; sketches are |types|·k rows, the pair grid |types|²/2
+    * rows, and every estimate is arithmetic on k-sized relations —
+    * the exact-certificate self-join (user-keyed, fan-out ≤ |types|²
+    * per user) is the part you DROP at 100 TB, which is the point.
+    * Determinism: integer hashes end to end; the two ROUNDs are
+    * fixed-order double expressions of identical integers. */
+  val qKmvIntersect = GraftQuery(
+    "q_kmv_intersect",
+    (s, dir) => {
+      import s.implicits._
+      val P = 1000000007L
+      val ev = Tables.events(s, dir).select($"event_type", $"user_id").distinct()
+      val h = ev.select($"event_type",
+        ((lit(48271L) * ((lit(48271L) * (($"user_id" % P + 1L) % P)) % P)) % P)
+          .as("hv")).distinct()
+      val wr = Window.partitionBy($"event_type").orderBy($"hv")
+      val sk = h.withColumn("rn", row_number().over(wr))
+        .filter($"rn" <= 256).select($"event_type", $"hv")
+      val types = sk.select($"event_type").distinct()
+      val pairs = types.as("a").join(types.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      val merged = sk.join(broadcast(pairs),
+          $"event_type" === $"ta" || $"event_type" === $"tb")
+        .groupBy($"ta", $"tb", $"hv")
+        .agg(max(when($"event_type" === $"ta", 1).otherwise(0)).as("ina"),
+             max(when($"event_type" === $"tb", 1).otherwise(0)).as("inb"))
+      val wm = Window.partitionBy($"ta", $"tb").orderBy($"hv")
+      val ag = merged
+        .withColumn("rn", row_number().over(wm))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"ta", $"tb")))
+        .filter($"rn" <= 256)
+        .groupBy($"ta", $"tb").agg(
+          max($"cnt").as("merged_distinct"),
+          count(lit(1)).as("nkept"),
+          max($"hv").as("tau"),
+          sum(when($"ina" === 1 && $"inb" === 1, 1L).otherwise(0L)).as("rho"))
+      val est = ag.withColumn("union_est",
+          when($"merged_distinct" < 256, $"merged_distinct".cast(LongType))
+            .otherwise(round(lit(255.0) / ($"tau" / lit(1000000007.0)))
+              .cast(LongType)))
+        .withColumn("inter_est",
+          round($"rho" * $"union_est".cast(DoubleType) / $"nkept").cast(LongType))
+      val exact = ev.as("x").join(ev.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+        .agg(count(lit(1)).as("exact_inter"))
+      est.join(exact, Seq("ta", "tb"), "left")
+        .withColumn("exact_inter", coalesce($"exact_inter", lit(0L)))
+        .select($"ta".as("type_a"), $"tb".as("type_b"), $"union_est",
+          $"inter_est", $"exact_inter",
+          round(($"inter_est" - $"exact_inter") * 100.0 /
+            greatest($"exact_inter", lit(1L)), 6).as("err_pct"))
+        .orderBy($"type_a", $"type_b")
+    },
+    Some("""WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+      h AS (SELECT DISTINCT event_type,
+          (48271 * ((48271 * ((user_id % 1000000007 + 1) % 1000000007))
+            % 1000000007)) % 1000000007 AS hv
+        FROM ev),
+      sk AS (SELECT event_type, hv FROM (
+          SELECT event_type, hv,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h) WHERE rn <= 256),
+      tl AS (SELECT DISTINCT event_type FROM sk),
+      pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+        FROM tl a JOIN tl b ON a.event_type < b.event_type),
+      merged AS (SELECT p.ta, p.tb, s.hv,
+          MAX(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS ina,
+          MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS inb
+        FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+        GROUP BY 1, 2, 3),
+      ranked AS (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn,
+          COUNT(*) OVER (PARTITION BY ta, tb) AS cnt
+        FROM merged),
+      ag AS (SELECT ta, tb, MAX(cnt) AS merged_distinct,
+          CAST(COUNT(*) AS BIGINT) AS nkept, MAX(hv) AS tau,
+          CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS rho
+        FROM ranked WHERE rn <= 256 GROUP BY 1, 2),
+      est AS (SELECT ta, tb, nkept, rho,
+          CASE WHEN merged_distinct < 256 THEN CAST(merged_distinct AS BIGINT)
+            ELSE CAST(ROUND(255.0 / (tau / 1000000007.0)) AS BIGINT) END
+            AS union_est
+        FROM ag),
+      est2 AS (SELECT ta, tb, union_est,
+          CAST(ROUND(rho * CAST(union_est AS DOUBLE) / nkept) AS BIGINT)
+            AS inter_est
+        FROM est),
+      ex AS (SELECT x.event_type AS ta, y.event_type AS tb,
+          CAST(COUNT(*) AS BIGINT) AS exact_inter
+        FROM ev x JOIN ev y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2)
+      SELECT est2.ta AS type_a, est2.tb AS type_b, est2.union_est,
+        est2.inter_est, COALESCE(ex.exact_inter, 0) AS exact_inter,
+        ROUND((est2.inter_est - COALESCE(ex.exact_inter, 0)) * 100.0 /
+          GREATEST(COALESCE(ex.exact_inter, 0), 1), 6) AS err_pct
+      FROM est2 LEFT JOIN ex ON est2.ta = ex.ta AND est2.tb = ex.tb
+      ORDER BY type_a, type_b""")
+  )
+
   /** Composite document quality score (deterministic double math —
     * SQL-expressible; the formula is mirrored in the oracle). */
   val qQualityScore = GraftQuery(
@@ -2945,6 +3061,6 @@ object DocQueries {
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qSemanticDedup, qIvfTopK, qApproxDistinct, qHllRollup, qAsofJoin,
-    qRangeJoin, qKmvDistinct, qQualityScore, qSourceSimilarity, qSourceOverlap,
+    qRangeJoin, qKmvDistinct, qKmvIntersect, qQualityScore, qSourceSimilarity, qSourceOverlap,
     qTokenFertility)
 }

@@ -1477,6 +1477,327 @@ object FunnelQueries {
       FROM sc, tot ORDER BY sc.stratum""")
   )
 
+  /** Doubly-robust (AIPW) ATE of first-event signup on purchase spend —
+    * completing the observational-causal panel next to q_ipw_ate and
+    * q_cuped (Robins-Rotnitzky-Zhao augmented IPW): the outcome model
+    * μ̂₁/μ̂₀ comes from a COARSE 4-stratum activity grid, the propensity
+    * ê from the FINE 8-stratum grid (deliberately different models — if
+    * they shared a grid the correction term would vanish algebraically),
+    * and the report shows all three estimators side by side: g-compute
+    * (outcome model only), IPW (propensity only), and DR, which stays
+    * consistent if EITHER model is right. Every per-user term groups
+    * into one of ≤ 64 (c4, c8, t) cells whose contribution is a fixed-
+    * order rational of integer cent sums, quantized to ppm-of-a-dollar
+    * per CELL before the integer combination — no ordered double sum.
+    * Users in a single-arm stratum of either grid are excluded (their
+    * counterfactual is unidentified under that model), with the count
+    * reported. Scale shape: one user rollup (the module's standard
+    * first shuffle), broadcast stratum panels, then a ≤ 64-cell grid. */
+  val qDoublyRobust = GraftQuery(
+    "q_doubly_robust",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val users = Tables.events(s, dir)
+        .select($"user_id", $"event_type", $"ts", $"event_id",
+          ($"value".cast(DecimalType(18, 2)) * 100).cast(LongType).as("vc"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy($"user_id").agg(
+          count(lit(1)).as("n_ev"),
+          max(when($"rn" === 1 && $"event_type" === "signup", 1L).otherwise(0L)).as("t"),
+          sum(when($"event_type" === "purchase", $"vc").otherwise(0L)).as("y"))
+        .withColumn("c8", least(expr("n_ev DIV 8"), lit(7L)))
+        .withColumn("c4", least(expr("n_ev DIV 16"), lit(3L)))
+      val s8 = users.groupBy($"c8").agg(count(lit(1)).as("n8"),
+          sum($"t").as("nt8"))
+        .withColumn("id8", $"nt8" > 0L && $"nt8" < $"n8")
+      val s4 = users.groupBy($"c4").agg(count(lit(1)).as("n4"),
+          sum($"t").as("nt4"),
+          sum(when($"t" === 1L, $"y").otherwise(0L)).as("s1"),
+          sum(when($"t" === 0L, $"y").otherwise(0L)).as("s0"))
+        .withColumn("id4", $"nt4" > 0L && $"nt4" < $"n4")
+      val kept = users
+        .join(broadcast(s8.select($"c8", $"n8", $"nt8", $"id8")), "c8")
+        .join(broadcast(s4.select($"c4", $"n4", $"nt4", $"s1", $"s0", $"id4")), "c4")
+        .withColumn("keep", $"id8" && $"id4")
+      val cells = kept.filter($"keep")
+        .groupBy($"c4", $"c8", $"t").agg(
+          count(lit(1)).as("m"), sum($"y").as("sy"),
+          max($"n8").as("n8"), max($"nt8").as("nt8"),
+          max($"n4").as("n4"), max($"nt4").as("nt4"),
+          max($"s1").as("s1"), max($"s0").as("s0"))
+      val mu1 = $"s1".cast(DoubleType) / greatest($"nt4", lit(1L))
+      val mu0 = $"s0".cast(DoubleType) / greatest($"n4" - $"nt4", lit(1L))
+      val w1 = $"n8".cast(DoubleType) / greatest($"nt8", lit(1L))
+      val w0 = $"n8".cast(DoubleType) / greatest($"n8" - $"nt8", lit(1L))
+      val gTerm = $"m" * (mu1 - mu0)
+      val ipwTerm = when($"t" === 1L, $"sy" * w1).otherwise(-($"sy" * w0))
+      val drTerm = gTerm + when($"t" === 1L, ($"sy" - $"m" * mu1) * w1)
+        .otherwise(-(($"sy" - $"m" * mu0) * w0))
+      val q = cells.select($"m",
+        floor(gTerm * 10000 + 0.5).cast(LongType).as("qg"),
+        floor(ipwTerm * 10000 + 0.5).cast(LongType).as("qipw"),
+        floor(drTerm * 10000 + 0.5).cast(LongType).as("qdr"))
+      val excl = kept.agg(
+        sum(when(!$"keep", 1L).otherwise(0L)).as("n_excluded"))
+      q.agg(sum($"m").as("n_users"), sum($"qg").as("sg"),
+          sum($"qipw").as("sipw"), sum($"qdr").as("sdr"))
+        .crossJoin(broadcast(excl))
+        .select($"n_users", $"n_excluded",
+          round($"sg".cast(DoubleType) / $"n_users" / 1000000.0, 6).as("gcomp_usd"),
+          round($"sipw".cast(DoubleType) / $"n_users" / 1000000.0, 6).as("ipw_usd"),
+          round($"sdr".cast(DoubleType) / $"n_users" / 1000000.0, 6).as("dr_usd"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+      u AS (SELECT user_id, COUNT(*) AS n_ev,
+        MAX(CASE WHEN rn = 1 AND event_type = 'signup' THEN 1 ELSE 0 END) AS t,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+          THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS y
+      FROM e GROUP BY 1),
+      uu AS (SELECT user_id, t, y, LEAST(n_ev // 8, 7) AS c8,
+        LEAST(n_ev // 16, 3) AS c4 FROM u),
+      s8 AS (SELECT c8, COUNT(*) AS n8, CAST(SUM(t) AS BIGINT) AS nt8,
+        (SUM(t) > 0 AND SUM(t) < COUNT(*)) AS id8 FROM uu GROUP BY 1),
+      s4 AS (SELECT c4, COUNT(*) AS n4, CAST(SUM(t) AS BIGINT) AS nt4,
+        CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS s0,
+        (SUM(t) > 0 AND SUM(t) < COUNT(*)) AS id4 FROM uu GROUP BY 1),
+      k AS (SELECT uu.*, s8.n8, s8.nt8, s4.n4, s4.nt4, s4.s1, s4.s0,
+        (s8.id8 AND s4.id4) AS keep
+        FROM uu JOIN s8 USING (c8) JOIN s4 USING (c4)),
+      cells AS (SELECT c4, c8, t, COUNT(*) AS m, CAST(SUM(y) AS BIGINT) AS sy,
+        MAX(n8) AS n8, MAX(nt8) AS nt8, MAX(n4) AS n4, MAX(nt4) AS nt4,
+        MAX(s1) AS s1, MAX(s0) AS s0
+        FROM k WHERE keep GROUP BY 1, 2, 3),
+      qq AS (SELECT m,
+        CAST(FLOOR(m * (CAST(s1 AS DOUBLE) / GREATEST(nt4, 1) -
+          CAST(s0 AS DOUBLE) / GREATEST(n4 - nt4, 1)) * 10000 + 0.5) AS BIGINT)
+          AS qg,
+        CAST(FLOOR((CASE WHEN t = 1
+            THEN sy * (CAST(n8 AS DOUBLE) / GREATEST(nt8, 1))
+            ELSE -(sy * (CAST(n8 AS DOUBLE) / GREATEST(n8 - nt8, 1))) END)
+          * 10000 + 0.5) AS BIGINT) AS qipw,
+        CAST(FLOOR((m * (CAST(s1 AS DOUBLE) / GREATEST(nt4, 1) -
+            CAST(s0 AS DOUBLE) / GREATEST(n4 - nt4, 1)) +
+          CASE WHEN t = 1
+            THEN (sy - m * (CAST(s1 AS DOUBLE) / GREATEST(nt4, 1))) *
+              (CAST(n8 AS DOUBLE) / GREATEST(nt8, 1))
+            ELSE -((sy - m * (CAST(s0 AS DOUBLE) / GREATEST(n4 - nt4, 1))) *
+              (CAST(n8 AS DOUBLE) / GREATEST(n8 - nt8, 1))) END)
+          * 10000 + 0.5) AS BIGINT) AS qdr
+        FROM cells),
+      ex AS (SELECT CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_excluded FROM k),
+      tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n_users,
+        CAST(SUM(qg) AS BIGINT) AS sg, CAST(SUM(qipw) AS BIGINT) AS sipw,
+        CAST(SUM(qdr) AS BIGINT) AS sdr FROM qq)
+      SELECT tot.n_users, ex.n_excluded,
+        ROUND(CAST(tot.sg AS DOUBLE) / tot.n_users / 1000000.0, 6) AS gcomp_usd,
+        ROUND(CAST(tot.sipw AS DOUBLE) / tot.n_users / 1000000.0, 6) AS ipw_usd,
+        ROUND(CAST(tot.sdr AS DOUBLE) / tot.n_users / 1000000.0, 6) AS dr_usd
+      FROM tot, ex""")
+  )
+
+  /** Temporal PRECEDENCE matrix — sequential-pattern mining at the
+    * pair grain (the level-2 GSP/PrefixSpan support counts): for every
+    * ordered event-type pair (a → b), how many users exhibit "a before
+    * b" (some a-occurrence strictly precedes some b-occurrence, gaps
+    * allowed — first(a) < last(b) is exactly that predicate), over how
+    * many users having both types at all, and the implied precedence
+    * share. The support table behind "do users view before they buy,
+    * and how often the other way?".
+    *
+    * Scale: one (user, type) rollup to first/last timestamps (≤ |types|
+    * rows per user), then a user-keyed self-join whose fan-out is
+    * ≤ |types|² per user by construction — never event-pair-sized.
+    * Pure integer counting. */
+  val qPrecedenceMatrix = GraftQuery(
+    "q_precedence_matrix",
+    (s, dir) => {
+      import s.implicits._
+      val u5 = Tables.events(s, dir)
+        .groupBy($"user_id", $"event_type")
+        .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      u5.as("a").join(u5.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("before_type"),
+          col("b.event_type").as("after_type"))
+        .agg(count(lit(1)).as("n_both"),
+          sum(when(col("a.first_ts") < col("b.last_ts"), 1L).otherwise(0L))
+            .as("n_precede"))
+        .withColumn("precede_pct",
+          round($"n_precede" * 100.0 / $"n_both", 6))
+        .orderBy($"before_type", $"after_type")
+    },
+    Some("""WITH u5 AS (SELECT user_id, event_type,
+        MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY 1, 2)
+      SELECT a.event_type AS before_type, b.event_type AS after_type,
+        COUNT(*) AS n_both,
+        CAST(SUM(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_precede,
+        ROUND(SUM(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END)
+          * 100.0 / COUNT(*), 6) AS precede_pct
+      FROM u5 a JOIN u5 b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  /** Entropy rate of the user-behavior Markov chain (event-type
+    * transitions): H = −Σ_ij π̂_i p̂_ij ln p̂_ij in nats, with the
+    * empirical stationary weight π̂_i = n_i/N — the single number that
+    * says how predictable the next user action is (0 = deterministic
+    * flows, ln|types| = uniform chaos), reported per from-state as the
+    * conditional entropy panel plus the overall rate. Every ln term is
+    * a rational of transition counts cast to DECIMAL(18,12) BEFORE the
+    * sum (the q_mutual_info discipline — kills libm last-ulp drift and
+    * makes the ≤ |types|² cell sum order-free). Scale: one per-user
+    * window for consecutive pairs, one (from, to) rollup; the entropy
+    * algebra runs on the ≤ 25-cell panel. */
+  val qEntropyRate = GraftQuery(
+    "q_entropy_rate",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val tr = Tables.events(s, dir)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("nxt", lead($"event_type", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"nxt".as("to_type"))
+        .agg(count(lit(1)).as("n_ij"))
+      val ni = tr.groupBy($"from_type").agg(sum($"n_ij").as("n_i"))
+      val tot = tr.agg(sum($"n_ij").as("n"))
+      val cells = tr.join(broadcast(ni), "from_type")
+      val hcond = cells
+        .groupBy($"from_type").agg(
+          max($"n_i").as("n_i"),
+          sum(((-($"n_ij".cast(DoubleType) / $"n_i")) *
+            log($"n_ij".cast(DoubleType) / $"n_i")).cast(DecimalType(18, 12)))
+            .as("hq"))
+      val rate = cells.crossJoin(broadcast(tot))
+        .agg(round(sum(((-($"n_ij".cast(DoubleType) / $"n")) *
+            log($"n_ij".cast(DoubleType) / $"n_i")).cast(DecimalType(18, 12)))
+          .cast(DoubleType), 6).as("entropy_rate"))
+      hcond.crossJoin(broadcast(tot)).crossJoin(broadcast(rate))
+        .select($"from_type", $"n_i".as("n_transitions"),
+          round($"n_i".cast(DoubleType) / $"n", 6).as("pi"),
+          round($"hq".cast(DoubleType), 6).as("h_cond"),
+          $"entropy_rate")
+        .orderBy($"from_type")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, ts, event_id,
+        LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS nxt
+      FROM events),
+      tr AS (SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n_ij
+        FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      ni AS (SELECT from_type, CAST(SUM(n_ij) AS BIGINT) AS n_i
+        FROM tr GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n FROM tr),
+      cells AS (SELECT tr.*, ni.n_i FROM tr JOIN ni USING (from_type)),
+      hcond AS (SELECT from_type, MAX(n_i) AS n_i,
+          SUM(CAST((-(CAST(n_ij AS DOUBLE) / n_i)) *
+            LN(CAST(n_ij AS DOUBLE) / n_i) AS DECIMAL(18,12))) AS hq
+        FROM cells GROUP BY 1),
+      rate AS (SELECT ROUND(CAST(SUM(CAST((-(CAST(n_ij AS DOUBLE) / n)) *
+            LN(CAST(n_ij AS DOUBLE) / n_i) AS DECIMAL(18,12))) AS DOUBLE), 6)
+          AS entropy_rate
+        FROM cells, tot)
+      SELECT hcond.from_type, hcond.n_i AS n_transitions,
+        ROUND(CAST(hcond.n_i AS DOUBLE) / tot.n, 6) AS pi,
+        ROUND(CAST(hcond.hq AS DOUBLE), 6) AS h_cond,
+        rate.entropy_rate
+      FROM hcond, tot, rate ORDER BY from_type""")
+  )
+
+  /** Off-policy evaluation by inverse propensity scoring (Horvitz-
+    * Thompson IPS, Li et al. "counterfactual bandit evaluation"): treat
+    * the event log as a logged contextual-bandit dataset — context =
+    * the user's activity stratum, action = event type, reward = the
+    * event's value — and score the DETERMINISTIC target policy "play
+    * the stratum's modal action" against the logged behavior. For a
+    * deterministic policy the IPS estimate collapses per stratum to the
+    * mean reward of the matching action (the propensity n_s/n_sa
+    * cancels), and the overall policy value is the n_s-weighted
+    * combination across strata, quantized per stratum to ppm before the
+    * integer rollup — the q_ipw_ate discipline. Reported next to the
+    * logged mean so the lift of the counterfactual policy is visible
+    * per stratum AND overall.
+    *
+    * Scale: one user rollup for strata, one keyed join back, one
+    * (stratum, action) rollup — everything after is a ≤ 8×|actions|
+    * panel. */
+  val qIpsPolicy = GraftQuery(
+    "q_ips_policy",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          ($"value".cast(DecimalType(18, 2)) * 100).cast(LongType).as("r"))
+      val us = ev.groupBy($"user_id").agg(count(lit(1)).as("n_ev"))
+        .withColumn("stratum", least(expr("n_ev DIV 8"), lit(7L)))
+        .select($"user_id", $"stratum")
+      val sa = ev.join(us, "user_id")
+        .groupBy($"stratum", $"event_type")
+        .agg(count(lit(1)).as("nsa"), sum($"r").as("sr"))
+      val wmod = Window.partitionBy($"stratum").orderBy($"nsa".desc, $"event_type")
+      val modal = sa.withColumn("rnm", row_number().over(wmod))
+        .filter($"rnm" === 1)
+        .select($"stratum", $"event_type".as("modal_action"),
+          $"nsa".as("n_modal"), $"sr".as("sr_modal"))
+      val st = sa.groupBy($"stratum").agg(sum($"nsa").as("n_s"), sum($"sr").as("sr_s"))
+      val scored = modal.join(st, "stratum")
+        .withColumn("v_ppm",
+          floor($"sr_modal".cast(DoubleType) / $"n_modal" * 10000 + 0.5)
+            .cast(LongType))
+      val tot = scored.agg(sum($"n_s" * $"v_ppm").as("wsum"), sum($"n_s").as("ntot"))
+      scored.crossJoin(broadcast(tot))
+        .select($"stratum", $"n_s".as("n_events"), $"modal_action",
+          round($"n_modal" * 100.0 / $"n_s", 6).as("share_modal_pct"),
+          round($"v_ppm".cast(DoubleType) / 1000000.0, 6).as("ips_value_usd"),
+          round($"sr_s".cast(DoubleType) / $"n_s" / 100.0, 6).as("logged_value_usd"),
+          round($"wsum".cast(DoubleType) / $"ntot".cast(DoubleType) / 1000000.0, 6)
+            .as("policy_value_usd"))
+        .orderBy($"stratum")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r FROM events),
+      us AS (SELECT user_id, LEAST(COUNT(*) // 8, 7) AS stratum
+        FROM ev GROUP BY 1),
+      sa AS (SELECT us.stratum, ev.event_type, COUNT(*) AS nsa,
+          CAST(SUM(ev.r) AS BIGINT) AS sr
+        FROM ev JOIN us USING (user_id) GROUP BY 1, 2),
+      modal AS (SELECT stratum, event_type AS modal_action, nsa AS n_modal,
+          sr AS sr_modal
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum
+            ORDER BY nsa DESC, event_type) AS rnm FROM sa)
+        WHERE rnm = 1),
+      st AS (SELECT stratum, CAST(SUM(nsa) AS BIGINT) AS n_s,
+          CAST(SUM(sr) AS BIGINT) AS sr_s FROM sa GROUP BY 1),
+      scored AS (SELECT modal.stratum, modal.modal_action, modal.n_modal,
+          modal.sr_modal, st.n_s, st.sr_s,
+          CAST(FLOOR(CAST(modal.sr_modal AS DOUBLE) / modal.n_modal * 10000 + 0.5)
+            AS BIGINT) AS v_ppm
+        FROM modal JOIN st USING (stratum)),
+      tot AS (SELECT CAST(SUM(n_s * v_ppm) AS BIGINT) AS wsum,
+          CAST(SUM(n_s) AS BIGINT) AS ntot FROM scored)
+      SELECT scored.stratum, scored.n_s AS n_events, scored.modal_action,
+        ROUND(scored.n_modal * 100.0 / scored.n_s, 6) AS share_modal_pct,
+        ROUND(CAST(scored.v_ppm AS DOUBLE) / 1000000.0, 6) AS ips_value_usd,
+        ROUND(CAST(scored.sr_s AS DOUBLE) / scored.n_s / 100.0, 6)
+          AS logged_value_usd,
+        ROUND(CAST(tot.wsum AS DOUBLE) / CAST(tot.ntot AS DOUBLE) / 1000000.0, 6)
+          AS policy_value_usd
+      FROM scored, tot ORDER BY scored.stratum""")
+  )
+
   /** CUPED variance reduction for the purchase-spend A/B readout — the
     * pre-experiment-covariate adjustment every mature experimentation
     * platform applies before reading a spend metric: θ = cov(X,Y)/var(X)
@@ -1683,11 +2004,233 @@ object FunnelQueries {
       FROM best GROUP BY 1 ORDER BY best_streak""")
   )
 
+  /** Two-group LOG-RANK test on time-to-first-purchase (Mantel 1966),
+    * arms split by user_id parity — the censoring-aware significance
+    * test that belongs next to q_survival's Kaplan-Meier curve (a naive
+    * conversion-rate z-test is biased when users are still "alive" at
+    * the end of the window; the log-rank statistic is not). Per event
+    * day t: d₁ observed arm-1 conversions, the hypergeometric
+    * expectation e₁ = d·n₁/n and variance v = d·(n₁/n)·(1−n₁/n)·
+    * (n−d)/(n−1) over the joint risk set, and χ² = (ΣO−ΣE)²/ΣV.
+    *
+    * Cross-engine FP discipline: d, n₁, n are exact integers (risk sets
+    * are REVERSED cumulative integer sums, as in q_survival); each
+    * day's e₁/v is a fixed-order tree of integer-derived doubles cast
+    * to DECIMAL(18,12) BEFORE the day sum (order-free), one ROUND at
+    * the end. Scale: one user-keyed shuffle to (arm, day, ev), then
+    * everything runs on the day-level panel — observation-window-
+    * bounded, never corpus-sized. */
+  val qLogrank = GraftQuery(
+    "q_logrank",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val ev = Tables.events(s, dir)
+      val u = ev.groupBy($"user_id")
+        .agg(min($"ts").as("t0"), max($"ts").as("tl"))
+      val p = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(min($"ts").as("tp"))
+      val perUser = u.join(p, Seq("user_id"), "left")
+        .select(($"user_id" % 2).as("arm"),
+          when($"tp".isNotNull,
+              floor((unix_micros($"tp") - unix_micros($"t0")) / lit(86400000000L)))
+            .otherwise(
+              floor((unix_micros($"tl") - unix_micros($"t0")) / lit(86400000000L)))
+            .cast(LongType).as("day"),
+          when($"tp".isNotNull, lit(1L)).otherwise(lit(0L)).as("ev"))
+      val byDay = perUser.groupBy($"day")
+        .agg(sum($"ev").as("d"),
+          sum(when($"arm" === 1, $"ev").otherwise(lit(0L))).as("d1"),
+          count(lit(1)).as("m"),
+          sum(when($"arm" === 1, 1L).otherwise(0L)).as("m1"))
+      val wFwd = Window.orderBy($"day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val terms = byDay
+        .withColumn("n", sum($"m").over(wFwd))
+        .withColumn("n1", sum($"m1").over(wFwd))
+        .filter($"d" > 0L)
+        .select($"d1",
+          (($"d" * $"n1").cast(DoubleType) / $"n".cast(DoubleType))
+            .cast(DecimalType(18, 12)).as("e1"),
+          when($"n" > 1L,
+            (($"d" * $"n1").cast(DoubleType) / $"n".cast(DoubleType) *
+             (($"n" - $"n1").cast(DoubleType) / $"n".cast(DoubleType)) *
+             (($"n" - $"d").cast(DoubleType) / ($"n" - 1L).cast(DoubleType)))
+              .cast(DecimalType(18, 12)))
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 12))).as("v"))
+      terms.agg(
+          sum($"d1").as("o1"),
+          sum($"e1").as("se1"),
+          sum($"v").as("sv"))
+        .select($"o1".as("observed_1"),
+          round($"se1".cast(DoubleType), 6).as("expected_1"),
+          round($"sv".cast(DoubleType), 6).as("variance"),
+          round(
+            (($"o1".cast(DoubleType) - $"se1".cast(DoubleType)) *
+             ($"o1".cast(DoubleType) - $"se1".cast(DoubleType))) /
+              $"sv".cast(DoubleType), 6).as("chi2"))
+    },
+    Some("""WITH u AS (SELECT user_id, MIN(ts) AS t0, MAX(ts) AS tl
+        FROM events GROUP BY user_id),
+      p AS (SELECT user_id, MIN(ts) AS tp
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      pu AS (SELECT u.user_id % 2 AS arm,
+          CAST(CASE WHEN p.tp IS NOT NULL
+            THEN FLOOR((epoch_us(p.tp) - epoch_us(u.t0)) / 86400000000)
+            ELSE FLOOR((epoch_us(u.tl) - epoch_us(u.t0)) / 86400000000) END
+            AS BIGINT) AS day,
+          CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u LEFT JOIN p ON u.user_id = p.user_id),
+      bd AS (SELECT day, CAST(SUM(ev) AS BIGINT) AS d,
+          CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+          COUNT(*) AS m,
+          CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1
+        FROM pu GROUP BY day),
+      r AS (SELECT day, d, d1,
+          CAST(SUM(m) OVER (ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n,
+          CAST(SUM(m1) OVER (ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1
+        FROM bd),
+      t AS (SELECT d1,
+          CAST(CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(18,12)) AS e1,
+          CASE WHEN n > 1 THEN
+            CAST(CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE) *
+              (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+              AS DECIMAL(18,12))
+          ELSE CAST(0 AS DECIMAL(18,12)) END AS v
+        FROM r WHERE d > 0),
+      a AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1, SUM(e1) AS se1,
+          SUM(v) AS sv FROM t)
+      SELECT o1 AS observed_1,
+        ROUND(CAST(se1 AS DOUBLE), 6) AS expected_1,
+        ROUND(CAST(sv AS DOUBLE), 6) AS variance,
+        ROUND((CAST(o1 AS DOUBLE) - CAST(se1 AS DOUBLE)) *
+          (CAST(o1 AS DOUBLE) - CAST(se1 AS DOUBLE)) /
+          CAST(sv AS DOUBLE), 6) AS chi2
+      FROM a""")
+  )
+
+  /** BRADLEY-TERRY pairwise-preference strengths (Bradley-Terry 1952)
+    * over event-type adoption order — the ranking model behind RLHF
+    * preference data and pairwise LLM evals, fitted here on "which
+    * action does a user take first": user u prefers type i over j iff
+    * first(i) < first(j) strictly (ties count for neither side). Three
+    * rounds of Hunter's MM update p_i ← W_i / Σ_j n_ij/(p_i+p_j)
+    * (Hunter 2004, "MM algorithms for generalized Bradley-Terry
+    * models"), renormalized and quantized to ppm INTEGERS between
+    * rounds so both engines iterate on identical state — the
+    * q_nmf_topics replay discipline; the DuckDB oracle unrolls the
+    * rounds as generated CTEs.
+    *
+    * Cross-engine FP: every per-pair term n_ij/((ppm_i+ppm_j)/10⁶) is a
+    * fixed tree of integer-derived doubles cast to DECIMAL(18,12)
+    * before the per-item sum (order-free); the update and the
+    * renormalization each end in one floor(·10⁶+0.5) quantization.
+    *
+    * Scale: the only corpus-sized work is ONE (user, type) first-event
+    * rollup and the user-keyed self-join bounded by |types|² per user;
+    * the MM iterations run on the ≤|types|² pair panel (cached once) —
+    * broadcast-sized at any corpus scale. */
+  val qBradleyTerry: GraftQuery = {
+    val rounds = 3
+    val sparkFn = (s: org.apache.spark.sql.SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val u5 = Tables.events(s, dir)
+        .groupBy($"user_id", $"event_type")
+        .agg(min($"ts").as("ft"))
+      val w = u5.as("a").join(u5.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("i"), col("b.event_type").as("j"))
+        .agg(sum(when(col("a.ft") < col("b.ft"), 1L).otherwise(0L)).as("w_ij"))
+      val pn = graft.operators.Caches.register(
+        w.as("w").join(w.as("r"),
+            col("w.i") === col("r.j") && col("w.j") === col("r.i"))
+          .select(col("w.i").as("i"), col("w.j").as("j"), col("w.w_ij").as("w_ij"),
+            (col("w.w_ij") + col("r.w_ij")).as("n_ij"))
+          .filter($"n_ij" > 0L))
+      val wins = graft.operators.Caches.register(
+        pn.groupBy($"i").agg(sum($"w_ij").as("wi"), sum($"n_ij").as("ni")))
+      val nTypes = wins.agg(count(lit(1)).as("k"))
+      var p = wins.crossJoin(broadcast(nTypes))
+        .select($"i",
+          floor(lit(1000000.0) / $"k".cast(DoubleType) + 0.5)
+            .cast(LongType).as("ppm"))
+      for (_ <- 1 to rounds) {
+        val den = pn
+          .join(broadcast(p.select($"i", $"ppm".as("ppm_i"))), "i")
+          .join(broadcast(p.select($"i".as("j"), $"ppm".as("ppm_j"))), "j")
+          .groupBy($"i")
+          .agg(sum(($"n_ij".cast(DoubleType) /
+              (($"ppm_i" + $"ppm_j").cast(DoubleType) / lit(1000000.0)))
+            .cast(DecimalType(18, 12))).as("den"))
+        val q = den.join(broadcast(wins), "i")
+          .select($"i",
+            floor($"wi".cast(DoubleType) / $"den".cast(DoubleType) *
+              lit(1000000.0) + 0.5).cast(LongType).as("q"))
+        val st = q.agg(sum($"q").as("s"))
+        p = q.crossJoin(broadcast(st))
+          .select($"i",
+            floor(($"q" * lit(1000000L)).cast(DoubleType) /
+              $"s".cast(DoubleType) + 0.5).cast(LongType).as("ppm"))
+      }
+      p.join(broadcast(wins), "i")
+        .select($"i".as("event_type"), $"wi".as("wins"),
+          $"ni".as("n_comparisons"), $"ppm".as("strength_ppm"))
+        .withColumn("bt_rank",
+          row_number().over(Window.orderBy($"strength_ppm".desc, $"event_type")))
+        .orderBy($"bt_rank")
+    }
+    val sb = new StringBuilder
+    sb.append("""WITH u5 AS (SELECT user_id, event_type, MIN(ts) AS ft
+        FROM events GROUP BY 1, 2),
+      w AS (SELECT a.event_type AS i, b.event_type AS j,
+          CAST(SUM(CASE WHEN a.ft < b.ft THEN 1 ELSE 0 END) AS BIGINT) AS w_ij
+        FROM u5 a JOIN u5 b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2),
+      pn AS (SELECT w.i, w.j, w.w_ij, w.w_ij + r.w_ij AS n_ij
+        FROM w JOIN w r ON w.i = r.j AND w.j = r.i
+        WHERE w.w_ij + r.w_ij > 0),
+      wins AS (SELECT i, CAST(SUM(w_ij) AS BIGINT) AS wi,
+          CAST(SUM(n_ij) AS BIGINT) AS ni FROM pn GROUP BY 1),
+      p0 AS (SELECT i, CAST(FLOOR(1000000.0 /
+          CAST((SELECT COUNT(*) FROM wins) AS DOUBLE) + 0.5) AS BIGINT) AS ppm
+        FROM wins)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+      d$r AS (SELECT pn.i,
+          SUM(CAST(CAST(pn.n_ij AS DOUBLE) /
+            (CAST(pi.ppm + pj.ppm AS DOUBLE) / 1000000.0)
+            AS DECIMAL(18,12))) AS den
+        FROM pn JOIN p${r - 1} pi ON pn.i = pi.i
+        JOIN p${r - 1} pj ON pn.j = pj.i GROUP BY 1),
+      q$r AS (SELECT d.i, CAST(FLOOR(CAST(w.wi AS DOUBLE) /
+            CAST(d.den AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM d$r d JOIN wins w ON d.i = w.i),
+      s$r AS (SELECT CAST(SUM(q) AS BIGINT) AS s FROM q$r),
+      p$r AS (SELECT i, CAST(FLOOR(CAST(q * 1000000 AS DOUBLE) /
+            CAST(s AS DOUBLE) + 0.5) AS BIGINT) AS ppm FROM q$r, s$r)""")
+    }
+    sb.append(s"""
+      SELECT p.i AS event_type, w.wi AS wins, w.ni AS n_comparisons,
+        p.ppm AS strength_ppm,
+        ROW_NUMBER() OVER (ORDER BY p.ppm DESC, p.i) AS bt_rank
+      FROM p$rounds p JOIN wins w ON p.i = w.i
+      ORDER BY bt_rank""")
+    GraftQuery("q_bradley_terry", sparkFn, Some(sb.toString))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qFunnel, qRetention, qTransitions, qAttribution, qConversionPaths,
       qFunnelPathLengths, qConversionLatency, qSurvival, qAbTest,
       qMarkovAttribution, qCohortLtv, qDid, qDidEpoch, qFunnelWindowed, qBotBurst,
       qWindowDedup, qDecayScore, qMarkovEval, qShapleyAttribution,
-      qSessionEntropy, qWatermarkLateness, qIpwAte, qCuped, qPowerMde,
-      qDauWau, qActiveStreaks)
+      qSessionEntropy, qWatermarkLateness, qIpwAte, qDoublyRobust, qIpsPolicy,
+      qEntropyRate, qPrecedenceMatrix, qCuped, qPowerMde, qDauWau,
+      qActiveStreaks, qLogrank, qBradleyTerry)
 }

@@ -1336,6 +1336,69 @@ object MiningQueries {
       ORDER BY d.hops, n.n_name""")
   )
 
+  /** Harmonic closeness centrality on the directed kNN trade graph,
+    * bounded at 3 hops (Boldi–Vigna "Axioms for centrality": harmonic
+    * = Σ 1/d(v,u), the closeness variant that handles disconnected
+    * reach gracefully): per source nation, count vertices first reached
+    * at hop 1/2/3 via multi-source BFS, then harmonic = n1 + n2/2 +
+    * n3/3 — computed as the INTEGER n1·6 + n2·3 + n3·2 over the common
+    * denominator with one final divide, so no per-term float ever sums.
+    * Sources that reach nothing are absent (both engines drop them
+    * identically).
+    *
+    * Scale: the trade graph is vocabulary-bounded (|nations|² max), so
+    * the 3-hop expansion is written CLOSED-FORM (3 chained equi-joins +
+    * one min rollup) — no driver loop at all; on an unbounded graph
+    * the same computation is [[graft.operators.Graphs.bfs]] seeded
+    * multi-source with (source, vertex) state, O(V·S) rows, or a
+    * HyperBall sketch union when exact counts stop fitting. */
+  val qCloseness = GraftQuery(
+    "q_closeness",
+    (s, dir) => {
+      import s.implicits._
+      val e = knnEdges(tradeEdges(s, dir), 3).select($"src", $"dst")
+      val v = e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
+      val w0 = v.select($"id".as("srcv"), $"id", lit(0).as("hop"))
+      val w1 = e.select($"src".as("srcv"), $"dst".as("id"), lit(1).as("hop"))
+      val w2 = w1.as("a").join(e.as("b"), col("a.id") === col("b.src"))
+        .select(col("a.srcv"), col("b.dst").as("id"), lit(2).as("hop"))
+      val w3 = w2.as("a2").join(e.as("b2"), col("a2.id") === col("b2.src"))
+        .select(col("a2.srcv"), col("b2.dst").as("id"), lit(3).as("hop"))
+      val cent = w0.union(w1).union(w2).union(w3)
+        .groupBy($"srcv", $"id").agg(min($"hop").as("hops"))
+        .filter($"hops" >= 1)
+        .groupBy($"srcv").agg(
+          sum(when($"hops" === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when($"hops" === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when($"hops" === 3, 1L).otherwise(0L)).as("n3"))
+        .withColumn("hx6", $"n1" * 6 + $"n2" * 3 + $"n3" * 2)
+      val nation = Tables.nation(s, dir)
+      cent.join(broadcast(nation), cent("srcv") === nation("n_nationkey"))
+        .select($"n_name", $"n1", $"n2", $"n3",
+          round($"hx6" / 6.0, 6).as("harmonic"))
+        .orderBy($"harmonic".desc, $"n_name")
+    },
+    Some(s"""WITH RECURSIVE $tradeEdgesSql,
+      $knnEdgesSql,
+      v AS (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM kn UNION SELECT dst FROM kn)),
+      walk AS (
+        SELECT id AS srcv, id, 0 AS hop FROM v
+        UNION
+        SELECT w.srcv, kn.dst, w.hop + 1 FROM walk w JOIN kn ON kn.src = w.id
+        WHERE w.hop < 3),
+      d AS (SELECT srcv, id, MIN(hop) AS hops FROM walk GROUP BY 1, 2),
+      c AS (SELECT srcv,
+          CAST(SUM(CASE WHEN hops = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN hops = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(SUM(CASE WHEN hops = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        FROM d WHERE hops >= 1 GROUP BY 1)
+      SELECT n.n_name, c.n1, c.n2, c.n3,
+        ROUND((c.n1 * 6 + c.n2 * 3 + c.n3 * 2) / 6.0, 6) AS harmonic
+      FROM c JOIN nation n ON c.srcv = n.n_nationkey
+      ORDER BY harmonic DESC, n_name""")
+  )
+
   /** Adamic-Adar link prediction on the undirected kNN trade graph:
     * for every NON-adjacent pair with a common neighbor, score
     * Σ_z 1/ln(deg z) — the classic "which edge appears next" primitive
@@ -1999,6 +2062,64 @@ object MiningQueries {
       FROM best WHERE rn = 1 ORDER BY feat""")
   )
 
+  /** Per-community CONDUCTANCE panel over the LPA partition of the
+    * kNN trade graph — the complement of q_modularity's single global
+    * score: φ(S) = cut(S) / min(vol(S), vol(V∖S)) per community
+    * (Shi-Malik normalized-cut objective; low φ = well-separated
+    * cluster, φ → 1 = a community that leaks most of its edge mass).
+    * The audit that says WHICH communities of a partition are real.
+    * Reuses the deterministic 4-round label propagation and its
+    * unrolled-CTE oracle (`lpaCtes`); cut and volume are conditional
+    * INTEGER sums over the symmetrized edge relation with labels
+    * broadcast — engine-exact, one double division per community row.
+    *
+    * Scale: identical to q_modularity — the graph is vocabulary-bounded
+    * here; on an unbounded graph the same two label-joined integer
+    * rollups are one shuffle each, labels broadcast or bucketed. */
+  val qConductance = GraftQuery(
+    "q_conductance",
+    (s, dir) => {
+      import s.implicits._
+      val kn = knnEdges(tradeEdges(s, dir), 3)
+      val e = kn.select($"src", $"dst", $"w")
+      val sym = graft.operators.Caches.register(
+        e.union(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
+          .filter($"src" =!= $"dst")
+          .groupBy($"src", $"dst").agg(sum($"w").as("w")))
+      val labels = graft.operators.Caches.register(
+        Graphs.labelPropagation(kn, "src", "dst", "w", rounds = 4))
+      val la = labels.select($"id".as("src"), $"lab".as("lab_a"))
+      val lb = labels.select($"id".as("dst"), $"lab".as("lab_b"))
+      val j = sym.join(broadcast(la), "src").join(broadcast(lb), "dst")
+      val m2 = j.agg(sum($"w").as("m2"))
+      j.groupBy($"lab_a".as("lab"))
+        .agg(countDistinct($"src").as("n_nodes"),
+          sum($"w").as("vol"),
+          sum(when($"lab_a" =!= $"lab_b", $"w").otherwise(0L)).as("cut"))
+        .crossJoin(broadcast(m2))
+        .select($"lab", $"n_nodes", $"vol", $"cut",
+          when(least($"vol", $"m2" - $"vol") > 0L,
+            round($"cut".cast("double") /
+              least($"vol", $"m2" - $"vol").cast("double"), 6))
+            .otherwise(lit(0.0)).as("conductance"))
+        .orderBy($"lab")
+    },
+    Some(s"""WITH ${lpaCtes(4)},
+      j AS (SELECT sym.src, sym.w, la.lab AS lab_a, lb.lab AS lab_b
+        FROM sym JOIN l4 la ON sym.src = la.id JOIN l4 lb ON sym.dst = lb.id),
+      m AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM j),
+      g AS (SELECT lab_a AS lab, COUNT(DISTINCT src) AS n_nodes,
+          CAST(SUM(w) AS BIGINT) AS vol,
+          CAST(SUM(CASE WHEN lab_a <> lab_b THEN w ELSE 0 END) AS BIGINT) AS cut
+        FROM j GROUP BY 1)
+      SELECT lab, n_nodes, vol, cut,
+        CASE WHEN LEAST(vol, m2 - vol) > 0
+          THEN ROUND(CAST(cut AS DOUBLE) /
+            CAST(LEAST(vol, m2 - vol) AS DOUBLE), 6)
+          ELSE 0.0 END AS conductance
+      FROM g, m ORDER BY lab""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qSkyline, qFellegiSunter, qGoldenRecord, qSimpsons, qDecisionStump,
       qAssortativity, qItemRecs, qEbShrinkage,
@@ -2007,5 +2128,5 @@ object MiningQueries {
       qTriangles, qGini, qKsDrift, qKcore, qMutualInfo, qHits,
       qCorrMatrix, qTargetEncode, qCopurchase, qMultiOls,
       qChisqIndependence, qHhi, qLabelProp, qBfsHops, qAdamicAdar,
-      qModularity)
+      qModularity, qCloseness, qConductance)
 }

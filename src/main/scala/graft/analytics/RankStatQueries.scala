@@ -782,8 +782,319 @@ object RankStatQueries {
       FROM agg""")
   )
 
+  /** COHEN'S KAPPA inter-annotator agreement (Cohen 1960) between two
+    * deterministic document raters — the acceptance statistic for any
+    * labeling/filter pipeline: rater A = composite quality score ≥ 0.5
+    * (the q_quality_score formula), rater B = the Gopher rule
+    * conjunction (the q_gopher_filter keep bit). κ = (p_o − p_e)/(1 − p_e)
+    * corrects raw agreement for chance agreement from the raters'
+    * marginals — the difference between "they agree 80% of the time"
+    * and "they agree more than coin-flipping their own base rates
+    * would". All four cell counts are exact integers; p_o/p_e are
+    * fixed-order trees of integer-derived doubles, one ROUND at the
+    * end. Scale: one map-side pass over documents to the 2×2 table —
+    * nothing after is corpus-sized. */
+  val qCohensKappa = GraftQuery(
+    "q_cohens_kappa",
+    (s, dir) => {
+      import s.implicits._
+      val scored = Tables.documents(s, dir)
+        .select(
+          (TextAnalysis.qualityScore($"text") >= 0.5).cast(LongType).as("a"),
+          TextAnalysis.gopherKeepBit($"text").cast(LongType).as("b"))
+      scored.agg(
+          count(lit(1)).as("n"),
+          sum($"a" * $"b").as("n11"),
+          sum($"a" * (lit(1L) - $"b")).as("n10"),
+          sum((lit(1L) - $"a") * $"b").as("n01"),
+          sum((lit(1L) - $"a") * (lit(1L) - $"b")).as("n00"))
+        .select($"n", $"n11", $"n10", $"n01", $"n00",
+          round(($"n11" + $"n00").cast(DoubleType) / $"n".cast(DoubleType), 6)
+            .as("p_o"),
+          round(
+            (($"n11" + $"n10").cast(DoubleType) / $"n".cast(DoubleType)) *
+              (($"n11" + $"n01").cast(DoubleType) / $"n".cast(DoubleType)) +
+            (($"n01" + $"n00").cast(DoubleType) / $"n".cast(DoubleType)) *
+              (($"n10" + $"n00").cast(DoubleType) / $"n".cast(DoubleType)), 6)
+            .as("p_e"),
+          round(
+            ((($"n11" + $"n00").cast(DoubleType) / $"n".cast(DoubleType)) -
+             ((($"n11" + $"n10").cast(DoubleType) / $"n".cast(DoubleType)) *
+                (($"n11" + $"n01").cast(DoubleType) / $"n".cast(DoubleType)) +
+              (($"n01" + $"n00").cast(DoubleType) / $"n".cast(DoubleType)) *
+                (($"n10" + $"n00").cast(DoubleType) / $"n".cast(DoubleType)))) /
+            (lit(1.0) -
+             ((($"n11" + $"n10").cast(DoubleType) / $"n".cast(DoubleType)) *
+                (($"n11" + $"n01").cast(DoubleType) / $"n".cast(DoubleType)) +
+              (($"n01" + $"n00").cast(DoubleType) / $"n".cast(DoubleType)) *
+                (($"n10" + $"n00").cast(DoubleType) / $"n".cast(DoubleType)))), 6)
+            .as("kappa"))
+    },
+    Some("""WITH t AS (SELECT text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT text, toks,
+        CASE WHEN TRIM(text) = '' THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS ws,
+        CAST(LENGTH(text) AS DOUBLE) AS len,
+        CAST(COALESCE(list_sum(list_transform(toks, x -> LENGTH(x))), 0) AS DOUBLE) / GREATEST(LEN(toks), 1) AS mean_len,
+        CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+        CAST(LEN(list_distinct(CASE WHEN LEN(toks) < 5 THEN [array_to_string(toks, ' ')]
+          ELSE [array_to_string(toks[i+1:i+5], ' ') FOR i IN range(0, LEN(toks)-4)] END)) AS DOUBLE)
+          / (CASE WHEN LEN(toks) < 5 THEN 1 ELSE LEN(toks) - 4 END) AS uniq_ratio,
+        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM t),
+      ab AS (SELECT
+        CASE WHEN ROUND(LEAST(len / 50.0, 1.0) * (CASE WHEN len > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+              + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+              + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) >= 0.5
+          THEN 1 ELSE 0 END AS a,
+        (CAST(ws >= 30 AND ws <= 50000 AS INT) *
+         CAST(mean_len >= 2.0 AND mean_len <= 12.0 AS INT) *
+         CAST(stop_ratio >= 0.02 AS INT) *
+         CAST(uniq_ratio >= 0.3 AS INT) *
+         CAST(punct_ratio <= 0.1 AS INT)) AS b
+      FROM m),
+      c AS (SELECT COUNT(*) AS n,
+        CAST(SUM(a * b) AS BIGINT) AS n11,
+        CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+        CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+        CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM ab)
+      SELECT n, n11, n10, n01, n00,
+        ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_o,
+        ROUND((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+          (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS p_e,
+        ROUND(((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) -
+           ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+            (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)))) /
+          (1.0 -
+           ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+            (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+              (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS kappa
+      FROM c""")
+  )
+
+  /** PRECISION-RECALL operating-curve panel of the quality score
+    * against the declared-English label — the threshold-sweep companion
+    * of q_auc (AUC summarizes ranking; a filter DEPLOYMENT needs the
+    * table of operating points to pick its cut). 21 fixed thresholds at
+    * 0.05 steps over the ppm-quantized score; per threshold: exact
+    * integer tp/fp/fn/tn and the derived precision/recall/F1 (single
+    * fixed-order double division each, NULL-guarded at the degenerate
+    * ends — never a divide-by-zero).
+    *
+    * Scale: the corpus reduces FIRST to the (pos, score_ppm) panel
+    * (≤ 2·10⁶+2 rows by construction since scores are 6-dec rounded in
+    * [0,1]); the 21-threshold sweep is a broadcast cross join against
+    * that panel, never against the corpus — the q_isotonic lesson
+    * (no global sort, no per-row windows). */
+  val qPrCurve = GraftQuery(
+    "q_pr_curve",
+    (s, dir) => {
+      import s.implicits._
+      val panel = Tables.documents(s, dir)
+        .select(($"lang" === "en").cast(LongType).as("pos"),
+          floor(TextAnalysis.qualityScore($"text") * 1000000.0 + 0.5)
+            .cast(LongType).as("qm"))
+        .groupBy($"pos", $"qm").agg(count(lit(1)).as("c"))
+      panel
+        .withColumn("thr", explode(typedLit((0 to 20).map(_ * 50000L).toList)))
+        .groupBy($"thr")
+        .agg(
+          sum(when($"pos" === 1L && $"qm" >= $"thr", $"c").otherwise(0L)).as("tp"),
+          sum(when($"pos" === 0L && $"qm" >= $"thr", $"c").otherwise(0L)).as("fp"),
+          sum(when($"pos" === 1L && $"qm" < $"thr", $"c").otherwise(0L)).as("fn"),
+          sum(when($"pos" === 0L && $"qm" < $"thr", $"c").otherwise(0L)).as("tn"))
+        .select($"thr".as("thr_ppm"), $"tp", $"fp", $"fn", $"tn",
+          when($"tp" + $"fp" > 0L,
+            round($"tp".cast(DoubleType) / ($"tp" + $"fp").cast(DoubleType), 6))
+            .as("precision_"),
+          when($"tp" + $"fn" > 0L,
+            round($"tp".cast(DoubleType) / ($"tp" + $"fn").cast(DoubleType), 6))
+            .as("recall_"),
+          when($"tp" > 0L,
+            round(lit(2.0) * $"tp".cast(DoubleType) /
+              (lit(2.0) * $"tp".cast(DoubleType) +
+                $"fp".cast(DoubleType) + $"fn".cast(DoubleType)), 6))
+            .when($"fp" + $"fn" > 0L, lit(0.0))
+            .as("f1"))
+        .orderBy($"thr_ppm")
+    },
+    Some("""WITH t AS (SELECT lang, text,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      m AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        CAST(LENGTH(text) AS DOUBLE) AS len,
+        CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for','on','with','as','was','at'))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS stop_ratio,
+        CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio
+      FROM t),
+      sc AS (SELECT pos, CAST(FLOOR(
+          ROUND(LEAST(len / 50.0, 1.0) * (CASE WHEN len > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+              + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+              + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) * 1000000.0 + 0.5)
+          AS BIGINT) AS qm
+      FROM m),
+      panel AS (SELECT pos, qm, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+      sw AS (SELECT th.thr, panel.* FROM panel
+        CROSS JOIN (SELECT unnest(range(21)) * 50000 AS thr) th),
+      a AS (SELECT thr,
+          CAST(SUM(CASE WHEN pos = 1 AND qm >= thr THEN c ELSE 0 END) AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN pos = 0 AND qm >= thr THEN c ELSE 0 END) AS BIGINT) AS fp,
+          CAST(SUM(CASE WHEN pos = 1 AND qm < thr THEN c ELSE 0 END) AS BIGINT) AS fn,
+          CAST(SUM(CASE WHEN pos = 0 AND qm < thr THEN c ELSE 0 END) AS BIGINT) AS tn
+        FROM sw GROUP BY 1)
+      SELECT thr AS thr_ppm, tp, fp, fn, tn,
+        CASE WHEN tp + fp > 0
+          THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END
+          AS precision_,
+        CASE WHEN tp + fn > 0
+          THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END
+          AS recall_,
+        CASE WHEN tp > 0
+          THEN ROUND(2.0 * CAST(tp AS DOUBLE) /
+            (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)), 6)
+          WHEN fp + fn > 0 THEN 0.0 END AS f1
+      FROM a ORDER BY thr_ppm""")
+  )
+
+  /** 1-D WASSERSTEIN (earth-mover) distance between the purchase-value
+    * distributions of the two experiment arms (user-parity split) —
+    * the drift/effect metric that, unlike the KS statistic's single
+    * worst point (q_ks_drift), integrates the WHOLE CDF gap:
+    * W₁ = ∫|F₀−F₁|dx = Σᵢ |F₀(vᵢ)−F₁(vᵢ)|·(vᵢ₊₁−vᵢ) over the sorted
+    * distinct values. The CDF gap at each value is the EXACT integer
+    * |cum₀·n₁ − cum₁·n₀| (cross-multiplied — no per-row division), the
+    * value gap is a difference of raw input doubles, and each term's
+    * single division is one fixed tree cast to DECIMAL(18,12) before
+    * the order-free sum.
+    *
+    * Scale: the rank-kernel shape — one rollup to the distinct-value
+    * relation, one prefix-sum window over those (already aggregated)
+    * rows, a lead(), one sum. At 100 TB the window swaps for a
+    * range-partitioned two-pass prefix sum, nothing else changes. */
+  val qWasserstein1d = GraftQuery(
+    "q_wasserstein_1d",
+    (s, dir) => {
+      import s.implicits._
+      val pv = Tables.events(s, dir)
+        .filter($"event_type" === "purchase")
+        .select(($"user_id" % 2).as("arm"), $"value".as("v"))
+      val dv = pv.groupBy($"v")
+        .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).as("c0"),
+          sum(when($"arm" === 1L, 1L).otherwise(0L)).as("c1"))
+      val w = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val terms = dv
+        .withColumn("cum0", sum($"c0").over(w))
+        .withColumn("cum1", sum($"c1").over(w))
+        .withColumn("vnext", lead($"v", 1).over(Window.orderBy($"v")))
+      val tot = terms.agg(sum($"c0").as("n0"), sum($"c1").as("n1"))
+      terms.crossJoin(broadcast(tot))
+        .filter($"vnext".isNotNull)
+        .select($"n0", $"n1",
+          ((abs($"cum0" * $"n1" - $"cum1" * $"n0").cast(DoubleType) /
+            ($"n0" * $"n1").cast(DoubleType)) * ($"vnext" - $"v"))
+            .cast(DecimalType(18, 12)).as("term"))
+        .groupBy($"n0", $"n1")
+        .agg(round(sum($"term").cast(DoubleType), 6).as("w1"))
+        .select($"n0", $"n1", $"w1")
+    },
+    Some("""WITH pv AS (SELECT user_id % 2 AS arm, value AS v
+        FROM events WHERE event_type = 'purchase'),
+      dv AS (SELECT v,
+          CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+          CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM pv GROUP BY 1),
+      cu AS (SELECT v, c0, c1,
+          CAST(SUM(c0) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum0,
+          CAST(SUM(c1) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+          LEAD(v, 1) OVER (ORDER BY v) AS vnext
+        FROM dv),
+      tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+          CAST(SUM(c1) AS BIGINT) AS n1 FROM dv),
+      t AS (SELECT n0, n1,
+          CAST((CAST(ABS(cum0 * n1 - cum1 * n0) AS DOUBLE) /
+            CAST(n0 * n1 AS DOUBLE)) * (vnext - v) AS DECIMAL(18,12)) AS term
+        FROM cu, tot WHERE vnext IS NOT NULL)
+      SELECT n0, n1, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS w1
+      FROM t GROUP BY n0, n1""")
+  )
+
+  /** CRAMÉR'S V association strength between event type and day-of-week
+    * (Cramér 1946) — the normalized-χ² effect size that answers "is the
+    * action mix actually different across weekdays, and by how much?"
+    * (χ² alone grows with n; V = √(χ²/(n·min(r−1,c−1))) ∈ [0,1] is
+    * comparable across corpus sizes). Expected cells e = rt·ct/n and
+    * each (o−e)²/e are fixed double trees over exact integer marginals,
+    * quantized to DECIMAL(18,12) before the ≤ 7·|types| cell sum; one
+    * √ at the end. Scale: one map-side rollup to the cell panel;
+    * everything after is panel-sized (the q_chisq_independence shape on
+    * the temporal axis). */
+  val qCramersV = GraftQuery(
+    "q_cramers_v",
+    (s, dir) => {
+      import s.implicits._
+      val c = graft.operators.Caches.register(Tables.events(s, dir)
+        .select($"event_type",
+          (expr("unix_micros(ts) DIV 86400000000") % 7).as("dow"))
+        .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o")))
+      val rt = c.groupBy($"event_type").agg(sum($"o").as("rt"))
+      val ct = c.groupBy($"dow").agg(sum($"o").as("ct"))
+      val tot = c.agg(sum($"o").cast(LongType).as("n"),
+        countDistinct($"event_type").cast(LongType).as("r"),
+        countDistinct($"dow").cast(LongType).as("k"))
+      val chi = c.join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "dow")
+        .crossJoin(broadcast(tot))
+        .select($"n", $"r", $"k",
+          ((($"o".cast(DoubleType) -
+              ($"rt" * $"ct").cast(DoubleType) / $"n".cast(DoubleType)) *
+            ($"o".cast(DoubleType) -
+              ($"rt" * $"ct").cast(DoubleType) / $"n".cast(DoubleType))) /
+            (($"rt" * $"ct").cast(DoubleType) / $"n".cast(DoubleType)))
+            .cast(DecimalType(18, 12)).as("term"))
+        .groupBy($"n", $"r", $"k")
+        .agg(sum($"term").as("chi2d"))
+      chi.select($"n", $"r".as("n_rows_"), $"k".as("n_cols_"),
+        round($"chi2d".cast(DoubleType), 6).as("chi2"),
+        round(sqrt($"chi2d".cast(DoubleType) /
+          ($"n" * least($"r" - 1L, $"k" - 1L)).cast(DoubleType)), 6)
+          .as("cramers_v"))
+    },
+    Some("""WITH b AS (SELECT event_type,
+        (CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 7) AS dow
+      FROM events),
+      c AS (SELECT event_type, dow, COUNT(*) AS o FROM b GROUP BY 1, 2),
+      rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+      ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+      tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+          CAST(COUNT(DISTINCT dow) AS BIGINT) AS k FROM c),
+      t AS (SELECT tot.n, tot.r, tot.k,
+          CAST(((CAST(c.o AS DOUBLE) -
+              CAST(rt.rt * ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE)) *
+            (CAST(c.o AS DOUBLE) -
+              CAST(rt.rt * ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))) /
+            (CAST(rt.rt * ct.ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+            AS DECIMAL(18,12)) AS term
+        FROM c JOIN rt USING (event_type) JOIN ct USING (dow), tot),
+      g AS (SELECT n, r, k, SUM(term) AS chi2d FROM t GROUP BY 1, 2, 3)
+      SELECT n, r AS n_rows_, k AS n_cols_,
+        ROUND(CAST(chi2d AS DOUBLE), 6) AS chi2,
+        ROUND(SQRT(CAST(chi2d AS DOUBLE) /
+          CAST(n * LEAST(r - 1, k - 1) AS DOUBLE)), 6) AS cramers_v
+      FROM g""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qSpearman, qMannWhitney, qAuc, qDpCounts, qBootstrapCi, qAnova,
       qHuberMean, qKendallTau, qPermutationTest, qKAnonymity, qLevene,
-      qLDiversity)
+      qLDiversity, qCohensKappa, qPrCurve, qWasserstein1d, qCramersV)
 }

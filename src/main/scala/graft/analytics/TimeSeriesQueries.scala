@@ -1238,9 +1238,234 @@ object TimeSeriesQueries {
       FROM step WHERE day = 27 ORDER BY event_type""")
   )
 
+  /** Classical additive seasonal-trend decomposition of the hourly
+    * event-count series (the moving-average core of Cleveland's STL,
+    * one pass instead of the loess loop): trend = centered 25-hour
+    * moving sum, seasonal = per hour-of-day mean of the detrended
+    * series, remainder = what's left. The edge hours without a full
+    * ±12 window are trimmed, which leaves EXACTLY 27 observations per
+    * hour-of-day slot — so every component is an integer numerator
+    * over a FIXED denominator (trend×25, seasonal×675, remainder×675)
+    * and both engines divide identical integers once at the end;
+    * no running float anywhere.
+    *
+    * Scale: one (hour-index) rollup of the fact table is the only
+    * corpus-sized work; the decomposition runs on the 672-row dense
+    * grid (a deliberately single-partition window over a calendar-
+    * bounded panel — at any SF it is 672 rows). */
+  val qStlDecompose = GraftQuery(
+    "q_stl_decompose",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(expr("unix_micros(ts)").as("us"))
+      val m0 = ev.agg(min($"us").as("us0"))
+      val hc = ev.crossJoin(broadcast(m0))
+        .select(expr("(us - us0) DIV 3600000000").as("h"))
+        .filter($"h" >= 0 && $"h" < 672)
+        .groupBy($"h").agg(count(lit(1)).as("c"))
+      val grid = s.range(672).select($"id".as("h"))
+      val full = grid.join(hc, Seq("h"), "left")
+        .withColumn("c", coalesce($"c", lit(0L)))
+      val wtr = Window.orderBy($"h").rowsBetween(-12, 12)
+      val kept = full.withColumn("trend25", sum($"c").over(wtr))
+        .filter($"h" >= 12 && $"h" <= 659)
+        .withColumn("slot", $"h" % 24)
+        .withColumn("d25", lit(25L) * $"c" - $"trend25")
+      val se = kept.groupBy($"slot").agg(sum($"d25").as("s675"))
+      kept.join(broadcast(se), "slot")
+        .select($"h", $"c",
+          round($"trend25" / 25.0, 6).as("trend"),
+          round($"s675" / 675.0, 6).as("seasonal"),
+          round((lit(675L) * $"c" - lit(27L) * $"trend25" - $"s675") / 675.0, 6)
+            .as("remainder"))
+        .orderBy($"h")
+    },
+    Some("""WITH ev AS (SELECT epoch_us(ts) AS us FROM events),
+      m0 AS (SELECT MIN(us) AS us0 FROM ev),
+      hc AS (SELECT (us - us0) // 3600000000 AS h, COUNT(*) AS c
+        FROM ev, m0
+        WHERE (us - us0) // 3600000000 >= 0 AND (us - us0) // 3600000000 < 672
+        GROUP BY 1),
+      grid AS (SELECT CAST(UNNEST(range(672)) AS BIGINT) AS h),
+      f AS (SELECT grid.h, CAST(COALESCE(hc.c, 0) AS BIGINT) AS c
+        FROM grid LEFT JOIN hc USING (h)),
+      tr AS (SELECT h, c, CAST(SUM(c) OVER (ORDER BY h
+          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS trend25
+        FROM f),
+      kept AS (SELECT h, c, trend25, h % 24 AS slot, 25 * c - trend25 AS d25
+        FROM tr WHERE h BETWEEN 12 AND 659),
+      se AS (SELECT slot, CAST(SUM(d25) AS BIGINT) AS s675 FROM kept GROUP BY 1)
+      SELECT k.h, k.c, ROUND(k.trend25 / 25.0, 6) AS trend,
+        ROUND(se.s675 / 675.0, 6) AS seasonal,
+        ROUND((675 * k.c - 27 * k.trend25 - se.s675) / 675.0, 6) AS remainder
+      FROM kept k JOIN se USING (slot) ORDER BY k.h""")
+  )
+
+  /** Burstiness panel per event type over the 28-day daily-count
+    * series: the index of dispersion (Fano factor, sample-variance /
+    * mean — 1 for a Poisson process, > 1 for bursty arrivals) plus the
+    * peak-to-mean ratio. Everything is exact integer moments (n·Σc² −
+    * S² over n(n−1), cross-multiplied against S/n) with ONE double
+    * divide per column at the end — the q_stats discipline applied to
+    * the arrival-process diagnosis that decides whether a stream needs
+    * burst-capacity headroom. Scale: one (type, day) rollup; the panel
+    * is |types| rows. */
+  val qBurstiness = GraftQuery(
+    "q_burstiness",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          expr("unix_micros(ts) DIV 86400000000").as("eday"))
+        .agg(count(lit(1)).as("c"))
+      daily.groupBy($"event_type").agg(
+          count(lit(1)).as("n_days"),
+          sum($"c").as("s1"),
+          sum($"c" * $"c").as("s2"),
+          max($"c").as("peak"))
+        .select($"event_type", $"n_days", $"s1".as("n_events"), $"peak",
+          // fano = ((n*s2 - s1^2)/(n*(n-1))) / (s1/n) = (n*s2 - s1^2) / ((n-1) * s1)
+          round(($"n_days" * $"s2" - $"s1" * $"s1").cast(DoubleType) /
+            (($"n_days" - 1) * $"s1").cast(DoubleType), 6).as("fano"),
+          round(($"peak" * $"n_days").cast(DoubleType) / $"s1".cast(DoubleType), 6)
+            .as("peak_to_mean"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type,
+        CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS eday, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, COUNT(*) AS n_days,
+        CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2,
+        CAST(MAX(c) AS BIGINT) AS peak
+      FROM daily GROUP BY 1)
+      SELECT event_type, n_days, s1 AS n_events, peak,
+        ROUND(CAST(n_days * s2 - s1 * s1 AS DOUBLE) /
+          CAST((n_days - 1) * s1 AS DOUBLE), 6) AS fano,
+        ROUND(CAST(peak * n_days AS DOUBLE) / CAST(s1 AS DOUBLE), 6)
+          AS peak_to_mean
+      FROM m ORDER BY event_type""")
+  )
+
+  /** Hill tail-index estimator on the purchase-value distribution
+    * (Hill 1975): over the top k = 200 order statistics against the
+    * 201st as reference, Ĥ = (1/k)·Σ ln(x_i/x_ref) and α̂ = 1/Ĥ — the
+    * heavy-tail diagnosis (α ≤ 2 ⇒ infinite variance ⇒ mean-based
+    * monitoring misleads) behind every revenue-metric alerting choice.
+    * Each ln term is a rational of integer cents cast to
+    * DECIMAL(18,12) before the exact sum (the q_mutual_info
+    * discipline). The top-(k+1) extraction is orderBy+limit — a
+    * distributed TakeOrdered, never a global window sort; ranking then
+    * runs on the 201-row result. */
+  val qHillTail = GraftQuery(
+    "q_hill_tail",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val vals = Tables.events(s, dir)
+        .filter($"event_type" === "purchase")
+        .select(($"value".cast(DecimalType(18, 2)) * 100).cast(LongType).as("v"),
+          $"event_id")
+        .filter($"v" > 0)
+      val top = vals.orderBy($"v".desc, $"event_id").limit(201)
+      val ranked = top.withColumn("rn",
+        row_number().over(Window.orderBy($"v".desc, $"event_id")))
+      val ref = ranked.filter($"rn" === 201).select($"v".as("vref"))
+      ranked.filter($"rn" <= 200).crossJoin(broadcast(ref))
+        .agg(count(lit(1)).as("k"),
+          max($"vref").as("vref"),
+          sum(log($"v".cast(DoubleType) / $"vref".cast(DoubleType))
+            .cast(DecimalType(18, 12))).as("sq"))
+        .select($"k", $"vref".as("x_ref_cents"),
+          round($"sq".cast(DoubleType) / 200.0, 6).as("hill"),
+          round(lit(200.0) / $"sq".cast(DoubleType), 6).as("alpha"))
+    },
+    Some("""WITH vals AS (SELECT
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, event_id
+      FROM events WHERE event_type = 'purchase'
+        AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+      top AS (SELECT v, event_id FROM vals ORDER BY v DESC, event_id LIMIT 201),
+      ranked AS (SELECT v,
+          ROW_NUMBER() OVER (ORDER BY v DESC, event_id) AS rn FROM top),
+      ref AS (SELECT v AS vref FROM ranked WHERE rn = 201)
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(vref) AS x_ref_cents,
+        ROUND(CAST(SUM(CAST(LN(CAST(v AS DOUBLE) / CAST(vref AS DOUBLE))
+          AS DECIMAL(18,12))) AS DOUBLE) / 200.0, 6) AS hill,
+        ROUND(200.0 / CAST(SUM(CAST(LN(CAST(v AS DOUBLE) / CAST(vref AS DOUBLE))
+          AS DECIMAL(18,12))) AS DOUBLE), 6) AS alpha
+      FROM ranked, ref WHERE rn <= 200""")
+  )
+
+  /** Cross-correlation panel between event-type daily-count series at
+    * lags −7..7 (lead-lag discovery: does signup volume lead purchase
+    * volume, and by how many days?): for every ordered type pair and
+    * lag, Pearson r over the overlapping days, all five moments summed
+    * as exact integers with ONE double expression per (pair, lag) cell
+    * at the end. Scale: one (type, day) rollup; the lag fan-out and
+    * the moment algebra run on the |types|²·15-cell panel, never the
+    * fact table. */
+  val qXcorr = GraftQuery(
+    "q_xcorr",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          expr("unix_micros(ts) DIV 86400000000").as("aday"))
+        .agg(count(lit(1)).as("c"))
+      val d0 = daily.agg(min($"aday").as("d0"))
+      val norm = daily.crossJoin(broadcast(d0))
+        .select($"event_type", ($"aday" - $"d0").as("day"), $"c")
+        .filter($"day" >= 0 && $"day" < 28)
+      val a = norm.select($"event_type".as("ta"), $"day".as("da"), $"c".as("ca"))
+        .withColumn("lag", explode(typedLit((-7 to 7).toList)))
+      val b = norm.select($"event_type".as("tb"), $"day".as("db"), $"c".as("cb"))
+      a.join(b, $"ta" < $"tb" && $"db" === $"da" + $"lag")
+        .groupBy($"ta", $"tb", $"lag")
+        .agg(count(lit(1)).as("n"),
+          sum($"ca").as("sx"), sum($"cb").as("sy"),
+          sum($"ca" * $"ca").as("sxx"), sum($"cb" * $"cb").as("syy"),
+          sum($"ca" * $"cb").as("sxy"))
+        // degenerate slices (a constant series in the overlap) have no
+        // defined correlation — dropped identically in both engines
+        .filter($"n" * $"sxx" - $"sx" * $"sx" > 0 &&
+                $"n" * $"syy" - $"sy" * $"sy" > 0)
+        .select($"ta".as("type_a"), $"tb".as("type_b"),
+          $"lag".cast("long").as("lag"), $"n".as("n_days"),
+          round(($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType) *
+                 ($"n" * $"syy" - $"sy" * $"sy").cast(DoubleType)), 6)
+            .as("xcorr"))
+        .orderBy($"type_a", $"type_b", $"lag")
+    },
+    Some("""WITH daily AS (SELECT event_type,
+        CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS aday, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+      d0 AS (SELECT MIN(aday) AS d0 FROM daily),
+      norm AS (SELECT event_type, aday - d0 AS day, CAST(c AS BIGINT) AS c
+        FROM daily, d0 WHERE aday - d0 >= 0 AND aday - d0 < 28),
+      lags AS (SELECT CAST(UNNEST(range(-7, 8)) AS BIGINT) AS lag),
+      j AS (SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+          a.c AS ca, b.c AS cb
+        FROM norm a JOIN lags l ON TRUE
+        JOIN norm b ON a.event_type < b.event_type AND b.day = a.day + l.lag),
+      m AS (SELECT ta, tb, lag, COUNT(*) AS n,
+          CAST(SUM(ca) AS BIGINT) AS sx, CAST(SUM(cb) AS BIGINT) AS sy,
+          CAST(SUM(ca * ca) AS BIGINT) AS sxx,
+          CAST(SUM(cb * cb) AS BIGINT) AS syy,
+          CAST(SUM(ca * cb) AS BIGINT) AS sxy
+        FROM j GROUP BY 1, 2, 3)
+      SELECT ta AS type_a, tb AS type_b, lag, n AS n_days,
+        ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+          SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+               CAST(n * syy - sy * sy AS DOUBLE)), 6) AS xcorr
+      FROM m
+      WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      ORDER BY type_a, type_b, lag""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qGapFill, qZscoreOutliers, qRolling7d, qEwma, qTrend, qMad, qDriftPsi,
       qSeasonalBaseline, qCusum, qPriceIndex, qAcf, qChangepoint,
       qForecastBacktest, qTheilSen, qMkTrend, qHoltWinters,
-      qSeasonalityStrength, qSax, qHmmRegimes)
+      qSeasonalityStrength, qSax, qHmmRegimes, qStlDecompose, qBurstiness,
+      qHillTail, qXcorr)
 }

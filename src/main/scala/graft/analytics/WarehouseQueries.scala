@@ -1017,9 +1017,139 @@ object WarehouseQueries {
       FROM g ORDER BY label""")
   )
 
+  /** Right-to-be-forgotten (GDPR erasure) cascade audit: given a
+    * deterministic forget set (subject key ≡ 0 mod 97 — standing in for
+    * the day's deletion-request list), report per table how many rows
+    * the cascade removes — customers directly, their orders through the
+    * FK, those orders' lineitems transitively, and the subjects' event
+    * rows — with the share of each table affected. This is the
+    * dry-run report a deletion job emits before the destructive pass.
+    *
+    * Scale: the forget-key set is REQUEST-sized, so every membership
+    * test is a broadcast probe — no fact table shuffles at all;
+    * lineitem resolves through the forgotten-ORDER key set (|orders|/97,
+    * still broadcastable; at a scale where it isn't, the probe becomes
+    * a semi-join sharing lineitem's orderkey bucketing). Each per-table
+    * audit is one map-side counting pass; the union is 4 one-row
+    * aggregates. */
+  val qForgetUsers = GraftQuery(
+    "q_forget_users",
+    (s, dir) => {
+      import s.implicits._
+      val fo = Tables.orders(s, dir).filter($"o_custkey" % 97 === 0)
+        .select($"o_orderkey".as("fo_key"), lit(1L).as("fo"))
+      def audit(name: String, df: org.apache.spark.sql.DataFrame,
+          forgotten: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(when(forgotten, 1L).otherwise(0L)).as("n_forgotten"))
+          .select(lit(name).as("table_name"), $"n_rows", $"n_forgotten")
+      val li = Tables.lineitem(s, dir)
+      val liMarked = li.join(broadcast(fo), li("l_orderkey") === $"fo_key", "left")
+      audit("customer", Tables.customer(s, dir), $"c_custkey" % 97 === 0)
+        .unionAll(audit("orders", Tables.orders(s, dir), $"o_custkey" % 97 === 0))
+        .unionAll(audit("lineitem", liMarked, $"fo".isNotNull))
+        .unionAll(audit("events", Tables.events(s, dir), $"user_id" % 97 === 0))
+        .withColumn("pct_forgotten",
+          round($"n_forgotten" * 100.0 / $"n_rows", 6))
+        .orderBy($"table_name")
+    },
+    Some("""WITH fo AS (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0),
+      a AS (
+        SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_forgotten
+        FROM customer
+        UNION ALL
+        SELECT 'orders', COUNT(*),
+          CAST(SUM(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', COUNT(*),
+          CAST(SUM(CASE WHEN fo.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem l LEFT JOIN fo ON l.l_orderkey = fo.o_orderkey
+        UNION ALL
+        SELECT 'events', COUNT(*),
+          CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events)
+      SELECT table_name, n_rows, n_forgotten,
+        ROUND(n_forgotten * 100.0 / n_rows, 6) AS pct_forgotten
+      FROM a ORDER BY table_name""")
+  )
+
+  /** Embedding OUTLIER shortlist by diagonal Mahalanobis distance —
+    * the standard "weird vectors first" triage before near-dup mining
+    * or index build: dist²(x) = Σ_d (x_d − μ_d)²/σ²_d with per-dim
+    * variance standardization (the axis-aligned Mahalanobis that needs
+    * no covariance inverse; q_embed_covariance covers the off-diagonal
+    * mass). Top-50 by distance.
+    *
+    * Cross-engine FP: coordinates quantize to the integer micro grid
+    * (floor(x·10⁶+0.5)), per-dim stats are exact integer sums, and each
+    * per-dim term collapses algebraically to (q·n−S)²/(n·SS−S²) — a
+    * ratio of EXACT integers evaluated as one fixed double tree, cast
+    * to DECIMAL(18,12) before the per-vector sum (order-free). The
+    * top-k ORDER BY runs on the exact decimal sum (never the rounded
+    * display value), tie-broken by vec_id. Zero-variance dims
+    * contribute exactly 0 in both engines.
+    *
+    * Scale: one posexplode pass (dims× map-side fan-out, no shuffle
+    * amplification — the rollup keys are (pos) then (vec_id)), per-dim
+    * stats broadcast back; the top-k is Spark's TakeOrdered, never a
+    * full sort. */
+  val qMahalanobisOutliers = GraftQuery(
+    "q_mahalanobis_outliers",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val x = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label",
+          posexplode($"embedding".cast("array<double>")).as(Seq("pos", "v")))
+        .withColumn("q", floor($"v" * 1000000.0 + 0.5).cast(LongType))
+      val st = x.groupBy($"pos")
+        .agg(count(lit(1)).as("n"),
+          sum($"q").cast(LongType).as("sq"),
+          sum(($"q" * $"q").cast(DecimalType(38, 0))).as("ss"))
+      val den = ($"n".cast(DecimalType(38, 0)) * $"ss" -
+        $"sq".cast(DecimalType(38, 0)) * $"sq".cast(DecimalType(38, 0)))
+      val num = ($"q" * $"n" - $"sq").cast(DoubleType)
+      x.join(broadcast(st), "pos")
+        .select($"vec_id", $"label",
+          when(den > 0,
+            (num * num / den.cast(DoubleType)).cast(DecimalType(18, 12)))
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 12))).as("term"))
+        .groupBy($"vec_id")
+        .agg(max($"label").as("label"), sum($"term").as("sdec"))
+        .orderBy($"sdec".desc, $"vec_id")
+        .limit(50)
+        .select($"vec_id", $"label",
+          round($"sdec".cast(DoubleType), 6).as("mahal2"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label,
+        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      x AS (SELECT vec_id, label, t.i + 1 AS pos,
+          CAST(FLOOR(v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM e, UNNEST(range(len(v))) AS t(i)),
+      st AS (SELECT pos, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sq,
+          CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+        FROM x GROUP BY 1),
+      tm AS (SELECT vec_id, label,
+          CASE WHEN CAST(n AS HUGEINT) * ss - CAST(sq AS HUGEINT) * sq > 0
+            THEN CAST(
+              CAST(q * n - sq AS DOUBLE) * CAST(q * n - sq AS DOUBLE) /
+              CAST(CAST(n AS HUGEINT) * ss - CAST(sq AS HUGEINT) * sq AS DOUBLE)
+              AS DECIMAL(18,12))
+            ELSE CAST(0 AS DECIMAL(18,12)) END AS term
+        FROM x JOIN st USING (pos)),
+      g AS (SELECT vec_id, MAX(label) AS label, SUM(term) AS sdec
+        FROM tm GROUP BY 1)
+      SELECT vec_id, label, ROUND(CAST(sdec AS DOUBLE), 6) AS mahal2
+      FROM g ORDER BY sdec DESC, vec_id LIMIT 50""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qDupInflation, qDupClusterSizes, qEmbedNorms,
       qEmbedCentroids, qEmbedCovariance, qEmbedVarianceByLabel, qEmbedPca,
       qEmbedTopEigen, qEmbedQuantize, qIncrementalAgg, qDeltaDedup, qDeltaNearDup,
-      qSnapshotDiff, qJlProject, qCentroidSim, qCdcApply, qRfm, qEmbedDrift)
+      qSnapshotDiff, qJlProject, qCentroidSim, qCdcApply, qRfm, qEmbedDrift,
+      qForgetUsers, qMahalanobisOutliers)
 }
