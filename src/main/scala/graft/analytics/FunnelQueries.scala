@@ -2129,6 +2129,8 @@ object FunnelQueries {
     * fixed tree of integer-derived doubles cast to DECIMAL(18,12)
     * before the per-item sum (order-free); the update and the
     * renormalization each end in one floor(·10⁶+0.5) quantization.
+    * GREATEST(ppm_i+ppm_j, 1) guards the denominator in both engines
+    * against two co-paired types both quantizing to ppm=0.
     *
     * Scale: the only corpus-sized work is ONE (user, type) first-event
     * rollup and the user-keyed self-join bounded by |types|² per user;
@@ -2156,17 +2158,23 @@ object FunnelQueries {
       val wins = graft.operators.Caches.register(
         pn.groupBy($"i").agg(sum($"w_ij").as("wi"), sum($"n_ij").as("ni")))
       val nTypes = wins.agg(count(lit(1)).as("k"))
+      // Per-round localCheckpoint (the Graphs.pagerank / q_hits
+      // discipline): each round's state `p` is referenced THREE times
+      // by the next round (two broadcasts into den, once via st), so
+      // without truncation the lineage re-executes geometrically.
       var p = wins.crossJoin(broadcast(nTypes))
         .select($"i",
           floor(lit(1000000.0) / $"k".cast(DoubleType) + 0.5)
             .cast(LongType).as("ppm"))
+        .localCheckpoint()
       for (_ <- 1 to rounds) {
         val den = pn
           .join(broadcast(p.select($"i", $"ppm".as("ppm_i"))), "i")
           .join(broadcast(p.select($"i".as("j"), $"ppm".as("ppm_j"))), "j")
           .groupBy($"i")
           .agg(sum(($"n_ij".cast(DoubleType) /
-              (($"ppm_i" + $"ppm_j").cast(DoubleType) / lit(1000000.0)))
+              (greatest($"ppm_i" + $"ppm_j", lit(1L)).cast(DoubleType) /
+                lit(1000000.0)))
             .cast(DecimalType(18, 12))).as("den"))
         val q = den.join(broadcast(wins), "i")
           .select($"i",
@@ -2177,6 +2185,7 @@ object FunnelQueries {
           .select($"i",
             floor(($"q" * lit(1000000L)).cast(DoubleType) /
               $"s".cast(DoubleType) + 0.5).cast(LongType).as("ppm"))
+          .localCheckpoint()
       }
       p.join(broadcast(wins), "i")
         .select($"i".as("event_type"), $"wi".as("wins"),
@@ -2205,7 +2214,7 @@ object FunnelQueries {
       sb.append(s""",
       d$r AS (SELECT pn.i,
           SUM(CAST(CAST(pn.n_ij AS DOUBLE) /
-            (CAST(pi.ppm + pj.ppm AS DOUBLE) / 1000000.0)
+            (CAST(GREATEST(pi.ppm + pj.ppm, 1) AS DOUBLE) / 1000000.0)
             AS DECIMAL(18,12))) AS den
         FROM pn JOIN p${r - 1} pi ON pn.i = pi.i
         JOIN p${r - 1} pj ON pn.j = pj.i GROUP BY 1),

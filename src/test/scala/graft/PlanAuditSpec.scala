@@ -1061,4 +1061,61 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(ps).length <= 5,
       s"q_span_dedup shuffles beyond rollup/join-back/islands:\n$ps")
   }
+
+  test("round-9 analytics wave: no cartesians, shuffles bounded by rollups") {
+    // the 19 queries of the stats/causal/graph/embedding wave: every one
+    // is a one-(or-few)-rollup + bounded-panel shape; a cartesian or an
+    // unexpected extra corpus shuffle here is a 100 TB regression
+    val wave = Seq("q_kmv_intersect", "q_doubly_robust", "q_ips_policy",
+      "q_precedence_matrix", "q_entropy_rate", "q_closeness",
+      "q_stl_decompose", "q_burstiness", "q_hill_tail", "q_xcorr",
+      "q_forget_users", "q_logrank", "q_bradley_terry", "q_cohens_kappa",
+      "q_pr_curve", "q_conductance", "q_mahalanobis_outliers",
+      "q_wasserstein_1d", "q_cramers_v")
+    val plans = wave.map(q => q -> plan(q)).toMap
+    for ((q, p) <- plans)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    def exchanges(q: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plans(q)).length
+    // pure-rollup queries: the corpus contributes exactly its aggregation
+    // shuffles, nothing else (kappa and hill_tail fold on a bounded panel
+    // after a partial_agg that needs no exchange at all)
+    assert(exchanges("q_cohens_kappa") == 0,
+      s"q_cohens_kappa grew a shuffle:\n${plans("q_cohens_kappa")}")
+    assert(exchanges("q_hill_tail") == 0,
+      s"q_hill_tail grew a shuffle:\n${plans("q_hill_tail")}")
+    assert(exchanges("q_burstiness") <= 2, "q_burstiness beyond (type,hour) rollup")
+    assert(exchanges("q_stl_decompose") <= 2, "q_stl_decompose beyond (type,day) rollup")
+    assert(exchanges("q_pr_curve") <= 2, "q_pr_curve sweeps more than the (pos,score) panel")
+    assert(exchanges("q_wasserstein_1d") <= 2, "q_wasserstein_1d beyond per-group rollup")
+    assert(exchanges("q_mahalanobis_outliers") <= 2, "q_mahalanobis beyond stats rollup")
+    assert(exchanges("q_xcorr") <= 3, "q_xcorr beyond (type,hour) rollup + lag align")
+    assert(exchanges("q_logrank") <= 3, "q_logrank beyond per-day risk-set rollup")
+    assert(exchanges("q_precedence_matrix") <= 3, "q_precedence beyond pair rollup")
+    // erasure cascade: keyed BROADCAST anti/semi joins only — a
+    // SortMergeJoin means the tombstone set stopped broadcasting
+    assert(plans("q_forget_users").contains("BroadcastHashJoin") &&
+      !plans("q_forget_users").contains("SortMergeJoin"),
+      s"q_forget_users lost its broadcast anti-joins:\n${plans("q_forget_users")}")
+    // bradley-terry: the MM loop is gone from the final plan entirely —
+    // per-round localCheckpoint truncates lineage, so the submitted plan
+    // is scan-checkpoint + broadcast(wins) + rank window (the 97 s r9
+    // regression was exactly this lineage NOT being truncated)
+    val pbt = plans("q_bradley_terry")
+    assert(pbt.contains("BroadcastHashJoin"),
+      s"q_bradley_terry lost the wins broadcast:\n$pbt")
+    assert(pbt.contains("windowspecdefinition"),
+      s"q_bradley_terry lost the rank window:\n$pbt")
+    // kmv / doubly-robust / ips / conductance / closeness / entropy-rate /
+    // cramers-v: multi-stage but every stage is panel-sized after the
+    // first rollup; bound total shuffle count loosely (cached-relation
+    // plan text inflates the census) but catch order-of-magnitude growth
+    assert(exchanges("q_cramers_v") <= 10, "q_cramers_v shuffle growth")
+    assert(exchanges("q_kmv_intersect") <= 13, "q_kmv_intersect shuffle growth")
+    assert(exchanges("q_doubly_robust") <= 13, "q_doubly_robust shuffle growth")
+    assert(exchanges("q_ips_policy") <= 14, "q_ips_policy shuffle growth")
+    assert(exchanges("q_conductance") <= 14, "q_conductance shuffle growth")
+    assert(exchanges("q_entropy_rate") <= 17, "q_entropy_rate shuffle growth")
+    assert(exchanges("q_closeness") <= 25, "q_closeness shuffle growth")
+  }
 }
