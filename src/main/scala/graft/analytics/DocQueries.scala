@@ -343,7 +343,14 @@ object DocQueries {
     * no df cap is even needed. The df pass and the join-back shuffle
     * the SAME hash key (exchange reuse); removed positions shuffle per
     * doc for the island window, bounded by matched-span volume, not the
-    * token stream. Text never shuffles — only hashes and positions. */
+    * token stream. Text never shuffles — only hashes and positions.
+    * Accepted approximation (same trade-off as the other shingle-hash
+    * queries): Spark equi-joins on xxhash64 of the 5-gram while the
+    * oracle joins the exact string, so a 64-bit collision yields a
+    * Spark-only false removal; at ~1e9 distinct shingles (100 TB) the
+    * birthday expectation is ~0.03 colliding pairs — negligible for
+    * dedup accounting, and the fix (compare the string after the
+    * hash-blocked join) costs one text shuffle if ever needed. */
   val qSpanDedup = GraftQuery(
     "q_span_dedup",
     (s, dir) => {

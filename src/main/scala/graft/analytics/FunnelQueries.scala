@@ -1655,8 +1655,10 @@ object FunnelQueries {
     * flows, ln|types| = uniform chaos), reported per from-state as the
     * conditional entropy panel plus the overall rate. Every ln term is
     * a rational of transition counts cast to DECIMAL(18,12) BEFORE the
-    * sum (the q_mutual_info discipline — kills libm last-ulp drift and
-    * makes the ≤ |types|² cell sum order-free). Scale: one per-user
+    * sum (the q_mutual_info discipline — kills sum-order drift; the
+    * per-term ln() itself remains runtime libm on a data-dependent
+    * ratio, an accepted residual ulp risk at quantization boundaries
+    * that the final ROUND(·,6) absorbs). Scale: one per-user
     * window for consecutive pairs, one (from, to) rollup; the entropy
     * algebra runs on the ≤ 25-cell panel. */
   val qEntropyRate = GraftQuery(
@@ -2016,7 +2018,8 @@ object FunnelQueries {
     * Cross-engine FP discipline: d, n₁, n are exact integers (risk sets
     * are REVERSED cumulative integer sums, as in q_survival); each
     * day's e₁/v is a fixed-order tree of integer-derived doubles cast
-    * to DECIMAL(18,12) BEFORE the day sum (order-free), one ROUND at
+    * to DECIMAL(28,12) BEFORE the day sum (order-free; 16 integer
+    * digits so day-0 mass at large SFs cannot overflow), one ROUND at
     * the end. Scale: one user-keyed shuffle to (arm, day, ev), then
     * everything runs on the day-level panel — observation-window-
     * bounded, never corpus-sized. */
@@ -2050,14 +2053,17 @@ object FunnelQueries {
         .withColumn("n1", sum($"m1").over(wFwd))
         .filter($"d" > 0L)
         .select($"d1",
+          // DECIMAL(28,12): 16 integer digits so a day with >=1e6
+          // expected conversions (day-0 mass at large SFs) cannot
+          // overflow — at 18,12 Spark would null while DuckDB errors
           (($"d" * $"n1").cast(DoubleType) / $"n".cast(DoubleType))
-            .cast(DecimalType(18, 12)).as("e1"),
+            .cast(DecimalType(28, 12)).as("e1"),
           when($"n" > 1L,
             (($"d" * $"n1").cast(DoubleType) / $"n".cast(DoubleType) *
              (($"n" - $"n1").cast(DoubleType) / $"n".cast(DoubleType)) *
              (($"n" - $"d").cast(DoubleType) / ($"n" - 1L).cast(DoubleType)))
-              .cast(DecimalType(18, 12)))
-            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 12))).as("v"))
+              .cast(DecimalType(28, 12)))
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(28, 12))).as("v"))
       terms.agg(
           sum($"d1").as("o1"),
           sum($"e1").as("se1"),
@@ -2094,13 +2100,13 @@ object FunnelQueries {
         FROM bd),
       t AS (SELECT d1,
           CAST(CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE)
-            AS DECIMAL(18,12)) AS e1,
+            AS DECIMAL(28,12)) AS e1,
           CASE WHEN n > 1 THEN
             CAST(CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE) *
               (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE)) *
               (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
-              AS DECIMAL(18,12))
-          ELSE CAST(0 AS DECIMAL(18,12)) END AS v
+              AS DECIMAL(28,12))
+          ELSE CAST(0 AS DECIMAL(28,12)) END AS v
         FROM r WHERE d > 0),
       a AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1, SUM(e1) AS se1,
           SUM(v) AS sv FROM t)

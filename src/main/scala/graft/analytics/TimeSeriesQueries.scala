@@ -1353,7 +1353,12 @@ object TimeSeriesQueries {
     * monitoring misleads) behind every revenue-metric alerting choice.
     * Each ln term is a rational of integer cents cast to
     * DECIMAL(18,12) before the exact sum (the q_mutual_info
-    * discipline). The top-(k+1) extraction is orderBy+limit — a
+    * discipline). Accepted residual risk: the ln() itself is runtime
+    * libm on a data-dependent ratio, so a JVM-vs-DuckDB ulp
+    * difference at a quantization boundary could flip the 12th
+    * decimal of one term — tolerated because the final ROUND(·,6)
+    * absorbs anything smaller than 5e-7 and the 200-term sum is
+    * exact decimal past that point. The top-(k+1) extraction is orderBy+limit — a
     * distributed TakeOrdered, never a global window sort; ranking then
     * runs on the 201-row result. */
   val qHillTail = GraftQuery(

@@ -19,7 +19,8 @@ if [[ -n "$dirty" ]]; then
 fi
 
 # Untracked files other than driver-written round artifacts are suspicious.
-untracked=$(git status --porcelain | grep '^??' | awk '{print $2}' \
+# cut -c4- (not awk) so filenames containing spaces survive intact
+untracked=$(git status --porcelain | grep '^??' | cut -c4- \
   | grep -Ev '^(BENCH_r[0-9]+\.json|CORRECTNESS_r[0-9]+\.json|target/|\.bsp/)' || true)
 if [[ -n "$untracked" ]]; then
   echo "SNAPSHOT GUARD: untracked non-driver files — add or ignore them:" >&2
