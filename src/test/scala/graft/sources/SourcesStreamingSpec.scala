@@ -673,4 +673,89 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(multi === single,
       "time-ordered multi-batch matching must emit the same match set")
   }
+
+  test("CEP out-of-order batches: strict path fails LOUD, reordered path matches the batch oracle") {
+    import graft.streaming.PatternMatch
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Batches arrive out of EVENT-time order (middle tercile first, then
+    // the earliest) — the precondition b7d37c2 documented as a silent
+    // divergence. This pins the round-10 enforcement: the strict DFA
+    // throws (never drifts), and the watermark+reorder-buffer variant
+    // reproduces the batch oracle exactly.
+    val raw0 = rawEvents()
+    val raw = raw0.withColumn("tsn", tsNum(raw0))
+    val Array(q1, q2) = raw.stat.approxQuantile("tsn", Array(0.33, 0.66), 0.0)
+    // micros min/max regardless of the physical ts generation
+    val mmRow = raw
+      .agg(min(unix_micros(col("ts").cast(TimestampType))),
+           max(unix_micros(col("ts").cast(TimestampType)))).collect()(0)
+    val (mnUs, mxUs) = (mmRow.getLong(0), mmRow.getLong(1))
+    val spanUs = mxUs - mnUs
+    // a flush sentinel: one far-future "view" for a user outside the
+    // corpus (user -1 never matches), carried in the SAME physical shape
+    def sentinelDf(us: Long) = {
+      val one = raw.drop("tsn").limit(1)
+      val shifted = raw0.schema("ts").dataType match {
+        case LongType => one.withColumn("ts", lit(us * 1000L)) // nanos
+        case t => one.withColumn("ts", timestamp_micros(lit(us)).cast(t))
+      }
+      shifted
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("view"))
+        .withColumn("event_id", lit(-1L))
+        .select(raw0.columns.map(col): _*)
+    }
+    val srcDir = s"$tmp/events_ooo_cep"
+    new java.io.File(srcDir).mkdirs()
+    val parts = Seq(
+      raw.filter(col("tsn") > q1 && col("tsn") <= q2).drop("tsn"), // B (middle) FIRST
+      raw.filter(col("tsn") <= q1).drop("tsn"),                    // A (earliest) — regression
+      raw.filter(col("tsn") > q2).drop("tsn"),                     // C (latest)
+      sentinelDf(mxUs + 2 * spanUs + 7200L * 1000000L),            // advances wm past mx
+      sentinelDf(mxUs + 4 * spanUs + 14400L * 1000000L))           // fires the timeouts
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val stage = s"$tmp/events_ooo_stage_$i"
+      p.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"events_$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    // delay bounds the disorder (full corpus span + slack) yet stays
+    // below the sentinel gap, so the watermark does pass the real data
+    val delaySec = spanUs / 1000000L + 60L
+    def collectMatches(df: org.apache.spark.sql.Dataset[PatternMatch.MatchOut]) =
+      df.collect().map(m => (m.user_id, m.view_event_id, m.latency_sec)).toSet
+    // batch oracle: the SAME five files folded in one pass
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchRaw = spark.read.parquet(srcDir)
+    val batchEv = batchRaw.schema("ts").dataType match {
+      case LongType         => batchRaw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => batchRaw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => batchRaw
+    }
+    val oracle = collectMatches(PatternMatch.matches(batchEv))
+    assert(oracle.nonEmpty, "corpus must contain at least one full funnel")
+    // 1) reordered path over out-of-order micro-batches = batch oracle
+    val ev = EventsStream.readEvents(spark, srcDir, maxFilesPerTrigger = 1)
+    val m = PatternMatch.matchesReordered(ev, s"$delaySec seconds")
+    val reordered = EventsStream.runAvailableNow(spark, m.toDF(),
+        "cep_ooo_reordered", s"$tmp/ckpt_cep_ooo_reordered")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(r.fieldIndex("latency_sec")))).toSet
+    assert(reordered === oracle,
+      "reorder-buffer matching under out-of-order batches must equal the batch oracle")
+    // 2) strict path must FAIL LOUDLY on the same source, not drift
+    val strict = PatternMatch.matches(
+      EventsStream.readEvents(spark, srcDir, maxFilesPerTrigger = 1))
+    val thrown = intercept[Exception] {
+      EventsStream.runAvailableNow(spark, strict.toDF(),
+        "cep_ooo_strict", s"$tmp/ckpt_cep_ooo_strict")
+    }
+    val causes = Iterator.iterate[Throwable](thrown)(_.getCause).takeWhile(_ != null)
+    assert(causes.exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage != null && c.getMessage.contains("in-order precondition")),
+      s"strict DFA must throw the in-order guard, got: $thrown")
+  }
 }
