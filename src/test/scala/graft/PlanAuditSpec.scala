@@ -1060,6 +1060,22 @@ class PlanAuditSpec extends SparkSpec {
       s"q_span_dedup lost the gaps-and-islands window:\n$ps")
     assert("Exchange hashpartitioning".r.findAllIn(ps).length <= 5,
       s"q_span_dedup shuffles beyond rollup/join-back/islands:\n$ps")
+    // variable-length span census (seed-gated sweep): the corpus stream
+    // only ever equi-joins one-row-per-hash AGGREGATES (blocked, no pair
+    // expansion), and the maximality pass is one per-doc window; every
+    // exchange is a keyed rollup or join-back — never a cartesian
+    val pv = plan("q_span_dedup_var")
+    assert(pv.contains("windowspecdefinition"),
+      s"q_span_dedup_var lost the maximality lag window:\n$pv")
+    assert(!pv.contains("CartesianProduct") &&
+      !pv.contains("BroadcastNestedLoopJoin"),
+      s"q_span_dedup_var grew a pair expansion:\n$pv")
+    // measured 11, every one keyed: seed (sh,doc) distinct + (sh) df +
+    // seed⋈hot join-back + per-doc hot-starts collect + toks⋈hots +
+    // probe (len,h,doc) distinct + (len,h) df + probe join-back +
+    // (doc,start) max + doc window + final doc rollup
+    assert("Exchange hashpartitioning".r.findAllIn(pv).length <= 11,
+      s"q_span_dedup_var shuffles beyond its keyed rollups:\n$pv")
   }
 
   test("round-9 analytics wave: no cartesians, shuffles bounded by rollups") {
