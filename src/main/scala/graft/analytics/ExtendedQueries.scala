@@ -1356,8 +1356,88 @@ object ExtendedQueries {
       FROM walk ORDER BY user_id, view_event_id""")
   )
 
+  /** Streaming CEP under OUT-OF-ORDER micro-batches: the same funnel
+    * pattern as [[qStreamFunnel]], but the source is deliberately split
+    * into event-time-DISORDERED batches (middle time-tercile first, then
+    * the earliest, then the latest) and matched through
+    * [[graft.streaming.PatternMatch.matchesReordered]] — the
+    * watermark + per-key reorder-buffer variant added when the strict
+    * DFA's in-order precondition was turned into a loud guard. Events
+    * park in per-key state until the event-time watermark passes them,
+    * then fold in exact (ts, event_id) order, so the match set equals
+    * the batch oracle for ANY arrival order bounded by the delay; two
+    * far-future sentinel events for a non-matching user advance the
+    * watermark past the real corpus and fire the EventTimeTimeout flush
+    * (the second batch is needed because a watermark only moves at
+    * batch END and timeouts fire on the batch AFTER they expire). The
+    * oracle is qStreamFunnel's batch recursive-CTE replay, unchanged —
+    * that equality IS the assertion.
+    *
+    * Scale: per-key state is the DFA struct plus a buffer bounded by
+    * (watermark delay × per-key event rate) — the standard watermarked
+    * stateful-op bound. The corpus-wide delay here (full span + slack)
+    * is the DEMO configuration that exercises a total reorder; a
+    * production stream uses a bounded delay and the same code. The
+    * tercile split is time-boundary-based (min + k·span/3 from one
+    * 1-row aggregate), never a global sort. */
+  val qStreamFunnelOoo = GraftQuery(
+    "q_stream_funnel_ooo",
+    (s, dir) => {
+      import s.implicits._
+      val ev0 = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+      val mm = ev0.agg(
+        min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+      val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
+      val spanUs = math.max(mxUs - mnUs, 1L)
+      val (b1, b2) = (mnUs + spanUs / 3, mnUs + 2 * spanUs / 3)
+      def sentinel(us: Long) = ev0.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", timestamp_micros(lit(us)))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("event_type", lit("view"))
+      val srcDir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_ooo_src").toString
+      val t = unix_micros($"ts")
+      val parts = Seq(
+        ev0.filter(t > b1 && t <= b2),            // middle tercile FIRST
+        ev0.filter(t <= b1),                      // then the earliest
+        ev0.filter(t > b2),                       // then the latest
+        sentinel(mxUs + 2 * spanUs + 7200L * 1000000L),  // wm past corpus
+        sentinel(mxUs + 4 * spanUs + 14400L * 1000000L)) // fires timeouts
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val stage = s"$srcDir/stage_$i"
+        p.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+        val dst = new java.io.File(srcDir, s"events_$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // FileStreamSource batches by mtime: pin the arrival order
+        require(dst.setLastModified(1700000000000L + i * 60000L))
+      }
+      val delaySec = spanUs / 1000000L + 60L
+      val name = "stream_funnel_ooo_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+      val ev = graft.streaming.EventsStream.readEvents(s, srcDir, maxFilesPerTrigger = 1)
+      val m = graft.streaming.PatternMatch.matchesReordered(ev, s"$delaySec seconds")
+      graft.streaming.EventsStream
+        .runAvailableNow(s, m.toDF(), name, checkpoint, OutputMode.Append())
+        .filter($"user_id" >= 0) // sentinels can't match, but be explicit
+        .select($"user_id", $"view_event_id",
+          date_format($"t_view", "yyyy-MM-dd HH:mm:ss").as("t_view"),
+          date_format($"t_click", "yyyy-MM-dd HH:mm:ss").as("t_click"),
+          date_format($"t_purchase", "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
+          $"latency_sec")
+        .orderBy($"user_id", $"view_event_id")
+    },
+    qStreamFunnel.oracle // SAME batch replay: arrival order must not matter
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qStreamFunnel,
+    qStreamFunnel, qStreamFunnelOoo,
     qJwMatch, qStringMetrics,
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,

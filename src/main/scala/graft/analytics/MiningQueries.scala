@@ -2120,8 +2120,61 @@ object MiningQueries {
       FROM g, m ORDER BY lab""")
   )
 
+  /** Near-dup cluster census via the O(log n)-round star-contraction
+    * connected components ([[Graphs.bigStarComponents]], Kiveris et al.
+    * 2014) over the same df-capped 3-gram Jaccard pair graph as
+    * q_dedup_components — the fully-distributed alternative to that
+    * query's driver-union-find fast path, and the one that survives a
+    * pair graph too large for any single machine. Output is the
+    * per-component rollup (component = min doc_id, member count), i.e.
+    * the dup-cluster size census a dedup job reports at 100 TB.
+    *
+    * Scale: the pair graph is the post-blocking artifact (df-capped, so
+    * no hot-shingle pair explosion); each star round is two
+    * rollup+join-back shapes keyed on a vertex with per-round
+    * localCheckpoint; rounds are O(log n) even on chain-shaped dup
+    * clusters where plain label propagation pays O(diameter). */
+  val qCcBigstar = GraftQuery(
+    "q_cc_bigstar",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        k = 3, minJaccard = 0.5, maxDf = 100)
+      Graphs.bigStarComponents(pairs)
+        .groupBy($"label".as("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy($"component")
+    },
+    Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, CASE WHEN LEN(ts) < 3 THEN [array_to_string(ts, ' ')]
+          ELSE [array_to_string(ts[i+1:i+3], ' ') for i in range(0, LEN(ts)-2)] END AS ss
+        FROM toks), UNNEST(ss) AS u(s)),
+      freq AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq USING (s) WHERE freq.df <= 100),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b
+        FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        WHERE inter * 100 >= (na.n + nb.n - inter) * 50),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.src, e.b FROM walk w JOIN edges e ON w.dst = e.a)
+      SELECT component, COUNT(*) AS n_members FROM (
+        SELECT src AS id, MIN(dst) AS component FROM walk GROUP BY src)
+      GROUP BY component ORDER BY component""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qSkyline, qFellegiSunter, qGoldenRecord, qSimpsons, qDecisionStump,
+    Seq(qSkyline, qFellegiSunter, qGoldenRecord, qSimpsons, qDecisionStump, qCcBigstar,
       qAssortativity, qItemRecs, qEbShrinkage,
       qPagerank, qPpr, qTextrank, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,

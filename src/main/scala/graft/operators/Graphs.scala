@@ -468,4 +468,111 @@ object Graphs {
     }
     dist
   }
+
+  /** Connected components via ALTERNATING STAR CONTRACTIONS (the
+    * "large-star / small-star" algorithm of Kiveris, Lattanzi, Mirrokni,
+    * Rastogi & Vassilvitskii 2014, "Connected Components in MapReduce
+    * and Beyond"): converges in O(log n) rounds versus the O(diameter)
+    * of plain min-label propagation ([[Dedup.connectedComponents]]'
+    * distributed path) — on a path- or chain-shaped similarity graph
+    * (common in near-dup chains: A~B~C~... with no A~C edge) diameter is
+    * O(n) and label propagation pays a round per hop, while the star
+    * alternation halves the tree height every round.
+    *
+    * One round =
+    *  - LARGE-STAR: every node x re-attaches each strictly-LARGER
+    *    neighbor y to m(x) = min(Γ(x) ∪ {x}) — per-node rollup + one
+    *    equi-join back, both keyed on x; emitted edges (m, y) keep
+    *    m < y so no self-loops arise;
+    *  - SMALL-STAR: every node x re-attaches its strictly-smaller
+    *    neighbors (and itself) to their minimum — on the canonical
+    *    (u < v) edge relation this is one rollup keyed on v + one
+    *    equi-join back.
+    * Both halves are rollup+join shapes — never a pair expansion — and
+    * each materializes through localCheckpoint (the house iterative-op
+    * rule: a round referenced lazily by the next round re-executes
+    * geometrically otherwise).
+    *
+    * Fixpoint detection without comparing edge sets row-by-row: the
+    * canonical edge relation's (count, SUM of per-edge xxhash64 as
+    * DECIMAL(38,0)) checksum — star contraction is a deterministic map
+    * of the finite edge set, so an unchanged checksum across one full
+    * round means the set itself is stable (modulo a vanishing 128-bit
+    * collision chance, acceptable for a termination test — NOT for
+    * labels, which are read off the materialized star forest itself).
+    * Throws if `maxIter` rounds pass without convergence rather than
+    * returning wrong labels; 2·log2(n) rounds is the paper's bound.
+    *
+    * Returns (id, label) for every endpoint of `pairs`, label = the
+    * component's minimum id — identical to [[Dedup.connectedComponents]]
+    * (a spec pins the two equal on shared graphs).
+    *
+    * Scale: edge relation only ever shrinks (star contraction never
+    * adds edges beyond the re-attachments it removes); every shuffle is
+    * keyed on a vertex; the driver sees one 2-column checksum row per
+    * round and never a vertex. */
+  def bigStarComponents(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    Seq("id_a", "id_b").foreach { c =>
+      val t = pairs.schema(c).dataType
+      require(Seq[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"bigStarComponents: pair column $c must be an integral id type, got $t")
+    }
+    require(maxIter >= 1, s"maxIter=$maxIter must be >= 1")
+    // canonical undirected edge list (u < v), self-loops dropped up front
+    var e = pairs.select(
+        least(col("id_a").cast(LongType), col("id_b").cast(LongType)).as("u"),
+        greatest(col("id_a").cast(LongType), col("id_b").cast(LongType)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // the full endpoint set, fixed for the whole run: components that
+    // contract away (none can, but singletons never enter e) and ids
+    // seen only in self-pairs still get a label row
+    val verts = Caches.register(pairs
+      .select(col("id_a").cast(LongType).as("id"))
+      .union(pairs.select(col("id_b").cast(LongType).as("id"))).distinct())
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var prev = checksum(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // LARGE-STAR over the directed neighbor view
+      val nbr = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val mL = nbr.groupBy(col("x"))
+        .agg(least(min(col("y")), first(col("x"))).as("m"))
+      val ls = nbr.join(mL, "x").filter(col("y") > col("x"))
+        .select(col("m").as("u"), col("y").as("v"))
+        .distinct().localCheckpoint()
+      // SMALL-STAR on the canonical relation: group the smaller
+      // endpoints (and the node itself) under each v, attach to their min
+      val mS = ls.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val ss = ls.join(mS, "v")
+        .select(col("m").as("nu"), col("u").as("nv"))
+        .union(mS.select(col("m").as("nu"), col("v").as("nv")))
+        .filter(col("nu") =!= col("nv"))
+        .select(least(col("nu"), col("nv")).as("u"),
+          greatest(col("nu"), col("nv")).as("v"))
+        .distinct().localCheckpoint()
+      e = ss
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"bigStarComponents: no fixpoint after $maxIter rounds — " +
+        "raise maxIter (paper bound is ~2*log2(n) rounds)")
+    // at the fixpoint e is a star forest (root = component min): read
+    // labels off it, defaulting absent (isolated) vertices to themselves
+    val labels = e.select(col("v").as("id"), col("u").as("label"))
+      .union(e.select(col("u").as("id"), col("u").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+    verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
 }

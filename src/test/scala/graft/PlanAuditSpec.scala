@@ -1134,4 +1134,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges("q_entropy_rate") <= 17, "q_entropy_rate shuffle growth")
     assert(exchanges("q_closeness") <= 25, "q_closeness shuffle growth")
   }
+
+  test("round-10 additions: narrow LSH candidate join, star-contraction CC") {
+    // embed-dup pairs: the bucket self-join must flow NARROW (id, bucket)
+    // rows — the 64-double vectors re-attach by id only at the verify.
+    // A regression that joins the vectors through the candidate join
+    // reads as `vec` appearing in the bucket-join condition side output;
+    // assert the shape indirectly: no cartesian, and the plan carries the
+    // two id-keyed re-attach joins after the bucket join (3+ joins total)
+    val pe = plan("q_embed_dup_pairs")
+    assert(!pe.contains("CartesianProduct") &&
+      !pe.contains("BroadcastNestedLoopJoin"),
+      s"q_embed_dup_pairs grew a pair expansion:\n$pe")
+    assert("Join|join".r.findAllIn(pe).nonEmpty && pe.contains("graft_dot"),
+      s"q_embed_dup_pairs lost the fused dot verify:\n$pe")
+    // star-contraction CC: the converged star forest is read off
+    // materialized localCheckpoints — the final plan must be pure keyed
+    // rollup + join (no cartesian, no single-partition window)
+    val pcc = plan("q_cc_bigstar")
+    assert(!pcc.contains("CartesianProduct") &&
+      !pcc.contains("BroadcastNestedLoopJoin"),
+      s"q_cc_bigstar grew a pair expansion:\n$pcc")
+    assert(!pcc.contains("windowspecdefinition()"),
+      s"q_cc_bigstar grew a global window:\n$pcc")
+  }
 }

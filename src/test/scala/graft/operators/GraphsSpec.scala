@@ -273,4 +273,49 @@ class GraphsSpec extends SparkSpec {
     assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
       s"expected shortcut-min hops within bound 2, got $got")
   }
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bigStarComponents equals connectedComponents on paths, cliques, and random graphs") {
+    // the star alternation and min-label propagation must agree label-
+    // for-label; paths are the adversarial case (diameter = n, where
+    // label propagation needs n rounds but star contraction O(log n))
+    val cases: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "long path" -> (1L to 40L).sliding(2).map(s => (s(1), s(0))).toSeq,
+      "two cliques + singleton self-pair" ->
+        ((for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)) ++
+         (for (a <- 20L to 23L; b <- (a + 1) to 23L) yield (b, a)) ++
+         Seq((99L, 99L))),
+      "cycle" -> ((1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq :+ (12L, 1L)),
+      // deterministic pseudo-random sparse graph: 60 nodes, 55 edges
+      "random sparse" -> (1 to 55).map { i =>
+        val a = (i * 2654435761L % 60) + 1
+        val b = (i * 40503L % 60) + 1
+        (a, b)
+      })
+    for ((name, pairs) <- cases) {
+      val df = pairs.toDF("id_a", "id_b")
+      val star = labelsOf(Graphs.bigStarComponents(df))
+      val prop = labelsOf(Dedup.connectedComponents(df, maxIter = 80))
+      assert(star === prop, s"$name: star-contraction labels diverge")
+      // distributed-loop path too (driver fast path disabled)
+      val loop = labelsOf(Dedup.connectedComponents(df, maxIter = 80, driverMaxEdges = 0))
+      assert(star === loop, s"$name: star labels diverge from the distributed loop")
+    }
+  }
+
+  test("bigStarComponents labels every component by its minimum id") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = labelsOf(Graphs.bigStarComponents(pairs))
+    assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("bigStarComponents rejects non-integral ids and empty graphs behave") {
+    val bad = Seq(("a", "b")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](Graphs.bigStarComponents(bad))
+    assert(e.getMessage.contains("integral id type"))
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Graphs.bigStarComponents(empty).count() === 0L)
+  }
 }
