@@ -537,33 +537,47 @@ object Graphs {
       (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
     var prev = checksum(e)
+    // size the round shuffles to the GRAPH, not the corpus (the
+    // Dedup.connectedComponents discipline): each of the O(log n) rounds
+    // pays per-partition task overhead on four keyed shuffles, and the
+    // post-blocking pair graph is orders of magnitude smaller than the
+    // corpus that produced it. Same single-writer session assumption as
+    // connectedComponents' loop (restored in the finally).
+    val spark = pairs.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val graphParts = math.max(1L, math.min(sessionParts.toLong,
+      prev._1 / 250000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     var converged = false
     var round = 0
-    while (!converged && round < maxIter) {
-      // LARGE-STAR over the directed neighbor view
-      val nbr = e.select(col("u").as("x"), col("v").as("y"))
-        .union(e.select(col("v").as("x"), col("u").as("y")))
-      val mL = nbr.groupBy(col("x"))
-        .agg(least(min(col("y")), first(col("x"))).as("m"))
-      val ls = nbr.join(mL, "x").filter(col("y") > col("x"))
-        .select(col("m").as("u"), col("y").as("v"))
-        .distinct().localCheckpoint()
-      // SMALL-STAR on the canonical relation: group the smaller
-      // endpoints (and the node itself) under each v, attach to their min
-      val mS = ls.groupBy(col("v")).agg(min(col("u")).as("m"))
-      val ss = ls.join(mS, "v")
-        .select(col("m").as("nu"), col("u").as("nv"))
-        .union(mS.select(col("m").as("nu"), col("v").as("nv")))
-        .filter(col("nu") =!= col("nv"))
-        .select(least(col("nu"), col("nv")).as("u"),
-          greatest(col("nu"), col("nv")).as("v"))
-        .distinct().localCheckpoint()
-      e = ss
-      val cur = checksum(e)
-      converged = cur == prev
-      prev = cur
-      round += 1
-    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+      while (!converged && round < maxIter) {
+        // LARGE-STAR over the directed neighbor view
+        val nbr = e.select(col("u").as("x"), col("v").as("y"))
+          .union(e.select(col("v").as("x"), col("u").as("y")))
+        val mL = nbr.groupBy(col("x"))
+          .agg(least(min(col("y")), first(col("x"))).as("m"))
+        val ls = nbr.join(mL, "x").filter(col("y") > col("x"))
+          .select(col("m").as("u"), col("y").as("v"))
+          .distinct().localCheckpoint()
+        // SMALL-STAR on the canonical relation: group the smaller
+        // endpoints (and the node itself) under each v, attach to their min
+        val mS = ls.groupBy(col("v")).agg(min(col("u")).as("m"))
+        val ss = ls.join(mS, "v")
+          .select(col("m").as("nu"), col("u").as("nv"))
+          .union(mS.select(col("m").as("nu"), col("v").as("nv")))
+          .filter(col("nu") =!= col("nv"))
+          .select(least(col("nu"), col("nv")).as("u"),
+            greatest(col("nu"), col("nv")).as("v"))
+          .distinct().localCheckpoint()
+        e = ss
+        val cur = checksum(e)
+        converged = cur == prev
+        prev = cur
+        round += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     if (!converged) throw new IllegalStateException(
       s"bigStarComponents: no fixpoint after $maxIter rounds — " +
         "raise maxIter (paper bound is ~2*log2(n) rounds)")
