@@ -1286,6 +1286,61 @@ object DocQueries {
     * make the full block → probe → verify → anti-join pipeline
     * reproducible in DuckDB, so the greedy pruning SEMANTICS (not just
     * the pair list) are under the hash gate. */
+  /** Multi-table embedding near-dup pairs: 2 independent plane tables
+    * over the same corpus-adaptive plane count as q_embed_dup_pairs —
+    * the production recall path when p grows with the corpus (see
+    * [[graft.operators.Similarity.embeddingDupPairsTables]]). The found
+    * pair set is a SUPERSET of any single table's; the oracle replays
+    * both tables' blocking (plane table l = Lehmer indices l·p..l·p+p−1),
+    * unions candidates, and verifies once — so the recall-restoring
+    * union semantics, not just the pair list, sit under the hash gate.
+    * probeRadius = 0 here (exact-bucket match): multiprobe and table
+    * multiplicity are ALTERNATIVE recall levers — classic L-table LSH
+    * probes exact buckets, multiprobe exists to cut the table count —
+    * and paying both multiplies candidates by L·(p+1) for overlapping
+    * recall (measured 24M candidates vs 2.4M on the 10× replica, whose
+    * per-copy noisy near-clones share buckets at any plane count).
+    *
+    * Scale: candidates ∝ N·L (two narrow exact-bucket joins); the
+    * verify re-attaches vectors by id exactly as the single-table
+    * operator. */
+  val qEmbedDupTables = GraftQuery(
+    "q_embed_dup_tables",
+    (s, dir) => {
+      import s.implicits._
+      val emb = graft.operators.Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
+      Similarity.embeddingDupPairsTables(
+          emb, "vec_id", "embedding", threshold = 0.4,
+          nPlanes = lshPlanesFor(emb.count()), tables = 2, probeRadius = 0)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH $lshPlanesSql,
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bv AS (SELECT vec_id, v,
+        list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
+      b AS (SELECT vec_id, v, t.l AS tbl,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(params.np), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qv[d+1] * (CASE WHEN (48271 * ((48271 * ((t.l * params.np + p)*64 + d + 1)) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) AS bucket
+      FROM bv, params, UNNEST(range(2)) AS t(l)),
+      kept AS (SELECT tbl, bucket FROM b GROUP BY tbl, bucket HAVING COUNT(*) <= 10000),
+      bk AS (SELECT b.* FROM b JOIN kept USING (tbl, bucket)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM bk a JOIN bk c ON a.tbl = c.tbl AND a.vec_id < c.vec_id
+          AND a.bucket = c.bucket),
+      p AS (SELECT id_a, id_b,
+          ROUND(CASE WHEN SQRT(list_dot_product(ea.v, ea.v)) * SQRT(list_dot_product(eb.v, eb.v)) = 0
+            THEN 0.0
+            ELSE list_dot_product(ea.v, eb.v) /
+              (SQRT(list_dot_product(ea.v, ea.v)) * SQRT(list_dot_product(eb.v, eb.v))) END, 6) AS cos_sim
+        FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+      SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""")
+  )
+
   val qSemanticDedup = GraftQuery(
     "q_semantic_dedup",
     (s, dir) => {
@@ -3232,7 +3287,7 @@ object DocQueries {
     qUnigramXent, qBigramXent, qVocabCoverage,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,
-    qAnnTopK, qEmbedDupPairs, qSemanticDedup, qIvfTopK, qApproxDistinct, qHllRollup, qAsofJoin,
+    qAnnTopK, qEmbedDupPairs, qEmbedDupTables, qSemanticDedup, qIvfTopK, qApproxDistinct, qHllRollup, qAsofJoin,
     qRangeJoin, qKmvDistinct, qKmvIntersect, qQualityScore, qSourceSimilarity, qSourceOverlap,
     qTokenFertility)
 }

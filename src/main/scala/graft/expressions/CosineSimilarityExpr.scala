@@ -153,7 +153,15 @@ object VectorKernels {
     * the declarative fold, and the DuckDB oracle all derive the identical
     * ±1 matrix from (p·dim + d + 1). */
   def portableLshBucket(v: org.apache.spark.sql.catalyst.util.ArrayData,
-      nPlanes: Int, dim: Int): Long = {
+      nPlanes: Int, dim: Int): Long = portableLshBucket(v, nPlanes, dim, 0)
+
+  /** `planeOffset` selects an INDEPENDENT plane table from the same
+    * Lehmer stream: table l of p planes uses global plane indices
+    * l*p .. l*p+p-1 — the multi-table LSH variant that restores recall
+    * when the adaptive plane count grows with the corpus. Offset 0 is
+    * exactly the historical single-table formula. */
+  def portableLshBucket(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      nPlanes: Int, dim: Int, planeOffset: Int): Long = {
     // `dim` parameterizes the plane formula (it must match the DECLARED
     // dimension the oracle uses). THIS KERNEL IS AUTHORITATIVE for the
     // portable semantics: a shorter vector contributes only its
@@ -176,7 +184,7 @@ object VectorKernels {
       var d = 0L
       i = 0
       while (i < n) {
-        val x1 = (48271L * (p.toLong * dim + i + 1)) % 2147483647L
+        val x1 = (48271L * ((planeOffset.toLong + p) * dim + i + 1)) % 2147483647L
         val x2 = (48271L * x1) % 2147483647L
         d += (if (x2 < 1073741824L) q(i) else -q(i))
         i += 1
@@ -323,10 +331,11 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
 
 /** Portable-LSH bucket id of a double vector — see
   * [[VectorKernels.portableLshBucket]]. */
-case class PortableLshBucket(child: Expression, nPlanes: Int, dim: Int)
+case class PortableLshBucket(child: Expression, nPlanes: Int, dim: Int,
+    planeOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  require(nPlanes > 0 && nPlanes < 63 && dim > 0,
-    s"nPlanes=$nPlanes must be in (0, 63), dim=$dim positive")
+  require(nPlanes > 0 && nPlanes < 63 && dim > 0 && planeOffset >= 0,
+    s"nPlanes=$nPlanes must be in (0, 63), dim=$dim positive, planeOffset=$planeOffset >= 0")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -338,11 +347,11 @@ case class PortableLshBucket(child: Expression, nPlanes: Int, dim: Int)
 
   override def nullSafeEval(in: Any): Any =
     VectorKernels.portableLshBucket(
-      in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nPlanes, dim)
+      in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nPlanes, dim, planeOffset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.VectorKernels.portableLshBucket($c, $nPlanes, $dim);")
+      s"${ev.value} = graft.expressions.VectorKernels.portableLshBucket($c, $nPlanes, $dim, $planeOffset);")
 
   override protected def withNewChildInternal(newChild: Expression): PortableLshBucket =
     copy(child = newChild)

@@ -76,9 +76,9 @@ object Similarity {
     * second step decorrelates it). Sign-random-projection with Rademacher
     * directions is the standard sparse variant of gaussian LSH (Achlioptas
     * '01): same collision-probability-vs-angle behavior in expectation. */
-  def rademacherPlanes(dim: Int, nPlanes: Int): Seq[Seq[Long]] =
+  def rademacherPlanes(dim: Int, nPlanes: Int, planeOffset: Int = 0): Seq[Seq[Long]] =
     Seq.tabulate(nPlanes)(p => Seq.tabulate(dim) { d =>
-      val x1 = (48271L * (p * dim + d + 1)) % 2147483647L
+      val x1 = (48271L * ((planeOffset.toLong + p) * dim + d + 1)) % 2147483647L
       val x2 = (48271L * x1) % 2147483647L
       if (x2 < 1073741824L) 1L else -1L
     })
@@ -110,11 +110,12 @@ object Similarity {
     * zip_with null-pads and poisons the sum. The HOF formulation also
     * re-ran the quantize transform inside every plane's interpreted
     * aggregate — nPlanes × dim re-evaluations per row. */
-  def portableBucketNative(vecCol: Column, nPlanes: Int, dim: Int): Column =
+  def portableBucketNative(vecCol: Column, nPlanes: Int, dim: Int,
+      planeOffset: Int = 0): Column =
     org.apache.spark.sql.graftshim.ColumnShim.column(
       graft.expressions.PortableLshBucket(
         org.apache.spark.sql.graftshim.ColumnShim.expression(vecCol.cast("array<double>")),
-        nPlanes, dim))
+        nPlanes, dim, planeOffset))
 
   private def portableQueryBucket(query: Seq[Double], planes: Seq[Seq[Long]]): Long = {
     val qq = query.map(x => math.floor(x * 1000000.0).toLong)
@@ -214,6 +215,57 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val va = b.select(col("id").as("id_a"), col("vec").as("_va"), col("_n").as("_na"))
     val vb = b.select(col("id").as("id_b"), col("vec").as("_vb"), col("_n").as("_nb"))
+    val denom = col("_na") * col("_nb")
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(when(denom === 0.0, 0.0)
+          .otherwise(dotNative(col("_va"), col("_vb")) / denom), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** MULTI-TABLE variant of [[embeddingDupPairs]]: `tables` independent
+    * plane tables (table l draws planes l·p .. l·p+p−1 from the same
+    * portable Lehmer stream), candidates = the UNION of every table's
+    * bucket-join candidates, deduplicated BEFORE the one shared verify.
+    * This is the standard LSH recall restoration: single-table recall
+    * for a true pair at angle θ decays as (1−θ/π)^p when the adaptive
+    * plane count p grows with the corpus ([[graft.analytics.DocQueries]]
+    * lshPlanesFor); L independent tables lift it to 1−(1−r₁)^L at L×
+    * blocking cost — candidates stay ∝ N·L·(p+1), never ∝ N².
+    * Portable-planes only (the whole point is an oracle-replayable
+    * blocking decision); same df-cap per (table, bucket) and the same
+    * narrow-candidate-join topology as the single-table operator. */
+  def embeddingDupPairsTables(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int, tables: Int,
+      dim: Int = 64, probeRadius: Int = 1,
+      maxBucket: Int = Dedup.DefaultMaxDf): DataFrame = {
+    require(tables >= 1, s"tables=$tables must be >= 1")
+    require(probeRadius >= 0 && probeRadius <= nPlanes,
+      s"probeRadius=$probeRadius must be in [0, nPlanes=$nPlanes]")
+    // one narrow (id, tbl, bucket) relation per table, unioned; the map
+    // pass over the corpus runs once per table (bucket exprs differ by
+    // the literal plane offset), vectors are never carried
+    val slim = Caches.register((0 until tables).map { l =>
+      df.select(col(idCol).as("id"),
+        lit(l).as("tbl"),
+        portableBucketNative(col(vecCol), nPlanes, dim, l * nPlanes).as("bucket"))
+    }.reduce(_ union _))
+    val kept = Caches.register(Dedup.dropHotKeys(slim, Seq("tbl", "bucket"), maxBucket))
+    val masks = (0L until (1L << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val probed = kept.withColumn("_mask", explode(typedLit(masks)))
+      .withColumn("_pbucket", col("bucket").bitwiseXOR(col("_mask")))
+    // a pair found by several tables (or several masks) verifies ONCE
+    val cand = probed.as("a").join(kept.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+        col("a._pbucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vn = Caches.register(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_n")))
+    val va = vn.select(col("id").as("id_a"), col("vec").as("_va"), col("_n").as("_na"))
+    val vb = vn.select(col("id").as("id_b"), col("vec").as("_vb"), col("_n").as("_nb"))
     val denom = col("_na") * col("_nb")
     cand.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),

@@ -1148,6 +1148,13 @@ class PlanAuditSpec extends SparkSpec {
       s"q_embed_dup_pairs grew a pair expansion:\n$pe")
     assert("Join|join".r.findAllIn(pe).nonEmpty && pe.contains("graft_dot"),
       s"q_embed_dup_pairs lost the fused dot verify:\n$pe")
+    // multi-table variant: same narrow-join contract, union of 2 tables
+    val pm = plan("q_embed_dup_tables")
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("BroadcastNestedLoopJoin"),
+      s"q_embed_dup_tables grew a pair expansion:\n$pm")
+    assert(pm.contains("graft_dot"),
+      s"q_embed_dup_tables lost the fused dot verify:\n$pm")
     // star-contraction CC: the converged star forest is read off
     // materialized localCheckpoints — the final plan must be pure keyed
     // rollup + join (no cartesian, no single-partition window)

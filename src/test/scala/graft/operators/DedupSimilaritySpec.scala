@@ -168,6 +168,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pRecall >= 0.9, s"portable-plane recall $pRecall over ${truth.size} planted pairs")
   }
 
+  test("multi-table LSH restores recall lost to a high plane count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // same planted-pair fixture shape, but blocked at a HIGH plane count
+    // (p = 10, the adaptive regime of a large corpus) where a single
+    // table's per-pair collision probability has decayed badly
+    val rows = Seq.fill(40)(unit(Array.fill(64)(rnd.nextGaussian())))
+      .zipWithIndex.flatMap { case (b, i) =>
+        val noisy = unit(b.map(_ + rnd.nextGaussian() * 0.05))
+        Seq((i.toLong * 2, b.toSeq), (i.toLong * 2 + 1, noisy.toSeq))
+      }
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = (0 until 40).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    def pairsOf(res: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairsOf(Similarity.embeddingDupPairs(df, "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 10, probeRadius = 1, portablePlanes = true))
+    val multi = pairsOf(Similarity.embeddingDupPairsTables(df, "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 10, tables = 3, probeRadius = 1))
+    // table 0 of the multi-table operator IS the single-table blocking,
+    // so the union can only add pairs — and on this fixture it must
+    // actually add some (the whole point of the variant)
+    assert(single.subsetOf(multi),
+      "multi-table candidates must be a superset of table 0's")
+    val rs = truth.count(single.contains).toDouble / truth.size
+    val rm = truth.count(multi.contains).toDouble / truth.size
+    assert(rm > rs,
+      s"3 tables must beat 1 at p=10 on planted pairs: single=$rs multi=$rm")
+    assert(rm >= 0.6, s"multi-table recall $rm too low at p=10, L=3")
+    // every emitted pair is verified: no false positives vs the threshold
+    multi.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("fused portable LSH bucket kernel equals the declarative fold") {
     val native = emb.select(col("vec_id"),
       Similarity.portableBucketNative(col("embedding"), 5, 64).as("b"))
