@@ -1286,6 +1286,75 @@ object PipelineQueries {
       FROM b ORDER BY source""")
   )
 
+  /** NEYMAN optimal stratified-sample allocation (Neyman 1934): sample
+    * size n_h ∝ N_h·σ_h per stratum — the allocation that minimizes the
+    * estimator variance of a stratified mean under a fixed total budget
+    * (here 1000 rows across customer market segments, the value being
+    * order totals). The survey-sampling sibling of q_mix_allocation's
+    * token quota and q_stratified_sample's balanced draw: this is the
+    * operator that decides HOW MANY to draw per stratum before either
+    * of those draws anything.
+    *
+    * Cross-engine exactness: order totals quantize to exact cents via
+    * DECIMAL(18,2) (the q_gini pattern), so Σx and Σx² are exact
+    * DECIMAL(38,0)/HUGEINT; population variance = (N·Σx² − (Σx)²)/N²
+    * reaches a double only through one cast-of-exact-rational and one
+    * division (both correctly rounded, engine-identical), σ_h through
+    * one IEEE sqrt, then floor(σ·1e6) pins it to int64 micros — every
+    * derived number after that (weights, ppm shares, the allocation) is
+    * integer multiply / integral div, widened through DECIMAL(38,0)/
+    * HUGEINT where 1000·N_h·σ_micro exceeds int64. Truncating division
+    * means Σ alloc_n ≤ 1000 (documented; largest-remainder top-up is a
+    * presentation choice, not a statistics one).
+    *
+    * Scale: one corpus-rollup to segment-sized rows (the orders→customer
+    * join is the same shuffle q_join_segment_revenue carries), a 1-row
+    * broadcast of the weight total, map-side arithmetic. */
+  val qNeymanAlloc = GraftQuery(
+    "q_neyman_alloc",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val cents = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment".as("segment"),
+          ($"o_totalprice".cast(DecimalType(18, 2)) * 100)
+            .cast(DecimalType(38, 0)).as("cents"))
+      val st = cents.groupBy($"segment").agg(
+          count(lit(1)).as("n_rows"),
+          sum($"cents").as("s1"),
+          sum($"cents" * $"cents").as("s2"))
+        .withColumn("var_cents2",
+          ($"n_rows" * $"s2" - $"s1" * $"s1").cast("double") /
+            ($"n_rows" * $"n_rows").cast("double"))
+        .withColumn("sd_micro", floor(sqrt($"var_cents2") * 1e6).cast("long"))
+        .withColumn("w", ($"n_rows" * $"sd_micro").cast(DecimalType(38, 0)))
+      val tot = st.agg(sum($"w").as("w_sum"))
+      st.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("CAST(w * 1000000 div w_sum AS BIGINT)"))
+        .withColumn("alloc_n", expr("CAST(w * 1000 div w_sum AS BIGINT)"))
+        .select($"segment", $"n_rows", $"sd_micro", $"share_ppm", $"alloc_n")
+        .orderBy($"segment")
+    },
+    Some("""WITH c AS (SELECT c_mktsegment AS segment,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+      st AS (SELECT segment, COUNT(*) AS n_rows,
+          SUM(cents) AS s1, SUM(cents * cents) AS s2
+        FROM c GROUP BY segment),
+      sd AS (SELECT segment, n_rows,
+          CAST(FLOOR(SQRT(CAST(n_rows * s2 - s1 * s1 AS DOUBLE) /
+            CAST(n_rows * n_rows AS DOUBLE)) * 1e6) AS BIGINT) AS sd_micro
+        FROM st),
+      w AS (SELECT segment, n_rows, sd_micro,
+          CAST(n_rows AS HUGEINT) * sd_micro AS w FROM sd),
+      tot AS (SELECT SUM(w) AS w_sum FROM w)
+      SELECT segment, n_rows, sd_micro,
+        CAST(w * 1000000 // w_sum AS BIGINT) AS share_ppm,
+        CAST(w * 1000 // w_sum AS BIGINT) AS alloc_n
+      FROM w, tot ORDER BY segment""")
+  )
+
   private val LrRounds = 20
 
   /** LEARNED quality filter, trained IN-PLAN — the fastText-distillation
@@ -1796,7 +1865,7 @@ object PipelineQueries {
   val all: Seq[GraftQuery] = Seq(
     qFeatureHash,
     qDsir, qCompactionPlan,
-    qMixAllocation, qQualityLogreg, qCdcChunks, qRaking,
+    qMixAllocation, qNeymanAlloc, qQualityLogreg, qCdcChunks, qRaking,
     qPiiRedact, qChunkDedup, qGopherFilter, qDocLengthHist, qUrlDomains,
     qBloomDecontaminate, qPackSequences, qSourceQuota, qCurationPipeline,
     qSplitAssign, qTokenBudget, qUrlCanonicalize, qWeightedSample,
