@@ -1399,6 +1399,7 @@ object ExtendedQueries {
       val srcDir = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
         "graft_ooo_src").toString
+      try {
       val t = unix_micros($"ts")
       val parts = Seq(
         ev0.filter(t > b1 && t <= b2),            // middle tercile FIRST
@@ -1432,6 +1433,17 @@ object ExtendedQueries {
           date_format($"t_purchase", "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
           $"latency_sec")
         .orderBy($"user_id", $"view_event_id")
+      } finally {
+        // runAvailableNow collects the sink to an in-memory DataFrame, so
+        // the staged source files are dead weight once it returns — delete
+        // them (success or failure) instead of leaking a corpus copy per run
+        val root = new java.io.File(srcDir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(root)
+      }
     },
     qStreamFunnel.oracle // SAME batch replay: arrival order must not matter
   )

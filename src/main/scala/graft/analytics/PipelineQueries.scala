@@ -1328,7 +1328,8 @@ object PipelineQueries {
           ($"n_rows" * $"s2" - $"s1" * $"s1").cast("double") /
             ($"n_rows" * $"n_rows").cast("double"))
         .withColumn("sd_micro", floor(sqrt($"var_cents2") * 1e6).cast("long"))
-        .withColumn("w", ($"n_rows" * $"sd_micro").cast(DecimalType(38, 0)))
+        .withColumn("w",
+          $"n_rows".cast(DecimalType(38, 0)) * $"sd_micro")
       val tot = st.agg(sum($"w").as("w_sum"))
       st.crossJoin(broadcast(tot))
         .withColumn("share_ppm", expr("CAST(w * 1000000 div w_sum AS BIGINT)"))

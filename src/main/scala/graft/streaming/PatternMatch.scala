@@ -144,10 +144,14 @@ object PatternMatch {
     val st0 = state.getOption.getOrElse(
       ReorderState(FunnelState(0, 0L, 0L, 0L, 0L, Long.MinValue), Array.empty))
     val incoming = events.map(e => Pending(micros(e.ts), e.event_id, e.event_type))
-    // beyond-delay-late events (below the folded horizon) are dropped —
-    // the watermark contract; everything else merges into the buffer
+    // beyond-delay-late events (at or below the folded horizon) are
+    // dropped — the watermark contract. The bound is STRICT: an event at
+    // exactly the folded horizon would otherwise fold AFTER same-timestamp
+    // events already in the DFA, violating the (ts, event_id) tie order
+    // the batch oracle folds in, so equal-timestamp late arrivals count
+    // as beyond-delay-late too.
     val merged = (st0.pending.iterator ++ incoming)
-      .filter(_.us >= st0.dfa.maxUs).toArray
+      .filter(_.us > st0.dfa.maxUs).toArray
     val (ripe, hold) = merged.partition(_.us <= wmUs)
     val out = scala.collection.mutable.ListBuffer.empty[MatchOut]
     val dfa = fold(userId,

@@ -727,8 +727,14 @@ class SourcesStreamingSpec extends SparkSpec {
     val delaySec = spanUs / 1000000L + 60L
     def collectMatches(df: org.apache.spark.sql.Dataset[PatternMatch.MatchOut]) =
       df.collect().map(m => (m.user_id, m.view_event_id, m.latency_sec)).toSet
-    // batch oracle: the SAME five files folded in one pass
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // batch oracle: the SAME five files folded in one pass. The nanos
+    // flag (set here AND re-set inside readEvents below) is restored at
+    // the end of the test so it can't leak into later suites that read
+    // parquet on the shared session.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrev = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try {
     val batchRaw = spark.read.parquet(srcDir)
     val batchEv = batchRaw.schema("ts").dataType match {
       case LongType         => batchRaw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
@@ -757,5 +763,9 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(causes.exists(c => c.isInstanceOf[IllegalStateException] &&
         c.getMessage != null && c.getMessage.contains("in-order precondition")),
       s"strict DFA must throw the in-order guard, got: $thrown")
+    } finally nanosPrev match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
+    }
   }
 }
