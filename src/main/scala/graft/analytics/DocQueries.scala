@@ -1170,7 +1170,7 @@ object DocQueries {
       b AS (SELECT vec_id, v,
         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(3), p ->
           CASE WHEN list_sum(list_transform(range(64), d ->
-            qv[d+1] * (CASE WHEN (48271 * ((48271 * (p*64 + d + 1)) % 2147483647)) % 2147483647 < 1073741824
+            qv[d+1] * (CASE WHEN (48271 * (((p*64 + d + 1) * 2654435761 % 2147483647) * ((p*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
                        THEN 1 ELSE -1 END))) >= 0
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
           (acc, x) -> acc * 2 + x) AS bucket
@@ -1178,7 +1178,7 @@ object DocQueries {
       qbkt AS (SELECT
         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(3), p ->
           CASE WHEN list_sum(list_transform(range(64), d ->
-            qq[d+1] * (CASE WHEN (48271 * ((48271 * (p*64 + d + 1)) % 2147483647)) % 2147483647 < 1073741824
+            qq[d+1] * (CASE WHEN (48271 * (((p*64 + d + 1) * 2654435761 % 2147483647) * ((p*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
                        THEN 1 ELSE -1 END))) >= 0
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
           (acc, x) -> acc * 2 + x) AS qbucket
@@ -1262,7 +1262,7 @@ object DocQueries {
       b AS (SELECT vec_id, v,
         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(params.np), p ->
           CASE WHEN list_sum(list_transform(range(64), d ->
-            qv[d+1] * (CASE WHEN (48271 * ((48271 * (p*64 + d + 1)) % 2147483647)) % 2147483647 < 1073741824
+            qv[d+1] * (CASE WHEN (48271 * (((p*64 + d + 1) * 2654435761 % 2147483647) * ((p*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
                        THEN 1 ELSE -1 END))) >= 0
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
           (acc, x) -> acc * 2 + x) AS bucket
@@ -1322,7 +1322,7 @@ object DocQueries {
       b AS (SELECT vec_id, v, t.l AS tbl,
         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(params.np), p ->
           CASE WHEN list_sum(list_transform(range(64), d ->
-            qv[d+1] * (CASE WHEN (48271 * ((48271 * ((t.l * params.np + p)*64 + d + 1)) % 2147483647)) % 2147483647 < 1073741824
+            qv[d+1] * (CASE WHEN (48271 * ((((t.l * params.np + p)*64 + d + 1) * 2654435761 % 2147483647) * (((t.l * params.np + p)*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
                        THEN 1 ELSE -1 END))) >= 0
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
           (acc, x) -> acc * 2 + x) AS bucket
@@ -1339,6 +1339,268 @@ object DocQueries {
               (SQRT(list_dot_product(ea.v, ea.v)) * SQRT(list_dot_product(eb.v, eb.v))) END, 6) AS cos_sim
         FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
       SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""")
+  )
+
+  /** The recall-restoring table count for [[qEmbedDupHr]]: the smallest
+    * L with (1 − q^p)^L ≤ 0.1 at q = 1 − arccos(0.95)/π ≈ 0.8989 — i.e.
+    * L independent exact-bucket plane tables give a true pair at cosine
+    * 0.95 at least 90% probability of colliding in SOME table. Derived
+    * offline (gaussian-hyperplane collision model; the quantized
+    * Rademacher planes track it closely at d = 64 — q_lsh_recall is the
+    * empirical check) and shipped as a LITERAL ladder mirrored into the
+    * oracle, so both engines agree by construction. Pairs closer than
+    * 0.95 do better; pairs far below it are not the operator's target
+    * (single-plane collision decays toward 1/2 and no affordable L
+    * recovers them — the standard LSH contract). */
+  private def lshTablesFor(pHr: Int): Int = pHr match {
+    case 7 => 4
+    case 8 => 5
+    case 9 => 5
+    case 10 => 6
+    case 11 => 7
+    case 12 => 8
+    case 13 => 8
+    case 14 => 10
+    case 15 => 11
+    case 16 => 12
+    case 17 => 13
+    case _ => 15
+  }
+
+  /** The DuckDB mirror of [[lshTablesFor]] plus the +2-plane widening:
+    * emits `nph` (planes per table) and `lh` (table count) from the
+    * corpus-adaptive `np`. */
+  private val lshHrParamsSql =
+    """hr AS (SELECT np + 2 AS nph,
+        CASE np + 2 WHEN 7 THEN 4 WHEN 8 THEN 5 WHEN 9 THEN 5 WHEN 10 THEN 6
+          WHEN 11 THEN 7 WHEN 12 THEN 8 WHEN 13 THEN 8 WHEN 14 THEN 10
+          WHEN 15 THEN 11 WHEN 16 THEN 12 WHEN 17 THEN 13 ELSE 15 END AS lh
+      FROM params)"""
+
+  /** HIGH-RECALL embedding near-dup pairs: the production recall
+    * restoration the adaptive plane ladder trades away. Two levers,
+    * both corpus-adaptive: each table gets p+2 planes (4× smaller
+    * buckets than the occupancy-targeted p, so the extra tables don't
+    * quadruple candidate volume), and the table count L comes from
+    * [[lshTablesFor]] so a cosine-0.95 pair keeps ≥ 90% collision
+    * probability at ANY corpus size — the recall floor q_lsh_recall
+    * measures and DedupSimilaritySpec pins on planted near-dups.
+    * Candidates stay ∝ N·L·occupancy with occupancy ≈ 10 by
+    * construction; L grows with log N (≈ 0.75·p), so total cost is
+    * O(N log N) against the single-table O(N) — the documented price
+    * of holding recall while density grows. Exact-bucket match per
+    * table (probeRadius 0): table multiplicity and multiprobe are
+    * alternative recall levers, and the ladder is calibrated for the
+    * exact-match collision probability. */
+  val qEmbedDupHr = GraftQuery(
+    "q_embed_dup_hr",
+    (s, dir) => {
+      import s.implicits._
+      val emb = graft.operators.Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
+      val pHr = lshPlanesFor(emb.count()) + 2
+      Similarity.embeddingDupPairsTables(
+          emb, "vec_id", "embedding", threshold = 0.4,
+          nPlanes = pHr, tables = lshTablesFor(pHr), probeRadius = 0)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH $lshPlanesSql, $lshHrParamsSql,
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bv AS (SELECT vec_id, v,
+        list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
+      b AS (SELECT vec_id, v, t.l AS tbl,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(hr.nph), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qv[d+1] * (CASE WHEN (48271 * ((((t.l * hr.nph + p)*64 + d + 1) * 2654435761 % 2147483647) * (((t.l * hr.nph + p)*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) AS bucket
+      FROM bv, hr, UNNEST(range(16)) AS t(l) WHERE t.l < hr.lh),
+      kept AS (SELECT tbl, bucket FROM b GROUP BY tbl, bucket HAVING COUNT(*) <= 10000),
+      bk AS (SELECT b.* FROM b JOIN kept USING (tbl, bucket)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM bk a JOIN bk c ON a.tbl = c.tbl AND a.vec_id < c.vec_id
+          AND a.bucket = c.bucket),
+      p AS (SELECT id_a, id_b,
+          ROUND(CASE WHEN SQRT(list_dot_product(ea.v, ea.v)) * SQRT(list_dot_product(eb.v, eb.v)) = 0
+            THEN 0.0
+            ELSE list_dot_product(ea.v, eb.v) /
+              (SQRT(list_dot_product(ea.v, ea.v)) * SQRT(list_dot_product(eb.v, eb.v))) END, 6) AS cos_sim
+        FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+      SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""")
+  )
+
+  /** Disjoint plane table for q_lsh_recall's corpus sampler — far above
+    * any production offset (≤ 15 tables × 18 planes), so the sampling
+    * decision is independent of every blocking decision it audits. */
+  private val RecallSamplerOffset = 4096
+  private val RecallSamplerPlanes = 10
+  private val RecallSliceTarget = 1200L
+
+  /** LSH pair RECALL against brute-force ground truth — the number the
+    * hash oracle structurally cannot certify (both engines replay the
+    * same blocking algorithm, so they agree even on a recall-degraded
+    * answer; this query carries the ground truth INSIDE the result).
+    *
+    * A corpus-size-bounded slice (expected ≈ 1200 docs) is drawn by
+    * COARSE LSH CELL — 10 planes from a disjoint offset, keep cells
+    * with `cell % stride == 0` — so near-neighbor structure survives
+    * sampling: a near-dup pair shares its coarse cell with probability
+    * ≈ its coarse collision probability, where id-stride sampling would
+    * keep a pair only with probability 1/stride². Within a cosine band
+    * the production-blocking collision probability depends only on the
+    * pair's angle, and the sampler planes are independent of the
+    * production planes, so per-band recall over the slice estimates
+    * per-band recall over the corpus (the residual within-band bias
+    * toward closer pairs is second-order at 0.05–0.2-wide bands).
+    *
+    * The slice is brute-forced exactly (all pairs, fused dot kernel);
+    * each true pair (cos ≥ 0.4) is then tested against the PER-PAIR
+    * blocking predicate of three production configs — no candidate
+    * join needed, because bucket functions are per-doc: q_embed_dup_pairs
+    * (single table, adaptive p, 1-bit multiprobe) → bucket XOR distance
+    * ≤ 1; q_embed_dup_tables (2 tables, radius 0) → either table's
+    * buckets equal; q_embed_dup_hr (L tables at p+2 planes,
+    * [[lshTablesFor]]) → any table's buckets equal. The df-cap is not
+    * modeled: it is vacuous at every measured scale (10k-doc buckets
+    * against ≤ 40-doc expected occupancy) and is a separately
+    * documented safety valve, not part of the collision geometry.
+    *
+    * Output: one row per cosine band plus an 'all' rollup —
+    * (n_true, found, recall_ppm) per config, with the adaptive plane
+    * and table counts for context. Recall floors are asserted in
+    * DedupSimilaritySpec (planted near-dups through this same
+    * machinery); SCALING.md carries the measured sf0.01/sf0.1/sf1
+    * numbers. Scale: the N² term is confined to the ≈1200-doc slice
+    * (~0.7M pairs at any corpus size); everything corpus-sized is one
+    * count and one narrow map pass for the slice filter. */
+  val qLshRecall = GraftQuery(
+    "q_lsh_recall",
+    (s, dir) => {
+      import s.implicits._
+      val emb = graft.operators.Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
+      val n = emb.count()
+      val p = lshPlanesFor(n)
+      val pHr = p + 2
+      val lHr = lshTablesFor(pHr)
+      val stride = ((n + RecallSliceTarget - 1L) / RecallSliceTarget).toInt
+      val slice = graft.operators.Caches.register(emb.select(
+          $"vec_id".as("id"), $"embedding".as("v"),
+          Similarity.portableBucketNative($"embedding",
+            RecallSamplerPlanes, 64, RecallSamplerOffset).as("cell"),
+          Similarity.portableBucketNative($"embedding", p, 64, 0).as("b0"),
+          Similarity.portableBucketNative($"embedding", p, 64, p).as("b1"),
+          array((0 until lHr).map(l =>
+            Similarity.portableBucketNative($"embedding", pHr, 64, l * pHr)): _*)
+            .as("hb"),
+          sqrt(Similarity.dotNative($"embedding", $"embedding")).as("nrm"))
+        .filter($"cell" % stride === 0)
+        .drop("cell"))
+      val a = slice.select($"id".as("id_a"), $"v".as("va"), $"b0".as("b0a"),
+        $"b1".as("b1a"), $"hb".as("hba"), $"nrm".as("na"))
+      val c = slice.select($"id".as("id_b"), $"v".as("vb"), $"b0".as("b0b"),
+        $"b1".as("b1b"), $"hb".as("hbb"), $"nrm".as("nb"))
+      val denom = $"na" * $"nb"
+      val pairs = a.join(c, $"id_a" < $"id_b")
+        .withColumn("cos_sim", round(when(denom === 0.0, 0.0)
+          .otherwise(Similarity.dotNative($"va", $"vb") / denom), 6))
+        .filter($"cos_sim" >= 0.4)
+        .withColumn("band",
+          when($"cos_sim" < 0.6, "0.40-0.60")
+            .when($"cos_sim" < 0.8, "0.60-0.80")
+            .when($"cos_sim" < 0.95, "0.80-0.95")
+            .otherwise("0.95-1.00"))
+        .withColumn("f_probe",
+          bit_count($"b0a".bitwiseXOR($"b0b")) <= 1)
+        .withColumn("f_tab2", ($"b0a" === $"b0b") || ($"b1a" === $"b1b"))
+        .withColumn("f_hr",
+          exists(zip_with($"hba", $"hbb", (x, y) => x === y), b => b))
+        .select($"band", $"f_probe", $"f_tab2", $"f_hr")
+      def tally(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+        count(lit(1)).as("n_true"),
+        sum(when($"f_probe", 1L).otherwise(0L)).as("n_probe"),
+        sum(when($"f_tab2", 1L).otherwise(0L)).as("n_tab2"),
+        sum(when($"f_hr", 1L).otherwise(0L)).as("n_hr"))
+      val cached = graft.operators.Caches.register(pairs)
+      tally(cached.groupBy($"band"))
+        .unionByName(tally(cached.groupBy(lit("all").as("band"))))
+        .select($"band", $"n_true",
+          $"n_probe",
+          expr("CAST(n_probe * 1000000 div n_true AS BIGINT)").as("recall_probe_ppm"),
+          $"n_tab2",
+          expr("CAST(n_tab2 * 1000000 div n_true AS BIGINT)").as("recall_tab2_ppm"),
+          $"n_hr",
+          expr("CAST(n_hr * 1000000 div n_true AS BIGINT)").as("recall_hr_ppm"),
+          lit(p).as("n_planes"), lit(lHr).as("hr_tables"))
+        .orderBy($"band")
+    },
+    Some(s"""WITH $lshPlanesSql, $lshHrParamsSql,
+      sp AS (SELECT (COUNT(*) + 1199) // 1200 AS stride FROM embeddings),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bv AS (SELECT vec_id, v,
+        list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
+      sl AS (SELECT vec_id, v,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(params.np), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qv[d+1] * (CASE WHEN (48271 * (((p*64 + d + 1) * 2654435761 % 2147483647) * ((p*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) AS b0,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(params.np), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qv[d+1] * (CASE WHEN (48271 * ((((params.np + p)*64 + d + 1) * 2654435761 % 2147483647) * (((params.np + p)*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) AS b1,
+        list_transform(range(hr.lh), l ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(hr.nph), p ->
+            CASE WHEN list_sum(list_transform(range(64), d ->
+              qv[d+1] * (CASE WHEN (48271 * ((((l * hr.nph + p)*64 + d + 1) * 2654435761 % 2147483647) * (((l * hr.nph + p)*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
+                         THEN 1 ELSE -1 END))) >= 0
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+            (acc, x) -> acc * 2 + x)) AS hb
+      FROM bv, params, hr, sp
+      WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range($RecallSamplerPlanes), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qv[d+1] * (CASE WHEN (48271 * (((($RecallSamplerOffset + p)*64 + d + 1) * 2654435761 % 2147483647) * ((($RecallSamplerOffset + p)*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) % sp.stride = 0),
+      pb AS (SELECT
+          CASE WHEN cs < 0.6 THEN '0.40-0.60' WHEN cs < 0.8 THEN '0.60-0.80'
+               WHEN cs < 0.95 THEN '0.80-0.95' ELSE '0.95-1.00' END AS band,
+          bit_count(xor(ab0, cb0)) <= 1 AS f_probe,
+          (ab0 = cb0 OR ab1 = cb1) AS f_tab2,
+          len(list_filter(range(len(ahb)), l -> ahb[l+1] = chb[l+1])) > 0 AS f_hr
+        FROM (SELECT a.b0 AS ab0, a.b1 AS ab1, a.hb AS ahb,
+            c.b0 AS cb0, c.b1 AS cb1, c.hb AS chb,
+            ROUND(CASE WHEN SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v)) = 0
+              THEN 0.0
+              ELSE list_dot_product(a.v, c.v) /
+                (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v))) END, 6) AS cs
+          FROM sl a JOIN sl c ON a.vec_id < c.vec_id)
+        WHERE cs >= 0.4),
+      agg AS (SELECT band, COUNT(*) AS n_true,
+          SUM(CASE WHEN f_probe THEN 1 ELSE 0 END) AS n_probe,
+          SUM(CASE WHEN f_tab2 THEN 1 ELSE 0 END) AS n_tab2,
+          SUM(CASE WHEN f_hr THEN 1 ELSE 0 END) AS n_hr
+        FROM pb GROUP BY band
+        UNION ALL
+        SELECT 'all', COUNT(*),
+          SUM(CASE WHEN f_probe THEN 1 ELSE 0 END),
+          SUM(CASE WHEN f_tab2 THEN 1 ELSE 0 END),
+          SUM(CASE WHEN f_hr THEN 1 ELSE 0 END)
+        FROM pb)
+      SELECT band, CAST(n_true AS BIGINT) AS n_true,
+        CAST(n_probe AS BIGINT) AS n_probe,
+        CAST(n_probe * 1000000 // n_true AS BIGINT) AS recall_probe_ppm,
+        CAST(n_tab2 AS BIGINT) AS n_tab2,
+        CAST(n_tab2 * 1000000 // n_true AS BIGINT) AS recall_tab2_ppm,
+        CAST(n_hr AS BIGINT) AS n_hr,
+        CAST(n_hr * 1000000 // n_true AS BIGINT) AS recall_hr_ppm,
+        CAST(params.np AS INT) AS n_planes, CAST(hr.lh AS INT) AS hr_tables
+      FROM agg, params, hr ORDER BY band""")
   )
 
   val qSemanticDedup = GraftQuery(
@@ -1362,7 +1624,7 @@ object DocQueries {
       b AS (SELECT vec_id, v,
         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(params.np), p ->
           CASE WHEN list_sum(list_transform(range(64), d ->
-            qv[d+1] * (CASE WHEN (48271 * ((48271 * (p*64 + d + 1)) % 2147483647)) % 2147483647 < 1073741824
+            qv[d+1] * (CASE WHEN (48271 * (((p*64 + d + 1) * 2654435761 % 2147483647) * ((p*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
                        THEN 1 ELSE -1 END))) >= 0
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
           (acc, x) -> acc * 2 + x) AS bucket
@@ -3287,7 +3549,8 @@ object DocQueries {
     qUnigramXent, qBigramXent, qVocabCoverage,
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,
-    qAnnTopK, qEmbedDupPairs, qEmbedDupTables, qSemanticDedup, qIvfTopK, qApproxDistinct, qHllRollup, qAsofJoin,
+    qAnnTopK, qEmbedDupPairs, qEmbedDupTables, qEmbedDupHr, qLshRecall,
+    qSemanticDedup, qIvfTopK, qApproxDistinct, qHllRollup, qAsofJoin,
     qRangeJoin, qKmvDistinct, qKmvIntersect, qQualityScore, qSourceSimilarity, qSourceOverlap,
     qTokenFertility)
 }

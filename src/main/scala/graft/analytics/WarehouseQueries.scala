@@ -719,7 +719,7 @@ object WarehouseQueries {
   /** Johnson-Lindenstrauss random projection 64 → 16 dims with the
     * PORTABLE quantized-Rademacher scheme: inputs fixed-point at 1e-6
     * ([[graft.operators.Similarity.quantize]]), signs from the same
-    * double-step Lehmer hash as the LSH planes
+    * stir-square-stir integer hash as the LSH planes
     * ([[graft.operators.Similarity.rademacherPlanes]]) — so every
     * projected coordinate is an exact integer any engine reproduces.
     * Each row carries a SELF-CERTIFYING `jl_distortion` column:
@@ -756,7 +756,8 @@ object WarehouseQueries {
         list_transform(range(16), j ->
           list_reduce(list_prepend(CAST(0 AS BIGINT),
             list_transform(range(64), d ->
-              (CASE WHEN ((48271 * ((48271 * (j * 64 + d + 1)) % 2147483647)) % 2147483647)
+              (CASE WHEN (48271 * (((j * 64 + d + 1) * 2654435761 % 2147483647) *
+                      ((j * 64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647
                     < 1073741824 THEN 1 ELSE -1 END) * qv[d + 1])),
             (a, b) -> a + b)) AS proj
       FROM v),

@@ -149,9 +149,10 @@ object VectorKernels {
     * plane over primitive longs, replacing nPlanes interpreted
     * aggregate/zip_with trees (each of which re-ran the quantize
     * transform). Plane signs are generated INLINE from the same
-    * double-Lehmer formula as Similarity.rademacherPlanes — the kernel,
-    * the declarative fold, and the DuckDB oracle all derive the identical
-    * ±1 matrix from (p·dim + d + 1). */
+    * stir-square-stir formula as Similarity.rademacherPlanes (see there
+    * for why the step must be non-linear) — the kernel, the declarative
+    * fold, and the DuckDB oracle all derive the identical ±1 matrix from
+    * (p·dim + d + 1). */
   def portableLshBucket(v: org.apache.spark.sql.catalyst.util.ArrayData,
       nPlanes: Int, dim: Int): Long = portableLshBucket(v, nPlanes, dim, 0)
 
@@ -184,9 +185,9 @@ object VectorKernels {
       var d = 0L
       i = 0
       while (i < n) {
-        val x1 = (48271L * ((planeOffset.toLong + p) * dim + i + 1)) % 2147483647L
-        val x2 = (48271L * x1) % 2147483647L
-        d += (if (x2 < 1073741824L) q(i) else -q(i))
+        val x1 = (((planeOffset.toLong + p) * dim + i + 1) * 2654435761L) % 2147483647L
+        val x2 = (x1 * x1) % 2147483647L
+        d += (if ((48271L * x2) % 2147483647L < 1073741824L) q(i) else -q(i))
         i += 1
       }
       bucket = bucket * 2 + (if (d >= 0) 1L else 0L)
@@ -261,9 +262,9 @@ object VectorKernels {
       var d = 0L
       i = 0
       while (i < n) {
-        val x1 = (48271L * (p.toLong * dim + i + 1)) % 2147483647L
-        val x2 = (48271L * x1) % 2147483647L
-        d += (if (x2 < 1073741824L) q(i) else -q(i))
+        val x1 = ((p.toLong * dim + i + 1) * 2654435761L) % 2147483647L
+        val x2 = (x1 * x1) % 2147483647L
+        d += (if ((48271L * x2) % 2147483647L < 1073741824L) q(i) else -q(i))
         i += 1
       }
       proj(p) = d

@@ -204,6 +204,42 @@ class DedupSimilaritySpec extends SparkSpec {
     multi.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("hr table ladder holds >= 0.9 recall on cosine-0.95 pairs at high plane counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // planted pairs AT the ladder's design point: σ = 0.04 over 64 dims
+    // puts cosine ≈ 0.953 ± 0.008, so the surviving (≥ 0.95) pairs sit
+    // just above the cosine the lshTablesFor ladder is calibrated for —
+    // the worst case its ≥ 0.9 floor must cover
+    val rows = Seq.fill(300)(unit(Array.fill(64)(rnd.nextGaussian())))
+      .zipWithIndex.flatMap { case (b, i) =>
+        val noisy = unit(b.map(_ + rnd.nextGaussian() * 0.04))
+        Seq((i.toLong * 2, b.toSeq), (i.toLong * 2 + 1, noisy.toSeq))
+      }
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = df.as("a").join(df.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id") && col("a.vec_id") % 2 === 0)
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosineNative(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 120,
+      s"fixture: need a meaningful design-point pair count, got ${truth.size}")
+    // (p_hr, L) pairs straight from the q_embed_dup_hr ladder — the
+    // adaptive regimes of ~40k and ~160k corpora
+    for ((pHr, l) <- Seq((12, 8), (14, 10))) {
+      val found = Similarity.embeddingDupPairsTables(df, "vec_id", "embedding",
+          threshold = 0.95, nPlanes = pHr, tables = l, probeRadius = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = truth.count(found.contains).toDouble / truth.size
+      assert(recall >= 0.9,
+        s"hr ladder p=$pHr L=$l recall $recall over ${truth.size} design-point pairs")
+    }
+  }
+
   test("fused portable LSH bucket kernel equals the declarative fold") {
     val native = emb.select(col("vec_id"),
       Similarity.portableBucketNative(col("embedding"), 5, 64).as("b"))
