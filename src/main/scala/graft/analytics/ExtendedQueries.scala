@@ -1380,76 +1380,214 @@ object ExtendedQueries {
     * production stream uses a bounded delay and the same code. The
     * tercile split is time-boundary-based (min + k·span/3 from one
     * 1-row aggregate), never a global sort. */
+  /** Stage an events frame into deliberately event-time-DISORDERED
+    * parquet files under a fresh temp dir: middle time-tercile FIRST,
+    * then the earliest, then the latest, then two far-future sentinel
+    * events for a non-matching user (the first advances the watermark
+    * past the real corpus; the second is needed because a watermark
+    * only moves at batch END and EventTimeTimeouts fire on the batch
+    * AFTER they expire). File mtimes pin the arrival order
+    * (FileStreamSource batches by mtime). The tercile split is
+    * time-boundary-based (min + k·span/3 from one 1-row aggregate),
+    * never a global sort. Returns (srcDir, delaySec bounding the
+    * disorder, cleanup) — run cleanup once the availableNow run has
+    * collected, success or failure, so repeated rounds don't accumulate
+    * corpus copies in the temp dir. */
+  private def stageOooSource(
+      s: org.apache.spark.sql.SparkSession,
+      ev0: org.apache.spark.sql.DataFrame): (String, Long, () => Unit) = {
+    import s.implicits._
+    val mm = ev0.agg(
+      min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
+    val spanUs = math.max(mxUs - mnUs, 1L)
+    val (b1, b2) = (mnUs + spanUs / 3, mnUs + 2 * spanUs / 3)
+    def sentinel(us: Long) = ev0.limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("ts", timestamp_micros(lit(us)))
+      .withColumn("event_id", lit(-1L))
+      .withColumn("event_type", lit("view"))
+    val srcDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+      "graft_ooo_src").toString
+    val t = unix_micros($"ts")
+    val parts = Seq(
+      ev0.filter(t > b1 && t <= b2),            // middle tercile FIRST
+      ev0.filter(t <= b1),                      // then the earliest
+      ev0.filter(t > b2),                       // then the latest
+      sentinel(mxUs + 2 * spanUs + 7200L * 1000000L),  // wm past corpus
+      sentinel(mxUs + 4 * spanUs + 14400L * 1000000L)) // fires timeouts
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val stage = s"$srcDir/stage_$i"
+      p.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dst = new java.io.File(srcDir, s"events_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    (srcDir, spanUs / 1000000L + 60L, () => rm(new java.io.File(srcDir)))
+  }
+
   val qStreamFunnelOoo = GraftQuery(
     "q_stream_funnel_ooo",
     (s, dir) => {
       import s.implicits._
       val ev0 = Tables.events(s, dir)
         .select($"user_id", $"ts", $"event_id", $"event_type")
-      val mm = ev0.agg(
-        min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
-      val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
-      val spanUs = math.max(mxUs - mnUs, 1L)
-      val (b1, b2) = (mnUs + spanUs / 3, mnUs + 2 * spanUs / 3)
-      def sentinel(us: Long) = ev0.limit(1)
-        .withColumn("user_id", lit(-1L))
-        .withColumn("ts", timestamp_micros(lit(us)))
-        .withColumn("event_id", lit(-1L))
-        .withColumn("event_type", lit("view"))
-      val srcDir = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-        "graft_ooo_src").toString
+      val (srcDir, delaySec, cleanup) = stageOooSource(s, ev0)
       try {
-      val t = unix_micros($"ts")
-      val parts = Seq(
-        ev0.filter(t > b1 && t <= b2),            // middle tercile FIRST
-        ev0.filter(t <= b1),                      // then the earliest
-        ev0.filter(t > b2),                       // then the latest
-        sentinel(mxUs + 2 * spanUs + 7200L * 1000000L),  // wm past corpus
-        sentinel(mxUs + 4 * spanUs + 14400L * 1000000L)) // fires timeouts
-      parts.zipWithIndex.foreach { case (p, i) =>
-        val stage = s"$srcDir/stage_$i"
-        p.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
-        val dst = new java.io.File(srcDir, s"events_$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // FileStreamSource batches by mtime: pin the arrival order
-        require(dst.setLastModified(1700000000000L + i * 60000L))
-      }
-      val delaySec = spanUs / 1000000L + 60L
-      val name = "stream_funnel_ooo_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
-      val ev = graft.streaming.EventsStream.readEvents(s, srcDir, maxFilesPerTrigger = 1)
-      val m = graft.streaming.PatternMatch.matchesReordered(ev, s"$delaySec seconds")
-      graft.streaming.EventsStream
-        .runAvailableNow(s, m.toDF(), name, checkpoint, OutputMode.Append())
-        .filter($"user_id" >= 0) // sentinels can't match, but be explicit
-        .select($"user_id", $"view_event_id",
-          date_format($"t_view", "yyyy-MM-dd HH:mm:ss").as("t_view"),
-          date_format($"t_click", "yyyy-MM-dd HH:mm:ss").as("t_click"),
-          date_format($"t_purchase", "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
-          $"latency_sec")
-        .orderBy($"user_id", $"view_event_id")
-      } finally {
-        // runAvailableNow collects the sink to an in-memory DataFrame, so
-        // the staged source files are dead weight once it returns — delete
-        // them (success or failure) instead of leaking a corpus copy per run
-        val root = new java.io.File(srcDir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(root)
-      }
+        val name = "stream_funnel_ooo_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+        val ev = graft.streaming.EventsStream.readEvents(s, srcDir, maxFilesPerTrigger = 1)
+        val m = graft.streaming.PatternMatch.matchesReordered(ev, s"$delaySec seconds")
+        graft.streaming.EventsStream
+          .runAvailableNow(s, m.toDF(), name, checkpoint, OutputMode.Append())
+          .filter($"user_id" >= 0) // sentinels can't match, but be explicit
+          .select($"user_id", $"view_event_id",
+            date_format($"t_view", "yyyy-MM-dd HH:mm:ss").as("t_view"),
+            date_format($"t_click", "yyyy-MM-dd HH:mm:ss").as("t_click"),
+            date_format($"t_purchase", "yyyy-MM-dd HH:mm:ss").as("t_purchase"),
+            $"latency_sec")
+          .orderBy($"user_id", $"view_event_id")
+      } finally cleanup()
     },
     qStreamFunnel.oracle // SAME batch replay: arrival order must not matter
   )
 
+  /** Generates the batch recursive-CTE replay of [[graft.streaming
+    * .PatternMatch.matchesK]] for an ARBITRARY ordered pattern — the
+    * per-pattern oracle the k-free chain equivalence argument promises
+    * (see the PatternMatch scaladoc): each step event is the FIRST
+    * event of the step's type after the previous step's event (window
+    * min over following rows), complete chains are walked greedily and
+    * non-overlapping by a recursive CTE. `stepCols` names the per-step
+    * timestamp output columns. */
+  def chainOracleSql(pattern: Seq[String], stepCols: Seq[String]): String = {
+    require(pattern.length >= 2 && pattern.length == stepCols.length)
+    val k = pattern.length
+    val types = pattern.distinct.map(t => s"'$t'").mkString(", ")
+    val nexts = (1 until k).map(i =>
+      s"""MIN(CASE WHEN event_type = '${pattern(i)}' THEN ROW(ts, event_id) END)
+            OVER nxt AS n$i""").mkString(",\n          ")
+    val s0 =
+      s"""s0 AS (SELECT user_id, ROW(ts, event_id) AS vk, event_id AS start_id,
+          ts AS ts0, n1 AS k1
+        FROM w WHERE event_type = '${pattern(0)}' AND n1 IS NOT NULL)"""
+    val mids = (1 until k - 1).map { i =>
+      val carried = (s"s${i - 1}.user_id" +: s"s${i - 1}.vk" +: s"s${i - 1}.start_id" +:
+        (0 until i).map(j => s"s${i - 1}.ts$j")).mkString(", ")
+      s"""s$i AS (SELECT $carried, e.ts AS ts$i, e.n${i + 1} AS k${i + 1}
+        FROM s${i - 1} JOIN w e ON e.user_id = s${i - 1}.user_id
+          AND ROW(e.ts, e.event_id) = s${i - 1}.k$i
+        WHERE e.n${i + 1} IS NOT NULL)"""
+    }
+    val last = {
+      val i = k - 1
+      val carried = (s"s${i - 1}.user_id" +: s"s${i - 1}.vk" +: s"s${i - 1}.start_id" +:
+        (0 until i).map(j => s"s${i - 1}.ts$j")).mkString(", ")
+      s"""tup AS (SELECT $carried, e.ts AS ts$i, ROW(e.ts, e.event_id) AS pk
+        FROM s${i - 1} JOIN w e ON e.user_id = s${i - 1}.user_id
+          AND ROW(e.ts, e.event_id) = s${i - 1}.k$i)"""
+    }
+    val outTs = stepCols.zipWithIndex.map { case (c, i) =>
+      s"STRFTIME(ts$i, '%Y-%m-%d %H:%M:%S') AS $c" }.mkString(",\n        ")
+    s"""WITH RECURSIVE ev AS (SELECT user_id, ts, event_id, event_type
+        FROM events WHERE event_type IN ($types)),
+      w AS (SELECT user_id, ts, event_id, event_type,
+          $nexts
+        FROM ev
+        WINDOW nxt AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      $s0,
+      ${(mids :+ last).mkString(",\n      ")},
+      walk AS (
+        SELECT t.* FROM tup t WHERE NOT EXISTS (
+          SELECT 1 FROM tup t2 WHERE t2.user_id = t.user_id AND t2.vk < t.vk)
+        UNION ALL
+        SELECT t.* FROM walk wk JOIN tup t
+          ON t.user_id = wk.user_id AND t.vk > wk.pk
+        WHERE NOT EXISTS (SELECT 1 FROM tup t2
+          WHERE t2.user_id = t.user_id AND t2.vk > wk.pk AND t2.vk < t.vk))
+      SELECT user_id, start_id AS start_event_id,
+        $outTs,
+        (epoch_us(ts${k - 1}) - epoch_us(ts0)) // 1000000 AS latency_sec
+      FROM walk ORDER BY user_id, start_event_id"""
+  }
+
+  /** The 4-step CEP pattern the generalized matcher ships with: the
+    * full acquisition funnel signup → view → click → purchase. */
+  private val KPattern = Seq("signup", "view", "click", "purchase")
+  private val KStepCols = Seq("t_signup", "t_view", "t_click", "t_purchase")
+
+  private def kMatchProjection(df: org.apache.spark.sql.DataFrame) = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.filter($"user_id" >= 0)
+      .select(($"user_id" +: $"start_event_id" +:
+        KStepCols.zipWithIndex.map { case (c, i) =>
+          date_format(timestamp_micros(element_at($"step_us", i + 1)),
+            "yyyy-MM-dd HH:mm:ss").as(c)
+        }) :+
+        expr(s"CAST((step_us[${KPattern.length - 1}] - step_us[0]) div 1000000 AS BIGINT)")
+          .as("latency_sec"): _*)
+      .orderBy($"user_id", $"start_event_id")
+  }
+
+  /** Streaming CEP for a 4-STEP pattern through the generalized
+    * [[graft.streaming.PatternMatch.matchesK]] — the parameterized
+    * matcher the hardcoded funnel grew into (a pipeline user's first
+    * request is always a different pattern). Strict in-order path; the
+    * oracle is GENERATED from the pattern by [[chainOracleSql]], so any
+    * ordered sequence gets its batch replay for free. Same greedy
+    * non-overlapping semantics, O(k) state per user. */
+  val qStreamFunnelK = GraftQuery(
+    "q_stream_funnel_k",
+    (s, dir) => {
+      val name = "stream_funnel_k_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+      val ev = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+      val m = graft.streaming.PatternMatch.matchesK(ev, KPattern)
+      kMatchProjection(graft.streaming.EventsStream
+        .runAvailableNow(s, m.toDF(), name, checkpoint, OutputMode.Append()))
+    },
+    Some(chainOracleSql(KPattern, KStepCols))
+  )
+
+  /** The same 4-step pattern under OUT-OF-ORDER micro-batches through
+    * [[graft.streaming.PatternMatch.matchesReorderedK]] (watermark +
+    * per-key reorder buffer) over the tercile-disordered staged source —
+    * same oracle: arrival order must not matter. */
+  val qStreamFunnelKOoo = GraftQuery(
+    "q_stream_funnel_k_ooo",
+    (s, dir) => {
+      import s.implicits._
+      val ev0 = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+      val (srcDir, delaySec, cleanup) = stageOooSource(s, ev0)
+      try {
+        val name = "stream_funnel_k_ooo_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+        val ev = graft.streaming.EventsStream.readEvents(s, srcDir, maxFilesPerTrigger = 1)
+        val m = graft.streaming.PatternMatch.matchesReorderedK(
+          ev, KPattern, s"$delaySec seconds")
+        kMatchProjection(graft.streaming.EventsStream
+          .runAvailableNow(s, m.toDF(), name, checkpoint, OutputMode.Append()))
+      } finally cleanup()
+    },
+    Some(chainOracleSql(KPattern, KStepCols))
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qStreamFunnel, qStreamFunnelOoo,
+    qStreamFunnel, qStreamFunnelOoo, qStreamFunnelK, qStreamFunnelKOoo,
     qJwMatch, qStringMetrics,
     qWindowFuncs, qCube, qGroupQuantiles, qTopTokens, qSaltedTopUsers,
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
