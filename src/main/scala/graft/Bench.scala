@@ -69,19 +69,23 @@ object Bench {
         // weakly-referenced broadcast/shuffle state each cycle.
         System.gc()
       }
-      // steady = MIN of two post-warmup runs: single-shot steady readings
-      // on this host swing up to 3× from GC/CPU-frequency noise (measured:
-      // identical back-to-back runs at 5.1 s and 11.3 s), and the minimum
+      // steady = MIN of three post-warmup runs FOR EVERY query: single-
+      // shot steady readings on this host swing up to 3× from GC/CPU-
+      // frequency noise (measured: identical back-to-back runs at 5.1 s
+      // and 11.3 s, and a documented ±60% scatter on sub-3 s queries
+      // that forced three solo re-benches in round 10), and the minimum
       // of repeated measurements is the standard estimator of the true
-      // recompute cost under one-sided noise. A failed run (-1) must stay
-      // -1, never win the min.
+      // recompute cost under one-sided noise. Min-of-2 left the short
+      // queries — exactly the ones whose SLOPE ratios the 10× audit
+      // divides — inside the noise floor, so the third run is paid for
+      // everyone, not just the tail. A failed run (-1) must stay -1,
+      // never win the min.
       val c = once(); clear()
-      val st1 = once(); clear()
-      val st2 = once(); clear()
-      val st = if (st1 < 0 || st2 < 0) -1.0 else math.min(st1, st2)
+      val steadies = Seq.fill(3) { val r = once(); clear(); r }
+      val st = if (steadies.exists(_ < 0)) -1.0 else steadies.min
       (q.name, c, st, () => { val r = once(); clear(); r })
     }
-    // the slowest queries get a THIRD steady run folded into the min:
+    // the slowest queries get a FOURTH steady run folded into the min:
     // single-run noise on this host has twice produced ±3× false
     // regression flags precisely on the expensive tail, where one GC or
     // CPU-frequency excursion costs whole seconds
