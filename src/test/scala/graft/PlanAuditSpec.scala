@@ -1165,4 +1165,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pcc.contains("windowspecdefinition()"),
       s"q_cc_bigstar grew a global window:\n$pcc")
   }
+
+  test("round-11 additions: hr tables stay narrow, recall slice bounds its brute force") {
+    // q_embed_dup_hr: L plane tables, same narrow-candidate contract as
+    // the 2-table variant — bucket join flows (id, tbl, bucket) only,
+    // vectors re-attach by id at the one shared verify; never cartesian
+    val ph = plan("q_embed_dup_hr")
+    assert(!ph.contains("CartesianProduct") &&
+      !ph.contains("BroadcastNestedLoopJoin"),
+      s"q_embed_dup_hr grew a pair expansion:\n$ph")
+    assert(ph.contains("graft_dot"),
+      s"q_embed_dup_hr lost the fused dot verify:\n$ph")
+    // q_lsh_recall: the ONLY non-equi join allowed is the slice brute
+    // force (id_a < id_b over the ~1200-doc cell sample — bounded by
+    // construction, it IS the ground truth); the corpus-sized side must
+    // stay a map pass (bucket exprs + the cell filter), contributing no
+    // join of its own. The fused kernels must survive into the plan.
+    val pr = plan("q_lsh_recall")
+    assert(pr.contains("graft_lsh_bucket") && pr.contains("graft_dot"),
+      s"q_lsh_recall lost the fused bucket/dot kernels:\n$pr")
+    assert(!pr.contains("CartesianProduct"),
+      s"q_lsh_recall's brute force must keep its id_a < id_b condition:\n$pr")
+  }
 }
