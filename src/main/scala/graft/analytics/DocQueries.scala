@@ -222,6 +222,168 @@ object DocQueries {
       ORDER BY id_a, id_b""")
   )
 
+  /** Slice-size target and df-cap for q_blocking_recall — cap matches
+    * q_jaccard_pairs/q_containment_pairs (maxDf = 100). */
+  private val BlockingSliceTarget = 600L
+  private val BlockingMaxDf = 100
+
+  /** Df-cap blocking RECALL against exact ground truth — the pair-family
+    * analog of q_lsh_recall, closing the fixed-parameter census's open
+    * measurement: the maxDf stop-shingle cap ([[Dedup.dropHotKeys]]) is
+    * the pair generators' scale safety valve, and like the LSH plane
+    * ladder its recall cost is invisible to the hash oracle (both engines
+    * replay the same cap, so they agree on a recall-degraded answer).
+    * This query carries the ground truth inside the result.
+    *
+    * A corpus-size-bounded slice (expected ≈ 600 docs) is drawn by
+    * MIN-SHINGLE MINHASH CELL: keep a doc iff its slot-0 portable minhash
+    * value ≡ 0 (mod stride). By the MinHash property a true pair at
+    * Jaccard j shares its sampling key with probability j, so near-dup
+    * pairs survive at ≈ j/stride — where id-stride sampling would keep
+    * them only at 1/stride² and leave the bands empty. The sampler is a
+    * HASH of the shingle set, independent of the df-cap decision it
+    * audits (the cap drops keys by frequency, not by hash value).
+    *
+    * The slice is ground-truthed exactly: the UNCAPPED shared-shingle
+    * join confined to slice docs is complete for every pair with ≥ 1
+    * common shingle (a pair with none has Jaccard 0), so true pairs =
+    * uncapped Jaccard ≥ 0.5 — the same threshold and integer
+    * cross-multiply as q_jaccard_pairs. Each true pair is then tested
+    * against the production semantics: `blocked` = shares ≥ 1 shingle
+    * whose FULL-CORPUS df ≤ maxDf (the pair reaches verification at
+    * all), and `found` = the capped-set Jaccard the production operator
+    * computes still clears 0.5 (the cap shrinks intersection AND union,
+    * so a boilerplate-heavy true pair can block but fail the filter).
+    *
+    * Output: one row per true-Jaccard band plus an 'all' rollup —
+    * (n_true, n_blocked, recall_blocked_ppm, n_found, recall_found_ppm)
+    * with the cap and stride for context. Scale: the slice join is
+    * bounded by slice² ≈ 360k rows at ANY corpus size; the corpus-sized
+    * work is one narrow df rollup (map-side combined to distinct
+    * shingles) whose > maxDf survivors are ≤ occurrences/maxDf rows —
+    * broadcastable by the same argument that makes the cap a safety
+    * valve. Integer arithmetic end-to-end. */
+  val qBlockingRecall = GraftQuery(
+    "q_blocking_recall",
+    (s, dir) => {
+      import s.implicits._
+      val hs = graft.operators.Caches.register(
+        Tables.documents(s, dir).select($"doc_id",
+          graft.expressions.TextHashExprs.shingleHashes64(
+            TextAnalysis.tokens($"text"), 3, portable = true).as("hv")))
+      val n = hs.count()
+      val stride = (n + BlockingSliceTarget - 1L) / BlockingSliceTarget
+      // full-corpus hot shingles (df > cap): the ONLY corpus-sized pass
+      val hot = hs.select(explode($"hv").as("s"))
+        .groupBy($"s").agg(count(lit(1)).as("df"))
+        .filter($"df" > BlockingMaxDf)
+        .select($"s", lit(true).as("hot"))
+      // slot-0 portable minhash = min over hv of (48271·h) mod P
+      val slice = hs
+        .withColumn("m", element_at(
+          graft.expressions.TextHashExprs.minhashSignature(
+            $"hv", 1, portable = true), 1))
+        .filter($"m" % stride === 0)
+        .select($"doc_id", size($"hv").as("n_sh"), $"hv")
+      val ex = graft.operators.Caches.register(
+        slice.select($"doc_id", $"n_sh", explode($"hv").as("s"))
+          .join(broadcast(hot), Seq("s"), "left")
+          .na.fill(Map("hot" -> false)))
+      val sizes = ex.groupBy($"doc_id", $"n_sh")
+        .agg(sum(when($"hot", 1L).otherwise(0L)).as("n_hot"))
+      val pairs = ex.as("a").join(ex.as("b"),
+          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .agg(count(lit(1)).as("inter"),
+          sum(when($"a.hot", 0L).otherwise(1L)).as("inter_c"))
+      val flagged = graft.operators.Caches.register(pairs
+        .join(sizes.select($"doc_id".as("id_a"), $"n_sh".as("n_a"), $"n_hot".as("h_a")), "id_a")
+        .join(sizes.select($"doc_id".as("id_b"), $"n_sh".as("n_b"), $"n_hot".as("h_b")), "id_b")
+        .withColumn("uni", $"n_a" + $"n_b" - $"inter")
+        .filter($"inter" * 100 >= $"uni" * 50)
+        .withColumn("jppm", expr("inter * 1000000 div uni"))
+        .withColumn("band",
+          when($"jppm" < 650000, "0.50-0.65")
+            .when($"jppm" < 800000, "0.65-0.80")
+            .otherwise("0.80-1.00"))
+        .withColumn("f_blocked", $"inter_c" > 0)
+        .withColumn("f_found", $"inter_c" > 0 &&
+          $"inter_c" * 100 >= ($"n_a" - $"h_a" + $"n_b" - $"h_b" - $"inter_c") * 50)
+        .select($"band", $"f_blocked", $"f_found"))
+      def tally(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+        count(lit(1)).as("n_true"),
+        sum(when($"f_blocked", 1L).otherwise(0L)).as("n_blocked"),
+        sum(when($"f_found", 1L).otherwise(0L)).as("n_found"))
+      tally(flagged.groupBy($"band"))
+        .unionByName(tally(flagged.groupBy(lit("all").as("band"))))
+        .select($"band", $"n_true",
+          $"n_blocked",
+          expr("CAST(n_blocked * 1000000 div n_true AS BIGINT)").as("recall_blocked_ppm"),
+          $"n_found",
+          expr("CAST(n_found * 1000000 div n_true AS BIGINT)").as("recall_found_ppm"),
+          lit(BlockingMaxDf).as("max_df"), lit(stride.toInt).as("stride"))
+        .orderBy($"band")
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+      sg AS (SELECT doc_id,
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END AS shingles
+      FROM t),
+      hs AS (SELECT doc_id,
+        list_distinct(list_transform(shingles, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(s, '.'), c -> CAST(ord(c) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007))) AS hv
+      FROM sg),
+      sp AS (SELECT CAST((COUNT(*) + ${BlockingSliceTarget - 1}) // $BlockingSliceTarget AS BIGINT) AS stride
+        FROM documents),
+      freq AS (SELECT s, COUNT(*) AS df
+        FROM (SELECT doc_id, unnest(hv) AS s FROM hs) GROUP BY s),
+      hot AS (SELECT s FROM freq WHERE df > $BlockingMaxDf),
+      sl AS (SELECT doc_id, len(hv) AS n_sh, hv FROM hs, sp
+        WHERE list_min(list_transform(hv, h -> (48271 * h) % 1000000007)) % sp.stride = 0),
+      ex AS (SELECT doc_id, n_sh, s, s IN (SELECT s FROM hot) AS hot
+        FROM (SELECT doc_id, n_sh, unnest(hv) AS s FROM sl)),
+      sizes AS (SELECT doc_id, n_sh,
+          SUM(CASE WHEN hot THEN 1 ELSE 0 END) AS n_hot
+        FROM ex GROUP BY doc_id, n_sh),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+          SUM(CASE WHEN a.hot THEN 0 ELSE 1 END) AS inter_c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      tp AS (SELECT inter, inter_c,
+          na.n_sh + nb.n_sh - inter AS uni,
+          na.n_sh - na.n_hot AS n_ca, nb.n_sh - nb.n_hot AS n_cb
+        FROM pr JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        WHERE inter * 100 >= (na.n_sh + nb.n_sh - inter) * 50),
+      fl AS (SELECT
+          CASE WHEN inter * 1000000 // uni < 650000 THEN '0.50-0.65'
+               WHEN inter * 1000000 // uni < 800000 THEN '0.65-0.80'
+               ELSE '0.80-1.00' END AS band,
+          inter_c > 0 AS f_blocked,
+          inter_c > 0 AND inter_c * 100 >= (n_ca + n_cb - inter_c) * 50 AS f_found
+        FROM tp),
+      agg AS (SELECT band, COUNT(*) AS n_true,
+          SUM(CASE WHEN f_blocked THEN 1 ELSE 0 END) AS n_blocked,
+          SUM(CASE WHEN f_found THEN 1 ELSE 0 END) AS n_found
+        FROM fl GROUP BY band
+        UNION ALL
+        SELECT 'all', COUNT(*),
+          SUM(CASE WHEN f_blocked THEN 1 ELSE 0 END),
+          SUM(CASE WHEN f_found THEN 1 ELSE 0 END)
+        FROM fl)
+      SELECT band, CAST(n_true AS BIGINT) AS n_true,
+        CAST(n_blocked AS BIGINT) AS n_blocked,
+        CAST(n_blocked * 1000000 // n_true AS BIGINT) AS recall_blocked_ppm,
+        CAST(n_found AS BIGINT) AS n_found,
+        CAST(n_found * 1000000 // n_true AS BIGINT) AS recall_found_ppm,
+        $BlockingMaxDf AS max_df, CAST(sp.stride AS INT) AS stride
+      FROM agg, sp ORDER BY band""")
+  )
+
   /** Benchmark DECONTAMINATION: flag corpus documents sharing any 5-gram
     * with a held-out eval set (docs with doc_id % 50 == 0 stand in for
     * the benchmark). The standard n-gram-overlap contamination check in
@@ -3543,7 +3705,7 @@ object DocQueries {
     qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
     qBpeEncode, qDictEncode, qInvertedIndex,
-    qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qDedupComponents,
+    qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qBlockingRecall, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
     qSpanDedup, qSpanDedupVar,
     qUnigramXent, qBigramXent, qVocabCoverage,

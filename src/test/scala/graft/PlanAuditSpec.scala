@@ -1186,5 +1186,18 @@ class PlanAuditSpec extends SparkSpec {
       s"q_lsh_recall lost the fused bucket/dot kernels:\n$pr")
     assert(!pr.contains("CartesianProduct"),
       s"q_lsh_recall's brute force must keep its id_a < id_b condition:\n$pr")
+    // q_blocking_recall: the hot-shingle set joins BROADCAST (it is ≤
+    // occurrences/maxDf keys by construction — never a shuffled join
+    // against the slice explode), the shared-shingle ground-truth join
+    // is equi on the shingle hash (no cartesian), and the shingle
+    // kernel survives into the scan side
+    val pb = plan("q_blocking_recall")
+    assert(pb.contains("BroadcastHashJoin"),
+      s"q_blocking_recall lost the hot-set broadcast:\n$pb")
+    assert(!pb.contains("CartesianProduct") &&
+      !pb.contains("BroadcastNestedLoopJoin"),
+      s"q_blocking_recall grew a pair expansion:\n$pb")
+    assert(pb.contains("graft_shingle_hashes"),
+      s"q_blocking_recall lost the fused shingle kernel:\n$pb")
   }
 }

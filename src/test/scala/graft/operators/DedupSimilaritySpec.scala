@@ -339,4 +339,44 @@ class DedupSimilaritySpec extends SparkSpec {
     // (one component) — the semantics differ on SURVIVOR COUNT only for
     // multi-component chains; this pins the greedy behavior
   }
+
+  test("q_blocking_recall detects df-cap recall loss on a boilerplate-swamped pair") {
+    // 150 carrier docs push the shared boilerplate's shingle df past the
+    // cap (100); the planted pair (9001, 9002) is boilerplate + tiny
+    // unique tails — a TRUE near-dup (uncapped Jaccard ≈ 0.9) whose
+    // capped shingle sets are disjoint, so the cap must LOSE it. The
+    // clean pair (9003, 9004) shares unique content only and must stay
+    // found. The instrument's job is to see both.
+    import spark.implicits._
+    val boiler = (1 to 100).map(i => s"b$i").mkString(" ")
+    val carriers = (1 to 150).map { c =>
+      (c.toLong, boiler + " " + (1 to 120).map(j => s"u${c}x$j").mkString(" "))
+    }
+    val planted = Seq(
+      (9001L, boiler + " xtail1 xtail2 xtail3"),
+      (9002L, boiler + " ytail1 ytail2 ytail3"))
+    val cleanBody = (1 to 100).map(i => s"c$i").mkString(" ")
+    val clean = Seq(
+      (9003L, cleanBody + " ptail1 ptail2"),
+      (9004L, cleanBody + " qtail1 qtail2"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_brecall").toString
+    try {
+      (carriers ++ planted ++ clean).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.analytics.DocQueries.qBlockingRecall.run(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+      val (nTrue, nBlocked, nFound) = out("all")
+      // carriers are NOT near-dups of each other (Jaccard ≈ 0.29 < 0.5):
+      // exactly the two planted pairs are true
+      assert(nTrue === 2L, s"expected the 2 planted true pairs, got $nTrue")
+      assert(nBlocked === 1L && nFound === 1L,
+        s"cap must lose the boilerplate pair and keep the clean one " +
+          s"(blocked=$nBlocked found=$nFound)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
