@@ -2173,8 +2173,85 @@ object MiningQueries {
       GROUP BY component ORDER BY component""")
   )
 
+  /** Corpus-adaptive DBSCAN radius: eps halves each time the point count
+    * quadruples past 1500 (integer ladder, mirrored literally in the
+    * oracle CASE). 2-D density invariance: at a fixed coordinate range,
+    * density ∝ N, so holding N·eps² ~ constant keeps the expected
+    * eps-ball population — and with it cell occupancy, candidate volume
+    * per point, and the MEANING of minPts — steady across decades. A
+    * fixed eps would grow candidates quadratically, the same
+    * fixed-parameter rot the LSH plane ladder fixed (SCALING.md census). */
+  private def dbscanEpsFor(n: Long): Long = {
+    var k = 0
+    while (k < 8 && n >= 1500L * (1L << (2 * (k + 1)))) k += 1
+    1000L >> k
+  }
+
+  /** DBSCAN density clustering of the customer (order count, spend)
+    * plane — the clustering family k-means can't cover: arbitrary-shape
+    * clusters plus an explicit NOISE class, no k to guess. Features are
+    * integer micro-units (count × 1000, cents ÷ 25000 — both land in
+    * ~[1000, 25000]), distances exact BIGINT math, so the whole chain is
+    * engine-portable. The oracle replays it WITHOUT the grid: a plain
+    * O(N²) distance join plus recursive-CTE closure — semantically
+    * equivalent (3×3 cell coverage is exhaustive for radius eps), which
+    * makes the gate check the GRID ITSELF, not just downstream math.
+    * Cluster ids are min-member-id (deterministic); border ties resolve
+    * to the minimum core label. */
+  val qDbscan = GraftQuery(
+    "q_dbscan",
+    (s, dir) => {
+      import s.implicits._
+      val f = Tables.orders(s, dir).groupBy($"o_custkey".as("id"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
+      val pts = graft.operators.Caches.register(f.select($"id",
+        ($"n_orders" * 1000L).as("xm"), expr("cents div 25000").as("ym")))
+      val eps = dbscanEpsFor(pts.count())
+      graft.operators.Density.dbscan(pts, eps, minPts = 5)
+        .orderBy($"id")
+    },
+    Some("""WITH RECURSIVE f AS (SELECT o_custkey AS id, COUNT(*) AS n_orders,
+        SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+      params AS (SELECT CASE WHEN COUNT(*) >= 98304000 THEN 3
+          WHEN COUNT(*) >= 24576000 THEN 7
+          WHEN COUNT(*) >= 6144000 THEN 15
+          WHEN COUNT(*) >= 1536000 THEN 31
+          WHEN COUNT(*) >= 384000 THEN 62
+          WHEN COUNT(*) >= 96000 THEN 125
+          WHEN COUNT(*) >= 24000 THEN 250
+          WHEN COUNT(*) >= 6000 THEN 500
+          ELSE 1000 END AS eps FROM f),
+      pts AS (SELECT id, n_orders * 1000 AS xm, cents // 25000 AS ym FROM f),
+      nbr AS (SELECT a.id AS id, b.id AS nb
+        FROM pts a JOIN pts b ON a.id <> b.id
+          AND (a.xm - b.xm) * (a.xm - b.xm) + (a.ym - b.ym) * (a.ym - b.ym)
+            <= (SELECT eps * eps FROM params)),
+      cores AS (SELECT id FROM nbr GROUP BY id HAVING COUNT(*) >= 4),
+      eu AS (SELECT n.id AS a, n.nb AS b FROM nbr n
+        WHERE n.id IN (SELECT id FROM cores) AND n.nb IN (SELECT id FROM cores)),
+      walk(src, dst) AS (
+        SELECT a, a FROM eu
+        UNION
+        SELECT w.src, e.b FROM walk w JOIN eu e ON w.dst = e.a),
+      linked AS (SELECT src AS id, MIN(dst) AS cluster FROM walk GROUP BY src),
+      corelbl AS (SELECT c.id, COALESCE(l.cluster, c.id) AS cluster
+        FROM cores c LEFT JOIN linked l ON c.id = l.id),
+      border AS (SELECT n.id, MIN(cl.cluster) AS cluster
+        FROM nbr n JOIN corelbl cl ON n.nb = cl.id
+        WHERE n.id NOT IN (SELECT id FROM cores) GROUP BY n.id),
+      lab AS (SELECT id, 'core' AS role, cluster FROM corelbl
+        UNION ALL SELECT id, 'border', cluster FROM border
+        UNION ALL SELECT id, 'noise', -1 FROM pts
+          WHERE id NOT IN (SELECT id FROM corelbl)
+            AND id NOT IN (SELECT id FROM border))
+      SELECT id, role, CAST(cluster AS BIGINT) AS cluster
+      FROM lab ORDER BY id""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qSkyline, qFellegiSunter, qGoldenRecord, qSimpsons, qDecisionStump, qCcBigstar,
+    Seq(qSkyline, qFellegiSunter, qGoldenRecord, qSimpsons, qDecisionStump, qCcBigstar, qDbscan,
       qAssortativity, qItemRecs, qEbShrinkage,
       qPagerank, qPpr, qTextrank, qAssocRules, qPareto, qRiAudit, qEventTrigrams,
       qCollocations, qSessionConcurrency, qGraphDegrees, qErClusters,

@@ -1199,5 +1199,12 @@ class PlanAuditSpec extends SparkSpec {
       s"q_blocking_recall grew a pair expansion:\n$pb")
     assert(pb.contains("graft_shingle_hashes"),
       s"q_blocking_recall lost the fused shingle kernel:\n$pb")
+    // q_dbscan: the neighbor join is EQUI on the grid cell (the whole
+    // point of the blocking) — never a cartesian / nested-loop distance
+    // join; the distance check rides the join as a post-condition
+    val pd = plan("q_dbscan")
+    assert(!pd.contains("CartesianProduct") &&
+      !pd.contains("BroadcastNestedLoopJoin"),
+      s"q_dbscan lost its grid blocking (all-pairs distance join):\n$pd")
   }
 }
