@@ -80,8 +80,15 @@ object Bench {
       // divides — inside the noise floor, so the third run is paid for
       // everyone, not just the tail. A failed run (-1) must stay -1,
       // never win the min.
+      // SPARK_GRAFT_STEADY_RUNS (default 3) trims the steady repetitions
+      // for DECADE PROBES (sf10) where single queries run minutes: at
+      // that magnitude GC/CPU-frequency noise is sub-10%, and 3× repeats
+      // of a 200 s query buy nothing but wall-clock. The default — and
+      // every committed BENCH_* artifact — stays min-of-3 (+4th for the
+      // slow tail).
+      val steadyRuns = sys.env.get("SPARK_GRAFT_STEADY_RUNS").map(_.toInt).getOrElse(3)
       val c = once(); clear()
-      val steadies = Seq.fill(3) { val r = once(); clear(); r }
+      val steadies = Seq.fill(steadyRuns) { val r = once(); clear(); r }
       val st = if (steadies.exists(_ < 0)) -1.0 else steadies.min
       (q.name, c, st, () => { val r = once(); clear(); r })
     }

@@ -53,6 +53,26 @@ class DensitySpec extends SparkSpec {
     assert(out.values.map(_._2).toSet === Set(0L))
   }
 
+  test("chain skeleton: star-contraction path labels identically to driver union-find") {
+    // 30 collinear points spaced eps/2: each has 4 ball-mates (±1, ±2)
+    // → all core at minPts 5, one filament cluster of diameter ~15 —
+    // the shape that overruns a diameter-bounded label loop at scale.
+    // driverMaxEdges = 0 forces the bigStar closure; labels must equal
+    // the default (driver union-find) path exactly.
+    val chain = (0L until 30L).map(i => (i, i * 50L, 0L))
+    val viaDriver = run(chain, eps = 100L, minPts = 5)
+    val viaBigStar = Density.dbscan(chain.toDF("id", "xm", "ym"),
+        eps = 100L, minPts = 5, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(viaBigStar === viaDriver)
+    // chain ENDS (ids 0, 1, 28, 29) see only 2-3 ball-mates → border;
+    // the cluster label is the min CORE id, 2
+    assert(chain.forall(p => viaDriver(p._1)._2 === 2L),
+      s"whole chain is one cluster labeled 2: $viaDriver")
+    assert((2L until 28L).forall(viaDriver(_)._1 === "core"))
+    assert(Seq(0L, 1L, 28L, 29L).forall(viaDriver(_)._1 === "border"))
+  }
+
   test("isolated core gets a singleton cluster labeled by its own id") {
     // one point with minPts-1 non-core neighbors: the center is core
     // (ball population = minPts), neighbors are border, no core-core
