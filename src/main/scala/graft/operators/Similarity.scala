@@ -183,6 +183,40 @@ object Similarity {
     * pick nPlanes ≈ log₂(corpus / targetBucketSize) so the EXPECTED
     * bucket is small (e.g. 1B docs, 4k-doc target buckets → p ≈ 18);
     * `maxBucket <= 0` disables the cap. */
+  /** Broadcast bound for the verify re-attach: at or under this many
+    * vectors the (id, vec, norm) relation BROADCASTS into the pair
+    * verify, making both attaches map-side hash joins — the candidate
+    * stream flows once, unsorted, never spilled. Above it, shuffled
+    * joins take over: on a real cluster the pair stream spreads across
+    * executor disks, while a corpus-sized vector table fits no
+    * broadcast. The sf10 decade probe measured exactly this wall on a
+    * single box: 200k vectors × 34M candidates through the shuffled
+    * sort-merge attach spilled past the machine's disk (the candidate
+    * stream is sorted TWICE at ~550 B/row), where the broadcast attach
+    * streams it map-side. 2M vectors × ~540 B ≈ 1.1 GB, comfortably
+    * inside Spark's broadcast limits; AQE cannot make this call itself
+    * because the cached relation's 100+ MB estimate exceeds the
+    * session's conservative autoBroadcastJoinThreshold. */
+  private val BroadcastAttachMaxVectors = 2000000L
+
+  /** The one shared verify: re-attach vectors+norms to the narrow
+    * (id_a, id_b) candidate stream — broadcast under
+    * [[BroadcastAttachMaxVectors]], shuffled beyond — and keep pairs
+    * with fused-dot cosine ≥ threshold. */
+  private def attachAndVerify(
+      cand: DataFrame, vn: DataFrame, nVec: Long, threshold: Double): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (nVec <= BroadcastAttachMaxVectors) broadcast(_) else identity
+    val va = hint(vn.select(col("id").as("id_a"), col("vec").as("_va"), col("_n").as("_na")))
+    val vb = hint(vn.select(col("id").as("id_b"), col("vec").as("_vb"), col("_n").as("_nb")))
+    val denom = col("_na") * col("_nb")
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(when(denom === 0.0, 0.0)
+          .otherwise(dotNative(col("_va"), col("_vb")) / denom), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   def embeddingDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 4, seed: Long = 42L,
@@ -220,14 +254,8 @@ object Similarity {
     val cand = probed.as("a").join(slim.as("b"),
         col("a._pbucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val va = b.select(col("id").as("id_a"), col("vec").as("_va"), col("_n").as("_na"))
-    val vb = b.select(col("id").as("id_b"), col("vec").as("_vb"), col("_n").as("_nb"))
-    val denom = col("_na") * col("_nb")
-    cand.join(va, "id_a").join(vb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(when(denom === 0.0, 0.0)
-          .otherwise(dotNative(col("_va"), col("_vb")) / denom), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    attachAndVerify(cand, b.select(col("id"), col("vec"), col("_n")),
+      b.count(), threshold)
   }
 
   /** MULTI-TABLE variant of [[embeddingDupPairs]]: `tables` independent
@@ -271,14 +299,7 @@ object Similarity {
       .distinct()
     val vn = Caches.register(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_n")))
-    val va = vn.select(col("id").as("id_a"), col("vec").as("_va"), col("_n").as("_na"))
-    val vb = vn.select(col("id").as("id_b"), col("vec").as("_vb"), col("_n").as("_nb"))
-    val denom = col("_na") * col("_nb")
-    cand.join(va, "id_a").join(vb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(when(denom === 0.0, 0.0)
-          .otherwise(dotNative(col("_va"), col("_vb")) / denom), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    attachAndVerify(cand, vn, vn.count(), threshold)
   }
 
   /** SemDeDup-style semantic deduplication: drop every document that has
