@@ -8,27 +8,37 @@ import org.apache.spark.sql.functions._
   * arbitrary-shape clusters plus an explicit NOISE class, with no k to
   * guess.
   *
-  * Distributed formulation: grid-cell blocking. Cells have side = eps, so
-  * every eps-neighbor of a point lies in its 3×3 cell neighborhood — the
-  * candidate join is an EQUI join on cell id (each point replicated to
-  * its 9 probe cells; a candidate pair forms exactly once, in the cell
-  * that contains the second point), then an exact integer distance check.
-  * Core points (≥ minPts in the closed eps-ball, self included) form the
-  * cluster skeleton, CONTRACTED by eps/√2 cells (per-cell star + one
-  * witness edge per connected cell pair — component-exact, see inline
-  * proof) before closing through driver union-find under the edge gate
-  * or [[Graphs.bigStarComponents]] beyond it; border points attach to
-  * their minimum core-neighbor label; everything else is noise.
+  * Distributed formulation: grid-cell blocking plus the DENSE-BOX
+  * shortcut. Cells of side eps make every eps-neighborhood a 3×3 cell
+  * probe — an EQUI join on cell id followed by an exact integer distance
+  * check. A second grid of side s2 ≤ eps/√2 (cell diagonal ≤ eps) powers
+  * two structural savings the sf10 decade probe proved necessary:
+  *
+  *  - DENSE-BOX CORES: an s2-cell holding ≥ minPts points makes every
+  *    point in it core WITHOUT any pair enumeration (the cell is inside
+  *    the point's own eps-ball). Neighbor COUNTING therefore runs only
+  *    for points in sparse cells — and in a skewed corpus the dense
+  *    center, exactly where pair volume explodes quadratically with
+  *    local density, never enumerates pairs for core status at all.
+  *  - CONTRACTED SKELETON: per s2-cell a star from the cell's min core,
+  *    plus ONE witness edge per connected cell pair, replace the raw
+  *    core-core graph (quadratic in occupancy, filament-shaped) —
+  *    component-exact, see the inline proof.
+  *
+  * The one remaining corpus-sized stream — the cross-cell witness scan —
+  * is deliberately NOT cached: it flows straight into a map-side partial
+  * DISTINCT on cell-pair coordinates, collapsing to ≤ 21 × occupied
+  * cells rows before any exchange. (The sf10 probe's disk death was the
+  * CACHE of the full neighbor list — ~2B rows × 52 B spilled past a
+  * 250 GB disk; nothing downstream ever needed those rows wide.)
   *
   * Scale (100 TB): every stage is an equi shuffle on cell id or point id
-  * — no cartesian anywhere. Candidate volume is N × (9 × cell occupancy);
-  * occupancy is density × eps², so eps is a DENSITY knob, not a free
-  * constant — callers growing the corpus at fixed coordinate range must
-  * shrink eps (see the caller's eps ladder) or occupancy grows linearly
-  * and candidates quadratically, the same fixed-parameter rot the LSH
-  * plane ladder fixed. The integer coordinate contract keeps the distance
-  * check exact and the whole chain SQL-mirrorable (dx² + dy² ≤ eps² in
-  * BIGINT — coordinates must stay below ~2^30 so squares fit).
+  * — no cartesian anywhere. Sparse-side candidate volume is bounded by
+  * minPts × 9 per probe cell by the dense/sparse split; eps remains a
+  * DENSITY knob (see the caller's eps ladder) so average occupancy stays
+  * put as the corpus grows. The integer coordinate contract keeps the
+  * distance check exact and the whole chain SQL-mirrorable (dx² + dy² ≤
+  * eps² in BIGINT — coordinates must stay below ~2^30 so squares fit).
   */
 object Density {
 
@@ -53,36 +63,50 @@ object Density {
     require(minPts >= 2, s"minPts=$minPts must be at least 2 (1 makes everything core)")
     val spark = pts.sparkSession
     import spark.implicits._
+    // contraction/dense grid: side s2 ≤ eps/√2 ⇒ same-cell points are
+    // mutually within eps. At eps = 1 no integer side satisfies this
+    // (s2 must be ≥ 1 but eps/√2 < 1): both s2-based shortcuts switch
+    // off and the skeleton falls back to raw core-core edges — correct
+    // at any eps, and an eps of one micro-unit has no dense geometry
+    // worth shortcutting anyway.
+    val s2 = math.max(1L, (eps.toDouble / math.sqrt(2.0)).toLong)
+    val s2Valid = 2L * s2 * s2 <= eps * eps
     val p = Caches.register(pts.select($"id".cast("long").as("id"),
       $"xm".cast("long").as("xm"), $"ym".cast("long").as("ym"),
-      floor($"xm" / eps).as("cx"), floor($"ym" / eps).as("cy")))
+      floor($"xm" / eps).as("cx"), floor($"ym" / eps).as("cy"),
+      floor($"xm" / s2).as("gx"), floor($"ym" / s2).as("gy")))
     // probe side: each point replicated to its 3×3 cell neighborhood;
     // the join hits the build side's HOME cell only, so a pair (a, b)
     // forms exactly once — no distinct needed
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
-    val probes = p.select($"id", $"xm", $"ym",
+    def probesOf(d: DataFrame) = d.select($"id", $"xm", $"ym", $"gx", $"gy",
       explode(array(offsets.map { case (dx, dy) =>
         struct(($"cx" + dx).as("cx"), ($"cy" + dy).as("cy"))
       }: _*)).as("nc"))
-      .select($"id", $"xm", $"ym", $"nc.cx".as("cx"), $"nc.cy".as("cy"))
+      .select($"id", $"xm", $"ym", $"gx", $"gy",
+        $"nc.cx".as("cx"), $"nc.cy".as("cy"))
     val d2 = ($"a.xm" - $"b.xm") * ($"a.xm" - $"b.xm") +
       ($"a.ym" - $"b.ym") * ($"a.ym" - $"b.ym")
-    // contraction grid for the closure: side s2 ≤ eps/√2, so SAME-CELL
-    // points are mutually within eps (cell diagonal ≤ eps) — the cells
-    // carry through the neighbor join below at two extra longs per row
-    val s2 = math.max(1L, (eps.toDouble / math.sqrt(2.0)).toLong)
-    // directed neighbor list (both directions present by symmetry of the
-    // probe construction): id's eps-ball contents, excluding id itself
-    val nbr = Caches.register(probes.as("a").join(p.as("b"),
+    def ballJoin(a: DataFrame, b: DataFrame) =
+      probesOf(a).as("a").join(b.as("b"),
         $"a.cx" === $"b.cx" && $"a.cy" === $"b.cy" && $"a.id" =!= $"b.id" &&
           d2 <= lit(eps * eps))
-      .select($"a.id".as("id"), $"b.id".as("nb"),
-        floor($"a.xm" / s2).as("gxa"), floor($"a.ym" / s2).as("gya"),
-        floor($"b.xm" / s2).as("gxb"), floor($"b.ym" / s2).as("gyb")))
-    val cores = Caches.register(nbr.groupBy($"id")
-      .agg(count(lit(1)).as("deg"))
+    // DENSE-BOX: s2-cells holding ≥ minPts points are all-core, no pair
+    // enumeration; only sparse-cell points count their eps-ball (against
+    // ALL points — a sparse point's ball reaches into dense cells)
+    val denseCells =
+      if (s2Valid) p.groupBy($"gx", $"gy").agg(count(lit(1)).as("n"))
+        .filter($"n" >= minPts).select($"gx", $"gy", lit(true).as("dense"))
+      else spark.emptyDataset[(Long, Long, Boolean)].toDF("gx", "gy", "dense")
+    val pf = Caches.register(p.join(denseCells, Seq("gx", "gy"), "left")
+      .na.fill(Map("dense" -> false)))
+    val coresDense = pf.filter($"dense").select($"id")
+    val coresSparse = ballJoin(pf.filter(!$"dense"), pf)
+      .select($"a.id".as("id"))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
       .filter($"deg" >= minPts - 1) // self counts toward minPts
-      .select($"id"))
+      .select($"id")
+    val cores = Caches.register(coresDense.unionByName(coresSparse))
     // CONTRACTED core skeleton: dense regions make the raw core-core
     // graph quadratic in cell occupancy (every in-ball pair is an edge)
     // AND filament-shaped (diameter ∝ cluster extent / eps) — the worst
@@ -95,27 +119,35 @@ object Density {
     // connectivity (components, and hence min-id labels, are identical;
     // DensitySpec pins this against both closure paths). Edge count
     // drops from Σ occupancy² to ~(cores + occupied cell pairs) ∝ N.
-    val coreCell = Caches.register(p.join(cores, "id")
-      .select($"id", floor($"xm" / s2).as("gx"), floor($"ym" / s2).as("gy")))
-    val cellMin = Caches.register(coreCell.groupBy($"gx", $"gy")
-      .agg(min($"id").as("repr")))
-    val starEdges = coreCell.join(cellMin, Seq("gx", "gy"))
-      .filter($"id" =!= $"repr")
-      .select($"repr".as("id_a"), $"id".as("id_b"))
-    val crossEdges = nbr
-      .join(cores, "id").join(cores.select($"id".as("nb")), "nb")
-      .filter($"id" < $"nb" && ($"gxa" =!= $"gxb" || $"gya" =!= $"gyb"))
-      .select($"gxa", $"gya", $"gxb", $"gyb").distinct()
-      .join(cellMin.select($"gx".as("gxa"), $"gy".as("gya"), $"repr".as("id_a")),
-        Seq("gxa", "gya"))
-      .join(cellMin.select($"gx".as("gxb"), $"gy".as("gyb"), $"repr".as("id_b")),
-        Seq("gxb", "gyb"))
-      .select($"id_a", $"id_b")
+    val corePts = Caches.register(pf.join(cores, "id")
+      .select($"id", $"xm", $"ym", $"cx", $"cy", $"gx", $"gy"))
+    val skeleton = (if (s2Valid) {
+      val cellMin = Caches.register(corePts.groupBy($"gx", $"gy")
+        .agg(min($"id").as("repr")))
+      val starEdges = corePts.join(cellMin, Seq("gx", "gy"))
+        .filter($"id" =!= $"repr")
+        .select($"repr".as("id_a"), $"id".as("id_b"))
+      // the corpus-sized witness stream: core×core ball pairs collapse
+      // map-side to distinct cell pairs BEFORE any exchange — never
+      // cached, never carried wide (the sf10 lesson)
+      val crossEdges = ballJoin(corePts, corePts)
+        .filter($"a.gx" =!= $"b.gx" || $"a.gy" =!= $"b.gy")
+        .select($"a.gx".as("gxa"), $"a.gy".as("gya"),
+          $"b.gx".as("gxb"), $"b.gy".as("gyb")).distinct()
+        .join(cellMin.select($"gx".as("gxa"), $"gy".as("gya"), $"repr".as("id_a")),
+          Seq("gxa", "gya"))
+        .join(cellMin.select($"gx".as("gxb"), $"gy".as("gyb"), $"repr".as("id_b")),
+          Seq("gxb", "gyb"))
+        .select($"id_a", $"id_b")
+      starEdges.unionByName(crossEdges)
+    } else {
+      ballJoin(corePts, corePts).filter($"a.id" < $"b.id")
+        .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+    }).localCheckpoint()
     // materialized once (count is then free) to route by size: driver
     // union-find under the gate, star contraction beyond it — NOT the
     // min-label loop: even contracted, a skeleton of cell-chains keeps
     // diameter ∝ extent/eps, only O(log n) rounds are safe at scale
-    val skeleton = starEdges.unionByName(crossEdges).localCheckpoint()
     val linked = (if (skeleton.count() <= driverMaxEdges)
         Dedup.connectedComponents(skeleton, driverMaxEdges = math.max(driverMaxEdges, 1L))
       else Graphs.bigStarComponents(skeleton))
@@ -126,9 +158,13 @@ object Density {
       .join(linked, Seq("id"), "left")
       .select($"id", coalesce($"cluster", $"id").as("cluster")))
     // border: non-core in some core's eps-ball; min core label (the
-    // deterministic resolution of DBSCAN's border-assignment tie)
-    val border = nbr.join(coreLbl.select($"id".as("nb"), $"cluster"), "nb")
-      .join(cores, Seq("id"), "left_anti")
+    // deterministic resolution of DBSCAN's border-assignment tie).
+    // Probe side = non-core points only (few: dense-cell points are all
+    // core), build side = labeled cores with coordinates
+    val coreLblPts = corePts.join(coreLbl, "id")
+      .select($"id", $"xm", $"ym", $"cx", $"cy", $"cluster")
+    val border = ballJoin(pf.join(cores, Seq("id"), "left_anti"), coreLblPts)
+      .select($"a.id".as("id"), $"b.cluster".as("cluster"))
       .groupBy($"id").agg(min($"cluster").as("cluster"))
     val coreOut = coreLbl.select($"id", lit("core").as("role"), $"cluster")
     val borderOut = border.select($"id", lit("border").as("role"), $"cluster")

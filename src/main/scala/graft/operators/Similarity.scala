@@ -197,7 +197,11 @@ object Similarity {
     * inside Spark's broadcast limits; AQE cannot make this call itself
     * because the cached relation's 100+ MB estimate exceeds the
     * session's conservative autoBroadcastJoinThreshold. */
-  private val BroadcastAttachMaxVectors = 2000000L
+  // env override is a bench A/B hook (measured at sf1: broadcast 20.8 s
+  // vs shuffled 21.1 s — neutral where both fit; the bound matters only
+  // where the shuffled attach spills, which is exactly where broadcast wins)
+  private val BroadcastAttachMaxVectors =
+    sys.env.get("SPARK_GRAFT_ATTACH_BCAST_MAX").map(_.toLong).getOrElse(2000000L)
 
   /** The one shared verify: re-attach vectors+norms to the narrow
     * (id_a, id_b) candidate stream — broadcast under
