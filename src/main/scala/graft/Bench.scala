@@ -86,7 +86,13 @@ object Bench {
       // of a 200 s query buy nothing but wall-clock. The default — and
       // every committed BENCH_* artifact — stays min-of-3 (+4th for the
       // slow tail).
-      val steadyRuns = sys.env.get("SPARK_GRAFT_STEADY_RUNS").map(_.toInt).getOrElse(3)
+      // fail fast on garbage, clamp to >= 1: zero/negative would leave
+      // `steadies` empty and throw from .min deep inside the run
+      val steadyRuns = sys.env.get("SPARK_GRAFT_STEADY_RUNS").map { v =>
+        val n = try v.toInt catch { case _: NumberFormatException =>
+          sys.error(s"SPARK_GRAFT_STEADY_RUNS must be a positive integer, got '$v'") }
+        math.max(1, n)
+      }.getOrElse(3)
       val c = once(); clear()
       val steadies = Seq.fill(steadyRuns) { val r = once(); clear(); r }
       val st = if (steadies.exists(_ < 0)) -1.0 else steadies.min

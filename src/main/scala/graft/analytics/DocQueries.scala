@@ -374,7 +374,7 @@ object DocQueries {
         SELECT 'all', COUNT(*),
           SUM(CASE WHEN f_blocked THEN 1 ELSE 0 END),
           SUM(CASE WHEN f_found THEN 1 ELSE 0 END)
-        FROM fl)
+        FROM fl HAVING COUNT(*) > 0)
       SELECT band, CAST(n_true AS BIGINT) AS n_true,
         CAST(n_blocked AS BIGINT) AS n_blocked,
         CAST(n_blocked * 1000000 // n_true AS BIGINT) AS recall_blocked_ppm,
@@ -1753,7 +1753,7 @@ object DocQueries {
           SUM(CASE WHEN f_probe THEN 1 ELSE 0 END),
           SUM(CASE WHEN f_tab2 THEN 1 ELSE 0 END),
           SUM(CASE WHEN f_hr THEN 1 ELSE 0 END)
-        FROM pb)
+        FROM pb HAVING COUNT(*) > 0)
       SELECT band, CAST(n_true AS BIGINT) AS n_true,
         CAST(n_probe AS BIGINT) AS n_probe,
         CAST(n_probe * 1000000 // n_true AS BIGINT) AS recall_probe_ppm,

@@ -161,28 +161,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs near-duplicates by embedding cosine ≥ threshold, LSH-blocked
-    * with multi-probe: a pair forms when the two bucket ids differ in at
-    * most `probeRadius` sign bits. With exact-bucket blocking alone
-    * (probeRadius = 0) a true pair is silently missed whenever any
-    * hyperplane separates it — at nPlanes = 3 that loses ~27% of
-    * 0.95-cosine pairs; radius 1 cuts the miss rate to ~3% for a
-    * (nPlanes+1)× larger probe side.
-    *
-    * One side explodes to its XOR-neighborhood (masks with ≤ radius bits
-    * set), the other keeps its exact bucket; for a qualifying pair
-    * exactly one mask matches (mask = bucketA ^ bucketB) and the id_a <
-    * id_b guard keeps one orientation, so no distinct is needed.
-    *
-    * Buckets holding more than `maxBucket` docs are dropped BEFORE the
-    * self-join ([[Dedup.dropHotKeys]], same cap as every blocked pair
-    * generator in [[Dedup]]): a bucket of f docs emits O(f²) candidate
-    * rows on one reducer, and a degenerate bucket (zero vectors, a
-    * boilerplate embedding cluster, too few planes) is exactly where f
-    * explodes. The cap is the safety net, not the sizing mechanism —
-    * pick nPlanes ≈ log₂(corpus / targetBucketSize) so the EXPECTED
-    * bucket is small (e.g. 1B docs, 4k-doc target buckets → p ≈ 18);
-    * `maxBucket <= 0` disables the cap. */
   /** Broadcast bound for the verify re-attach: at or under this many
     * vectors the (id, vec, norm) relation BROADCASTS into the pair
     * verify, making both attaches map-side hash joins — the candidate
@@ -193,15 +171,28 @@ object Similarity {
     * single box: 200k vectors × 34M candidates through the shuffled
     * sort-merge attach spilled past the machine's disk (the candidate
     * stream is sorted TWICE at ~550 B/row), where the broadcast attach
-    * streams it map-side. 2M vectors × ~540 B ≈ 1.1 GB, comfortably
-    * inside Spark's broadcast limits; AQE cannot make this call itself
-    * because the cached relation's 100+ MB estimate exceeds the
-    * session's conservative autoBroadcastJoinThreshold. */
+    * streams it map-side. AQE cannot make this call itself because the
+    * cached relation's 100+ MB estimate exceeds the session's
+    * conservative autoBroadcastJoinThreshold.
+    *
+    * The bound is DERIVED from this JVM's heap, not guessed: the two
+    * attach sides are independent broadcast variables (the a-side and
+    * b-side relations differ by column aliases, so they do not share a
+    * broadcast id), which costs ~2 × 1.6 kB/vector of heap — ~540 B of
+    * serialized row ~3× expanded in the executor hash relation — on the
+    * driver AND every executor. The pair is capped at ~10% of max heap,
+    * and never above 2M vectors (~3.2 GB peak; the largest size with a
+    * measured-safe margin on the 128 GiB probe host — only 200k was
+    * exercised, so the ceiling stays well under the theoretical
+    * broadcast limits). */
   // env override is a bench A/B hook (measured at sf1: broadcast 20.8 s
   // vs shuffled 21.1 s — neutral where both fit; the bound matters only
   // where the shuffled attach spills, which is exactly where broadcast wins)
-  private val BroadcastAttachMaxVectors =
-    sys.env.get("SPARK_GRAFT_ATTACH_BCAST_MAX").map(_.toLong).getOrElse(2000000L)
+  private val BroadcastAttachMaxVectors: Long =
+    sys.env.get("SPARK_GRAFT_ATTACH_BCAST_MAX").map(_.toLong).getOrElse {
+      val heapBudget = (Runtime.getRuntime.maxMemory() * 0.10).toLong
+      math.min(2000000L, heapBudget / 3200L)
+    }
 
   /** The one shared verify: re-attach vectors+norms to the narrow
     * (id_a, id_b) candidate stream — broadcast under
@@ -221,6 +212,36 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** All-pairs near-duplicates by embedding cosine ≥ threshold, LSH-blocked
+    * with multi-probe: a pair forms when the two bucket ids differ in at
+    * most `probeRadius` sign bits. With exact-bucket blocking alone
+    * (probeRadius = 0) a true pair is silently missed whenever any
+    * hyperplane separates it — at nPlanes = 3 that loses ~27% of
+    * 0.95-cosine pairs; radius 1 cuts the miss rate to ~3% for a
+    * (nPlanes+1)× larger probe side.
+    *
+    * BAND CONTRACT: recall holds only in the near-dup regime the plane
+    * count is sized for — single-plane collision probability is
+    * 1 − θ/π, so moderate-similarity pairs (cosine 0.4–0.8) are found
+    * with rapidly decaying probability as planes grow with the corpus
+    * (measured per-band in q_lsh_recall / SCALING.md: 0.05–0.35 at
+    * cosine 0.4–0.6). Exhaustive moderate-band mining is
+    * [[tiledBruteForcePairs]] — recall 1.0 at Θ(N²) cost.
+    *
+    * One side explodes to its XOR-neighborhood (masks with ≤ radius bits
+    * set), the other keeps its exact bucket; for a qualifying pair
+    * exactly one mask matches (mask = bucketA ^ bucketB) and the id_a <
+    * id_b guard keeps one orientation, so no distinct is needed.
+    *
+    * Buckets holding more than `maxBucket` docs are dropped BEFORE the
+    * self-join ([[Dedup.dropHotKeys]], same cap as every blocked pair
+    * generator in [[Dedup]]): a bucket of f docs emits O(f²) candidate
+    * rows on one reducer, and a degenerate bucket (zero vectors, a
+    * boilerplate embedding cluster, too few planes) is exactly where f
+    * explodes. The cap is the safety net, not the sizing mechanism —
+    * pick nPlanes ≈ log₂(corpus / targetBucketSize) so the EXPECTED
+    * bucket is small (e.g. 1B docs, 4k-doc target buckets → p ≈ 18);
+    * `maxBucket <= 0` disables the cap. */
   def embeddingDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 4, seed: Long = 42L,
