@@ -361,6 +361,69 @@ object Similarity {
     df.join(broadcast(dropped), df(idCol) === dropped("id_b"), "left_anti")
   }
 
+  /** [[semanticDedup]] over the MULTI-TABLE pair generator
+    * ([[embeddingDupPairsTables]]) — the near-dup-regime production
+    * shape: the greedy smaller-id pruning is only as good as the pair
+    * surface under it, and at a corpus-adaptive plane count the
+    * recall-restoring L-table union is what keeps a design-point pair
+    * (cosine ≥ ~0.95 for the q_embed_dup_hr ladder) detected with ≥ 90%
+    * probability. Same one-pass anti-join semantics and scale shape. */
+  def semanticDedupTables(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int, tables: Int,
+      dim: Int = 64, probeRadius: Int = 0,
+      maxBucket: Int = Dedup.DefaultMaxDf): DataFrame = {
+    val pairs = embeddingDupPairsTables(df, idCol, vecCol, threshold,
+      nPlanes, tables, dim, probeRadius, maxBucket)
+    val dropped = pairs.select(col("id_b")).distinct()
+    df.join(broadcast(dropped), df(idCol) === dropped("id_b"), "left_anti")
+  }
+
+  /** EXACT all-pairs cosine mining in the band [lo, hi) — the
+    * moderate-similarity operator the LSH family's band contract points
+    * to. LSH recall at cosine 0.4–0.8 decays with the corpus-adaptive
+    * plane count (measured 0.05–0.35 in q_lsh_recall's 0.40–0.60 band at
+    * sf1) and no affordable table count restores it — single-plane
+    * collision probability at cosine 0.4 is ~0.63, needing L ≈ 144
+    * tables for 90% recall at p = 9. Exhaustive mining in that regime is
+    * information-theoretically quadratic, so this operator embraces it
+    * and makes the Θ(N²) honest: a block-tiled self-join.
+    *
+    * Shape: rows land in blocks of ~`rowsPerBlock` by id; each unordered
+    * block pair (i ≤ j) is one join key, so every vector pair meets
+    * EXACTLY once (diagonal tiles keep id_a < id_b; cross tiles pair
+    * each row of block i with each row of block j). Per-task memory is
+    * bounded by the two blocks' vectors (~2 × rowsPerBlock × 540 B),
+    * per-tile work by rowsPerBlock² fused-dot kernels, and the Θ(N²/
+    * rowsPerBlock) row replication spreads evenly over the cluster —
+    * against the single-node cartesian this trades driver-side blowup
+    * for a uniform shuffle. Validity bound: ~10⁶ vectors ≈ 5·10¹¹ dots
+    * is a large-cluster job; beyond that either accept LSH recall or
+    * pre-reduce with [[graft.operators.Pca]]/coarse quantization. */
+  def tiledBruteForcePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      lo: Double, hi: Double, rowsPerBlock: Int = 2048): DataFrame = {
+    require(lo <= hi, s"lo=$lo must be <= hi=$hi")
+    val vn = Caches.register(df.select(col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_n")))
+    val nBlocks = math.max(1L, (vn.count() + rowsPerBlock - 1) / rowsPerBlock)
+    val aSide = vn.select(col("id").as("ia"), col("vec").as("va"), col("_n").as("na"))
+      .withColumn("_bi", pmod(col("ia"), lit(nBlocks)))
+      .withColumn("_bj", explode(sequence(col("_bi"), lit(nBlocks - 1))))
+    val bSide = vn.select(col("id").as("ib"), col("vec").as("vb"), col("_n").as("nb"))
+      .withColumn("_cj", pmod(col("ib"), lit(nBlocks)))
+      .withColumn("_ci", explode(sequence(lit(0L), col("_cj"))))
+    val denom = col("na") * col("nb")
+    aSide.join(bSide, col("_bi") === col("_ci") && col("_bj") === col("_cj") &&
+        (col("_bi") =!= col("_bj") || col("ia") < col("ib")))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        round(when(denom === 0.0, 0.0)
+          .otherwise(dotNative(col("va"), col("vb")) / denom), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= lo && col("cos_sim") < hi)
+  }
+
   /** Attach a SELF-CERTIFYING `recall_at_k` column to an approximate
     * top-k result: the fraction of `exact`'s ids that `approx` found,
     * computed IN THE SAME PLAN (semi-join + 1-row aggregate broadcast

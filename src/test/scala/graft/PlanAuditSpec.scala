@@ -1171,9 +1171,15 @@ class PlanAuditSpec extends SparkSpec {
     // the 2-table variant — bucket join flows (id, tbl, bucket) only,
     // vectors re-attach by id at the one shared verify; never cartesian
     val ph = plan("q_embed_dup_hr")
-    assert(!ph.contains("CartesianProduct") &&
-      !ph.contains("BroadcastNestedLoopJoin"),
+    assert(!ph.contains("CartesianProduct"),
       s"q_embed_dup_hr grew a pair expansion:\n$ph")
+    // exactly ONE nested-loop join is allowed: the 1-row planted-recall
+    // aggregate broadcast back over the pair rows (withRecall pattern);
+    // a second one would be a real pair expansion
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ph).size <= 1,
+      s"q_embed_dup_hr grew a pair expansion beyond the recall attach:\n$ph")
+    assert(ph.contains("recall_planted_ppm"),
+      s"q_embed_dup_hr lost the self-certifying recall column:\n$ph")
     assert(ph.contains("graft_dot"),
       s"q_embed_dup_hr lost the fused dot verify:\n$ph")
     // q_lsh_recall: the ONLY non-equi join allowed is the slice brute

@@ -379,4 +379,42 @@ class DedupSimilaritySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("tiledBruteForcePairs equals the plain quadratic self-join (recall 1.0)") {
+    import spark.implicits._
+    def naive(lo: Double, hi: Double): Set[(Long, Long)] = {
+      val a = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+      val b = emb.select($"vec_id".as("ib"), $"embedding".as("vb"))
+      a.crossJoin(b).filter($"ia" < $"ib")
+        .withColumn("cs", round(Similarity.cosineNative($"va", $"vb"), 6))
+        .filter($"cs" >= lo && $"cs" < hi)
+        .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val expected = naive(0.3, 0.8)
+    assert(expected.nonEmpty, "band should be populated on this corpus")
+    // several block sizes, including one forcing many tiles (500 ids / 64
+    // per block = 8 blocks, 36 tiles) and one collapsing to a single tile
+    for (rpb <- Seq(64, 200, 100000)) {
+      val got = Similarity.tiledBruteForcePairs(emb, "vec_id", "embedding",
+          0.3, 0.8, rowsPerBlock = rpb)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected,
+        s"rowsPerBlock=$rpb: tiled=${got.size} naive=${expected.size} " +
+          s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+      graft.operators.Caches.unpersistAll()
+    }
+  }
+
+  test("q_embed_dup_hr planted recall: the ladder holds >= 0.9 in its design band") {
+    val rows = graft.SparkEntry.queries("q_embed_dup_hr")(spark, Dir).collect()
+    assert(rows.nonEmpty, "planted clones must produce design-band pairs")
+    val recallPpm = rows.head.getLong(rows.head.fieldIndex("recall_planted_ppm"))
+    assert(recallPpm >= 900000L,
+      s"hr ladder recall ${recallPpm / 1e6} below the 0.9 design floor")
+    // every emitted pair sits in the calibrated regime — the threshold
+    // and the ladder's design point now agree (round-11 verdict item 1)
+    val minCos = rows.map(r => r.getDouble(r.fieldIndex("cos_sim"))).min
+    assert(minCos >= 0.8, s"pair below the design-regime threshold: $minCos")
+    graft.operators.Caches.unpersistAll()
+  }
 }
