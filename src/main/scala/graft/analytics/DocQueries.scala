@@ -1376,23 +1376,33 @@ object DocQueries {
     * independent plane tables (union of candidates, L× cost, still
     * ∝ N) — documented here, not built, since the synthetic corpus has
     * no planted vector dups to lose. */
-  private def lshPlanesFor(n: Long): Int = {
+  /** Plane-count ceiling: 2³⁰ bucket ids, reached only at N ≈ 43 B
+    * vectors (m = N/40 > 2²⁹) — far past any corpus this engine's
+    * shuffle sizing contemplates, so the ladder is effectively uncapped
+    * (the round-11 census named the old p = 16 cap as the last
+    * fixed-parameter cliff: past N ≈ 2.6 M docs candidates grew with an
+    * N/2.6M occupancy constant). The oracle CASE below is GENERATED
+    * from the same constant, never hand-enumerated. */
+  private[analytics] val LshMaxPlanes = 30
+
+  private[analytics] def lshPlanesFor(n: Long): Int = {
     val m = (n + 39L) / 40L
     val ceilLog2 = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
-    math.min(16, math.max(5, ceilLog2))
+    math.min(LshMaxPlanes, math.max(5, ceilLog2))
   }
 
   /** The DuckDB mirror of [[lshPlanesFor]] over table/CTE `tbl`: same
-    * ceil-div + ladder. */
-  private def lshPlanesSqlOn(tbl: String): String =
-    s"""params AS (SELECT LEAST(16, GREATEST(5,
-        CASE WHEN m <= 1 THEN 0 WHEN m <= 2 THEN 1 WHEN m <= 4 THEN 2
-             WHEN m <= 8 THEN 3 WHEN m <= 16 THEN 4 WHEN m <= 32 THEN 5
-             WHEN m <= 64 THEN 6 WHEN m <= 128 THEN 7 WHEN m <= 256 THEN 8
-             WHEN m <= 512 THEN 9 WHEN m <= 1024 THEN 10 WHEN m <= 2048 THEN 11
-             WHEN m <= 4096 THEN 12 WHEN m <= 8192 THEN 13 WHEN m <= 16384 THEN 14
-             WHEN m <= 32768 THEN 15 ELSE 16 END)) AS np
+    * ceil-div + ladder, the power-of-two CASE generated to
+    * [[LshMaxPlanes]]. */
+  private def lshPlanesSqlOn(tbl: String): String = {
+    val whens = (1 until LshMaxPlanes)
+      .map(k => s"WHEN m <= ${1L << k} THEN $k").mkString("\n             ")
+    s"""params AS (SELECT LEAST($LshMaxPlanes, GREATEST(5,
+        CASE WHEN m <= 1 THEN 0
+             $whens
+             ELSE $LshMaxPlanes END)) AS np
       FROM (SELECT (COUNT(*) + 39) // 40 AS m FROM $tbl))"""
+  }
 
   private val lshPlanesSql = lshPlanesSqlOn("embeddings")
 
@@ -1526,30 +1536,35 @@ object DocQueries {
     * 0.95 do better; pairs far below it are not the operator's target
     * (single-plane collision decays toward 1/2 and no affordable L
     * recovers them — the standard LSH contract). */
-  private def lshTablesFor(pHr: Int): Int = pHr match {
-    case 7 => 4
-    case 8 => 5
-    case 9 => 5
-    case 10 => 6
-    case 11 => 7
-    case 12 => 8
-    case 13 => 8
-    case 14 => 10
-    case 15 => 11
-    case 16 => 12
-    case 17 => 13
-    case _ => 15
-  }
+  /** The full (p_hr → L) ladder: for each plane count, the smallest L
+    * with (1 − q^p)^L ≤ 0.1 at q = 1 − arccos(0.95)/π ≈ 0.8989.
+    * ONE literal table generates BOTH the Scala match and the SQL CASE,
+    * so the two engines cannot drift; LadderModelSpec re-derives every
+    * entry from the collision model and pins minimality. Extends to
+    * p_hr = [[LshMaxPlanes]] + 2 (the uncapped plane ladder's maximum),
+    * where L = 69 — the documented O(N^0.15)-ish growth of holding
+    * design-point recall while per-table collision decays. */
+  private[analytics] val LshTableLadder: Seq[(Int, Int)] = Seq(
+    7 -> 4, 8 -> 5, 9 -> 5, 10 -> 6, 11 -> 7, 12 -> 8, 13 -> 8, 14 -> 10,
+    15 -> 11, 16 -> 12, 17 -> 13, 18 -> 15, 19 -> 17, 20 -> 19, 21 -> 21,
+    22 -> 23, 23 -> 26, 24 -> 29, 25 -> 32, 26 -> 36, 27 -> 40, 28 -> 45,
+    29 -> 50, 30 -> 56, 31 -> 62, 32 -> 69)
+
+  private[analytics] def lshTablesFor(pHr: Int): Int =
+    LshTableLadder.toMap.getOrElse(pHr, 69)
 
   /** The DuckDB mirror of [[lshTablesFor]] plus the +2-plane widening:
     * emits `nph` (planes per table) and `lh` (table count) from the
-    * corpus-adaptive `np`. */
-  private val lshHrParamsSql =
-    """hr AS (SELECT np + 2 AS nph,
-        CASE np + 2 WHEN 7 THEN 4 WHEN 8 THEN 5 WHEN 9 THEN 5 WHEN 10 THEN 6
-          WHEN 11 THEN 7 WHEN 12 THEN 8 WHEN 13 THEN 8 WHEN 14 THEN 10
-          WHEN 15 THEN 11 WHEN 16 THEN 12 WHEN 17 THEN 13 ELSE 15 END AS lh
+    * corpus-adaptive `np` — the CASE generated from [[LshTableLadder]]. */
+  private val lshHrParamsSql = {
+    val whens = LshTableLadder.map { case (p, l) => s"WHEN $p THEN $l" }
+      .mkString("\n          ")
+    s"""hr AS (SELECT np + 2 AS nph,
+        CASE np + 2
+          $whens
+          ELSE 69 END AS lh
       FROM params)"""
+  }
 
   /** Deterministic PLANTED near-dup corpus for the design-regime queries
     * (q_embed_dup_hr / q_semantic_dedup). The synthetic embeddings carry
@@ -1680,11 +1695,37 @@ object DocQueries {
   )
 
   /** Disjoint plane table for q_lsh_recall's corpus sampler — far above
-    * any production offset (≤ 15 tables × 18 planes), so the sampling
+    * any production offset (the hr ladder peaks at L = 69 tables ×
+    * p_hr = 32 planes → max plane index 2207 < 4096), so the sampling
     * decision is independent of every blocking decision it audits. */
   private val RecallSamplerOffset = 4096
-  private val RecallSamplerPlanes = 10
   private val RecallSliceTarget = 1200L
+
+  /** ADAPTIVE sampler plane count (round-11 census: the fixed 10-plane
+    * sampler has 1024 cells and stops sampling — keeps only cell 0,
+    * whose population grows ∝ N — once stride > 1024, i.e. N ≳ 1.2 M
+    * docs). p_s = max(10, ceil(log2(stride)) + 5) keeps the kept-cell
+    * count 2^p_s / stride ≥ ~32 at ANY corpus size, so the slice stays
+    * ≈ 32 cells × 40-doc occupancy ≈ 1200 docs and its O(slice²) brute
+    * force stays bounded by construction. Mirrored into the oracle as a
+    * generated power-of-two CASE. */
+  private[analytics] def recallSamplerPlanesFor(stride: Long): Int = {
+    val c = if (stride <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(stride - 1L)
+    math.max(10, c + 5)
+  }
+
+  /** The DuckDB mirror of [[recallSamplerPlanesFor]]: emits `stride`
+    * and `spl` (sampler plane count). */
+  private def recallSamplerSqlOn(tbl: String): String = {
+    val whens = (1 to 45).map(k => s"WHEN stride <= ${1L << k} THEN ${k + 5}")
+      .mkString("\n          ")
+    s"""sp AS (SELECT stride, GREATEST(10,
+        CASE WHEN stride <= 1 THEN 5
+          $whens
+          ELSE 51 END) AS spl
+      FROM (SELECT (COUNT(*) + ${RecallSliceTarget - 1}) // $RecallSliceTarget AS stride FROM $tbl))"""
+  }
 
   /** LSH pair RECALL against brute-force ground truth — the number the
     * hash oracle structurally cannot certify (both engines replay the
@@ -1692,8 +1733,10 @@ object DocQueries {
     * answer; this query carries the ground truth INSIDE the result).
     *
     * A corpus-size-bounded slice (expected ≈ 1200 docs) is drawn by
-    * COARSE LSH CELL — 10 planes from a disjoint offset, keep cells
-    * with `cell % stride == 0` — so near-neighbor structure survives
+    * COARSE LSH CELL — an ADAPTIVE plane count
+    * ([[recallSamplerPlanesFor]]: cells ≥ ~32 × stride at any N) from a
+    * disjoint offset, keep cells with `cell % stride == 0` — so
+    * near-neighbor structure survives
     * sampling: a near-dup pair shares its coarse cell with probability
     * ≈ its coarse collision probability, where id-stride sampling would
     * keep a pair only with probability 1/stride². Within a cosine band
@@ -1734,10 +1777,11 @@ object DocQueries {
       val pHr = p + 2
       val lHr = lshTablesFor(pHr)
       val stride = ((n + RecallSliceTarget - 1L) / RecallSliceTarget).toInt
+      val samplerPlanes = recallSamplerPlanesFor(stride)
       val slice = graft.operators.Caches.register(emb.select(
           $"vec_id".as("id"), $"embedding".as("v"),
           Similarity.portableBucketNative($"embedding",
-            RecallSamplerPlanes, 64, RecallSamplerOffset).as("cell"),
+            samplerPlanes, 64, RecallSamplerOffset).as("cell"),
           Similarity.portableBucketNative($"embedding", p, 64, 0).as("b0"),
           Similarity.portableBucketNative($"embedding", p, 64, p).as("b1"),
           array((0 until lHr).map(l =>
@@ -1785,7 +1829,7 @@ object DocQueries {
         .orderBy($"band")
     },
     Some(s"""WITH $lshPlanesSql, $lshHrParamsSql,
-      sp AS (SELECT (COUNT(*) + 1199) // 1200 AS stride FROM embeddings),
+      ${recallSamplerSqlOn("embeddings")},
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       bv AS (SELECT vec_id, v,
         list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
@@ -1810,7 +1854,7 @@ object DocQueries {
               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
             (acc, x) -> acc * 2 + x)) AS hb
       FROM bv, params, hr, sp
-      WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range($RecallSamplerPlanes), p ->
+      WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(sp.spl), p ->
           CASE WHEN list_sum(list_transform(range(64), d ->
             qv[d+1] * (CASE WHEN (48271 * (((($RecallSamplerOffset + p)*64 + d + 1) * 2654435761 % 2147483647) * ((($RecallSamplerOffset + p)*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
                        THEN 1 ELSE -1 END))) >= 0

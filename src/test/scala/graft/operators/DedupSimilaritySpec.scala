@@ -229,8 +229,9 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(truth.size >= 120,
       s"fixture: need a meaningful design-point pair count, got ${truth.size}")
     // (p_hr, L) pairs straight from the q_embed_dup_hr ladder — the
-    // adaptive regimes of ~40k and ~160k corpora
-    for ((pHr, l) <- Seq((12, 8), (14, 10))) {
+    // adaptive regimes of ~40k and ~160k corpora, plus the p = 18 rung
+    // of the UNCAPPED plane ladder (N ≈ 2.6 M, past the old p = 16 cap)
+    for ((pHr, l) <- Seq((12, 8), (14, 10), (18, 15))) {
       val found = Similarity.embeddingDupPairsTables(df, "vec_id", "embedding",
           threshold = 0.95, nPlanes = pHr, tables = l, probeRadius = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
