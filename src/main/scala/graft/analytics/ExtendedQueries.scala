@@ -599,6 +599,37 @@ object ExtendedQueries {
       WHERE rk <= 2 ORDER BY o_orderpriority, yr DESC, o_orderkey""")
   )
 
+  /** The WINDOW-ELISION member of the top-k idiom family
+    * ([[graft.plans.TopKRewriteRule]] case 1): the user writes the
+    * row_number() + filter idiom but never projects the rank column, so
+    * the rule drops the Filter AND the Window entirely — the physical
+    * plan is the bare TopKPerKey heap with NO rank sort and NO window
+    * materialization at all (PlanAuditSpec pins exactly that: a
+    * TopKPerKey node, zero Window/WindowGroupLimit nodes). The strongest
+    * form of the rewrite, impossible for Spark's builtin
+    * InferWindowGroupLimit, which must keep the window to evaluate the
+    * filter. Oracle: the plain ROW_NUMBER subquery — identical rows, so
+    * the elision is also hash-gated. */
+  val qTopkElide = GraftQuery(
+    "q_topk_elide",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""")
+  )
+
   /** Custom streaming STATE in the contract: flatMapGroupsWithState
     * sessionization (30-min gap) run as a real streaming job. In a
     * single AvailableNow batch exactly the gap-CLOSED sessions emit —
@@ -1593,7 +1624,7 @@ object ExtendedQueries {
     qStreamHourly, qKnnJoin, qWinnowPairs, qMapExtract, qLocalSupplier,
     qValidateRules, qDedupBest, qTfidfTopTerms, qTopkPerKey, qStreamSessions,
     qUnpivot, qGroupingSets, qFirstLast, qArrayAgg, qStats, qRankTopk,
-    qDenseTopk, qStreamEnrich, qStreamDedup, qStreamJoin, qStreamOuterJoin,
+    qDenseTopk, qTopkElide, qStreamEnrich, qStreamDedup, qStreamJoin, qStreamOuterJoin,
     qMergeUpsert, qContiguousIds, qStreamSessionWindow, qFuzzyMatch,
     qQuantileNormalize, qWeightedMedian, qStreamUpsert, qStreamUserStats,
     qFuzzyQgram)

@@ -85,10 +85,25 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_rank_topk and q_dense_topk route through the tie-keeping heap operator") {
     for (q <- Seq("q_rank_topk", "q_dense_topk")) {
-      val df = SparkEntry.queries(q)(spark, Dir)
-      val opt = df.queryExecution.optimizedPlan.toString
-      assert(opt.contains("TopKPerKey"), s"$q rewrite did not fire:\n$opt")
+      // PHYSICAL plan, not just logical: the rewrite must survive
+      // planning into the TopKPerKeyExec heap
+      val p = plan(q)
+      assert(p.contains("TopKPerKey ["), s"$q rewrite did not reach the physical plan:\n$p")
     }
+  }
+
+  test("q_topk_elide: rank unused => Window AND Filter elided, bare heap survives") {
+    // TopKRewriteRule case 1 end-to-end on a REGISTERED, hash-green
+    // query: the physical plan is the TopKPerKey heap with no window
+    // node of any kind left — no rank sort, no WindowGroupLimit, no
+    // rank filter. This is the shape Spark's builtin cannot produce.
+    val p = plan("q_topk_elide")
+    assert(p.contains("TopKPerKey ["),
+      s"q_topk_elide rewrite did not reach the physical plan:\n$p")
+    assert(!p.contains("Window") && !p.contains("RunningWindowFunction"),
+      s"q_topk_elide kept a window node the elision should have dropped:\n$p")
+    assert(!p.contains("row_number"),
+      s"q_topk_elide still computes the rank it never outputs:\n$p")
   }
 
   test("TPC-H topologies broadcast their dims; only the orderkey join shuffles") {
