@@ -407,7 +407,13 @@ object Similarity {
     val vn = Caches.register(df.select(col(idCol).as("id"),
       col(vecCol).as("vec"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_n")))
-    val nBlocks = math.max(1L, (vn.count() + rowsPerBlock - 1) / rowsPerBlock)
+    // parallelism floor: below 16 blocks the tile count B(B+1)/2 drops
+    // under the core count and the quadratic work serializes onto a few
+    // tasks (measured 4.9 s for 2M pairs in ONE tile vs sub-second
+    // spread); 16 blocks = 136 tiles keeps every slot busy at any n,
+    // and blocks smaller than rowsPerBlock only cheapen the per-task
+    // memory bound
+    val nBlocks = math.max(16L, (vn.count() + rowsPerBlock - 1) / rowsPerBlock)
     val aSide = vn.select(col("id").as("ia"), col("vec").as("va"), col("_n").as("na"))
       .withColumn("_bi", pmod(col("ia"), lit(nBlocks)))
       .withColumn("_bj", explode(sequence(col("_bi"), lit(nBlocks - 1))))
