@@ -77,8 +77,21 @@ object CorpusStatsQueries {
   /** The [[FixedPointKMeans]] replay as DuckDB CTEs: quantized
     * relation `q`, init `c0`, then per round assignment `a{r}` /
     * update `c{r}`, ending with the FINAL assignment `a{rounds+1}`
-    * against the final centroids `c{rounds}`. */
-  private[analytics] def kmeansOracleCtes(k: Int, rounds: Int): String = {
+    * against the final centroids `c{rounds}`. Delegates to
+    * [[kmeansOracleCtesOn]] with the raw embeddings table and a
+    * literal k. */
+  private[analytics] def kmeansOracleCtes(k: Int, rounds: Int): String =
+    kmeansOracleCtesOn(
+      "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      k.toString, rounds)
+
+  /** [[kmeansOracleCtes]] generalized over the source relation and the
+    * cluster count: `src` must expose (vec_id, v DOUBLE[]) — e.g. the
+    * planted-clone corpus — and `kExpr` may be any scalar SQL
+    * expression (a literal, or a subquery deriving k from the corpus
+    * size so both engines compute the SAME adaptive k). */
+  private[analytics] def kmeansOracleCtesOn(
+      src: String, kExpr: String, rounds: Int): String = {
     def assignRound(a: String, cPrev: String) =
       s"""$a AS (SELECT vec_id, v, j, dist FROM (
           SELECT q.vec_id, q.v, c.j, ${kmeansDistSql("q.v", "c.c")} AS dist,
@@ -93,14 +106,115 @@ object CorpusStatsQueries {
       assignRound(s"a$r", s"c${r - 1}") + ",\n" +
         updateRound(s"c$r", s"a$r")).mkString(",\n")
     s"""q AS (SELECT vec_id,
-        list_transform(CAST(embedding AS DOUBLE[]),
+        list_transform(v,
           x -> CAST(FLOOR(x * $QScale + 0.5) AS BIGINT) + $QShift) AS v
-      FROM embeddings),
-      c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c
-        FROM q ORDER BY vec_id LIMIT $k),
+      FROM $src AS kmeans_src),
+      c0 AS (SELECT j, c FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c FROM q)
+        WHERE j < ($kExpr)),
       $roundsSql,
       ${assignRound(s"a${rounds + 1}", s"c$rounds")}"""
   }
+
+  /** SemDeDup's cosine threshold τ = 9/10 as an exact rational — the
+    * squared-integer similarity test interpolates tauNum²/tauDen² into
+    * BOTH engines from these two literals. 0.9 sits inside the planted
+    * clone band (cosines ≈ 0.95/0.97/0.99) and above everything the
+    * raw synthetic table contains (max ≈ 0.6), so the drop surface is
+    * exactly the planted-clone surface modulo cluster splits. */
+  private val SemTauNum = 9L
+  private val SemTauDen = 10L
+
+  /** Adaptive cluster count k = max(8, ⌊√N⌋) — the SemDeDup ladder.
+    * Both engines evaluate the same IEEE sqrt+floor over the same
+    * integer count, so the k (and therefore the whole clustering) is
+    * identical. √N balances assignment work (N·k·d) against expected
+    * intra-cluster pair volume (N²/k): both Θ(N^1.5·d) — the published
+    * method's sub-quadratic trade (hierarchical k-means is the next
+    * rung at extreme N, not a cap). */
+  private val SemKExpr =
+    "SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM q"
+
+  /** SemDeDup (Abbas et al. 2023) over the planted-clone corpus:
+    * k-means-cluster the embeddings (the [[FixedPointKMeans]] integer
+    * Lloyd, k = ⌊√N⌋, fully replayed by the oracle's unrolled CTEs),
+    * then WITHIN each cluster drop every vector having a smaller-id
+    * cluster-mate at cosine ≥ 0.9 — exact integer arithmetic end to
+    * end, so the DuckDB oracle reproduces the drop set bit for bit
+    * (see [[graft.operators.SemDeDup]] for the squared-comparison
+    * derivation and integer bounds). Emits per-cluster member/drop
+    * counts plus the corpus-level planted-clone drop rate: within-
+    * cluster search is recall-1.0, so `planted_drop_ppm` (984126 =
+    * 62/63 at sf0.01) measures exactly the method's documented miss
+    * mode — clones split from their source by a k-means boundary.
+    * Completes the embedding-dup triad: LSH (sub-quadratic, banding
+    * recall contract), tiled brute force (recall 1.0, Θ(N²)), SemDeDup
+    * (recall 1.0 within clusters, Θ(N^1.5)). */
+  val qSemdedup = GraftQuery(
+    "q_semdedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, FixedPointKMeans, SemDeDup}
+      val (corpus, off, nPlanted) = DocQueries.plantedEmbeddings(s, dir)
+      val q = Caches.register(corpus.select($"vec_id",
+        FixedPointKMeans.quantize($"embedding").as("v")))
+      val k = math.max(8L,
+        math.floor(math.sqrt(q.count().toDouble)).toLong).toInt
+      val cents = FixedPointKMeans.fit(q, "vec_id", "v", k, KmeansRounds)
+      val asg = Caches.register(FixedPointKMeans.assign(q, "v", cents)
+        .select($"vec_id", $"v", $"cluster"))
+      val dropped = SemDeDup.droppedIds(asg, "vec_id", "v", "cluster",
+        SemTauNum, SemTauDen)
+      val stats = asg
+        .join(dropped.withColumnRenamed("id", "vec_id")
+          .withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"),
+          sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"))
+      val rec = dropped
+        .agg(coalesce(sum(when($"id" >= off && ($"id" - off) % 8 === 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_pd"))
+        .select(lit(nPlanted).as("n_planted"),
+          expr(s"CAST(n_pd * 1000000 div $nPlanted AS BIGINT)")
+            .as("planted_drop_ppm"))
+      stats.crossJoin(rec).orderBy($"cluster")
+    },
+    Some({
+      val aFin = s"a${KmeansRounds + 1}"
+      s"""WITH ${graft.analytics.DocQueries.plantedCorpusSql},
+      ${kmeansOracleCtesOn("(SELECT vec_id, v FROM e)", SemKExpr, KmeansRounds)},
+      u AS (SELECT vec_id, j,
+          list_transform(v, x -> x - $QShift) AS uv,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(v, x -> (x - $QShift) * (x - $QShift))),
+            (acc, x) -> acc + x) AS nsq
+        FROM $aFin),
+      pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(64), i -> a.uv[i+1] * b.uv[i+1])),
+            (acc, x) -> acc + x) AS dot,
+          a.nsq AS nsq_a, b.nsq AS nsq_b
+        FROM u a JOIN u b ON a.j = b.j AND a.vec_id < b.vec_id),
+      dropped AS (SELECT DISTINCT id_b FROM pr
+        WHERE dot >= 0 AND nsq_a > 0 AND nsq_b > 0
+          AND CAST(dot AS HUGEINT) * dot * ${SemTauDen * SemTauDen} >=
+              ${SemTauNum * SemTauNum} * CAST(nsq_a AS HUGEINT) * nsq_b),
+      stats AS (SELECT $aFin.j AS cluster, COUNT(*) AS n_members,
+          CAST(SUM(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped
+        FROM $aFin LEFT JOIN dropped d ON $aFin.vec_id = d.id_b
+        GROUP BY $aFin.j),
+      rec AS (SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE vec_id % 8 = 0)
+            AS n_planted,
+          CAST((SELECT COUNT(*) FROM dropped, mx
+                WHERE id_b >= mx.off AND (id_b - mx.off) % 8 = 0) * 1000000
+            // (SELECT COUNT(*) FROM base WHERE vec_id % 8 = 0) AS BIGINT)
+            AS planted_drop_ppm)
+      SELECT cluster, n_members, n_dropped, rec.n_planted, rec.planted_drop_ppm
+      FROM stats, rec ORDER BY cluster"""
+    })
+  )
 
   /** Per-source unigram KL divergence from the corpus distribution —
     * the mixture-drift diagnostic behind data-mixing decisions (a
@@ -645,6 +759,6 @@ object CorpusStatsQueries {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(qKmeans, qPqRecall, qSourceKl, qHeapsLaw, qZipfFit, qCoreset,
-      qNmfTopics)
+    Seq(qKmeans, qSemdedup, qPqRecall, qSourceKl, qHeapsLaw, qZipfFit,
+      qCoreset, qNmfTopics)
 }

@@ -1581,7 +1581,7 @@ object DocQueries {
     * integer keys + fixed-order IEEE double ops, so the oracle
     * regenerates the corpus bit-identically.
     * Returns (corpus, cloneIdOffset, nPlanted). */
-  private def plantedEmbeddings(s: org.apache.spark.sql.SparkSession,
+  private[analytics] def plantedEmbeddings(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, Long, Long) = {
     import s.implicits._
     val base = Tables.embeddings(s, dir)
@@ -1609,7 +1609,7 @@ object DocQueries {
 
   /** The DuckDB mirror of [[plantedEmbeddings]]: emits `base`, `mx`
     * (clone id offset) and the augmented corpus `e(vec_id, label, v)`. */
-  private val plantedCorpusSql =
+  private[analytics] val plantedCorpusSql =
     """base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       mx AS (SELECT MAX(vec_id) + 1 AS off FROM base),
       e AS (

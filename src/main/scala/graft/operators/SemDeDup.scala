@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+  * deduplication by CLUSTER-BOUNDED exact cosine search: k-means
+  * partitions the embedding space, and near-duplicate pairs are only
+  * sought WITHIN a cluster, turning the O(N²) all-pairs problem into
+  * Σ|cluster|² work that the cluster count controls. This is the
+  * third member of the embedding-dup triad and fills the gap between
+  * the other two: the LSH family (`Similarity.embeddingDupPairs*`) is
+  * sub-quadratic but recall-lossy by its banding contract, and the
+  * tiled brute force (`Similarity.tiledBruteForcePairs`) is recall-1.0
+  * but unconditionally quadratic — SemDeDup is recall-1.0 *within*
+  * clusters and pays only for intra-cluster pairs, with the documented
+  * miss mode being pairs split across a k-means boundary (measured as
+  * `planted_drop_ppm` in the registered query: 62/63 planted clones at
+  * sf0.01).
+  *
+  * Determinism contract: the similarity test runs in EXACT integer
+  * arithmetic over [[FixedPointKMeans]]-quantized coordinates. The
+  * shift is removed first (cosine over shifted coordinates would be
+  * meaningless), so with u = q − QShift the test `cos(a,b) ≥ τ`
+  * (τ = tauNum/tauDen) becomes
+  *
+  *   dot ≥ 0  ∧  dot²·tauDen² ≥ tauNum²·‖a‖²·‖b‖²
+  *
+  * with dot = Σ uₐuᵦ and ‖·‖² the unshifted squared norm — every term
+  * an exact integer (|u| ≤ 1.6e7 per dim → dot, nsq ≤ 1.64e16 in
+  * long; the squared comparison ≤ ~3e34 in DECIMAL(38,0), and the
+  * DuckDB oracle replays it in HUGEINT), so the drop set is
+  * bit-identical in any engine. Zero vectors have undefined cosine
+  * and never match (nsq > 0 guards both sides).
+  *
+  * Scale shape: one shuffle on the cluster key; per-vector norms are
+  * computed BEFORE the join so the pair stream carries one fold (the
+  * dot product) and no recomputed norms. With k = ⌊√N⌋ clusters
+  * (the registered query's ladder) expected intra-cluster pair volume
+  * is Θ(N^1.5) and centroid state is √N·d longs — sub-quadratic end
+  * to end with no driver-side corpus state. Cluster-size skew is the
+  * operator's honest failure mode (a cluster holding p·N of the
+  * corpus contributes (pN)²/2 pairs); the published method's answer
+  * is raising k (hierarchical k-means at extreme N), not capping —
+  * a cap would silently break the dedup contract. */
+object SemDeDup {
+
+  /** Ids DROPPED by SemDeDup over an already-clustered quantized
+    * relation: a row's id is emitted iff a SMALLER-id member of the
+    * same cluster has cosine ≥ tauNum/tauDen with it (the repo-wide
+    * keep-first dedup convention — survivors are exactly the ids not
+    * returned). `assigned` must carry [[FixedPointKMeans.quantize]]d
+    * vectors in `vCol` and a cluster id in `clusterCol`.
+    *
+    * Returns a single-column DataFrame `id` (distinct). */
+  def droppedIds(assigned: DataFrame, idCol: String, vCol: String,
+      clusterCol: String, tauNum: Long, tauDen: Long): DataFrame = {
+    require(tauDen > 0 && tauNum >= 0 && tauNum <= tauDen,
+      s"SemDeDup: need 0 <= tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    val u = assigned.select(
+      col(idCol).as("id"),
+      col(clusterCol).as("cl"),
+      transform(col(vCol), x => x - FixedPointKMeans.QShift).as("uv"))
+      .withColumn("nsq",
+        aggregate(col("uv"), lit(0L), (acc, x) => acc + x * x))
+    val a = u.select(col("id").as("id_a"), col("cl").as("cl_a"),
+      col("uv").as("uv_a"), col("nsq").as("nsq_a"))
+    val b = u.select(col("id").as("id_b"), col("cl").as("cl_b"),
+      col("uv").as("uv_b"), col("nsq").as("nsq_b"))
+    val dec = DecimalType(38, 0)
+    a.join(b, col("cl_a") === col("cl_b") && col("id_a") < col("id_b"))
+      .withColumn("dot",
+        aggregate(zip_with(col("uv_a"), col("uv_b"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      .filter(col("dot") >= 0 && col("nsq_a") > 0 && col("nsq_b") > 0 &&
+        col("dot").cast(dec) * col("dot").cast(dec) * lit(tauDen * tauDen) >=
+          col("nsq_a").cast(dec) * col("nsq_b").cast(dec) * lit(tauNum * tauNum))
+      .select(col("id_b").as("id"))
+      .distinct()
+  }
+}
