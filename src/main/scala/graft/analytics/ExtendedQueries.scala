@@ -213,6 +213,35 @@ object ExtendedQueries {
       FROM c GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** Streaming per-user TOP-K through the transformWithState LIST
+    * state primitive — bounded-heap state: at most k items per active
+    * user in RocksDB no matter how long the stream runs (see
+    * [[graft.streaming.TopKState]] for the emission protocol and the
+    * associativity argument). The oracle is the batch window the
+    * end-of-stream state must equal: ROW_NUMBER per user over
+    * (integer-cent value DESC, event_id ASC), rank ≤ 3 — values
+    * quantize to cents before the fold so the ordering ties are an
+    * exact integer total order in both engines. */
+  val qStreamTopk = GraftQuery(
+    "q_stream_topk",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_topk_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val checkpoint = graft.streaming.EventsStream.ephemeralCheckpoint()
+      val ev = graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet")
+      graft.streaming.TopKState.topK(s, ev, k = 3, name, checkpoint)
+        .orderBy($"user_id", $"rank")
+    },
+    Some("""WITH c AS (SELECT user_id, event_id,
+        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC, event_id) AS rank
+      FROM events)
+      SELECT user_id, rank, event_id, cents FROM c
+      WHERE rank <= 3 ORDER BY user_id, rank""")
+  )
+
   /** Streaming incremental dedup (D2) under AT-LEAST-ONCE delivery: the
     * same event files arrive on TWO source streams (every event delivered
     * twice — the redelivery pattern of any retrying ingester), and
@@ -1627,5 +1656,5 @@ object ExtendedQueries {
     qDenseTopk, qTopkElide, qStreamEnrich, qStreamDedup, qStreamJoin, qStreamOuterJoin,
     qMergeUpsert, qContiguousIds, qStreamSessionWindow, qFuzzyMatch,
     qQuantileNormalize, qWeightedMedian, qStreamUpsert, qStreamUserStats,
-    qFuzzyQgram)
+    qStreamTopk, qFuzzyQgram)
 }

@@ -236,6 +236,57 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(onebatch === single)
   }
 
+  test("streaming top-k ListState: multi-batch fold equals single-batch equals batch window") {
+    import graft.streaming.TopKState
+    // order-independence is the operator's contract (merge-sort-truncate
+    // under a total order), so an arbitrary 3-way split must converge to
+    // the same final state as one batch — split chronologically anyway
+    // to exercise real state carry-over across micro-batches
+    val raw0 = rawEvents()
+    val raw = raw0.withColumn("tsn", tsNum(raw0))
+    val Array(q1, q2) = raw.stat.approxQuantile("tsn", Array(0.33, 0.66), 0.0)
+    val srcDir = s"$tmp/events_topk_split"
+    new java.io.File(srcDir).mkdirs()
+    Seq(raw.filter(col("tsn") <= q1),
+        raw.filter(col("tsn") > q1 && col("tsn") <= q2),
+        raw.filter(col("tsn") > q2)).map(_.drop("tsn")).zipWithIndex.foreach { case (p, i) =>
+      val stage = s"$tmp/events_topk_stage_$i"
+      p.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"events_$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1900000000000L + i * 60000L))
+    }
+    def run(path: String, maxFiles: Int): Seq[(Long, Long, Long, Long)] = {
+      val ev = EventsStream.readEvents(spark, path, maxFilesPerTrigger = maxFiles)
+      TopKState.topK(spark, ev, 3, s"topk_${path.hashCode.abs}_$maxFiles",
+          s"$tmp/ckpt_topk_${path.hashCode.abs}_$maxFiles")
+        .orderBy(col("user_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    val single = run(s"$Dir/events.parquet", 1)
+    val multi = run(srcDir, 1)   // 3 micro-batches, ListState carried across
+    assert(single.nonEmpty)
+    assert(multi === single,
+      "multi-batch top-k state must converge to the single-batch answer")
+    // ground truth: the batch window the end-of-stream state must equal
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("cents").desc, col("event_id"))
+    val batch = Tables.events(spark, Dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("user_id"), col("rank"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("cents"))).toSeq
+    assert(single === batch, "end-of-stream top-k must equal the batch window")
+    // bounded-state contract: no user carries more than k rows
+    assert(single.groupBy(_._1).values.forall(_.size <= 3))
+  }
+
   test("events loaders normalize BOTH ts layouts (nanos-long and timestamp)") {
     import spark.implicits._
     // nanos-long generation: ts presents as LongType (what the legacy
