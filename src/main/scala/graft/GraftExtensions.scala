@@ -1,7 +1,8 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, ExactQuantiles, KmvSketch,
-  MinHashSignature, ShingleHashes64, SimHashChunks, WinnowFingerprints}
+import graft.expressions.{CosineSimilarity, DotProductLong, ExactQuantiles,
+  KMeansAssignExpr, KmvSketch, MinHashSignature, ShingleHashes64,
+  SimHashChunks, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -53,6 +54,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           build(children)
         }))
 
+    register("graft_kmeans_assign", classOf[KMeansAssignExpr],
+        "graft_kmeans_assign(v, labels, flatCents)") { c =>
+      require(c.length == 3, "graft_kmeans_assign(v, labels, flatCents)")
+      KMeansAssignExpr(c.head, c(1), c(2))
+    }
+    register("graft_dot_long", classOf[DotProductLong],
+        "graft_dot_long(arrayA, arrayB)") { c =>
+      require(c.length == 2, "graft_dot_long(arrayA, arrayB)")
+      DotProductLong(c.head, c(1))
+    }
     register("graft_cosine", classOf[CosineSimilarity],
         "graft_cosine(arrayA, arrayB)") { c =>
       require(c.length == 2, "graft_cosine(arrayA, arrayB)")

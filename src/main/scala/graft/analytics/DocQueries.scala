@@ -1581,7 +1581,7 @@ object DocQueries {
     * integer keys + fixed-order IEEE double ops, so the oracle
     * regenerates the corpus bit-identically.
     * Returns (corpus, cloneIdOffset, nPlanted). */
-  private[analytics] def plantedEmbeddings(s: org.apache.spark.sql.SparkSession,
+  private[graft] def plantedEmbeddings(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, Long, Long) = {
     import s.implicits._
     val base = Tables.embeddings(s, dir)

@@ -1,0 +1,194 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
+
+/** Native fused k-means assignment: argmin over a centroid matrix of
+  * integer squared distance, with the (distance, candidate-order)
+  * tie-break of [[graft.operators.FixedPointKMeans.bestOf]] — strict
+  * `<` keeps the EARLIEST candidate on equal distance, and callers
+  * pass centroids in ascending-j order.
+  *
+  * This replaces the declarative nested-HOF formulation
+  * (aggregate over a k-element struct literal, each candidate paying a
+  * zip_with allocation + inner aggregate fold): Catalyst evaluates
+  * higher-order lambdas interpreted, per element, which measured
+  * ~100× slower than raw long arithmetic once k grew past a handful
+  * (the q_semdedup k=⌊√N⌋ ladder: 68 s of fit time at sf1, vs the
+  * N·k·d ≈ 2×10⁸ long ops ≈ 0.2 s this loop costs). The centroid
+  * matrix rides as foldable literal children, extracted ONCE into
+  * flat primitive arrays (a codegen reference object — never
+  * re-materialized per row), and the whole argmin is a single fused
+  * loop inside whole-stage codegen.
+  *
+  * Children: (v array<long>, labels array<int>, flat array<long>)
+  * where flat is the k×d row-major centroid matrix; labels carries the
+  * original cluster ids (Lloyd rounds can empty a cluster, so ids need
+  * not be contiguous). Returns struct(j int, d long); empty labels
+  * yield the fold's zero-iteration accumulator (j = −1,
+  * d = Long.MaxValue), matching the HOF formulation exactly.
+  * v's length must equal flat.length / labels.length — a mismatch
+  * throws rather than silently truncating (a dimension bug upstream
+  * must not yield a plausible wrong assignment). */
+case class KMeansAssignExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isArr(dt: DataType, el: DataType) = dt match {
+      case ArrayType(`el`, _) => true
+      case _                  => false
+    }
+    if (!isArr(first.dataType, LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_kmeans_assign expects v: array<long>, got ${first.dataType.simpleString}")
+    else if (!isArr(second.dataType, IntegerType) || !second.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_kmeans_assign expects labels: foldable array<int>")
+    else if (!isArr(third.dataType, LongType) || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_kmeans_assign expects flat centroids: foldable array<long>")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("j", IntegerType, nullable = false),
+    StructField("d", LongType, nullable = false)))
+  override def prettyName: String = "graft_kmeans_assign"
+
+  @transient private lazy val labelsArr: Array[Int] =
+    second.eval(null).asInstanceOf[ArrayData].toIntArray()
+  @transient private lazy val flatArr: Array[Long] =
+    third.eval(null).asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val dims: Int = {
+    val k = labelsArr.length
+    require(k == 0 || flatArr.length % k == 0,
+      s"graft_kmeans_assign: ${flatArr.length} matrix cells not divisible by k=$k")
+    if (k == 0) 0 else flatArr.length / k
+  }
+
+  override def nullSafeEval(v: Any, l: Any, f: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val k = labelsArr.length
+    if (k > 0 && x.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"graft_kmeans_assign: vector has ${x.numElements()} dims, centroids have $dims")
+    var best = Long.MaxValue
+    var bj = -1
+    var c = 0
+    while (c < k) {
+      var s = 0L
+      var i = 0
+      val base = c * dims
+      while (i < dims) {
+        val diff = x.getLong(i) - flatArr(base + i)
+        s += diff * diff
+        i += 1
+      }
+      if (s < best) { best = s; bj = labelsArr(c) }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bj, best))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      val labels = ctx.addReferenceObj("kmLabels", labelsArr, "int[]")
+      val flat = ctx.addReferenceObj("kmFlat", flatArr, "long[]")
+      val k = ctx.freshName("k"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bj = ctx.freshName("bj")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val base = ctx.freshName("base")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $k = $labels.length;
+         |int $d = ($k == 0) ? 0 : $flat.length / $k;
+         |if ($k > 0 && $v.numElements() != $d) {
+         |  throw new IllegalArgumentException(
+         |    "graft_kmeans_assign: vector has " + $v.numElements() +
+         |    " dims, centroids have " + $d);
+         |}
+         |long $best = Long.MAX_VALUE;
+         |int $bj = -1;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  long $s = 0L;
+         |  int $base = $c * $d;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    long $diff = $v.getLong($i) - $flat[$base + $i];
+         |    $s += $diff * $diff;
+         |  }
+         |  if ($s < $best) { $best = $s; $bj = $labels[$c]; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ $bj, $best });
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): KMeansAssignExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Native EXACT integer dot product of two long arrays — the
+  * fixed-point sibling of [[DotProduct]] for the integer-arithmetic
+  * dedup pipelines ([[graft.operators.SemDeDup]]'s pair verify, where
+  * the declarative zip_with + aggregate fold pays an interpreted
+  * lambda and an array allocation per PAIR). Single fused loop, full
+  * codegen, no allocation. Overflow is the CALLER's contract (the
+  * quantized |u| ≤ 1.6e7 bound keeps 64-dim dots < 2e16); null
+  * elements read as 0; mismatched lengths truncate to the shorter
+  * (same sharp edge as graft_dot — guard upstream if dims can vary). */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_long expects (array<long>, array<long>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0L else x.getLong(i)
+      val yv = if (y.isNullAt(i)) 0L else y.getLong(i)
+      dot += xv * yv
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xv = $a.isNullAt($i) ? 0L : $a.getLong($i);
+         |  long $yv = $b.isNullAt($i) ? 0L : $b.getLong($i);
+         |  $dot += $xv * $yv;
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}

@@ -75,18 +75,19 @@ object FixedPointKMeans {
     a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
 
   /** struct(j, d): argmin cluster and its integer squared distance,
-    * folded map-side over the centroid literal. */
-  def bestOf(v: Column, cents: Seq[(Int, Seq[Long])]): Column = {
-    val cs = array(cents.map { case (j, c) =>
-      struct(lit(j).as("j"), typedLit(c).as("c")) }: _*)
-    aggregate(cs, struct(lit(-1).as("j"), lit(Long.MaxValue).as("d")),
-      (acc, cj) => {
-        val dist = aggregate(zip_with(v, cj("c"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (s2, x) => s2 + x)
-        when(dist < acc("d"), struct(cj("j").as("j"), dist.as("d")))
-          .otherwise(acc)
-      })
-  }
+    * computed map-side against the centroid matrix. Routed through the
+    * fused native kernel [[graft.expressions.KMeansAssignExpr]]
+    * (`graft_kmeans_assign`): the former declarative nested-HOF fold
+    * paid an interpreted lambda + a zip_with allocation PER CANDIDATE,
+    * which measured ~100× slower than raw long arithmetic once k grew
+    * to the q_semdedup ⌊√N⌋ ladder (68 s of fit at sf1 → sub-second).
+    * Semantics are bit-identical: strict `<` keeps the earliest
+    * candidate on distance ties (cents arrive in ascending-j order),
+    * and the empty-centroid accumulator is (j = −1, d = Long.MaxValue). */
+  def bestOf(v: Column, cents: Seq[(Int, Seq[Long])]): Column =
+    call_function("graft_kmeans_assign", v,
+      typedLit(cents.map(_._1).toArray),
+      typedLit(cents.flatMap(_._2).toArray))
 
   /** Add (cluster, dist) to an already-quantized relation. */
   def assign(quantized: DataFrame, vCol: String,

@@ -62,8 +62,7 @@ object SemDeDup {
       col(idCol).as("id"),
       col(clusterCol).as("cl"),
       transform(col(vCol), x => x - FixedPointKMeans.QShift).as("uv"))
-      .withColumn("nsq",
-        aggregate(col("uv"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("nsq", call_function("graft_dot_long", col("uv"), col("uv")))
     val a = u.select(col("id").as("id_a"), col("cl").as("cl_a"),
       col("uv").as("uv_a"), col("nsq").as("nsq_a"))
     val b = u.select(col("id").as("id_b"), col("cl").as("cl_b"),
@@ -71,8 +70,7 @@ object SemDeDup {
     val dec = DecimalType(38, 0)
     a.join(b, col("cl_a") === col("cl_b") && col("id_a") < col("id_b"))
       .withColumn("dot",
-        aggregate(zip_with(col("uv_a"), col("uv_b"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
+        call_function("graft_dot_long", col("uv_a"), col("uv_b")))
       .filter(col("dot") >= 0 && col("nsq_a") > 0 && col("nsq_b") > 0 &&
         col("dot").cast(dec) * col("dot").cast(dec) * lit(tauDen * tauDen) >=
           col("nsq_a").cast(dec) * col("nsq_b").cast(dec) * lit(tauNum * tauNum))

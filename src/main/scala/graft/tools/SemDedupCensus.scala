@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off measurement: SemDeDup cluster-size occupancy at a given sf
+  * dir — is the within-cluster pair volume Σc² bounded by the k=⌊√N⌋
+  * ladder, or does Lloyd concentration produce fat clusters that the
+  * quadratic member search then pays for? Prints the top sizes, Σc²,
+  * and the balanced-ideal Σc² = N²/k for comparison.
+  *
+  * Usage: runMain graft.tools.SemDedupCensus <sfDir> [rounds=2]
+  */
+object SemDedupCensus {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: SemDedupCensus <sfDir> [rounds]")
+    val dir = args(0)
+    val rounds = if (args.length > 1) args(1).toInt else 2
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.operators.{Caches, FixedPointKMeans}
+    val (corpus, _, _) = graft.analytics.DocQueries.plantedEmbeddings(spark, dir)
+    val q = Caches.register(corpus.select($"vec_id",
+      FixedPointKMeans.quantize($"embedding").as("v")))
+    val n = q.count()
+    val k = math.max(8L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+    val t0 = System.nanoTime()
+    val cents = FixedPointKMeans.fit(q, "vec_id", "v", k, rounds)
+    val tFit = (System.nanoTime() - t0) / 1e9
+    val sizes = FixedPointKMeans.assign(q, "v", cents)
+      .groupBy($"cluster").agg(count(lit(1)).as("c"))
+      .select($"c").as[Long].collect().sorted.reverse
+    val sumSq = sizes.map(c => c * c).sum
+    println(s"[census] n=$n k=$k rounds=$rounds fit=${f"$tFit%.1f"}s " +
+      s"nonempty=${sizes.length}")
+    println(s"[census] top sizes: ${sizes.take(15).mkString(", ")}")
+    println(s"[census] sum c^2 = $sumSq  (balanced ideal N^2/k = ${n * n / k}); " +
+      s"top-1 share of pair mass = ${f"${sizes.head * sizes.head * 100.0 / sumSq}%.1f"}%")
+    spark.stop()
+  }
+}

@@ -1228,4 +1228,21 @@ class PlanAuditSpec extends SparkSpec {
       !pd.contains("BroadcastNestedLoopJoin"),
       s"q_dbscan lost its grid blocking (all-pairs distance join):\n$pd")
   }
+
+  test("q_semdedup: cluster-keyed equi pair join, norms computed below the join") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"q_semdedup's pair search must stay cluster-blocked:\n$p")
+    // the self-join must be EQUI on the cluster id (cl_a = cl_b) with the
+    // id inequality riding as a post-condition — a nested-loop distance
+    // join here is the O(N²) shape the clustering exists to avoid. (The
+    // final 1-row recall crossJoin is a broadcast NLJ and is fine.)
+    assert(p.contains("cl_a") && p.contains("cl_b"),
+      s"q_semdedup lost the cluster-keyed join:\n$p")
+    // per-vector squared norms are projected BELOW the join (nsq_a/nsq_b
+    // ride the join output) so the pair stream carries ONE fold — the
+    // dot product — not recomputed norms per pair
+    assert(p.contains("nsq_a") && p.contains("nsq_b"),
+      s"q_semdedup recomputes norms per pair:\n$p")
+  }
 }
