@@ -1,8 +1,8 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DotProductLong, ExactQuantiles,
-  KMeansAssignExpr, KmvSketch, MinHashSignature, ShingleHashes64,
-  SimHashChunks, WinnowFingerprints}
+import graft.expressions.{CosineSimilarity, DotProductLong, EqCount,
+  ExactQuantiles, KMeansAssignExpr, KmvSketch, MinHashSignature,
+  ShingleHashes64, SimHashChunks, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_kmeans_assign(v, labels, flatCents)") { c =>
       require(c.length == 3, "graft_kmeans_assign(v, labels, flatCents)")
       KMeansAssignExpr(c.head, c(1), c(2))
+    }
+    register("graft_eq_count", classOf[EqCount],
+        "graft_eq_count(arrayA, arrayB)") { c =>
+      require(c.length == 2, "graft_eq_count(arrayA, arrayB)")
+      EqCount(c.head, c(1))
     }
     register("graft_dot_long", classOf[DotProductLong],
         "graft_dot_long(arrayA, arrayB)") { c =>

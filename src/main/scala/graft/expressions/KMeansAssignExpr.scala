@@ -192,3 +192,61 @@ case class DotProductLong(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProductLong =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native equal-position count of two long arrays — the MinHash
+  * signature-agreement kernel: the per-candidate-pair HOF fold
+  * (zip_with + when + aggregate over numHashes slots) pays an
+  * interpreted lambda and an array allocation per PAIR in the
+  * q_minhash_* candidate verify. Semantics mirror the declarative
+  * form exactly: a null ELEMENT on either side (or a length overhang —
+  * zip_with pads with null) contributes 0, never 1; null ARRAY →
+  * null result. Returns int, like the 0/1-literal fold it replaces. */
+case class EqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_eq_count expects (array<long>, array<long>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_eq_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        eq += 1
+      i += 1
+    }
+    eq
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val eq = ctx.freshName("eq")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $eq++;
+         |}
+         |${ev.value} = $eq;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EqCount =
+    copy(left = newLeft, right = newRight)
+}

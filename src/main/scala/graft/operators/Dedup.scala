@@ -153,10 +153,12 @@ object Dedup {
     cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      // signature agreement via the fused native kernel — the HOF fold
+      // (zip_with + when + aggregate) paid an interpreted lambda per
+      // candidate pair × numHashes slots; identical integer result
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+        call_function("graft_eq_count", col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
