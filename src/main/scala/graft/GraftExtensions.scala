@@ -1,7 +1,7 @@
 package graft
 
 import graft.expressions.{CosineSimilarity, DotProductLong, EqCount,
-  ExactQuantiles, KMeansAssignExpr, KmvSketch, MinHashSignature,
+  ExactQuantiles, IntCosGe, KMeansAssignExpr, KmvSketch, MinHashSignature,
   ShingleHashes64, SimHashChunks, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -58,6 +58,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_kmeans_assign(v, labels, flatCents)") { c =>
       require(c.length == 3, "graft_kmeans_assign(v, labels, flatCents)")
       KMeansAssignExpr(c.head, c(1), c(2))
+    }
+    register("graft_intcos_ge", classOf[IntCosGe],
+        "graft_intcos_ge(dot, naSq, nbSq, tauNum, tauDen)") { c =>
+      require(c.length == 5, "graft_intcos_ge(dot, naSq, nbSq, tauNum, tauDen)")
+      IntCosGe(c.head, c(1), c(2),
+        intLit(c(3), "graft_intcos_ge", "tauNum").toLong,
+        intLit(c(4), "graft_intcos_ge", "tauDen").toLong)
     }
     register("graft_eq_count", classOf[EqCount],
         "graft_eq_count(arrayA, arrayB)") { c =>

@@ -427,9 +427,10 @@ object CorpusStatsQueries {
           FixedPointKMeans.sqDistLocal(qsub(m), c) }
         element_at(map_from_arrays(typedLit(ids), typedLit(ds)), col(s"c$m"))
       }.reduce(_ + _)
+      // fused single-centroid distance (graft_kmeans_assign with one
+      // candidate) — same integer result as the zip_with fold it replaces
       def exactDist(v: org.apache.spark.sql.Column) =
-        aggregate(zip_with(v, typedLit(qv), (a, b) => (a - b) * (a - b)),
-          lit(0L), (s2, x) => s2 + x)
+        FixedPointKMeans.bestOf(v, Seq((0, qv)))("d")
       val pq = coded.filter($"vec_id" =!= 0L)
         .select($"vec_id", adc.as("adc_dist"))
         .orderBy($"adc_dist", $"vec_id").limit(PqTopK)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StructField, StructType}
 
 /** Native fused k-means assignment: argmin over a centroid matrix of
   * integer squared distance, with the (distance, candidate-order)
@@ -71,64 +71,56 @@ case class KMeansAssignExpr(first: Expression, second: Expression,
 
   override def nullSafeEval(v: Any, l: Any, f: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val k = labelsArr.length
-    if (k > 0 && x.numElements() != dims)
-      throw new IllegalArgumentException(
-        s"graft_kmeans_assign: vector has ${x.numElements()} dims, centroids have $dims")
-    var best = Long.MaxValue
-    var bj = -1
-    var c = 0
-    while (c < k) {
-      var s = 0L
-      var i = 0
-      val base = c * dims
-      while (i < dims) {
-        val diff = x.getLong(i) - flatArr(base + i)
-        s += diff * diff
-        i += 1
-      }
-      if (s < best) { best = s; bj = labelsArr(c) }
-      c += 1
-    }
-    new GenericInternalRow(Array[Any](bj, best))
+    KMeansAssignExpr.assignRow(x, labelsArr, flatArr)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, _, _) => {
       val labels = ctx.addReferenceObj("kmLabels", labelsArr, "int[]")
       val flat = ctx.addReferenceObj("kmFlat", flatArr, "long[]")
-      val k = ctx.freshName("k"); val d = ctx.freshName("d")
-      val best = ctx.freshName("best"); val bj = ctx.freshName("bj")
-      val c = ctx.freshName("c"); val i = ctx.freshName("i")
-      val s = ctx.freshName("s"); val base = ctx.freshName("base")
-      val diff = ctx.freshName("diff")
-      s"""
-         |int $k = $labels.length;
-         |int $d = ($k == 0) ? 0 : $flat.length / $k;
-         |if ($k > 0 && $v.numElements() != $d) {
-         |  throw new IllegalArgumentException(
-         |    "graft_kmeans_assign: vector has " + $v.numElements() +
-         |    " dims, centroids have " + $d);
-         |}
-         |long $best = Long.MAX_VALUE;
-         |int $bj = -1;
-         |for (int $c = 0; $c < $k; $c++) {
-         |  long $s = 0L;
-         |  int $base = $c * $d;
-         |  for (int $i = 0; $i < $d; $i++) {
-         |    long $diff = $v.getLong($i) - $flat[$base + $i];
-         |    $s += $diff * $diff;
-         |  }
-         |  if ($s < $best) { $best = $s; $bj = $labels[$c]; }
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{ $bj, $best });
-       """.stripMargin
+      s"${ev.value} = graft.expressions.KMeansAssignExpr.assignRow(" +
+        s"$v, $labels, $flat);"
     })
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): KMeansAssignExpr =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object KMeansAssignExpr {
+
+  /** The shared kernel body (interpreted eval AND generated code call
+    * the same JIT-hot method). The row vector is copied to a primitive
+    * long[] ONCE (UnsafeArrayData.toLongArray is one copyMemory), so
+    * the k×d argmin loop runs over two primitive arrays — per-element
+    * ArrayData.getLong calls measured ~3× slower across the whole
+    * assignment pass at k=474 (sf10 census), because the copy
+    * amortizes over all k candidates while the inner loop JIT-unrolls. */
+  def assignRow(v: ArrayData, labels: Array[Int],
+      flat: Array[Long]): GenericInternalRow = {
+    val k = labels.length
+    val d = if (k == 0) 0 else flat.length / k
+    if (k > 0 && v.numElements() != d)
+      throw new IllegalArgumentException(
+        s"graft_kmeans_assign: vector has ${v.numElements()} dims, centroids have $d")
+    val vv = if (k == 0) null else v.toLongArray()
+    var best = Long.MaxValue
+    var bj = -1
+    var c = 0
+    while (c < k) {
+      var s = 0L
+      var i = 0
+      val base = c * d
+      while (i < d) {
+        val diff = vv(i) - flat(base + i)
+        s += diff * diff
+        i += 1
+      }
+      if (s < best) { best = s; bj = labels(c) }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bj, best))
+  }
 }
 
 /** Native EXACT integer dot product of two long arrays — the
@@ -249,4 +241,82 @@ case class EqCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): EqCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native EXACT integer cosine-threshold test:
+  * `graft_intcos_ge(dot, naSq, nbSq, tauNum, tauDen)` ⟺
+  * `cos(a,b) ≥ tauNum/tauDen`, given the integer pair dot and the two
+  * integer SQUARED norms — i.e.
+  *
+  *   dot ≥ 0  ∧  naSq > 0  ∧  nbSq > 0  ∧
+  *   dot²·tauDen² ≥ tauNum²·naSq·nbSq
+  *
+  * The comparison operands need ~115 bits. The former DECIMAL(38,0)
+  * formulation paid three BigDecimal multiplies + casts PER PAIR —
+  * measured as the dominant term of q_semdedup's within-cluster verify
+  * at sf10 (2.5×10⁸ pairs). Here the compare runs in DOUBLE with a
+  * 1e-12 relative guard band (products of three exactly-converted
+  * factors carry ≤ ~4·2⁻⁵³ ≈ 4.4e-16 relative error, four orders of
+  * magnitude inside the band); only boundary cases — e.g. a pair
+  * sitting EXACTLY on the threshold — fall through to an exact
+  * BigInteger compare. The decision is therefore always identical to
+  * exact integer arithmetic (the DuckDB oracle's HUGEINT replay).
+  * Inputs must be non-negative norms and |values| < 2⁶³ (the
+  * fixed-point pipeline's |u| ≤ 1.6e7 bound keeps every operand far
+  * inside); any null child → null. */
+case class IntCosGe(first: Expression, second: Expression, third: Expression,
+    tauNum: Long, tauDen: Long) extends TernaryExpression {
+  require(tauDen > 0 && tauNum >= 0,
+    s"graft_intcos_ge: need tauDen > 0 and tauNum >= 0, got $tauNum/$tauDen")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(first, second, third).forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_intcos_ge expects (dot: long, naSq: long, nbSq: long), got " +
+        Seq(first, second, third).map(_.dataType.simpleString)
+          .mkString("(", ", ", ")"))
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_intcos_ge"
+
+  override def nullSafeEval(dot: Any, na: Any, nb: Any): Any =
+    IntCosGe.decide(dot.asInstanceOf[Long], na.asInstanceOf[Long],
+      nb.asInstanceOf[Long], tauNum, tauDen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (dot, na, nb) => s"${ev.value} = " +
+      s"graft.expressions.IntCosGe.decide($dot, $na, $nb, ${tauNum}L, ${tauDen}L);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): IntCosGe =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object IntCosGe {
+
+  /** The full decision (guards + guard-band compare + exact fallback). */
+  def decide(dot: Long, naSq: Long, nbSq: Long,
+      tauNum: Long, tauDen: Long): Boolean = {
+    if (dot < 0L || naSq <= 0L || nbSq <= 0L) false
+    else {
+      val lhs = dot.toDouble * dot.toDouble * (tauDen * tauDen).toDouble
+      val rhs = (tauNum * tauNum).toDouble * naSq.toDouble * nbSq.toDouble
+      if (lhs >= rhs * 1.000000000001d) true
+      else if (lhs <= rhs * 0.999999999999d) false
+      else exactGe(dot, naSq, nbSq, tauNum, tauDen)
+    }
+  }
+
+  /** Exact BigInteger compare — only reached inside the guard band. */
+  def exactGe(dot: Long, naSq: Long, nbSq: Long,
+      tauNum: Long, tauDen: Long): Boolean = {
+    val b = java.math.BigInteger.valueOf(dot)
+    val l = b.multiply(b)
+      .multiply(java.math.BigInteger.valueOf(tauDen * tauDen))
+    val r = java.math.BigInteger.valueOf(tauNum * tauNum)
+      .multiply(java.math.BigInteger.valueOf(naSq))
+      .multiply(java.math.BigInteger.valueOf(nbSq))
+    l.compareTo(r) >= 0
+  }
 }

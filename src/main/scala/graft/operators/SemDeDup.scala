@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
   * deduplication by CLUSTER-BOUNDED exact cosine search: k-means
@@ -29,7 +28,9 @@ import org.apache.spark.sql.types.DecimalType
   *
   * with dot = Σ uₐuᵦ and ‖·‖² the unshifted squared norm — every term
   * an exact integer (|u| ≤ 1.6e7 per dim → dot, nsq ≤ 1.64e16 in
-  * long; the squared comparison ≤ ~3e34 in DECIMAL(38,0), and the
+  * long; the ~115-bit squared comparison runs in the fused
+  * [[graft.expressions.IntCosGe]] kernel — double fast path with a
+  * guard band, exact BigInteger fallback at the boundary — and the
   * DuckDB oracle replays it in HUGEINT), so the drop set is
   * bit-identical in any engine. Zero vectors have undefined cosine
   * and never match (nsq > 0 guards both sides).
@@ -67,13 +68,15 @@ object SemDeDup {
       col("uv").as("uv_a"), col("nsq").as("nsq_a"))
     val b = u.select(col("id").as("id_b"), col("cl").as("cl_b"),
       col("uv").as("uv_b"), col("nsq").as("nsq_b"))
-    val dec = DecimalType(38, 0)
+    // the whole per-pair verify is two fused kernels: the integer dot
+    // and the exact threshold decision (graft_intcos_ge: double fast
+    // path + BigInteger boundary fallback — bit-identical to the
+    // DECIMAL(38) comparison it replaced, which paid three BigDecimal
+    // multiplies per pair and dominated the sf10 pair stream)
     a.join(b, col("cl_a") === col("cl_b") && col("id_a") < col("id_b"))
-      .withColumn("dot",
-        call_function("graft_dot_long", col("uv_a"), col("uv_b")))
-      .filter(col("dot") >= 0 && col("nsq_a") > 0 && col("nsq_b") > 0 &&
-        col("dot").cast(dec) * col("dot").cast(dec) * lit(tauDen * tauDen) >=
-          col("nsq_a").cast(dec) * col("nsq_b").cast(dec) * lit(tauNum * tauNum))
+      .filter(call_function("graft_intcos_ge",
+        call_function("graft_dot_long", col("uv_a"), col("uv_b")),
+        col("nsq_a"), col("nsq_b"), lit(tauNum), lit(tauDen)))
       .select(col("id_b").as("id"))
       .distinct()
   }

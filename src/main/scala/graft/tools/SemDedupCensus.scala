@@ -34,6 +34,24 @@ object SemDedupCensus {
     val t0 = System.nanoTime()
     val cents = FixedPointKMeans.fit(q, "vec_id", "v", k, rounds)
     val tFit = (System.nanoTime() - t0) / 1e9
+    if (sys.env.contains("SEMDEDUP_CENSUS_EXPLAIN"))
+      println(FixedPointKMeans.assign(q, "v", cents)
+        .filter($"cluster" >= 0).queryExecution.executedPlan.toString)
+    // phase split: one assignment-only pass vs one full update round
+    val ta0 = System.nanoTime()
+    val nAsg = FixedPointKMeans.assign(q, "v", cents)
+      .filter($"cluster" >= 0).count()
+    val tAsg = (System.nanoTime() - ta0) / 1e9
+    val tu0 = System.nanoTime()
+    val nUpd = FixedPointKMeans.assign(q, "v", cents)
+      .select($"cluster", org.apache.spark.sql.functions.posexplode($"v"))
+      .toDF("cluster", "pos", "x")
+      .groupBy($"cluster", $"pos")
+      .agg(org.apache.spark.sql.functions.expr("sum(x) DIV count(1)").as("m"))
+      .count()
+    val tUpd = (System.nanoTime() - tu0) / 1e9
+    println(s"[census] phase split: one assignment pass ${f"$tAsg%.1f"}s " +
+      s"($nAsg rows), one update rollup ${f"$tUpd%.1f"}s ($nUpd cells)")
     val sizes = FixedPointKMeans.assign(q, "v", cents)
       .groupBy($"cluster").agg(count(lit(1)).as("c"))
       .select($"c").as[Long].collect().sorted.reverse

@@ -135,6 +135,34 @@ class FixedPointKernelsSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("graft_intcos_ge: exact boundary and the band around it route through the BigInteger fallback") {
+    // dot = 3e12, na = 1e12, nb = 25e12 → cos = 0.6 EXACTLY: the double
+    // fast path cannot separate lhs from rhs (relative diff 0) and must
+    // fall through to the exact compare
+    assert(IntCosGe.decide(3000000000000L, 1000000000000L, 25000000000000L, 3, 5))
+    // one integer below the boundary: relative diff ~6.7e-13 is INSIDE
+    // the 1e-12 guard band — only the exact fallback gets this right
+    assert(!IntCosGe.decide(2999999999999L, 1000000000000L, 25000000000000L, 3, 5))
+    assert(!IntCosGe.decide(-1L, 1L, 1L, 0, 1)) // negative dot never matches
+    assert(!IntCosGe.decide(0L, 0L, 1L, 0, 1))  // zero norm never matches
+    assert(IntCosGe.decide(0L, 1L, 1L, 0, 1))   // τ=0: any non-negative dot
+  }
+
+  test("graft_intcos_ge via SQL matches decide() and handles nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.lang.Long.valueOf(12L), java.lang.Long.valueOf(16L),
+        java.lang.Long.valueOf(16L)),
+      (2L, java.lang.Long.valueOf(12L), null.asInstanceOf[java.lang.Long],
+        java.lang.Long.valueOf(16L))
+    ).toDF("id", "dot", "na", "nb")
+    val got = df.select($"id", call_function("graft_intcos_ge",
+      $"dot", $"na", $"nb", lit(3L), lit(4L)).as("ge")).collect()
+    // cos = 12/16 = 0.75 ≥ 3/4 exactly
+    assert(got.find(_.getLong(0) == 1L).get.getBoolean(1))
+    assert(got.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
+
   test("property: graft_dot_long equals a driver-side exact dot on random vectors") {
     import spark.implicits._
     val gen = Gen.listOfN(16, Gen.chooseNum(-1000000L, 1000000L))
