@@ -251,7 +251,45 @@ object SourceQueries {
       WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 20 AND 60""")
   )
 
+  /** S7 — the scraper's RESILIENT-INGEST contract (retry / exponential
+    * backoff / rate limit, scraper.py:222-237,431-520) exercised inside
+    * the oracle gate: the events table is staged as 8 deterministic TSV
+    * pages, then ingested through [[graft.sources.ResilientSourceProvider]]
+    * — a DataSourceV2 whose PARTITION READERS retry each page's flaky
+    * open (deterministic injected failures: page p fails its first
+    * hash(p) mod 3 attempts) with exponential backoff under a
+    * process-wide rate limiter. The ingest contract — every page
+    * exactly once despite the failure schedule — is what the hash
+    * verifies: the aggregate must equal the plain-parquet oracle, and
+    * sum(event_id) per group is the duplicate/omission detector (one
+    * re-delivered or dropped page breaks it). Attempt/backoff/grant
+    * telemetry is spec-pinned in ResilientSourceSpec. */
+  val qResilientIngest = GraftQuery(
+    "q_resilient_ingest",
+    (s, dir) => {
+      import s.implicits._
+      val pagesDir = scratch("resilient_pages", dir)
+      graft.sources.ResilientSource.stagePages(
+        Tables.events(s, dir), pagesDir, nPages = 8)
+      val ingested = s.read
+        .format("graft.sources.ResilientSourceProvider")
+        .option("maxAttempts", 5)
+        .option("maxInjectedFailures", 3)
+        .option("backoffBaseMs", 1)
+        .load(pagesDir)
+      ingested.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"event_id").as("sum_event_id"),
+          Agg.sumDec($"value", 6).as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qSqlCatalog, qCsvRoundtrip, qJsonlRoundtrip, qSqlFunctions, qOrcRoundtrip,
-      qSchemaEvolution, qZorderScan)
+      qSchemaEvolution, qZorderScan, qResilientIngest)
 }
