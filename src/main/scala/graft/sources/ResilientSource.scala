@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
@@ -180,12 +181,17 @@ final class ResilientScan(dir: String, maxAttempts: Int, maxInjected: Int,
   override def readSchema(): StructType = ResilientSource.PageSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val pages = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".tsv"))
-      .sortBy(_.getName)
+    // list through the Hadoop FileSystem API, not java.io — pages on a
+    // real deployment live on object storage (s3a://, gs://, hdfs://),
+    // and the same code path must plan them
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    require(fs.exists(path), s"resilient source: $dir does not exist")
+    val pages = fs.listStatus(path)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tsv"))
+      .sortBy(_.getPath.getName)
     require(pages.nonEmpty, s"resilient source: no .tsv pages under $dir")
-    pages.map(p => PagePartition(p.getAbsolutePath, maxAttempts,
+    pages.map(p => PagePartition(p.getPath.toString, maxAttempts,
       maxInjected, intervalMs, backoffBaseMs): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -200,8 +206,9 @@ final class ResilientScan(dir: String, maxAttempts: Int, maxInjected: Int,
 final class ResilientPageReader(p: PagePartition)
     extends PartitionReader[InternalRow] {
 
-  private val basename = new java.io.File(p.path).getName
-  private var source: scala.io.Source = _
+  private val hPath = new org.apache.hadoop.fs.Path(p.path)
+  private val basename = hPath.getName
+  private var reader: java.io.BufferedReader = _
   private val lines: Iterator[String] = openWithRetry()
   private var current: InternalRow = _
 
@@ -215,9 +222,12 @@ final class ResilientPageReader(p: PagePartition)
         Integer.valueOf(a.intValue() + b.intValue()))
       ResilientSource.acquire(p.intervalMs * 1000000L)
       if (attempt > failures) {
-        // the real fetch; injected failures are exhausted for this page
-        source = scala.io.Source.fromFile(p.path, "UTF-8")
-        return source.getLines()
+        // the real fetch (Hadoop FS — same path works on object
+        // storage); injected failures are exhausted for this page
+        val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(hPath), StandardCharsets.UTF_8))
+        return Iterator.continually(reader.readLine()).takeWhile(_ != null)
       }
       if (attempt >= p.maxAttempts)
         throw new java.io.IOException(
@@ -242,5 +252,5 @@ final class ResilientPageReader(p: PagePartition)
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit = if (source != null) source.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }
