@@ -2,7 +2,7 @@ package graft
 
 import graft.expressions.{CosineSimilarity, DotProductLong, EqCount,
   ExactQuantiles, IntCosGe, KMeansAssignExpr, KmvSketch, MinHashSignature,
-  ShingleHashes64, SimHashChunks, WinnowFingerprints}
+  ShingleHashes64, SimHashChunks, WinnowFingerprints, WordPieceEncode}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_kmeans_assign(v, labels, flatCents)") { c =>
       require(c.length == 3, "graft_kmeans_assign(v, labels, flatCents)")
       KMeansAssignExpr(c.head, c(1), c(2))
+    }
+    register("graft_wordpiece_encode", classOf[WordPieceEncode],
+        "graft_wordpiece_encode(word, startPieces, contPieces)") { c =>
+      require(c.length == 3, "graft_wordpiece_encode(word, startPieces, contPieces)")
+      WordPieceEncode(c.head, c(1), c(2))
     }
     register("graft_intcos_ge", classOf[IntCosGe],
         "graft_intcos_ge(dot, naSq, nbSq, tauNum, tauDen)") { c =>

@@ -2365,6 +2365,92 @@ object DocQueries {
       GROUP BY source ORDER BY source""")
   )
 
+  /** WordPiece multi-char piece budget + max piece length, shared by
+    * the Spark learn/encode path and the oracle's mirror. */
+  private val WpTopK = 48
+  private val WpMaxLen = 6
+
+  /** WordPiece tokenization (Wu et al. 2016 — BERT's encoder): greedy
+    * longest-match-first segmentation against a two-class substring
+    * vocab (word-initial vs `##`-continuation), the second major
+    * subword family next to the BPE trio. The vocab is the corpus's
+    * own substring statistics (top-[[WpTopK]] weighted substrings of
+    * length 2..[[WpMaxLen]] per position class + every corpus char in
+    * both classes for totality — see
+    * [[graft.operators.WordPiece.learnVocab]]); the oracle replays
+    * BOTH the vocab construction and the greedy walk itself (a
+    * recursive CTE stepping (pos, class) with a correlated
+    * longest-match lookup), so every emitted piece count is under the
+    * hash gate. Output: top-40 piece counts + corpus totals and the
+    * fertility (pieces per word, ppm — the tokenizer-quality headline).
+    * Scale: learn is a vocabulary-sized substring rollup; encode is
+    * the BPE pattern (native kernel over DISTINCT words, weighted by
+    * frequency) — corpus size only enters through the one token
+    * rollup. */
+  val qWordpieceEncode = GraftQuery(
+    "q_wordpiece_encode",
+    (s, dir) => {
+      import s.implicits._
+      val w = graft.operators.Caches.register(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("n")))
+      val vocab = graft.operators.WordPiece.learnVocab(
+        w, "token", "n", topK = WpTopK, maxLen = WpMaxLen)
+      val enc = graft.operators.Caches.register(w.select($"token", $"n",
+        graft.operators.WordPiece.encode($"token", vocab).as("pieces")))
+      val tot = enc.agg(sum($"n").cast("long").as("total_words"),
+        sum(size($"pieces").cast("long") * $"n").cast("long").as("total_pieces"))
+      enc.select(explode($"pieces").as("piece"), $"n")
+        .groupBy($"piece").agg(sum($"n").cast("long").as("n"))
+        .crossJoin(tot)
+        .withColumn("fertility_ppm",
+          expr("CAST(total_pieces * 1000000 div total_words AS BIGINT)"))
+        .orderBy($"n".desc, $"piece").limit(40)
+    },
+    Some(s"""WITH RECURSIVE
+      tok AS (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
+      w AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+      subs AS (SELECT UNNEST(flatten(list_transform(range(1, length(token)+1), i ->
+          list_transform(range(2, ${WpMaxLen + 1}), l -> CASE WHEN i + l - 1 <= length(token) THEN
+            CASE WHEN i = 1 THEN substr(token, i, l) ELSE '##' || substr(token, i, l) END
+            ELSE NULL END)))) AS display, n
+        FROM w),
+      vmulti AS (SELECT display FROM (
+        SELECT display, SUM(n) AS c FROM subs WHERE display IS NOT NULL
+        GROUP BY display ORDER BY c DESC, display LIMIT $WpTopK)),
+      vsingle AS (
+        SELECT DISTINCT substr(token, 1, 1) AS display FROM w
+        UNION
+        SELECT DISTINCT UNNEST(list_transform(range(2, length(token)+1),
+          i -> '##' || substr(token, i, 1))) AS display FROM w),
+      vplain AS (SELECT DISTINCT
+          NOT starts_with(display, '##') AS is_start,
+          CASE WHEN starts_with(display, '##') THEN substr(display, 3) ELSE display END AS p
+        FROM (SELECT display FROM vmulti UNION SELECT display FROM vsingle)),
+      r AS (
+        SELECT token, n, 1 AS pos, TRUE AS is_start, CAST([] AS VARCHAR[]) AS pieces FROM w
+        UNION ALL
+        SELECT token, n, pos + length(mp), FALSE,
+          list_append(pieces, CASE WHEN is_start THEN mp ELSE '##' || mp END)
+        FROM (
+          SELECT token, n, pos, is_start, pieces,
+            (SELECT v.p FROM vplain v
+              WHERE v.is_start = r.is_start
+                AND v.p = substr(r.token, r.pos, length(v.p))
+              ORDER BY length(v.p) DESC, v.p LIMIT 1) AS mp
+          FROM r WHERE pos <= length(token))
+        WHERE mp IS NOT NULL),
+      fin AS (SELECT token, n, pieces FROM r WHERE pos > length(token)),
+      pc AS (SELECT UNNEST(pieces) AS piece, n FROM fin),
+      counts AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS n FROM pc GROUP BY piece),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_words,
+        CAST(SUM(len(pieces) * n) AS BIGINT) AS total_pieces FROM fin)
+      SELECT piece, counts.n, tot.total_words, tot.total_pieces,
+        CAST(tot.total_pieces * 1000000 // tot.total_words AS BIGINT) AS fertility_ppm
+      FROM counts, tot ORDER BY counts.n DESC, piece LIMIT 40""")
+  )
+
   /** As-of join: each event matched to its user's latest prior order —
     * ONE shuffle (union + window), not an inequality-join explosion.
     * Orders pre-deduped per (custkey, orderdate) so the match is unique
@@ -3880,7 +3966,7 @@ object DocQueries {
     qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
-    qBpeEncode, qDictEncode, qInvertedIndex,
+    qBpeEncode, qWordpieceEncode, qDictEncode, qInvertedIndex,
     qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qBlockingRecall, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
     qSpanDedup, qSpanDedupVar,
