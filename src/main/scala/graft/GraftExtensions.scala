@@ -2,7 +2,8 @@ package graft
 
 import graft.expressions.{CosineSimilarity, DotProductLong, EqCount,
   ExactQuantiles, IntCosGe, KMeansAssignExpr, KmvSketch, MinHashSignature,
-  ShingleHashes64, SimHashChunks, WinnowFingerprints, WordPieceEncode}
+  ShingleHashes64, SimHashChunks, UnigramSegment, WinnowFingerprints,
+  WordPieceEncode}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -58,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_kmeans_assign(v, labels, flatCents)") { c =>
       require(c.length == 3, "graft_kmeans_assign(v, labels, flatCents)")
       KMeansAssignExpr(c.head, c(1), c(2))
+    }
+    register("graft_unigram_segment", classOf[UnigramSegment],
+        "graft_unigram_segment(word, pieces, scores)") { c =>
+      require(c.length == 3, "graft_unigram_segment(word, pieces, scores)")
+      UnigramSegment(c.head, c(1), c(2))
     }
     register("graft_wordpiece_encode", classOf[WordPieceEncode],
         "graft_wordpiece_encode(word, startPieces, contPieces)") { c =>

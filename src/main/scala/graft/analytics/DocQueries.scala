@@ -2451,6 +2451,99 @@ object DocQueries {
       FROM counts, tot ORDER BY counts.n DESC, piece LIMIT 40""")
   )
 
+  /** The DuckDB mirror of one unigram segmentation round: brute-force
+    * ENUMERATION of every segmentation of every distinct word under
+    * vocab relation `vocabRel(p, score)`, then argmin under the exact
+    * DP objective (fewest pieces, max Σ score, lexicographic piece
+    * sequence) — certifying the kernel's DP optimality, not just
+    * replaying it. Emits `seg{tag}` (the recursive walk) and
+    * `best{tag}(token, n, pieces)`. */
+  private def unigramRoundSql(tag: String, vocabRel: String): String =
+    s"""seg$tag AS (
+      SELECT token, n, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces, CAST(0 AS BIGINT) AS sc FROM w
+      UNION ALL
+      SELECT s.token, s.n, s.pos + length(v.p), list_append(s.pieces, v.p), s.sc + v.score
+      FROM seg$tag s JOIN $vocabRel v ON v.p = substr(s.token, s.pos, length(v.p))
+      WHERE s.pos <= length(s.token)),
+    best$tag AS (SELECT token, n, pieces FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+        ORDER BY len(pieces), sc DESC, pieces) AS rk
+      FROM seg$tag WHERE pos > length(token)) WHERE rk = 1)"""
+
+  /** Unigram-style subword tokenizer (hard-EM shape of Kudo 2018's
+    * unigram LM) — the THIRD subword family, completing the trio with
+    * q_bpe_* (learn by merging) and q_wordpiece_encode (greedy fixed-
+    * vocab): OPTIMAL DP segmentation under an integer objective
+    * (fewest pieces, then max Σ score, then lexicographic — the
+    * deterministic MDL stand-in for max-likelihood), then the EM step
+    * that makes it unigram-LM: re-score pieces by USE, PRUNE unused
+    * multi-char pieces, re-segment. The oracle does not merely replay
+    * the DP — it brute-force ENUMERATES every segmentation of every
+    * word (recursive CTE) and takes the argmin under the same total
+    * order, so the kernel's optimality claim itself sits under the
+    * hash gate, both rounds. Scale: everything after the token rollup
+    * runs on the DISTINCT-word relation (the [[graft.operators.Bpe]]
+    * pattern); driver state is topK + alphabet (piece, score) pairs
+    * per round. */
+  val qUnigramTokenizer = GraftQuery(
+    "q_unigram_tokenizer",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, UnigramLm}
+      val w = Caches.register(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("n")))
+      val seed = UnigramLm.seedVocab(w, "token", "n", topK = WpTopK, maxLen = WpMaxLen)
+      val chars = seed.pieces.filter(_.length == 1)
+      val seg1 = w.select($"token", $"n",
+        UnigramLm.segment($"token", seed).as("pieces"))
+      val v2 = UnigramLm.refit(seg1, "n", "pieces", chars)
+      val seg2 = Caches.register(w.select($"token", $"n",
+        UnigramLm.segment($"token", v2).as("pieces")))
+      val tot = seg2.agg(sum($"n").cast("long").as("total_words"),
+        sum(size($"pieces").cast("long") * $"n").cast("long").as("total_pieces"))
+      seg2.select(explode($"pieces").as("piece"), $"n")
+        .groupBy($"piece").agg(sum($"n").cast("long").as("n"))
+        .crossJoin(tot)
+        .withColumn("n_vocab", lit(v2.pieces.length.toLong))
+        .withColumn("fertility_ppm",
+          expr("CAST(total_pieces * 1000000 div total_words AS BIGINT)"))
+        .select($"piece", $"n", $"n_vocab", $"total_words", $"total_pieces",
+          $"fertility_ppm")
+        .orderBy($"n".desc, $"piece").limit(40)
+    },
+    Some(s"""WITH RECURSIVE
+      tok AS (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
+      w AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+      grid AS (SELECT UNNEST(flatten(list_transform(range(1, length(token)+1), i ->
+          list_transform(range(1, ${WpMaxLen + 1}), l -> CASE WHEN i + l - 1 <= length(token)
+            THEN substr(token, i, l) ELSE NULL END)))) AS p, n FROM w),
+      gc AS (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM grid WHERE p IS NOT NULL GROUP BY p),
+      v1 AS (
+        SELECT p, c AS score FROM (SELECT p, c FROM gc WHERE length(p) >= 2
+          ORDER BY c DESC, p LIMIT $WpTopK)
+        UNION ALL
+        SELECT p, c AS score FROM gc WHERE length(p) = 1),
+      ${unigramRoundSql("1", "v1")},
+      used AS (SELECT p, CAST(SUM(n) AS BIGINT) AS score FROM (
+        SELECT UNNEST(pieces) AS p, n FROM best1) GROUP BY p),
+      v2 AS (
+        SELECT p, score FROM used
+        UNION ALL
+        SELECT gc.p, CAST(0 AS BIGINT) AS score FROM gc
+        WHERE length(gc.p) = 1 AND gc.p NOT IN (SELECT p FROM used)),
+      ${unigramRoundSql("2", "v2")},
+      pc AS (SELECT UNNEST(pieces) AS piece, n FROM best2),
+      counts AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS n FROM pc GROUP BY piece),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_words,
+        CAST(SUM(len(pieces) * n) AS BIGINT) AS total_pieces FROM best2),
+      nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab FROM v2)
+      SELECT piece, counts.n, nv.n_vocab, tot.total_words, tot.total_pieces,
+        CAST(tot.total_pieces * 1000000 // tot.total_words AS BIGINT) AS fertility_ppm
+      FROM counts, tot, nv ORDER BY counts.n DESC, piece LIMIT 40""")
+  )
+
   /** As-of join: each event matched to its user's latest prior order —
     * ONE shuffle (union + window), not an inequality-join explosion.
     * Orders pre-deduped per (custkey, orderdate) so the match is unique
@@ -3966,7 +4059,7 @@ object DocQueries {
     qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
-    qBpeEncode, qWordpieceEncode, qDictEncode, qInvertedIndex,
+    qBpeEncode, qWordpieceEncode, qUnigramTokenizer, qDictEncode, qInvertedIndex,
     qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qBlockingRecall, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
     qSpanDedup, qSpanDedupVar,

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-style subword tokenizer (the hard-EM shape of Kudo 2018's
+  * unigram LM / SentencePiece) — the THIRD subword family, completing
+  * the trio: [[Bpe]] learns by merging, [[WordPiece]] encodes greedily
+  * against a fixed vocab, and this one segments OPTIMALLY (DP over the
+  * piece lattice, [[graft.expressions.UnigramSegment]]) and iterates
+  * segment → prune-to-used → re-segment:
+  *
+  *  1. seed vocab = the corpus's top-K weighted substrings (length
+  *     2..maxLen) + every corpus character (totality), scored by
+  *     weighted substring count;
+  *  2. segment every distinct word optimally under (fewest pieces,
+  *     then max Σ score, then lexicographic) — the integer-exact MDL
+  *     stand-in for max-likelihood (log-probabilities would break the
+  *     cross-engine determinism the oracle gate needs);
+  *  3. re-score pieces by their USE in the segmentation and PRUNE the
+  *     multi-char pieces that went unused (characters stay, score 0 —
+  *     totality again); re-segment under the refit vocab.
+  *
+  * The prune step is what makes round 2 structurally different from
+  * round 1 — exactly unigram-LM's EM-with-pruning loop in hard
+  * (Viterbi) form.
+  *
+  * Scale shape: identical to the other two families — everything after
+  * the one corpus token rollup runs on the DISTINCT-word relation; the
+  * driver holds topK + alphabet (pieces, score) pairs per round; the
+  * segmenter is a map-side native kernel broadcast back to the
+  * stream. */
+object UnigramLm {
+
+  final case class Vocab(pieces: Seq[String], scores: Seq[Long]) {
+    require(pieces.length == scores.length)
+  }
+
+  /** Weighted substring counts (length 1..maxLen) over (word, freq). */
+  def substringCounts(words: DataFrame, wordCol: String, freqCol: String,
+      maxLen: Int): DataFrame = {
+    val w = words.select(col(wordCol).as("w"), col(freqCol).cast("long").as("n"))
+    w.select(col("w"), col("n"), explode(expr("sequence(1, length(w))")).as("i"))
+      .select(col("w"), col("n"), col("i"),
+        explode(expr(s"sequence(1, $maxLen)")).as("l"))
+      .filter(col("i") + col("l") - lit(1) <= length(col("w")))
+      .select(expr("substring(w, i, l)").as("p"), col("n"))
+      .groupBy(col("p")).agg(sum(col("n")).as("c"))
+  }
+
+  /** Seed vocab: top-K multi-char substrings by (count DESC, piece ASC)
+    * + every corpus character, scored by weighted substring count. */
+  def seedVocab(words: DataFrame, wordCol: String, freqCol: String,
+      topK: Int, maxLen: Int): Vocab = {
+    require(topK >= 0 && maxLen >= 2, s"topK=$topK maxLen=$maxLen")
+    val gc = substringCounts(words, wordCol, freqCol, maxLen)
+    val multi = gc.filter(length(col("p")) >= 2)
+      .orderBy(col("c").desc, col("p")).limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val singles = gc.filter(length(col("p")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = multi ++ singles
+    Vocab(all.map(_._1).toSeq, all.map(_._2).toSeq)
+  }
+
+  /** Optimal segmentation column under `v` (array<string> pieces). */
+  def segment(wordCol: Column, v: Vocab): Column =
+    call_function("graft_unigram_segment", wordCol,
+      typedLit(v.pieces.toArray), typedLit(v.scores.toArray))
+
+  /** The prune-and-rescore step: pieces keep the weighted count of
+    * their USE in `segmented` (token, freqCol, piecesCol); unused
+    * multi-char pieces drop out, unused characters stay at score 0. */
+  def refit(segmented: DataFrame, freqCol: String, piecesCol: String,
+      chars: Seq[String]): Vocab = {
+    val used = segmented
+      .select(explode(col(piecesCol)).as("p"), col(freqCol).cast("long").as("n"))
+      .groupBy(col("p")).agg(sum(col("n")).as("score"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val usedSet = used.map(_._1).toSet
+    val zeroChars = chars.filterNot(usedSet).map(c => (c, 0L))
+    val all = used ++ zeroChars
+    Vocab(all.map(_._1).toSeq, all.map(_._2).toSeq)
+  }
+}
