@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * quadratic member search then pays for? Prints the top sizes, Σc²,
   * and the balanced-ideal Σc² = N²/k for comparison.
   *
-  * Usage: runMain graft.tools.SemDedupCensus <sfDir> [rounds=2]
+  * Usage: runMain graft.tools.SemDedupCensus <sfDir> [rounds=2] [kFactor=1]
+  * (kFactor scales the k = ⌊√N⌋ ladder — the imbalance lever A/B.)
   */
 object SemDedupCensus {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: SemDedupCensus <sfDir> [rounds]")
+    require(args.nonEmpty, "usage: SemDedupCensus <sfDir> [rounds] [kFactor]")
     val dir = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 2
+    val kFactor = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .withExtensions(new graft.GraftExtensions)
@@ -30,7 +32,7 @@ object SemDedupCensus {
     val q = Caches.register(corpus.select($"vec_id",
       FixedPointKMeans.quantize($"embedding").as("v")))
     val n = q.count()
-    val k = math.max(8L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+    val k = (math.max(8L, math.floor(math.sqrt(n.toDouble)).toLong) * kFactor).toInt
     val t0 = System.nanoTime()
     val cents = FixedPointKMeans.fit(q, "vec_id", "v", k, rounds)
     val tFit = (System.nanoTime() - t0) / 1e9
