@@ -268,6 +268,12 @@ case class IntCosGe(first: Expression, second: Expression, third: Expression,
     tauNum: Long, tauDen: Long) extends TernaryExpression {
   require(tauDen > 0 && tauNum >= 0,
     s"graft_intcos_ge: need tauDen > 0 and tauNum >= 0, got $tauNum/$tauDen")
+  // decide() squares tauNum/tauDen in Long: bound them so the squares
+  // can never overflow (2³¹·2³¹ = 2⁶² < Long.MaxValue). Thresholds are
+  // small rationals (9/10-style), so this loses nothing.
+  require(tauNum < (1L << 31) && tauDen < (1L << 31),
+    s"graft_intcos_ge: tauNum/tauDen must stay below 2^31 " +
+      s"(their Long squares would overflow), got $tauNum/$tauDen")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(first, second, third).forall(_.dataType == LongType))
@@ -308,13 +314,17 @@ object IntCosGe {
     }
   }
 
-  /** Exact BigInteger compare — only reached inside the guard band. */
+  /** Exact BigInteger compare — only reached inside the guard band.
+    * tau squares here in BigInteger (unlike decide's Long fast path,
+    * which is safe only under the constructor's 2³¹ bound), so this
+    * entry point is overflow-proof for any caller. */
   def exactGe(dot: Long, naSq: Long, nbSq: Long,
       tauNum: Long, tauDen: Long): Boolean = {
     val b = java.math.BigInteger.valueOf(dot)
-    val l = b.multiply(b)
-      .multiply(java.math.BigInteger.valueOf(tauDen * tauDen))
-    val r = java.math.BigInteger.valueOf(tauNum * tauNum)
+    val d = java.math.BigInteger.valueOf(tauDen)
+    val n = java.math.BigInteger.valueOf(tauNum)
+    val l = b.multiply(b).multiply(d.multiply(d))
+    val r = n.multiply(n)
       .multiply(java.math.BigInteger.valueOf(naSq))
       .multiply(java.math.BigInteger.valueOf(nbSq))
     l.compareTo(r) >= 0

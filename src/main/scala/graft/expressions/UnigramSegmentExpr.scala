@@ -77,7 +77,8 @@ object UnigramSegment {
       extends Serializable {
     private val score = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
     pieces.indices.foreach(i => score.put(pieces(i), scores(i)))
-    private val maxLen: Int = pieces.iterator.map(_.length).foldLeft(1)(math.max)
+    // measured in CODE POINTS, matching the DP walk below
+    private val maxLen: Int = pieces.iterator.map(CodePoints.count).foldLeft(1)(math.max)
 
     /** lexicographic compare of equal-length piece sequences. */
     private def pathLt(a: Vector[String], b: Vector[String]): Boolean = {
@@ -92,7 +93,11 @@ object UnigramSegment {
 
     def segment(word: UTF8String): GenericArrayData = {
       val s = word.toString
-      val L = s.length
+      // DP over CODE-POINT positions (see [[CodePoints]]): the vocab is
+      // built from codepoint substrings, so candidate slicing must use
+      // the same boundaries or non-BMP words become unsegmentable
+      val bounds = CodePoints.boundaries(s)
+      val L = bounds.length - 1
       val bn = Array.fill(L + 1)(Int.MaxValue)
       val bs = new Array[Long](L + 1)
       val bp = new Array[Vector[String]](L + 1)
@@ -103,7 +108,7 @@ object UnigramSegment {
           var l = 1
           val lim = math.min(maxLen, L - pos)
           while (l <= lim) {
-            val cand = s.substring(pos, pos + l)
+            val cand = s.substring(bounds(pos), bounds(pos + l))
             val sc = score.get(cand)
             if (sc != null) {
               val t = pos + l

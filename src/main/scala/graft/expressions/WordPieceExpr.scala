@@ -66,6 +66,27 @@ case class WordPieceEncode(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Code-point walking shared by the tokenizer kernels: the vocabs are
+  * built from CODE-POINT substrings (Spark's and DuckDB's `substring`
+  * both index code points), so the kernels must slice at the same
+  * boundaries — slicing Java's UTF-16 units would cut surrogate pairs
+  * into lone-surrogate candidates that can never match a vocab entry
+  * and falsely throw "unsegmentable" on any non-BMP character. */
+private[expressions] object CodePoints {
+  /** bounds(i) = UTF-16 offset of the i-th code point; bounds(n) = s.length. */
+  def boundaries(s: String): Array[Int] = {
+    val n = s.codePointCount(0, s.length)
+    val b = new Array[Int](n + 1)
+    var i = 0
+    var off = 0
+    while (i < n) { b(i) = off; off = s.offsetByCodePoints(off, 1); i += 1 }
+    b(n) = s.length
+    b
+  }
+
+  def count(s: String): Int = s.codePointCount(0, s.length)
+}
+
 object WordPieceEncode {
 
   /** The greedy matcher — JIT-hot shared body for eval and codegen. */
@@ -74,7 +95,7 @@ object WordPieceEncode {
     private val startSet: java.util.HashSet[String] = toSet(start)
     private val contSet: java.util.HashSet[String] = toSet(cont)
     private val maxLen: Int =
-      (start.iterator ++ cont.iterator).map(_.length).foldLeft(1)(math.max)
+      (start.iterator ++ cont.iterator).map(CodePoints.count).foldLeft(1)(math.max)
 
     private def toSet(a: Array[String]): java.util.HashSet[String] = {
       val s = new java.util.HashSet[String](a.length * 2)
@@ -84,24 +105,27 @@ object WordPieceEncode {
 
     def encode(word: UTF8String): GenericArrayData = {
       val s = word.toString
+      val bounds = CodePoints.boundaries(s)
+      val n = bounds.length - 1
       val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
       var pos = 0
       var isStart = true
-      while (pos < s.length) {
-        var l = math.min(maxLen, s.length - pos)
+      while (pos < n) {
+        var l = math.min(maxLen, n - pos)
         var m: String = null
+        var mcp = 0
         val set = if (isStart) startSet else contSet
         while (l >= 1 && m == null) {
-          val cand = s.substring(pos, pos + l)
-          if (set.contains(cand)) m = cand
+          val cand = s.substring(bounds(pos), bounds(pos + l))
+          if (set.contains(cand)) { m = cand; mcp = l }
           l -= 1
         }
         if (m == null)
           throw new IllegalArgumentException(
             s"graft_wordpiece_encode: no ${if (isStart) "start" else "continuation"} " +
-              s"piece matches position $pos of '$s' — the vocab lacks single-char totality")
+              s"piece matches code point $pos of '$s' — the vocab lacks single-char totality")
         out += UTF8String.fromString(if (isStart) m else "##" + m)
-        pos += m.length
+        pos += mcp
         isStart = false
       }
       new GenericArrayData(out.toArray[Any])

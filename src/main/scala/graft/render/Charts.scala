@@ -121,8 +121,11 @@ object Charts {
     var (x, y, w, h) = (0.0, 0.0, 1.0, 1.0)
     var horizontal = true
     val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
-    sizes.takeWhile { _ => total > 0 }.foreach { s =>
-      val frac = if (total > 0) s / total else 0.0
+    // every size gets a rect; frac is clamped to [0,1] so FP drift that
+    // pushes the running total slightly negative mid-run degrades to
+    // zero-area rects for the tail instead of negative geometry
+    sizes.foreach { s =>
+      val frac = if (total > 0) math.min(1.0, s / total) else 0.0
       if (horizontal) {
         val rw = w * frac
         out += ((x, y, rw, h)); x += rw; w -= rw

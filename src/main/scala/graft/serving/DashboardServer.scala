@@ -29,8 +29,20 @@ import org.apache.spark.sql.{DataFrame, Row}
   * so the wire format is deterministic and dependency-stable. */
 object DashboardServer {
 
-  final case class Started(server: HttpServer, port: Int) {
-    def stop(): Unit = server.stop(0)
+  final case class Started(
+      server: HttpServer,
+      port: Int,
+      private[serving] val pool: java.util.concurrent.ExecutorService,
+      private[serving] val cached: DataFrame) {
+    /** Full lifecycle teardown: the HTTP listener, the 4-thread handler
+      * pool (non-daemon — without shutdown it pins the JVM), and the
+      * cached listings table are all released, so repeated start/stop
+      * cycles leak neither threads nor storage memory. */
+    def stop(): Unit = {
+      server.stop(0)
+      pool.shutdown()
+      cached.unpersist()
+    }
   }
 
   /** Start serving `clean` on `port` (0 = ephemeral). */
@@ -122,9 +134,10 @@ object DashboardServer {
       })))
     }
 
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     server.start()
-    Started(server, server.getAddress.getPort)
+    Started(server, server.getAddress.getPort, pool, df)
   }
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {

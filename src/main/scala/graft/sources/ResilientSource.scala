@@ -170,7 +170,8 @@ final class ResilientTable(options: CaseInsensitiveStringMap)
 }
 
 final case class PagePartition(path: String, maxAttempts: Int,
-    maxInjected: Int, intervalMs: Long, backoffBaseMs: Long)
+    maxInjected: Int, intervalMs: Long, backoffBaseMs: Long,
+    conf: org.apache.spark.util.SerializableConfiguration)
   extends InputPartition
 
 final class ResilientScan(dir: String, maxAttempts: Int, maxInjected: Int,
@@ -178,6 +179,26 @@ final class ResilientScan(dir: String, maxAttempts: Int, maxInjected: Int,
   require(maxInjected < maxAttempts,
     s"maxInjectedFailures=$maxInjected must stay below maxAttempts=$maxAttempts " +
       "(injected failures must be survivable, or the ingest contract is vacuous)")
+
+  // The SESSION's Hadoop conf, captured once at scan-build time (driver
+  // side) and shipped serialized into every partition: spark.hadoop.*
+  // settings — s3a/gs credentials, endpoints, custom fs.* schemes — must
+  // reach both the planner's listing and the executor-side page open, or
+  // the object-storage claim below is false. newHadoopConf() copies
+  // RUNTIME conf entries verbatim (a `spark.conf.set("spark.hadoop.X")`
+  // lands under the prefixed key Hadoop ignores), so the prefix is
+  // stripped here the same way SparkContext does for startup entries —
+  // runtime credential updates reach the readers too.
+  private val hadoopConf = {
+    val session = org.apache.spark.sql.SparkSession.active
+    val c = session.sessionState.newHadoopConf()
+    session.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.hadoop."))
+        c.set(k.substring("spark.hadoop.".length), v)
+    }
+    new org.apache.spark.util.SerializableConfiguration(c)
+  }
+
   override def readSchema(): StructType = ResilientSource.PageSchema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
@@ -185,14 +206,14 @@ final class ResilientScan(dir: String, maxAttempts: Int, maxInjected: Int,
     // real deployment live on object storage (s3a://, gs://, hdfs://),
     // and the same code path must plan them
     val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(hadoopConf.value)
     require(fs.exists(path), s"resilient source: $dir does not exist")
     val pages = fs.listStatus(path)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".tsv"))
       .sortBy(_.getPath.getName)
     require(pages.nonEmpty, s"resilient source: no .tsv pages under $dir")
     pages.map(p => PagePartition(p.getPath.toString, maxAttempts,
-      maxInjected, intervalMs, backoffBaseMs): InputPartition)
+      maxInjected, intervalMs, backoffBaseMs, hadoopConf): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -222,9 +243,10 @@ final class ResilientPageReader(p: PagePartition)
         Integer.valueOf(a.intValue() + b.intValue()))
       ResilientSource.acquire(p.intervalMs * 1000000L)
       if (attempt > failures) {
-        // the real fetch (Hadoop FS — same path works on object
+        // the real fetch (Hadoop FS, resolved through the session conf
+        // shipped in the partition — same path works on object
         // storage); injected failures are exhausted for this page
-        val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = hPath.getFileSystem(p.conf.value)
         reader = new java.io.BufferedReader(new java.io.InputStreamReader(
           fs.open(hPath), StandardCharsets.UTF_8))
         return Iterator.continually(reader.readLine()).takeWhile(_ != null)

@@ -76,6 +76,12 @@ object TopKState {
       checkpoint: String): DataFrame = {
     import spark.implicits._
     require(k >= 1, s"k=$k must be positive")
+    // Quantization contract: floor(v*100 + 0.5) is ROUND-HALF-UP — a
+    // negative half-cent rounds TOWARD POSITIVE (−0.125 → −12, not −13),
+    // unlike round-half-away-from-zero. The oracle mirrors this exact
+    // expression, so the gate holds for any sign; the choice is pinned
+    // here (and by the negative-value spec) deliberately, not because
+    // events.value happens to be non-negative in the fixtures.
     val in = events.select($"user_id".cast("long").as("user_id"),
         $"event_id".cast("long").as("event_id"),
         floor($"value" * 100 + 0.5).cast("long").as("cents"))

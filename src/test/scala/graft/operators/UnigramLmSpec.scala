@@ -35,6 +35,15 @@ class UnigramLmSpec extends SparkSpec {
     assert(seg("abc", v) === Seq("a", "bc"))
   }
 
+  test("non-BMP characters segment at code-point boundaries (no lone surrogates)") {
+    // "𝕒" is a UTF-16 surrogate pair; the DP must treat it as ONE
+    // position — a code-unit walk would try lone-surrogate candidates
+    // that no codepoint-substring vocab contains and throw
+    val a = "𝕒"
+    assert(seg(s"${a}b$a", Seq(a -> 1L, "b" -> 1L, s"${a}b" -> 10L))
+      === Seq(s"${a}b", a))
+  }
+
   test("unsegmentable word fails loudly") {
     val ex = intercept[Exception] { seg("ax", Seq("a" -> 1L)) }
     def msgs(t: Throwable): Seq[String] =

@@ -28,6 +28,17 @@ class WordPieceSpec extends SparkSpec {
       === Seq("a", "##b", "##l", "##e"))
   }
 
+  test("non-BMP characters segment at code-point boundaries (no lone surrogates)") {
+    // "𝕒" (U+1D552, MATHEMATICAL DOUBLE-STRUCK SMALL A) is a surrogate
+    // pair in UTF-16; vocabs built from Spark/DuckDB codepoint substrings
+    // contain the full pair, so a UTF-16-unit walker would slice it into
+    // unmatched lone surrogates and falsely throw "unsegmentable"
+    val a = "𝕒"
+    assert(enc(s"${a}b", Seq(a, "b"), Seq("b")) === Seq(a, "##b"))
+    // a multi-codepoint piece containing the pair must still win greedily
+    assert(enc(s"x${a}y", Seq(s"x$a", "x"), Seq(a, "y")) === Seq(s"x$a", "##y"))
+  }
+
   test("vocab without totality fails loudly, never emits a silent UNK") {
     val ex = intercept[Exception] {
       enc("ax", Seq("a"), Seq("b"))

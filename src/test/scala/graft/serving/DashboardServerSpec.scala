@@ -123,6 +123,39 @@ class DashboardServerSpec extends SparkSpec {
     assert(!r0.get("product_name").isNull)
   }
 
+  test("concurrent requests return the serial answers (4-thread hammer)") {
+    // The scaladoc claims handlers run safely on the server's executor
+    // threads; pin it: 8 client threads hammer two endpoints (one
+    // unfiltered, one filtered — distinct plans racing on the shared
+    // cached table) and every response must byte-equal the serial one.
+    val paths = Seq("/api/summary/", "/api/top-cities/?keyword=")
+    val expected = paths.map(p => p -> get(p).toString).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 32).map { i =>
+        val p = paths(i % paths.length)
+        pool.submit(new java.util.concurrent.Callable[(String, String)] {
+          override def call(): (String, String) = (p, get(p).toString)
+        })
+      }
+      tasks.foreach { t =>
+        val (p, body) = t.get(60, java.util.concurrent.TimeUnit.SECONDS)
+        assert(body === expected(p), s"concurrent $p diverged from serial")
+      }
+    } finally pool.shutdownNow()
+  }
+
+  test("stop() tears down the handler pool and the cache (no leak across cycles)") {
+    val s = DashboardServer.start(clean.limit(50))
+    assert(s.cached.storageLevel.useMemory, "start() must cache the table")
+    assert(!s.pool.isShutdown)
+    s.stop()
+    assert(s.pool.isShutdown, "stop() must shut the executor down")
+    assert(s.pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS),
+      "handler threads must terminate")
+    assert(!s.cached.storageLevel.useMemory, "stop() must unpersist the cache")
+  }
+
   test("JSON writer escapes per RFC 8259") {
     assert(DashboardServer.jsonStr("a\"b\\c\nd") === "\"a\\\"b\\\\c\\nd\"")
     assert(DashboardServer.jsonStr("\u0001") === "\"\\u0001\"")

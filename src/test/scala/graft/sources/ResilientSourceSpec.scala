@@ -4,6 +4,15 @@ import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
+/** A local filesystem under a scheme NO default Hadoop conf knows:
+  * resolvable only when the session's `spark.hadoop.fs.graftprobe.impl`
+  * overlay reaches the code doing the resolve — the probe for the
+  * object-storage-conf contract of [[ResilientScan]]. */
+class GraftProbeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftprobe"
+  override def getUri: java.net.URI = java.net.URI.create("graftprobe:///")
+}
+
 /** S7 resilient-ingest contract: exactly-once completeness through a
   * deterministic failure schedule, per-page retry accounting, backoff
   * and rate-limit behavior, and loud failure on truly-broken pages. */
@@ -97,6 +106,32 @@ class ResilientSourceSpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("malformed page line")),
       s"unexpected failure: $ex")
+  }
+
+  test("session Hadoop conf reaches the planner listing AND the executor page open") {
+    val pages = s"$tmp/pages_conf"
+    ResilientSource.stagePages(Tables.events(spark, Dir), pages, nPages = 2)
+    val key = "spark.hadoop.fs.graftprobe.impl"
+    // negative first (before the FileSystem cache can be primed): with no
+    // session mapping for the scheme, planning must fail to resolve it —
+    // proving the conf below is load-bearing, not decorative
+    val ex = intercept[Exception] { readPages(s"graftprobe://$pages").count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.toLowerCase.contains("graftprobe")),
+      s"unexpected failure: $ex")
+    // now map the scheme ONLY via the session conf (spark.hadoop.* overlay,
+    // the same channel s3a/gs credentials ride) and the same read succeeds
+    spark.conf.set(key, classOf[GraftProbeFileSystem].getName)
+    try {
+      val truth = Tables.events(spark, Dir)
+        .agg(count(lit(1)), sum(col("event_id"))).head()
+      val got = readPages(s"graftprobe://$pages")
+        .agg(count(lit(1)), sum(col("event_id"))).head()
+      assert(got.getLong(0) === truth.getLong(0), "row count via graftprobe://")
+      assert(got.getLong(1) === truth.getLong(1), "event_id checksum via graftprobe://")
+    } finally spark.conf.unset(key)
   }
 
   test("value and event_id round-trip the TSV wire format exactly") {

@@ -287,6 +287,34 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(single.groupBy(_._1).values.forall(_.size <= 3))
   }
 
+  test("streaming top-k quantization: negative values follow round-HALF-UP, on purpose") {
+    import graft.streaming.TopKState
+    // floor(v*100 + 0.5) rounds a negative half-cent TOWARD POSITIVE
+    // (−0.125 → −12, not −13). The DuckDB oracle mirrors the same
+    // expression; this spec pins the contract so it holds by design,
+    // not by the fixtures' all-positive values.
+    val srcDir = s"$tmp/events_topk_neg"
+    // all values exactly representable in binary FP, so the quantized
+    // cents are unambiguous: −0.125 → −12 (half up), −0.1875 → −19,
+    // 0.125 → 13 (half up), −2.5 → −250
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "view", -0.125, ""),
+      (2L, "2024-01-01 00:00:01", 7L, "view", -0.1875, ""),
+      (3L, "2024-01-01 00:00:02", 7L, "view", 0.125, ""),
+      (4L, "2024-01-01 00:00:03", 7L, "view", -2.50, ""))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(srcDir)
+    val ev = EventsStream.readEvents(spark, srcDir, maxFilesPerTrigger = 1)
+    val got = TopKState.topK(spark, ev, 3, "topk_neg", s"$tmp/ckpt_topk_neg")
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("cents"))).toSeq
+    assert(got === Seq((1L, 3L, 13L), (2L, 1L, -12L), (3L, 2L, -19L)),
+      "negative half-cents must round toward positive and rank below positives")
+  }
+
   test("events loaders normalize BOTH ts layouts (nanos-long and timestamp)") {
     import spark.implicits._
     // nanos-long generation: ts presents as LongType (what the legacy
