@@ -1,9 +1,9 @@
 package graft
 
 import graft.expressions.{CosineSimilarity, DotProductLong, EqCount,
-  ExactQuantiles, IntCosGe, KMeansAssignExpr, KmvSketch, MinHashSignature,
-  ShingleHashes64, SimHashChunks, UnigramSegment, WinnowFingerprints,
-  WordPieceEncode}
+  ExactQuantiles, IntCosGe, KMeansAssignDyn, KMeansAssignExpr, KmvSketch,
+  MinHashSignature, ShingleHashes64, SimHashChunks, UnigramSegment,
+  WinnowFingerprints, WordPieceEncode}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_kmeans_assign(v, labels, flatCents)") { c =>
       require(c.length == 3, "graft_kmeans_assign(v, labels, flatCents)")
       KMeansAssignExpr(c.head, c(1), c(2))
+    }
+    register("graft_kmeans_assign_dyn", classOf[KMeansAssignDyn],
+        "graft_kmeans_assign_dyn(v, labels, flatCents)") { c =>
+      require(c.length == 3, "graft_kmeans_assign_dyn(v, labels, flatCents)")
+      KMeansAssignDyn(c.head, c(1), c(2))
     }
     register("graft_unigram_segment", classOf[UnigramSegment],
         "graft_unigram_segment(word, pieces, scores)") { c =>

@@ -89,9 +89,12 @@ object CorpusStatsQueries {
     * cluster count: `src` must expose (vec_id, v DOUBLE[]) — e.g. the
     * planted-clone corpus — and `kExpr` may be any scalar SQL
     * expression (a literal, or a subquery deriving k from the corpus
-    * size so both engines compute the SAME adaptive k). */
+    * size so both engines compute the SAME adaptive k). `extra` CTEs
+    * (if any — must carry their own trailing comma) are spliced between
+    * `q` and `c0`, so `kExpr` may reference relations derived from `q`
+    * (the two-level generator's kc/kf dims ride here). */
   private[analytics] def kmeansOracleCtesOn(
-      src: String, kExpr: String, rounds: Int): String = {
+      src: String, kExpr: String, rounds: Int, extra: String = ""): String = {
     def assignRound(a: String, cPrev: String) =
       s"""$a AS (SELECT vec_id, v, j, dist FROM (
           SELECT q.vec_id, q.v, c.j, ${kmeansDistSql("q.v", "c.c")} AS dist,
@@ -109,7 +112,7 @@ object CorpusStatsQueries {
         list_transform(v,
           x -> CAST(FLOOR(x * $QScale + 0.5) AS BIGINT) + $QShift) AS v
       FROM $src AS kmeans_src),
-      c0 AS (SELECT j, c FROM (
+      ${extra}c0 AS (SELECT j, c FROM (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c FROM q)
         WHERE j < ($kExpr)),
       $roundsSql,
@@ -204,6 +207,131 @@ object CorpusStatsQueries {
             AS n_dropped
         FROM $aFin LEFT JOIN dropped d ON $aFin.vec_id = d.id_b
         GROUP BY $aFin.j),
+      rec AS (SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE vec_id % 8 = 0)
+            AS n_planted,
+          CAST((SELECT COUNT(*) FROM dropped, mx
+                WHERE id_b >= mx.off AND (id_b - mx.off) % 8 = 0) * 1000000
+            // (SELECT COUNT(*) FROM base WHERE vec_id % 8 = 0) AS BIGINT)
+            AS planted_drop_ppm)
+      SELECT cluster, n_members, n_dropped, rec.n_planted, rec.planted_drop_ppm
+      FROM stats, rec ORDER BY cluster"""
+    })
+  )
+
+  /** The [[graft.operators.FixedPointKMeans.fitTwoLevel]] replay as
+    * DuckDB CTEs: the flat coarse replay (kc cells, via
+    * [[kmeansOracleCtesOn]] with the kc/kf dims CTE spliced in), then
+    * per-cell fine rounds — the SAME assignment/update shape with the
+    * vector↔centroid join keyed by the coarse cell, exactly like the
+    * engine's broadcast-join + within-cell argmin. `kTotExpr` is the
+    * TOTAL target cluster count as a scalar SQL over `q`; the split is
+    * kc = max(4, ⌊√k⌋), kf = ⌈k/kc⌉ in both engines. Ends at the final
+    * fine assignment `fa{rounds+1}(vec_id, cc, v, fj, dist)`. */
+  private[analytics] def kmeans2lOracleCtesOn(
+      src: String, kTotExpr: String, rounds: Int): String = {
+    val dims = s"""kdims AS (SELECT k, kc, (k + kc - 1) // kc AS kf FROM (
+        SELECT k, GREATEST(4, CAST(FLOOR(SQRT(CAST(k AS DOUBLE))) AS BIGINT)) AS kc
+        FROM (SELECT ($kTotExpr) AS k))),
+      """
+    val coarse = kmeansOracleCtesOn(src, "(SELECT kc FROM kdims)", rounds, dims)
+    val aFin = s"a${rounds + 1}"
+    def fineAssign(fa: String, fPrev: String) =
+      s"""$fa AS (SELECT vec_id, cc, v, fj, dist FROM (
+          SELECT a.vec_id, f.cc, a.v, f.fj, ${kmeansDistSql("a.v", "f.c")} AS dist,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              ORDER BY ${kmeansDistSql("a.v", "f.c")}, f.fj) AS rk
+          FROM $aFin a JOIN $fPrev f ON a.j = f.cc) WHERE rk = 1)"""
+    def fineUpdate(fc: String, fa: String) =
+      s"""$fc AS (SELECT u.fj, u.fj // kd.kf AS cc, u.c FROM (
+          SELECT fj, list(m ORDER BY i) AS c FROM (
+            SELECT a.fj, t.i, CAST(SUM(a.v[t.i+1]) // COUNT(*) AS BIGINT) AS m
+            FROM $fa a, UNNEST(range(64)) AS t(i) GROUP BY a.fj, t.i)
+          GROUP BY fj) u, kdims kd)"""
+    val f0 =
+      s"""f0 AS (SELECT a.j AS cc, a.j * kd.kf + a.rn - 1 AS fj, a.v AS c FROM (
+          SELECT vec_id, v, j,
+            ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+          FROM $aFin) a, kdims kd WHERE a.rn <= kd.kf)"""
+    val fineRounds = (1 to rounds).map(r =>
+      fineAssign(s"fa$r", s"f${r - 1}") + ",\n" +
+        fineUpdate(s"f$r", s"fa$r")).mkString(",\n")
+    s"""$coarse,
+      $f0,
+      $fineRounds,
+      ${fineAssign(s"fa${rounds + 1}", s"f$rounds")}"""
+  }
+
+  /** SemDeDup routed through the TWO-LEVEL (hierarchical) k-means —
+    * the measured "next rung" of the k-lever: the flat ⌊√N⌋-cluster fit
+    * pays assignment Θ(N·k·d), which at k = √N grows exactly as fast
+    * as the pair mass shrinks; the two-level fit (coarse √k cells, then
+    * per-cell fine Lloyd, all cells per round in ONE job) does the same
+    * job at Θ(N·√k·d). Same exact integer arithmetic, same per-cell
+    * init/tie-break determinism, so the DuckDB oracle replays BOTH
+    * levels round for round (coarse CTEs + cell-keyed fine CTEs) and
+    * the drop set is bit-identical. Output schema matches q_semdedup
+    * (cluster → global fine id), so per-cluster pair mass Σc² and the
+    * planted-clone drop rate are directly comparable between the flat
+    * and hierarchical partitions — the honest quality side of the
+    * fit-cost A/B (SCALING.md carries the sf10 timing rows). */
+  val qSemdedup2l = GraftQuery(
+    "q_semdedup_2l",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, FixedPointKMeans, SemDeDup}
+      val (corpus, off, nPlanted) = DocQueries.plantedEmbeddings(s, dir)
+      val q = Caches.register(corpus.select($"vec_id",
+        FixedPointKMeans.quantize($"embedding").as("v")))
+      val n = q.count()
+      // the SAME total-k ladder as q_semdedup, split max(4,⌊√k⌋) × ⌈k/kc⌉
+      val kTot = math.max(8L, math.floor(math.sqrt(n.toDouble)).toLong)
+      val kc = math.max(4L, math.floor(math.sqrt(kTot.toDouble)).toLong).toInt
+      val kf = ((kTot + kc - 1L) / kc).toInt
+      val tl = FixedPointKMeans.fitTwoLevel(q, "vec_id", "v", kc, kf, KmeansRounds)
+      val asg = Caches.register(FixedPointKMeans.assignTwoLevel(q, "v", tl)
+        .select($"vec_id", $"v", $"cluster"))
+      val dropped = SemDeDup.droppedIds(asg, "vec_id", "v", "cluster",
+        SemTauNum, SemTauDen)
+      val stats = asg
+        .join(dropped.withColumnRenamed("id", "vec_id")
+          .withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"),
+          sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"))
+      val rec = dropped
+        .agg(coalesce(sum(when($"id" >= off && ($"id" - off) % 8 === 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_pd"))
+        .select(lit(nPlanted).as("n_planted"),
+          expr(s"CAST(n_pd * 1000000 div $nPlanted AS BIGINT)")
+            .as("planted_drop_ppm"))
+      stats.crossJoin(rec).orderBy($"cluster")
+    },
+    Some({
+      val faFin = s"fa${KmeansRounds + 1}"
+      s"""WITH ${graft.analytics.DocQueries.plantedCorpusSql},
+      ${kmeans2lOracleCtesOn("(SELECT vec_id, v FROM e)", SemKExpr, KmeansRounds)},
+      u AS (SELECT vec_id, fj,
+          list_transform(v, x -> x - $QShift) AS uv,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(v, x -> (x - $QShift) * (x - $QShift))),
+            (acc, x) -> acc + x) AS nsq
+        FROM $faFin),
+      pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(64), i -> a.uv[i+1] * b.uv[i+1])),
+            (acc, x) -> acc + x) AS dot,
+          a.nsq AS nsq_a, b.nsq AS nsq_b
+        FROM u a JOIN u b ON a.fj = b.fj AND a.vec_id < b.vec_id),
+      dropped AS (SELECT DISTINCT id_b FROM pr
+        WHERE dot >= 0 AND nsq_a > 0 AND nsq_b > 0
+          AND CAST(dot AS HUGEINT) * dot * ${SemTauDen * SemTauDen} >=
+              ${SemTauNum * SemTauNum} * CAST(nsq_a AS HUGEINT) * nsq_b),
+      stats AS (SELECT $faFin.fj AS cluster, COUNT(*) AS n_members,
+          CAST(SUM(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped
+        FROM $faFin LEFT JOIN dropped d ON $faFin.vec_id = d.id_b
+        GROUP BY $faFin.fj),
       rec AS (SELECT
           (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE vec_id % 8 = 0)
             AS n_planted,
@@ -760,6 +888,6 @@ object CorpusStatsQueries {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(qKmeans, qSemdedup, qPqRecall, qSourceKl, qHeapsLaw, qZipfFit,
-      qCoreset, qNmfTopics)
+    Seq(qKmeans, qSemdedup, qSemdedup2l, qPqRecall, qSourceKl, qHeapsLaw,
+      qZipfFit, qCoreset, qNmfTopics)
 }

@@ -123,6 +123,95 @@ object KMeansAssignExpr {
   }
 }
 
+/** Per-row-candidate variant of [[KMeansAssignExpr]] for the TWO-LEVEL
+  * (hierarchical) k-means fit: in the fine stage each vector considers
+  * ONLY its coarse cell's fine centroids, so the candidate matrix
+  * differs per row (it arrives broadcast-joined on the cell id) and
+  * cannot ride as a foldable literal. Children: (v array<long>,
+  * labels array<int>, flat array<long>) with the same shapes, the same
+  * (distance, candidate-order) tie-break, and the same struct(j, d)
+  * result as the flat kernel — `assignRowDyn` on a literal-backed input
+  * and `assignRow` agree bit for bit (spec-pinned).
+  *
+  * Memory shape: each matrix cell is read exactly ONCE per row, so the
+  * kernel reads the candidate ArrayData in place — copying it would
+  * cost kf×d long writes per row for zero amortization. Only the
+  * vector, which is re-read once per candidate, is copied to a
+  * primitive array. Null elements are the caller's contract (both
+  * arrays are engine-built). */
+case class KMeansAssignDyn(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isArr(dt: DataType, el: DataType) = dt match {
+      case ArrayType(`el`, _) => true
+      case _                  => false
+    }
+    if (!isArr(first.dataType, LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_kmeans_assign_dyn expects v: array<long>, got ${first.dataType.simpleString}")
+    else if (!isArr(second.dataType, IntegerType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_kmeans_assign_dyn expects labels: array<int>, got ${second.dataType.simpleString}")
+    else if (!isArr(third.dataType, LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_kmeans_assign_dyn expects flat centroids: array<long>, got ${third.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("j", IntegerType, nullable = false),
+    StructField("d", LongType, nullable = false)))
+  override def prettyName: String = "graft_kmeans_assign_dyn"
+
+  override def nullSafeEval(v: Any, l: Any, f: Any): Any =
+    KMeansAssignDyn.assignRowDyn(v.asInstanceOf[ArrayData],
+      l.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, l, f) =>
+      s"${ev.value} = graft.expressions.KMeansAssignDyn.assignRowDyn($v, $l, $f);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): KMeansAssignDyn =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object KMeansAssignDyn {
+
+  /** Shared kernel body — semantics identical to
+    * [[KMeansAssignExpr.assignRow]] with per-row candidate arrays. */
+  def assignRowDyn(v: ArrayData, labels: ArrayData,
+      flat: ArrayData): GenericInternalRow = {
+    val k = labels.numElements()
+    val nf = flat.numElements()
+    if (k > 0 && nf % k != 0)
+      throw new IllegalArgumentException(
+        s"graft_kmeans_assign_dyn: $nf matrix cells not divisible by k=$k")
+    val d = if (k == 0) 0 else nf / k
+    if (k > 0 && v.numElements() != d)
+      throw new IllegalArgumentException(
+        s"graft_kmeans_assign_dyn: vector has ${v.numElements()} dims, centroids have $d")
+    val vv = if (k == 0) null else v.toLongArray()
+    var best = Long.MaxValue
+    var bj = -1
+    var c = 0
+    while (c < k) {
+      var s = 0L
+      var i = 0
+      val base = c * d
+      while (i < d) {
+        val diff = vv(i) - flat.getLong(base + i)
+        s += diff * diff
+        i += 1
+      }
+      if (s < best) { best = s; bj = labels.getInt(c) }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bj, best))
+  }
+}
+
 /** Native EXACT integer dot product of two long arrays — the
   * fixed-point sibling of [[DotProduct]] for the integer-arithmetic
   * dedup pipelines ([[graft.operators.SemDeDup]]'s pair verify, where

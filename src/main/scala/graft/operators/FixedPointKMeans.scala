@@ -97,6 +97,125 @@ object FixedPointKMeans {
       .withColumn("dist", col("best.d"))
       .drop("best")
 
+  // ---- two-level (hierarchical) fit ------------------------------------
+  //
+  // The flat fit's assignment cost is N·k·d per round; at the SemDeDup
+  // ladder k = ⌊√N⌋ that term grows as fast as the intra-cluster pair
+  // mass shrinks, which is exactly why √N measured as the flat optimum
+  // (SCALING.md's k-lever A/B). The two-level fit changes the equation:
+  // a COARSE Lloyd over kc = ⌈√k⌉ cells (N·√k·d), then an independent
+  // FINE Lloyd per cell over kf = ⌈k/kc⌉ centroids, run for ALL cells in
+  // one distributed job per round — each vector only ever scored against
+  // its own cell's fine centroids (broadcast join on the cell id + the
+  // per-row-candidate kernel graft_kmeans_assign_dyn), so a fine round
+  // is N·(k/kc)·d ≈ N·√k·d. Total Θ(N·√k·d) against the flat Θ(N·k·d),
+  // with the same exact-integer arithmetic, the same deterministic
+  // init/tie-breaks per cell, and therefore the same full SQL
+  // replayability (the fine rounds are the flat oracle CTEs with the
+  // join keyed by cell).
+  //
+  // The trade is quality-shaped, not correctness-shaped: fine centroids
+  // never cross a coarse boundary, so the partition differs from (and is
+  // usually slightly more imbalanced than) the flat k-means partition —
+  // the caller's pair-mass/recall measurements decide whether the fit
+  // saving is worth it at their N (see q_semdedup vs q_semdedup_2l).
+
+  /** Two-level centroid state: the coarse cells plus every cell's fine
+    * centroids under GLOBAL fine ids fj = cc·kf + (seed rank), so
+    * cc = fj / kf recovers the cell. `fine` is ascending by fj and only
+    * contains centroids that survived their rounds (a fine cluster that
+    * empties out vanishes, exactly like the flat fit's). */
+  final case class TwoLevelCentroids(
+      coarse: Seq[(Int, Seq[Long])],
+      kf: Int,
+      fine: Seq[(Int, Seq[Long])])
+
+  /** Per-cell candidate table (cc, fids, fflat) for the dyn kernel —
+    * fids ascending so the kernel's strict-< argmin keeps the smallest
+    * fine id on distance ties, mirroring the flat kernel's contract. */
+  private def fineByCell(df: DataFrame, kf: Int,
+      fine: Seq[(Int, Seq[Long])]): DataFrame = {
+    val rows = fine.groupBy(_._1 / kf).toSeq.map { case (cc, cents) =>
+      val sorted = cents.sortBy(_._1)
+      (cc, sorted.map(_._1).toArray, sorted.flatMap(_._2).toArray)
+    }
+    df.sparkSession.createDataFrame(rows).toDF("cc", "fids", "fflat")
+  }
+
+  /** Add (fj, fdist) — the within-cell fine argmin — to a relation
+    * already carrying a coarse cell id in `ccCol`. Broadcast join on
+    * the cell id (the fine matrix is k×d longs — driver/broadcast
+    * scale), then one fused per-row argmin over that cell's candidates
+    * only. Inner join: every cell that can appear in `df` under the
+    * fit's own coarse centroids has at least one fine centroid (each
+    * member always re-assigns within its cell, so cells never empty
+    * out) — vectors from OUTSIDE the fit relation must be assigned with
+    * the same coarse centroids or they may hit an unseeded cell. */
+  def assignFine(df: DataFrame, vCol: String, ccCol: String,
+      kf: Int, fine: Seq[(Int, Seq[Long])]): DataFrame = {
+    val cells = broadcast(fineByCell(df, kf, fine)
+      .withColumnRenamed("cc", ccCol))
+    df.join(cells, ccCol)
+      .withColumn("bestf", call_function("graft_kmeans_assign_dyn",
+        col(vCol), col("fids"), col("fflat")))
+      .withColumn("fj", col("bestf.j"))
+      .withColumn("fdist", col("bestf.d"))
+      .drop("bestf", "fids", "fflat")
+  }
+
+  /** Two-level fit: coarse Lloyd (kc, `rounds`), final coarse
+    * assignment, then per-cell fine Lloyd (kf seeds per cell, `rounds`)
+    * with every cell fitting concurrently in the same jobs. Fine init
+    * mirrors the flat init per cell: the kf smallest ids IN the cell
+    * seed fj = cc·kf + rank. Driver state is k×d longs per round (the
+    * flat fit's collect discipline); the coarse-assigned relation is
+    * cached for the fine rounds and unpersisted before returning. */
+  def fitTwoLevel(quantized: DataFrame, idCol: String, vCol: String,
+      kCoarse: Int, kf: Int, rounds: Int): TwoLevelCentroids = {
+    require(kCoarse >= 1 && kf >= 1 && rounds >= 0,
+      s"kCoarse=$kCoarse kf=$kf rounds=$rounds")
+    val coarse = fit(quantized, idCol, vCol, kCoarse, rounds)
+    val asg = assign(quantized, vCol, coarse)
+      .select(col(idCol), col(vCol), col("cluster").as("cc")).cache()
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cc")).orderBy(col(idCol))
+      var fine: Seq[(Int, Seq[Long])] = asg
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= kf)
+        .select((col("cc") * kf + col("rn") - 1).cast("int").as("fj"),
+          col(vCol).as("c"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+      for (_ <- 1 to rounds) {
+        fine = assignFine(asg, vCol, "cc", kf, fine)
+          .select(col("fj"), posexplode(col(vCol)))
+          .toDF("fj", "pos", "x")
+          .groupBy(col("fj"), col("pos"))
+          .agg(expr("sum(x) DIV count(1)").as("m"))
+          .groupBy(col("fj"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("fj"), transform(col("pm"), p => p("m")).as("c"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+          .sortBy(_._1)
+      }
+      TwoLevelCentroids(coarse, kf, fine)
+    } finally { asg.unpersist(); () }
+  }
+
+  /** Full two-level assignment of an (already-quantized) relation that
+    * was part of the fit: coarse argmin (flat kernel, kc literal) then
+    * the within-cell fine argmin. Adds `cluster` (the GLOBAL fine id)
+    * and `dist` — the same contract as [[assign]], so [[SemDeDup]] and
+    * the IVF family consume either interchangeably. */
+  def assignTwoLevel(quantized: DataFrame, vCol: String,
+      tl: TwoLevelCentroids): DataFrame = {
+    val withCc = assign(quantized, vCol, tl.coarse)
+      .withColumnRenamed("cluster", "cc").drop("dist")
+    assignFine(withCc, vCol, "cc", tl.kf, tl.fine)
+      .withColumnRenamed("fj", "cluster")
+      .withColumnRenamed("fdist", "dist")
+      .drop("cc")
+  }
+
   /** `rounds` Lloyd updates over the quantized relation (cache it —
     * every round scans it). Returns the final centroids ordered by
     * cluster id. */

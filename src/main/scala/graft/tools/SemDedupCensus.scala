@@ -9,15 +9,18 @@ import org.apache.spark.sql.functions._
   * quadratic member search then pays for? Prints the top sizes, Σc²,
   * and the balanced-ideal Σc² = N²/k for comparison.
   *
-  * Usage: runMain graft.tools.SemDedupCensus <sfDir> [rounds=2] [kFactor=1]
-  * (kFactor scales the k = ⌊√N⌋ ladder — the imbalance lever A/B.)
+  * Usage: runMain graft.tools.SemDedupCensus <sfDir> [rounds=2] [kFactor=1] [mode=flat]
+  * (kFactor scales the k = ⌊√N⌋ ladder — the imbalance lever A/B;
+  * mode=2l fits the TWO-LEVEL hierarchy at the same total k — the
+  * fit-cost/occupancy side of the flat-vs-hierarchical A/B.)
   */
 object SemDedupCensus {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: SemDedupCensus <sfDir> [rounds] [kFactor]")
+    require(args.nonEmpty, "usage: SemDedupCensus <sfDir> [rounds] [kFactor] [mode]")
     val dir = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 2
     val kFactor = if (args.length > 2) args(2).toInt else 1
+    val twoLevel = args.length > 3 && args(3) == "2l"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .withExtensions(new graft.GraftExtensions)
@@ -33,6 +36,29 @@ object SemDedupCensus {
       FixedPointKMeans.quantize($"embedding").as("v")))
     val n = q.count()
     val k = (math.max(8L, math.floor(math.sqrt(n.toDouble)).toLong) * kFactor).toInt
+    if (twoLevel) {
+      val kc = math.max(4L, math.floor(math.sqrt(k.toDouble)).toLong).toInt
+      val kf = (k + kc - 1) / kc
+      val t0 = System.nanoTime()
+      val tl = FixedPointKMeans.fitTwoLevel(q, "vec_id", "v", kc, kf, rounds)
+      val tFit = (System.nanoTime() - t0) / 1e9
+      val ta0 = System.nanoTime()
+      val nAsg = FixedPointKMeans.assignTwoLevel(q, "v", tl)
+        .filter($"cluster" >= 0).count()
+      val tAsg = (System.nanoTime() - ta0) / 1e9
+      val sizes = FixedPointKMeans.assignTwoLevel(q, "v", tl)
+        .groupBy($"cluster").agg(count(lit(1)).as("c"))
+        .select($"c").as[Long].collect().sorted.reverse
+      val sumSq = sizes.map(c => c * c).sum
+      println(s"[census-2l] n=$n k=$k kc=$kc kf=$kf rounds=$rounds " +
+        s"fit=${f"$tFit%.1f"}s assign=${f"$tAsg%.1f"}s ($nAsg rows) " +
+        s"nonempty=${sizes.length}")
+      println(s"[census-2l] top sizes: ${sizes.take(15).mkString(", ")}")
+      println(s"[census-2l] sum c^2 = $sumSq  (balanced ideal N^2/k = ${n * n / k}); " +
+        s"top-1 share of pair mass = ${f"${sizes.head * sizes.head * 100.0 / sumSq}%.1f"}%")
+      spark.stop()
+      return
+    }
     val t0 = System.nanoTime()
     val cents = FixedPointKMeans.fit(q, "vec_id", "v", k, rounds)
     val tFit = (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[FixedPointKMeans.fitTwoLevel]]/[[FixedPointKMeans.assignTwoLevel]]
+  * — the hierarchical (coarse √k → within-cell fine) fit: the dyn
+  * kernel must agree bit-for-bit with the flat kernel, the two-level
+  * assignment must equal a driver-side replay of both argmins, and the
+  * registered query must keep the SemDeDup recall floor. */
+class TwoLevelKMeansSpec extends SparkSpec {
+
+  // deterministic pseudo-random 4-dim vectors in [-2, 2]
+  private def vec(id: Long): Seq[Double] =
+    (0 until 4).map(i => (((id * 37 + i * 101 + 13) % 400) - 200) / 100.0)
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      (i.toLong, FixedPointKMeans.quantizeLocal(vec(i.toLong))))
+      .toDF("vec_id", "v")
+  }
+
+  test("graft_kmeans_assign_dyn equals the flat kernel on identical candidates") {
+    import spark.implicits._
+    val cents: Seq[(Int, Seq[Long])] = (0 until 5).map(j =>
+      (j, FixedPointKMeans.quantizeLocal(vec(1000L + j)))).toSeq
+    val ids = cents.map(_._1).toArray
+    val flat = cents.flatMap(_._2).toArray
+    val both = corpus(50)
+      .withColumn("a", FixedPointKMeans.bestOf(col("v"), cents))
+      .withColumn("b", call_function("graft_kmeans_assign_dyn",
+        col("v"), typedLit(ids), typedLit(flat)))
+    assert(both.filter($"a.j" =!= $"b.j" || $"a.d" =!= $"b.d").count() === 0L)
+  }
+
+  test("dyn kernel: empty candidates yield (-1, Long.MaxValue); dim mismatch throws") {
+    import spark.implicits._
+    val r = corpus(1).withColumn("b", call_function("graft_kmeans_assign_dyn",
+      col("v"), typedLit(Array.empty[Int]), typedLit(Array.empty[Long]))).head()
+    assert(r.getStruct(2).getInt(0) === -1)
+    assert(r.getStruct(2).getLong(1) === Long.MaxValue)
+    val ex = intercept[Exception] {
+      corpus(1).withColumn("b", call_function("graft_kmeans_assign_dyn",
+        col("v"), typedLit(Array(0)), typedLit(Array(1L, 2L)))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("dims")), s"got $ex")
+  }
+
+  test("fitTwoLevel: fine ids stay inside their coarse cell and members agree") {
+    val q = corpus(120).cache()
+    val tl = FixedPointKMeans.fitTwoLevel(q, "vec_id", "v",
+      kCoarse = 3, kf = 4, rounds = 2)
+    // every fine centroid's global id decodes to a coarse cell the
+    // coarse fit actually produced
+    val coarseIds = tl.coarse.map(_._1).toSet
+    tl.fine.foreach { case (fj, _) =>
+      assert(coarseIds.contains(fj / tl.kf), s"fine $fj in unknown cell")
+    }
+    // members land in the fine cluster OF their coarse cell
+    val asg = FixedPointKMeans.assignTwoLevel(q, "v", tl)
+    val coarseOnly = FixedPointKMeans.assign(q, "v", tl.coarse)
+      .select(col("vec_id"), col("cluster").as("cc_direct"))
+    val joined = asg.join(coarseOnly, "vec_id")
+      .filter(floor(col("cluster") / tl.kf) =!= col("cc_direct"))
+    assert(joined.count() === 0L,
+      "fine assignment crossed a coarse boundary")
+    q.unpersist()
+  }
+
+  test("assignTwoLevel equals the driver-side two-stage argmin replay") {
+    val q = corpus(80).cache()
+    val tl = FixedPointKMeans.fitTwoLevel(q, "vec_id", "v",
+      kCoarse = 3, kf = 3, rounds = 1)
+    val got = FixedPointKMeans.assignTwoLevel(q, "v", tl)
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val fineByCell = tl.fine.groupBy(_._1 / tl.kf)
+    (0 until 80).foreach { i =>
+      val v = FixedPointKMeans.quantizeLocal(vec(i.toLong))
+      // stage 1: flat argmin over coarse (ascending id keeps ties)
+      val cc = tl.coarse.minBy { case (j, c) =>
+        (FixedPointKMeans.sqDistLocal(v, c), j) }._1
+      // stage 2: argmin over that cell's fine centroids only
+      val (fj, d) = fineByCell(cc).map { case (j, c) =>
+        (j, FixedPointKMeans.sqDistLocal(v, c)) }
+        .minBy { case (j, d) => (d, j) }
+      assert(got(i.toLong) === ((fj, d)), s"vec $i")
+    }
+    q.unpersist()
+  }
+
+  test("fine init seeds are the kf smallest ids per cell") {
+    val q = corpus(60).cache()
+    // rounds = 0: fit returns the seeds themselves
+    val tl = FixedPointKMeans.fitTwoLevel(q, "vec_id", "v",
+      kCoarse = 2, kf = 3, rounds = 0)
+    val byCell = FixedPointKMeans.assign(q, "v", tl.coarse)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._2).map { case (cc, m) => (cc, m.map(_._1).sorted) }
+    tl.fine.foreach { case (fj, c) =>
+      val cc = fj / tl.kf
+      val rank = fj % tl.kf
+      val seedId = byCell(cc)(rank)
+      assert(c === FixedPointKMeans.quantizeLocal(vec(seedId)),
+        s"fine $fj should seed from vec $seedId")
+    }
+    q.unpersist()
+  }
+
+  test("q_semdedup_2l at sf0.01: conservation and the planted recall floor hold") {
+    val rows = graft.analytics.CorpusStatsQueries.qSemdedup2l
+      .run(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val nMembers = rows.map(_.getAs[Long]("n_members")).sum
+    val nDropped = rows.map(_.getAs[Long]("n_dropped")).sum
+    val nPlanted = rows.head.getAs[Long]("n_planted")
+    val ppm = rows.head.getAs[Long]("planted_drop_ppm")
+    assert(nMembers === 500L + nPlanted)
+    assert(nDropped <= nPlanted)
+    assert(ppm === nDropped * 1000000L / nPlanted)
+    // the hierarchical partition adds coarse boundaries clones can
+    // split across, but the recall floor must stay in the flat fit's
+    // regime (flat measured 984126 ppm at sf0.01)
+    assert(ppm >= 900000L, s"planted_drop_ppm=$ppm")
+  }
+}
