@@ -70,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(c.length == 3, "graft_unigram_segment(word, pieces, scores)")
       UnigramSegment(c.head, c(1), c(2))
     }
+    register("graft_unigram_expect", classOf[graft.expressions.UnigramExpect],
+        "graft_unigram_expect(word, pieces, costs)") { c =>
+      require(c.length == 3, "graft_unigram_expect(word, pieces, costs)")
+      graft.expressions.UnigramExpect(c.head, c(1), c(2))
+    }
     register("graft_wordpiece_encode", classOf[WordPieceEncode],
         "graft_wordpiece_encode(word, startPieces, contPieces)") { c =>
       require(c.length == 3, "graft_wordpiece_encode(word, startPieces, contPieces)")

@@ -2544,6 +2544,133 @@ object DocQueries {
       FROM counts, tot, nv ORDER BY counts.n DESC, piece LIMIT 40""")
   )
 
+  /** Unigram SOFT-EM — the production-SentencePiece expectation step
+    * the hard-EM query documents as its one divergence, now closed:
+    * per-piece EXPECTED use counts marginalized over ALL segmentations
+    * (integer-fixed-point forward–backward,
+    * [[graft.expressions.UnigramExpect]] — log-costs in 1e-4-nat
+    * units, one rounded ln/exp cluster per DP cell, posterior weights
+    * in micro-counts; every cross-engine quantity an integer), against
+    * the Viterbi used-counts of the SAME seed vocab, with the
+    * hard-vs-soft vocab diff carried in every row (in_soft/in_hard
+    * flags + the corpus-level n_vocab_soft/n_vocab_hard/n_common).
+    * The DuckDB oracle replays the DP ITSELF — recursive CTEs carry
+    * the forward/backward integer arrays and fold the identical
+    * candidate order — because per-cell rounding does not distribute
+    * over path enumeration (a brute-force path replay would be a
+    * DIFFERENT algorithm). Soft-vocab rule: expected count ≥ 1 full
+    * use (soft_mc ≥ WScale) or a single character (totality); hard
+    * rule: Viterbi-used or a single character — the diff rows are
+    * exactly the pieces the Viterbi approximation over- or
+    * under-commits to. Scale: the kernel is map-side over the
+    * distinct-word relation with the vocab as literal children; one
+    * piece-keyed partial-aggregated rollup — the other tokenizers'
+    * shape. */
+  val qUnigramSoftEm = GraftQuery(
+    "q_unigram_soft_em",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, UnigramLm}
+      val WScale = graft.expressions.UnigramExpect.WScale
+      val w = Caches.register(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("n")))
+      val seed = UnigramLm.seedVocab(w, "token", "n", topK = WpTopK, maxLen = WpMaxLen)
+      val costs = UnigramLm.logCosts(seed)
+      val soft = UnigramLm.softCounts(w, "token", "n", seed, costs)
+      val hard = w.select($"token", $"n",
+          UnigramLm.segment($"token", seed).as("pieces"))
+        .select(explode($"pieces").as("p"), $"n")
+        .groupBy($"p").agg(sum($"n").cast("long").as("hard_n"))
+      val seedDf = seed.pieces.toDF("p")
+      val j = seedDf
+        .join(soft, Seq("p"), "left").join(hard, Seq("p"), "left")
+        .withColumn("soft_mc", coalesce($"soft_mc", lit(0L)))
+        .withColumn("hard_n", coalesce($"hard_n", lit(0L)))
+        .withColumn("in_soft",
+          when($"soft_mc" >= WScale || length($"p") === 1, 1L).otherwise(0L))
+        .withColumn("in_hard",
+          when($"hard_n" > 0 || length($"p") === 1, 1L).otherwise(0L))
+      val ns = j.agg(sum($"in_soft").as("n_vocab_soft"),
+        sum($"in_hard").as("n_vocab_hard"),
+        sum($"in_soft" * $"in_hard").as("n_common"))
+      j.crossJoin(ns)
+        .select($"p".as("piece"), $"soft_mc", $"hard_n", $"in_soft",
+          $"in_hard", $"n_vocab_soft", $"n_vocab_hard", $"n_common")
+        .orderBy($"soft_mc".desc, $"piece").limit(40)
+    },
+    Some({
+      val LS = graft.expressions.UnigramExpect.LogScale
+      val WS = graft.expressions.UnigramExpect.WScale
+      def lse(xs: String) =
+        s"""list_min($xs) - CAST(FLOOR($LS * ln(
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform($xs, x -> exp(CAST(list_min($xs) - x AS DOUBLE) / $LS))),
+            (a, b) -> a + b)) + 0.5) AS BIGINT)"""
+      s"""WITH RECURSIVE
+      tok AS (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
+      w AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+      grid AS (SELECT UNNEST(flatten(list_transform(range(1, length(token)+1), i ->
+          list_transform(range(1, ${WpMaxLen + 1}), l -> CASE WHEN i + l - 1 <= length(token)
+            THEN substr(token, i, l) ELSE NULL END)))) AS p, n FROM w),
+      gc AS (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM grid WHERE p IS NOT NULL GROUP BY p),
+      v1 AS (
+        SELECT p, c AS score FROM (SELECT p, c FROM gc WHERE length(p) >= 2
+          ORDER BY c DESC, p LIMIT $WpTopK)
+        UNION ALL
+        SELECT p, c AS score FROM gc WHERE length(p) = 1),
+      tot1 AS (SELECT CAST(SUM(score) AS BIGINT) AS total FROM v1),
+      vc AS (SELECT v.p, v.score, CAST(FLOOR($LS * ln(
+          CAST(t.total AS DOUBLE) / CAST(GREATEST(v.score, 1) AS DOUBLE)) + 0.5) AS BIGINT) AS cost
+        FROM v1 v, tot1 t),
+      occv AS (SELECT w.token, w.n, t.t, l.l, vc.p, vc.cost
+        FROM w, UNNEST(range(1, length(w.token)+1)) AS t(t),
+             UNNEST(range(1, ${WpMaxLen + 1})) AS l(l)
+        JOIN vc ON l.l <= t.t AND vc.p = substr(w.token, t.t - l.l + 1, l.l)),
+      candf AS (SELECT token, t, list(STRUCT_PACK(l := l, c := cost) ORDER BY l) AS cs
+        FROM occv GROUP BY token, t),
+      candb AS (SELECT token, t - l AS u, list(STRUCT_PACK(l := l, c := cost) ORDER BY l) AS cs
+        FROM occv GROUP BY token, t - l),
+      fwd AS (
+        SELECT token, n, 0 AS pos, [CAST(0 AS BIGINT)] AS al FROM w
+        UNION ALL
+        SELECT f.token, f.n, f.pos + 1,
+          list_append(f.al, ${lse("list_transform(c.cs, s -> f.al[f.pos + 2 - s.l] + s.c)")})
+        FROM fwd f JOIN candf c ON c.token = f.token AND c.t = f.pos + 1),
+      fa AS (SELECT token, n, al FROM fwd WHERE pos = length(token)),
+      bwd AS (
+        SELECT token, length(token) AS pos, [CAST(0 AS BIGINT)] AS bl FROM w
+        UNION ALL
+        SELECT b.token, b.pos - 1,
+          list_prepend(${lse("list_transform(c.cs, s -> s.c + b.bl[s.l])")}, b.bl)
+        FROM bwd b JOIN candb c ON c.token = b.token AND c.u = b.pos - 1),
+      bb AS (SELECT token, bl FROM bwd WHERE pos = 0),
+      wx AS (SELECT o.token, o.n, o.p,
+          CAST(FLOOR($WS * exp(CAST(fa.al[length(o.token) + 1] - fa.al[o.t - o.l + 1]
+            - o.cost - bb.bl[o.t + 1] AS DOUBLE) / $LS) + 0.5) AS BIGINT) AS mc
+        FROM occv o JOIN fa ON fa.token = o.token JOIN bb ON bb.token = o.token),
+      soft AS (SELECT p, CAST(SUM(n * mc) AS BIGINT) AS soft_mc FROM wx GROUP BY p),
+      ${unigramRoundSql("1", "v1")},
+      hard AS (SELECT p, CAST(SUM(n) AS BIGINT) AS hard_n FROM (
+        SELECT UNNEST(pieces) AS p, n FROM best1) GROUP BY p),
+      j AS (SELECT v.p,
+          COALESCE(s.soft_mc, 0) AS soft_mc, COALESCE(h.hard_n, 0) AS hard_n,
+          CASE WHEN COALESCE(s.soft_mc, 0) >= $WS OR length(v.p) = 1
+            THEN 1 ELSE 0 END AS in_soft,
+          CASE WHEN COALESCE(h.hard_n, 0) > 0 OR length(v.p) = 1
+            THEN 1 ELSE 0 END AS in_hard
+        FROM v1 v LEFT JOIN soft s ON s.p = v.p LEFT JOIN hard h ON h.p = v.p),
+      ns AS (SELECT CAST(SUM(in_soft) AS BIGINT) AS n_vocab_soft,
+          CAST(SUM(in_hard) AS BIGINT) AS n_vocab_hard,
+          CAST(SUM(in_soft * in_hard) AS BIGINT) AS n_common FROM j)
+      SELECT j.p AS piece, j.soft_mc, j.hard_n,
+        CAST(j.in_soft AS BIGINT) AS in_soft, CAST(j.in_hard AS BIGINT) AS in_hard,
+        ns.n_vocab_soft, ns.n_vocab_hard, ns.n_common
+      FROM j, ns ORDER BY j.soft_mc DESC, j.p LIMIT 40"""
+    })
+  )
+
   /** As-of join: each event matched to its user's latest prior order —
     * ONE shuffle (union + window), not an inequality-join explosion.
     * Orders pre-deduped per (custkey, orderdate) so the match is unique
@@ -4059,7 +4186,8 @@ object DocQueries {
     qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
-    qBpeEncode, qWordpieceEncode, qUnigramTokenizer, qDictEncode, qInvertedIndex,
+    qBpeEncode, qWordpieceEncode, qUnigramTokenizer, qUnigramSoftEm,
+    qDictEncode, qInvertedIndex,
     qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qBlockingRecall, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
     qSpanDedup, qSpanDedupVar,

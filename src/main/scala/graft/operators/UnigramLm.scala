@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
   *
   * The prune step is what makes round 2 structurally different from
   * round 1 — exactly unigram-LM's EM-with-pruning loop in hard
-  * (Viterbi) form.
+  * (Viterbi) form. The SOFT E-step (production SentencePiece trains on
+  * EXPECTED counts over all segmentations, not the Viterbi path's) is
+  * implemented too — [[expect]]/[[softCounts]] below over the
+  * integer-fixed-point forward–backward kernel
+  * [[graft.expressions.UnigramExpect]] (q_unigram_soft_em carries the
+  * full DP replay under the hash gate); the hard round stays the
+  * default because its purely-integer objective needs no log table.
   *
   * Scale shape: identical to the other two families — everything after
   * the one corpus token rollup runs on the DISTINCT-word relation; the
@@ -82,4 +88,45 @@ object UnigramLm {
     val all = used ++ zeroChars
     Vocab(all.map(_._1).toSeq, all.map(_._2).toSeq)
   }
+
+  // ---- soft EM (the production SentencePiece E-step) -------------------
+
+  /** Integer log-costs for the soft E-step: cost(p) =
+    * round(LogScale · ln(total / cᵢ)) with cᵢ = max(count, 1) (the
+    * zero-count floor keeps characters finite) and total = Σ raw
+    * counts — ONE double division then ONE ln, the same expression the
+    * oracle interpolates, so both engines round the identical double.
+    * Pieces keep [[Vocab]] order. */
+  def logCosts(v: Vocab): Seq[Long] = {
+    val total = v.scores.sum
+    require(total > 0, "logCosts: empty corpus")
+    v.scores.map { c =>
+      val cf = math.max(c, 1L)
+      graft.expressions.UnigramExpect.roundHalfUp(
+        graft.expressions.UnigramExpect.LogScale *
+          math.log(total.toDouble / cf.toDouble))
+    }
+  }
+
+  /** The SOFT expectation column: per word, array<struct<p, mc>> of
+    * expected piece-use counts in micro-units, marginalized over ALL
+    * segmentations by integer-fixed-point forward–backward
+    * ([[graft.expressions.UnigramExpect]] — see there for the
+    * determinism contract). The hard-EM divergence this closes:
+    * [[refit]] counts only the Viterbi path's pieces; this counts every
+    * path, weighted. */
+  def expect(wordCol: Column, v: Vocab, costs: Seq[Long]): Column =
+    call_function("graft_unigram_expect", wordCol,
+      typedLit(v.pieces.toArray), typedLit(costs.toArray))
+
+  /** Corpus-level soft expected counts: Σ over words of freq × the
+    * word's per-piece micro-counts — (p, soft_mc) with soft_mc in
+    * micro-units. Map-side kernel + one piece-keyed partial-aggregated
+    * rollup; nothing corpus-sized leaves the executors. */
+  def softCounts(words: DataFrame, wordCol: String, freqCol: String,
+      v: Vocab, costs: Seq[Long]): DataFrame =
+    words.select(explode(expect(col(wordCol), v, costs)).as("e"),
+        col(freqCol).cast("long").as("n"))
+      .select(col("e.p").as("p"), (col("e.mc") * col("n")).as("wmc"))
+      .groupBy(col("p")).agg(sum(col("wmc")).as("soft_mc"))
 }
