@@ -1709,7 +1709,7 @@ object DocQueries {
     * ≈ 32 cells × 40-doc occupancy ≈ 1200 docs and its O(slice²) brute
     * force stays bounded by construction. Mirrored into the oracle as a
     * generated power-of-two CASE. */
-  private[analytics] def recallSamplerPlanesFor(stride: Long): Int = {
+  private[graft] def recallSamplerPlanesFor(stride: Long): Int = {
     val c = if (stride <= 1L) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(stride - 1L)
     math.max(10, c + 5)
@@ -1979,6 +1979,65 @@ object DocQueries {
               (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v))) END, 6) AS cos_sim
         FROM e a JOIN e c ON a.vec_id < c.vec_id)
       SELECT id_a, id_b, cos_sim FROM p
+      WHERE cos_sim >= 0.4 AND cos_sim < 0.8 ORDER BY id_a, id_b""")
+  )
+
+  /** The midband operator AT SCALE: q_midband_pairs is honestly
+    * quadratic (exhaustive mining at cosine 0.4–0.8 is
+    * information-theoretically so) and therefore unrunnable as-is past
+    * ~10⁶ vectors; this is its corpus-size-bounded form — the EXACT
+    * miner over a COARSE-CELL SLICE (the q_lsh_recall sampler: adaptive
+    * plane count, disjoint plane offset, keep cells ≡ 0 mod stride,
+    * expected ≈ 1200 docs at ANY corpus size). Cell sampling preserves
+    * near-neighbor structure (a moderate pair survives with its coarse
+    * collision probability, not 1/stride²), so the slice's pair surface
+    * is the calibrated estimator of the corpus's band density — recall
+    * 1.0 WITHIN the slice by construction, slice stats (n_slice,
+    * stride) carried in every row so the extrapolation
+    * n_pairs·stride·(collision⁻¹) is the reader's, honestly. The Θ(N²)
+    * term is confined to the slice (~0.7M dots at any N); everything
+    * corpus-sized is one count and the narrow cell-filter pass. The
+    * oracle replays sampler, slice and quadratic mine end to end. */
+  val qMidbandSlice = GraftQuery(
+    "q_midband_slice",
+    (s, dir) => {
+      import s.implicits._
+      val emb = graft.operators.Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
+      val n = emb.count()
+      val stride = ((n + RecallSliceTarget - 1L) / RecallSliceTarget).toInt
+      val samplerPlanes = recallSamplerPlanesFor(stride)
+      val slice = graft.operators.Caches.register(emb
+        .select($"vec_id", $"embedding",
+          Similarity.portableBucketNative($"embedding",
+            samplerPlanes, 64, RecallSamplerOffset).as("cell"))
+        .filter($"cell" % stride === 0).drop("cell"))
+      val nSlice = slice.count()
+      Similarity.tiledBruteForcePairs(slice, "vec_id", "embedding", 0.4, 0.8)
+        .withColumn("n_slice", lit(nSlice))
+        .withColumn("stride", lit(stride.toLong))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH ${recallSamplerSqlOn("embeddings")},
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bv AS (SELECT vec_id, v,
+        list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
+      sl AS (SELECT vec_id, v FROM bv, sp
+        WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(sp.spl), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qv[d+1] * (CASE WHEN (48271 * (((($RecallSamplerOffset + p)*64 + d + 1) * 2654435761 % 2147483647) * ((($RecallSamplerOffset + p)*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) % sp.stride = 0),
+      ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_slice FROM sl),
+      p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+          ROUND(CASE WHEN SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v)) = 0
+            THEN 0.0
+            ELSE list_dot_product(a.v, c.v) /
+              (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v))) END, 6) AS cos_sim
+        FROM sl a JOIN sl c ON a.vec_id < c.vec_id)
+      SELECT id_a, id_b, cos_sim, ns.n_slice, CAST(sp.stride AS BIGINT) AS stride
+      FROM p, ns, sp
       WHERE cos_sim >= 0.4 AND cos_sim < 0.8 ORDER BY id_a, id_b""")
   )
 
@@ -4195,7 +4254,8 @@ object DocQueries {
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qEmbedDupTables, qEmbedDupHr, qLshRecall,
-    qSemanticDedup, qMidbandPairs, qIvfTopK, qApproxDistinct, qHllRollup, qAsofJoin,
+    qSemanticDedup, qMidbandPairs, qMidbandSlice, qIvfTopK, qApproxDistinct,
+    qHllRollup, qAsofJoin,
     qRangeJoin, qKmvDistinct, qKmvIntersect, qQualityScore, qSourceSimilarity, qSourceOverlap,
     qTokenFertility)
 }

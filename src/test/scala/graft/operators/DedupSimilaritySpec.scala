@@ -406,6 +406,42 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q_midband_slice: slice pairs are a subset of the full midband mine, slice bounded") {
+    import spark.implicits._
+    val full = graft.SparkEntry.queries("q_midband_pairs")(spark, Dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = graft.SparkEntry.queries("q_midband_slice")(spark, Dir).collect()
+    assert(rows.nonEmpty)
+    val got = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got.subsetOf(full), s"slice emitted non-midband pairs: ${(got -- full).take(3)}")
+    val nSlice = rows.head.getAs[Long]("n_slice")
+    val stride = rows.head.getAs[Long]("stride")
+    // at sf0.001 the corpus is under the 1200-doc slice target: stride=1,
+    // the slice IS the corpus, and the slice mine equals the full mine —
+    // the degenerate end of the contract
+    if (stride == 1L) assert(got === full)
+    // the O(slice²) bound the operator exists for
+    assert(nSlice <= 5000L, s"slice too large: $nSlice")
+
+    // a corpus ABOVE the slice target: stride > 1 must engage and keep
+    // the slice (and so the quadratic term) bounded by construction
+    val big = (0L until 6000L).map { i =>
+      (i, (0 until 64).map(d =>
+        (((i * 31 + d * 17 + 7) % 200) - 100) / 100.0))
+    }.toDF("vec_id", "embedding")
+    val n = big.count()
+    val strideBig = (n + 1199L) / 1200L
+    val planes = graft.analytics.DocQueries.recallSamplerPlanesFor(strideBig)
+    val slice = big.select($"vec_id",
+        Similarity.portableBucketNative($"embedding".cast("array<double>"),
+          planes, 64, 4096).as("cell"))
+      .filter($"cell" % strideBig === 0)
+    val m = slice.count()
+    assert(strideBig === 5L)
+    assert(m > 0L && m < n / 2L,
+      s"cell sampling must thin the corpus: kept $m of $n at stride $strideBig")
+  }
+
   test("q_embed_dup_hr planted recall: the ladder holds >= 0.9 in its design band") {
     val rows = graft.SparkEntry.queries("q_embed_dup_hr")(spark, Dir).collect()
     assert(rows.nonEmpty, "planted clones must produce design-band pairs")
