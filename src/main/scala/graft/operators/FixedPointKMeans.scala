@@ -167,9 +167,12 @@ object FixedPointKMeans {
     * assignment, then per-cell fine Lloyd (kf seeds per cell, `rounds`)
     * with every cell fitting concurrently in the same jobs. Fine init
     * mirrors the flat init per cell: the kf smallest ids IN the cell
-    * seed fj = cc·kf + rank. Driver state is k×d longs per round (the
-    * flat fit's collect discipline); the coarse-assigned relation is
-    * cached for the fine rounds and unpersisted before returning. */
+    * seed fj = cc·kf + rank (a row_number window per cell — one sorted
+    * partition of N/kc id-only rows per cell, spill-friendly; at
+    * extreme N swap in the bounded-heap TopKPerKey operator). Driver
+    * state is k×d longs per round (the flat fit's collect discipline);
+    * the coarse-assigned relation is cached for the fine rounds and
+    * unpersisted before returning. */
   def fitTwoLevel(quantized: DataFrame, idCol: String, vCol: String,
       kCoarse: Int, kf: Int, rounds: Int): TwoLevelCentroids = {
     require(kCoarse >= 1 && kf >= 1 && rounds >= 0,

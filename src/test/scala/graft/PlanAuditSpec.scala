@@ -435,6 +435,27 @@ class PlanAuditSpec extends SparkSpec {
       s"fused kernel missing from the plan:\n$qz")
   }
 
+  test("round-13 additions: broadcast fine-cell join, slice-confined quadratic, 1-row certificates") {
+    // two-level SemDeDup: the fine-assignment join on the coarse cell id
+    // must BROADCAST (the fine matrix is k×d longs — driver scale); the
+    // pair verify shuffles on the cluster key only; nothing cartesian
+    val p2l = plan("q_semdedup_2l")
+    assert(p2l.contains("BroadcastHashJoin"),
+      s"fine-cell join lost its broadcast:\n$p2l")
+    assert(!p2l.contains("CartesianProduct"), "q_semdedup_2l went cartesian")
+    // midband slice: the tiled mine is an equi-join on block keys — the
+    // quadratic work is data-parallel, never a driver-side cartesian
+    val pms = plan("q_midband_slice")
+    assert(!pms.contains("CartesianProduct"), "q_midband_slice went cartesian")
+    // soft-EM: map-side kernel + one piece-keyed partial rollup; the
+    // corpus-level n_vocab row rides a 1-row broadcast, not a shuffle
+    val pse = plan("q_unigram_soft_em")
+    assert(pse.contains("HashAggregate"), "soft-EM lost partial aggregation")
+    assert(!pse.contains("CartesianProduct"), "q_unigram_soft_em went cartesian")
+    assert(pse.contains("BroadcastNestedLoopJoin") || pse.contains("BroadcastHashJoin"),
+      s"corpus-level stats must broadcast:\n$pse")
+  }
+
   test("whole-stage codegen spans the aggregation pipeline") {
     // AQE hides codegen spans until the final plan exists — execute first
     val df = SparkEntry.queries("q1_pricing_summary")(spark, Dir)

@@ -61,6 +61,34 @@ class TokenizerPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("soft-EM expectation tracks path-enumeration posteriors on 40 random cases") {
+    import spark.implicits._
+    (1 to 40).foreach { i =>
+      val vocab = randomVocab()
+      val word = (0 until (1 + rnd.nextInt(7))).map(_ => "abc" (rnd.nextInt(3))).mkString
+      val v = UnigramLm.Vocab(vocab.map(_._1), vocab.map(_._2))
+      val got = Seq(word).toDF("w")
+        .select(explode(UnigramLm.expect($"w", v, UnigramLm.logCosts(v))).as("e"))
+        .select($"e.p", $"e.mc").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      // reference: enumerate every path, weight by its exact probability
+      val total = vocab.map(_._2).sum.toDouble
+      val prob = vocab.map { case (p, c) => p -> (c / total) }.toMap
+      val paths = enumerate(word, vocab.map(_._1).toSet)
+      val weights = paths.map(_.map(prob).product)
+      val z = weights.sum
+      val expected = paths.zip(weights)
+        .flatMap { case (path, w) => path.map(p => (p, w / z)) }
+        .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      expected.foreach { case (p, e) =>
+        val g = got.getOrElse(p, 0L) / 1e6
+        // per-cell fixed-point quantization bounds the divergence at ~0.5%
+        assert(math.abs(g - e) <= math.max(0.005, e * 0.005),
+          s"case $i: word='$word' piece='$p' kernel=$g enumeration=$e vocab=$vocab")
+      }
+    }
+  }
+
   test("wordpiece greedy equals a reference greedy on 60 random cases") {
     import spark.implicits._
     (1 to 60).foreach { i =>
