@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Native fused k-means assignment: argmin over a centroid matrix of
   * integer squared distance, with the (distance, candidate-order)
@@ -109,6 +109,98 @@ object KMeansAssignExpr {
     var c = 0
     while (c < k) {
       var s = 0L
+      var i = 0
+      val base = c * d
+      while (i < d) {
+        val diff = vv(i) - flat(base + i)
+        s += diff * diff
+        i += 1
+      }
+      if (s < best) { best = s; bj = labels(c) }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bj, best))
+  }
+}
+
+/** DOUBLE-precision sibling of [[KMeansAssignExpr]] for the IVF coarse
+  * quantizer's map-only cell assignment ([[graft.operators.IvfIndex]]):
+  * the former declarative form built k separate `aggregate(zip_with(…))`
+  * folds per row — Catalyst evaluates higher-order lambdas interpreted
+  * per element (k×d lambda evals + k array allocations per row, the
+  * measured ~100× cliff), and at 100 TB the assignment IS the
+  * corpus-sized pass that builds the partitioned index. Semantics are
+  * bit-identical to `array_position(dists, array_min(dists)) - 1` over
+  * those folds: per-centroid accumulation runs in the same
+  * element-ascending IEEE order, and strict `<` keeps the EARLIEST
+  * centroid on an exact distance tie. Children: (v array<double>,
+  * labels foldable array<int>, flat foldable array<double> — k×d
+  * row-major); returns struct(j int, d double); empty labels →
+  * (−1, +∞). */
+case class KMeansAssignF64(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isArr(dt: DataType, el: DataType) = dt match {
+      case ArrayType(`el`, _) => true
+      case _                  => false
+    }
+    if (!isArr(first.dataType, DoubleType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_kmeans_assign_f64 expects v: array<double>, got ${first.dataType.simpleString}")
+    else if (!isArr(second.dataType, IntegerType) || !second.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_kmeans_assign_f64 expects labels: foldable array<int>")
+    else if (!isArr(third.dataType, DoubleType) || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_kmeans_assign_f64 expects flat centroids: foldable array<double>")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("j", IntegerType, nullable = false),
+    StructField("d", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_kmeans_assign_f64"
+
+  @transient private lazy val labelsArr: Array[Int] =
+    second.eval(null).asInstanceOf[ArrayData].toIntArray()
+  @transient private lazy val flatArr: Array[Double] =
+    third.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+
+  override def nullSafeEval(v: Any, l: Any, f: Any): Any =
+    KMeansAssignF64.assignRowF64(v.asInstanceOf[ArrayData], labelsArr, flatArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      val labels = ctx.addReferenceObj("kmLabelsD", labelsArr, "int[]")
+      val flat = ctx.addReferenceObj("kmFlatD", flatArr, "double[]")
+      s"${ev.value} = graft.expressions.KMeansAssignF64.assignRowF64(" +
+        s"$v, $labels, $flat);"
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): KMeansAssignF64 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object KMeansAssignF64 {
+
+  def assignRowF64(v: ArrayData, labels: Array[Int],
+      flat: Array[Double]): GenericInternalRow = {
+    val k = labels.length
+    val d = if (k == 0) 0 else flat.length / k
+    if (k > 0 && flat.length % k != 0)
+      throw new IllegalArgumentException(
+        s"graft_kmeans_assign_f64: ${flat.length} matrix cells not divisible by k=$k")
+    if (k > 0 && v.numElements() != d)
+      throw new IllegalArgumentException(
+        s"graft_kmeans_assign_f64: vector has ${v.numElements()} dims, centroids have $d")
+    val vv = if (k == 0) null else v.toDoubleArray()
+    var best = Double.PositiveInfinity
+    var bj = -1
+    var c = 0
+    while (c < k) {
+      var s = 0.0
       var i = 0
       val base = c * d
       while (i < d) {

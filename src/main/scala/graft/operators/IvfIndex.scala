@@ -100,16 +100,20 @@ object IvfIndex {
     centroids.toArray
   }
 
-  /** Squared distance to one literal centroid (sequential double math). */
-  private def sqDistCol(vec: Column, centroid: Seq[Double]): Column =
-    aggregate(zip_with(vec, typedLit(centroid), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Map-only cell assignment: argmin over the centroid distances. */
-  def cellOf(vec: Column, model: Model): Column = {
-    val dists = array(model.centroids.map(c => sqDistCol(vec, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** Map-only cell assignment: argmin over the centroid distances,
+    * routed through the fused [[graft.expressions.KMeansAssignF64]]
+    * kernel. The former declarative form (one `aggregate(zip_with(…))`
+    * fold per centroid inside an `array_position(array_min(…))`) paid
+    * k×d interpreted lambda evals + k array allocations PER ROW — the
+    * repo's measured HOF cliff — and at 100 TB this assignment is the
+    * corpus-sized pass that builds the partitioned index
+    * ([[writeIndex]]). Semantics are bit-identical (same IEEE
+    * accumulation order, earliest centroid wins exact distance ties —
+    * spec-pinned against the declarative fold). */
+  def cellOf(vec: Column, model: Model): Column =
+    call_function("graft_kmeans_assign_f64", vec.cast("array<double>"),
+      typedLit(model.centroids.indices.toArray),
+      typedLit(model.centroids.flatten.toArray))("j")
 
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("ivf_cell", cellOf(col(vecCol), model))

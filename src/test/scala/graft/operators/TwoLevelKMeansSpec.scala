@@ -50,6 +50,28 @@ class TwoLevelKMeansSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("dims")), s"got $ex")
   }
 
+  test("graft_kmeans_assign_f64 equals the declarative HOF argmin bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    val cents: Seq[Seq[Double]] = (0 until 7).map(_ =>
+      (0 until 16).map(_ => rnd.nextDouble() * 4 - 2))
+    val df = (0 until 200).map(i =>
+      (i.toLong, (0 until 16).map(_ => rnd.nextDouble() * 4 - 2)))
+      .toDF("id", "v")
+    // the exact declarative form cellOf replaced
+    def sqDistCol(vec: org.apache.spark.sql.Column, c: Seq[Double]) =
+      aggregate(zip_with(vec, typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val dists = array(cents.map(c => sqDistCol($"v", c)): _*)
+    val declarative = (array_position(dists, array_min(dists)) - 1).cast("int")
+    val fused = IvfIndex.cellOf($"v", IvfIndex.Model(cents))
+    assert(df.filter(declarative =!= fused).count() === 0L)
+    // duplicate centroid: exact tie must keep the EARLIEST index in both
+    val dup = cents.take(3) ++ Seq(cents(0)) // index 3 duplicates index 0
+    val tie = df.select(IvfIndex.cellOf($"v", IvfIndex.Model(dup)).as("c"))
+    assert(tie.filter($"c" === 3).count() === 0L, "tie must resolve to index 0")
+  }
+
   test("fitTwoLevel: fine ids stay inside their coarse cell and members agree") {
     val q = corpus(120).cache()
     val tl = FixedPointKMeans.fitTwoLevel(q, "vec_id", "v",
