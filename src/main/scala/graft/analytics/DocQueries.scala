@@ -2645,7 +2645,11 @@ object DocQueries {
       val seedDf = seed.pieces.toDF("p")
       val j = seedDf
         .join(soft, Seq("p"), "left").join(hard, Seq("p"), "left")
-        .withColumn("soft_mc", coalesce($"soft_mc", lit(0L)))
+        // softCounts rolls up in DECIMAL(38,0) (its scaladoc's 10 TB
+        // bound); this query's corpora sit far under 2^63 micro-units,
+        // so the long cast here is exact and matches the oracle's
+        // CAST(… AS BIGINT)
+        .withColumn("soft_mc", coalesce($"soft_mc".cast("long"), lit(0L)))
         .withColumn("hard_n", coalesce($"hard_n", lit(0L)))
         .withColumn("in_soft",
           when($"soft_mc" >= WScale || length($"p") === 1, 1L).otherwise(0L))
@@ -2709,7 +2713,8 @@ object DocQueries {
           CAST(FLOOR($WS * exp(CAST(fa.al[length(o.token) + 1] - fa.al[o.t - o.l + 1]
             - o.cost - bb.bl[o.t + 1] AS DOUBLE) / $LS) + 0.5) AS BIGINT) AS mc
         FROM occv o JOIN fa ON fa.token = o.token JOIN bb ON bb.token = o.token),
-      soft AS (SELECT p, CAST(SUM(n * mc) AS BIGINT) AS soft_mc FROM wx GROUP BY p),
+      soft AS (SELECT p, CAST(SUM(CAST(n AS HUGEINT) * mc) AS BIGINT) AS soft_mc
+        FROM wx GROUP BY p),
       ${unigramRoundSql("1", "v1")},
       hard AS (SELECT p, CAST(SUM(n) AS BIGINT) AS hard_n FROM (
         SELECT UNNEST(pieces) AS p, n FROM best1) GROUP BY p),

@@ -131,9 +131,12 @@ object KMeansAssignExpr {
   * measured ~100× cliff), and at 100 TB the assignment IS the
   * corpus-sized pass that builds the partitioned index. Semantics are
   * bit-identical to `array_position(dists, array_min(dists)) - 1` over
-  * those folds: per-centroid accumulation runs in the same
-  * element-ascending IEEE order, and strict `<` keeps the EARLIEST
-  * centroid on an exact distance tie. Children: (v array<double>,
+  * those folds on NaN-FREE input: per-centroid accumulation runs in
+  * the same element-ascending IEEE order, and strict `<` keeps the
+  * EARLIEST centroid on an exact distance tie. The one deliberate
+  * divergence: a NaN coordinate THROWS (the declarative form silently
+  * parked such rows in cell 0 via Spark's NaN = NaN ordering
+  * equality — see the kernel body). Children: (v array<double>,
   * labels foldable array<int>, flat foldable array<double> — k×d
   * row-major); returns struct(j int, d double); empty labels →
   * (−1, +∞). */
@@ -208,6 +211,16 @@ object KMeansAssignF64 {
         s += diff * diff
         i += 1
       }
+      // a NaN coordinate poisons every distance: strict < would never
+      // fire and the row would land in phantom cell -1 — unreachable by
+      // any probe, i.e. silently dropped from the index. (The
+      // declarative form this kernel replaced parked such rows in cell
+      // 0 via Spark's NaN = NaN ordering equality — ALSO wrong, just
+      // quieter.) Fail loudly instead, the quantize-guard discipline.
+      if (java.lang.Double.isNaN(s))
+        throw new IllegalArgumentException(
+          "graft_kmeans_assign_f64: NaN distance — the vector (or a centroid) " +
+            "contains NaN; clean the embedding column first")
       if (s < best) { best = s; bj = labels(c) }
       c += 1
     }

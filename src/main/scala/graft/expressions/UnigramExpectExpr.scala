@@ -116,8 +116,11 @@ object UnigramExpect {
     private val maxLen: Int = pieces.iterator.map(CodePoints.count).foldLeft(1)(math.max)
 
     /** LSE of the candidate costs buffer (l-ascending order), as the
-      * scaladoc's integer formula. `m` is the exact integer min. */
+      * scaladoc's integer formula. `m` is the exact integer min.
+      * n = 0 would compute MaxValue − MinValue = −1 (silent garbage),
+      * so emptiness is the CALLER's loud-throw responsibility. */
     private def lse(cands: Array[Long], n: Int): Long = {
+      require(n > 0, "graft_unigram_expect: LSE of an empty candidate set")
       var m = Long.MaxValue
       var i = 0
       while (i < n) { if (cands(i) < m) m = cands(i); i += 1 }
@@ -165,7 +168,17 @@ object UnigramExpect {
           if (c != null) { cands(n) = c.longValue() + B(t + l); n += 1 }
           l += 1
         }
-        // n > 0 is guaranteed: the forward pass proved totality
+        // forward totality (a piece ENDING at every prefix) does NOT
+        // imply a piece STARTING at every suffix position — e.g. vocab
+        // {a, ab} segments 'ab' forward but has nothing starting at
+        // 'b'. The sibling kernels throw on the same contract breach;
+        // silence here would feed lse an empty set and emit garbage
+        // posteriors (single-char totality makes this unreachable for
+        // well-formed vocabs)
+        if (n == 0)
+          throw new IllegalArgumentException(
+            s"graft_unigram_expect: '$s' is unsegmentable from code point $t — " +
+              "the vocab lacks single-char totality")
         B(t) = lse(cands, n)
         t -= 1
       }

@@ -146,18 +146,27 @@ object FixedPointKMeans {
     * already carrying a coarse cell id in `ccCol`. Broadcast join on
     * the cell id (the fine matrix is k×d longs — driver/broadcast
     * scale), then one fused per-row argmin over that cell's candidates
-    * only. Inner join: every cell that can appear in `df` under the
-    * fit's own coarse centroids has at least one fine centroid (each
-    * member always re-assigns within its cell, so cells never empty
-    * out) — vectors from OUTSIDE the fit relation must be assigned with
-    * the same coarse centroids or they may hit an unseeded cell. */
+    * only. Cells from the fit's own relation always have fine
+    * centroids (each member re-assigns within its cell, so cells
+    * never empty out), but vectors from OUTSIDE the fit — or assigned
+    * with different coarse centroids — can land in an unseeded cell;
+    * that is a contract breach and FAILS LOUDLY (left join + guard)
+    * rather than silently dropping the row the way an inner join
+    * would. */
   def assignFine(df: DataFrame, vCol: String, ccCol: String,
       kf: Int, fine: Seq[(Int, Seq[Long])]): DataFrame = {
     val cells = broadcast(fineByCell(df, kf, fine)
       .withColumnRenamed("cc", ccCol))
-    df.join(cells, ccCol)
-      .withColumn("bestf", call_function("graft_kmeans_assign_dyn",
-        col(vCol), col("fids"), col("fflat")))
+    df.join(cells, Seq(ccCol), "left")
+      .withColumn("bestf", when(col("fids").isNull,
+          raise_error(concat(
+            lit("FixedPointKMeans.assignFine: coarse cell "),
+            col(ccCol).cast("string"),
+            lit(" has no fine centroids — assign out-of-fit vectors with " +
+              "the fit's own coarse centroids")))
+            .cast("struct<j:int,d:bigint>"))
+        .otherwise(call_function("graft_kmeans_assign_dyn",
+          col(vCol), col("fids"), col("fflat"))))
       .withColumn("fj", col("bestf.j"))
       .withColumn("fdist", col("bestf.d"))
       .drop("bestf", "fids", "fflat")

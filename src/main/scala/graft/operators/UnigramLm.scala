@@ -120,13 +120,25 @@ object UnigramLm {
       typedLit(v.pieces.toArray), typedLit(costs.toArray))
 
   /** Corpus-level soft expected counts: Σ over words of freq × the
-    * word's per-piece micro-counts — (p, soft_mc) with soft_mc in
+    * word's per-piece micro-counts — (p, soft_mc DECIMAL(38,0)) in
     * micro-units. Map-side kernel + one piece-keyed partial-aggregated
-    * rollup; nothing corpus-sized leaves the executors. */
+    * rollup; nothing corpus-sized leaves the executors.
+    *
+    * Integer bounds: per-word micro-counts reach ~word-length × 1e6
+    * and word frequencies reach corpus size, so the PRODUCT alone can
+    * pass 2⁶³ around ~10 TB of text — inside the design envelope.
+    * Both the multiply and the rollup therefore run in DECIMAL(38,0)
+    * (headroom ~1e38; the DuckDB mirror's HUGEINT is the same move),
+    * and callers that need a long cast down explicitly where THEIR
+    * corpus bound justifies it. */
   def softCounts(words: DataFrame, wordCol: String, freqCol: String,
       v: Vocab, costs: Seq[Long]): DataFrame =
     words.select(explode(expect(col(wordCol), v, costs)).as("e"),
         col(freqCol).cast("long").as("n"))
-      .select(col("e.p").as("p"), (col("e.mc") * col("n")).as("wmc"))
-      .groupBy(col("p")).agg(sum(col("wmc")).as("soft_mc"))
+      .select(col("e.p").as("p"),
+        (col("e.mc").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("n")).as("wmc"))
+      .groupBy(col("p"))
+      .agg(sum(col("wmc")).cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)).as("soft_mc"))
 }

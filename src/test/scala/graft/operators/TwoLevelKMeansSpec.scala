@@ -72,6 +72,40 @@ class TwoLevelKMeansSpec extends SparkSpec {
     assert(tie.filter($"c" === 3).count() === 0L, "tie must resolve to index 0")
   }
 
+  test("f64 kernel: a NaN coordinate fails loudly (never phantom cell -1)") {
+    import spark.implicits._
+    val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))
+    val ex = intercept[Exception] {
+      Seq((1L, Seq(Double.NaN, 0.5))).toDF("id", "v")
+        .select(IvfIndex.cellOf($"v", IvfIndex.Model(cents)).as("c")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("NaN")), s"got $ex")
+  }
+
+  test("assignFine on an unseeded coarse cell fails loudly, never drops rows") {
+    import spark.implicits._
+    // fine centroids only for cell 0; a vector routed to cell 1 is a
+    // contract breach — the guard must raise, not silently vanish the row
+    val tl = FixedPointKMeans.TwoLevelCentroids(
+      coarse = Seq(
+        (0, FixedPointKMeans.quantizeLocal(Seq(0.0, 0.0))),
+        (1, FixedPointKMeans.quantizeLocal(Seq(2.0, 2.0)))),
+      kf = 2,
+      fine = Seq((0, FixedPointKMeans.quantizeLocal(Seq(0.1, 0.1)))))
+    val q = Seq((7L, FixedPointKMeans.quantizeLocal(Seq(2.0, 2.0))))
+      .toDF("vec_id", "v")
+    val ex = intercept[Exception] {
+      FixedPointKMeans.assignTwoLevel(q, "v", tl).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("no fine centroids")), s"got $ex")
+  }
+
   test("fitTwoLevel: fine ids stay inside their coarse cell and members agree") {
     val q = corpus(120).cache()
     val tl = FixedPointKMeans.fitTwoLevel(q, "vec_id", "v",

@@ -101,6 +101,18 @@ class UnigramSoftEmSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("unsegmentable")), s"got: $ex")
   }
 
+  test("forward-segmentable but backward-stuck word still fails loudly") {
+    // vocab {a, ab}: forward covers 'ab' (A(1) via 'a', A(2) via 'ab'),
+    // but nothing STARTS at 'b' — the backward pass must throw, never
+    // feed an empty candidate set into the LSE (which would overflow
+    // into garbage posteriors)
+    val ex = intercept[Exception] { expect("ab", Seq("a" -> 1L, "ab" -> 1L)) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("unsegmentable")), s"got: $ex")
+  }
+
   test("q_unigram_soft_em at sf0.001: soft vocab strictly contains the hard vocab") {
     val rows = graft.analytics.DocQueries.qUnigramSoftEm
       .run(spark, "/root/testdata/sf0.001").collect()
