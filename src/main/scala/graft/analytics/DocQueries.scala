@@ -2646,10 +2646,17 @@ object DocQueries {
       val j = seedDf
         .join(soft, Seq("p"), "left").join(hard, Seq("p"), "left")
         // softCounts rolls up in DECIMAL(38,0) (its scaladoc's 10 TB
-        // bound); this query's corpora sit far under 2^63 micro-units,
-        // so the long cast here is exact and matches the oracle's
-        // CAST(… AS BIGINT)
-        .withColumn("soft_mc", coalesce($"soft_mc".cast("long"), lit(0L)))
+        // bound). The long cast is exact for this query's corpora, but
+        // Spark's non-ANSI decimal→long cast would WRAP/NULL past 2⁶³
+        // where the oracle's CAST(… AS BIGINT) throws — so the guard
+        // makes the engine equally loud at the boundary instead of
+        // emitting a plausible 0
+        .withColumn("soft_mc", coalesce(
+          when($"soft_mc" > lit(Long.MaxValue),
+            raise_error(lit("q_unigram_soft_em: soft_mc exceeds BIGINT — " +
+              "corpus is past the documented micro-count envelope")).cast("long"))
+            .otherwise($"soft_mc".cast("long")),
+          lit(0L)))
         .withColumn("hard_n", coalesce($"hard_n", lit(0L)))
         .withColumn("in_soft",
           when($"soft_mc" >= WScale || length($"p") === 1, 1L).otherwise(0L))

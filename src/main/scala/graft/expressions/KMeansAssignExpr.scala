@@ -224,6 +224,14 @@ object KMeansAssignF64 {
       if (s < best) { best = s; bj = labels(c) }
       c += 1
     }
+    // Infinity is the same trap by another door: an infinite coordinate
+    // makes every distance +Inf, 'Inf < Inf' never fires, and bj stays
+    // -1 — the phantom cell again. Any assignment that ends with no
+    // winner on a NON-empty candidate set is a poisoned row.
+    if (k > 0 && bj == -1)
+      throw new IllegalArgumentException(
+        "graft_kmeans_assign_f64: no finite distance to any centroid — " +
+          "the vector contains non-finite coordinates; clean the embedding column first")
     new GenericInternalRow(Array[Any](bj, best))
   }
 }

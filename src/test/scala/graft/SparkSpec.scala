@@ -20,6 +20,14 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .getOrCreate()
 
+  /** All messages down a throwable's cause chain — the shared walker
+    * for loud-throw specs (Spark wraps kernel exceptions in several
+    * layers of SparkException, so asserting on the top message alone
+    * is flaky). */
+  def causeMessages(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else Option(t.getMessage).toSeq ++ causeMessages(t.getCause)
+
   override def afterAll(): Unit = {
     // keep the session alive across suites (single forked JVM)
     super.afterAll()

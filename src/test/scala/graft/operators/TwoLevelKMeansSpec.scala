@@ -44,10 +44,7 @@ class TwoLevelKMeansSpec extends SparkSpec {
       corpus(1).withColumn("b", call_function("graft_kmeans_assign_dyn",
         col("v"), typedLit(Array(0)), typedLit(Array(1L, 2L)))).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(_.contains("dims")), s"got $ex")
+    assert(causeMessages(ex).exists(_.contains("dims")), s"got $ex")
   }
 
   test("graft_kmeans_assign_f64 equals the declarative HOF argmin bit for bit") {
@@ -79,10 +76,17 @@ class TwoLevelKMeansSpec extends SparkSpec {
       Seq((1L, Seq(Double.NaN, 0.5))).toDF("id", "v")
         .select(IvfIndex.cellOf($"v", IvfIndex.Model(cents)).as("c")).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(_.contains("NaN")), s"got $ex")
+    assert(causeMessages(ex).exists(_.contains("NaN")), s"got $ex")
+  }
+
+  test("f64 kernel: an INFINITE coordinate fails loudly too (Inf < Inf never fires)") {
+    import spark.implicits._
+    val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))
+    val ex = intercept[Exception] {
+      Seq((1L, Seq(Double.PositiveInfinity, 0.5))).toDF("id", "v")
+        .select(IvfIndex.cellOf($"v", IvfIndex.Model(cents)).as("c")).collect()
+    }
+    assert(causeMessages(ex).exists(_.contains("non-finite")), s"got $ex")
   }
 
   test("assignFine on an unseeded coarse cell fails loudly, never drops rows") {
@@ -100,10 +104,7 @@ class TwoLevelKMeansSpec extends SparkSpec {
     val ex = intercept[Exception] {
       FixedPointKMeans.assignTwoLevel(q, "v", tl).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(_.contains("no fine centroids")), s"got $ex")
+    assert(causeMessages(ex).exists(_.contains("no fine centroids")), s"got $ex")
   }
 
   test("fitTwoLevel: fine ids stay inside their coarse cell and members agree") {

@@ -95,10 +95,7 @@ class UnigramSoftEmSpec extends SparkSpec {
 
   test("unsegmentable word fails loudly") {
     val ex = intercept[Exception] { expect("ax", Seq("a" -> 1L)) }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(_.contains("unsegmentable")), s"got: $ex")
+    assert(causeMessages(ex).exists(_.contains("unsegmentable")), s"got: $ex")
   }
 
   test("forward-segmentable but backward-stuck word still fails loudly") {
@@ -107,10 +104,7 @@ class UnigramSoftEmSpec extends SparkSpec {
     // feed an empty candidate set into the LSE (which would overflow
     // into garbage posteriors)
     val ex = intercept[Exception] { expect("ab", Seq("a" -> 1L, "ab" -> 1L)) }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(_.contains("unsegmentable")), s"got: $ex")
+    assert(causeMessages(ex).exists(_.contains("unsegmentable")), s"got: $ex")
   }
 
   test("q_unigram_soft_em at sf0.001: soft vocab strictly contains the hard vocab") {
