@@ -1952,6 +1952,70 @@ object DocQueries {
       ORDER BY vec_id""")
   )
 
+  /** INCREMENTAL semantic dedup — the embedding analogue of
+    * q_delta_neardup and the production flow of CONTINUOUS corpus
+    * ingestion: the planted clones arrive as the new batch, the base
+    * corpus is the immutable already-ingested history, and the batch is
+    * deduped against history + earlier batch docs WITHOUT re-bucketing
+    * history (its narrow (id, table, bucket) relation is the persisted
+    * index; history vectors are touched only for candidate verifies).
+    * Same calibrated hr ladder as q_semantic_dedup (threshold 0.8,
+    * L tables × p+2 planes, exact-bucket match, shared df-cap across
+    * index + batch), so the design-point recall contract carries over —
+    * nearly every clone should drop against its history source. Output
+    * is every batch row with a kept flag (never empty, drop-rate
+    * readable from the rows); the oracle replays clone planting,
+    * src-tagged L-table blocking, the batch-side candidate rule
+    * (ANY history match OR smaller-id batch match) and the verify. */
+  val qDeltaSemantic = GraftQuery(
+    "q_delta_semantic",
+    (s, dir) => {
+      import s.implicits._
+      val (corpus, off, _) = plantedEmbeddings(s, dir)
+      val emb = graft.operators.Caches.register(corpus)
+      val history = emb.filter($"vec_id" < off)
+      val batch = emb.filter($"vec_id" >= off)
+      val pHr = lshPlanesFor(emb.count()) + 2
+      val dropped = Similarity.deltaSemanticDroppedIds(history, batch,
+        "vec_id", "embedding", threshold = 0.8, nPlanes = pHr,
+        tables = lshTablesFor(pHr))
+      batch.join(dropped.withColumnRenamed("id", "vec_id")
+          .withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+        .select($"vec_id", $"label",
+          when($"is_dropped".isNotNull, 0L).otherwise(1L).as("kept"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH $plantedCorpusSql, ${lshPlanesSqlOn("e")}, $lshHrParamsSql,
+      bv AS (SELECT vec_id, v,
+        list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
+      b AS (SELECT vec_id,
+        CASE WHEN vec_id >= mx.off THEN 1 ELSE 0 END AS src, t.l AS tbl,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(hr.nph), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qv[d+1] * (CASE WHEN (48271 * ((((t.l * hr.nph + p)*64 + d + 1) * 2654435761 % 2147483647) * (((t.l * hr.nph + p)*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) AS bucket
+      FROM bv, hr, mx, UNNEST(range(16)) AS t(l) WHERE t.l < hr.lh),
+      kept AS (SELECT tbl, bucket FROM b GROUP BY tbl, bucket HAVING COUNT(*) <= 10000),
+      bk AS (SELECT b.* FROM b JOIN kept USING (tbl, bucket)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM bk a JOIN bk c ON a.tbl = c.tbl AND a.bucket = c.bucket
+        WHERE a.src = 1 AND (c.src = 0 OR (c.src = 1 AND c.vec_id < a.vec_id))),
+      p AS (SELECT id_a,
+          ROUND(CASE WHEN SQRT(list_dot_product(ea.v, ea.v)) * SQRT(list_dot_product(eb.v, eb.v)) = 0
+            THEN 0.0
+            ELSE list_dot_product(ea.v, eb.v) /
+              (SQRT(list_dot_product(ea.v, ea.v)) * SQRT(list_dot_product(eb.v, eb.v))) END, 6) AS cos_sim
+        FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
+      dropped AS (SELECT DISTINCT id_a FROM p WHERE cos_sim >= 0.8),
+      batch AS (SELECT e.vec_id, e.label FROM e, mx WHERE e.vec_id >= mx.off)
+      SELECT batch.vec_id, batch.label,
+        CAST(CASE WHEN d.id_a IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM batch LEFT JOIN dropped d ON batch.vec_id = d.id_a
+      ORDER BY batch.vec_id""")
+  )
+
   /** EXACT moderate-band cosine pairs [0.4, 0.8) — the band the LSH
     * family's contract EXCLUDES: at a corpus-adaptive plane count,
     * measured band recall at cosine 0.4–0.6 is 0.05–0.35 (q_lsh_recall,
@@ -4266,7 +4330,7 @@ object DocQueries {
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qEmbedDupTables, qEmbedDupHr, qLshRecall,
-    qSemanticDedup, qMidbandPairs, qMidbandSlice, qIvfTopK, qApproxDistinct,
+    qSemanticDedup, qDeltaSemantic, qMidbandPairs, qMidbandSlice, qIvfTopK, qApproxDistinct,
     qHllRollup, qAsofJoin,
     qRangeJoin, qKmvDistinct, qKmvIntersect, qQualityScore, qSourceSimilarity, qSourceOverlap,
     qTokenFertility)

@@ -379,6 +379,51 @@ object Similarity {
     df.join(broadcast(dropped), df(idCol) === dropped("id_b"), "left_anti")
   }
 
+  /** INCREMENTAL semantic dedup: batch ids DROPPED against an immutable
+    * already-ingested history — the embedding analogue of the minhash
+    * delta flow (q_delta_neardup) and the production shape of continuous
+    * corpus ingestion: history is never re-bucketed (its (id, table,
+    * bucket) relation IS the persisted index; vectors are only touched
+    * for the verify), the batch computes its own buckets, and banding
+    * runs over index + batch together. A batch doc drops when it
+    * cosine-matches ANY history doc (history is immutable — id order is
+    * irrelevant against it) or an EARLIER batch doc (keep-first within
+    * the batch, the repo-wide convention).
+    *
+    * Same hr-ladder blocking as [[semanticDedupTables]] (L tables ×
+    * nPlanes portable planes, exact-bucket match, shared df-cap across
+    * index + batch so a hot bucket is dropped consistently on both
+    * sides), one shared verify. Scale: candidates ∝ |batch|·L·occ —
+    * the history is scanned once for the (narrow) index relation and
+    * only its candidate vectors are joined for the verify. */
+  def deltaSemanticDroppedIds(
+      history: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int, tables: Int,
+      dim: Int = 64, maxBucket: Int = Dedup.DefaultMaxDf): DataFrame = {
+    require(tables >= 1, s"tables=$tables must be >= 1")
+    def slim(df: DataFrame, src: Int) = (0 until tables).map { l =>
+      df.select(col(idCol).as("id"), lit(src).as("src"),
+        lit(l).as("tbl"),
+        portableBucketNative(col(vecCol), nPlanes, dim, l * nPlanes).as("bucket"))
+    }.reduce(_ union _)
+    val kept = Caches.register(Dedup.dropHotKeys(
+      slim(history, 0).union(slim(batch, 1)), Seq("tbl", "bucket"), maxBucket))
+    val cand = kept.filter(col("src") === 1).as("a")
+      .join(kept.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          (col("b.src") === 0 ||
+            (col("b.src") === 1 && col("b.id") < col("a.id"))))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vn = Caches.register(history.unionByName(batch)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_n")))
+    // verify drops the batch side (id_a): against history OR an earlier
+    // batch doc, the batch doc is always the one that goes
+    attachAndVerify(cand, vn, vn.count(), threshold)
+      .select(col("id_a").as("id")).distinct()
+  }
+
   /** EXACT all-pairs cosine mining in the band [lo, hi) — the
     * moderate-similarity operator the LSH family's band contract points
     * to. LSH recall at cosine 0.4–0.8 decays with the corpus-adaptive

@@ -406,6 +406,37 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("deltaSemanticDroppedIds: history matches drop regardless of id order; batch keeps first") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Seq(x, y) ++ Seq.fill(62)(0.0)
+    // history ids are LARGER than the batch ids on purpose: against
+    // immutable history the id order must be irrelevant
+    val history = Seq((100L, v(1.0, 0.0))).toDF("id", "vec")
+    val batch = Seq(
+      (1L, v(1.0, 0.001)),   // ≈ history 100 → drops despite 1 < 100
+      (2L, v(0.0, 1.0)),     // orthogonal to everything prior → keeps
+      (3L, v(0.0, 1.0001)),  // ≈ batch 2 (earlier) → drops (keep-first)
+      (4L, v(-1.0, 0.0))     // anti-parallel to history → keeps
+    ).toDF("id", "vec")
+    val dropped = Similarity.deltaSemanticDroppedIds(history, batch,
+        "id", "vec", threshold = 0.8, nPlanes = 4, tables = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped === Set(1L, 3L),
+      s"expected {1 (history match), 3 (earlier-batch match)}, got $dropped")
+    graft.operators.Caches.unpersistAll()
+  }
+
+  test("q_delta_semantic: the clone batch drops against history at the ladder's recall") {
+    val rows = graft.SparkEntry.queries("q_delta_semantic")(spark, Dir).collect()
+    assert(rows.nonEmpty)
+    val nBatch = rows.length.toLong
+    val nDropped = rows.count(_.getAs[Long]("kept") == 0L).toLong
+    // batch = the planted clones; every one has a cosine-0.95+ source in
+    // history, so the drop rate IS the hr ladder's design-point recall
+    assert(nDropped * 1000000L / nBatch >= 900000L,
+      s"dropped $nDropped of $nBatch — below the ladder's recall floor")
+  }
+
   test("q_midband_slice: slice pairs are a subset of the full midband mine, slice bounded") {
     import spark.implicits._
     val full = graft.SparkEntry.queries("q_midband_pairs")(spark, Dir)
