@@ -227,11 +227,16 @@ object KMeansAssignF64 {
     // Infinity is the same trap by another door: an infinite coordinate
     // makes every distance +Inf, 'Inf < Inf' never fires, and bj stays
     // -1 — the phantom cell again. Any assignment that ends with no
-    // winner on a NON-empty candidate set is a poisoned row.
+    // winner on a NON-empty candidate set is a poisoned row. Note the
+    // row need not CONTAIN a non-finite coordinate: finite-but-huge
+    // coordinates whose squared diffs overflow double to +Inf land here
+    // too, so the message names both causes.
     if (k > 0 && bj == -1)
       throw new IllegalArgumentException(
         "graft_kmeans_assign_f64: no finite distance to any centroid — " +
-          "the vector contains non-finite coordinates; clean the embedding column first")
+          "the vector contains a non-finite coordinate, or coordinates large " +
+          "enough that the squared distance overflows double; clean or rescale " +
+          "the embedding column first")
     new GenericInternalRow(Array[Any](bj, best))
   }
 }
@@ -251,7 +256,16 @@ object KMeansAssignF64 {
   * cost kf×d long writes per row for zero amortization. Only the
   * vector, which is re-read once per candidate, is copied to a
   * primitive array. Null elements are the caller's contract (both
-  * arrays are engine-built). */
+  * arrays are engine-built).
+  *
+  * QUANTIZED-INPUT CONTRACT (this kernel is registered as the
+  * user-callable SQL function `graft_kmeans_assign_dyn`): the squared
+  * distance accumulates in raw Long — `s += diff·diff` — and WRAPS
+  * silently on unquantized input. Safety comes from the
+  * [[graft.operators.FixedPointKMeans.quantize]] range guard upstream
+  * (|coordinate| ≤ 3.2e7 after shift → per-vector distance ≤ ~6.5e16 at
+  * d = 64, far inside 2⁶³); callers feeding vectors that did NOT pass
+  * through the quantizer must enforce an equivalent bound themselves. */
 case class KMeansAssignDyn(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
 

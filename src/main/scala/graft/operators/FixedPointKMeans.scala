@@ -172,13 +172,33 @@ object FixedPointKMeans {
       .drop("bestf", "fids", "fflat")
   }
 
+  /** The fine-init seed relation (fj, c): each coarse cell's kf
+    * smallest ids, numbered fj = cc·kf + rank. Selection rides the
+    * bounded-heap [[graft.plans.TopKPerKey]] operator (exposed
+    * separately so the spec can assert the plan); the row_number that
+    * ranks the seeds runs over the ≤kc·kf survivors only. */
+  private[operators] def fineInit(asg: DataFrame, idCol: String,
+      vCol: String, kf: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cc")).orderBy(col(idCol))
+    graft.plans.TopKPerKey.perKey(asg, Seq("cc"), Seq((idCol, true)), kf)
+      .withColumn("rn", row_number().over(w))
+      .select((col("cc") * kf + col("rn") - 1).cast("int").as("fj"),
+        col(vCol).as("c"))
+  }
+
   /** Two-level fit: coarse Lloyd (kc, `rounds`), final coarse
     * assignment, then per-cell fine Lloyd (kf seeds per cell, `rounds`)
     * with every cell fitting concurrently in the same jobs. Fine init
     * mirrors the flat init per cell: the kf smallest ids IN the cell
-    * seed fj = cc·kf + rank (a row_number window per cell — one sorted
-    * partition of N/kc id-only rows per cell, spill-friendly; at
-    * extreme N swap in the bounded-heap TopKPerKey operator). Driver
+    * seed fj = cc·kf + rank. The per-cell selection rides the repo's
+    * bounded-heap [[graft.plans.TopKPerKey]] operator — O(N log kf)
+    * with the map-side phase pruning each partition to ≤kf rows per
+    * cell BEFORE the shuffle, so no full sort of the cell's id
+    * relation ever materializes (the former row_number window paid one
+    * sorted partition of N/kc rows per cell — the only
+    * super-linear-memory step in this fit); the rank that numbers the
+    * seeds then runs over the ≤kc·kf surviving rows only. Driver
     * state is k×d longs per round (the flat fit's collect discipline);
     * the coarse-assigned relation is cached for the fine rounds and
     * unpersisted before returning. */
@@ -190,12 +210,7 @@ object FixedPointKMeans {
     val asg = assign(quantized, vCol, coarse)
       .select(col(idCol), col(vCol), col("cluster").as("cc")).cache()
     try {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cc")).orderBy(col(idCol))
-      var fine: Seq[(Int, Seq[Long])] = asg
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= kf)
-        .select((col("cc") * kf + col("rn") - 1).cast("int").as("fj"),
-          col(vCol).as("c"))
+      var fine: Seq[(Int, Seq[Long])] = fineInit(asg, idCol, vCol, kf)
         .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
       for (_ <- 1 to rounds) {
         fine = assignFine(asg, vCol, "cc", kf, fine)

@@ -169,6 +169,17 @@ class TwoLevelKMeansSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("fine init plans through the bounded-heap TopKPerKey, not a full-sort window") {
+    val q = corpus(60).cache()
+    val coarse = FixedPointKMeans.fit(q, "vec_id", "v", 2, 1)
+    val asg = FixedPointKMeans.assign(q, "v", coarse)
+      .select(col("vec_id"), col("v"), col("cluster").as("cc"))
+    val plan = FixedPointKMeans.fineInit(asg, "vec_id", "v", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"plan lost the bounded heap:\n$plan")
+    q.unpersist()
+  }
+
   test("q_semdedup_2l at sf0.01: conservation and the planted recall floor hold") {
     val rows = graft.analytics.CorpusStatsQueries.qSemdedup2l
       .run(spark, "/root/testdata/sf0.01").collect()
