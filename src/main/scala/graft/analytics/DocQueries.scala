@@ -1553,6 +1553,15 @@ object DocQueries {
   private[analytics] def lshTablesFor(pHr: Int): Int =
     LshTableLadder.toMap.getOrElse(pHr, 69)
 
+  /** The ladder's largest table count — the bound the hr oracles'
+    * UNNEST(range(…)) must cover. Generated from [[LshTableLadder]] so
+    * the oracle can never silently replay fewer tables than
+    * [[lshTablesFor]] hands the engine: a hard-coded bound (16, the
+    * original) stopped being the whole ladder past nph ≥ 19 (N ~2.6M
+    * docs), where the engine would have scanned more tables than the
+    * oracle — a silent gate divergence at scale. */
+  private[analytics] val LshMaxTables: Int = LshTableLadder.map(_._2).max
+
   /** The DuckDB mirror of [[lshTablesFor]] plus the +2-plane widening:
     * emits `nph` (planes per table) and `lh` (table count) from the
     * corpus-adaptive `np` — the CASE generated from [[LshTableLadder]]. */
@@ -1672,7 +1681,7 @@ object DocQueries {
                        THEN 1 ELSE -1 END))) >= 0
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
           (acc, x) -> acc * 2 + x) AS bucket
-      FROM bv, hr, UNNEST(range(16)) AS t(l) WHERE t.l < hr.lh),
+      FROM bv, hr, UNNEST(range($LshMaxTables)) AS t(l) WHERE t.l < hr.lh),
       kept AS (SELECT tbl, bucket FROM b GROUP BY tbl, bucket HAVING COUNT(*) <= 10000),
       bk AS (SELECT b.* FROM b JOIN kept USING (tbl, bucket)),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
@@ -1934,7 +1943,7 @@ object DocQueries {
                        THEN 1 ELSE -1 END))) >= 0
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
           (acc, x) -> acc * 2 + x) AS bucket
-      FROM bv, hr, UNNEST(range(16)) AS t(l) WHERE t.l < hr.lh),
+      FROM bv, hr, UNNEST(range($LshMaxTables)) AS t(l) WHERE t.l < hr.lh),
       kept AS (SELECT tbl, bucket FROM b GROUP BY tbl, bucket HAVING COUNT(*) <= 10000),
       bk AS (SELECT b.* FROM b JOIN kept USING (tbl, bucket)),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
@@ -1957,8 +1966,13 @@ object DocQueries {
     * ingestion: the planted clones arrive as the new batch, the base
     * corpus is the immutable already-ingested history, and the batch is
     * deduped against history + earlier batch docs WITHOUT re-bucketing
-    * history (its narrow (id, table, bucket) relation is the persisted
-    * index; history vectors are touched only for candidate verifies).
+    * history: the query builds the narrow (id, table, bucket) relation
+    * through [[graft.operators.Similarity.semanticBucketIndex]] — the
+    * persisted, Caches-registered index a production session builds
+    * once per history snapshot and passes to every batch's delta call
+    * (DeltaSemanticIndexSpec pins that a second batch against the same
+    * index plans ZERO history-side bucket recomputation); history
+    * vectors are touched only for candidate verifies.
     * Same calibrated hr ladder as q_semantic_dedup (threshold 0.8,
     * L tables × p+2 planes, exact-bucket match, shared df-cap across
     * index + batch), so the design-point recall contract carries over —
@@ -1976,9 +1990,12 @@ object DocQueries {
       val history = emb.filter($"vec_id" < off)
       val batch = emb.filter($"vec_id" >= off)
       val pHr = lshPlanesFor(emb.count()) + 2
+      val lHr = lshTablesFor(pHr)
+      val hIdx = Similarity.semanticBucketIndex(history, "vec_id",
+        "embedding", nPlanes = pHr, tables = lHr)
       val dropped = Similarity.deltaSemanticDroppedIds(history, batch,
         "vec_id", "embedding", threshold = 0.8, nPlanes = pHr,
-        tables = lshTablesFor(pHr))
+        tables = lHr, historyIndex = Some(hIdx))
       batch.join(dropped.withColumnRenamed("id", "vec_id")
           .withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
         .select($"vec_id", $"label",
@@ -1996,7 +2013,7 @@ object DocQueries {
                        THEN 1 ELSE -1 END))) >= 0
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
           (acc, x) -> acc * 2 + x) AS bucket
-      FROM bv, hr, mx, UNNEST(range(16)) AS t(l) WHERE t.l < hr.lh),
+      FROM bv, hr, mx, UNNEST(range($LshMaxTables)) AS t(l) WHERE t.l < hr.lh),
       kept AS (SELECT tbl, bucket FROM b GROUP BY tbl, bucket HAVING COUNT(*) <= 10000),
       bk AS (SELECT b.* FROM b JOIN kept USING (tbl, bucket)),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b

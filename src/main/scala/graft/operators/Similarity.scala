@@ -379,35 +379,61 @@ object Similarity {
     df.join(broadcast(dropped), df(idCol) === dropped("id_b"), "left_anti")
   }
 
+  /** The narrow (id, tbl, bucket) LSH index relation of one corpus
+    * side — the PERSISTED-index half of the incremental dedup flow:
+    * built (and Caches-registered) ONCE per immutable history
+    * snapshot, then passed to every [[deltaSemanticDroppedIds]] call
+    * that dedups a batch against that history, so continuous ingestion
+    * re-buckets only each arriving batch, never the history. The
+    * relation is PRE-df-cap by design: bucket hotness is a property of
+    * index + batch TOGETHER, so the cap is applied per run inside the
+    * delta query, never baked into the index (a bucket cold in the
+    * index can go hot once a batch piles onto it). */
+  def semanticBucketIndex(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, tables: Int, dim: Int = 64): DataFrame = {
+    require(tables >= 1, s"tables=$tables must be >= 1")
+    Caches.register((0 until tables).map { l =>
+      df.select(col(idCol).as("id"), lit(l).as("tbl"),
+        portableBucketNative(col(vecCol), nPlanes, dim, l * nPlanes).as("bucket"))
+    }.reduce(_ union _))
+  }
+
   /** INCREMENTAL semantic dedup: batch ids DROPPED against an immutable
     * already-ingested history — the embedding analogue of the minhash
     * delta flow (q_delta_neardup) and the production shape of continuous
-    * corpus ingestion: history is never re-bucketed (its (id, table,
-    * bucket) relation IS the persisted index; vectors are only touched
-    * for the verify), the batch computes its own buckets, and banding
-    * runs over index + batch together. A batch doc drops when it
-    * cosine-matches ANY history doc (history is immutable — id order is
-    * irrelevant against it) or an EARLIER batch doc (keep-first within
-    * the batch, the repo-wide convention).
+    * corpus ingestion: history contributes its narrow (id, table,
+    * bucket) relation — pass the [[semanticBucketIndex]] built once per
+    * history snapshot via `historyIndex` and history is NOT re-bucketed
+    * (left empty, the index is built in place: same values, one extra
+    * history scan); history vectors are only touched for candidate
+    * verifies either way. The batch computes its own buckets, and
+    * banding runs over index + batch together. A batch doc drops when
+    * it cosine-matches ANY history doc (history is immutable — id order
+    * is irrelevant against it) or an EARLIER batch doc (keep-first
+    * within the batch, the repo-wide convention).
     *
     * Same hr-ladder blocking as [[semanticDedupTables]] (L tables ×
     * nPlanes portable planes, exact-bucket match, shared df-cap across
     * index + batch so a hot bucket is dropped consistently on both
     * sides), one shared verify. Scale: candidates ∝ |batch|·L·occ —
-    * the history is scanned once for the (narrow) index relation and
+    * the history enters through the narrow index relation and
     * only its candidate vectors are joined for the verify. */
   def deltaSemanticDroppedIds(
       history: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int, tables: Int,
-      dim: Int = 64, maxBucket: Int = Dedup.DefaultMaxDf): DataFrame = {
+      dim: Int = 64, maxBucket: Int = Dedup.DefaultMaxDf,
+      historyIndex: Option[DataFrame] = None): DataFrame = {
     require(tables >= 1, s"tables=$tables must be >= 1")
-    def slim(df: DataFrame, src: Int) = (0 until tables).map { l =>
-      df.select(col(idCol).as("id"), lit(src).as("src"),
+    val hIdx = historyIndex
+      .getOrElse(semanticBucketIndex(history, idCol, vecCol, nPlanes, tables, dim))
+      .select(col("id"), lit(0).as("src"), col("tbl"), col("bucket"))
+    val bIdx = (0 until tables).map { l =>
+      batch.select(col(idCol).as("id"), lit(1).as("src"),
         lit(l).as("tbl"),
         portableBucketNative(col(vecCol), nPlanes, dim, l * nPlanes).as("bucket"))
     }.reduce(_ union _)
     val kept = Caches.register(Dedup.dropHotKeys(
-      slim(history, 0).union(slim(batch, 1)), Seq("tbl", "bucket"), maxBucket))
+      hIdx.union(bIdx), Seq("tbl", "bucket"), maxBucket))
     val cand = kept.filter(col("src") === 1).as("a")
       .join(kept.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

@@ -426,6 +426,64 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.operators.Caches.unpersistAll()
   }
 
+  test("deltaSemantic reuses the persisted history bucket index: zero history-side recompute") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import spark.implicits._
+    // range-backed (non-local) relations so bucket kernels stay in the
+    // plan instead of constant-folding into LocalTableScan
+    def corpus(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+      .withColumn("vec", expr(
+        "transform(sequence(0, 63), d -> (cast((id*7 + d) % 19 as double) - 9.0) / 9.0)"))
+    val history = corpus(100, 140)
+    val tables = 4
+    val idx = Similarity.semanticBucketIndex(history, "id", "vec", 4, tables)
+    idx.count() // materialize the index once, as a production session would
+    // SECOND batch against the same persisted index (the first was the count)
+    val dropped = Similarity.deltaSemanticDroppedIds(history, corpus(0, 10),
+      "id", "vec", threshold = 0.8, nPlanes = 4, tables = tables,
+      historyIndex = Some(idx))
+    // the df-capped union relation is the one place history buckets could
+    // be recomputed; it is the Caches-registered IMR carrying `src`
+    val keptImr = dropped.queryExecution.optimizedPlan.collect {
+      case m: InMemoryRelation if m.output.exists(_.name == "src") => m
+    }.headOption.getOrElse(fail("df-capped union relation not cached"))
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    // walk only the subtree that EXECUTES: stop at cached leaves
+    def live(p: SparkPlan): Seq[SparkPlan] = unwrap(p) match {
+      case s: InMemoryTableScanExec => Seq(s)
+      case o                        => o +: o.children.flatMap(live)
+    }
+    val nodes = live(keptImr.cachedPlan)
+    def hasBucketKernel(p: SparkPlan) = p.expressions.exists(_.collect {
+      case b: graft.expressions.PortableLshBucket => b
+    }.nonEmpty)
+    val bucketNodes = nodes.filter(hasBucketKernel)
+    // the batch side must still bucket live (it arrives unindexed) …
+    assert(bucketNodes.nonEmpty, "batch side lost its live bucket kernels")
+    // … but NO live bucket kernel may sit over history rows: every
+    // executing Range leaf under a bucket-computing node is the batch's
+    // range(0, 10) — history enters only through the persisted index's
+    // InMemoryTableScan (the walk stops at cached leaves, so an index
+    // rebuild would surface here as a range(100, 140) leaf)
+    val historyLeaves = bucketNodes.flatMap(live).collect {
+      case r: org.apache.spark.sql.execution.RangeExec
+          if r.range.start >= 100L => r
+    }
+    assert(historyLeaves.isEmpty,
+      s"history rows re-bucketed live: ${historyLeaves.headOption}")
+    val idxScans = nodes.collect {
+      case s: InMemoryTableScanExec
+          if s.output.exists(_.name == "bucket") && !s.output.exists(_.name == "src") => s
+    }
+    assert(idxScans.nonEmpty, "history side does not read the persisted index cache")
+    graft.operators.Caches.unpersistAll()
+  }
+
   test("q_delta_semantic: the clone batch drops against history at the ladder's recall") {
     val rows = graft.SparkEntry.queries("q_delta_semantic")(spark, Dir).collect()
     assert(rows.nonEmpty)
