@@ -130,7 +130,17 @@ object UnigramLm {
     * Both the multiply and the rollup therefore run in DECIMAL(38,0)
     * (headroom ~1e38; the DuckDB mirror's HUGEINT is the same move),
     * and callers that need a long cast down explicitly where THEIR
-    * corpus bound justifies it. */
+    * corpus bound justifies it.
+    *
+    * Past even the DECIMAL(38,0) headroom, Spark's default non-ANSI
+    * mode turns the overflowing multiply/SUM into NULL — which a
+    * downstream `coalesce(…, 0)` would launder into a plausible zero
+    * count while the DuckDB mirror's HUGEINT→BIGINT cast throws. Every
+    * group here holds ≥ 1 occurrence row, so a NULL rollup can ONLY
+    * mean overflow (a piece with no occurrences has no group at all —
+    * absence, not null, is the join-miss signal): the guard raises on
+    * it, keeping the engine as loud as the oracle at EVERY boundary,
+    * not just the 2⁶³ one. */
   def softCounts(words: DataFrame, wordCol: String, freqCol: String,
       v: Vocab, costs: Seq[Long]): DataFrame =
     words.select(explode(expect(col(wordCol), v, costs)).as("e"),
@@ -140,5 +150,12 @@ object UnigramLm {
           col("n")).as("wmc"))
       .groupBy(col("p"))
       .agg(sum(col("wmc")).cast(
-        org.apache.spark.sql.types.DecimalType(38, 0)).as("soft_mc"))
+        org.apache.spark.sql.types.DecimalType(38, 0)).as("soft_mc_raw"))
+      .select(col("p"),
+        when(col("soft_mc_raw").isNull,
+          raise_error(concat(lit("UnigramLm.softCounts: DECIMAL(38,0) " +
+            "overflow rolling up piece '"), col("p"),
+            lit("' — corpus is past the micro-count envelope")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .otherwise(col("soft_mc_raw")).as("soft_mc"))
 }

@@ -107,6 +107,22 @@ class UnigramSoftEmSpec extends SparkSpec {
     assert(causeMessages(ex).exists(_.contains("unsegmentable")), s"got: $ex")
   }
 
+  test("softCounts: the overflow-null guard sits over the rollup, values stay non-null") {
+    import spark.implicits._
+    val v = UnigramLm.Vocab(Seq("ab", "a", "b"), Seq(5L, 3L, 2L))
+    val costs = UnigramLm.logCosts(v)
+    val sc = UnigramLm.softCounts(Seq(("ab", 2L)).toDF("w", "n"), "w", "n", v, costs)
+    val rows = sc.collect()
+    // normal regime: every piece that occurs rolls up to a NON-null count
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(1)))
+    // past the DECIMAL(38,0) envelope Spark's non-ANSI mode NULLs the
+    // rollup, which a downstream coalesce(…, 0) would launder into a
+    // plausible zero while the DuckDB oracle throws — the raise_error
+    // guard must sit in the plan so overflow is equally loud here
+    val plan = sc.queryExecution.analyzed.toString
+    assert(plan.contains("raise_error"), s"overflow guard missing:\n${plan.take(600)}")
+  }
+
   test("q_unigram_soft_em at sf0.001: soft vocab strictly contains the hard vocab") {
     val rows = graft.analytics.DocQueries.qUnigramSoftEm
       .run(spark, "/root/testdata/sf0.001").collect()
