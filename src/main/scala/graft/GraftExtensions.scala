@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(c.length == 3, "graft_kmeans_assign_f64(v, labels, flatCents)")
       graft.expressions.KMeansAssignF64(c.head, c(1), c(2))
     }
+    register("graft_kmeans_assign2", classOf[graft.expressions.KMeansAssign2Expr],
+        "graft_kmeans_assign2(v, labels, flatCents)") { c =>
+      require(c.length == 3, "graft_kmeans_assign2(v, labels, flatCents)")
+      graft.expressions.KMeansAssign2Expr(c.head, c(1), c(2))
+    }
     register("graft_kmeans_assign_dyn", classOf[KMeansAssignDyn],
         "graft_kmeans_assign_dyn(v, labels, flatCents)") { c =>
       require(c.length == 3, "graft_kmeans_assign_dyn(v, labels, flatCents)")

@@ -344,6 +344,116 @@ object CorpusStatsQueries {
     })
   )
 
+  /** The two-level SemDeDup with coarse TOP-2 MULTI-PROBE for
+    * candidate generation — the recall-recovery rung on top of
+    * q_semdedup_2l: the hierarchical fit's measured quality trade
+    * (−5.1 pp planted-clone recall at sf10, PROBE_H) is clone pairs
+    * split across the ADDED coarse boundaries, which fine cells never
+    * cross. Here each vector probes its TWO nearest coarse cells (one
+    * fused sweep, [[graft.operators.FixedPointKMeans.assignTop2]] —
+    * the runner-up costs one extra compare per candidate), takes the
+    * within-cell fine argmin in each (runner-up cells with no fine
+    * centroids legally contribute nothing — a centroid can be
+    * somebody's second-closest while being nobody's closest), and the
+    * near-dup pair search runs over the UNION of the two memberships:
+    * a pair split by one coarse boundary still meets in the loser's
+    * runner-up cell. The FIT is untouched — multi-probe is candidate
+    * generation only — so the fit-cost win stands and verify mass at
+    * most doubles (still far under flat's Σc²). Stats stay keyed by
+    * the PRIMARY fine cluster, schema identical to q_semdedup /
+    * q_semdedup_2l, so the three partitions' pair mass and
+    * planted-drop recall are directly comparable. The oracle replays
+    * the probe as rk ≤ 2 of the coarse distance row_number — exactly
+    * the kernel's two-slot strict-< tie-break — then the per-(vector,
+    * probe) fine argmin, then the shared exact-cosine drop rule. */
+  val qSemdedup2lMp = GraftQuery(
+    "q_semdedup_2l_mp",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, FixedPointKMeans, SemDeDup}
+      val (corpus, off, nPlanted) = DocQueries.plantedEmbeddings(s, dir)
+      val q = Caches.register(corpus.select($"vec_id",
+        FixedPointKMeans.quantize($"embedding").as("v")))
+      val n = q.count()
+      val kTot = math.max(8L, math.floor(math.sqrt(n.toDouble)).toLong)
+      val kc = math.max(4L, math.floor(math.sqrt(kTot.toDouble)).toLong).toInt
+      val kf = ((kTot + kc - 1L) / kc).toInt
+      val tl = FixedPointKMeans.fitTwoLevel(q, "vec_id", "v", kc, kf, KmeansRounds)
+      // one fused top-2 coarse sweep, cached: both probes read it
+      val t2 = Caches.register(FixedPointKMeans.assignTop2(q, "v", tl.coarse)
+        .select($"vec_id", $"v", $"cluster".as("cc1"), $"cluster2".as("cc2")))
+      val prim = Caches.register(FixedPointKMeans.assignFine(
+          t2.select($"vec_id", $"v", $"cc1".as("cc")), "v", "cc", kf, tl.fine)
+        .select($"vec_id", $"v", $"fj"))
+      val sec = FixedPointKMeans.assignFine(
+          t2.filter($"cc2" =!= -1).select($"vec_id", $"v", $"cc2".as("cc")),
+          "v", "cc", kf, tl.fine, requireSeeded = false)
+        .select($"vec_id", $"v", $"fj")
+      val dropped = SemDeDup.droppedIds(prim.unionByName(sec),
+        "vec_id", "v", "fj", SemTauNum, SemTauDen)
+      val stats = prim.withColumnRenamed("fj", "cluster")
+        .join(dropped.withColumnRenamed("id", "vec_id")
+          .withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"),
+          sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"))
+      val rec = dropped
+        .agg(coalesce(sum(when($"id" >= off && ($"id" - off) % 8 === 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_pd"))
+        .select(lit(nPlanted).as("n_planted"),
+          expr(s"CAST(n_pd * 1000000 div $nPlanted AS BIGINT)")
+            .as("planted_drop_ppm"))
+      stats.crossJoin(rec).orderBy($"cluster")
+    },
+    Some({
+      val cFin = s"c$KmeansRounds"
+      val fFin = s"f$KmeansRounds"
+      s"""WITH ${graft.analytics.DocQueries.plantedCorpusSql},
+      ${kmeans2lOracleCtesOn("(SELECT vec_id, v FROM e)", SemKExpr, KmeansRounds)},
+      a2t AS (SELECT vec_id, v, j, rk FROM (
+          SELECT q.vec_id, q.v, c.j, ${kmeansDistSql("q.v", "c.c")} AS dist,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${kmeansDistSql("q.v", "c.c")}, c.j) AS rk
+          FROM q, $cFin c) WHERE rk <= 2),
+      m AS (SELECT vec_id, v, fj, rk FROM (
+          SELECT a.vec_id, a.v, f.fj, a.rk,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.rk
+              ORDER BY ${kmeansDistSql("a.v", "f.c")}, f.fj) AS rrk
+          FROM a2t a JOIN $fFin f ON a.j = f.cc) WHERE rrk = 1),
+      u AS (SELECT vec_id, fj,
+          list_transform(v, x -> x - $QShift) AS uv,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(v, x -> (x - $QShift) * (x - $QShift))),
+            (acc, x) -> acc + x) AS nsq
+        FROM m),
+      pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(64), i -> a.uv[i+1] * b.uv[i+1])),
+            (acc, x) -> acc + x) AS dot,
+          a.nsq AS nsq_a, b.nsq AS nsq_b
+        FROM u a JOIN u b ON a.fj = b.fj AND a.vec_id < b.vec_id),
+      dropped AS (SELECT DISTINCT id_b FROM pr
+        WHERE dot >= 0 AND nsq_a > 0 AND nsq_b > 0
+          AND CAST(dot AS HUGEINT) * dot * ${SemTauDen * SemTauDen} >=
+              ${SemTauNum * SemTauNum} * CAST(nsq_a AS HUGEINT) * nsq_b),
+      prim AS (SELECT vec_id, fj FROM m WHERE rk = 1),
+      stats AS (SELECT prim.fj AS cluster, COUNT(*) AS n_members,
+          CAST(SUM(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped
+        FROM prim LEFT JOIN dropped d ON prim.vec_id = d.id_b
+        GROUP BY prim.fj),
+      rec AS (SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE vec_id % 8 = 0)
+            AS n_planted,
+          CAST((SELECT COUNT(*) FROM dropped, mx
+                WHERE id_b >= mx.off AND (id_b - mx.off) % 8 = 0) * 1000000
+            // (SELECT COUNT(*) FROM base WHERE vec_id % 8 = 0) AS BIGINT)
+            AS planted_drop_ppm)
+      SELECT cluster, n_members, n_dropped, rec.n_planted, rec.planted_drop_ppm
+      FROM stats, rec ORDER BY cluster"""
+    })
+  )
+
   /** Per-source unigram KL divergence from the corpus distribution —
     * the mixture-drift diagnostic behind data-mixing decisions (a
     * source whose token distribution diverges hard from the corpus is
@@ -888,6 +998,6 @@ object CorpusStatsQueries {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(qKmeans, qSemdedup, qSemdedup2l, qPqRecall, qSourceKl, qHeapsLaw,
+    Seq(qKmeans, qSemdedup, qSemdedup2l, qSemdedup2lMp, qPqRecall, qSourceKl, qHeapsLaw,
       qZipfFit, qCoreset, qNmfTopics)
 }

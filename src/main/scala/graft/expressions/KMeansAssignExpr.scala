@@ -123,6 +123,114 @@ object KMeansAssignExpr {
   }
 }
 
+/** TOP-2 sibling of [[KMeansAssignExpr]]: the same fused argmin sweep,
+  * also emitting the RUNNER-UP candidate — struct(j, d, j2, d2). Built
+  * for coarse MULTI-PROBE in the two-level SemDeDup ([[graft.operators
+  * .FixedPointKMeans.assignTop2]]): the hierarchical fit's recall loss
+  * comes from clone pairs split across a coarse boundary, and probing
+  * each vector's two nearest coarse cells for CANDIDATE GENERATION
+  * restores most of it at ≤2× verify mass — the sweep already visits
+  * every centroid, so the runner-up costs one extra compare per
+  * candidate, not a second pass.
+  *
+  * Tie-break contract extends the flat kernel's: both slots keep the
+  * EARLIEST candidate on equal distance (strict `<` per slot), and the
+  * runner-up is the best candidate excluding the winner — exactly the
+  * rk ≤ 2 rows of `ROW_NUMBER() OVER (ORDER BY distance, candidate
+  * order)`, which is how the DuckDB oracle replays it. k = 1 (or 0)
+  * leaves slot 2 at its zero-iteration accumulator (j2 = −1,
+  * d2 = Long.MaxValue); callers treat j2 = −1 as "no second probe". */
+case class KMeansAssign2Expr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isArr(dt: DataType, el: DataType) = dt match {
+      case ArrayType(`el`, _) => true
+      case _                  => false
+    }
+    if (!isArr(first.dataType, LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_kmeans_assign2 expects v: array<long>, got ${first.dataType.simpleString}")
+    else if (!isArr(second.dataType, IntegerType) || !second.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_kmeans_assign2 expects labels: foldable array<int>")
+    else if (!isArr(third.dataType, LongType) || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_kmeans_assign2 expects flat centroids: foldable array<long>")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("j", IntegerType, nullable = false),
+    StructField("d", LongType, nullable = false),
+    StructField("j2", IntegerType, nullable = false),
+    StructField("d2", LongType, nullable = false)))
+  override def prettyName: String = "graft_kmeans_assign2"
+
+  @transient private lazy val labelsArr: Array[Int] =
+    second.eval(null).asInstanceOf[ArrayData].toIntArray()
+  @transient private lazy val flatArr: Array[Long] =
+    third.eval(null).asInstanceOf[ArrayData].toLongArray()
+
+  override def nullSafeEval(v: Any, l: Any, f: Any): Any =
+    KMeansAssign2Expr.assignRow2(v.asInstanceOf[ArrayData], labelsArr, flatArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      val labels = ctx.addReferenceObj("km2Labels", labelsArr, "int[]")
+      val flat = ctx.addReferenceObj("km2Flat", flatArr, "long[]")
+      s"${ev.value} = graft.expressions.KMeansAssign2Expr.assignRow2(" +
+        s"$v, $labels, $flat);"
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): KMeansAssign2Expr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object KMeansAssign2Expr {
+
+  /** Shared kernel body — the flat kernel's loop with a two-slot
+    * bounded insertion: `s < best` demotes the winner into slot 2;
+    * otherwise `s < best2` fills slot 2 directly. Strict `<` in both
+    * compares keeps the earliest candidate per slot on ties. */
+  def assignRow2(v: ArrayData, labels: Array[Int],
+      flat: Array[Long]): GenericInternalRow = {
+    val k = labels.length
+    val d = if (k == 0) 0 else flat.length / k
+    if (k > 0 && flat.length % k != 0)
+      throw new IllegalArgumentException(
+        s"graft_kmeans_assign2: ${flat.length} matrix cells not divisible by k=$k")
+    if (k > 0 && v.numElements() != d)
+      throw new IllegalArgumentException(
+        s"graft_kmeans_assign2: vector has ${v.numElements()} dims, centroids have $d")
+    val vv = if (k == 0) null else v.toLongArray()
+    var best = Long.MaxValue
+    var bj = -1
+    var best2 = Long.MaxValue
+    var bj2 = -1
+    var c = 0
+    while (c < k) {
+      var s = 0L
+      var i = 0
+      val base = c * d
+      while (i < d) {
+        val diff = vv(i) - flat(base + i)
+        s += diff * diff
+        i += 1
+      }
+      if (s < best) {
+        best2 = best; bj2 = bj
+        best = s; bj = labels(c)
+      } else if (s < best2) {
+        best2 = s; bj2 = labels(c)
+      }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bj, best, bj2, best2))
+  }
+}
+
 /** DOUBLE-precision sibling of [[KMeansAssignExpr]] for the IVF coarse
   * quantizer's map-only cell assignment ([[graft.operators.IvfIndex]]):
   * the former declarative form built k separate `aggregate(zip_with(…))`

@@ -97,6 +97,28 @@ object FixedPointKMeans {
       .withColumn("dist", col("best.d"))
       .drop("best")
 
+  /** struct(j, d, j2, d2): the argmin AND the runner-up, one fused
+    * sweep ([[graft.expressions.KMeansAssign2Expr]]). The pair equals
+    * the rk ≤ 2 rows of `row_number() over (order by distance,
+    * candidate order)` — the oracle's replay shape. */
+  def best2Of(v: Column, cents: Seq[(Int, Seq[Long])]): Column =
+    call_function("graft_kmeans_assign2", v,
+      typedLit(cents.map(_._1).toArray),
+      typedLit(cents.flatMap(_._2).toArray))
+
+  /** Add (cluster, cluster2) — the two nearest candidates — to an
+    * already-quantized relation; cluster2 is −1 when fewer than two
+    * candidates exist. Coarse-cell MULTI-PROBE: the two-level SemDeDup
+    * generates dedup candidates from BOTH cells so a pair split by one
+    * coarse boundary still meets, while the fit (and the stats-side
+    * primary assignment) stays single-cell. */
+  def assignTop2(quantized: DataFrame, vCol: String,
+      cents: Seq[(Int, Seq[Long])]): DataFrame =
+    quantized.withColumn("best", best2Of(col(vCol), cents))
+      .withColumn("cluster", col("best.j"))
+      .withColumn("cluster2", col("best.j2"))
+      .drop("best")
+
   // ---- two-level (hierarchical) fit ------------------------------------
   //
   // The flat fit's assignment cost is N·k·d per round; at the SemDeDup
@@ -152,11 +174,27 @@ object FixedPointKMeans {
     * with different coarse centroids — can land in an unseeded cell;
     * that is a contract breach and FAILS LOUDLY (left join + guard)
     * rather than silently dropping the row the way an inner join
-    * would. */
+    * would.
+    *
+    * `requireSeeded = false` opts INTO the inner-join semantics for the
+    * one caller where an unseeded cell is legitimate: the multi-probe
+    * RUNNER-UP cell (a centroid can be somebody's second-closest while
+    * being nobody's closest, so it may have no members and therefore no
+    * fine centroids). There the probe is candidate-generation only — an
+    * empty cell simply contributes no candidates. */
   def assignFine(df: DataFrame, vCol: String, ccCol: String,
-      kf: Int, fine: Seq[(Int, Seq[Long])]): DataFrame = {
+      kf: Int, fine: Seq[(Int, Seq[Long])],
+      requireSeeded: Boolean = true): DataFrame = {
     val cells = broadcast(fineByCell(df, kf, fine)
       .withColumnRenamed("cc", ccCol))
+    if (!requireSeeded) {
+      df.join(cells, Seq(ccCol))
+        .withColumn("bestf", call_function("graft_kmeans_assign_dyn",
+          col(vCol), col("fids"), col("fflat")))
+        .withColumn("fj", col("bestf.j"))
+        .withColumn("fdist", col("bestf.d"))
+        .drop("bestf", "fids", "fflat")
+    } else
     df.join(cells, Seq(ccCol), "left")
       .withColumn("bestf", when(col("fids").isNull,
           raise_error(concat(

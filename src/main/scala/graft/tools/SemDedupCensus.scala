@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.SemDedupCensus <sfDir> [rounds=2] [kFactor=1] [mode=flat]
   * (kFactor scales the k = ⌊√N⌋ ladder — the imbalance lever A/B;
   * mode=2l fits the TWO-LEVEL hierarchy at the same total k — the
-  * fit-cost/occupancy side of the flat-vs-hierarchical A/B.)
+  * fit-cost/occupancy side of the flat-vs-hierarchical A/B; mode=2lmp
+  * adds the coarse top-2 MULTI-PROBE union membership and prints its
+  * Σc² next to the primary's — the verify-mass side of the recall
+  * recovery.)
   */
 object SemDedupCensus {
   def main(args: Array[String]): Unit = {
@@ -20,7 +23,8 @@ object SemDedupCensus {
     val dir = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 2
     val kFactor = if (args.length > 2) args(2).toInt else 1
-    val twoLevel = args.length > 3 && args(3) == "2l"
+    val mode = if (args.length > 3) args(3) else "flat"
+    val twoLevel = mode == "2l" || mode == "2lmp"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .withExtensions(new graft.GraftExtensions)
@@ -56,6 +60,30 @@ object SemDedupCensus {
       println(s"[census-2l] top sizes: ${sizes.take(15).mkString(", ")}")
       println(s"[census-2l] sum c^2 = $sumSq  (balanced ideal N^2/k = ${n * n / k}); " +
         s"top-1 share of pair mass = ${f"${sizes.head * sizes.head * 100.0 / sumSq}%.1f"}%")
+      if (mode == "2lmp") {
+        // the union membership the multi-probe pair search runs over:
+        // primary fine cell + (where the runner-up coarse cell is
+        // seeded) the secondary fine cell
+        val tm0 = System.nanoTime()
+        val t2 = Caches.register(FixedPointKMeans.assignTop2(q, "v", tl.coarse)
+          .select($"vec_id", $"v", $"cluster".as("cc1"), $"cluster2".as("cc2")))
+        val prim = FixedPointKMeans.assignFine(
+          t2.select($"vec_id", $"v", $"cc1".as("cc")), "v", "cc", kf, tl.fine)
+          .select($"vec_id", $"fj")
+        val sec = FixedPointKMeans.assignFine(
+          t2.filter($"cc2" =!= -1).select($"vec_id", $"v", $"cc2".as("cc")),
+          "v", "cc", kf, tl.fine, requireSeeded = false)
+          .select($"vec_id", $"fj")
+        val mSizes = prim.unionByName(sec)
+          .groupBy($"fj").agg(count(lit(1)).as("c"))
+          .select($"c").as[Long].collect().sorted.reverse
+        val tMp = (System.nanoTime() - tm0) / 1e9
+        val mSumSq = mSizes.map(c => c * c).sum
+        println(s"[census-2lmp] union membership rows = ${mSizes.sum} " +
+          s"(of $n primary) in ${f"$tMp%.1f"}s")
+        println(s"[census-2lmp] union sum c^2 = $mSumSq " +
+          s"(${f"${mSumSq.toDouble / sumSq}%.2f"}x the primary's $sumSq)")
+      }
       spark.stop()
       return
     }

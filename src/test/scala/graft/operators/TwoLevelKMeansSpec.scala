@@ -180,6 +180,73 @@ class TwoLevelKMeansSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("graft_kmeans_assign2: top-2 equals the (distance, candidate-order) rank replay") {
+    val cents: Seq[(Int, Seq[Long])] = (0 until 7).map(j =>
+      (j * 3, FixedPointKMeans.quantizeLocal(vec(1000L + j)))).toSeq
+    val got = FixedPointKMeans.assignTop2(corpus(100), "v", cents)
+      .select(col("vec_id"), col("cluster"), col("cluster2"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    (0 until 100).foreach { i =>
+      val v = FixedPointKMeans.quantizeLocal(vec(i.toLong))
+      // the oracle's replay: sort by (distance, candidate order), take 2
+      val ranked = cents.map { case (j, c) =>
+        (FixedPointKMeans.sqDistLocal(v, c), j) }.sorted.map(_._2)
+      assert(got(i.toLong) === ((ranked(0), ranked(1))), s"vec $i")
+    }
+  }
+
+  test("graft_kmeans_assign2: tie-breaks keep the earliest candidate in BOTH slots") {
+    import spark.implicits._
+    val c0 = FixedPointKMeans.quantizeLocal(Seq(1.0, 0.0))
+    val cx = FixedPointKMeans.quantizeLocal(Seq(0.0, 1.0))
+    // candidates 0 and 1 duplicate c0; 2 duplicates cx: the winner must
+    // be 0 (earliest at distance 0) and the runner-up 1 (earliest of the
+    // REMAINING, still at distance 0) — never 2
+    val cents = Seq((10, c0), (11, c0), (12, cx))
+    val r = Seq((1L, c0)).toDF("vec_id", "v")
+      .select(FixedPointKMeans.best2Of(col("v"), cents).as("b")).head().getStruct(0)
+    assert((r.getInt(0), r.getInt(2)) === ((10, 11)))
+    assert((r.getLong(1), r.getLong(3)) === ((0L, 0L)))
+    // single candidate: slot 2 stays at the zero-iteration accumulator
+    val r1 = Seq((1L, c0)).toDF("vec_id", "v")
+      .select(FixedPointKMeans.best2Of(col("v"), Seq((5, cx))).as("b"))
+      .head().getStruct(0)
+    assert(r1.getInt(0) === 5)
+    assert(r1.getInt(2) === -1 && r1.getLong(3) === Long.MaxValue)
+  }
+
+  test("assignFine requireSeeded=false: unseeded runner-up cells contribute nothing") {
+    import spark.implicits._
+    val tlFine = Seq((0, FixedPointKMeans.quantizeLocal(Seq(0.1, 0.1))))
+    // cell 1 has no fine centroids: inner-join mode drops the row
+    // (legal for the secondary probe) instead of raising
+    val q = Seq(
+      (7L, FixedPointKMeans.quantizeLocal(Seq(2.0, 2.0)), 1),
+      (8L, FixedPointKMeans.quantizeLocal(Seq(0.0, 0.0)), 0))
+      .toDF("vec_id", "v", "cc")
+    val rows = FixedPointKMeans.assignFine(q, "v", "cc", 2, tlFine,
+      requireSeeded = false).select($"vec_id", $"fj").collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(8L))
+    assert(rows.head.getInt(1) === 0)
+  }
+
+  test("multi-probe recall at sf0.01 recovers at least the single-probe 2l recall") {
+    val mp = graft.analytics.CorpusStatsQueries.qSemdedup2lMp
+      .run(spark, "/root/testdata/sf0.01").collect()
+    val sp = graft.analytics.CorpusStatsQueries.qSemdedup2l
+      .run(spark, "/root/testdata/sf0.01").collect()
+    assert(mp.nonEmpty && sp.nonEmpty)
+    val mpPpm = mp.head.getAs[Long]("planted_drop_ppm")
+    val spPpm = sp.head.getAs[Long]("planted_drop_ppm")
+    // the union of memberships is a superset of the primary membership,
+    // so the drop set — and with it the planted recall — can only grow
+    assert(mpPpm >= spPpm, s"multi-probe $mpPpm < single-probe $spPpm")
+    // conservation: stats stay keyed by the primary assignment
+    val nMembers = mp.map(_.getAs[Long]("n_members")).sum
+    val nPlanted = mp.head.getAs[Long]("n_planted")
+    assert(nMembers === 500L + nPlanted)
+  }
+
   test("q_semdedup_2l at sf0.01: conservation and the planted recall floor hold") {
     val rows = graft.analytics.CorpusStatsQueries.qSemdedup2l
       .run(spark, "/root/testdata/sf0.01").collect()
