@@ -2598,6 +2598,62 @@ object DocQueries {
     * sequence) — certifying the kernel's DP optimality, not just
     * replaying it. Emits `seg{tag}` (the recursive walk) and
     * `best{tag}(token, n, pieces)`. */
+  /** The soft-EM expectation replay as DuckDB CTEs, SUFFIXED so one
+    * query can run the DP more than once (the EM round replays
+    * expectation against the seed vocab AND against the pruned/refit
+    * vocab): from the (p, score) vocab relation `vCte`, replays
+    * [[graft.operators.UnigramLm.logCosts]] (one double division + ln
+    * per piece, identical rounding in both engines) and the integer
+    * fixed-point forward–backward of
+    * [[graft.expressions.UnigramExpect]] via recursive CTEs — per-cell
+    * rounding does not distribute over path enumeration, so the DP
+    * ITSELF is what must replay. Needs `w(token, n)` in scope; emits
+    * `soft$sfx(p, soft_mc BIGINT)` (the HUGEINT→BIGINT cast throws on
+    * overflow, the loudness [[graft.operators.UnigramLm.softCounts]]
+    * mirrors). */
+  private def unigramSoftSql(sfx: String, vCte: String): String = {
+    val LS = graft.expressions.UnigramExpect.LogScale
+    val WS = graft.expressions.UnigramExpect.WScale
+    def lse(xs: String) =
+      s"""list_min($xs) - CAST(FLOOR($LS * ln(
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform($xs, x -> exp(CAST(list_min($xs) - x AS DOUBLE) / $LS))),
+          (a, b) -> a + b)) + 0.5) AS BIGINT)"""
+    s"""tot$sfx AS (SELECT CAST(SUM(score) AS BIGINT) AS total FROM $vCte),
+      vc$sfx AS (SELECT v.p, v.score, CAST(FLOOR($LS * ln(
+          CAST(t.total AS DOUBLE) / CAST(GREATEST(v.score, 1) AS DOUBLE)) + 0.5) AS BIGINT) AS cost
+        FROM $vCte v, tot$sfx t),
+      occv$sfx AS (SELECT w.token, w.n, t.t, l.l, vc.p, vc.cost
+        FROM w, UNNEST(range(1, length(w.token)+1)) AS t(t),
+             UNNEST(range(1, ${WpMaxLen + 1})) AS l(l)
+        JOIN vc$sfx vc ON l.l <= t.t AND vc.p = substr(w.token, t.t - l.l + 1, l.l)),
+      candf$sfx AS (SELECT token, t, list(STRUCT_PACK(l := l, c := cost) ORDER BY l) AS cs
+        FROM occv$sfx GROUP BY token, t),
+      candb$sfx AS (SELECT token, t - l AS u, list(STRUCT_PACK(l := l, c := cost) ORDER BY l) AS cs
+        FROM occv$sfx GROUP BY token, t - l),
+      fwd$sfx AS (
+        SELECT token, n, 0 AS pos, [CAST(0 AS BIGINT)] AS al FROM w
+        UNION ALL
+        SELECT f.token, f.n, f.pos + 1,
+          list_append(f.al, ${lse(s"list_transform(c.cs, s -> f.al[f.pos + 2 - s.l] + s.c)")})
+        FROM fwd$sfx f JOIN candf$sfx c ON c.token = f.token AND c.t = f.pos + 1),
+      fa$sfx AS (SELECT token, n, al FROM fwd$sfx WHERE pos = length(token)),
+      bwd$sfx AS (
+        SELECT token, length(token) AS pos, [CAST(0 AS BIGINT)] AS bl FROM w
+        UNION ALL
+        SELECT b.token, b.pos - 1,
+          list_prepend(${lse(s"list_transform(c.cs, s -> s.c + b.bl[s.l])")}, b.bl)
+        FROM bwd$sfx b JOIN candb$sfx c ON c.token = b.token AND c.u = b.pos - 1),
+      bb$sfx AS (SELECT token, bl FROM bwd$sfx WHERE pos = 0),
+      wx$sfx AS (SELECT o.token, o.n, o.p,
+          CAST(FLOOR($WS * exp(CAST(fa.al[length(o.token) + 1] - fa.al[o.t - o.l + 1]
+            - o.cost - bb.bl[o.t + 1] AS DOUBLE) / $LS) + 0.5) AS BIGINT) AS mc
+        FROM occv$sfx o JOIN fa$sfx fa ON fa.token = o.token
+          JOIN bb$sfx bb ON bb.token = o.token),
+      soft$sfx AS (SELECT p, CAST(SUM(CAST(n AS HUGEINT) * mc) AS BIGINT) AS soft_mc
+        FROM wx$sfx GROUP BY p)"""
+  }
+
   private def unigramRoundSql(tag: String, vocabRel: String): String =
     s"""seg$tag AS (
       SELECT token, n, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces, CAST(0 AS BIGINT) AS sc FROM w
@@ -2820,6 +2876,113 @@ object DocQueries {
         CAST(j.in_soft AS BIGINT) AS in_soft, CAST(j.in_hard AS BIGINT) AS in_hard,
         ns.n_vocab_soft, ns.n_vocab_hard, ns.n_common
       FROM j, ns ORDER BY j.soft_mc DESC, j.p LIMIT 40"""
+    })
+  )
+
+  /** ONE FULL UNIGRAM EM ROUND — the prune→refit→re-expect loop that
+    * closes the last gap to production SentencePiece semantics on top
+    * of q_unigram_soft_em's exact E-step:
+    *
+    *  1. E-step 0: soft expected counts against the seed vocab
+    *     ([[graft.operators.UnigramLm.softCounts]] — integer
+    *     fixed-point forward–backward, micro-count posteriors);
+    *  2. M-step + prune: multi-char pieces whose expectation falls
+    *     under ONE full use (soft_mc < WScale) drop out; single chars
+    *     stay (totality); survivors RE-SCORE by their expected counts
+    *     — probabilities ∝ expectations, the SentencePiece M-step —
+    *     and costs recompute from the new totals
+    *     ([[graft.operators.UnigramLm.logCosts]] is scale-invariant up
+    *     to the count floor, so micro-units feed it directly);
+    *  3. E-step 1: re-expectation against the pruned/refit vocab.
+    *
+    * The vocab TRAJECTORY is carried in every row (n_vocab_seed →
+    * n_vocab_r1 after the prune → n_vocab_r2 = what the NEXT prune
+    * would keep), and each surviving piece shows its round-0 vs
+    * round-1 expectations — the diff the EM literature predicts:
+    * pruned-away alternatives hand their posterior mass to the
+    * survivors, so soft_mc_r1 ≥ soft_mc_r0 in aggregate and the vocab
+    * contracts toward a fixed point. The oracle replays BOTH
+    * expectation passes via the suffixed recursive-CTE DP generator
+    * ([[unigramSoftSql]]) with the prune/refit as plain relational
+    * algebra between them. Scale: two kernel passes over the
+    * DISTINCT-word relation + two vocab-sized rollups; driver state is
+    * one (piece, count) map per round — the hard-EM loop's shape
+    * exactly. */
+  val qUnigramEmRound = GraftQuery(
+    "q_unigram_em_round",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, UnigramLm}
+      val WScale = graft.expressions.UnigramExpect.WScale
+      val w = Caches.register(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("n")))
+      val seed = UnigramLm.seedVocab(w, "token", "n", topK = WpTopK, maxLen = WpMaxLen)
+      val costs0 = UnigramLm.logCosts(seed)
+      // E-step 0 collected to the driver: the soft-count relation is
+      // vocab-sized (topK + alphabet — the BPE-merge collect
+      // discipline); longValueExact throws on overflow, the same
+      // loudness as the oracle's HUGEINT→BIGINT cast
+      val mc0 = UnigramLm.softCounts(w, "token", "n", seed, costs0)
+        .collect().map(r => (r.getString(0),
+          r.getDecimal(1).toBigInteger.longValueExact())).toMap
+      val v1p = seed.pieces.filter(p =>
+        p.length == 1 || mc0.getOrElse(p, 0L) >= WScale)
+      val v1 = UnigramLm.Vocab(v1p, v1p.map(p => mc0.getOrElse(p, 0L)))
+      val costs1 = UnigramLm.logCosts(v1)
+      val soft1 = UnigramLm.softCounts(w, "token", "n", v1, costs1)
+      val base = s.createDataFrame(v1.pieces.zip(v1.scores))
+        .toDF("piece", "soft_mc_r0")
+      val j = base
+        .join(soft1.withColumnRenamed("p", "piece"), Seq("piece"), "left")
+        .withColumn("soft_mc_r1", coalesce(
+          when($"soft_mc" > lit(Long.MaxValue),
+            raise_error(lit("q_unigram_em_round: soft_mc exceeds BIGINT — " +
+              "corpus is past the documented micro-count envelope")).cast("long"))
+            .otherwise($"soft_mc".cast("long")),
+          lit(0L)))
+        .withColumn("in_next",
+          when($"soft_mc_r1" >= WScale || length($"piece") === 1, 1L)
+            .otherwise(0L))
+      val ns = j.agg(sum($"in_next").as("n_vocab_r2"))
+      j.crossJoin(ns)
+        .select($"piece", $"soft_mc_r0", $"soft_mc_r1", $"in_next",
+          lit(seed.pieces.length.toLong).as("n_vocab_seed"),
+          lit(v1.pieces.length.toLong).as("n_vocab_r1"),
+          $"n_vocab_r2")
+        .orderBy($"soft_mc_r1".desc, $"piece").limit(40)
+    },
+    Some({
+      val WS = graft.expressions.UnigramExpect.WScale
+      s"""WITH RECURSIVE
+      tok AS (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
+      w AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+      grid AS (SELECT UNNEST(flatten(list_transform(range(1, length(token)+1), i ->
+          list_transform(range(1, ${WpMaxLen + 1}), l -> CASE WHEN i + l - 1 <= length(token)
+            THEN substr(token, i, l) ELSE NULL END)))) AS p, n FROM w),
+      gc AS (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM grid WHERE p IS NOT NULL GROUP BY p),
+      v0 AS (
+        SELECT p, c AS score FROM (SELECT p, c FROM gc WHERE length(p) >= 2
+          ORDER BY c DESC, p LIMIT $WpTopK)
+        UNION ALL
+        SELECT p, c AS score FROM gc WHERE length(p) = 1),
+      ${unigramSoftSql("0", "v0")},
+      v2 AS (SELECT s.p, s.soft_mc AS score FROM soft0 s
+        WHERE length(s.p) = 1 OR s.soft_mc >= $WS),
+      ${unigramSoftSql("1", "v2")},
+      j AS (SELECT v.p, v.score AS soft_mc_r0,
+          COALESCE(s1.soft_mc, 0) AS soft_mc_r1,
+          CASE WHEN COALESCE(s1.soft_mc, 0) >= $WS OR length(v.p) = 1
+            THEN 1 ELSE 0 END AS in_next
+        FROM v2 v LEFT JOIN soft1 s1 ON s1.p = v.p),
+      ns AS (SELECT CAST(SUM(in_next) AS BIGINT) AS n_vocab_r2 FROM j),
+      nv AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v0) AS n_vocab_seed,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM v2) AS n_vocab_r1)
+      SELECT j.p AS piece, j.soft_mc_r0, j.soft_mc_r1,
+        CAST(j.in_next AS BIGINT) AS in_next,
+        nv.n_vocab_seed, nv.n_vocab_r1, ns.n_vocab_r2
+      FROM j, ns, nv ORDER BY j.soft_mc_r1 DESC, j.p LIMIT 40"""
     })
   )
 
@@ -4338,7 +4501,7 @@ object DocQueries {
     qSharedSpans,
     qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
-    qBpeEncode, qWordpieceEncode, qUnigramTokenizer, qUnigramSoftEm,
+    qBpeEncode, qWordpieceEncode, qUnigramTokenizer, qUnigramSoftEm, qUnigramEmRound,
     qDictEncode, qInvertedIndex,
     qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qBlockingRecall, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,

@@ -123,6 +123,31 @@ class UnigramSoftEmSpec extends SparkSpec {
     assert(plan.contains("raise_error"), s"overflow guard missing:\n${plan.take(600)}")
   }
 
+  test("q_unigram_em_round at sf0.001: the vocab trajectory contracts toward a fixed point") {
+    val WS = UnigramExpect.WScale
+    val rows = graft.analytics.DocQueries.qUnigramEmRound
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val r0 = rows.head
+    val (nSeed, nR1, nR2) = (r0.getAs[Long]("n_vocab_seed"),
+      r0.getAs[Long]("n_vocab_r1"), r0.getAs[Long]("n_vocab_r2"))
+    // the prune must actually prune (the seed's speculative top-K
+    // substrings include pieces soft EM never commits a full use to),
+    // and the trajectory can only contract: r2 filters r1 filters seed
+    assert(nSeed > nR1, s"round-0 prune dropped nothing ($nSeed -> $nR1)")
+    assert(nR1 >= nR2)
+    rows.foreach { r =>
+      val p = r.getAs[String]("piece")
+      // every emitted piece SURVIVED the round-0 prune by the stated rule
+      assert(p.length == 1 || r.getAs[Long]("soft_mc_r0") >= WS, s"'$p'")
+      // totality: single chars are unprunable
+      if (p.length == 1) assert(r.getAs[Long]("in_next") === 1L, s"'$p'")
+      // in_next is exactly the next prune's rule applied to round 1
+      val expected = if (r.getAs[Long]("soft_mc_r1") >= WS || p.length == 1) 1L else 0L
+      assert(r.getAs[Long]("in_next") === expected, s"'$p'")
+    }
+  }
+
   test("q_unigram_soft_em at sf0.001: soft vocab strictly contains the hard vocab") {
     val rows = graft.analytics.DocQueries.qUnigramSoftEm
       .run(spark, "/root/testdata/sf0.001").collect()
