@@ -355,11 +355,14 @@ object CorpusStatsQueries {
     * within-cell fine argmin in each (runner-up cells with no fine
     * centroids legally contribute nothing — a centroid can be
     * somebody's second-closest while being nobody's closest), and the
-    * near-dup pair search runs over the UNION of the two memberships:
-    * a pair split by one coarse boundary still meets in the loser's
-    * runner-up cell. The FIT is untouched — multi-probe is candidate
-    * generation only — so the fit-cost win stands and verify mass at
-    * most doubles (still far under flat's Σc²). Stats stay keyed by
+    * near-dup pair search runs between the EXPANDED membership and the
+    * primary one ([[graft.operators.SemDeDup.droppedIdsMultiProbe]] —
+    * the ASYMMETRIC, query-side-expansion probe): a pair split by one
+    * coarse boundary meets when either side's runner-up fine cell is
+    * the other's primary. The FIT is untouched — multi-probe is
+    * candidate generation only — so the fit-cost win stands and verify
+    * mass at most doubles (still under flat's Σc²; the symmetric
+    * union×union alternative measured 5.4×). Stats stay keyed by
     * the PRIMARY fine cluster, schema identical to q_semdedup /
     * q_semdedup_2l, so the three partitions' pair mass and
     * planted-drop recall are directly comparable. The oracle replays
@@ -389,7 +392,7 @@ object CorpusStatsQueries {
           t2.filter($"cc2" =!= -1).select($"vec_id", $"v", $"cc2".as("cc")),
           "v", "cc", kf, tl.fine, requireSeeded = false)
         .select($"vec_id", $"v", $"fj")
-      val dropped = SemDeDup.droppedIds(prim.unionByName(sec),
+      val dropped = SemDeDup.droppedIdsMultiProbe(prim, sec,
         "vec_id", "v", "fj", SemTauNum, SemTauDen)
       val stats = prim.withColumnRenamed("fj", "cluster")
         .join(dropped.withColumnRenamed("id", "vec_id")
@@ -420,7 +423,7 @@ object CorpusStatsQueries {
             ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.rk
               ORDER BY ${kmeansDistSql("a.v", "f.c")}, f.fj) AS rrk
           FROM a2t a JOIN $fFin f ON a.j = f.cc) WHERE rrk = 1),
-      u AS (SELECT vec_id, fj,
+      u AS (SELECT vec_id, fj, rk,
           list_transform(v, x -> x - $QShift) AS uv,
           list_reduce(list_prepend(CAST(0 AS BIGINT),
             list_transform(v, x -> (x - $QShift) * (x - $QShift))),
@@ -431,8 +434,9 @@ object CorpusStatsQueries {
             list_transform(range(64), i -> a.uv[i+1] * b.uv[i+1])),
             (acc, x) -> acc + x) AS dot,
           a.nsq AS nsq_a, b.nsq AS nsq_b
-        FROM u a JOIN u b ON a.fj = b.fj AND a.vec_id < b.vec_id),
-      dropped AS (SELECT DISTINCT id_b FROM pr
+        FROM u a JOIN u b ON a.fj = b.fj AND b.rk = 1
+          AND (a.vec_id < b.vec_id OR (a.rk = 2 AND a.vec_id <> b.vec_id))),
+      dropped AS (SELECT DISTINCT GREATEST(id_a, id_b) AS id_b FROM pr
         WHERE dot >= 0 AND nsq_a > 0 AND nsq_b > 0
           AND CAST(dot AS HUGEINT) * dot * ${SemTauDen * SemTauDen} >=
               ${SemTauNum * SemTauNum} * CAST(nsq_a AS HUGEINT) * nsq_b),

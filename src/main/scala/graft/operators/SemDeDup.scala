@@ -80,4 +80,51 @@ object SemDeDup {
       .select(col("id_b").as("id"))
       .distinct()
   }
+
+  /** [[droppedIds]] over an ASYMMETRIC multi-probe pair surface — the
+    * recall-recovery form for the two-level fit: `prim` is every
+    * vector's PRIMARY fine membership, `sec` the fine membership in its
+    * runner-up coarse cell (where seeded). Pairs are sought between the
+    * EXPANDED side (prim ∪ sec) and the primary side only — the
+    * standard IVF query-side multi-probe shape: a near-dup pair split
+    * by one coarse boundary meets when either side's runner-up fine
+    * cell is the other's primary, which this surface covers in full;
+    * the symmetric union's extra sec×sec surface (both vectors
+    * outsiders to a THIRD cell) buys near-identical pairs almost
+    * nothing and measured 5.4× the primary pair mass against this
+    * form's ≤ Σ(p_f + s_f)·p_f ≈ 2× (SemDedupCensus 2lmp, sf10).
+    *
+    * Pair accounting: primary×primary keeps the strict id_a < id_b
+    * half (each pair once — exactly [[droppedIds]]'s surface, so the
+    * drop set is a superset of the single-probe one); secondary×primary
+    * admits both orders (each side's runner-up can point at the other's
+    * cell) normalized so the LARGER id is the drop candidate, with
+    * duplicates collapsing in the final distinct. Both relations must
+    * carry [[FixedPointKMeans.quantize]]d vectors in `vCol` and the
+    * GLOBAL fine id in `clusterCol`. Returns distinct dropped `id`s. */
+  def droppedIdsMultiProbe(prim: DataFrame, sec: DataFrame,
+      idCol: String, vCol: String, clusterCol: String,
+      tauNum: Long, tauDen: Long): DataFrame = {
+    require(tauDen > 0 && tauNum >= 0 && tauNum <= tauDen,
+      s"SemDeDup: need 0 <= tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    def prep(df: DataFrame, probe: Int) = df.select(
+      col(idCol).as("id"),
+      col(clusterCol).as("cl"),
+      lit(probe).as("probe"),
+      transform(col(vCol), x => x - FixedPointKMeans.QShift).as("uv"))
+      .withColumn("nsq", call_function("graft_dot_long", col("uv"), col("uv")))
+    val m = prep(prim, 1).union(prep(sec, 2))
+    val a = m.select(col("id").as("id_a"), col("cl").as("cl_a"),
+      col("probe").as("probe_a"), col("uv").as("uv_a"), col("nsq").as("nsq_a"))
+    val b = prep(prim, 1).select(col("id").as("id_b"), col("cl").as("cl_b"),
+      col("uv").as("uv_b"), col("nsq").as("nsq_b"))
+    a.join(b, col("cl_a") === col("cl_b") &&
+        (col("id_a") < col("id_b") ||
+          (col("probe_a") === 2 && col("id_a") =!= col("id_b"))))
+      .filter(call_function("graft_intcos_ge",
+        call_function("graft_dot_long", col("uv_a"), col("uv_b")),
+        col("nsq_a"), col("nsq_b"), lit(tauNum), lit(tauDen)))
+      .select(greatest(col("id_a"), col("id_b")).as("id"))
+      .distinct()
+  }
 }

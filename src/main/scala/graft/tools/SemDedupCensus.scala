@@ -74,15 +74,23 @@ object SemDedupCensus {
           t2.filter($"cc2" =!= -1).select($"vec_id", $"v", $"cc2".as("cc")),
           "v", "cc", kf, tl.fine, requireSeeded = false)
           .select($"vec_id", $"fj")
-        val mSizes = prim.unionByName(sec)
-          .groupBy($"fj").agg(count(lit(1)).as("c"))
-          .select($"c").as[Long].collect().sorted.reverse
+        val pSizes = prim.groupBy($"fj").agg(count(lit(1)).as("pc"))
+        val uSizes = prim.unionByName(sec)
+          .groupBy($"fj").agg(count(lit(1)).as("uc"))
+        val agg = uSizes.join(pSizes, Seq("fj"), "left")
+          .agg(sum($"uc").as("rows"),
+            sum($"uc" * $"uc").as("usq"),
+            sum($"uc" * coalesce($"pc", lit(0L))).as("asym"))
+          .head()
         val tMp = (System.nanoTime() - tm0) / 1e9
-        val mSumSq = mSizes.map(c => c * c).sum
-        println(s"[census-2lmp] union membership rows = ${mSizes.sum} " +
+        val (mRows, mSumSq, asym) =
+          (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        println(s"[census-2lmp] union membership rows = $mRows " +
           s"(of $n primary) in ${f"$tMp%.1f"}s")
-        println(s"[census-2lmp] union sum c^2 = $mSumSq " +
-          s"(${f"${mSumSq.toDouble / sumSq}%.2f"}x the primary's $sumSq)")
+        println(s"[census-2lmp] symmetric union sum c^2 = $mSumSq " +
+          s"(${f"${mSumSq.toDouble / sumSq}%.2f"}x the primary's $sumSq); " +
+          s"ASYMMETRIC sum u*p = $asym " +
+          s"(${f"${asym.toDouble / sumSq}%.2f"}x — the shipped surface)")
       }
       spark.stop()
       return
