@@ -93,30 +93,35 @@ object CorpusStatsQueries {
     * (if any — must carry their own trailing comma) are spliced between
     * `q` and `c0`, so `kExpr` may reference relations derived from `q`
     * (the two-level generator's kc/kf dims ride here). */
+  /** `sfx` suffixes EVERY generated CTE name (q, c{r}, a{r}) so one
+    * oracle can replay TWO independent clusterings in the same WITH —
+    * the flat-vs-hierarchical router's both-paths replay. Default ""
+    * keeps every existing caller's SQL semantically identical. */
   private[analytics] def kmeansOracleCtesOn(
-      src: String, kExpr: String, rounds: Int, extra: String = ""): String = {
+      src: String, kExpr: String, rounds: Int, extra: String = "",
+      sfx: String = ""): String = {
     def assignRound(a: String, cPrev: String) =
       s"""$a AS (SELECT vec_id, v, j, dist FROM (
           SELECT q.vec_id, q.v, c.j, ${kmeansDistSql("q.v", "c.c")} AS dist,
             ROW_NUMBER() OVER (PARTITION BY q.vec_id
               ORDER BY ${kmeansDistSql("q.v", "c.c")}, c.j) AS rk
-          FROM q, $cPrev c) WHERE rk = 1)"""
+          FROM q$sfx q, $cPrev c) WHERE rk = 1)"""
     def updateRound(cNext: String, a: String) =
       s"""$cNext AS (SELECT j, list(m ORDER BY i) AS c FROM (
           SELECT a.j, t.i, CAST(SUM(a.v[t.i+1]) // COUNT(*) AS BIGINT) AS m
           FROM $a a, UNNEST(range(64)) AS t(i) GROUP BY a.j, t.i) GROUP BY j)"""
     val roundsSql = (1 to rounds).map(r =>
-      assignRound(s"a$r", s"c${r - 1}") + ",\n" +
-        updateRound(s"c$r", s"a$r")).mkString(",\n")
-    s"""q AS (SELECT vec_id,
+      assignRound(s"a$r$sfx", s"c${r - 1}$sfx") + ",\n" +
+        updateRound(s"c$r$sfx", s"a$r$sfx")).mkString(",\n")
+    s"""q$sfx AS (SELECT vec_id,
         list_transform(v,
           x -> CAST(FLOOR(x * $QScale + 0.5) AS BIGINT) + $QShift) AS v
       FROM $src AS kmeans_src),
-      ${extra}c0 AS (SELECT j, c FROM (
-        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c FROM q)
+      ${extra}c0$sfx AS (SELECT j, c FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c FROM q$sfx)
         WHERE j < ($kExpr)),
       $roundsSql,
-      ${assignRound(s"a${rounds + 1}", s"c$rounds")}"""
+      ${assignRound(s"a${rounds + 1}$sfx", s"c$rounds$sfx")}"""
   }
 
   /** SemDeDup's cosine threshold τ = 9/10 as an exact rational — the
@@ -135,8 +140,95 @@ object CorpusStatsQueries {
     * intra-cluster pair volume (N²/k): both Θ(N^1.5·d) — the published
     * method's sub-quadratic trade (hierarchical k-means is the next
     * rung at extreme N, not a cap). */
-  private val SemKExpr =
-    "SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM q"
+  private def semKExprOn(rel: String) =
+    s"SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM $rel"
+  private val SemKExpr = semKExprOn("q")
+
+  /** The SemDeDup drop replay from a FLAT final-assignment CTE
+    * `a{rounds+1}$sfx`: unshifted vectors + squared norms once per
+    * vector, within-cluster pairs, the exact HUGEINT threshold test,
+    * per-cluster stats. Emits `u$sfx`/`pr$sfx`/`dropped$sfx`(id_b)/
+    * `stats$sfx`(cluster, n_members, n_dropped). */
+  private def semdedupFlatTailSql(sfx: String): String = {
+    val aFin = s"a${KmeansRounds + 1}$sfx"
+    s"""u$sfx AS (SELECT vec_id, j,
+          list_transform(v, x -> x - $QShift) AS uv,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(v, x -> (x - $QShift) * (x - $QShift))),
+            (acc, x) -> acc + x) AS nsq
+        FROM $aFin),
+      pr$sfx AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(64), i -> a.uv[i+1] * b.uv[i+1])),
+            (acc, x) -> acc + x) AS dot,
+          a.nsq AS nsq_a, b.nsq AS nsq_b
+        FROM u$sfx a JOIN u$sfx b ON a.j = b.j AND a.vec_id < b.vec_id),
+      dropped$sfx AS (SELECT DISTINCT id_b FROM pr$sfx
+        WHERE dot >= 0 AND nsq_a > 0 AND nsq_b > 0
+          AND CAST(dot AS HUGEINT) * dot * ${SemTauDen * SemTauDen} >=
+              ${SemTauNum * SemTauNum} * CAST(nsq_a AS HUGEINT) * nsq_b),
+      stats$sfx AS (SELECT a.j AS cluster, COUNT(*) AS n_members,
+          CAST(SUM(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped
+        FROM $aFin a LEFT JOIN dropped$sfx d ON a.vec_id = d.id_b
+        GROUP BY a.j)"""
+  }
+
+  /** The multi-probe drop replay from the TWO-LEVEL CTEs (`q$sfx`,
+    * final coarse centroids `c{rounds}$sfx`, final fine centroids
+    * `f{rounds}$sfx`): top-2 coarse rank (the kernel's two-slot
+    * strict-< tie-break ≡ rk ≤ 2 of the distance row_number), the
+    * per-(vector, probe) fine argmin, and the ASYMMETRIC pair rule of
+    * [[graft.operators.SemDeDup.droppedIdsMultiProbe]]. Emits
+    * `m$sfx`/`dropped$sfx`(id_b)/`prim$sfx`/`stats$sfx`. */
+  private def semdedupMpTailSql(sfx: String): String = {
+    val cFin = s"c$KmeansRounds$sfx"
+    val fFin = s"f$KmeansRounds$sfx"
+    s"""a2t$sfx AS (SELECT vec_id, v, j, rk FROM (
+          SELECT q.vec_id, q.v, c.j, ${kmeansDistSql("q.v", "c.c")} AS dist,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${kmeansDistSql("q.v", "c.c")}, c.j) AS rk
+          FROM q$sfx q, $cFin c) WHERE rk <= 2),
+      m$sfx AS (SELECT vec_id, v, fj, rk FROM (
+          SELECT a.vec_id, a.v, f.fj, a.rk,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.rk
+              ORDER BY ${kmeansDistSql("a.v", "f.c")}, f.fj) AS rrk
+          FROM a2t$sfx a JOIN $fFin f ON a.j = f.cc) WHERE rrk = 1),
+      u$sfx AS (SELECT vec_id, fj, rk,
+          list_transform(v, x -> x - $QShift) AS uv,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(v, x -> (x - $QShift) * (x - $QShift))),
+            (acc, x) -> acc + x) AS nsq
+        FROM m$sfx),
+      pr$sfx AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(64), i -> a.uv[i+1] * b.uv[i+1])),
+            (acc, x) -> acc + x) AS dot,
+          a.nsq AS nsq_a, b.nsq AS nsq_b
+        FROM u$sfx a JOIN u$sfx b ON a.fj = b.fj AND b.rk = 1
+          AND (a.vec_id < b.vec_id OR (a.rk = 2 AND a.vec_id <> b.vec_id))),
+      dropped$sfx AS (SELECT DISTINCT GREATEST(id_a, id_b) AS id_b FROM pr$sfx
+        WHERE dot >= 0 AND nsq_a > 0 AND nsq_b > 0
+          AND CAST(dot AS HUGEINT) * dot * ${SemTauDen * SemTauDen} >=
+              ${SemTauNum * SemTauNum} * CAST(nsq_a AS HUGEINT) * nsq_b),
+      prim$sfx AS (SELECT vec_id, fj FROM m$sfx WHERE rk = 1),
+      stats$sfx AS (SELECT p.fj AS cluster, COUNT(*) AS n_members,
+          CAST(SUM(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped
+        FROM prim$sfx p LEFT JOIN dropped$sfx d ON p.vec_id = d.id_b
+        GROUP BY p.fj)"""
+  }
+
+  /** Planted-clone recall rollup from `dropped$sfx` — needs `base`/`mx`
+    * of [[graft.analytics.DocQueries.plantedCorpusSql]] in scope. */
+  private def semdedupRecSql(sfx: String): String =
+    s"""rec$sfx AS (SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE vec_id % 8 = 0)
+          AS n_planted,
+        CAST((SELECT COUNT(*) FROM dropped$sfx, mx
+              WHERE id_b >= mx.off AND (id_b - mx.off) % 8 = 0) * 1000000
+          // (SELECT COUNT(*) FROM base WHERE vec_id % 8 = 0) AS BIGINT)
+          AS planted_drop_ppm)"""
 
   /** SemDeDup (Abbas et al. 2023) over the planted-clone corpus:
     * k-means-cluster the embeddings (the [[FixedPointKMeans]] integer
@@ -229,13 +321,14 @@ object CorpusStatsQueries {
     * kc = max(4, ⌊√k⌋), kf = ⌈k/kc⌉ in both engines. Ends at the final
     * fine assignment `fa{rounds+1}(vec_id, cc, v, fj, dist)`. */
   private[analytics] def kmeans2lOracleCtesOn(
-      src: String, kTotExpr: String, rounds: Int): String = {
-    val dims = s"""kdims AS (SELECT k, kc, (k + kc - 1) // kc AS kf FROM (
+      src: String, kTotExpr: String, rounds: Int, sfx: String = ""): String = {
+    val dims = s"""kdims$sfx AS (SELECT k, kc, (k + kc - 1) // kc AS kf FROM (
         SELECT k, GREATEST(4, CAST(FLOOR(SQRT(CAST(k AS DOUBLE))) AS BIGINT)) AS kc
         FROM (SELECT ($kTotExpr) AS k))),
       """
-    val coarse = kmeansOracleCtesOn(src, "(SELECT kc FROM kdims)", rounds, dims)
-    val aFin = s"a${rounds + 1}"
+    val coarse =
+      kmeansOracleCtesOn(src, s"(SELECT kc FROM kdims$sfx)", rounds, dims, sfx)
+    val aFin = s"a${rounds + 1}$sfx"
     def fineAssign(fa: String, fPrev: String) =
       s"""$fa AS (SELECT vec_id, cc, v, fj, dist FROM (
           SELECT a.vec_id, f.cc, a.v, f.fj, ${kmeansDistSql("a.v", "f.c")} AS dist,
@@ -247,19 +340,19 @@ object CorpusStatsQueries {
           SELECT fj, list(m ORDER BY i) AS c FROM (
             SELECT a.fj, t.i, CAST(SUM(a.v[t.i+1]) // COUNT(*) AS BIGINT) AS m
             FROM $fa a, UNNEST(range(64)) AS t(i) GROUP BY a.fj, t.i)
-          GROUP BY fj) u, kdims kd)"""
+          GROUP BY fj) u, kdims$sfx kd)"""
     val f0 =
-      s"""f0 AS (SELECT a.j AS cc, a.j * kd.kf + a.rn - 1 AS fj, a.v AS c FROM (
+      s"""f0$sfx AS (SELECT a.j AS cc, a.j * kd.kf + a.rn - 1 AS fj, a.v AS c FROM (
           SELECT vec_id, v, j,
             ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) AS rn
-          FROM $aFin) a, kdims kd WHERE a.rn <= kd.kf)"""
+          FROM $aFin) a, kdims$sfx kd WHERE a.rn <= kd.kf)"""
     val fineRounds = (1 to rounds).map(r =>
-      fineAssign(s"fa$r", s"f${r - 1}") + ",\n" +
-        fineUpdate(s"f$r", s"fa$r")).mkString(",\n")
+      fineAssign(s"fa$r$sfx", s"f${r - 1}$sfx") + ",\n" +
+        fineUpdate(s"f$r$sfx", s"fa$r$sfx")).mkString(",\n")
     s"""$coarse,
       $f0,
       $fineRounds,
-      ${fineAssign(s"fa${rounds + 1}", s"f$rounds")}"""
+      ${fineAssign(s"fa${rounds + 1}$sfx", s"f$rounds$sfx")}"""
   }
 
   /** SemDeDup routed through the TWO-LEVEL (hierarchical) k-means —
@@ -455,6 +548,98 @@ object CorpusStatsQueries {
             AS planted_drop_ppm)
       SELECT cluster, n_members, n_dropped, rec.n_planted, rec.planted_drop_ppm
       FROM stats, rec ORDER BY cluster"""
+    })
+  )
+
+  /** SemDeDup behind the measured flat-vs-hierarchical ROUTER
+    * ([[graft.operators.SemDeDup.routeTwoLevel]]) — one query, the
+    * right plan at every corpus size: below 1e5 vectors the flat ⌊√N⌋
+    * Lloyd (fixed per-round job count dominates the hierarchy at small
+    * N — flat measured 3.3 vs 5.4 s at n = 22 500); at or above it the
+    * two-level fit + coarse top-2 multi-probe, which at n = 225 000
+    * beats flat on BOTH axes (19.0 vs 28.2 s steady, 94.4% vs 91.8%
+    * planted recall — BENCH_SF10_PROBE_MP.json). The decision is a
+    * pure function of the SAME integer count in both engines and rides
+    * in every row as `mode`; the oracle replays BOTH paths (suffixed
+    * CTE chains — this is what the sfx parameter of the kmeans
+    * generators exists for) and selects by the replayed decision, so
+    * the gate stays honest at ANY corpus size rather than silently
+    * pinning the small-N branch. Output schema = q_semdedup + mode. */
+  val qSemdedupAuto = GraftQuery(
+    "q_semdedup_auto",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, FixedPointKMeans, SemDeDup}
+      val (corpus, off, nPlanted) = DocQueries.plantedEmbeddings(s, dir)
+      val q = Caches.register(corpus.select($"vec_id",
+        FixedPointKMeans.quantize($"embedding").as("v")))
+      val n = q.count()
+      val kTot = math.max(8L, math.floor(math.sqrt(n.toDouble)).toLong)
+      val twoLevel = SemDeDup.routeTwoLevel(n)
+      val (asgPrim, dropped) = if (!twoLevel) {
+        val cents = FixedPointKMeans.fit(q, "vec_id", "v", kTot.toInt, KmeansRounds)
+        val asg = Caches.register(FixedPointKMeans.assign(q, "v", cents)
+          .select($"vec_id", $"v", $"cluster"))
+        (asg.select($"vec_id", $"cluster"),
+          SemDeDup.droppedIds(asg, "vec_id", "v", "cluster",
+            SemTauNum, SemTauDen))
+      } else {
+        val kc = math.max(4L, math.floor(math.sqrt(kTot.toDouble)).toLong).toInt
+        val kf = ((kTot + kc - 1L) / kc).toInt
+        val tl = FixedPointKMeans.fitTwoLevel(q, "vec_id", "v", kc, kf, KmeansRounds)
+        val t2 = Caches.register(FixedPointKMeans.assignTop2(q, "v", tl.coarse)
+          .select($"vec_id", $"v", $"cluster".as("cc1"), $"cluster2".as("cc2")))
+        val prim = Caches.register(FixedPointKMeans.assignFine(
+            t2.select($"vec_id", $"v", $"cc1".as("cc")), "v", "cc", kf, tl.fine)
+          .select($"vec_id", $"v", $"fj"))
+        val sec = FixedPointKMeans.assignFine(
+            t2.filter($"cc2" =!= -1).select($"vec_id", $"v", $"cc2".as("cc")),
+            "v", "cc", kf, tl.fine, requireSeeded = false)
+          .select($"vec_id", $"v", $"fj")
+        (prim.select($"vec_id", $"fj".as("cluster")),
+          SemDeDup.droppedIdsMultiProbe(prim, sec, "vec_id", "v", "fj",
+            SemTauNum, SemTauDen))
+      }
+      val stats = asgPrim
+        .join(dropped.withColumnRenamed("id", "vec_id")
+          .withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"),
+          sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"))
+      val rec = dropped
+        .agg(coalesce(sum(when($"id" >= off && ($"id" - off) % 8 === 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_pd"))
+        .select(lit(nPlanted).as("n_planted"),
+          expr(s"CAST(n_pd * 1000000 div $nPlanted AS BIGINT)")
+            .as("planted_drop_ppm"))
+      stats.crossJoin(rec)
+        .withColumn("mode", lit(if (twoLevel) "2l_mp" else "flat"))
+        .orderBy($"cluster")
+    },
+    Some({
+      val T = graft.operators.SemDeDup.RouteMinTwoLevelN
+      s"""WITH ${graft.analytics.DocQueries.plantedCorpusSql},
+      ${kmeansOracleCtesOn("(SELECT vec_id, v FROM e)", semKExprOn("qf"),
+        KmeansRounds, "", "f")},
+      ${semdedupFlatTailSql("f")},
+      ${semdedupRecSql("f")},
+      ${kmeans2lOracleCtesOn("(SELECT vec_id, v FROM e)", semKExprOn("qh"),
+        KmeansRounds, "h")},
+      ${semdedupMpTailSql("h")},
+      ${semdedupRecSql("h")},
+      dec AS (SELECT CASE WHEN (SELECT COUNT(*) FROM qf) >= $T
+        THEN '2l_mp' ELSE 'flat' END AS mode)
+      SELECT r.cluster, r.n_members, r.n_dropped, r.n_planted,
+        r.planted_drop_ppm, dec.mode
+      FROM (
+        SELECT s.cluster, s.n_members, s.n_dropped, r.n_planted,
+          r.planted_drop_ppm
+        FROM statsf s, recf r WHERE (SELECT mode FROM dec) = 'flat'
+        UNION ALL
+        SELECT s.cluster, s.n_members, s.n_dropped, r.n_planted,
+          r.planted_drop_ppm
+        FROM statsh s, rech r WHERE (SELECT mode FROM dec) = '2l_mp'
+      ) r, dec ORDER BY r.cluster"""
     })
   )
 
@@ -1002,6 +1187,7 @@ object CorpusStatsQueries {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(qKmeans, qSemdedup, qSemdedup2l, qSemdedup2lMp, qPqRecall, qSourceKl, qHeapsLaw,
+    Seq(qKmeans, qSemdedup, qSemdedup2l, qSemdedup2lMp, qSemdedupAuto,
+      qPqRecall, qSourceKl, qHeapsLaw,
       qZipfFit, qCoreset, qNmfTopics)
 }

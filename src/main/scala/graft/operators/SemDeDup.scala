@@ -47,6 +47,23 @@ import org.apache.spark.sql.functions._
   * a cap would silently break the dedup contract. */
 object SemDeDup {
 
+  /** Corpus-size threshold of the flat-vs-hierarchical ROUTER: below
+    * it the flat ⌊√N⌋ Lloyd wins (fixed per-round job count dominates
+    * the hierarchy at small N — measured 3.3 s flat vs 5.4 s two-level
+    * steady at n = 22 500, sf1); at or above it the two-level fit +
+    * coarse top-2 multi-probe wins BOTH axes (19.0 s vs 28.2 s steady
+    * AND 94.4% vs 91.8% planted recall at n = 225 000, sf10 —
+    * BENCH_SF10_PROBE_MP.json). 1e5 sits between the measured points
+    * (geometric mean ≈ 7.1e4, rounded up so the small-corpus default
+    * stays the cheaper flat path). Both engines route on the SAME
+    * integer count, so the decision — and with it the whole
+    * clustering — is replayable. */
+  val RouteMinTwoLevelN = 100000L
+
+  /** True when the two-level + multi-probe path should serve a corpus
+    * of `n` vectors ([[RouteMinTwoLevelN]]). */
+  def routeTwoLevel(n: Long): Boolean = n >= RouteMinTwoLevelN
+
   /** Ids DROPPED by SemDeDup over an already-clustered quantized
     * relation: a row's id is emitted iff a SMALLER-id member of the
     * same cluster has cosine ≥ tauNum/tauDen with it (the repo-wide

@@ -247,6 +247,28 @@ class TwoLevelKMeansSpec extends SparkSpec {
     assert(nMembers === 500L + nPlanted)
   }
 
+  test("router: flat at the measured sf1 point, two-level+mp at the measured sf10 point") {
+    // the two solo-bench measurements the threshold is derived from
+    // (SCALING.md round-13/14; BENCH_SF10_PROBE_MP.json): n = 22 500
+    // (sf1, flat 3.3 s vs two-level 5.4 s) and n = 225 000 (sf10, mp
+    // 19.0 s vs flat 28.2 s AND +2.6 pp recall)
+    assert(!SemDeDup.routeTwoLevel(22500L))
+    assert(SemDeDup.routeTwoLevel(225000L))
+  }
+
+  test("q_semdedup_auto at sf0.01 routes flat and matches q_semdedup row for row") {
+    val auto = graft.analytics.CorpusStatsQueries.qSemdedupAuto
+      .run(spark, "/root/testdata/sf0.01").collect()
+    val flat = graft.analytics.CorpusStatsQueries.qSemdedup
+      .run(spark, "/root/testdata/sf0.01").collect()
+    assert(auto.nonEmpty && auto.length === flat.length)
+    auto.foreach(r => assert(r.getAs[String]("mode") === "flat"))
+    auto.zip(flat).foreach { case (a, f) =>
+      Seq("cluster", "n_members", "n_dropped", "n_planted", "planted_drop_ppm")
+        .foreach(c => assert(a.getAs[Any](c) === f.getAs[Any](c), c))
+    }
+  }
+
   test("q_semdedup_2l at sf0.01: conservation and the planted recall floor hold") {
     val rows = graft.analytics.CorpusStatsQueries.qSemdedup2l
       .run(spark, "/root/testdata/sf0.01").collect()
