@@ -230,6 +230,68 @@ object CorpusStatsQueries {
           // (SELECT COUNT(*) FROM base WHERE vec_id % 8 = 0) AS BIGINT)
           AS planted_drop_ppm)"""
 
+  /** Flat SemDeDup ENGINE path over a cached quantized relation
+    * (vec_id, v): k = ⌊√N⌋ Lloyd, cached assignment, exact in-cluster
+    * drop. Shared verbatim by q_semdedup and the router's small-N
+    * branch so the two can never drift (the gated corpora all route
+    * flat, so a drift in a hand-copied branch would ship silently).
+    * Returns (primary (vec_id, cluster), dropped ids). */
+  private def semdedupFlatPath(q: DataFrame, kTot: Int): (DataFrame, DataFrame) = {
+    import graft.operators.{Caches, FixedPointKMeans, SemDeDup}
+    val cents = FixedPointKMeans.fit(q, "vec_id", "v", kTot, KmeansRounds)
+    val asg = Caches.register(FixedPointKMeans.assign(q, "v", cents)
+      .select(col("vec_id"), col("v"), col("cluster")))
+    (asg.select(col("vec_id"), col("cluster")),
+      SemDeDup.droppedIds(asg, "vec_id", "v", "cluster", SemTauNum, SemTauDen))
+  }
+
+  /** Two-level + coarse top-2 multi-probe ENGINE path — shared
+    * verbatim by q_semdedup_2l_mp and the router's large-N branch
+    * (same no-drift argument as [[semdedupFlatPath]], sharper here:
+    * no oracle-gated corpus exercises the router's large-N branch). */
+  private def semdedup2lMpPath(q: DataFrame, kTot: Long): (DataFrame, DataFrame) = {
+    import graft.operators.{Caches, FixedPointKMeans, SemDeDup}
+    val kc = math.max(4L, math.floor(math.sqrt(kTot.toDouble)).toLong).toInt
+    val kf = ((kTot + kc - 1L) / kc).toInt
+    val tl = FixedPointKMeans.fitTwoLevel(q, "vec_id", "v", kc, kf, KmeansRounds)
+    // one fused top-2 coarse sweep, cached: both probes read it
+    val t2 = Caches.register(FixedPointKMeans.assignTop2(q, "v", tl.coarse)
+      .select(col("vec_id"), col("v"),
+        col("cluster").as("cc1"), col("cluster2").as("cc2")))
+    val prim = Caches.register(FixedPointKMeans.assignFine(
+        t2.select(col("vec_id"), col("v"), col("cc1").as("cc")),
+        "v", "cc", kf, tl.fine)
+      .select(col("vec_id"), col("v"), col("fj")))
+    val sec = FixedPointKMeans.assignFine(
+        t2.filter(col("cc2") =!= -1)
+          .select(col("vec_id"), col("v"), col("cc2").as("cc")),
+        "v", "cc", kf, tl.fine, requireSeeded = false)
+      .select(col("vec_id"), col("v"), col("fj"))
+    (prim.select(col("vec_id"), col("fj").as("cluster")),
+      SemDeDup.droppedIdsMultiProbe(prim, sec, "vec_id", "v", "fj",
+        SemTauNum, SemTauDen))
+  }
+
+  /** Shared per-cluster stats + planted-recall rollup over a primary
+    * assignment (vec_id, cluster) and a dropped-id relation: (cluster,
+    * n_members, n_dropped, n_planted, planted_drop_ppm) by cluster. */
+  private def semdedupStats(asgPrim: DataFrame, dropped: DataFrame,
+      off: Long, nPlanted: Long): DataFrame = {
+    val stats = asgPrim
+      .join(dropped.withColumnRenamed("id", "vec_id")
+        .withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+    val rec = dropped
+      .agg(coalesce(sum(when(col("id") >= off && (col("id") - off) % 8 === 0, 1L)
+        .otherwise(0L)), lit(0L)).as("n_pd"))
+      .select(lit(nPlanted).as("n_planted"),
+        expr(s"CAST(n_pd * 1000000 div $nPlanted AS BIGINT)")
+          .as("planted_drop_ppm"))
+    stats.crossJoin(rec).orderBy(col("cluster"))
+  }
+
   /** SemDeDup (Abbas et al. 2023) over the planted-clone corpus:
     * k-means-cluster the embeddings (the [[FixedPointKMeans]] integer
     * Lloyd, k = ⌊√N⌋, fully replayed by the oracle's unrolled CTEs),
@@ -249,66 +311,21 @@ object CorpusStatsQueries {
     "q_semdedup",
     (s, dir) => {
       import s.implicits._
-      import graft.operators.{Caches, FixedPointKMeans, SemDeDup}
+      import graft.operators.{Caches, FixedPointKMeans}
       val (corpus, off, nPlanted) = DocQueries.plantedEmbeddings(s, dir)
       val q = Caches.register(corpus.select($"vec_id",
         FixedPointKMeans.quantize($"embedding").as("v")))
       val k = math.max(8L,
         math.floor(math.sqrt(q.count().toDouble)).toLong).toInt
-      val cents = FixedPointKMeans.fit(q, "vec_id", "v", k, KmeansRounds)
-      val asg = Caches.register(FixedPointKMeans.assign(q, "v", cents)
-        .select($"vec_id", $"v", $"cluster"))
-      val dropped = SemDeDup.droppedIds(asg, "vec_id", "v", "cluster",
-        SemTauNum, SemTauDen)
-      val stats = asg
-        .join(dropped.withColumnRenamed("id", "vec_id")
-          .withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
-        .groupBy($"cluster")
-        .agg(count(lit(1)).as("n_members"),
-          sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"))
-      val rec = dropped
-        .agg(coalesce(sum(when($"id" >= off && ($"id" - off) % 8 === 0, 1L)
-          .otherwise(0L)), lit(0L)).as("n_pd"))
-        .select(lit(nPlanted).as("n_planted"),
-          expr(s"CAST(n_pd * 1000000 div $nPlanted AS BIGINT)")
-            .as("planted_drop_ppm"))
-      stats.crossJoin(rec).orderBy($"cluster")
+      val (asgPrim, dropped) = semdedupFlatPath(q, k)
+      semdedupStats(asgPrim, dropped, off, nPlanted)
     },
-    Some({
-      val aFin = s"a${KmeansRounds + 1}"
-      s"""WITH ${graft.analytics.DocQueries.plantedCorpusSql},
+    Some(s"""WITH ${graft.analytics.DocQueries.plantedCorpusSql},
       ${kmeansOracleCtesOn("(SELECT vec_id, v FROM e)", SemKExpr, KmeansRounds)},
-      u AS (SELECT vec_id, j,
-          list_transform(v, x -> x - $QShift) AS uv,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(v, x -> (x - $QShift) * (x - $QShift))),
-            (acc, x) -> acc + x) AS nsq
-        FROM $aFin),
-      pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(64), i -> a.uv[i+1] * b.uv[i+1])),
-            (acc, x) -> acc + x) AS dot,
-          a.nsq AS nsq_a, b.nsq AS nsq_b
-        FROM u a JOIN u b ON a.j = b.j AND a.vec_id < b.vec_id),
-      dropped AS (SELECT DISTINCT id_b FROM pr
-        WHERE dot >= 0 AND nsq_a > 0 AND nsq_b > 0
-          AND CAST(dot AS HUGEINT) * dot * ${SemTauDen * SemTauDen} >=
-              ${SemTauNum * SemTauNum} * CAST(nsq_a AS HUGEINT) * nsq_b),
-      stats AS (SELECT $aFin.j AS cluster, COUNT(*) AS n_members,
-          CAST(SUM(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_dropped
-        FROM $aFin LEFT JOIN dropped d ON $aFin.vec_id = d.id_b
-        GROUP BY $aFin.j),
-      rec AS (SELECT
-          (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE vec_id % 8 = 0)
-            AS n_planted,
-          CAST((SELECT COUNT(*) FROM dropped, mx
-                WHERE id_b >= mx.off AND (id_b - mx.off) % 8 = 0) * 1000000
-            // (SELECT COUNT(*) FROM base WHERE vec_id % 8 = 0) AS BIGINT)
-            AS planted_drop_ppm)
+      ${semdedupFlatTailSql("")},
+      ${semdedupRecSql("")}
       SELECT cluster, n_members, n_dropped, rec.n_planted, rec.planted_drop_ppm
-      FROM stats, rec ORDER BY cluster"""
-    })
+      FROM stats, rec ORDER BY cluster""")
   )
 
   /** The [[graft.operators.FixedPointKMeans.fitTwoLevel]] replay as
@@ -386,19 +403,7 @@ object CorpusStatsQueries {
         .select($"vec_id", $"v", $"cluster"))
       val dropped = SemDeDup.droppedIds(asg, "vec_id", "v", "cluster",
         SemTauNum, SemTauDen)
-      val stats = asg
-        .join(dropped.withColumnRenamed("id", "vec_id")
-          .withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
-        .groupBy($"cluster")
-        .agg(count(lit(1)).as("n_members"),
-          sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"))
-      val rec = dropped
-        .agg(coalesce(sum(when($"id" >= off && ($"id" - off) % 8 === 0, 1L)
-          .otherwise(0L)), lit(0L)).as("n_pd"))
-        .select(lit(nPlanted).as("n_planted"),
-          expr(s"CAST(n_pd * 1000000 div $nPlanted AS BIGINT)")
-            .as("planted_drop_ppm"))
-      stats.crossJoin(rec).orderBy($"cluster")
+      semdedupStats(asg.select($"vec_id", $"cluster"), dropped, off, nPlanted)
     },
     Some({
       val faFin = s"fa${KmeansRounds + 1}"
@@ -466,89 +471,21 @@ object CorpusStatsQueries {
     "q_semdedup_2l_mp",
     (s, dir) => {
       import s.implicits._
-      import graft.operators.{Caches, FixedPointKMeans, SemDeDup}
+      import graft.operators.{Caches, FixedPointKMeans}
       val (corpus, off, nPlanted) = DocQueries.plantedEmbeddings(s, dir)
       val q = Caches.register(corpus.select($"vec_id",
         FixedPointKMeans.quantize($"embedding").as("v")))
       val n = q.count()
       val kTot = math.max(8L, math.floor(math.sqrt(n.toDouble)).toLong)
-      val kc = math.max(4L, math.floor(math.sqrt(kTot.toDouble)).toLong).toInt
-      val kf = ((kTot + kc - 1L) / kc).toInt
-      val tl = FixedPointKMeans.fitTwoLevel(q, "vec_id", "v", kc, kf, KmeansRounds)
-      // one fused top-2 coarse sweep, cached: both probes read it
-      val t2 = Caches.register(FixedPointKMeans.assignTop2(q, "v", tl.coarse)
-        .select($"vec_id", $"v", $"cluster".as("cc1"), $"cluster2".as("cc2")))
-      val prim = Caches.register(FixedPointKMeans.assignFine(
-          t2.select($"vec_id", $"v", $"cc1".as("cc")), "v", "cc", kf, tl.fine)
-        .select($"vec_id", $"v", $"fj"))
-      val sec = FixedPointKMeans.assignFine(
-          t2.filter($"cc2" =!= -1).select($"vec_id", $"v", $"cc2".as("cc")),
-          "v", "cc", kf, tl.fine, requireSeeded = false)
-        .select($"vec_id", $"v", $"fj")
-      val dropped = SemDeDup.droppedIdsMultiProbe(prim, sec,
-        "vec_id", "v", "fj", SemTauNum, SemTauDen)
-      val stats = prim.withColumnRenamed("fj", "cluster")
-        .join(dropped.withColumnRenamed("id", "vec_id")
-          .withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
-        .groupBy($"cluster")
-        .agg(count(lit(1)).as("n_members"),
-          sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"))
-      val rec = dropped
-        .agg(coalesce(sum(when($"id" >= off && ($"id" - off) % 8 === 0, 1L)
-          .otherwise(0L)), lit(0L)).as("n_pd"))
-        .select(lit(nPlanted).as("n_planted"),
-          expr(s"CAST(n_pd * 1000000 div $nPlanted AS BIGINT)")
-            .as("planted_drop_ppm"))
-      stats.crossJoin(rec).orderBy($"cluster")
+      val (asgPrim, dropped) = semdedup2lMpPath(q, kTot)
+      semdedupStats(asgPrim, dropped, off, nPlanted)
     },
-    Some({
-      val cFin = s"c$KmeansRounds"
-      val fFin = s"f$KmeansRounds"
-      s"""WITH ${graft.analytics.DocQueries.plantedCorpusSql},
+    Some(s"""WITH ${graft.analytics.DocQueries.plantedCorpusSql},
       ${kmeans2lOracleCtesOn("(SELECT vec_id, v FROM e)", SemKExpr, KmeansRounds)},
-      a2t AS (SELECT vec_id, v, j, rk FROM (
-          SELECT q.vec_id, q.v, c.j, ${kmeansDistSql("q.v", "c.c")} AS dist,
-            ROW_NUMBER() OVER (PARTITION BY q.vec_id
-              ORDER BY ${kmeansDistSql("q.v", "c.c")}, c.j) AS rk
-          FROM q, $cFin c) WHERE rk <= 2),
-      m AS (SELECT vec_id, v, fj, rk FROM (
-          SELECT a.vec_id, a.v, f.fj, a.rk,
-            ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.rk
-              ORDER BY ${kmeansDistSql("a.v", "f.c")}, f.fj) AS rrk
-          FROM a2t a JOIN $fFin f ON a.j = f.cc) WHERE rrk = 1),
-      u AS (SELECT vec_id, fj, rk,
-          list_transform(v, x -> x - $QShift) AS uv,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(v, x -> (x - $QShift) * (x - $QShift))),
-            (acc, x) -> acc + x) AS nsq
-        FROM m),
-      pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(64), i -> a.uv[i+1] * b.uv[i+1])),
-            (acc, x) -> acc + x) AS dot,
-          a.nsq AS nsq_a, b.nsq AS nsq_b
-        FROM u a JOIN u b ON a.fj = b.fj AND b.rk = 1
-          AND (a.vec_id < b.vec_id OR (a.rk = 2 AND a.vec_id <> b.vec_id))),
-      dropped AS (SELECT DISTINCT GREATEST(id_a, id_b) AS id_b FROM pr
-        WHERE dot >= 0 AND nsq_a > 0 AND nsq_b > 0
-          AND CAST(dot AS HUGEINT) * dot * ${SemTauDen * SemTauDen} >=
-              ${SemTauNum * SemTauNum} * CAST(nsq_a AS HUGEINT) * nsq_b),
-      prim AS (SELECT vec_id, fj FROM m WHERE rk = 1),
-      stats AS (SELECT prim.fj AS cluster, COUNT(*) AS n_members,
-          CAST(SUM(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_dropped
-        FROM prim LEFT JOIN dropped d ON prim.vec_id = d.id_b
-        GROUP BY prim.fj),
-      rec AS (SELECT
-          (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE vec_id % 8 = 0)
-            AS n_planted,
-          CAST((SELECT COUNT(*) FROM dropped, mx
-                WHERE id_b >= mx.off AND (id_b - mx.off) % 8 = 0) * 1000000
-            // (SELECT COUNT(*) FROM base WHERE vec_id % 8 = 0) AS BIGINT)
-            AS planted_drop_ppm)
+      ${semdedupMpTailSql("")},
+      ${semdedupRecSql("")}
       SELECT cluster, n_members, n_dropped, rec.n_planted, rec.planted_drop_ppm
-      FROM stats, rec ORDER BY cluster"""
-    })
+      FROM stats, rec ORDER BY cluster""")
   )
 
   /** SemDeDup behind the measured flat-vs-hierarchical ROUTER
@@ -576,43 +513,12 @@ object CorpusStatsQueries {
       val n = q.count()
       val kTot = math.max(8L, math.floor(math.sqrt(n.toDouble)).toLong)
       val twoLevel = SemDeDup.routeTwoLevel(n)
-      val (asgPrim, dropped) = if (!twoLevel) {
-        val cents = FixedPointKMeans.fit(q, "vec_id", "v", kTot.toInt, KmeansRounds)
-        val asg = Caches.register(FixedPointKMeans.assign(q, "v", cents)
-          .select($"vec_id", $"v", $"cluster"))
-        (asg.select($"vec_id", $"cluster"),
-          SemDeDup.droppedIds(asg, "vec_id", "v", "cluster",
-            SemTauNum, SemTauDen))
-      } else {
-        val kc = math.max(4L, math.floor(math.sqrt(kTot.toDouble)).toLong).toInt
-        val kf = ((kTot + kc - 1L) / kc).toInt
-        val tl = FixedPointKMeans.fitTwoLevel(q, "vec_id", "v", kc, kf, KmeansRounds)
-        val t2 = Caches.register(FixedPointKMeans.assignTop2(q, "v", tl.coarse)
-          .select($"vec_id", $"v", $"cluster".as("cc1"), $"cluster2".as("cc2")))
-        val prim = Caches.register(FixedPointKMeans.assignFine(
-            t2.select($"vec_id", $"v", $"cc1".as("cc")), "v", "cc", kf, tl.fine)
-          .select($"vec_id", $"v", $"fj"))
-        val sec = FixedPointKMeans.assignFine(
-            t2.filter($"cc2" =!= -1).select($"vec_id", $"v", $"cc2".as("cc")),
-            "v", "cc", kf, tl.fine, requireSeeded = false)
-          .select($"vec_id", $"v", $"fj")
-        (prim.select($"vec_id", $"fj".as("cluster")),
-          SemDeDup.droppedIdsMultiProbe(prim, sec, "vec_id", "v", "fj",
-            SemTauNum, SemTauDen))
-      }
-      val stats = asgPrim
-        .join(dropped.withColumnRenamed("id", "vec_id")
-          .withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
-        .groupBy($"cluster")
-        .agg(count(lit(1)).as("n_members"),
-          sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"))
-      val rec = dropped
-        .agg(coalesce(sum(when($"id" >= off && ($"id" - off) % 8 === 0, 1L)
-          .otherwise(0L)), lit(0L)).as("n_pd"))
-        .select(lit(nPlanted).as("n_planted"),
-          expr(s"CAST(n_pd * 1000000 div $nPlanted AS BIGINT)")
-            .as("planted_drop_ppm"))
-      stats.crossJoin(rec)
+      // the branches ARE the registered queries' shared paths — the
+      // router can never drift from q_semdedup / q_semdedup_2l_mp
+      val (asgPrim, dropped) =
+        if (twoLevel) semdedup2lMpPath(q, kTot)
+        else semdedupFlatPath(q, kTot.toInt)
+      semdedupStats(asgPrim, dropped, off, nPlanted)
         .withColumn("mode", lit(if (twoLevel) "2l_mp" else "flat"))
         .orderBy($"cluster")
     },

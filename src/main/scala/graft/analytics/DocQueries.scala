@@ -2808,13 +2808,7 @@ object DocQueries {
         .orderBy($"soft_mc".desc, $"piece").limit(40)
     },
     Some({
-      val LS = graft.expressions.UnigramExpect.LogScale
       val WS = graft.expressions.UnigramExpect.WScale
-      def lse(xs: String) =
-        s"""list_min($xs) - CAST(FLOOR($LS * ln(
-            list_reduce(list_prepend(CAST(0 AS DOUBLE),
-              list_transform($xs, x -> exp(CAST(list_min($xs) - x AS DOUBLE) / $LS))),
-            (a, b) -> a + b)) + 0.5) AS BIGINT)"""
       s"""WITH RECURSIVE
       tok AS (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
       w AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
@@ -2827,38 +2821,7 @@ object DocQueries {
           ORDER BY c DESC, p LIMIT $WpTopK)
         UNION ALL
         SELECT p, c AS score FROM gc WHERE length(p) = 1),
-      tot1 AS (SELECT CAST(SUM(score) AS BIGINT) AS total FROM v1),
-      vc AS (SELECT v.p, v.score, CAST(FLOOR($LS * ln(
-          CAST(t.total AS DOUBLE) / CAST(GREATEST(v.score, 1) AS DOUBLE)) + 0.5) AS BIGINT) AS cost
-        FROM v1 v, tot1 t),
-      occv AS (SELECT w.token, w.n, t.t, l.l, vc.p, vc.cost
-        FROM w, UNNEST(range(1, length(w.token)+1)) AS t(t),
-             UNNEST(range(1, ${WpMaxLen + 1})) AS l(l)
-        JOIN vc ON l.l <= t.t AND vc.p = substr(w.token, t.t - l.l + 1, l.l)),
-      candf AS (SELECT token, t, list(STRUCT_PACK(l := l, c := cost) ORDER BY l) AS cs
-        FROM occv GROUP BY token, t),
-      candb AS (SELECT token, t - l AS u, list(STRUCT_PACK(l := l, c := cost) ORDER BY l) AS cs
-        FROM occv GROUP BY token, t - l),
-      fwd AS (
-        SELECT token, n, 0 AS pos, [CAST(0 AS BIGINT)] AS al FROM w
-        UNION ALL
-        SELECT f.token, f.n, f.pos + 1,
-          list_append(f.al, ${lse("list_transform(c.cs, s -> f.al[f.pos + 2 - s.l] + s.c)")})
-        FROM fwd f JOIN candf c ON c.token = f.token AND c.t = f.pos + 1),
-      fa AS (SELECT token, n, al FROM fwd WHERE pos = length(token)),
-      bwd AS (
-        SELECT token, length(token) AS pos, [CAST(0 AS BIGINT)] AS bl FROM w
-        UNION ALL
-        SELECT b.token, b.pos - 1,
-          list_prepend(${lse("list_transform(c.cs, s -> s.c + b.bl[s.l])")}, b.bl)
-        FROM bwd b JOIN candb c ON c.token = b.token AND c.u = b.pos - 1),
-      bb AS (SELECT token, bl FROM bwd WHERE pos = 0),
-      wx AS (SELECT o.token, o.n, o.p,
-          CAST(FLOOR($WS * exp(CAST(fa.al[length(o.token) + 1] - fa.al[o.t - o.l + 1]
-            - o.cost - bb.bl[o.t + 1] AS DOUBLE) / $LS) + 0.5) AS BIGINT) AS mc
-        FROM occv o JOIN fa ON fa.token = o.token JOIN bb ON bb.token = o.token),
-      soft AS (SELECT p, CAST(SUM(CAST(n AS HUGEINT) * mc) AS BIGINT) AS soft_mc
-        FROM wx GROUP BY p),
+      ${unigramSoftSql("", "v1")},
       ${unigramRoundSql("1", "v1")},
       hard AS (SELECT p, CAST(SUM(n) AS BIGINT) AS hard_n FROM (
         SELECT UNNEST(pieces) AS p, n FROM best1) GROUP BY p),

@@ -130,10 +130,14 @@ object SemDeDup {
       lit(probe).as("probe"),
       transform(col(vCol), x => x - FixedPointKMeans.QShift).as("uv"))
       .withColumn("nsq", call_function("graft_dot_long", col("uv"), col("uv")))
-    val m = prep(prim, 1).union(prep(sec, 2))
+    // bind the primary projection ONCE: it feeds both the expanded side
+    // and the whole b side, and rebuilding it would run the unshift +
+    // self-dot kernels a second time over the full primary relation
+    val p1 = prep(prim, 1)
+    val m = p1.union(prep(sec, 2))
     val a = m.select(col("id").as("id_a"), col("cl").as("cl_a"),
       col("probe").as("probe_a"), col("uv").as("uv_a"), col("nsq").as("nsq_a"))
-    val b = prep(prim, 1).select(col("id").as("id_b"), col("cl").as("cl_b"),
+    val b = p1.select(col("id").as("id_b"), col("cl").as("cl_b"),
       col("uv").as("uv_b"), col("nsq").as("nsq_b"))
     a.join(b, col("cl_a") === col("cl_b") &&
         (col("id_a") < col("id_b") ||

@@ -379,23 +379,42 @@ object Similarity {
     df.join(broadcast(dropped), df(idCol) === dropped("id_b"), "left_anti")
   }
 
-  /** The narrow (id, tbl, bucket) LSH index relation of one corpus
-    * side — the PERSISTED-index half of the incremental dedup flow:
-    * built (and Caches-registered) ONCE per immutable history
-    * snapshot, then passed to every [[deltaSemanticDroppedIds]] call
-    * that dedups a batch against that history, so continuous ingestion
-    * re-buckets only each arriving batch, never the history. The
-    * relation is PRE-df-cap by design: bucket hotness is a property of
-    * index + batch TOGETHER, so the cap is applied per run inside the
-    * delta query, never baked into the index (a bucket cold in the
-    * index can go hot once a batch piles onto it). */
-  def semanticBucketIndex(df: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int, tables: Int, dim: Int = 64): DataFrame = {
-    require(tables >= 1, s"tables=$tables must be >= 1")
-    Caches.register((0 until tables).map { l =>
+  /** A persisted semantic-dedup bucket index: the narrow (id, tbl,
+    * bucket) relation PLUS the LSH geometry it was built under. The
+    * geometry rides along because an index built with one
+    * (nPlanes, tables, dim) is silently USELESS under another — the
+    * planes (and their offsets) differ, so index and batch buckets
+    * would simply never collide: zero history candidates, the batch
+    * sails through dedup, and recall against history collapses to 0
+    * with no error anywhere. [[deltaSemanticDroppedIds]] therefore
+    * validates the geometry loudly instead of trusting the caller. */
+  final case class SemanticIndex(
+      buckets: DataFrame, nPlanes: Int, tables: Int, dim: Int)
+
+  /** The per-table bucket projection union — uncached; the building
+    * block of both the persisted index and the one-shot delta path. */
+  private def rawBucketRelation(df: DataFrame, idCol: String,
+      vecCol: String, nPlanes: Int, tables: Int, dim: Int): DataFrame =
+    (0 until tables).map { l =>
       df.select(col(idCol).as("id"), lit(l).as("tbl"),
         portableBucketNative(col(vecCol), nPlanes, dim, l * nPlanes).as("bucket"))
-    }.reduce(_ union _))
+    }.reduce(_ union _)
+
+  /** The persisted-index half of the incremental dedup flow: built
+    * (and Caches-registered) ONCE per immutable history snapshot, then
+    * passed to every [[deltaSemanticDroppedIds]] call that dedups a
+    * batch against that history, so continuous ingestion re-buckets
+    * only each arriving batch, never the history. The relation is
+    * PRE-df-cap by design: bucket hotness is a property of index +
+    * batch TOGETHER, so the cap is applied per run inside the delta
+    * query, never baked into the index (a bucket cold in the index can
+    * go hot once a batch piles onto it). */
+  def semanticBucketIndex(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, tables: Int, dim: Int = 64): SemanticIndex = {
+    require(tables >= 1, s"tables=$tables must be >= 1")
+    SemanticIndex(
+      Caches.register(rawBucketRelation(df, idCol, vecCol, nPlanes, tables, dim)),
+      nPlanes, tables, dim)
   }
 
   /** INCREMENTAL semantic dedup: batch ids DROPPED against an immutable
@@ -422,10 +441,22 @@ object Similarity {
       history: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int, tables: Int,
       dim: Int = 64, maxBucket: Int = Dedup.DefaultMaxDf,
-      historyIndex: Option[DataFrame] = None): DataFrame = {
+      historyIndex: Option[SemanticIndex] = None): DataFrame = {
     require(tables >= 1, s"tables=$tables must be >= 1")
-    val hIdx = historyIndex
-      .getOrElse(semanticBucketIndex(history, idCol, vecCol, nPlanes, tables, dim))
+    // a geometry mismatch is not a degraded mode, it is a silent-zero
+    // one (see SemanticIndex) — reject it loudly
+    historyIndex.foreach { ix =>
+      require(ix.nPlanes == nPlanes && ix.tables == tables && ix.dim == dim,
+        s"deltaSemanticDroppedIds: history index was built with " +
+          s"(nPlanes=${ix.nPlanes}, tables=${ix.tables}, dim=${ix.dim}) but " +
+          s"this call uses (nPlanes=$nPlanes, tables=$tables, dim=$dim) — " +
+          "rebuild the index; mismatched planes never collide")
+    }
+    // no index → build the narrow relation in place, UNCACHED: it is
+    // consumed exactly once (the df-capped union below is what caches),
+    // so persisting it would be pure memory pressure
+    val hIdx = historyIndex.map(_.buckets)
+      .getOrElse(rawBucketRelation(history, idCol, vecCol, nPlanes, tables, dim))
       .select(col("id"), lit(0).as("src"), col("tbl"), col("bucket"))
     val bIdx = (0 until tables).map { l =>
       batch.select(col(idCol).as("id"), lit(1).as("src"),

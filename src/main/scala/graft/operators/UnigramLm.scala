@@ -98,7 +98,12 @@ object UnigramLm {
     * oracle interpolates, so both engines round the identical double.
     * Pieces keep [[Vocab]] order. */
   def logCosts(v: Vocab): Seq[Long] = {
-    val total = v.scores.sum
+    // addExact, not sum: the EM round feeds MICRO-COUNT scores (1e6×
+    // the raw counts), so near the documented ~10 TB envelope the total
+    // approaches 2⁶³ — a silent Long wrap would compute wrong costs (or
+    // trip the require with a misleading "empty corpus") while the
+    // oracle's HUGEINT sum throws; overflow must be equally loud here
+    val total = v.scores.foldLeft(0L)(Math.addExact)
     require(total > 0, "logCosts: empty corpus")
     v.scores.map { c =>
       val cf = math.max(c, 1L)
@@ -147,7 +152,19 @@ object UnigramLm {
         col(freqCol).cast("long").as("n"))
       .select(col("e.p").as("p"),
         (col("e.mc").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
-          col("n")).as("wmc"))
+          col("n")).as("wmc_raw"))
+      // the PER-ROW multiply can overflow DECIMAL(38,0) too — non-ANSI
+      // Spark NULLs it and SUM would silently SKIP the row, returning a
+      // plausible non-null UNDERCOUNT the rollup guard below cannot see.
+      // mc and n are non-null by construction (kernel output × a cast
+      // long), so a null product can only mean overflow: raise here
+      .select(col("p"),
+        when(col("wmc_raw").isNull,
+          raise_error(concat(lit("UnigramLm.softCounts: DECIMAL(38,0) " +
+            "overflow in a per-word micro-count product for piece '"),
+            col("p"), lit("' — corpus is past the micro-count envelope")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .otherwise(col("wmc_raw")).as("wmc"))
       .groupBy(col("p"))
       .agg(sum(col("wmc")).cast(
         org.apache.spark.sql.types.DecimalType(38, 0)).as("soft_mc_raw"))

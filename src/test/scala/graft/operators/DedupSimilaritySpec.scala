@@ -439,7 +439,14 @@ class DedupSimilaritySpec extends SparkSpec {
     val history = corpus(100, 140)
     val tables = 4
     val idx = Similarity.semanticBucketIndex(history, "id", "vec", 4, tables)
-    idx.count() // materialize the index once, as a production session would
+    idx.buckets.count() // materialize the index once, as a production session would
+    // a geometry mismatch must be rejected loudly, never a silent zero
+    val mismatch = intercept[IllegalArgumentException] {
+      Similarity.deltaSemanticDroppedIds(history, corpus(0, 10),
+        "id", "vec", threshold = 0.8, nPlanes = 5, tables = tables,
+        historyIndex = Some(idx))
+    }
+    assert(mismatch.getMessage.contains("rebuild the index"), mismatch.getMessage)
     // SECOND batch against the same persisted index (the first was the count)
     val dropped = Similarity.deltaSemanticDroppedIds(history, corpus(0, 10),
       "id", "vec", threshold = 0.8, nPlanes = 4, tables = tables,
