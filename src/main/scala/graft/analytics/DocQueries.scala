@@ -2610,7 +2610,16 @@ object DocQueries {
     * ITSELF is what must replay. Needs `w(token, n)` in scope; emits
     * `soft$sfx(p, soft_mc BIGINT)` (the HUGEINT→BIGINT cast throws on
     * overflow, the loudness [[graft.operators.UnigramLm.softCounts]]
-    * mirrors). */
+    * mirrors).
+    *
+    * `soft$sfx` is AS MATERIALIZED and the vocab is snapshotted into a
+    * materialized `vm$sfx`: DuckDB re-EVALUATES a multi-referenced
+    * plain CTE, and this generator references its vocab twice (tot +
+    * vc) — so a CHAIN of expectation rounds (each vocab pruned from
+    * the previous soft counts) re-ran earlier DPs multiplicatively:
+    * q_unigram_em3's three chained rounds measured 18.5 min before the
+    * pin, ~1 min after. Materializing costs nothing (both relations
+    * are vocab-sized) and changes no results. */
   private def unigramSoftSql(sfx: String, vCte: String): String = {
     val LS = graft.expressions.UnigramExpect.LogScale
     val WS = graft.expressions.UnigramExpect.WScale
@@ -2619,10 +2628,11 @@ object DocQueries {
           list_reduce(list_prepend(CAST(0 AS DOUBLE),
             list_transform($xs, x -> exp(CAST(list_min($xs) - x AS DOUBLE) / $LS))),
           (a, b) -> a + b)) + 0.5) AS BIGINT)"""
-    s"""tot$sfx AS (SELECT CAST(SUM(score) AS BIGINT) AS total FROM $vCte),
+    s"""vm$sfx AS MATERIALIZED (SELECT p, score FROM $vCte),
+      tot$sfx AS (SELECT CAST(SUM(score) AS BIGINT) AS total FROM vm$sfx),
       vc$sfx AS (SELECT v.p, v.score, CAST(FLOOR($LS * ln(
           CAST(t.total AS DOUBLE) / CAST(GREATEST(v.score, 1) AS DOUBLE)) + 0.5) AS BIGINT) AS cost
-        FROM $vCte v, tot$sfx t),
+        FROM vm$sfx v, tot$sfx t),
       occv$sfx AS (SELECT w.token, w.n, t.t, l.l, vc.p, vc.cost
         FROM w, UNNEST(range(1, length(w.token)+1)) AS t(t),
              UNNEST(range(1, ${WpMaxLen + 1})) AS l(l)
@@ -2650,7 +2660,7 @@ object DocQueries {
             - o.cost - bb.bl[o.t + 1] AS DOUBLE) / $LS) + 0.5) AS BIGINT) AS mc
         FROM occv$sfx o JOIN fa$sfx fa ON fa.token = o.token
           JOIN bb$sfx bb ON bb.token = o.token),
-      soft$sfx AS (SELECT p, CAST(SUM(CAST(n AS HUGEINT) * mc) AS BIGINT) AS soft_mc
+      soft$sfx AS MATERIALIZED (SELECT p, CAST(SUM(CAST(n AS HUGEINT) * mc) AS BIGINT) AS soft_mc
         FROM wx$sfx GROUP BY p)"""
   }
 
@@ -2711,11 +2721,11 @@ object DocQueries {
     },
     Some(s"""WITH RECURSIVE
       tok AS (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
-      w AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+      w AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
       grid AS (SELECT UNNEST(flatten(list_transform(range(1, length(token)+1), i ->
           list_transform(range(1, ${WpMaxLen + 1}), l -> CASE WHEN i + l - 1 <= length(token)
             THEN substr(token, i, l) ELSE NULL END)))) AS p, n FROM w),
-      gc AS (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM grid WHERE p IS NOT NULL GROUP BY p),
+      gc AS MATERIALIZED (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM grid WHERE p IS NOT NULL GROUP BY p),
       v1 AS (
         SELECT p, c AS score FROM (SELECT p, c FROM gc WHERE length(p) >= 2
           ORDER BY c DESC, p LIMIT $WpTopK)
@@ -2811,11 +2821,11 @@ object DocQueries {
       val WS = graft.expressions.UnigramExpect.WScale
       s"""WITH RECURSIVE
       tok AS (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
-      w AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+      w AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
       grid AS (SELECT UNNEST(flatten(list_transform(range(1, length(token)+1), i ->
           list_transform(range(1, ${WpMaxLen + 1}), l -> CASE WHEN i + l - 1 <= length(token)
             THEN substr(token, i, l) ELSE NULL END)))) AS p, n FROM w),
-      gc AS (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM grid WHERE p IS NOT NULL GROUP BY p),
+      gc AS MATERIALIZED (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM grid WHERE p IS NOT NULL GROUP BY p),
       v1 AS (
         SELECT p, c AS score FROM (SELECT p, c FROM gc WHERE length(p) >= 2
           ORDER BY c DESC, p LIMIT $WpTopK)
@@ -2920,11 +2930,11 @@ object DocQueries {
       val WS = graft.expressions.UnigramExpect.WScale
       s"""WITH RECURSIVE
       tok AS (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
-      w AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+      w AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
       grid AS (SELECT UNNEST(flatten(list_transform(range(1, length(token)+1), i ->
           list_transform(range(1, ${WpMaxLen + 1}), l -> CASE WHEN i + l - 1 <= length(token)
             THEN substr(token, i, l) ELSE NULL END)))) AS p, n FROM w),
-      gc AS (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM grid WHERE p IS NOT NULL GROUP BY p),
+      gc AS MATERIALIZED (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM grid WHERE p IS NOT NULL GROUP BY p),
       v0 AS (
         SELECT p, c AS score FROM (SELECT p, c FROM gc WHERE length(p) >= 2
           ORDER BY c DESC, p LIMIT $WpTopK)
@@ -2946,6 +2956,89 @@ object DocQueries {
         CAST(j.in_next AS BIGINT) AS in_next,
         nv.n_vocab_seed, nv.n_vocab_r1, ns.n_vocab_r2
       FROM j, ns, nv ORDER BY j.soft_mc_r1 DESC, j.p LIMIT 40"""
+    })
+  )
+
+  /** THREE unigram EM rounds — the q_unigram_em_round loop continued
+    * toward its fixed point, reported as a per-round TRAJECTORY (one
+    * row per expectation round) instead of per-piece detail: n_vocab
+    * expected against, how many pieces the round's prune then drops,
+    * and the round's top piece by expected count (the mass
+    * concentration the EM literature predicts as alternatives prune
+    * away). `converged` says whether the LAST prune dropped nothing —
+    * reported, not enforced: the round count is structurally fixed at
+    * 3 in both engines because the oracle is static SQL (a
+    * data-dependent round count cannot replay), which is exactly the
+    * honest form of "train to convergence" under a replayable gate.
+    * Scale: one kernel pass over the distinct-word relation per round;
+    * driver state one vocab-sized (piece, count) map per round. */
+  val qUnigramEm3 = GraftQuery(
+    "q_unigram_em3",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, UnigramLm}
+      val WScale = graft.expressions.UnigramExpect.WScale
+      val w = Caches.register(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("n")))
+      var v = UnigramLm.seedVocab(w, "token", "n", topK = WpTopK, maxLen = WpMaxLen)
+      val rows = (0 until 3).map { r =>
+        val costs = UnigramLm.logCosts(v)
+        val mc = UnigramLm.softCounts(w, "token", "n", v, costs)
+          .collect().map(row => (row.getString(0),
+            row.getDecimal(1).toBigInteger.longValueExact())).toMap
+        val score = (p: String) => mc.getOrElse(p, 0L)
+        val kept = v.pieces.filter(p => p.length == 1 || score(p) >= WScale)
+        val top = v.pieces.map(p => (p, score(p)))
+          .minBy { case (p, m) => (-m, p) }
+        val row = (r.toLong, v.pieces.length.toLong,
+          (v.pieces.length - kept.length).toLong, top._1, top._2)
+        v = UnigramLm.Vocab(kept, kept.map(score))
+        row
+      }
+      val converged = if (rows.last._3 == 0L) 1L else 0L
+      s.createDataFrame(rows)
+        .toDF("round", "n_vocab", "n_pruned", "top_piece", "top_soft_mc")
+        .withColumn("converged", lit(converged))
+        .orderBy($"round")
+    },
+    Some({
+      val WS = graft.expressions.UnigramExpect.WScale
+      def prune(vNext: String, soft: String) =
+        s"""$vNext AS (SELECT p, soft_mc AS score FROM $soft
+            WHERE length(p) = 1 OR soft_mc >= $WS)"""
+      def roundRow(r: Int) =
+        s"""SELECT CAST($r AS BIGINT) AS round,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM v$r) AS n_vocab,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM v$r) -
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM v${r + 1}) AS n_pruned,
+            (SELECT p FROM soft$r ORDER BY soft_mc DESC, p LIMIT 1) AS top_piece,
+            (SELECT soft_mc FROM soft$r ORDER BY soft_mc DESC, p LIMIT 1) AS top_soft_mc"""
+      s"""WITH RECURSIVE
+      tok AS (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
+      w AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+      grid AS (SELECT UNNEST(flatten(list_transform(range(1, length(token)+1), i ->
+          list_transform(range(1, ${WpMaxLen + 1}), l -> CASE WHEN i + l - 1 <= length(token)
+            THEN substr(token, i, l) ELSE NULL END)))) AS p, n FROM w),
+      gc AS MATERIALIZED (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM grid WHERE p IS NOT NULL GROUP BY p),
+      v0 AS (
+        SELECT p, c AS score FROM (SELECT p, c FROM gc WHERE length(p) >= 2
+          ORDER BY c DESC, p LIMIT $WpTopK)
+        UNION ALL
+        SELECT p, c AS score FROM gc WHERE length(p) = 1),
+      ${unigramSoftSql("0", "v0")},
+      ${prune("v1", "soft0")},
+      ${unigramSoftSql("1", "v1")},
+      ${prune("v2", "soft1")},
+      ${unigramSoftSql("2", "v2")},
+      ${prune("v3", "soft2")},
+      conv AS (SELECT CASE WHEN (SELECT COUNT(*) FROM v2) = (SELECT COUNT(*) FROM v3)
+        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS converged)
+      SELECT t.round, t.n_vocab, t.n_pruned, t.top_piece, t.top_soft_mc,
+        conv.converged
+      FROM (${roundRow(0)} UNION ALL ${roundRow(1)} UNION ALL ${roundRow(2)}) t,
+        conv ORDER BY t.round"""
     })
   )
 
@@ -4465,6 +4558,7 @@ object DocQueries {
     qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
     qBpeEncode, qWordpieceEncode, qUnigramTokenizer, qUnigramSoftEm, qUnigramEmRound,
+    qUnigramEm3,
     qDictEncode, qInvertedIndex,
     qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qBlockingRecall, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,

@@ -148,6 +148,29 @@ class UnigramSoftEmSpec extends SparkSpec {
     }
   }
 
+  test("q_unigram_em3 at sf0.001: monotone contraction, flag matches the last prune") {
+    val rows = graft.analytics.DocQueries.qUnigramEm3
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 3)
+    val nv = rows.map(_.getAs[Long]("n_vocab"))
+    val np = rows.map(_.getAs[Long]("n_pruned"))
+    // each round's vocab is the previous round's survivors
+    assert(nv(1) === nv(0) - np(0))
+    assert(nv(2) === nv(1) - np(1))
+    // round 0 must agree with q_unigram_em_round's trajectory head
+    val emr = graft.analytics.DocQueries.qUnigramEmRound
+      .run(spark, "/root/testdata/sf0.001").head()
+    assert(nv(0) === emr.getAs[Long]("n_vocab_seed"))
+    assert(nv(1) === emr.getAs[Long]("n_vocab_r1"))
+    assert(nv(2) === emr.getAs[Long]("n_vocab_r2"))
+    val converged = rows.head.getAs[Long]("converged")
+    assert(converged === (if (np(2) == 0L) 1L else 0L))
+    // the top piece concentrates mass: never below its previous round
+    // would be too strong (the vocab shrinks under it), but it must
+    // always exist with positive expected mass
+    rows.foreach(r => assert(r.getAs[Long]("top_soft_mc") > 0L))
+  }
+
   test("q_unigram_soft_em at sf0.001: soft vocab strictly contains the hard vocab") {
     val rows = graft.analytics.DocQueries.qUnigramSoftEm
       .run(spark, "/root/testdata/sf0.001").collect()
