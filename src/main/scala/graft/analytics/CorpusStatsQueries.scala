@@ -523,6 +523,14 @@ object CorpusStatsQueries {
         .orderBy($"cluster")
     },
     Some({
+      // The oracle MATERIALIZES BOTH full clustering chains at every
+      // scale factor — DuckDB cannot prune the constant-false UNION
+      // branch at plan time, so the gate costs ~2× a single path. That
+      // is deliberate: replaying both paths and selecting by the
+      // replayed decision is what keeps the gate honest at ANY corpus
+      // size (a pruned oracle would silently pin whichever branch the
+      // gated corpora happen to route). Oracle-side cost only; revisit
+      // with dec-gated tail CTEs if oracle sweeps ever slow down.
       val T = graft.operators.SemDeDup.RouteMinTwoLevelN
       s"""WITH ${graft.analytics.DocQueries.plantedCorpusSql},
       ${kmeansOracleCtesOn("(SELECT vec_id, v FROM e)", semKExprOn("qf"),

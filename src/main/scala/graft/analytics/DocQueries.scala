@@ -1550,8 +1550,16 @@ object DocQueries {
     22 -> 23, 23 -> 26, 24 -> 29, 25 -> 32, 26 -> 36, 27 -> 40, 28 -> 45,
     29 -> 50, 30 -> 56, 31 -> 62, 32 -> 69)
 
+  /** Table count past the ladder's top rung (nph > 32 — beyond any
+    * gated corpus): the ladder maximum, so the off-ladder fallback can
+    * never ask for more tables than [[LshMaxTables]] lets the oracle
+    * replay. ONE definition feeds the Scala getOrElse AND the SQL CASE
+    * ELSE — three formerly-independent 69 literals whose accidental
+    * agreement was the only thing keeping engine and oracle in step. */
+  private[analytics] val LshLadderFallback: Int = LshTableLadder.map(_._2).max
+
   private[analytics] def lshTablesFor(pHr: Int): Int =
-    LshTableLadder.toMap.getOrElse(pHr, 69)
+    LshTableLadder.toMap.getOrElse(pHr, LshLadderFallback)
 
   /** The ladder's largest table count — the bound the hr oracles'
     * UNNEST(range(…)) must cover. Generated from [[LshTableLadder]] so
@@ -1559,8 +1567,11 @@ object DocQueries {
     * [[lshTablesFor]] hands the engine: a hard-coded bound (16, the
     * original) stopped being the whole ladder past nph ≥ 19 (N ~2.6M
     * docs), where the engine would have scanned more tables than the
-    * oracle — a silent gate divergence at scale. */
-  private[analytics] val LshMaxTables: Int = LshTableLadder.map(_._2).max
+    * oracle — a silent gate divergence at scale. Equals
+    * [[LshLadderFallback]] today (the fallback IS the ladder max); the
+    * max() keeps the bound sound if the fallback ever diverges. */
+  private[analytics] val LshMaxTables: Int =
+    math.max(LshTableLadder.map(_._2).max, LshLadderFallback)
 
   /** The DuckDB mirror of [[lshTablesFor]] plus the +2-plane widening:
     * emits `nph` (planes per table) and `lh` (table count) from the
@@ -1571,7 +1582,7 @@ object DocQueries {
     s"""hr AS (SELECT np + 2 AS nph,
         CASE np + 2
           $whens
-          ELSE 69 END AS lh
+          ELSE $LshLadderFallback END AS lh
       FROM params)"""
   }
 
@@ -2591,13 +2602,6 @@ object DocQueries {
       FROM counts, tot ORDER BY counts.n DESC, piece LIMIT 40""")
   )
 
-  /** The DuckDB mirror of one unigram segmentation round: brute-force
-    * ENUMERATION of every segmentation of every distinct word under
-    * vocab relation `vocabRel(p, score)`, then argmin under the exact
-    * DP objective (fewest pieces, max Σ score, lexicographic piece
-    * sequence) — certifying the kernel's DP optimality, not just
-    * replaying it. Emits `seg{tag}` (the recursive walk) and
-    * `best{tag}(token, n, pieces)`. */
   /** The soft-EM expectation replay as DuckDB CTEs, SUFFIXED so one
     * query can run the DP more than once (the EM round replays
     * expectation against the seed vocab AND against the pruned/refit
@@ -2664,6 +2668,13 @@ object DocQueries {
         FROM wx$sfx GROUP BY p)"""
   }
 
+  /** The DuckDB mirror of one unigram segmentation round: brute-force
+    * ENUMERATION of every segmentation of every distinct word under
+    * vocab relation `vocabRel(p, score)`, then argmin under the exact
+    * DP objective (fewest pieces, max Σ score, lexicographic piece
+    * sequence) — certifying the kernel's DP optimality, not just
+    * replaying it. Emits `seg{tag}` (the recursive walk) and
+    * `best{tag}(token, n, pieces)`. */
   private def unigramRoundSql(tag: String, vocabRel: String): String =
     s"""seg$tag AS (
       SELECT token, n, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces, CAST(0 AS BIGINT) AS sc FROM w

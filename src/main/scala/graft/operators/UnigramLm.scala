@@ -149,15 +149,23 @@ object UnigramLm {
   def softCounts(words: DataFrame, wordCol: String, freqCol: String,
       v: Vocab, costs: Seq[Long]): DataFrame =
     words.select(explode(expect(col(wordCol), v, costs)).as("e"),
-        col(freqCol).cast("long").as("n"))
+        // a NULL frequency would null the product below and masquerade
+        // as the overflow raise — that is a BAD-INPUT error, not an
+        // envelope one, so it gets its own message at the source
+        when(col(freqCol).isNull,
+          raise_error(concat(lit("UnigramLm.softCounts: null "),
+            lit(freqCol), lit(" for word '"), col(wordCol),
+            lit("' — frequencies must be non-null"))).cast("long"))
+          .otherwise(col(freqCol).cast("long")).as("n"))
       .select(col("e.p").as("p"),
         (col("e.mc").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
           col("n")).as("wmc_raw"))
       // the PER-ROW multiply can overflow DECIMAL(38,0) too — non-ANSI
       // Spark NULLs it and SUM would silently SKIP the row, returning a
       // plausible non-null UNDERCOUNT the rollup guard below cannot see.
-      // mc and n are non-null by construction (kernel output × a cast
-      // long), so a null product can only mean overflow: raise here
+      // mc and n are now non-null by construction (kernel output × the
+      // null-guarded long above), so a null product can only mean
+      // overflow: raise here
       .select(col("p"),
         when(col("wmc_raw").isNull,
           raise_error(concat(lit("UnigramLm.softCounts: DECIMAL(38,0) " +
