@@ -2197,6 +2197,147 @@ object DocQueries {
     }
   )
 
+  /** Query-batch size for [[qIvfTopKMp]] — small enough that the
+    * exact-recall certificate (a |batch|×N cosine sweep) stays cheap
+    * at every gated scale factor, large enough that the per-query
+    * probe/recall columns exercise more than one coarse geometry. */
+  private val IvfMpQueries = 4
+
+  /** IVF ANN with coarse TOP-2 MULTI-PROBE on the SEARCH path — the
+    * recall-recovery rung measured for SemDeDup candidate generation
+    * (q_semdedup_2l_mp: +2.6 pp over flat at 1.86× candidate mass,
+    * BENCH_SF10_PROBE_MP.json) applied to retrieval, and the BATCH
+    * form of q_ivf_topk: where that query picks ONE query vector's two
+    * cells driver-side (a collect + sort over k centroids — fine for
+    * one query, a driver loop for a million), here a whole query BATCH
+    * picks its probe cells IN-PLAN through the fused top-2 kernel
+    * ([[graft.operators.FixedPointKMeans.best2Of]] /
+    * graft_kmeans_assign2 — one extra compare per candidate over the
+    * single-probe sweep), so the same plan serves any batch size: no
+    * driver-side distance math anywhere on the search path. The
+    * INDEX is untouched — each corpus vector keeps its single primary
+    * cell (the inverted file; at 100 TB the cell-partitioned
+    * [[graft.operators.IvfIndex.writeIndex]] layout, where each probe
+    * is a pruned directory scan) — multi-probe is query-side expansion
+    * only, so candidate mass is the two probed cells' combined
+    * occupancy: ≈2× the mean cell size in expectation (a skewed
+    * runner-up cell can push a single query past 2× its OWN primary —
+    * 115 vs 53 at sf0.01), and the n_cand_p1/n_cand_p2 columns carry
+    * the ACTUAL per-query masses under the hash gate. Per query: exact cosine re-rank over the union of
+    * both cells' members, top-20, plus recall-vs-exact for BOTH probe
+    * depths (recall_p2_ppm ≥ recall_p1_ppm — the nprobe=2 recovery,
+    * in-result rather than in a side report). The oracle replays the
+    * full pipeline: integer Lloyd CTEs, the rk ≤ 2 probe as a
+    * row_number over integer distance (exactly the kernel's two-slot
+    * strict-< tie-break), the cell-membership candidate join, the
+    * rounded-cosine re-rank, and the brute-force certificate. */
+  val qIvfTopKMp = GraftQuery(
+    "q_ivf_topk_mp",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, FixedPointKMeans}
+      val emb = Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
+      val quant = Caches.register(
+        emb.select($"vec_id", $"embedding",
+          FixedPointKMeans.quantize($"embedding").as("v")))
+      val cents = FixedPointKMeans.fit(quant, "vec_id", "v", k = 8, rounds = 2)
+      // the inverted file: single-cell assignment, untouched by the probe
+      val asg = Caches.register(FixedPointKMeans.assign(quant, "v", cents)
+        .select($"vec_id", $"embedding", $"cluster"))
+      // the query batch picks its two probe cells in-plan (fused kernel)
+      val qs = quant.orderBy($"vec_id").limit(IvfMpQueries)
+        .withColumn("b2", FixedPointKMeans.best2Of($"v", cents))
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          $"b2.j".as("c1"), $"b2.j2".as("c2"))
+      val probes = qs.select($"qid", $"qe",
+          explode(array(
+            struct($"c1".as("cell"), lit(1).as("pk")),
+            struct($"c2".as("cell"), lit(2).as("pk")))).as("pr"))
+        .select($"qid", $"qe", $"pr.cell".as("cluster"), $"pr.pk".as("pk"))
+        .filter($"cluster" =!= -1)
+      // candidates: one map-side broadcast join corpus-cell → probe-cell;
+      // (qid, vec_id) is unique by construction (cells are disjoint and
+      // the two probe cells differ), so no dedup pass is needed
+      val cand = Caches.register(asg.join(broadcast(probes), Seq("cluster"))
+        .select($"qid", $"pk", $"vec_id",
+          round(Similarity.cosineNative($"embedding", $"qe"), 6).as("cos_sim")))
+      val top2 = graft.plans.TopKPerKey.perKey(
+        cand.select($"qid", $"vec_id", $"cos_sim"),
+        Seq("qid"), Seq(("cos_sim", false), ("vec_id", true)), 20)
+      val top1 = graft.plans.TopKPerKey.perKey(
+        cand.filter($"pk" === 1).select($"qid", $"vec_id", $"cos_sim"),
+        Seq("qid"), Seq(("cos_sim", false), ("vec_id", true)), 20)
+      // the exact certificate: |batch|×N cosines, bounded-heap top-20
+      val exact = Caches.register(graft.plans.TopKPerKey.perKey(
+        emb.crossJoin(broadcast(qs.select($"qid", $"qe")))
+          .select($"qid", $"vec_id",
+            round(Similarity.cosineNative($"embedding", $"qe"), 6).as("cos_sim")),
+        Seq("qid"), Seq(("cos_sim", false), ("vec_id", true)), 20)
+        .select($"qid", $"vec_id"))
+      val counts = cand.groupBy($"qid").agg(
+        sum(when($"pk" === 1, 1L).otherwise(0L)).as("n_cand_p1"),
+        count(lit(1)).as("n_cand_p2"))
+      val h1 = top1.join(exact, Seq("qid", "vec_id"), "left_semi")
+        .groupBy($"qid").agg(count(lit(1)).as("h1"))
+      val h2 = top2.join(exact, Seq("qid", "vec_id"), "left_semi")
+        .groupBy($"qid").agg(count(lit(1)).as("h2"))
+      top2.join(broadcast(counts), Seq("qid"))
+        .join(broadcast(h1), Seq("qid"), "left")
+        .join(broadcast(h2), Seq("qid"), "left")
+        .select($"qid", $"vec_id", $"cos_sim", $"n_cand_p1", $"n_cand_p2",
+          expr("CAST(coalesce(h1, 0) * 1000000 DIV 20 AS BIGINT)")
+            .as("recall_p1_ppm"),
+          expr("CAST(coalesce(h2, 0) * 1000000 DIV 20 AS BIGINT)")
+            .as("recall_p2_ppm"))
+        .orderBy($"qid", $"cos_sim".desc, $"vec_id")
+    },
+    Some {
+      val cos = """ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.qe) /
+          (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+           SQRT(list_dot_product(qv.qe, qv.qe))), 6)"""
+      s"""WITH ${CorpusStatsQueries.kmeansOracleCtes(8, 2)},
+      qs AS (SELECT vec_id AS qid, v FROM q ORDER BY vec_id LIMIT $IvfMpQueries),
+      qe AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings ORDER BY vec_id LIMIT $IvfMpQueries),
+      probe AS (SELECT qid, j, rk FROM (
+          SELECT qs.qid, c.j,
+            ROW_NUMBER() OVER (PARTITION BY qs.qid
+              ORDER BY ${CorpusStatsQueries.kmeansDistSql("qs.v", "c.c")}, c.j) AS rk
+          FROM qs, c2 c) WHERE rk <= 2),
+      cand AS (SELECT p.qid, a.vec_id, p.rk FROM a3 a JOIN probe p ON a.j = p.j),
+      cs AS (SELECT c.qid, c.vec_id, c.rk, $cos AS cos_sim
+        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+          JOIN qe qv ON qv.qid = c.qid),
+      top2 AS (SELECT qid, vec_id, cos_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cos_sim DESC, vec_id) AS rn FROM cs) WHERE rn <= 20),
+      top1 AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cos_sim DESC, vec_id) AS rn FROM cs WHERE rk = 1)
+        WHERE rn <= 20),
+      exact AS (SELECT qid, vec_id FROM (
+          SELECT qv.qid, e.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY qv.qid
+              ORDER BY $cos DESC, e.vec_id) AS rn
+          FROM embeddings e, qe qv) WHERE rn <= 20),
+      counts AS (SELECT qid,
+          CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_p1,
+          CAST(COUNT(*) AS BIGINT) AS n_cand_p2
+        FROM cand GROUP BY qid),
+      h1 AS (SELECT t.qid, COUNT(*) AS h FROM top1 t
+        JOIN exact x ON x.qid = t.qid AND x.vec_id = t.vec_id GROUP BY t.qid),
+      h2 AS (SELECT t.qid, COUNT(*) AS h FROM top2 t
+        JOIN exact x ON x.qid = t.qid AND x.vec_id = t.vec_id GROUP BY t.qid)
+      SELECT t.qid, t.vec_id, t.cos_sim, c.n_cand_p1, c.n_cand_p2,
+        CAST(COALESCE(h1.h, 0) * 1000000 // 20 AS BIGINT) AS recall_p1_ppm,
+        CAST(COALESCE(h2.h, 0) * 1000000 // 20 AS BIGINT) AS recall_p2_ppm
+      FROM top2 t JOIN counts c ON c.qid = t.qid
+        LEFT JOIN h1 ON h1.qid = t.qid LEFT JOIN h2 ON h2.qid = t.qid
+      ORDER BY t.qid, t.cos_sim DESC, t.vec_id"""
+    }
+  )
+
   /** HLL sketch REUSE across grains — the warehouse pattern that makes
     * sketch columns worth persisting: per-type DataSketches HLL sketches
     * of the user set are built ONCE, then the corpus-level distinct
@@ -4578,7 +4719,8 @@ object DocQueries {
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qEmbedDupTables, qEmbedDupHr, qLshRecall,
-    qSemanticDedup, qDeltaSemantic, qMidbandPairs, qMidbandSlice, qIvfTopK, qApproxDistinct,
+    qSemanticDedup, qDeltaSemantic, qMidbandPairs, qMidbandSlice, qIvfTopK, qIvfTopKMp,
+    qApproxDistinct,
     qHllRollup, qAsofJoin,
     qRangeJoin, qKmvDistinct, qKmvIntersect, qQualityScore, qSourceSimilarity, qSourceOverlap,
     qTokenFertility)

@@ -456,6 +456,38 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-level stats must broadcast:\n$pse")
   }
 
+  test("IVF multi-probe search: broadcast probe join, heap top-k, recall recovery") {
+    // the probe relation (≤ 2·|batch| rows) must BROADCAST onto the
+    // cell-assigned corpus — the corpus is scanned once and never
+    // shuffled for candidate generation; per-query top-20 rides the
+    // bounded-heap TopKPerKey, and the only nested-loop join is the
+    // |batch|-row exact-certificate crossJoin (broadcast, by design)
+    val df = SparkEntry.queries("q_ivf_topk_mp")(spark, Dir)
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe join lost its broadcast:\n$p")
+    assert(p.contains("TopKPerKey ["),
+      s"per-query top-k did not plan onto the bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct"), "q_ivf_topk_mp went cartesian")
+    // behavior: widening the probe can only help — per query the
+    // 2-probe recall bounds the 1-probe recall from above, and the
+    // candidate mass grows by exactly the runner-up cell's occupancy
+    val perQ = rows.map(r => (r.getAs[Long]("qid"),
+      (r.getAs[Long]("n_cand_p1"), r.getAs[Long]("n_cand_p2"),
+        r.getAs[Long]("recall_p1_ppm"), r.getAs[Long]("recall_p2_ppm"))))
+      .toMap
+    assert(perQ.size > 1, "expected a multi-query batch")
+    perQ.foreach { case (qid, (c1, c2, r1, r2)) =>
+      assert(c2 > c1, s"qid=$qid: runner-up cell added no candidates")
+      assert(r2 >= r1, s"qid=$qid: 2-probe recall $r2 below 1-probe $r1")
+    }
+    // the query vector is its own exact nearest neighbor: with the
+    // primary cell always probed, every query must find itself
+    val self = rows.filter(r => r.getAs[Long]("qid") == r.getAs[Long]("vec_id"))
+    assert(self.length == perQ.size, "a query failed to retrieve itself")
+  }
+
   test("whole-stage codegen spans the aggregation pipeline") {
     // AQE hides codegen spans until the final plan exists — execute first
     val df = SparkEntry.queries("q1_pricing_summary")(spark, Dir)
