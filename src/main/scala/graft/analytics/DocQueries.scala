@@ -3194,6 +3194,100 @@ object DocQueries {
     })
   )
 
+  /** The TRAINED-TOKENIZER round trip — the train→use seam that closes
+    * full SentencePiece semantics: q_unigram_em3 converges a vocab
+    * (three prune→refit→re-expect rounds toward the fixed point) but
+    * until now no registered query SEGMENTED the corpus with it (the
+    * only encoder, q_unigram_tokenizer, rides the hard-EM vocab). Here
+    * the EM-CONVERGED v3 — pieces surviving three soft-EM prunes,
+    * scored by their round-2 expected micro-counts — drives the
+    * optimal-DP encoder ([[graft.operators.UnigramLm.segment]] /
+    * graft_unigram_segment: fewest pieces, then max Σ score, then
+    * lexicographic), and the result is the encoder's production
+    * surface: per-piece corpus use counts plus the vocab size and the
+    * corpus compression (total_pieces / total_words as fertility_ppm).
+    * The oracle chains BOTH generators end to end: the three suffixed
+    * forward–backward DP replays that converge v3 ([[unigramSoftSql]],
+    * materialized snapshots — the multi-referenced-CTE hazard), then
+    * the brute-force segmentation ENUMERATION over v3
+    * ([[unigramRoundSql]]), so the kernel's DP optimality under the
+    * TRAINED scores sits under the hash gate, not just the training
+    * trajectory. Scale: three kernel passes + one segment pass over
+    * the DISTINCT-word relation; driver state one vocab-sized (piece,
+    * count) map per round — the em3 loop's shape exactly. */
+  val qUnigramEmEncode = GraftQuery(
+    "q_unigram_em_encode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, UnigramLm}
+      val WScale = graft.expressions.UnigramExpect.WScale
+      val w = Caches.register(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("n")))
+      var v = UnigramLm.seedVocab(w, "token", "n", topK = WpTopK, maxLen = WpMaxLen)
+      for (_ <- 0 until 3) {
+        val costs = UnigramLm.logCosts(v)
+        // E-step collected to the driver: vocab-sized (the BPE-merge
+        // collect discipline); longValueExact throws on overflow — the
+        // oracle's HUGEINT→BIGINT loudness
+        val mc = UnigramLm.softCounts(w, "token", "n", v, costs)
+          .collect().map(row => (row.getString(0),
+            row.getDecimal(1).toBigInteger.longValueExact())).toMap
+        val score = (p: String) => mc.getOrElse(p, 0L)
+        val kept = v.pieces.filter(p => p.length == 1 || score(p) >= WScale)
+        v = UnigramLm.Vocab(kept, kept.map(score))
+      }
+      val seg = Caches.register(w.select($"token", $"n",
+        UnigramLm.segment($"token", v).as("pieces")))
+      val tot = seg.agg(sum($"n").cast("long").as("total_words"),
+        sum(size($"pieces").cast("long") * $"n").cast("long").as("total_pieces"))
+      seg.select(explode($"pieces").as("piece"), $"n")
+        .groupBy($"piece").agg(sum($"n").cast("long").as("n"))
+        .crossJoin(tot)
+        .withColumn("n_vocab_v3", lit(v.pieces.length.toLong))
+        .withColumn("fertility_ppm",
+          expr("CAST(total_pieces * 1000000 div total_words AS BIGINT)"))
+        .select($"piece", $"n", $"n_vocab_v3", $"total_words",
+          $"total_pieces", $"fertility_ppm")
+        .orderBy($"n".desc, $"piece").limit(40)
+    },
+    Some({
+      val WS = graft.expressions.UnigramExpect.WScale
+      def prune(vNext: String, soft: String) =
+        s"""$vNext AS (SELECT p, soft_mc AS score FROM $soft
+            WHERE length(p) = 1 OR soft_mc >= $WS)"""
+      s"""WITH RECURSIVE
+      tok AS (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents),
+      w AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+      grid AS (SELECT UNNEST(flatten(list_transform(range(1, length(token)+1), i ->
+          list_transform(range(1, ${WpMaxLen + 1}), l -> CASE WHEN i + l - 1 <= length(token)
+            THEN substr(token, i, l) ELSE NULL END)))) AS p, n FROM w),
+      gc AS MATERIALIZED (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM grid WHERE p IS NOT NULL GROUP BY p),
+      v0 AS (
+        SELECT p, c AS score FROM (SELECT p, c FROM gc WHERE length(p) >= 2
+          ORDER BY c DESC, p LIMIT $WpTopK)
+        UNION ALL
+        SELECT p, c AS score FROM gc WHERE length(p) = 1),
+      ${unigramSoftSql("0", "v0")},
+      ${prune("v1", "soft0")},
+      ${unigramSoftSql("1", "v1")},
+      ${prune("v2", "soft1")},
+      ${unigramSoftSql("2", "v2")},
+      ${prune("v3", "soft2")},
+      vm3 AS MATERIALIZED (SELECT p, score FROM v3),
+      ${unigramRoundSql("3", "vm3")},
+      pc AS (SELECT UNNEST(pieces) AS piece, n FROM best3),
+      counts AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS n FROM pc GROUP BY piece),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_words,
+        CAST(SUM(len(pieces) * n) AS BIGINT) AS total_pieces FROM best3),
+      nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab_v3 FROM vm3)
+      SELECT piece, counts.n, nv.n_vocab_v3, tot.total_words, tot.total_pieces,
+        CAST(tot.total_pieces * 1000000 // tot.total_words AS BIGINT) AS fertility_ppm
+      FROM counts, tot, nv ORDER BY counts.n DESC, piece LIMIT 40"""
+    })
+  )
+
   /** As-of join: each event matched to its user's latest prior order —
     * ONE shuffle (union + window), not an inequality-join explosion.
     * Orders pre-deduped per (custkey, orderdate) so the match is unique
@@ -4710,7 +4804,7 @@ object DocQueries {
     qLshScurve, qLangPurity, qCcnetBuckets,
     qNgramNovelty, qRepeatedSpans, qApproxQuantiles, qBpeMerges, qBpeLearn,
     qBpeEncode, qWordpieceEncode, qUnigramTokenizer, qUnigramSoftEm, qUnigramEmRound,
-    qUnigramEm3,
+    qUnigramEm3, qUnigramEmEncode,
     qDictEncode, qInvertedIndex,
     qTextStats, qLangId, qLangConfusion, qDedupExact, qJaccardPairs, qContainmentPairs, qBlockingRecall, qDedupComponents,
     qDedupSurvivors, qHeavyHitters, qCmsCounts, qContaminationBySource, qContaminationSpans,
