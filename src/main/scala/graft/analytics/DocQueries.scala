@@ -2044,6 +2044,97 @@ object DocQueries {
       ORDER BY batch.vec_id""")
   )
 
+  /** TWO-GENERATION incremental semantic dedup — the continuous-
+    * ingestion loop q_delta_semantic opens, CLOSED: that query dedups
+    * ONE batch against an immutable history; production appends the
+    * batch to the index and ingests the next. Here the clone batch
+    * arrives as TWO waves split at mid = off + off/2 (portable integer
+    * arithmetic in both engines): wave 1 dedups against the persisted
+    * history index, the index ABSORBS wave 1
+    * ([[graft.operators.Similarity.SemanticIndex.absorb]] — the WHOLE
+    * wave, not just survivors, which is what makes sequential
+    * ingestion ≡ one-shot union dedup; see absorb's scaladoc and the
+    * DedupSimilaritySpec associativity pin), and wave 2 dedups against
+    * the grown index — history is never re-bucketed in either
+    * generation. Each generation applies its own df-cap over
+    * index + arriving wave (the per-run cap contract of
+    * [[graft.operators.Similarity.semanticBucketIndex]]). The oracle
+    * replays BOTH generations: src ∈ {0 history, 1 wave-1, 2 wave-2},
+    * generation-scoped cap relations (kept1 over src ≤ 1, kept2 over
+    * all), each wave's candidate rule, one shared verify. Output =
+    * every batch row with its wave and kept flag. */
+  val qDeltaSemantic2b = GraftQuery(
+    "q_delta_semantic_2b",
+    (s, dir) => {
+      import s.implicits._
+      val (corpus, off, _) = plantedEmbeddings(s, dir)
+      val emb = graft.operators.Caches.register(corpus)
+      val mid = off + off / 2
+      val history = emb.filter($"vec_id" < off)
+      val b1 = emb.filter($"vec_id" >= off && $"vec_id" < mid)
+      val b2 = emb.filter($"vec_id" >= mid)
+      val pHr = lshPlanesFor(emb.count()) + 2
+      val lHr = lshTablesFor(pHr)
+      val idx0 = Similarity.semanticBucketIndex(history, "vec_id",
+        "embedding", nPlanes = pHr, tables = lHr)
+      val drop1 = Similarity.deltaSemanticDroppedIds(history, b1,
+        "vec_id", "embedding", threshold = 0.8, nPlanes = pHr,
+        tables = lHr, historyIndex = Some(idx0))
+      val idx1 = idx0.absorb(b1, "vec_id", "embedding")
+      val drop2 = Similarity.deltaSemanticDroppedIds(
+        history.unionByName(b1), b2,
+        "vec_id", "embedding", threshold = 0.8, nPlanes = pHr,
+        tables = lHr, historyIndex = Some(idx1))
+      emb.filter($"vec_id" >= off)
+        .join(drop1.unionByName(drop2).withColumnRenamed("id", "vec_id")
+          .withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+        .select($"vec_id", $"label",
+          when($"vec_id" >= mid, 2L).otherwise(1L).as("batch_no"),
+          when($"is_dropped".isNotNull, 0L).otherwise(1L).as("kept"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH $plantedCorpusSql, ${lshPlanesSqlOn("e")}, $lshHrParamsSql,
+      md AS (SELECT off + off // 2 AS mid FROM mx),
+      bv AS (SELECT vec_id, v,
+        list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
+      b AS (SELECT vec_id,
+        CASE WHEN vec_id >= md.mid THEN 2
+             WHEN vec_id >= mx.off THEN 1 ELSE 0 END AS src, t.l AS tbl,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(hr.nph), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qv[d+1] * (CASE WHEN (48271 * ((((t.l * hr.nph + p)*64 + d + 1) * 2654435761 % 2147483647) * (((t.l * hr.nph + p)*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) AS bucket
+      FROM bv, hr, mx, md, UNNEST(range($LshMaxTables)) AS t(l) WHERE t.l < hr.lh),
+      kept1 AS (SELECT tbl, bucket FROM b WHERE src <= 1
+        GROUP BY tbl, bucket HAVING COUNT(*) <= 10000),
+      bk1 AS (SELECT b.* FROM b JOIN kept1 USING (tbl, bucket) WHERE b.src <= 1),
+      cand1 AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM bk1 a JOIN bk1 c ON a.tbl = c.tbl AND a.bucket = c.bucket
+        WHERE a.src = 1 AND (c.src = 0 OR (c.src = 1 AND c.vec_id < a.vec_id))),
+      kept2 AS (SELECT tbl, bucket FROM b
+        GROUP BY tbl, bucket HAVING COUNT(*) <= 10000),
+      bk2 AS (SELECT b.* FROM b JOIN kept2 USING (tbl, bucket)),
+      cand2 AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM bk2 a JOIN bk2 c ON a.tbl = c.tbl AND a.bucket = c.bucket
+        WHERE a.src = 2 AND (c.src <= 1 OR (c.src = 2 AND c.vec_id < a.vec_id))),
+      cand AS (SELECT id_a, id_b FROM cand1 UNION ALL SELECT id_a, id_b FROM cand2),
+      p AS (SELECT id_a,
+          ROUND(CASE WHEN SQRT(list_dot_product(ea.v, ea.v)) * SQRT(list_dot_product(eb.v, eb.v)) = 0
+            THEN 0.0
+            ELSE list_dot_product(ea.v, eb.v) /
+              (SQRT(list_dot_product(ea.v, ea.v)) * SQRT(list_dot_product(eb.v, eb.v))) END, 6) AS cos_sim
+        FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
+      dropped AS (SELECT DISTINCT id_a FROM p WHERE cos_sim >= 0.8),
+      batch AS (SELECT e.vec_id, e.label FROM e, mx WHERE e.vec_id >= mx.off)
+      SELECT batch.vec_id, batch.label,
+        CAST(CASE WHEN batch.vec_id >= md.mid THEN 2 ELSE 1 END AS BIGINT) AS batch_no,
+        CAST(CASE WHEN d.id_a IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM batch LEFT JOIN dropped d ON batch.vec_id = d.id_a, md
+      ORDER BY batch.vec_id""")
+  )
+
   /** EXACT moderate-band cosine pairs [0.4, 0.8) — the band the LSH
     * family's contract EXCLUDES: at a corpus-adaptive plane count,
     * measured band recall at cosine 0.4–0.6 is 0.05–0.35 (q_lsh_recall,
@@ -4813,7 +4904,7 @@ object DocQueries {
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qEmbedDupTables, qEmbedDupHr, qLshRecall,
-    qSemanticDedup, qDeltaSemantic, qMidbandPairs, qMidbandSlice, qIvfTopK, qIvfTopKMp,
+    qSemanticDedup, qDeltaSemantic, qDeltaSemantic2b, qMidbandPairs, qMidbandSlice, qIvfTopK, qIvfTopKMp,
     qApproxDistinct,
     qHllRollup, qAsofJoin,
     qRangeJoin, qKmvDistinct, qKmvIntersect, qQualityScore, qSourceSimilarity, qSourceOverlap,

@@ -389,7 +389,36 @@ object Similarity {
     * with no error anywhere. [[deltaSemanticDroppedIds]] therefore
     * validates the geometry loudly instead of trusting the caller. */
   final case class SemanticIndex(
-      buckets: DataFrame, nPlanes: Int, tables: Int, dim: Int)
+      buckets: DataFrame, nPlanes: Int, tables: Int, dim: Int) {
+
+    /** CONTINUOUS-INGESTION merge: the index after absorbing a batch —
+      * the bucket relation is union-composable by construction (same
+      * planes, same offsets, same geometry: the batch's buckets are
+      * computed HERE with this index's own parameters, so a mismatch
+      * cannot be constructed), and the result serves the NEXT batch's
+      * [[deltaSemanticDroppedIds]] call without ever re-bucketing the
+      * rows already ingested.
+      *
+      * The WHOLE batch is absorbed, not just its dedup survivors —
+      * deliberately: the drop rule pairs a batch doc against ANY
+      * earlier doc (dropped or not), so survivor-only absorption would
+      * make the drop set depend on batch boundaries (a doc whose only
+      * near-match was itself dropped would sail through), while
+      * full-batch absorption makes sequential ingestion reproduce the
+      * one-shot union dedup EXACTLY — batch-split associativity, the
+      * property that makes an incremental index trustworthy
+      * (DeltaSemanticIndexSpec pins it; the one caveat is the df-cap,
+      * which is per-run by design — see [[semanticBucketIndex]] — so a
+      * bucket crossing the hot threshold BETWEEN generations can
+      * shift the candidate surface where the one-shot run caps once).
+      * Absorbed rows are dominated by the batch size; the relation is
+      * Caches-registered like the one [[semanticBucketIndex]] built. */
+    def absorb(batch: DataFrame, idCol: String, vecCol: String): SemanticIndex =
+      SemanticIndex(
+        Caches.register(buckets.unionByName(
+          rawBucketRelation(batch, idCol, vecCol, nPlanes, tables, dim))),
+        nPlanes, tables, dim)
+  }
 
   /** The per-table bucket projection union — uncached; the building
     * block of both the persisted index and the one-shot delta path. */

@@ -491,6 +491,48 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.operators.Caches.unpersistAll()
   }
 
+  test("SemanticIndex.absorb: sequential 2-batch ingestion equals the one-shot union dedup") {
+    import spark.implicits._
+    // the batch-split ASSOCIATIVITY property that makes the incremental
+    // index trustworthy: absorbing batch 1's buckets (ALL of them — see
+    // absorb's scaladoc for why survivors-only would break this) and
+    // then deduping batch 2 against the grown index must reproduce the
+    // one-shot dedup of batch1 ∪ batch2 against the original history,
+    // drop for drop. The (id*7 + d) % 19 corpus is dup-rich by
+    // construction (ids 19 apart are exact duplicates), so all three
+    // drop classes occur: vs history, vs batch 1, vs earlier batch 2.
+    def corpus(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+      .withColumn("vec", expr(
+        "transform(sequence(0, 63), d -> (cast((id*7 + d) % 19 as double) - 9.0) / 9.0)"))
+    val history = corpus(100, 140)
+    val b1 = corpus(0, 10)
+    val b2 = corpus(10, 25)
+    val t = 4
+    val idx0 = Similarity.semanticBucketIndex(history, "id", "vec", 4, t)
+    val d1 = Similarity.deltaSemanticDroppedIds(history, b1, "id", "vec",
+        threshold = 0.8, nPlanes = 4, tables = t, historyIndex = Some(idx0))
+      .collect().map(_.getLong(0)).toSet
+    val idx1 = idx0.absorb(b1, "id", "vec")
+    // absorb must preserve the geometry contract, loudly
+    val mismatch = intercept[IllegalArgumentException] {
+      Similarity.deltaSemanticDroppedIds(history.unionByName(b1), b2,
+        "id", "vec", threshold = 0.8, nPlanes = 5, tables = t,
+        historyIndex = Some(idx1))
+    }
+    assert(mismatch.getMessage.contains("rebuild the index"))
+    val d2 = Similarity.deltaSemanticDroppedIds(history.unionByName(b1), b2,
+        "id", "vec", threshold = 0.8, nPlanes = 4, tables = t,
+        historyIndex = Some(idx1))
+      .collect().map(_.getLong(0)).toSet
+    val oneShot = Similarity.deltaSemanticDroppedIds(history, corpus(0, 25),
+        "id", "vec", threshold = 0.8, nPlanes = 4, tables = t)
+      .collect().map(_.getLong(0)).toSet
+    assert(d1.nonEmpty && d2.nonEmpty, s"degenerate split: d1=$d1 d2=$d2")
+    assert((d1 ++ d2) === oneShot,
+      s"sequential ${(d1 ++ d2).toSeq.sorted} != one-shot ${oneShot.toSeq.sorted}")
+    graft.operators.Caches.unpersistAll()
+  }
+
   test("q_delta_semantic: the clone batch drops against history at the ladder's recall") {
     val rows = graft.SparkEntry.queries("q_delta_semantic")(spark, Dir).collect()
     assert(rows.nonEmpty)
