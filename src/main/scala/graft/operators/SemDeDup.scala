@@ -53,10 +53,14 @@ object SemDeDup {
     * steady at n = 22 500, sf1); at or above it the two-level fit +
     * coarse top-2 multi-probe wins BOTH axes (19.0 s vs 28.2 s steady
     * AND 94.4% vs 91.8% planted recall at n = 225 000, sf10 —
-    * BENCH_SF10_PROBE_MP.json). 1e5 sits between the measured points
-    * (geometric mean ≈ 7.1e4, rounded up so the small-corpus default
-    * stays the cheaper flat path). Both engines route on the SAME
-    * integer count, so the decision — and with it the whole
+    * BENCH_SF10_PROBE_MP.json). The crossover is BRACKETED, not
+    * interpolated (SCALING.md round-15): flat by 4% at n = 67 500, by
+    * 8% at n = 101 250, 2l_mp by 1% at n = 144 000 — a plateau whose
+    * ±1–8% gaps sit inside ambient scatter, so the steady-time
+    * crossover lands between ~1.0e5 and ~1.44e5 and 1e5 routes onto
+    * the path that also wins recall wherever time ties, at a worst
+    * measured cost of ~8% inside the band. Both engines route on the
+    * SAME integer count, so the decision — and with it the whole
     * clustering — is replayable. */
   val RouteMinTwoLevelN = 100000L
 

@@ -248,11 +248,20 @@ class TwoLevelKMeansSpec extends SparkSpec {
   }
 
   test("router: flat at the measured sf1 point, two-level+mp at the measured sf10 point") {
-    // the two solo-bench measurements the threshold is derived from
-    // (SCALING.md round-13/14; BENCH_SF10_PROBE_MP.json): n = 22 500
-    // (sf1, flat 3.3 s vs two-level 5.4 s) and n = 225 000 (sf10, mp
-    // 19.0 s vs flat 28.2 s AND +2.6 pp recall)
+    // the solo-bench measurements the threshold rests on (SCALING.md
+    // round-13/14/15; BENCH_SF10_PROBE_MP.json): flat wins at
+    // n = 22 500 (3.3 vs 5.4 s) through the round-15 bracket points
+    // n = 67 500 (6.64 vs 6.90 s) and n = 101 250 (9.70 vs 10.51 s);
+    // 2l_mp wins from n = 144 000 (12.18 vs 12.34 s) to n = 225 000
+    // (19.0 vs 28.2 s AND +2.6 pp recall). The 1e5 threshold sits in
+    // the measured plateau: the two sub-threshold points route flat,
+    // the two decisive 2l_mp points route two-level, and the one
+    // mis-routed bracket point (101 250 → 2l_mp at an 8% measured
+    // cost, inside ambient scatter) buys the recall-winning path
     assert(!SemDeDup.routeTwoLevel(22500L))
+    assert(!SemDeDup.routeTwoLevel(67500L))
+    assert(SemDeDup.routeTwoLevel(101250L))
+    assert(SemDeDup.routeTwoLevel(144000L))
     assert(SemDeDup.routeTwoLevel(225000L))
   }
 
