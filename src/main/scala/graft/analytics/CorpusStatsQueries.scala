@@ -795,33 +795,45 @@ object CorpusStatsQueries {
        list_transform(range($sub), i -> ($v[i+1]-$c[i+1])*($v[i+1]-$c[i+1]))),
        (acc, x) -> acc + x)"""
 
+  /** One PQ subspace's fit + encode as DuckDB CTEs: slice relation
+    * `s$m` = `$vCol[lo:hi]` of `$src`, init `c{m}_0` = the k smallest
+    * vec_ids, `rounds` assign/update rounds (truncating `//` mean —
+    * valid because every sliced coordinate is non-negative by
+    * construction in BOTH callers: raw shifted-quantized vectors for
+    * [[qPqRecall]], RShift-ed residuals for [[qIvfPqSearch]]), ending
+    * with the final code assignment `code$m`. Same Lloyd semantics as
+    * [[kmeansOracleCtesOn]] at d = `sub`. */
+  private def pqSubspaceCtes(m: Int, sub: Int, k: Int, rounds: Int,
+      src: String, vCol: String): String = {
+    val lo = m * sub + 1; val hi = (m + 1) * sub
+    def assignRound(a: String, cPrev: String) =
+      s"""$a AS (SELECT vec_id, v, j FROM (
+          SELECT s.vec_id, s.v, c.j,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id
+              ORDER BY ${pqDistSql(sub, "s.v", "c.c")}, c.j) AS rk
+          FROM s$m s, $cPrev c) WHERE rk = 1)"""
+    def updateRound(cNext: String, a: String) =
+      s"""$cNext AS (SELECT j, list(mm ORDER BY i) AS c FROM (
+          SELECT a.j, t.i, CAST(SUM(a.v[t.i+1]) // COUNT(*) AS BIGINT) AS mm
+          FROM $a a, UNNEST(range($sub)) AS t(i) GROUP BY a.j, t.i) GROUP BY j)"""
+    val roundsSql = (1 to rounds).map(r =>
+      assignRound(s"a${m}_$r", s"c${m}_${r - 1}") + ",\n" +
+        updateRound(s"c${m}_$r", s"a${m}_$r")).mkString(",\n")
+    s"""s$m AS (SELECT vec_id, $vCol[$lo:$hi] AS v FROM $src),
+      c${m}_0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+        FROM s$m ORDER BY vec_id LIMIT $k),
+      $roundsSql,
+      ${assignRound(s"code$m", s"c${m}_$rounds")}"""
+  }
+
   /** The full PQ replay: per subspace, the [[FixedPointKMeans]] Lloyd
-    * CTEs over the 16-dim slice (init = k smallest vec_ids, truncating
-    * update, (dist, j) tie-break — same as kmeansOracleCtes at d=16),
-    * the final code assignment, the query's ADC tables, the code-table
-    * distance scan and both top-20s. */
+    * CTEs over the 16-dim slice ([[pqSubspaceCtes]]), the query's ADC
+    * tables, the code-table distance scan and both top-20s. */
   private def pqOracleSql(mCount: Int, sub: Int, k: Int, rounds: Int,
       topK: Int): String = {
     def subspace(m: Int): String = {
       val lo = m * sub + 1; val hi = (m + 1) * sub
-      def assignRound(a: String, cPrev: String) =
-        s"""$a AS (SELECT vec_id, v, j FROM (
-            SELECT s.vec_id, s.v, c.j,
-              ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                ORDER BY ${pqDistSql(sub, "s.v", "c.c")}, c.j) AS rk
-            FROM s$m s, $cPrev c) WHERE rk = 1)"""
-      def updateRound(cNext: String, a: String) =
-        s"""$cNext AS (SELECT j, list(mm ORDER BY i) AS c FROM (
-            SELECT a.j, t.i, CAST(SUM(a.v[t.i+1]) // COUNT(*) AS BIGINT) AS mm
-            FROM $a a, UNNEST(range($sub)) AS t(i) GROUP BY a.j, t.i) GROUP BY j)"""
-      val roundsSql = (1 to rounds).map(r =>
-        assignRound(s"a${m}_$r", s"c${m}_${r - 1}") + ",\n" +
-          updateRound(s"c${m}_$r", s"a${m}_$r")).mkString(",\n")
-      s"""s$m AS (SELECT vec_id, v[$lo:$hi] AS v FROM q),
-        c${m}_0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c
-          FROM s$m ORDER BY vec_id LIMIT $k),
-        $roundsSql,
-        ${assignRound(s"code$m", s"c${m}_$rounds")},
+      s"""${pqSubspaceCtes(m, sub, k, rounds, "q", "v")},
         dt$m AS (SELECT c.j, ${pqDistSql(sub, "qq.v", "c.c")} AS d
           FROM c${m}_$rounds c, (SELECT v[$lo:$hi] AS v FROM q WHERE vec_id = 0) qq)"""
     }
@@ -847,6 +859,240 @@ object CorpusStatsQueries {
       SELECT pq.vec_id, pq.adc_dist, hit.n_hit * ${1000000L / topK} AS recall_ppm
       FROM pq, hit ORDER BY adc_dist, vec_id"""
   }
+
+  private val IvfPqCoarseK = 8  // coarse cells (q_ivf_topk's geometry)
+  private val IvfPqRounds = 2   // coarse Lloyd rounds
+  private val IvfPqQueries = 4  // query batch (q_ivf_topk_mp's shape)
+  private val IvfPqShort = 50   // ADC shortlist ahead of the exact re-rank
+
+  /** Residual shift: coarse residuals v − c are SIGNED (each component
+    * bounded by ±2·QShift), and a signed coordinate would re-open the
+    * floor-vs-truncate divergence between DuckDB's `//` and Spark's
+    * `DIV` that QShift exists to close (see
+    * [[graft.operators.FixedPointKMeans.quantize]]). Adding 2·QShift
+    * returns every residual component — and therefore every per-cluster
+    * coordinate SUM in the PQ codebook fits — to the non-negative
+    * regime where the two divisions agree. Distances are invariant
+    * under a common shift, so the PQ geometry is unchanged. */
+  private val RShift = 2L * QShift
+
+  /** The full IVF-PQ replay: the coarse Lloyd ([[kmeansOracleCtes]] —
+    * quantized relation `q`, final centroids, final assignment), the
+    * shifted-residual relation, [[pqSubspaceCtes]] per subspace OVER
+    * THE RESIDUALS, the rk ≤ 2 probe, the per-(query, cell) ADC
+    * tables, the code-table candidate scan, the ADC shortlist, the
+    * exact integer-L2 re-rank and both top-20 certificates. */
+  private def ivfPqOracleSql: String = {
+    val aFin = s"a${IvfPqRounds + 1}" // kmeansOracleCtes' final assignment
+    val cFin = s"c$IvfPqRounds"       // ... and final centroids
+    def resTransform(v: String, c: String) =
+      s"list_transform(range(${PqM * PqSubD}), i -> $v[i+1] - $c[i+1] + $RShift)"
+    val subspaces = (0 until PqM).map(m =>
+      pqSubspaceCtes(m, PqSubD, PqK, PqRounds, "res", "rv")).mkString(",\n")
+    val luts = (0 until PqM).map { m =>
+      val lo = m * PqSubD + 1; val hi = (m + 1) * PqSubD
+      s"""lut$m AS (SELECT qr.qid, qr.cell, c.j,
+          ${pqDistSql(PqSubD, s"qr.rv[$lo:$hi]", "c.c")} AS d
+        FROM qres qr, c${m}_$PqRounds c)"""
+    }.mkString(",\n")
+    val codeJoin = (0 until PqM).map(m =>
+      s"JOIN code$m ON code$m.vec_id = cand.vec_id").mkString(" ")
+    val lutJoin = (0 until PqM).map(m =>
+      s"JOIN lut$m ON lut$m.qid = cand.qid AND lut$m.cell = cand.cell " +
+        s"AND lut$m.j = code$m.j").mkString(" ")
+    val adcSum = (0 until PqM).map(m => s"lut$m.d").mkString(" + ")
+    s"""WITH ${kmeansOracleCtes(IvfPqCoarseK, IvfPqRounds)},
+      res AS (SELECT a.vec_id, a.j AS cell, ${resTransform("a.v", "c.c")} AS rv
+        FROM $aFin a JOIN $cFin c ON c.j = a.j),
+      $subspaces,
+      qsel AS (SELECT vec_id AS qid, v FROM q ORDER BY vec_id LIMIT $IvfPqQueries),
+      probe AS (SELECT qid, j AS cell FROM (
+          SELECT qs.qid, c.j,
+            ROW_NUMBER() OVER (PARTITION BY qs.qid
+              ORDER BY ${kmeansDistSql("qs.v", "c.c")}, c.j) AS rk
+          FROM qsel qs, $cFin c) WHERE rk <= 2),
+      qres AS (SELECT p.qid, p.cell, ${resTransform("qs.v", "c.c")} AS rv
+        FROM probe p JOIN qsel qs ON qs.qid = p.qid JOIN $cFin c ON c.j = p.cell),
+      $luts,
+      cand AS (SELECT p.qid, r.vec_id, r.cell FROM res r JOIN probe p ON r.cell = p.cell),
+      adc AS (SELECT cand.qid, cand.vec_id, $adcSum AS adc_dist
+        FROM cand $codeJoin $lutJoin),
+      short AS (SELECT qid, vec_id, adc_dist FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY adc_dist, vec_id) AS rn FROM adc) WHERE rn <= $IvfPqShort),
+      rrd AS (SELECT s.qid, s.vec_id, s.adc_dist,
+          ${pqDistSql(PqM * PqSubD, "e.v", "qs.v")} AS d_exact
+        FROM short s JOIN q e ON e.vec_id = s.vec_id
+          JOIN qsel qs ON qs.qid = s.qid),
+      rr AS (SELECT qid, vec_id, adc_dist, d_exact FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY d_exact, vec_id) AS rn FROM rrd) WHERE rn <= $PqTopK),
+      adctop AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY adc_dist, vec_id) AS rn FROM adc) WHERE rn <= $PqTopK),
+      exd AS (SELECT qs.qid, e.vec_id,
+          ${pqDistSql(PqM * PqSubD, "e.v", "qs.v")} AS d
+        FROM q e, qsel qs),
+      exact AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY d, vec_id) AS rn FROM exd) WHERE rn <= $PqTopK),
+      counts AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM cand GROUP BY qid),
+      ha AS (SELECT t.qid, COUNT(*) AS h FROM adctop t
+        JOIN exact x ON x.qid = t.qid AND x.vec_id = t.vec_id GROUP BY t.qid),
+      hr AS (SELECT t.qid, COUNT(*) AS h FROM rr t
+        JOIN exact x ON x.qid = t.qid AND x.vec_id = t.vec_id GROUP BY t.qid)
+      SELECT r.qid, r.vec_id, r.d_exact, r.adc_dist, c.n_cand,
+        CAST(COALESCE(ha.h, 0) * 1000000 // $PqTopK AS BIGINT) AS recall_adc_ppm,
+        CAST(COALESCE(hr.h, 0) * 1000000 // $PqTopK AS BIGINT) AS recall_rr_ppm
+      FROM rr r JOIN counts c ON c.qid = r.qid
+        LEFT JOIN ha ON ha.qid = r.qid LEFT JOIN hr ON hr.qid = r.qid
+      ORDER BY r.qid, r.d_exact, r.vec_id"""
+  }
+
+  /** IVF-PQ — the full IVFADC retrieval architecture (Jégou et al.,
+    * "Product quantization for nearest neighbor search"): the coarse
+    * IVF quantizer of [[graft.analytics.DocQueries]]' q_ivf_topk and
+    * the PQ codes of [[qPqRecall]] COMPOSED the way a billion-scale
+    * index actually serves — codebooks trained on per-cell RESIDUALS
+    * (v − c_cell has far lower variance than v, so the same M×k code
+    * budget quantizes much finer), query-side top-2 multi-probe through
+    * the fused [[graft.operators.FixedPointKMeans.best2Of]] kernel
+    * (q_ivf_topk_mp's batch shape — no driver-side distance math on
+    * the search path), per-(query, cell) ADC lookup tables built
+    * IN-PLAN over batch-bounded relations, a code-only candidate scan
+    * (M one-byte-equivalent codes per vector — vectors are never
+    * touched until the re-rank), an ADC top-50 shortlist, and an exact
+    * integer-L2 re-rank that fetches true vectors for 50 ids per
+    * query, not for whole cells. Both accuracy certificates ride the
+    * result under the hash gate: recall_adc_ppm (raw ADC top-20 vs
+    * exact — what PQ compression alone costs) and recall_rr_ppm (the
+    * served re-ranked top-20 vs exact — what the user sees; re-rank
+    * recovers every ADC ordering error inside the shortlist, so
+    * recall_rr ≥ recall_adc whenever the true neighbors entered the
+    * candidate cells).
+    *
+    * Everything is exact shifted-integer arithmetic: residuals are
+    * re-shifted by [[RShift]] so the codebook fits stay in the
+    * truncate-equals-floor division regime, distances are fused
+    * graft_dot_long compositions (|a−b|² = a·a + b·b − 2a·b — no
+    * interpreted per-dim fold on any corpus-sized relation), and the
+    * DuckDB oracle replays the ENTIRE pipeline — coarse Lloyd,
+    * residuals, 4 residual-space codebook fits, encoding, probe
+    * selection, ADC tables, shortlist, re-rank, certificates — so the
+    * actual served rows hash-match, not a summary of them.
+    *
+    * Scale shape: the inverted file + codes relation is the 100 TB
+    * artifact (M bytes/vector instead of 4d — written cell-partitioned
+    * via [[graft.operators.IvfIndex]]'s layout, each probe a pruned
+    * directory scan); codebooks and centroids are driver/broadcast
+    * bounded (M·k·subD longs); the candidate scan is one broadcast
+    * join + M broadcast LUT lookups, all map-side; shortlist, re-rank
+    * and certificate all ride the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator. The |batch|×N exact
+    * certificate is the declared verification baseline (q_ann_topk's
+    * status), not the serving path. */
+  val qIvfPqSearch = GraftQuery(
+    "q_ivfpq_search",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, FixedPointKMeans}
+      def dot(a: Column, b: Column): Column =
+        call_function("graft_dot_long", a, b)
+      def sqd(a: Column, b: Column): Column =
+        dot(a, a) + dot(b, b) - lit(2L) * dot(a, b)
+      val quant = Caches.register(Tables.embeddings(s, dir)
+        .select($"vec_id", FixedPointKMeans.quantize(
+          $"embedding".cast("array<double>")).as("v")))
+      val cents = FixedPointKMeans.fit(quant, "vec_id", "v",
+        IvfPqCoarseK, IvfPqRounds)
+      val centMap = typedLit(cents.map { case (j, c) => j -> c }.toMap)
+      // the inverted file + per-vector SHIFTED residual (one map pass)
+      val res = Caches.register(FixedPointKMeans.assign(quant, "v", cents)
+        .select($"vec_id", $"v", $"cluster",
+          zip_with($"v", element_at(centMap, $"cluster"),
+            (a, b) => a - b + lit(RShift)).as("rv")))
+      // four independent residual-space codebooks, fitted concurrently
+      // (the q_pq_recall scheduling pattern — wall-clock of one fit)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val books: Seq[Seq[(Int, Seq[Long])]] = Await.result(
+        Future.sequence((0 until PqM).toList.map { m => Future {
+          FixedPointKMeans.fit(
+            res.select($"vec_id", slice($"rv", m * PqSubD + 1, PqSubD).as("v")),
+            "vec_id", "v", PqK, PqRounds)
+        }}), scala.concurrent.duration.Duration(600, "s"))
+      // encode: M fused argmins per row, map-side — the stored codes
+      val coded = Caches.register((0 until PqM).foldLeft(res.toDF()) {
+        (df, m) => df.withColumn(s"c$m",
+          FixedPointKMeans.bestOf(slice(col("rv"), m * PqSubD + 1, PqSubD),
+            books(m))("j"))
+      }.select($"vec_id" +: $"cluster" +:
+          (0 until PqM).map(m => col(s"c$m")): _*))
+      // the query batch picks its two probe cells IN-PLAN (fused top-2)
+      val qs = Caches.register(quant.orderBy($"vec_id").limit(IvfPqQueries)
+        .withColumn("b2", FixedPointKMeans.best2Of($"v", cents))
+        .select($"vec_id".as("qid"), $"v".as("qv"),
+          $"b2.j".as("c1"), $"b2.j2".as("c2")))
+      val probes = qs
+        .select($"qid", $"qv", explode(array($"c1", $"c2")).as("cluster"))
+        .filter($"cluster" =!= -1)
+      // per-(query, probed cell) shifted residual → the M×k ADC tables,
+      // built in-plan over batch-bounded relations
+      val qres = probes.withColumn("rv",
+          zip_with($"qv", element_at(centMap, $"cluster"),
+            (a, b) => a - b + lit(RShift)))
+        .select($"qid", $"cluster", $"rv")
+      val luts = (0 until PqM).map { m =>
+        val bk = s.createDataFrame(books(m)).toDF("j", "c")
+        qres.crossJoin(broadcast(bk)).select($"qid", $"cluster", $"j".as(s"c$m"),
+          sqd(slice($"rv", m * PqSubD + 1, PqSubD), $"c").as(s"d$m"))
+      }
+      // candidate scan: cell-membership broadcast join + M broadcast LUT
+      // lookups, all map-side; adc_dist is a table sum — codes only, no
+      // vector is read until the re-rank
+      val cand = Caches.register(luts.zipWithIndex.foldLeft(
+          coded.join(broadcast(probes.select($"qid", $"cluster")),
+            Seq("cluster"))) {
+          case (df, (lut, m)) =>
+            df.join(broadcast(lut), Seq("qid", "cluster", s"c$m"))
+        }.select($"qid", $"vec_id",
+          (0 until PqM).map(m => col(s"d$m")).reduce(_ + _).as("adc_dist")))
+      val short = graft.plans.TopKPerKey.perKey(cand, Seq("qid"),
+        Seq(("adc_dist", true), ("vec_id", true)), IvfPqShort)
+      // exact integer-L2 re-rank: true vectors fetched for the 50
+      // shortlisted ids per query, not for the probed cells
+      val rr = graft.plans.TopKPerKey.perKey(
+        short.join(quant, Seq("vec_id"))
+          .join(broadcast(qs.select($"qid", $"qv")), Seq("qid"))
+          .select($"qid", $"vec_id", $"adc_dist",
+            sqd($"v", $"qv").as("d_exact")),
+        Seq("qid"), Seq(("d_exact", true), ("vec_id", true)), PqTopK)
+      val adcTop = graft.plans.TopKPerKey.perKey(cand, Seq("qid"),
+        Seq(("adc_dist", true), ("vec_id", true)), PqTopK)
+      // the exact certificate: |batch|×N fused integer-L2, bounded heap
+      val exact = Caches.register(graft.plans.TopKPerKey.perKey(
+        quant.crossJoin(broadcast(qs.select($"qid", $"qv")))
+          .select($"qid", $"vec_id", sqd($"v", $"qv").as("d")),
+        Seq("qid"), Seq(("d", true), ("vec_id", true)), PqTopK)
+        .select($"qid", $"vec_id"))
+      val counts = cand.groupBy($"qid").agg(count(lit(1)).as("n_cand"))
+      val ha = adcTop.join(broadcast(exact), Seq("qid", "vec_id"), "left_semi")
+        .groupBy($"qid").agg(count(lit(1)).as("ha"))
+      val hr = rr.join(broadcast(exact), Seq("qid", "vec_id"), "left_semi")
+        .groupBy($"qid").agg(count(lit(1)).as("hr"))
+      rr.join(broadcast(counts), Seq("qid"))
+        .join(broadcast(ha), Seq("qid"), "left")
+        .join(broadcast(hr), Seq("qid"), "left")
+        .select($"qid", $"vec_id", $"d_exact", $"adc_dist", $"n_cand",
+          expr(s"CAST(coalesce(ha, 0) * 1000000 DIV $PqTopK AS BIGINT)")
+            .as("recall_adc_ppm"),
+          expr(s"CAST(coalesce(hr, 0) * 1000000 DIV $PqTopK AS BIGINT)")
+            .as("recall_rr_ppm"))
+        .orderBy($"qid", $"d_exact", $"vec_id")
+    },
+    Some(ivfPqOracleSql)
+  )
 
   /** k-center greedy coreset (farthest-first traversal, k = 8) over the
     * quantized embedding relation — the 2-approximation data-selection
@@ -1102,6 +1348,6 @@ object CorpusStatsQueries {
 
   val all: Seq[GraftQuery] =
     Seq(qKmeans, qSemdedup, qSemdedup2l, qSemdedup2lMp, qSemdedupAuto,
-      qPqRecall, qSourceKl, qHeapsLaw,
+      qPqRecall, qIvfPqSearch, qSourceKl, qHeapsLaw,
       qZipfFit, qCoreset, qNmfTopics)
 }

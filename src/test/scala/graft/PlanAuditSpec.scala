@@ -488,6 +488,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(self.length == perQ.size, "a query failed to retrieve itself")
   }
 
+  test("IVF-PQ search: broadcast LUT scan, heap top-k, re-rank recovery") {
+    // the candidate scan must be map-side only: the probe relation and
+    // every per-subspace ADC table broadcast onto the coded corpus
+    // (codes, never vectors); all top-k stages ride the bounded heap;
+    // the only nested-loop joins are batch-bounded broadcasts (the
+    // 8-row LUT builds and the exact certificate)
+    val df = SparkEntry.queries("q_ivfpq_search")(spark, Dir)
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate/LUT joins lost their broadcast:\n$p")
+    assert(p.contains("TopKPerKey ["),
+      s"per-query top-k did not plan onto the bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct"), "q_ivfpq_search went cartesian")
+    assert(!p.contains("SortMergeJoin"),
+      s"a batch-bounded join fell back to a corpus shuffle:\n$p")
+    // behavior: the exact re-rank can only improve on the raw ADC
+    // ordering (same candidate set, true distances), and the query
+    // vector — in the corpus, primary cell always probed, d_exact = 0 —
+    // must rank first for itself
+    val perQ = rows.map(r => (r.getAs[Long]("qid"),
+      (r.getAs[Long]("recall_adc_ppm"), r.getAs[Long]("recall_rr_ppm"))))
+      .toMap
+    assert(perQ.size > 1, "expected a multi-query batch")
+    perQ.foreach { case (qid, (ra, rr)) =>
+      assert(rr >= ra, s"qid=$qid: re-ranked recall $rr below raw ADC $ra")
+    }
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, qr) =>
+      val first = qr.minBy(r => (r.getAs[Long]("d_exact"), r.getAs[Long]("vec_id")))
+      assert(first.getAs[Long]("vec_id") == qid,
+        s"qid=$qid: query did not retrieve itself first")
+      assert(first.getAs[Long]("d_exact") == 0L,
+        s"qid=$qid: self-distance nonzero")
+    }
+  }
+
   test("whole-stage codegen spans the aggregation pipeline") {
     // AQE hides codegen spans until the final plan exists — execute first
     val df = SparkEntry.queries("q1_pricing_summary")(spark, Dir)
