@@ -828,17 +828,21 @@ object CorpusStatsQueries {
 
   /** The full PQ replay: per subspace, the [[FixedPointKMeans]] Lloyd
     * CTEs over the 16-dim slice ([[pqSubspaceCtes]]), the query's ADC
-    * tables, the code-table distance scan and both top-20s. */
+    * tables, the code-table distance scan and both top-20s. `rel`
+    * names the (vec_id, v) relation the pipeline quantizes — default
+    * the raw quantized corpus `q`; [[qOpqRecall]] passes its permuted
+    * relation plus the `prelude` CTEs that build it (must carry a
+    * trailing comma). */
   private def pqOracleSql(mCount: Int, sub: Int, k: Int, rounds: Int,
-      topK: Int): String = {
+      topK: Int, rel: String = "q", prelude: String = ""): String = {
     def subspace(m: Int): String = {
       val lo = m * sub + 1; val hi = (m + 1) * sub
-      s"""${pqSubspaceCtes(m, sub, k, rounds, "q", "v")},
+      s"""${pqSubspaceCtes(m, sub, k, rounds, rel, "v")},
         dt$m AS (SELECT c.j, ${pqDistSql(sub, "qq.v", "c.c")} AS d
-          FROM c${m}_$rounds c, (SELECT v[$lo:$hi] AS v FROM q WHERE vec_id = 0) qq)"""
+          FROM c${m}_$rounds c, (SELECT v[$lo:$hi] AS v FROM $rel WHERE vec_id = 0) qq)"""
     }
     val codeJoin = (0 until mCount).map(m =>
-      s"JOIN code$m ON code$m.vec_id = q.vec_id").mkString(" ")
+      s"JOIN code$m ON code$m.vec_id = $rel.vec_id").mkString(" ")
     val dtJoin = (0 until mCount).map(m =>
       s"JOIN dt$m ON dt$m.j = code$m.j").mkString(" ")
     val adcSum = (0 until mCount).map(m => s"dt$m.d").mkString(" + ")
@@ -846,19 +850,123 @@ object CorpusStatsQueries {
         list_transform(CAST(embedding AS DOUBLE[]),
           x -> CAST(FLOOR(x * $QScale + 0.5) AS BIGINT) + $QShift) AS v
       FROM embeddings),
-      ${(0 until mCount).map(subspace).mkString(",\n")},
-      adc AS (SELECT q.vec_id, $adcSum AS adc_dist
-        FROM q $codeJoin $dtJoin
-        WHERE q.vec_id <> 0),
+      $prelude${(0 until mCount).map(subspace).mkString(",\n")},
+      adc AS (SELECT $rel.vec_id, $adcSum AS adc_dist
+        FROM $rel $codeJoin $dtJoin
+        WHERE $rel.vec_id <> 0),
       pq AS (SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT $topK),
-      ex AS (SELECT q.vec_id FROM q, (SELECT v FROM q WHERE vec_id = 0) qq
-        WHERE q.vec_id <> 0
-        ORDER BY ${pqDistSql(mCount * sub, "q.v", "qq.v")}, q.vec_id LIMIT $topK),
+      ex AS (SELECT $rel.vec_id FROM $rel, (SELECT v FROM $rel WHERE vec_id = 0) qq
+        WHERE $rel.vec_id <> 0
+        ORDER BY ${pqDistSql(mCount * sub, s"$rel.v", "qq.v")}, $rel.vec_id LIMIT $topK),
       hit AS (SELECT COUNT(*) AS n_hit FROM pq JOIN ex USING (vec_id))
       SELECT pq.vec_id, pq.adc_dist, hit.n_hit * ${1000000L / topK} AS recall_ppm
       FROM pq, hit ORDER BY adc_dist, vec_id"""
   }
+
+  /** OPQ-lite — PQ over a BALANCED-VARIANCE dimension permutation (the
+    * allocation half of Ge et al.'s Optimized Product Quantization,
+    * without the rotation): contiguous 16-dim slices inherit whatever
+    * variance layout the encoder happened to emit, so one subspace can
+    * carry most of the signal while another quantizes noise — the
+    * classic PQ failure mode. The fix is a data-dependent but fully
+    * deterministic permutation: exact per-dimension second moments
+    * (integer counts and sums, DECIMAL(38,0)/HUGEINT — no floating
+    * point anywhere near the ranking), dimensions ranked by the exact
+    * variance numerator n·Σx² − (Σx)², dealt round-robin across the M
+    * subspaces (rank r → subspace r mod M), each subspace's dims laid
+    * out in rank order. Everything downstream is [[qPqRecall]]'s exact
+    * pipeline over the permuted vectors — same codebook budget, same
+    * query (vec 0), same top-20 — so recall_ppm here vs q_pq_recall's
+    * measures what dimension allocation alone buys, with both numbers
+    * under their own hash gates. The permutation is a 64-int driver
+    * array (collected from a 64-row moment rollup — bounded by d, not
+    * N) applied as a STATIC 64-wide array constructor (codegen'd
+    * gather, no interpreted per-element lambda on the corpus path).
+    * Scale shape otherwise identical to q_pq_recall. */
+  val qOpqRecall = GraftQuery(
+    "q_opq_recall",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.FixedPointKMeans
+      val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+      val quant = graft.operators.Caches.register(
+        Tables.embeddings(s, dir).select($"vec_id",
+          FixedPointKMeans.quantize($"embedding").as("v")))
+      // exact per-dim moments; 64 rows collected — bounded by d
+      val mom = quant.select(posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"dim").agg(count(lit(1)).as("n"),
+          sum(d38($"x")).as("s"), sum(d38($"x") * d38($"x")).as("ss"))
+        .collect()
+      val ranked = mom.map { r =>
+        val n = BigInt(r.getAs[Long]("n"))
+        val sv = BigInt(r.getAs[java.math.BigDecimal]("s").toBigInteger)
+        val ssv = BigInt(r.getAs[java.math.BigDecimal]("ss").toBigInteger)
+        (r.getAs[Int]("dim"), n * ssv - sv * sv)
+      }.sortBy { case (dim, vn) => (-vn, BigInt(dim)) }
+      val ranks = ranked.map(_._1) // dim at rank r = 0..63
+      val perm: Seq[Int] = (0 until PqM).flatMap(m =>
+        ranks.zipWithIndex.collect { case (dim, r) if r % PqM == m => dim })
+      val pv = graft.operators.Caches.register(quant.select($"vec_id",
+        array(perm.map(i => $"v".getItem(i)): _*).as("v")))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val books: Seq[Seq[(Int, Seq[Long])]] = Await.result(
+        Future.sequence((0 until PqM).toList.map { m => Future {
+          FixedPointKMeans.fit(
+            pv.select($"vec_id", slice($"v", m * PqSubD + 1, PqSubD).as("v")),
+            "vec_id", "v", PqK, PqRounds)
+        }}), scala.concurrent.duration.Duration(600, "s"))
+      val coded = (0 until PqM).foldLeft(pv.toDF()) { (df, m) =>
+        df.withColumn(s"c$m",
+          FixedPointKMeans.bestOf(slice(col("v"), m * PqSubD + 1, PqSubD),
+            books(m))("j"))
+      }
+      val qv: Seq[Long] = pv.filter($"vec_id" === 0L)
+        .select($"v").head().getSeq[Long](0)
+      val qsub = (0 until PqM).map(m => qv.slice(m * PqSubD, (m + 1) * PqSubD))
+      val adc = (0 until PqM).map { m =>
+        val ids = books(m).map(_._1)
+        val ds = books(m).map { case (_, c) =>
+          FixedPointKMeans.sqDistLocal(qsub(m), c) }
+        element_at(map_from_arrays(typedLit(ids), typedLit(ds)), col(s"c$m"))
+      }.reduce(_ + _)
+      def exactDist(v: Column) = FixedPointKMeans.bestOf(v, Seq((0, qv)))("d")
+      val pq = coded.filter($"vec_id" =!= 0L)
+        .select($"vec_id", adc.as("adc_dist"))
+        .orderBy($"adc_dist", $"vec_id").limit(PqTopK)
+      val ex = pv.filter($"vec_id" =!= 0L)
+        .select($"vec_id", exactDist($"v").as("d"))
+        .orderBy($"d", $"vec_id").limit(PqTopK)
+        .select($"vec_id")
+      val hits = pq.join(ex, Seq("vec_id"), "leftsemi")
+        .agg(count(lit(1)).as("n_hit"))
+      pq.crossJoin(broadcast(hits))
+        .select($"vec_id", $"adc_dist",
+          ($"n_hit" * (1000000L / PqTopK)).as("recall_ppm"))
+        .orderBy($"adc_dist", $"vec_id")
+    },
+    Some {
+      // the permutation replay: exact HUGEINT moments, the same
+      // (variance desc, dim) rank, rank-mod-M subspace deal, and the
+      // permuted relation `pv` laid out (subspace, slot)-contiguous —
+      // then qPqRecall's generated tail verbatim over pv
+      val prelude = s"""mom AS (SELECT t.i AS dim,
+          CAST(COUNT(*) AS HUGEINT) AS n,
+          SUM(CAST(q.v[t.i+1] AS HUGEINT)) AS s,
+          SUM(CAST(q.v[t.i+1] AS HUGEINT) * CAST(q.v[t.i+1] AS HUGEINT)) AS ss
+        FROM q, UNNEST(range(${PqM * PqSubD})) AS t(i) GROUP BY t.i),
+      rk AS (SELECT dim,
+          ROW_NUMBER() OVER (ORDER BY n*ss - s*s DESC, dim) - 1 AS r FROM mom),
+      perm AS (SELECT dim, r % $PqM AS sub,
+          ROW_NUMBER() OVER (PARTITION BY r % $PqM ORDER BY r) AS slot FROM rk),
+      pv AS (SELECT q.vec_id, list(q.v[p.dim+1] ORDER BY p.sub, p.slot) AS v
+        FROM q, perm p GROUP BY q.vec_id),
+      """
+      pqOracleSql(PqM, PqSubD, PqK, PqRounds, PqTopK, rel = "pv",
+        prelude = prelude)
+    }
+  )
 
   private val IvfPqCoarseK = 8  // coarse cells (q_ivf_topk's geometry)
   private val IvfPqRounds = 2   // coarse Lloyd rounds
@@ -1348,6 +1456,6 @@ object CorpusStatsQueries {
 
   val all: Seq[GraftQuery] =
     Seq(qKmeans, qSemdedup, qSemdedup2l, qSemdedup2lMp, qSemdedupAuto,
-      qPqRecall, qIvfPqSearch, qSourceKl, qHeapsLaw,
+      qPqRecall, qOpqRecall, qIvfPqSearch, qSourceKl, qHeapsLaw,
       qZipfFit, qCoreset, qNmfTopics)
 }
