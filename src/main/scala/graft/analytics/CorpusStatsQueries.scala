@@ -968,6 +968,76 @@ object CorpusStatsQueries {
     }
   )
 
+  /** Prefix lengths for [[qPrefixDimRecall]] — powers of two up to the
+    * full dimension, the ladder Matryoshka-style truncation evaluates. */
+  private val PrefixDims = Seq(16, 32, 64)
+
+  /** Matryoshka-style TRUNCATION audit: top-20 retrieval quality when
+    * only the first 16 / 32 / 64 embedding dimensions are stored — the
+    * measurement a production stack runs before cutting vector storage
+    * in half (MRL-trained encoders front-load signal; an encoder that
+    * was NOT trained that way shows it here, in numbers, before anyone
+    * truncates an index). Per prefix length: exact integer-L2 top-20
+    * against the prefix of query vec 0 (fused single-candidate kernel —
+    * the same map-side argmin as [[qPqRecall]]'s exact branch, over a
+    * shorter slice), plus recall vs the FULL-dimension top-20 carried
+    * on every row; the d = 64 rung is the identity anchor
+    * (recall_ppm = 1e6 by construction — a cheap oracle-side sanity
+    * check that the recall join itself is sound). Scale shape: three
+    * map-side scans + TakeOrdered — no shuffle, no pairs; the prefix
+    * slice would push into the parquet scan as a narrower read when
+    * dims are stored as separate columns. */
+  val qPrefixDimRecall = GraftQuery(
+    "q_prefix_dim_recall",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.FixedPointKMeans
+      val quant = graft.operators.Caches.register(
+        Tables.embeddings(s, dir).select($"vec_id",
+          FixedPointKMeans.quantize($"embedding").as("v")))
+      val qv: Seq[Long] = quant.filter($"vec_id" === 0L)
+        .select($"v").head().getSeq[Long](0)
+      def topAt(d: Int): DataFrame = quant.filter($"vec_id" =!= 0L)
+        .select($"vec_id",
+          FixedPointKMeans.bestOf(slice($"v", 1, d),
+            Seq((0, qv.take(d))))("d").as("dist"))
+        .orderBy($"dist", $"vec_id").limit(PqTopK)
+      val full = topAt(PrefixDims.max).select($"vec_id")
+      PrefixDims.map { d =>
+        val t = topAt(d).withColumn("prefix_d", lit(d.toLong))
+        val hit = t.join(full, Seq("vec_id"), "leftsemi")
+          .agg(count(lit(1)).as("n_hit"))
+        t.crossJoin(broadcast(hit))
+          .select($"prefix_d", $"vec_id", $"dist",
+            ($"n_hit" * (1000000L / PqTopK)).as("recall_ppm"))
+      }.reduce(_ unionAll _)
+        .orderBy($"prefix_d", $"dist", $"vec_id")
+    },
+    Some {
+      val branches = PrefixDims.map { d =>
+        s"""(SELECT CAST($d AS BIGINT) AS prefix_d, t.vec_id, t.dist,
+            (SELECT COUNT(*) FROM t$d tt JOIN fullk f ON f.vec_id = tt.vec_id)
+              * ${1000000L / PqTopK} AS recall_ppm
+          FROM t$d t)"""
+      }.mkString("\nUNION ALL\n")
+      val tops = PrefixDims.map { d =>
+        s"""t$d AS (SELECT q.vec_id,
+            ${pqDistSql(d, "q.v", "qq.v")} AS dist
+          FROM q, (SELECT v FROM q WHERE vec_id = 0) qq
+          WHERE q.vec_id <> 0
+          ORDER BY dist, q.vec_id LIMIT $PqTopK)"""
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(FLOOR(x * $QScale + 0.5) AS BIGINT) + $QShift) AS v
+        FROM embeddings),
+        $tops,
+        fullk AS (SELECT vec_id FROM t${PrefixDims.max})
+        SELECT * FROM ($branches)
+        ORDER BY prefix_d, dist, vec_id"""
+    }
+  )
+
   private val IvfPqCoarseK = 8  // coarse cells (q_ivf_topk's geometry)
   private val IvfPqRounds = 2   // coarse Lloyd rounds
   private val IvfPqQueries = 4  // query batch (q_ivf_topk_mp's shape)
@@ -1456,6 +1526,7 @@ object CorpusStatsQueries {
 
   val all: Seq[GraftQuery] =
     Seq(qKmeans, qSemdedup, qSemdedup2l, qSemdedup2lMp, qSemdedupAuto,
-      qPqRecall, qOpqRecall, qIvfPqSearch, qSourceKl, qHeapsLaw,
+      qPqRecall, qOpqRecall, qPrefixDimRecall, qIvfPqSearch, qSourceKl,
+      qHeapsLaw,
       qZipfFit, qCoreset, qNmfTopics)
 }
