@@ -2165,6 +2165,24 @@ object DocQueries {
       WHERE cos_sim >= 0.4 AND cos_sim < 0.8 ORDER BY id_a, id_b""")
   )
 
+  /** The calibrated-slice CTEs shared by the slice-bounded exact
+    * diagnostics ([[qMidbandSlice]], [[qIntrinsicDim]]): `e` (double
+    * vectors), `bv` (the bucket-hash integer view) and `sl` — the
+    * cell ≡ 0 mod stride slice, (vec_id, v). Callers splice
+    * [[recallSamplerSqlOn]] (which provides `sp`) ahead of this
+    * block. */
+  private def recallSliceCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bv AS (SELECT vec_id, v,
+        list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
+      sl AS (SELECT vec_id, v FROM bv, sp
+        WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(sp.spl), p ->
+          CASE WHEN list_sum(list_transform(range(64), d ->
+            qv[d+1] * (CASE WHEN (48271 * (((($RecallSamplerOffset + p)*64 + d + 1) * 2654435761 % 2147483647) * ((($RecallSamplerOffset + p)*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
+                       THEN 1 ELSE -1 END))) >= 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, x) -> acc * 2 + x) % sp.stride = 0)"""
+
   /** The midband operator AT SCALE: q_midband_pairs is honestly
     * quadratic (exhaustive mining at cosine 0.4–0.8 is
     * information-theoretically so) and therefore unrunnable as-is past
@@ -2202,16 +2220,7 @@ object DocQueries {
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""WITH ${recallSamplerSqlOn("embeddings")},
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      bv AS (SELECT vec_id, v,
-        list_transform(v, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv FROM e),
-      sl AS (SELECT vec_id, v FROM bv, sp
-        WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(sp.spl), p ->
-          CASE WHEN list_sum(list_transform(range(64), d ->
-            qv[d+1] * (CASE WHEN (48271 * (((($RecallSamplerOffset + p)*64 + d + 1) * 2654435761 % 2147483647) * ((($RecallSamplerOffset + p)*64 + d + 1) * 2654435761 % 2147483647) % 2147483647)) % 2147483647 < 1073741824
-                       THEN 1 ELSE -1 END))) >= 0
-            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-          (acc, x) -> acc * 2 + x) % sp.stride = 0),
+      $recallSliceCtes,
       ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_slice FROM sl),
       p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
           ROUND(CASE WHEN SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v)) = 0
@@ -2222,6 +2231,92 @@ object DocQueries {
       SELECT id_a, id_b, cos_sim, ns.n_slice, CAST(sp.stride AS BIGINT) AS stride
       FROM p, ns, sp
       WHERE cos_sim >= 0.4 AND cos_sim < 0.8 ORDER BY id_a, id_b""")
+  )
+
+  /** TwoNN INTRINSIC DIMENSION (Facco et al., "Estimating the intrinsic
+    * dimension of datasets by a minimal neighborhood information"): the
+    * MLE over per-point ratios μ = r₂/r₁ of second- to first-neighbor
+    * distance — id = n / Σ ln μ — the embedding-health diagnostic that
+    * tells a curation pipeline whether its 64-dim vectors actually span
+    * 64 dimensions or live on a much lower manifold (collapsed encoders
+    * and template-heavy corpora both show up as id ≪ d before any
+    * downstream index is built). Exact 2-NN is Θ(N²), so the estimator
+    * runs over the SAME calibrated coarse-cell slice as
+    * [[qMidbandSlice]] (~1200 points at ANY corpus size — cell sampling
+    * preserves local neighbor structure, which is exactly what a
+    * neighbor-ratio statistic needs; the quadratic term is flat in N).
+    * Arithmetic discipline: distances are exact shifted-integer L2
+    * (fused graft_dot_long composition), zero-distance neighbors
+    * (exact duplicates) are excluded BEFORE ranking so μ is always
+    * finite, ln μ = ln(d₂/d₁)/2 enters a DECIMAL(18,12) sum (the
+    * q_zipf_fit ln discipline), and the estimate rounds to 6. Points
+    * with fewer than two positive-distance neighbors drop out
+    * deterministically (n_used carries the survivor count). The oracle
+    * replays sampler, slice, quantization, the full pair matrix, the
+    * rank-2 cut and the MLE. */
+  val qIntrinsicDim = GraftQuery(
+    "q_intrinsic_dim",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, FixedPointKMeans}
+      def dotl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("graft_dot_long", a, b)
+      val emb = Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
+      val n = emb.count()
+      val stride = ((n + RecallSliceTarget - 1L) / RecallSliceTarget).toInt
+      val samplerPlanes = recallSamplerPlanesFor(stride)
+      val slice = Caches.register(emb
+        .select($"vec_id",
+          FixedPointKMeans.quantize($"embedding").as("v"),
+          Similarity.portableBucketNative($"embedding",
+            samplerPlanes, 64, RecallSamplerOffset).as("cell"))
+        .filter($"cell" % stride === 0).select($"vec_id", $"v"))
+      val nSlice = slice.count()
+      val pairs = slice.toDF("id_a", "va")
+        .crossJoin(slice.toDF("id_b", "vb"))
+        .filter($"id_a" =!= $"id_b")
+        .select($"id_a", $"id_b",
+          (dotl($"va", $"va") + dotl($"vb", $"vb") -
+            lit(2L) * dotl($"va", $"vb")).as("d"))
+        .filter($"d" > 0L)
+      val top2 = graft.plans.TopKPerKey.perKey(pairs, Seq("id_a"),
+        Seq(("d", true), ("id_b", true)), 2)
+      val lnr = top2.groupBy($"id_a")
+        .agg(count(lit(1)).as("cnt"), min($"d").as("d1"), max($"d").as("d2"))
+        .filter($"cnt" === 2)
+        .select(log($"d2".cast("double") / $"d1".cast("double")).as("lr"))
+      lnr.agg(count(lit(1)).as("n_used"),
+          sum($"lr".cast(DecimalType(18, 12))).cast("double").as("slr"))
+        .select(lit(nSlice).as("n_slice"), $"n_used",
+          round($"n_used".cast("double") / ($"slr" * 0.5), 6).as("id_twonn"))
+    },
+    Some {
+      val qsc = graft.operators.FixedPointKMeans.QScale
+      val qsh = graft.operators.FixedPointKMeans.QShift
+      val sqDist = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(64), i -> (a.v[i+1]-b.v[i+1])*(a.v[i+1]-b.v[i+1]))),
+        (acc, x) -> acc + x)"""
+      s"""WITH ${recallSamplerSqlOn("embeddings")},
+      $recallSliceCtes,
+      sq AS (SELECT vec_id, list_transform(v,
+          x -> CAST(FLOOR(x * $qsc + 0.5) AS BIGINT) + $qsh) AS v FROM sl),
+      pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $sqDist AS d
+        FROM sq a JOIN sq b ON a.vec_id <> b.vec_id),
+      t2 AS (SELECT id_a, d FROM (
+          SELECT id_a, d, ROW_NUMBER() OVER (PARTITION BY id_a
+            ORDER BY d, id_b) AS rn FROM pr WHERE d > 0) WHERE rn <= 2),
+      m AS (SELECT id_a, COUNT(*) AS cnt, MIN(d) AS d1, MAX(d) AS d2
+        FROM t2 GROUP BY id_a),
+      u AS (SELECT LN(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE)) AS lr
+        FROM m WHERE cnt = 2),
+      ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_slice FROM sl),
+      ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+          CAST(SUM(CAST(lr AS DECIMAL(18,12))) AS DOUBLE) AS slr FROM u)
+      SELECT ns.n_slice, ag.n_used,
+        ROUND(CAST(ag.n_used AS DOUBLE) / (ag.slr * 0.5), 6) AS id_twonn
+      FROM ns, ag"""
+    }
   )
 
   /** IVF ANN top-20 with the ACTUAL probe rows under the hash gate:
@@ -4904,7 +4999,8 @@ object DocQueries {
     qDecontaminate, qRepetition, qBigramStats, qEmbedTopK, qMinhashPairs,
     qMinhashPrecision, qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qEmbedDupTables, qEmbedDupHr, qLshRecall,
-    qSemanticDedup, qDeltaSemantic, qDeltaSemantic2b, qMidbandPairs, qMidbandSlice, qIvfTopK, qIvfTopKMp,
+    qSemanticDedup, qDeltaSemantic, qDeltaSemantic2b, qMidbandPairs, qMidbandSlice,
+    qIntrinsicDim, qIvfTopK, qIvfTopKMp,
     qApproxDistinct,
     qHllRollup, qAsofJoin,
     qRangeJoin, qKmvDistinct, qKmvIntersect, qQualityScore, qSourceSimilarity, qSourceOverlap,
