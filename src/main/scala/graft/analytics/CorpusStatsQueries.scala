@@ -328,6 +328,93 @@ object CorpusStatsQueries {
       FROM stats, rec ORDER BY cluster""")
   )
 
+  /** τ rungs for [[qSemdedupSweep]] as exact percentages (denominator
+    * 100): below the raw corpus's cosine ceiling (~0.6), at the
+    * threshold q_semdedup ships (0.9), and bracketing the planted clone
+    * band (cosines ≈ 0.95 / 0.97 / 0.99). */
+  private val SemSweepTaus: Seq[Long] = Seq(50L, 80L, 90L, 95L, 99L)
+
+  /** The SemDeDup THRESHOLD-SENSITIVITY curve — the measurement a
+    * curation team runs BEFORE committing to a τ: drop mass at five
+    * thresholds from ONE clustering and ONE pair pass. The cluster fit,
+    * assignment and within-cluster pair stream are exactly
+    * [[qSemdedup]]'s (same ⌊√N⌋ Lloyd, same strict id_a < id_b
+    * surface); each τ rung is then one more fused graft_intcos_ge
+    * predicate over the already-computed (dot, ‖a‖², ‖b‖²) row — the
+    * pair join is NOT re-run per threshold. Emits per τ: surviving
+    * pair count, distinct dropped ids, survivors — the knee of the
+    * n_dropped curve (here: nothing at 0.5 beyond raw-corpus pairs,
+    * the full clone band at 0.9, decay through 0.95/0.99) is the
+    * evidence for where τ belongs. Scale: one Θ(N^1.5) pair stream;
+    * the 5-way conditional count-distinct expands the aggregation
+    * input ×|ladder| — a diagnostic cost, borne once per sweep, not
+    * per serving query. Oracle replays the Lloyd, the pair stream and
+    * every rung's exact HUGEINT threshold test. */
+  val qSemdedupSweep = GraftQuery(
+    "q_semdedup_sweep",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, FixedPointKMeans}
+      val (corpus, _, _) = DocQueries.plantedEmbeddings(s, dir)
+      val q = Caches.register(corpus.select($"vec_id",
+        FixedPointKMeans.quantize($"embedding").as("v")))
+      val nTot = q.count()
+      val k = math.max(8L, math.floor(math.sqrt(nTot.toDouble)).toLong).toInt
+      val cents = FixedPointKMeans.fit(q, "vec_id", "v", k, KmeansRounds)
+      val asg = FixedPointKMeans.assign(q, "v", cents)
+        .select($"vec_id", $"v", $"cluster")
+      val u = asg.select($"vec_id".as("id"), $"cluster".as("cl"),
+          transform($"v", x => x - FixedPointKMeans.QShift).as("uv"))
+        .withColumn("nsq", call_function("graft_dot_long", $"uv", $"uv"))
+      val a = u.select($"id".as("id_a"), $"cl".as("cl_a"),
+        $"uv".as("uv_a"), $"nsq".as("nsq_a"))
+      val b = u.select($"id".as("id_b"), $"cl".as("cl_b"),
+        $"uv".as("uv_b"), $"nsq".as("nsq_b"))
+      val pr = a.join(b, $"cl_a" === $"cl_b" && $"id_a" < $"id_b")
+        .select($"id_b",
+          call_function("graft_dot_long", $"uv_a", $"uv_b").as("dot"),
+          $"nsq_a", $"nsq_b")
+      val aggs = SemSweepTaus.flatMap { t =>
+        val pass = call_function("graft_intcos_ge",
+          $"dot", $"nsq_a", $"nsq_b", lit(t), lit(100L))
+        Seq(sum(when(pass, 1L).otherwise(0L)).as(s"p$t"),
+          countDistinct(when(pass, $"id_b")).as(s"d$t"))
+      }
+      pr.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${SemSweepTaus.length}, " +
+          SemSweepTaus.map(t => s"${t}L, coalesce(p$t, 0L), d$t")
+            .mkString(", ") +
+          ") AS (tau_pct, n_pairs, n_dropped)")
+        .withColumn("n_survivors", lit(nTot) - $"n_dropped")
+        .orderBy($"tau_pct")
+    },
+    Some {
+      val tauRows = SemSweepTaus.map(t => s"($t)").mkString(", ")
+      // the exact integer test of graft_intcos_ge at num = tau_pct,
+      // den = 100 — semdedupFlatTailSql's dropped-CTE condition with
+      // the rung parameterized (10000 = den²)
+      val rung =
+        s"""p.dot >= 0 AND p.nsq_a > 0 AND p.nsq_b > 0
+          AND CAST(p.dot AS HUGEINT) * p.dot * 10000 >=
+              t.tau_pct * t.tau_pct * CAST(p.nsq_a AS HUGEINT) * p.nsq_b"""
+      s"""WITH ${graft.analytics.DocQueries.plantedCorpusSql},
+      ${kmeansOracleCtesOn("(SELECT vec_id, v FROM e)", SemKExpr, KmeansRounds)},
+      ${semdedupFlatTailSql("")},
+      taus AS (SELECT CAST(tau_pct AS BIGINT) AS tau_pct
+        FROM (VALUES $tauRows) t(tau_pct)),
+      sw AS (SELECT t.tau_pct,
+          CAST(SUM(CASE WHEN $rung THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pairs,
+          CAST(COUNT(DISTINCT CASE WHEN $rung THEN p.id_b END) AS BIGINT)
+            AS n_dropped
+        FROM taus t LEFT JOIN pr p ON TRUE GROUP BY t.tau_pct),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q)
+      SELECT sw.tau_pct, sw.n_pairs, sw.n_dropped,
+        nn.n - sw.n_dropped AS n_survivors
+      FROM sw, nn ORDER BY sw.tau_pct"""
+    }
+  )
+
   /** The [[graft.operators.FixedPointKMeans.fitTwoLevel]] replay as
     * DuckDB CTEs: the flat coarse replay (kc cells, via
     * [[kmeansOracleCtesOn]] with the kc/kf dims CTE spliced in), then
@@ -1525,7 +1612,8 @@ object CorpusStatsQueries {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(qKmeans, qSemdedup, qSemdedup2l, qSemdedup2lMp, qSemdedupAuto,
+    Seq(qKmeans, qSemdedup, qSemdedupSweep, qSemdedup2l, qSemdedup2lMp,
+      qSemdedupAuto,
       qPqRecall, qOpqRecall, qPrefixDimRecall, qIvfPqSearch, qSourceKl,
       qHeapsLaw,
       qZipfFit, qCoreset, qNmfTopics)
