@@ -361,19 +361,13 @@ object CorpusStatsQueries {
       val nTot = q.count()
       val k = math.max(8L, math.floor(math.sqrt(nTot.toDouble)).toLong).toInt
       val cents = FixedPointKMeans.fit(q, "vec_id", "v", k, KmeansRounds)
-      val asg = FixedPointKMeans.assign(q, "v", cents)
-        .select($"vec_id", $"v", $"cluster")
-      val u = asg.select($"vec_id".as("id"), $"cluster".as("cl"),
-          transform($"v", x => x - FixedPointKMeans.QShift).as("uv"))
-        .withColumn("nsq", call_function("graft_dot_long", $"uv", $"uv"))
-      val a = u.select($"id".as("id_a"), $"cl".as("cl_a"),
-        $"uv".as("uv_a"), $"nsq".as("nsq_a"))
-      val b = u.select($"id".as("id_b"), $"cl".as("cl_b"),
-        $"uv".as("uv_b"), $"nsq".as("nsq_b"))
-      val pr = a.join(b, $"cl_a" === $"cl_b" && $"id_a" < $"id_b")
-        .select($"id_b",
-          call_function("graft_dot_long", $"uv_a", $"uv_b").as("dot"),
-          $"nsq_a", $"nsq_b")
+      val asg = Caches.register(FixedPointKMeans.assign(q, "v", cents)
+        .select($"vec_id", $"v", $"cluster"))
+      // the SHARED pair stream — q_semdedup's droppedIds evaluates its
+      // single τ over this same body, so the sweep cannot drift from
+      // the threshold the production query ships
+      val pr = graft.operators.SemDeDup.pairStream(
+        asg, "vec_id", "v", "cluster")
       val aggs = SemSweepTaus.flatMap { t =>
         val pass = call_function("graft_intcos_ge",
           $"dot", $"nsq_a", $"nsq_b", lit(t), lit(100L))
@@ -822,6 +816,70 @@ object CorpusStatsQueries {
     * TakeOrdered. The exact-L2 branch is the declared verification
     * baseline (same status as q_ivf_topk's recall column) — production
     * serves PQ codes alone, at M bytes per vector instead of 4·d. */
+  /** The four subspace codebook fits over `vCol` slices of `rel` —
+    * independent job chains submitted CONCURRENTLY (the Spark
+    * scheduler interleaves their stages; the wall-clock cost of the
+    * codebook phase is one fit, not four). Shared by [[qPqRecall]],
+    * [[qOpqRecall]] (raw/permuted vectors) and [[qIvfPqSearch]]
+    * (residuals), so the fit discipline — init, rounds, timeout —
+    * cannot drift between the audits and the serving path. */
+  private def fitPqBooks(rel: DataFrame,
+      vCol: String): Seq[Seq[(Int, Seq[Long])]] = {
+    import graft.operators.FixedPointKMeans
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence((0 until PqM).toList.map { m => Future {
+        FixedPointKMeans.fit(
+          rel.select(col("vec_id"),
+            slice(col(vCol), m * PqSubD + 1, PqSubD).as("v")),
+          "vec_id", "v", PqK, PqRounds)
+      }}), scala.concurrent.duration.Duration(600, "s"))
+  }
+
+  /** The PQ encode → ADC scan → top-20 → exact-L2 certificate tail
+    * over a (vec_id, v) relation — [[qPqRecall]]'s whole body after
+    * quantization, shared verbatim with [[qOpqRecall]] so the two
+    * audits measure the SAME pipeline and differ only in the vector
+    * layout they are handed (the engine-side mirror of
+    * [[pqOracleSql]]'s rel parameter). Query = vec 0; corpus = the
+    * rest; ADC via per-subspace literal lookup tables; exact branch
+    * through the fused single-centroid kernel. */
+  private def pqAdcRecallTail(rel: DataFrame,
+      books: Seq[Seq[(Int, Seq[Long])]]): DataFrame = {
+    import graft.operators.FixedPointKMeans
+    val coded = (0 until PqM).foldLeft(rel) { (df, m) =>
+      df.withColumn(s"c$m",
+        FixedPointKMeans.bestOf(slice(col("v"), m * PqSubD + 1, PqSubD),
+          books(m))("j"))
+    }
+    val qv: Seq[Long] = rel.filter(col("vec_id") === 0L)
+      .select(col("v")).head().getSeq[Long](0)
+    val qsub = (0 until PqM).map(m => qv.slice(m * PqSubD, (m + 1) * PqSubD))
+    val adc = (0 until PqM).map { m =>
+      val ids = books(m).map(_._1)
+      val ds = books(m).map { case (_, c) =>
+        FixedPointKMeans.sqDistLocal(qsub(m), c) }
+      element_at(map_from_arrays(typedLit(ids), typedLit(ds)), col(s"c$m"))
+    }.reduce(_ + _)
+    // fused single-centroid distance (graft_kmeans_assign with one
+    // candidate) — same integer result as the zip_with fold it replaces
+    def exactDist(v: Column) = FixedPointKMeans.bestOf(v, Seq((0, qv)))("d")
+    val pq = coded.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(PqTopK)
+    val ex = rel.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), exactDist(col("v")).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(PqTopK)
+      .select(col("vec_id"))
+    val hits = pq.join(ex, Seq("vec_id"), "leftsemi")
+      .agg(count(lit(1)).as("n_hit"))
+    pq.crossJoin(broadcast(hits))
+      .select(col("vec_id"), col("adc_dist"),
+        (col("n_hit") * (1000000L / PqTopK)).as("recall_ppm"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+  }
+
   val qPqRecall = GraftQuery(
     "q_pq_recall",
     (s, dir) => {
@@ -830,48 +888,7 @@ object CorpusStatsQueries {
       val emb = graft.operators.Caches.register(
         Tables.embeddings(s, dir).select($"vec_id",
           FixedPointKMeans.quantize($"embedding").as("v")))
-      // the four subspace fits are independent job chains — submit them
-      // concurrently (the Spark scheduler interleaves their stages; the
-      // wall-clock cost of the codebook phase is one fit, not four)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val books: Seq[Seq[(Int, Seq[Long])]] = Await.result(
-        Future.sequence((0 until PqM).toList.map { m => Future {
-          FixedPointKMeans.fit(
-            emb.select($"vec_id", slice($"v", m * PqSubD + 1, PqSubD).as("v")),
-            "vec_id", "v", PqK, PqRounds)
-        }}), scala.concurrent.duration.Duration(600, "s"))
-      val coded = (0 until PqM).foldLeft(emb.toDF()) { (df, m) =>
-        df.withColumn(s"c$m",
-          FixedPointKMeans.bestOf(slice(col("v"), m * PqSubD + 1, PqSubD),
-            books(m))("j"))
-      }
-      val qv: Seq[Long] = emb.filter($"vec_id" === 0L)
-        .select($"v").head().getSeq[Long](0)
-      val qsub = (0 until PqM).map(m => qv.slice(m * PqSubD, (m + 1) * PqSubD))
-      val adc = (0 until PqM).map { m =>
-        val ids = books(m).map(_._1)
-        val ds = books(m).map { case (_, c) =>
-          FixedPointKMeans.sqDistLocal(qsub(m), c) }
-        element_at(map_from_arrays(typedLit(ids), typedLit(ds)), col(s"c$m"))
-      }.reduce(_ + _)
-      // fused single-centroid distance (graft_kmeans_assign with one
-      // candidate) — same integer result as the zip_with fold it replaces
-      def exactDist(v: org.apache.spark.sql.Column) =
-        FixedPointKMeans.bestOf(v, Seq((0, qv)))("d")
-      val pq = coded.filter($"vec_id" =!= 0L)
-        .select($"vec_id", adc.as("adc_dist"))
-        .orderBy($"adc_dist", $"vec_id").limit(PqTopK)
-      val ex = emb.filter($"vec_id" =!= 0L)
-        .select($"vec_id", exactDist($"v").as("d"))
-        .orderBy($"d", $"vec_id").limit(PqTopK)
-        .select($"vec_id")
-      val hits = pq.join(ex, Seq("vec_id"), "leftsemi")
-        .agg(count(lit(1)).as("n_hit"))
-      pq.crossJoin(broadcast(hits))
-        .select($"vec_id", $"adc_dist",
-          ($"n_hit" * (1000000L / PqTopK)).as("recall_ppm"))
-        .orderBy($"adc_dist", $"vec_id")
+      pqAdcRecallTail(emb.toDF(), fitPqBooks(emb, "v"))
     },
     Some(pqOracleSql(PqM, PqSubD, PqK, PqRounds, PqTopK))
   )
@@ -996,42 +1013,7 @@ object CorpusStatsQueries {
         ranks.zipWithIndex.collect { case (dim, r) if r % PqM == m => dim })
       val pv = graft.operators.Caches.register(quant.select($"vec_id",
         array(perm.map(i => $"v".getItem(i)): _*).as("v")))
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val books: Seq[Seq[(Int, Seq[Long])]] = Await.result(
-        Future.sequence((0 until PqM).toList.map { m => Future {
-          FixedPointKMeans.fit(
-            pv.select($"vec_id", slice($"v", m * PqSubD + 1, PqSubD).as("v")),
-            "vec_id", "v", PqK, PqRounds)
-        }}), scala.concurrent.duration.Duration(600, "s"))
-      val coded = (0 until PqM).foldLeft(pv.toDF()) { (df, m) =>
-        df.withColumn(s"c$m",
-          FixedPointKMeans.bestOf(slice(col("v"), m * PqSubD + 1, PqSubD),
-            books(m))("j"))
-      }
-      val qv: Seq[Long] = pv.filter($"vec_id" === 0L)
-        .select($"v").head().getSeq[Long](0)
-      val qsub = (0 until PqM).map(m => qv.slice(m * PqSubD, (m + 1) * PqSubD))
-      val adc = (0 until PqM).map { m =>
-        val ids = books(m).map(_._1)
-        val ds = books(m).map { case (_, c) =>
-          FixedPointKMeans.sqDistLocal(qsub(m), c) }
-        element_at(map_from_arrays(typedLit(ids), typedLit(ds)), col(s"c$m"))
-      }.reduce(_ + _)
-      def exactDist(v: Column) = FixedPointKMeans.bestOf(v, Seq((0, qv)))("d")
-      val pq = coded.filter($"vec_id" =!= 0L)
-        .select($"vec_id", adc.as("adc_dist"))
-        .orderBy($"adc_dist", $"vec_id").limit(PqTopK)
-      val ex = pv.filter($"vec_id" =!= 0L)
-        .select($"vec_id", exactDist($"v").as("d"))
-        .orderBy($"d", $"vec_id").limit(PqTopK)
-        .select($"vec_id")
-      val hits = pq.join(ex, Seq("vec_id"), "leftsemi")
-        .agg(count(lit(1)).as("n_hit"))
-      pq.crossJoin(broadcast(hits))
-        .select($"vec_id", $"adc_dist",
-          ($"n_hit" * (1000000L / PqTopK)).as("recall_ppm"))
-        .orderBy($"adc_dist", $"vec_id")
+      pqAdcRecallTail(pv.toDF(), fitPqBooks(pv, "v"))
     },
     Some {
       // the permutation replay: exact HUGEINT moments, the same
@@ -1089,9 +1071,15 @@ object CorpusStatsQueries {
           FixedPointKMeans.bestOf(slice($"v", 1, d),
             Seq((0, qv.take(d))))("d").as("dist"))
         .orderBy($"dist", $"vec_id").limit(PqTopK)
-      val full = topAt(PrefixDims.max).select($"vec_id")
+      // the full-d rung doubles as the recall reference — cached so the
+      // ladder branch and every per-rung recall join read ONE top-20
+      // computation (the oracle's fullk AS (SELECT vec_id FROM t64))
+      val tops = PrefixDims.map(d =>
+        d -> (if (d == PrefixDims.max)
+          graft.operators.Caches.register(topAt(d)) else topAt(d))).toMap
+      val full = tops(PrefixDims.max).select($"vec_id")
       PrefixDims.map { d =>
-        val t = topAt(d).withColumn("prefix_d", lit(d.toLong))
+        val t = tops(d).withColumn("prefix_d", lit(d.toLong))
         val hit = t.join(full, Seq("vec_id"), "leftsemi")
           .agg(count(lit(1)).as("n_hit"))
         t.crossJoin(broadcast(hit))
@@ -1277,16 +1265,9 @@ object CorpusStatsQueries {
         .select($"vec_id", $"v", $"cluster",
           zip_with($"v", element_at(centMap, $"cluster"),
             (a, b) => a - b + lit(RShift)).as("rv")))
-      // four independent residual-space codebooks, fitted concurrently
-      // (the q_pq_recall scheduling pattern — wall-clock of one fit)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val books: Seq[Seq[(Int, Seq[Long])]] = Await.result(
-        Future.sequence((0 until PqM).toList.map { m => Future {
-          FixedPointKMeans.fit(
-            res.select($"vec_id", slice($"rv", m * PqSubD + 1, PqSubD).as("v")),
-            "vec_id", "v", PqK, PqRounds)
-        }}), scala.concurrent.duration.Duration(600, "s"))
+      // four independent residual-space codebooks via the shared
+      // concurrent-fit helper (wall-clock of one fit)
+      val books = fitPqBooks(res, "rv")
       // encode: M fused argmins per row, map-side — the stored codes
       val coded = Caches.register((0 until PqM).foldLeft(res.toDF()) {
         (df, m) => df.withColumn(s"c$m",

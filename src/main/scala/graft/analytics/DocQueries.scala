@@ -1981,7 +1981,7 @@ object DocQueries {
     * through [[graft.operators.Similarity.semanticBucketIndex]] — the
     * persisted, Caches-registered index a production session builds
     * once per history snapshot and passes to every batch's delta call
-    * (DeltaSemanticIndexSpec pins that a second batch against the same
+    * (DedupSimilaritySpec pins that a second batch against the same
     * index plans ZERO history-side bucket recomputation); history
     * vectors are touched only for candidate verifies.
     * Same calibrated hr ladder as q_semantic_dedup (threshold 0.8,

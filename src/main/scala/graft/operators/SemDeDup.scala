@@ -68,18 +68,20 @@ object SemDeDup {
     * of `n` vectors ([[RouteMinTwoLevelN]]). */
   def routeTwoLevel(n: Long): Boolean = n >= RouteMinTwoLevelN
 
-  /** Ids DROPPED by SemDeDup over an already-clustered quantized
-    * relation: a row's id is emitted iff a SMALLER-id member of the
-    * same cluster has cosine ≥ tauNum/tauDen with it (the repo-wide
-    * keep-first dedup convention — survivors are exactly the ids not
-    * returned). `assigned` must carry [[FixedPointKMeans.quantize]]d
-    * vectors in `vCol` and a cluster id in `clusterCol`.
+  /** The within-cluster pair stream EVERY flat drop rule evaluates:
+    * unshift, fused self-dots, the strict id_a < id_b same-cluster
+    * join, and the fused integer dot per surviving pair — WITHOUT any
+    * threshold applied, so one pass can serve many τ rungs
+    * ([[graft.analytics.CorpusStatsQueries]]' q_semdedup_sweep) or the
+    * single shipped τ ([[droppedIds]], which shares this body so the
+    * two surfaces cannot drift — the round-14 router lesson applied
+    * to the pair join itself).
     *
-    * Returns a single-column DataFrame `id` (distinct). */
-  def droppedIds(assigned: DataFrame, idCol: String, vCol: String,
-      clusterCol: String, tauNum: Long, tauDen: Long): DataFrame = {
-    require(tauDen > 0 && tauNum >= 0 && tauNum <= tauDen,
-      s"SemDeDup: need 0 <= tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    * Columns: (id_a, id_b, dot, nsq_a, nsq_b). `assigned` must carry
+    * [[FixedPointKMeans.quantize]]d vectors in `vCol` and a cluster id
+    * in `clusterCol`. */
+  def pairStream(assigned: DataFrame, idCol: String, vCol: String,
+      clusterCol: String): DataFrame = {
     val u = assigned.select(
       col(idCol).as("id"),
       col(clusterCol).as("cl"),
@@ -89,15 +91,33 @@ object SemDeDup {
       col("uv").as("uv_a"), col("nsq").as("nsq_a"))
     val b = u.select(col("id").as("id_b"), col("cl").as("cl_b"),
       col("uv").as("uv_b"), col("nsq").as("nsq_b"))
-    // the whole per-pair verify is two fused kernels: the integer dot
-    // and the exact threshold decision (graft_intcos_ge: double fast
-    // path + BigInteger boundary fallback — bit-identical to the
-    // DECIMAL(38) comparison it replaced, which paid three BigDecimal
-    // multiplies per pair and dominated the sf10 pair stream)
     a.join(b, col("cl_a") === col("cl_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        call_function("graft_dot_long", col("uv_a"), col("uv_b")).as("dot"),
+        col("nsq_a"), col("nsq_b"))
+  }
+
+  /** Ids DROPPED by SemDeDup over an already-clustered quantized
+    * relation: a row's id is emitted iff a SMALLER-id member of the
+    * same cluster has cosine ≥ tauNum/tauDen with it (the repo-wide
+    * keep-first dedup convention — survivors are exactly the ids not
+    * returned). `assigned` must carry [[FixedPointKMeans.quantize]]d
+    * vectors in `vCol` and a cluster id in `clusterCol`.
+    *
+    * Returns a single-column DataFrame `id` (distinct). The whole
+    * per-pair verify is two fused kernels: the integer dot (inside
+    * [[pairStream]]) and the exact threshold decision
+    * (graft_intcos_ge: double fast path + BigInteger boundary
+    * fallback — bit-identical to the DECIMAL(38) comparison it
+    * replaced, which paid three BigDecimal multiplies per pair and
+    * dominated the sf10 pair stream). */
+  def droppedIds(assigned: DataFrame, idCol: String, vCol: String,
+      clusterCol: String, tauNum: Long, tauDen: Long): DataFrame = {
+    require(tauDen > 0 && tauNum >= 0 && tauNum <= tauDen,
+      s"SemDeDup: need 0 <= tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    pairStream(assigned, idCol, vCol, clusterCol)
       .filter(call_function("graft_intcos_ge",
-        call_function("graft_dot_long", col("uv_a"), col("uv_b")),
-        col("nsq_a"), col("nsq_b"), lit(tauNum), lit(tauDen)))
+        col("dot"), col("nsq_a"), col("nsq_b"), lit(tauNum), lit(tauDen)))
       .select(col("id_b").as("id"))
       .distinct()
   }

@@ -405,14 +405,25 @@ object Similarity {
       * make the drop set depend on batch boundaries (a doc whose only
       * near-match was itself dropped would sail through), while
       * full-batch absorption makes sequential ingestion reproduce the
-      * one-shot union dedup EXACTLY — batch-split associativity, the
-      * property that makes an incremental index trustworthy
-      * (DeltaSemanticIndexSpec pins it; the one caveat is the df-cap,
-      * which is per-run by design — see [[semanticBucketIndex]] — so a
-      * bucket crossing the hot threshold BETWEEN generations can
-      * shift the candidate surface where the one-shot run caps once).
-      * Absorbed rows are dominated by the batch size; the relation is
-      * Caches-registered like the one [[semanticBucketIndex]] built. */
+      * one-shot union dedup — batch-split associativity, the property
+      * that makes an incremental index trustworthy (the
+      * DedupSimilaritySpec associativity test pins it).
+      *
+      * TWO stated limits on that equivalence. (1) Id order: the
+      * batch-vs-absorbed drop rule is INGESTION-ORDER keep-first (a
+      * batch doc drops against any absorbed near-match, regardless of
+      * id), while batch-INTERNAL pairs keep the smaller id — so the
+      * one-shot equivalence holds exactly when wave id-ranges are
+      * monotone (every later wave's ids exceed the earlier waves'),
+      * the natural contract where ids are assigned at arrival. Feed
+      * id-interleaved waves and the survivor SET still has one doc per
+      * duplicate group, but it is the first-INGESTED one, not the
+      * smallest-id one (also spec-pinned). (2) The df-cap is per-run
+      * by design — see [[semanticBucketIndex]] — so a bucket crossing
+      * the hot threshold BETWEEN generations can shift the candidate
+      * surface where the one-shot run caps once. Absorbed rows are
+      * dominated by the batch size; the relation is Caches-registered
+      * like the one [[semanticBucketIndex]] built. */
     def absorb(batch: DataFrame, idCol: String, vecCol: String): SemanticIndex =
       SemanticIndex(
         Caches.register(buckets.unionByName(

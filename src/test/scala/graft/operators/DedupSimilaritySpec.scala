@@ -533,6 +533,44 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.operators.Caches.unpersistAll()
   }
 
+  test("SemanticIndex.absorb: id-INTERLEAVED waves are ingestion-order keep-first, not id keep-first") {
+    import spark.implicits._
+    // the stated limit of the one-shot equivalence (absorb's scaladoc,
+    // point 1): when a later wave carries a SMALLER id than an absorbed
+    // near-duplicate, the sequential flow drops the later-INGESTED doc
+    // (batch-vs-absorbed is id-order-free) while the one-shot union
+    // dedup drops the larger ID. Same one-survivor-per-group guarantee,
+    // different survivor — pinned here so the monotone-id precondition
+    // stays a documented contract, not an unstated assumption.
+    def doc(id: Long) = Seq(id).toDF("id")
+      .withColumn("vec", expr(
+        "transform(sequence(0, 63), d -> (cast((d % 19) as double) - 9.0) / 9.0)"))
+    val history = spark.range(100, 110).toDF("id")
+      .withColumn("vec", expr(
+        "transform(sequence(0, 63), d -> (cast((id*7 + d) % 19 as double) - 9.0) / 9.0)"))
+    val w1 = doc(50) // ingested first
+    val w2 = doc(30) // its exact duplicate, SMALLER id, ingested second
+    val t = 4
+    val idx0 = Similarity.semanticBucketIndex(history, "id", "vec", 4, t)
+    val d1 = Similarity.deltaSemanticDroppedIds(history, w1, "id", "vec",
+        threshold = 0.8, nPlanes = 4, tables = t, historyIndex = Some(idx0))
+      .collect().map(_.getLong(0)).toSet
+    val d2 = Similarity.deltaSemanticDroppedIds(history.unionByName(w1), w2,
+        "id", "vec", threshold = 0.8, nPlanes = 4, tables = t,
+        historyIndex = Some(idx0.absorb(w1, "id", "vec")))
+      .collect().map(_.getLong(0)).toSet
+    val oneShot = Similarity.deltaSemanticDroppedIds(history,
+        w1.unionByName(w2), "id", "vec", threshold = 0.8, nPlanes = 4,
+        tables = t)
+      .collect().map(_.getLong(0)).toSet
+    // sequential: 50 survives (wave 1, no match), 30 drops against it
+    assert(d1 === Set.empty[Long] && d2 === Set(30L),
+      s"sequential semantics moved: d1=$d1 d2=$d2")
+    // one-shot: id order inside the union keeps 30, drops 50
+    assert(oneShot === Set(50L), s"one-shot semantics moved: $oneShot")
+    graft.operators.Caches.unpersistAll()
+  }
+
   test("q_delta_semantic: the clone batch drops against history at the ladder's recall") {
     val rows = graft.SparkEntry.queries("q_delta_semantic")(spark, Dir).collect()
     assert(rows.nonEmpty)
