@@ -824,18 +824,8 @@ object CorpusStatsQueries {
     * (residuals), so the fit discipline — init, rounds, timeout —
     * cannot drift between the audits and the serving path. */
   private def fitPqBooks(rel: DataFrame,
-      vCol: String): Seq[Seq[(Int, Seq[Long])]] = {
-    import graft.operators.FixedPointKMeans
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
-      Future.sequence((0 until PqM).toList.map { m => Future {
-        FixedPointKMeans.fit(
-          rel.select(col("vec_id"),
-            slice(col(vCol), m * PqSubD + 1, PqSubD).as("v")),
-          "vec_id", "v", PqK, PqRounds)
-      }}), scala.concurrent.duration.Duration(600, "s"))
-  }
+      vCol: String): Seq[Seq[(Int, Seq[Long])]] =
+    graft.operators.IvfPq.fitBooks(rel, vCol, PqM, PqSubD, PqK, PqRounds)
 
   /** The PQ encode → ADC scan → top-20 → exact-L2 certificate tail
     * over a (vec_id, v) relation — [[qPqRecall]]'s whole body after
@@ -1118,16 +1108,12 @@ object CorpusStatsQueries {
   private val IvfPqQueries = 4  // query batch (q_ivf_topk_mp's shape)
   private val IvfPqShort = 50   // ADC shortlist ahead of the exact re-rank
 
-  /** Residual shift: coarse residuals v − c are SIGNED (each component
-    * bounded by ±2·QShift), and a signed coordinate would re-open the
-    * floor-vs-truncate divergence between DuckDB's `//` and Spark's
-    * `DIV` that QShift exists to close (see
-    * [[graft.operators.FixedPointKMeans.quantize]]). Adding 2·QShift
-    * returns every residual component — and therefore every per-cluster
-    * coordinate SUM in the PQ codebook fits — to the non-negative
-    * regime where the two divisions agree. Distances are invariant
-    * under a common shift, so the PQ geometry is unchanged. */
-  private val RShift = 2L * QShift
+  /** Residual shift — see [[graft.operators.FixedPointKMeans.RShift]]
+    * for the signed-residual floor-vs-truncate rationale; the constant
+    * lives there so this oracle and the persisted
+    * [[graft.operators.IvfPq]] index can never encode with different
+    * shifts. */
+  private val RShift = graft.operators.FixedPointKMeans.RShift
 
   /** The full IVF-PQ replay: the coarse Lloyd ([[kmeansOracleCtes]] —
     * quantized relation `q`, final centroids, final assignment), the

@@ -34,6 +34,20 @@ object FixedPointKMeans {
   val QScale = 1000000L
   val QShift = 16000000L
 
+  /** Residual shift for PQ-over-residuals pipelines: coarse residuals
+    * v − c are SIGNED (each component bounded by ±2·QShift), and a
+    * signed coordinate would re-open the floor-vs-truncate divergence
+    * between DuckDB's `//` and Spark's `DIV` that QShift exists to
+    * close. Adding 2·QShift returns every residual component — and
+    * therefore every per-cluster coordinate SUM in a residual-space
+    * codebook fit — to the non-negative regime where the two
+    * divisions agree. Distances are invariant under a common shift,
+    * so the quantization geometry is unchanged. Shared by
+    * [[graft.analytics.CorpusStatsQueries]]' q_ivfpq_search oracle
+    * replay and the [[IvfPq]] persisted index, which must encode
+    * identical codes. */
+  val RShift = 2L * QShift
+
   /** Map-side quantization of a double vector column.
     *
     * Coordinates outside [−16, 16] FAIL LOUDLY: the +16e6 shift is what

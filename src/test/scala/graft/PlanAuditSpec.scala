@@ -419,6 +419,54 @@ class PlanAuditSpec extends SparkSpec {
     rmTree(tmp)
   }
 
+  test("IVF-PQ index layout: pruned cell scan over CODES only, re-rank recovers neighbors") {
+    // the persisted IVFADC artifact: partition directories are the
+    // inverted file, codes are the only per-vector payload — so the
+    // search's file scan must (a) prune to the probed cells at plan
+    // time and (b) read a code-only schema, never vector bytes; the
+    // exact re-rank then fetches true vectors for shortlist ids only
+    import org.apache.spark.sql.functions._
+    import graft.operators.{FixedPointKMeans, IvfPq}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_layout").toString
+    val quant = Tables.embeddings(spark, Dir)
+      .select(col("vec_id"),
+        FixedPointKMeans.quantize(col("embedding").cast("array<double>")).as("v"))
+      .cache()
+    val model = IvfPq.fit(quant, "vec_id", "v",
+      kCoarse = 8, m = 4, subD = 16, kCodes = 8, rounds = 2)
+    IvfPq.writeIndex(quant, "vec_id", "v", model, tmp)
+    val q = quant.orderBy(col("vec_id")).limit(1)
+      .select(col("v")).collect()(0).getSeq[Long](0)
+    val res = IvfPq.searchIndex(spark, tmp, model, q, nProbe = 2,
+      shortlistN = 50, quant, "vec_id", "v", k = 20)
+    val rows = res.collect()
+    assert(rows.length === 20)
+    val scan = res.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+      .find(s => s.contains("FileScan parquet") && s.contains("ivf_cell"))
+      .getOrElse(fail("no pruned index scan"))
+    assert(scan.contains("PartitionFilters: [ivf_cell"),
+      s"cell predicate did not become a partition filter:\n$scan")
+    assert(!scan.contains("array<bigint>"),
+      s"index scan reads vector bytes — the compression is fictional:\n$scan")
+    // recall vs the brute-force exact integer-L2 top-20
+    val exact = quant
+      .select(col("vec_id"),
+        FixedPointKMeans.bestOf(col("v"), Seq((0, q)))("d").as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val got = rows.map(_.getAs[Long]("vec_id")).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"persisted-index recall $recall below floor")
+    // the query is its own nearest neighbor: in the corpus, primary
+    // cell always probed, exact distance 0 ranks first
+    assert(rows.head.getAs[Long]("vec_id") === 0L &&
+      rows.head.getAs[Long]("dist") === 0L,
+      "query failed to retrieve itself first")
+    quant.unpersist()
+    rmTree(tmp)
+  }
+
   test("self-certifying plans: 1-row certificates broadcast; quantization is join-free") {
     // withRecall crossJoins a 1-row aggregate back over the k result
     // rows — that must plan as a broadcast loop join, never a shuffled
