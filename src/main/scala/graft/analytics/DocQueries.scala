@@ -2524,6 +2524,123 @@ object DocQueries {
     }
   )
 
+  /** Probe depths for [[qIvfProbeSweep]] — 1, 2 and 4 of the 8 coarse
+    * cells, the doubling ladder an nprobe tuning pass walks. */
+  private val IvfSweepProbes = Seq(1, 2, 4)
+
+  /** The IVF NPROBE curve — the retrieval knob measured the way
+    * q_semdedup_sweep measures the dedup τ: recall@20 and candidate
+    * mass at nprobe ∈ {1, 2, 4}, ALL from ONE cosine surface. The
+    * expensive work — cell assignment of the corpus and the exact
+    * cosine over the DEEPEST probe's candidates — happens once; each
+    * shallower depth is a filter (probe rank ≤ p) over the cached
+    * surface plus a bounded heap, so the three-point curve costs
+    * barely more than the single deepest search. Probe ranking runs
+    * in-plan (each query's integer distance to every coarse centroid,
+    * row_number over (distance, cell) — the same total order the
+    * fused top-2 kernel implements, extended past two slots), so the
+    * whole sweep is driver-math-free like q_ivf_topk_mp. Per (nprobe,
+    * query): actual candidate count and recall vs the brute-force
+    * exact top-20, under the hash gate. At the toy k = 8 the deepest
+    * probe touches half the cells; at the production k ∝ √N the same
+    * ladder reads 4/√N of the corpus — the curve's shape, not its
+    * absolute mass, is what transfers. The oracle replays Lloyd, the
+    * rk ≤ 4 probe, the shared cosine surface and every depth's
+    * top-20/count/recall. */
+  val qIvfProbeSweep = GraftQuery(
+    "q_ivf_probe_sweep",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Caches, FixedPointKMeans}
+      def dotl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("graft_dot_long", a, b)
+      val emb = Caches.register(Tables.embeddings(s, dir)
+        .withColumn("embedding", $"embedding".cast("array<double>")))
+      val quant = Caches.register(emb.select($"vec_id", $"embedding",
+        FixedPointKMeans.quantize($"embedding").as("v")))
+      val cents = FixedPointKMeans.fit(quant, "vec_id", "v", k = 8, rounds = 2)
+      val asg = Caches.register(FixedPointKMeans.assign(quant, "v", cents)
+        .select($"vec_id", $"embedding", $"cluster"))
+      val qs = Caches.register(quant.orderBy($"vec_id").limit(IvfMpQueries)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"v".as("qv")))
+      // every (query, cell) distance in-plan: batch × k rows, fused dots
+      val centRel = s.createDataFrame(cents).toDF("cell", "cv")
+      val ranked = qs.crossJoin(broadcast(centRel))
+        .select($"qid", $"cell",
+          (dotl($"qv", $"qv") + dotl($"cv", $"cv") -
+            lit(2L) * dotl($"qv", $"cv")).as("d"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"d", $"cell")))
+        .filter($"rk" <= IvfSweepProbes.max)
+        .select($"qid", $"cell".as("cluster"), $"rk")
+      // ONE cosine surface over the deepest probe's candidates
+      val cand = Caches.register(asg.join(broadcast(ranked), Seq("cluster"))
+        .join(broadcast(qs.select($"qid", $"qe")), Seq("qid"))
+        .select($"qid", $"rk", $"vec_id",
+          round(Similarity.cosineNative($"embedding", $"qe"), 6).as("cos_sim")))
+      val exact = Caches.register(graft.plans.TopKPerKey.perKey(
+        emb.crossJoin(broadcast(qs.select($"qid", $"qe")))
+          .select($"qid", $"vec_id",
+            round(Similarity.cosineNative($"embedding", $"qe"), 6).as("cos_sim")),
+        Seq("qid"), Seq(("cos_sim", false), ("vec_id", true)), 20)
+        .select($"qid", $"vec_id"))
+      IvfSweepProbes.map { p =>
+        val top = graft.plans.TopKPerKey.perKey(
+          cand.filter($"rk" <= p).select($"qid", $"vec_id", $"cos_sim"),
+          Seq("qid"), Seq(("cos_sim", false), ("vec_id", true)), 20)
+        val n = cand.filter($"rk" <= p)
+          .groupBy($"qid").agg(count(lit(1)).as("n_cand"))
+        val h = top.join(broadcast(exact), Seq("qid", "vec_id"), "left_semi")
+          .groupBy($"qid").agg(count(lit(1)).as("h"))
+        n.join(broadcast(h), Seq("qid"), "left")
+          .select(lit(p.toLong).as("nprobe"), $"qid", $"n_cand",
+            expr("CAST(coalesce(h, 0) * 1000000 DIV 20 AS BIGINT)")
+              .as("recall_ppm"))
+      }.reduce(_ unionAll _)
+        .orderBy($"nprobe", $"qid")
+    },
+    Some {
+      val cos = """ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.qe) /
+          (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+           SQRT(list_dot_product(qv.qe, qv.qe))), 6)"""
+      val depths = IvfSweepProbes.map { p =>
+        s"""top$p AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_sim DESC, vec_id) AS rn FROM cs WHERE rk <= $p)
+          WHERE rn <= 20),
+        n$p AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+          FROM cand WHERE rk <= $p GROUP BY qid),
+        h$p AS (SELECT t.qid, COUNT(*) AS h FROM top$p t
+          JOIN exact x ON x.qid = t.qid AND x.vec_id = t.vec_id GROUP BY t.qid),
+        r$p AS (SELECT CAST($p AS BIGINT) AS nprobe, n.qid, n.n_cand,
+            CAST(COALESCE(h.h, 0) * 1000000 // 20 AS BIGINT) AS recall_ppm
+          FROM n$p n LEFT JOIN h$p h ON h.qid = n.qid)"""
+      }.mkString(",\n")
+      val unions = IvfSweepProbes.map(p => s"SELECT * FROM r$p")
+        .mkString(" UNION ALL ")
+      s"""WITH ${CorpusStatsQueries.kmeansOracleCtes(8, 2)},
+      qsel AS (SELECT vec_id AS qid, v FROM q ORDER BY vec_id LIMIT $IvfMpQueries),
+      qe AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings ORDER BY vec_id LIMIT $IvfMpQueries),
+      probe AS (SELECT qid, j, rk FROM (
+          SELECT qs.qid, c.j,
+            ROW_NUMBER() OVER (PARTITION BY qs.qid
+              ORDER BY ${CorpusStatsQueries.kmeansDistSql("qs.v", "c.c")}, c.j) AS rk
+          FROM qsel qs, c2 c) WHERE rk <= ${IvfSweepProbes.max}),
+      cand AS (SELECT p.qid, p.rk, a.vec_id FROM a3 a JOIN probe p ON a.j = p.j),
+      cs AS (SELECT c.qid, c.rk, c.vec_id, $cos AS cos_sim
+        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+          JOIN qe qv ON qv.qid = c.qid),
+      exact AS (SELECT qid, vec_id FROM (
+          SELECT qv.qid, e.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY qv.qid
+              ORDER BY $cos DESC, e.vec_id) AS rn
+          FROM embeddings e, qe qv) WHERE rn <= 20),
+      $depths
+      SELECT * FROM ($unions) ORDER BY nprobe, qid"""
+    }
+  )
+
   /** HLL sketch REUSE across grains — the warehouse pattern that makes
     * sketch columns worth persisting: per-type DataSketches HLL sketches
     * of the user set are built ONCE, then the corpus-level distinct
@@ -5000,7 +5117,7 @@ object DocQueries {
     qMinhashPrecision, qSimhashPairs,
     qAnnTopK, qEmbedDupPairs, qEmbedDupTables, qEmbedDupHr, qLshRecall,
     qSemanticDedup, qDeltaSemantic, qDeltaSemantic2b, qMidbandPairs, qMidbandSlice,
-    qIntrinsicDim, qIvfTopK, qIvfTopKMp,
+    qIntrinsicDim, qIvfTopK, qIvfTopKMp, qIvfProbeSweep,
     qApproxDistinct,
     qHllRollup, qAsofJoin,
     qRangeJoin, qKmvDistinct, qKmvIntersect, qQualityScore, qSourceSimilarity, qSourceOverlap,
