@@ -67,6 +67,29 @@ class RetrievalAuditSpec extends SparkSpec {
       s"sweep@0.90 ${rung90.getAs[Long]("n_dropped")} != q_semdedup $semTotal")
   }
 
+  test("q_ivf_probe_sweep: recall monotone and mass strictly increasing in nprobe") {
+    val rows = graft.SparkEntry.queries("q_ivf_probe_sweep")(spark, Dir)
+      .collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size > 1, "expected a multi-query batch")
+    byQ.foreach { case (qid, qr) =>
+      val ladder = qr.sortBy(_.getAs[Long]("nprobe"))
+        .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_cand"),
+          r.getAs[Long]("recall_ppm"))).toSeq
+      assert(ladder.map(_._1) == Seq(1L, 2L, 4L), s"qid=$qid: $ladder")
+      // a deeper probe's candidate set is a superset, and any candidate
+      // that displaces an exact-top-20 member from the served list must
+      // itself be exact-top-20 (cosine is the global order, tie-breaks
+      // shared) — so recall can only rise; mass strictly rises because
+      // probed cells are nonempty at these corpus sizes
+      assert(ladder.map(_._2) == ladder.map(_._2).sorted &&
+        ladder.map(_._2).distinct.length == ladder.length,
+        s"qid=$qid: candidate mass not strictly increasing: $ladder")
+      assert(ladder.map(_._3) == ladder.map(_._3).sorted,
+        s"qid=$qid: recall not monotone in nprobe: $ladder")
+    }
+  }
+
   test("q_opq_recall: same budget, same query, both recalls in range") {
     val opq = graft.SparkEntry.queries("q_opq_recall")(spark, Dir).collect()
     val pq = graft.SparkEntry.queries("q_pq_recall")(spark, Dir).collect()
