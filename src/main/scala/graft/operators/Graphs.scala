@@ -23,6 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** In-memory fixed-point gate (rows in the PRE-AGGREGATED edge
+    * relation): graphs at or under this size run the exact same integer
+    * fixed point in driver arrays instead of one distributed round per
+    * iteration — identical results (spec-pinned equal per operator),
+    * none of the per-round shuffle/checkpoint job overhead. This is the
+    * [[Dedup.connectedComponents]] `driverMaxEdges` routing discipline
+    * applied to the iterative operators: the gate is a ROW COUNT on the
+    * post-aggregation GRAPH, never a fraction of the corpus, so a
+    * 100 TB corpus whose graph is vocabulary-bounded (nation trade
+    * edges, top-k token co-occurrence) still — correctly — takes the
+    * in-memory path, while a billion-edge web graph routes to the
+    * distributed loop. 2e6 edges ≈ 50 MB of driver arrays, the same
+    * order as a broadcast-join build side (and well under the 5e6 gate
+    * connectedComponents has carried since round 3). */
+  val DriverMaxGraphEdges: Long = 2000000L
+
   /** 1e12 fixed-point scale: total rank mass = [[RankScale]], so a
     * per-vertex rank is exact to 12 decimal digits. */
   val RankScale: Long = 1000000000000L
@@ -63,12 +79,22 @@ object Graphs {
     * related-entity / similar-host primitive). Seed sets are small by
     * design (they ride as an `isin` literal); `n` is replaced by |S| in
     * the base and dangling terms, nothing else changes.
-    */
+    *
+    * Graphs of at most `driverMaxEdges` summed edges run the identical
+    * integer fixed point in driver arrays ([[DriverMaxGraphEdges]]):
+    * the corpus-sized edge-building joins still execute distributed and
+    * collapse to the graph-sized summed relation before the one
+    * collect, so the driver never sees a corpus row — only the same
+    * graph every iteration would otherwise re-shuffle. A durable
+    * `checkpointDir` forces the distributed loop (executor-loss
+    * durability is the caller's explicit ask); `driverMaxEdges = 0` is
+    * the spec hook that pins the two paths equal. */
   def pagerank(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
       iterations: Int, dampingPct: Int = 85,
       checkpointDir: Option[String] = None,
-      teleport: Option[Seq[Long]] = None): DataFrame = {
+      teleport: Option[Seq[Long]] = None,
+      driverMaxEdges: Long = DriverMaxGraphEdges): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct=$dampingPct must be in [0, 100]")
@@ -81,6 +107,11 @@ object Graphs {
     // union would re-run the caller's edge-building joins once per branch
     val summed = Caches.register(
       e.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+    val nEdges = summed.count()
+    require(nEdges > 0, "Graphs.pagerank: empty edge list")
+    if (checkpointDir.isEmpty && nEdges <= driverMaxEdges)
+      return pagerankDriver(edges.sparkSession, summed.collect(),
+        iterations, dampingPct, teleport)
     val outw = summed.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // shares cached: they feed every iteration's join. The raise_error
     // guard keeps the overflow bound a runtime contract, not a comment.
@@ -94,7 +125,6 @@ object Graphs {
       summed.select(col("src").as("id"))
         .union(summed.select(col("dst").as("id"))).distinct())
     val n = vertices.count()
-    require(n > 0, "Graphs.pagerank: empty edge list")
     val srcSet = shares.select(col("src").as("id")).distinct()
     // PERSONALIZED variant: with a teleport set S, the restart mass and
     // the dangling recycle land uniformly on S instead of on all
@@ -142,7 +172,6 @@ object Graphs {
     // override + SINGLE-WRITER assumption as Dedup.connectedComponents
     // (restored in a finally; a concurrent query planned on this session
     // during the loop would pick up the graph-sized value).
-    val nEdges = summed.count()
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val graphParts = math.max(1L, math.min(sessionParts.toLong,
       nEdges / 250000L + 1L)).toInt
@@ -187,6 +216,80 @@ object Graphs {
     }
   }
 
+  /** The in-memory twin of [[pagerank]]'s distributed loop: the SAME
+    * integer arithmetic, operation for operation — per-edge
+    * `w·1e6 DIV outw` shares, per-edge `rank·share DIV 1e6` floor before
+    * the contribution sum (Long addition commutes, so the distributed
+    * sum and this loop agree exactly), dangling recycle, truncating base
+    * — over the collected summed edge relation. The final
+    * rank-projection expressions run through Spark (one LocalRelation
+    * select), so display rounding is the engine's own, not a
+    * reimplementation. GraphsSpec pins this path bit-equal to the
+    * distributed loop across graph shapes and both teleport modes. */
+  private def pagerankDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      summed: Array[org.apache.spark.sql.Row],
+      iterations: Int, dampingPct: Int,
+      teleport: Option[Seq[Long]]): DataFrame = {
+    val outw = new java.util.HashMap[Long, Long]()
+    summed.foreach { r =>
+      val s = r.getLong(0)
+      outw.put(s, outw.getOrDefault(s, 0L) + r.getLong(2))
+    }
+    outw.forEach { (s, ow) =>
+      if (ow > MaxSafeOutWeight) throw new IllegalStateException(
+        s"Graphs.pagerank: per-source weight exceeds $MaxSafeOutWeight; " +
+          s"pre-scale edge weights$ow")
+    }
+    // vertex index over the distinct endpoints (order irrelevant: the
+    // relation contract is unordered, as with the distributed path)
+    val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    val vertsBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def vid(id: Long): Int = {
+      val got = idx.get(id)
+      if (got != null) got.intValue
+      else { val i = vertsBuf.length; idx.put(id, i); vertsBuf += id; i }
+    }
+    val edges = summed.map { r =>
+      val s = r.getLong(0)
+      (vid(s), vid(r.getLong(1)), r.getLong(2) * ShareScale / outw.get(s))
+    }
+    val verts = vertsBuf.toArray
+    val n = verts.length
+    val nT = teleport.map(_.size.toLong).getOrElse(n.toLong)
+    val teleSet = teleport.map(_.toSet)
+    def isTele(id: Long): Boolean = teleSet.forall(_.contains(id))
+    val base = (100L - dampingPct) * (RankScale / nT) / 100L
+    val hasOut = new Array[Boolean](n)
+    edges.foreach(e => hasOut(e._1) = true)
+    var rank = Array.tabulate(n)(i =>
+      if (isTele(verts(i))) RankScale / nT else 0L)
+    for (_ <- 1 to iterations) {
+      val contrib = new Array[Long](n)
+      edges.foreach { case (s, d, share) =>
+        contrib(d) += rank(s) * share / ShareScale
+      }
+      var dang = 0L
+      var i = 0
+      while (i < n) { if (!hasOut(i)) dang += rank(i); i += 1 }
+      val dangShare = dang / nT
+      rank = Array.tabulate(n) { j =>
+        val tele = isTele(verts(j))
+        (if (tele) base else 0L) +
+          dampingPct * (contrib(j) + (if (tele) dangShare else 0L)) / 100L
+      }
+    }
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(verts.indices.map(i =>
+        org.apache.spark.sql.Row(verts(i), rank(i))): _*)
+    spark.createDataFrame(rows, StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("rank_fp", LongType, nullable = false))))
+      .select(col("id"), col("rank_fp"),
+        round(col("rank_fp").cast("double") / RankScale, 6).as("rank"))
+  }
+
   /** HITS fixed-point scale: 1e9 keeps every intermediate inside 64-bit
     * comfortably — a raw authority sum is bounded by in-degree·1e9
     * (overflows long only past ~9.2e9 in-edges on one vertex; pre-
@@ -213,18 +316,25 @@ object Graphs {
     * second eager job + block-store write. Lineage stays bounded: the
     * a-plan nests at most one checkpointed leaf. Vertices without
     * out-edges keep hub 0, without in-edges authority 0 (coalesced in
-    * the final left joins). */
+    * the final left joins).
+    *
+    * Graphs of at most `driverMaxEdges` distinct edges run the identical
+    * BigInt fixed point in driver arrays (see [[DriverMaxGraphEdges]];
+    * `driverMaxEdges = 0` forces the distributed loop — the spec hook). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int,
+      driverMaxEdges: Long = DriverMaxGraphEdges): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     val e = Caches.register(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct())
-    val vertices = Caches.register(
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     val spark = edges.sparkSession
     val nEdges = e.count()
     require(nEdges > 0, "Graphs.hits: empty edge list")
+    if (nEdges <= driverMaxEdges)
+      return hitsDriver(spark, e.collect(), iterations)
+    val vertices = Caches.register(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val graphParts = math.max(1L, math.min(sessionParts.toLong,
       nEdges / 250000L + 1L)).toInt
@@ -287,6 +397,63 @@ object Graphs {
     }
   }
 
+  /** The in-memory twin of [[hits]]'s distributed loop: identical
+    * arithmetic — Long raw sums, rescale = floor(raw·1e9 / Σraw) with
+    * the product widened through BigInt exactly as the distributed
+    * path widens through DECIMAL(38,0) — so the two paths are
+    * bit-equal (GraphsSpec pins it). h stays defined on the src set and
+    * a on the dst set every round, exactly as the round joins keep them
+    * in the distributed loop; everyone else reports 0, the coalesce
+    * semantics of the final left joins. */
+  private def hitsDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      eRows: Array[org.apache.spark.sql.Row],
+      iterations: Int): DataFrame = {
+    val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    val vertsBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def vid(id: Long): Int = {
+      val got = idx.get(id)
+      if (got != null) got.intValue
+      else { val i = vertsBuf.length; idx.put(id, i); vertsBuf += id; i }
+    }
+    val edges = eRows.map(r => (vid(r.getLong(0)), vid(r.getLong(1))))
+    val verts = vertsBuf.toArray
+    val n = verts.length
+    val isSrc = new Array[Boolean](n)
+    val isDst = new Array[Boolean](n)
+    edges.foreach { case (s, d) => isSrc(s) = true; isDst(d) = true }
+    val h = Array.fill(n)(HitsScale)
+    val a = new Array[Long](n)
+    def rescale(raw: Array[Long], present: Array[Boolean], out: Array[Long]): Unit = {
+      var tot = BigInt(0)
+      var i = 0
+      while (i < n) { if (present(i)) tot += raw(i); i += 1 }
+      i = 0
+      while (i < n) {
+        if (present(i)) out(i) = ((BigInt(raw(i)) * HitsScale) / tot).toLong
+        i += 1
+      }
+    }
+    for (_ <- 1 to iterations) {
+      val aRaw = new Array[Long](n)
+      edges.foreach { case (s, d) => aRaw(d) += h(s) }
+      rescale(aRaw, isDst, a)
+      val hRaw = new Array[Long](n)
+      edges.foreach { case (s, d) => hRaw(s) += a(d) }
+      rescale(hRaw, isSrc, h)
+    }
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(verts.indices.map(i =>
+        org.apache.spark.sql.Row(verts(i),
+          if (isSrc(i)) h(i) else 0L,
+          if (isDst(i)) a(i) else 0L)): _*)
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("hub_fp", LongType, nullable = false),
+      StructField("auth_fp", LongType, nullable = false))))
+  }
+
   /** The k-CORE of the undirected simple graph induced by `edges`
     * (directions merged, self-loops dropped, multi-edges collapsed):
     * iteratively peel every vertex whose current degree is below `k`
@@ -306,7 +473,8 @@ object Graphs {
     * is bounded by the longest degeneracy chain, not corpus size —
     * single digits on real graphs. */
   def kcore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      driverMaxEdges: Long = DriverMaxGraphEdges): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     require(maxIter >= 1, s"maxIter=$maxIter must be >= 1")
     val e = edges.select(col(srcCol).cast("long").as("a"),
@@ -318,6 +486,11 @@ object Graphs {
     var und = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
     val nEdges = und.count()
+    // small graphs peel in driver arrays — same degree arithmetic, same
+    // fixpoint/empty/maxIter contract (see DriverMaxGraphEdges; the
+    // collect reads the just-checkpointed symmetric relation, no rescan)
+    if (nEdges <= driverMaxEdges)
+      return kcoreDriver(spark, und.collect(), k, maxIter)
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val graphParts = math.max(1L, math.min(sessionParts.toLong,
       nEdges / 250000L + 1L)).toInt
@@ -350,6 +523,49 @@ object Graphs {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
     }
+  }
+
+  /** The in-memory twin of [[kcore]]'s distributed peel: identical
+    * semantics over the collected symmetric edge relation — degree
+    * filter, both-endpoint survival, fixpoint on an unchanged survivor
+    * count, empty-core early-out, loud maxIter. Degrees are Longs
+    * (symmetric-row counts), bit-equal to the distributed rollup. */
+  private def kcoreDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      undRows: Array[org.apache.spark.sql.Row],
+      k: Int, maxIter: Int): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("deg", LongType, nullable = false)))
+    def result(pairs: Iterable[(Long, Long)]): DataFrame = {
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(pairs.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)).toSeq: _*)
+      spark.createDataFrame(rows, schema)
+    }
+    var und = undRows.map(r => (r.getLong(0), r.getLong(1)))
+    def degrees: scala.collection.mutable.HashMap[Long, Long] = {
+      val d = scala.collection.mutable.HashMap.empty[Long, Long]
+      und.foreach { case (a, _) => d.update(a, d.getOrElse(a, 0L) + 1L) }
+      d
+    }
+    var deg = degrees
+    var prevCount = Long.MaxValue
+    var i = 0
+    while (i < maxIter) {
+      val keep = deg.filter(_._2 >= k)
+      val n = keep.size.toLong
+      if (n == prevCount) return result(keep)
+      if (n == 0L) return result(Nil)
+      prevCount = n
+      und = und.filter { case (a, b) => keep.contains(a) && keep.contains(b) }
+      deg = degrees
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"Graphs.kcore: no fixpoint after maxIter=$maxIter peel rounds — " +
+        "raise maxIter (a partially-peeled graph is not a k-core)")
   }
 
   /** Per-vertex triangle counts of the UNDIRECTED simple graph induced
@@ -409,7 +625,8 @@ object Graphs {
     * Integer weights keep the argmax engine-exact. Each round ends in a
     * localCheckpoint so lineage stays flat at any round count. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      weightCol: String, rounds: Int): DataFrame = {
+      weightCol: String, rounds: Int,
+      driverMaxEdges: Long = DriverMaxGraphEdges): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -418,6 +635,12 @@ object Graphs {
       e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         .filter(col("src") =!= col("dst"))
         .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+    // small graphs take the argmax rounds in driver arrays — integer
+    // weights and the (wt desc, lab asc) pick make the round a pure
+    // function of the labeling, identical on either path (spec-pinned;
+    // see DriverMaxGraphEdges)
+    if (sym.count() <= driverMaxEdges)
+      return labelPropagationDriver(edges.sparkSession, sym.collect(), rounds)
     val vertices = Caches.register(
       sym.select(col("src").as("id")).union(sym.select(col("dst").as("id"))).distinct())
     var labels = vertices.select(col("id"), col("id").as("lab"))
@@ -436,6 +659,53 @@ object Graphs {
     labels
   }
 
+  /** The in-memory twin of [[labelPropagation]]'s distributed rounds:
+    * per round, per vertex, sum incident weight by neighbor label and
+    * adopt the (max weight, min label) argmax — the same deterministic
+    * pick the distributed window makes. Vertices keep their label when
+    * no neighbor contributes, mirroring the left-join coalesce. */
+  private def labelPropagationDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      symRows: Array[org.apache.spark.sql.Row],
+      rounds: Int): DataFrame = {
+    val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    val vertsBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def vid(id: Long): Int = {
+      val got = idx.get(id)
+      if (got != null) got.intValue
+      else { val i = vertsBuf.length; idx.put(id, i); vertsBuf += id; i }
+    }
+    val edges = symRows.map(r => (vid(r.getLong(0)), vid(r.getLong(1)), r.getLong(2)))
+    val verts = vertsBuf.toArray
+    val n = verts.length
+    var lab = Array.tabulate(n)(i => verts(i))
+    for (_ <- 1 to rounds) {
+      // wt[(dst, lab(src))] summed, then (wt desc, lab asc) argmax
+      val wt = new java.util.HashMap[(Int, Long), Long]()
+      edges.foreach { case (s, d, w) =>
+        val key = (d, lab(s))
+        wt.merge(key, w, (x, y) => x + y): Unit
+      }
+      val seen = new Array[Boolean](n)
+      val bestWt = new Array[Long](n)
+      val bestLab = new Array[Long](n)
+      wt.forEach { (key, w) =>
+        val (d, l) = key
+        if (!seen(d) || w > bestWt(d) || (w == bestWt(d) && l < bestLab(d))) {
+          seen(d) = true; bestWt(d) = w; bestLab(d) = l
+        }
+      }
+      lab = Array.tabulate(n)(i => if (seen(i)) bestLab(i) else lab(i))
+    }
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(verts.indices.map(i =>
+        org.apache.spark.sql.Row(verts(i), lab(i))): _*)
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lab", LongType, nullable = false))))
+  }
+
   /** Minimum-hop BFS distances from `source` over the DIRECTED edge
     * list, bounded at `maxHops` rounds (the bound is semantic — both the
     * operator and its recursive-CTE oracle stop at the same depth).
@@ -450,13 +720,39 @@ object Graphs {
     * equi-shuffles on the vertex key. localCheckpoint per round keeps
     * the loop's lineage flat. */
   def bfs(edges: DataFrame, srcCol: String, dstCol: String,
-      source: Long, maxHops: Int): DataFrame = {
+      source: Long, maxHops: Int,
+      driverMaxEdges: Long = DriverMaxGraphEdges): DataFrame = {
     require(maxHops >= 1, s"maxHops=$maxHops must be >= 1")
     val e = Caches.register(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct())
     val spark = edges.sparkSession
     import spark.implicits._
+    // small graphs expand in a driver adjacency map — min-hop frontier
+    // semantics are identical by construction (see DriverMaxGraphEdges)
+    if (e.count() <= driverMaxEdges) {
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      e.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+      }
+      val hops = scala.collection.mutable.HashMap(source -> 0L)
+      var frontier = Seq(source)
+      for (h <- 1 to maxHops; if frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Nil))
+          .filterNot(hops.contains).distinct
+        next.foreach(hops.update(_, h.toLong))
+        frontier = next
+      }
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(hops.toSeq.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)): _*)
+      return spark.createDataFrame(rows, StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("hops", LongType, nullable = false))))
+    }
     var dist = Seq((source, 0L)).toDF("id", "hops").localCheckpoint()
     for (h <- 1 to maxHops) {
       val frontier = dist.filter(col("hops") === (h - 1))
