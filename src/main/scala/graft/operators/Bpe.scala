@@ -49,13 +49,33 @@ object Bpe {
       org.apache.spark.sql.functions.replace(c, lit(s" $pair "), lit(s" $merged "))
     }
 
+  /** Vocabularies at or under this many distinct words run all merge
+    * rounds in driver maps instead of one rollup-and-collect job per
+    * round — the [[Graphs.DriverMaxGraphEdges]] routing discipline on
+    * the VOCAB relation (the corpus rollup that produces it always runs
+    * distributed). 2e6 (sym, n) rows ≈ tens of MB, broadcast-build
+    * scale; a web-corpus vocabulary beyond it takes the per-round
+    * distributed loop below. */
+  val DriverMaxVocab: Long = 2000000L
+
   /** Learn `rounds` merges from (wordCol, freqCol); returns the merge
     * table (rank, pair, merged, n_pair) — fewer than `rounds` rows if
     * the vocabulary runs out of pairs first. The vocab relation is
     * cached across rounds ([[Caches]]); each round adds one projection
-    * to its plan (no joins), so lineage stays linear in `rounds`. */
+    * to its plan (no joins), so lineage stays linear in `rounds`.
+    *
+    * Vocabularies under `driverMaxVocab` take the identical merge walk
+    * in driver maps: same Long pair counts (addition commutes), same
+    * (count desc, pair asc) argmax — binary string order equals Java
+    * order on the [a-z0-9] symbol alphabet — and the same
+    * left-to-right continue-after-replacement replace semantics
+    * (Java String.replace ≡ Spark/DuckDB replace, the property the
+    * space-sentinel encoding already relies on). `driverMaxVocab = 0`
+    * forces the distributed loop (the spec hook); BpeSpec pins the two
+    * paths merge-for-merge equal. */
   def learnMerges(
-      words: DataFrame, wordCol: String, freqCol: String, rounds: Int): DataFrame = {
+      words: DataFrame, wordCol: String, freqCol: String, rounds: Int,
+      driverMaxVocab: Long = DriverMaxVocab): DataFrame = {
     require(rounds > 0, s"rounds=$rounds must be positive")
     val spark = words.sparkSession
     var vocab = Caches.register(words.select(
@@ -65,28 +85,61 @@ object Bpe {
         lit(" ")).as("sym"),
       col(freqCol).cast("long").as("n")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      val top = vocab
-        .withColumn("_s", split(trim(col("sym")), " "))
-        .select(col("n"), explode(when(size(col("_s")) >= 2,
-            expr("transform(sequence(0, size(_s) - 2), " +
-              "j -> concat(element_at(_s, j + 1), ' ', element_at(_s, j + 2)))"))
-          .otherwise(expr("array()").cast("array<string>"))).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("n")).as("c"))
-        .orderBy(col("c").desc, col("pair")).limit(1)
-        .collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val pair = top(0).getString(0)
-        val cnt = top(0).getLong(1)
-        val merged = pair.replace(" ", "")
-        merges += ((r, pair, merged, cnt))
-        // symbols are [a-z0-9] by tokenizer construction — safe to inline
-        vocab = Caches.register(
-          vocab.withColumn("sym", expr(s"replace(sym, ' $pair ', ' $merged ')")))
-        r += 1
+    if (vocab.count() <= driverMaxVocab) {
+      var cur = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        cur.foreach { case (sym, n) =>
+          val parts = sym.trim.split(" ")
+          var j = 0
+          while (j < parts.length - 1) {
+            val p = parts(j) + " " + parts(j + 1)
+            counts.update(p, counts.getOrElse(p, 0L) + n)
+            j += 1
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          var pair: String = null
+          var cnt = Long.MinValue
+          counts.foreach { case (p, c) =>
+            if (pair == null || c > cnt || (c == cnt && p < pair)) {
+              pair = p; cnt = c
+            }
+          }
+          val merged = pair.replace(" ", "")
+          merges += ((r, pair, merged, cnt))
+          val (needle, repl) = (s" $pair ", s" $merged ")
+          cur = cur.map { case (sym, n) => (sym.replace(needle, repl), n) }
+          r += 1
+        }
+      }
+    } else {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val top = vocab
+          .withColumn("_s", split(trim(col("sym")), " "))
+          .select(col("n"), explode(when(size(col("_s")) >= 2,
+              expr("transform(sequence(0, size(_s) - 2), " +
+                "j -> concat(element_at(_s, j + 1), ' ', element_at(_s, j + 2)))"))
+            .otherwise(expr("array()").cast("array<string>"))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("c"))
+          .orderBy(col("c").desc, col("pair")).limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val cnt = top(0).getLong(1)
+          val merged = pair.replace(" ", "")
+          merges += ((r, pair, merged, cnt))
+          // symbols are [a-z0-9] by tokenizer construction — safe to inline
+          vocab = Caches.register(
+            vocab.withColumn("sym", expr(s"replace(sym, ' $pair ', ' $merged ')")))
+          r += 1
+        }
       }
     }
     spark.createDataFrame(merges.toSeq)

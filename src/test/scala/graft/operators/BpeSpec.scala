@@ -42,4 +42,20 @@ class BpeSpec extends SparkSpec {
     val m = learn(Seq(("ab", 5L)), 10)
     assert(m === Seq((1, "a b", "ab", 5L)), "one merge then no pairs left")
   }
+
+  test("driver vocab loop equals the distributed per-round loop merge-for-merge") {
+    import spark.implicits._
+    // enough structure for 10 real rounds: skewed frequencies, shared
+    // prefixes, ties, words that exhaust at different depths
+    val words = Seq(("lowest", 7L), ("lower", 11L), ("low", 20L),
+      ("newest", 9L), ("newer", 5L), ("new", 13L), ("widest", 3L),
+      ("wide", 8L), ("ab", 2L), ("ba", 2L))
+    def run(gate: Long) =
+      Bpe.learnMerges(words.toDF("word", "freq"), "word", "freq", 10,
+          driverMaxVocab = gate)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    assert(run(Bpe.DriverMaxVocab) === run(0L))
+  }
 }
