@@ -1493,9 +1493,13 @@ object CorpusStatsQueries {
     * ONE token rollup; the iteration runs on the 50×20 grid (broadcast
     * joins, localCheckpoint per round), so rounds cost the same at any
     * corpus size. */
-  val qNmfTopics = GraftQuery(
-    "q_nmf_topics",
-    (s, dir) => {
+  /** q_nmf_topics's engine body, factored so the spec can pin the two
+    * MM-loop paths equal (`driverMaxGrid = 0` forces the distributed
+    * rounds — the spec hook). */
+  private[graft] def nmfTopicsFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      driverMaxGrid: Long = 200000L): org.apache.spark.sql.DataFrame = {
+    locally {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val S = 1000000.0
@@ -1516,6 +1520,101 @@ object CorpusStatsQueries {
         top.join(broadcast(sids)) // 50×20 grid: missing cells are true zeros
           .join(cc, Seq("tid", "sid"), "left")
           .select($"tid", $"sid", coalesce($"c", lit(0L)).as("v")))
+      // Grid-sized MM state takes the 3 rounds in driver arrays — the
+      // round-15 small-state routing discipline (Graphs.DriverMaxGraphEdges):
+      // the corpus rollup above stays distributed; the collected grid is
+      // |top 50| × |sources| rows. Every arithmetic expression is
+      // replicated tree-for-tree (same IEEE double ops in the same
+      // association order, same floor(·1e6 + 0.5) quantizations, Long
+      // sums that commute), so the trajectory is bit-identical — the
+      // unrolled-CTE oracle hash-gates it at both SFs. Grids beyond the
+      // gate (unbounded source domain) take the distributed loop below.
+      val vCnt = v.count()
+      if (vCnt <= driverMaxGrid) {
+        val S2 = S // avoid closure confusion; S = 1e6
+        val grid = v.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val topRows = top.collect().map(r => (r.getString(0), r.getLong(1)))
+        val tids = topRows.map(_._2)
+        val sidArr = grid.map(_._2).distinct
+        def initV(id: Long, k: Int, m: Long, step: Long): Long =
+          1000000L + ((id * 3 + k) % m) * step
+        val wf = scala.collection.mutable.HashMap(tids.map(t =>
+          t -> Array.tabulate(3)(k => initV(t, k, 5L, 250000L))): _*)
+        val hf = scala.collection.mutable.HashMap(sidArr.map(sd =>
+          sd -> Array.tabulate(3)(k => initV(sd, k, 7L, 200000L))): _*)
+        def upd1(cur: Long, n: Long, d: Long): Long =
+          if (d == 0L) cur
+          else math.floor(cur.toDouble / S2 * (n.toDouble / d.toDouble) * S2 + 0.5).toLong
+        for (_ <- 1 to NmfRounds) {
+          // h update: per-sid sums of floor(w_k·v·S + .5) / floor(w_k·wh·S + .5)
+          val hn = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+          val hd = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+          grid.foreach { case (tid, sid, vv) =>
+            val wv = wf(tid); val hv = hf(sid)
+            val w0 = wv(0).toDouble / S2; val w1 = wv(1).toDouble / S2
+            val w2 = wv(2).toDouble / S2
+            val h0 = hv(0).toDouble / S2; val h1 = hv(1).toDouble / S2
+            val h2 = hv(2).toDouble / S2
+            val wh = w0 * h0 + w1 * h1 + w2 * h2
+            val nn = hn.getOrElseUpdate(sid, new Array[Long](3))
+            val dd = hd.getOrElseUpdate(sid, new Array[Long](3))
+            val ws = Array(w0, w1, w2)
+            var k = 0
+            while (k < 3) {
+              nn(k) += math.floor(ws(k) * vv * S2 + 0.5).toLong
+              dd(k) += math.floor(ws(k) * wh * S2 + 0.5).toLong
+              k += 1
+            }
+          }
+          sidArr.foreach { sid =>
+            val cur = hf(sid); val nn = hn(sid); val dd = hd(sid)
+            hf(sid) = Array.tabulate(3)(k => upd1(cur(k), nn(k), dd(k)))
+          }
+          // w update against the UPDATED h: floor(v·h_k·S + .5) / floor(wh·h_k·S + .5)
+          val wn = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+          val wd = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+          grid.foreach { case (tid, sid, vv) =>
+            val wv = wf(tid); val hv = hf(sid)
+            val w0 = wv(0).toDouble / S2; val w1 = wv(1).toDouble / S2
+            val w2 = wv(2).toDouble / S2
+            val h0 = hv(0).toDouble / S2; val h1 = hv(1).toDouble / S2
+            val h2 = hv(2).toDouble / S2
+            val wh = w0 * h0 + w1 * h1 + w2 * h2
+            val nn = wn.getOrElseUpdate(tid, new Array[Long](3))
+            val dd = wd.getOrElseUpdate(tid, new Array[Long](3))
+            val hs = Array(h0, h1, h2)
+            var k = 0
+            while (k < 3) {
+              nn(k) += math.floor(vv * hs(k) * S2 + 0.5).toLong
+              dd(k) += math.floor(wh * hs(k) * S2 + 0.5).toLong
+              k += 1
+            }
+          }
+          tids.foreach { tid =>
+            val cur = wf(tid); val nn = wn(tid); val dd = wd(tid)
+            wf(tid) = Array.tabulate(3)(k => upd1(cur(k), nn(k), dd(k)))
+          }
+        }
+        // top-5 per factor by (wfp desc, token asc) — ASCII tokens, so
+        // Java string order ≡ the engine's binary order
+        val outRows = (0 to 2).flatMap { k =>
+          topRows.map { case (token, tid) => (token, wf(tid)(k)) }
+            .sortBy { case (token, w) => (-w, token) }
+            .take(5).zipWithIndex
+            .map { case ((token, w), i) =>
+              org.apache.spark.sql.Row(k.toLong, (i + 1).toLong, token, w) }
+        }
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        s.createDataFrame(java.util.Arrays.asList(outRows: _*),
+            StructType(Seq(
+              StructField("factor", LongType, nullable = false),
+              StructField("rank", LongType, nullable = false),
+              StructField("token", StringType, nullable = false),
+              StructField("wfp", LongType, nullable = false))))
+          .select($"factor", $"rank", $"token",
+            round($"wfp" / 1000000.0, 6).as("weight"))
+          .orderBy($"factor", $"rank")
+      } else {
       def init(id: Column, k: Int, m: Long, step: Long) =
         lit(1000000L) + ((id * 3 + k) % m) * step
       var w = top.select($"tid",
@@ -1574,7 +1673,13 @@ object CorpusStatsQueries {
         .select($"factor", $"rank", $"token",
           round($"wfp" / 1000000.0, 6).as("weight"))
         .orderBy($"factor", $"rank")
-    },
+      }
+    }
+  }
+
+  val qNmfTopics = GraftQuery(
+    "q_nmf_topics",
+    (s, dir) => nmfTopicsFrame(s, dir),
     Some(nmfOracle)
   )
 

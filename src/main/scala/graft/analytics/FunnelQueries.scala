@@ -553,9 +553,13 @@ object FunnelQueries {
     * window; the transition rollup is O(states²) — domain-sized, as is
     * everything after (the variant relation is (channels+1) × states
     * rows; every join side broadcasts). */
-  val qMarkovAttribution = GraftQuery(
-    "q_markov_attribution",
-    (s, dir) => {
+  /** q_markov_attribution's engine body, factored so the spec can pin
+    * the two removal-effect-loop paths equal (`driverMaxEdges = 0`
+    * forces the distributed rounds — the spec hook). */
+  private[graft] def markovAttributionFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      driverMaxEdges: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    locally {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select($"user_id", $"ts", $"event_id", $"event_type")
@@ -585,6 +589,73 @@ object FunnelQueries {
       // unmaterialized 12-round nest re-plans a quadratically growing
       // tree (measured 54 s at sf0.1; checkpointed: ~2 s)
       val e = edges.localCheckpoint()
+      // Domain-sized chains take the 12 rounds in driver maps — the
+      // Graphs.DriverMaxGraphEdges routing discipline applied to the
+      // removal-effect loop: the corpus passes (journey window, edge
+      // rollup) stay distributed and end at the checkpoint above; the
+      // fixed point then runs over (variants × edges) integer state
+      // identical to the distributed rounds (each term is
+      // share·value DIV 1e6 per edge, Long addition commutes). Gate on
+      // the MATERIALIZED variant surface so an adversarial state domain
+      // still routes to the distributed loop below.
+      val eCnt = e.count()
+      val driverResult: Option[org.apache.spark.sql.DataFrame] = if (eCnt <= driverMaxEdges) {
+        val rows = e.collect() // (src, dst, n)
+        val outw = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.foreach { r =>
+          outw.update(r.getString(0), outw.getOrElse(r.getString(0), 0L) + r.getLong(2))
+        }
+        val states = rows.map(_.getString(0)).distinct
+        val channels = states.filter(_ != "__start__").sorted
+        val variants = channels :+ "__none__"
+        if (variants.length.toLong * eCnt <= 2000000L) {
+          val redges = for {
+            v <- variants
+            r <- rows
+            src = r.getString(0); dst = r.getString(1)
+            if src != v && dst != v
+          } yield (v, src, dst, r.getLong(2) * 1000000L / outw(src))
+          var p = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          for (_ <- 1 to MkRounds) {
+            val contrib = scala.collection.mutable.HashMap.empty[(String, String), Long]
+            redges.foreach { case (v, src, dst, share) =>
+              val value =
+                if (dst == "__conv__") 1000000000000L
+                else if (dst == "__null__") 0L
+                else p.getOrElse((v, dst), 0L)
+              val k = (v, src)
+              contrib.update(k, contrib.getOrElse(k, 0L) + share * value / 1000000L)
+            }
+            p = contrib
+          }
+          val outRows: Seq[org.apache.spark.sql.Row] =
+            if (!states.contains("__start__")) Nil
+            else {
+              val basePv = p.getOrElse(("__none__", "__start__"), 0L)
+              val rem = channels.map(c => (c, basePv,
+                basePv - p.getOrElse((c, "__start__"), 0L)))
+              val t = rem.map(_._3).sum
+              rem.map { case (c, b, rf) => org.apache.spark.sql.Row(c, b, rf, t) }
+            }
+          import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+          Some(s.createDataFrame(java.util.Arrays.asList(outRows: _*),
+              StructType(Seq(
+                StructField("channel", StringType, nullable = false),
+                StructField("base_p", LongType, nullable = false),
+                StructField("removal_fp", LongType, nullable = false),
+                StructField("t", LongType, nullable = false))))
+            .select($"channel",
+              round($"base_p".cast(DoubleType) / lit(1000000000000.0), 6)
+                .as("conv_prob"),
+              round($"removal_fp".cast(DoubleType) / lit(1000000000000.0), 6)
+                .as("removal_effect"),
+              when($"t" > 0,
+                round($"removal_fp".cast(DoubleType) / $"t".cast(DoubleType), 6))
+                .as("attribution"))
+            .orderBy($"channel"))
+        } else None
+      } else None
+      driverResult.getOrElse {
       val out = e.groupBy($"src").agg(sum($"n").as("out"))
       val states = e.select($"src".as("s")).distinct()
       val variants = states.filter($"s" =!= "__start__")
@@ -633,7 +704,13 @@ object FunnelQueries {
             round($"removal_fp".cast(DoubleType) / $"t".cast(DoubleType), 6))
             .as("attribution"))
         .orderBy($"channel")
-    },
+      }
+    }
+  }
+
+  val qMarkovAttribution = GraftQuery(
+    "q_markov_attribution",
+    (s, dir) => markovAttributionFrame(s, dir),
     Some {
       val rounds = (1 to MkRounds).map { i =>
         val prev = i - 1
@@ -2142,9 +2219,14 @@ object FunnelQueries {
     * rollup and the user-keyed self-join bounded by |types|² per user;
     * the MM iterations run on the ≤|types|² pair panel (cached once) —
     * broadcast-sized at any corpus scale. */
-  val qBradleyTerry: GraftQuery = {
+  /** q_bradley_terry's engine body, factored so the spec can pin the
+    * two MM-loop paths equal (`driverMaxPairs = 0` forces the
+    * distributed rounds — the Graphs.DriverMaxGraphEdges spec hook). */
+  private[graft] def bradleyTerryFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      driverMaxPairs: Long = 100000L): org.apache.spark.sql.DataFrame = {
     val rounds = 3
-    val sparkFn = (s: org.apache.spark.sql.SparkSession, dir: String) => {
+    locally {
       import s.implicits._
       import org.apache.spark.sql.types.{DecimalType, LongType}
       val u5 = Tables.events(s, dir)
@@ -2161,6 +2243,60 @@ object FunnelQueries {
           .select(col("w.i").as("i"), col("w.j").as("j"), col("w.w_ij").as("w_ij"),
             (col("w.w_ij") + col("r.w_ij")).as("n_ij"))
           .filter($"n_ij" > 0L))
+      // Panel-sized MM state takes the 3 rounds in driver maps — the
+      // round-15 small-state routing discipline. Replication is
+      // tree-for-tree: the per-pair DECIMAL(18,12) terms reproduce
+      // Spark's double→decimal cast (canonical Double.toString then
+      // setScale(12, HALF_UP)), the per-item sums are exact BigDecimal
+      // adds (order-free), and every quantization is the same
+      // floor(·10⁶ + 0.5) over the same IEEE division tree. The
+      // unrolled-CTE oracle hash-gates the trajectory at both SFs;
+      // FunnelQueries' spec pins this path equal to the distributed
+      // rounds below, which unbounded type domains still take.
+      if (pn.count() <= driverMaxPairs) {
+        val rows = pn.collect().map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        val winsM = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+        rows.foreach { case (i, _, wij, nij) =>
+          val cur = winsM.getOrElse(i, (0L, 0L))
+          winsM.update(i, (cur._1 + wij, cur._2 + nij))
+        }
+        val k = winsM.size
+        var ppm = winsM.keys.map(i =>
+          i -> math.floor(1000000.0 / k.toDouble + 0.5).toLong).toMap
+        for (_ <- 1 to rounds) {
+          val den = scala.collection.mutable.HashMap.empty[String, java.math.BigDecimal]
+          rows.foreach { case (i, j, _, nij) =>
+            val g = math.max(ppm(i) + ppm(j), 1L)
+            val term = new java.math.BigDecimal(
+                java.lang.Double.toString(nij.toDouble / (g.toDouble / 1000000.0)))
+              .setScale(12, java.math.RoundingMode.HALF_UP)
+            den.update(i, den.getOrElse(i, java.math.BigDecimal.ZERO).add(term))
+          }
+          val q = winsM.toMap.map { case (i, (wi, _)) =>
+            i -> math.floor(wi.toDouble / den(i).doubleValue * 1000000.0 + 0.5).toLong
+          }
+          val st = q.values.sum
+          ppm = q.map { case (i, qi) =>
+            i -> math.floor((qi * 1000000L).toDouble / st.toDouble + 0.5).toLong
+          }
+        }
+        val ranked = winsM.toSeq
+          .map { case (i, (wi, ni)) => (i, wi, ni, ppm(i)) }
+          .sortBy { case (i, _, _, p) => (-p, i) }
+          .zipWithIndex
+          .map { case ((i, wi, ni, p), idx) =>
+            org.apache.spark.sql.Row(i, wi, ni, p, idx + 1) }
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+        return s.createDataFrame(java.util.Arrays.asList(ranked: _*),
+          StructType(Seq(
+            StructField("event_type", StringType, nullable = false),
+            StructField("wins", LongType, nullable = false),
+            StructField("n_comparisons", LongType, nullable = false),
+            StructField("strength_ppm", LongType, nullable = false),
+            StructField("bt_rank", IntegerType, nullable = false))))
+          .orderBy($"bt_rank")
+      }
       val wins = graft.operators.Caches.register(
         pn.groupBy($"i").agg(sum($"w_ij").as("wi"), sum($"n_ij").as("ni")))
       val nTypes = wins.agg(count(lit(1)).as("k"))
@@ -2200,6 +2336,10 @@ object FunnelQueries {
           row_number().over(Window.orderBy($"strength_ppm".desc, $"event_type")))
         .orderBy($"bt_rank")
     }
+  }
+
+  val qBradleyTerry: GraftQuery = {
+    val rounds = 3
     val sb = new StringBuilder
     sb.append("""WITH u5 AS (SELECT user_id, event_type, MIN(ts) AS ft
         FROM events GROUP BY 1, 2),
@@ -2237,7 +2377,8 @@ object FunnelQueries {
         ROW_NUMBER() OVER (ORDER BY p.ppm DESC, p.i) AS bt_rank
       FROM p$rounds p JOIN wins w ON p.i = w.i
       ORDER BY bt_rank""")
-    GraftQuery("q_bradley_terry", sparkFn, Some(sb.toString))
+    GraftQuery("q_bradley_terry",
+      (s, dir) => bradleyTerryFrame(s, dir), Some(sb.toString))
   }
 
   val all: Seq[GraftQuery] =

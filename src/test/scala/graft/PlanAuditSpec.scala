@@ -13,6 +13,13 @@ class PlanAuditSpec extends SparkSpec {
   private val Dir = "/root/testdata/sf0.001"
 
   private def plan(name: String): String = {
+    // clear operator caches first — the Bench/Verify between-query
+    // discipline. Cache lookup is by LOGICAL PLAN, so a relation cached
+    // while building an EARLIER test's plan (e.g. q_conductance's kn)
+    // would substitute InMemoryRelation into THIS query's identical
+    // subtree and inflate its plan-text census test-order-dependently.
+    graft.operators.Caches.unpersistAll()
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(name)(spark, Dir)
     df.queryExecution.executedPlan.toString
   }
@@ -1176,13 +1183,14 @@ class PlanAuditSpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
     }
-    // NMF: the corpus contributes ONE token rollup; every Lee-Seung
-    // round joins the 50x20 factor grid by BROADCAST — a SortMergeJoin
-    // anywhere means a factor-grid join fell off the broadcast path and
-    // iterations would shuffle at corpus scale
+    // NMF: since r15 the 50x20-grid MM rounds take the driver gate
+    // (nmfTopicsFrame; DriverLoopGateSpec pins the two paths equal), so
+    // the submitted plan is the local result relation — assert exactly
+    // that, and that no corpus-sized join ever appears. The distributed
+    // loop (gate 0) keeps its own coverage in DriverLoopGateSpec.
     val pn = plan("q_nmf_topics")
-    assert(pn.contains("BroadcastHashJoin"),
-      s"q_nmf_topics lost the factor-grid broadcasts:\n$pn")
+    assert(pn.contains("LocalTableScan"),
+      s"q_nmf_topics no longer rides the driver-gated MM loop:\n$pn")
     assert(!pn.contains("SortMergeJoin"),
       s"q_nmf_topics grew a non-broadcast join in the update loop:\n$pn")
     // HMM: one (type, day) rollup + the per-type 28-element fold; the
@@ -1266,14 +1274,15 @@ class PlanAuditSpec extends SparkSpec {
       !plans("q_forget_users").contains("SortMergeJoin"),
       s"q_forget_users lost its broadcast anti-joins:\n${plans("q_forget_users")}")
     // bradley-terry: the MM loop is gone from the final plan entirely —
-    // per-round localCheckpoint truncates lineage, so the submitted plan
-    // is scan-checkpoint + broadcast(wins) + rank window (the 97 s r9
-    // regression was exactly this lineage NOT being truncated)
+    // r9 cut it with per-round localCheckpoint (the 97 s regression was
+    // lineage NOT being truncated); since r15 the panel rounds take the
+    // driver gate (bradleyTerryFrame — DriverLoopGateSpec pins the two
+    // paths equal), so the submitted plan is the ranked local relation
     val pbt = plans("q_bradley_terry")
-    assert(pbt.contains("BroadcastHashJoin"),
-      s"q_bradley_terry lost the wins broadcast:\n$pbt")
-    assert(pbt.contains("windowspecdefinition"),
-      s"q_bradley_terry lost the rank window:\n$pbt")
+    assert(pbt.contains("LocalTableScan"),
+      s"q_bradley_terry no longer rides the driver-gated MM loop:\n$pbt")
+    assert(!pbt.contains("SortMergeJoin"),
+      s"q_bradley_terry grew a corpus-sized join:\n$pbt")
     // kmv / doubly-robust / ips / conductance / closeness / entropy-rate /
     // cramers-v: multi-stage but every stage is panel-sized after the
     // first rollup; bound total shuffle count loosely (cached-relation
@@ -1282,7 +1291,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges("q_kmv_intersect") <= 13, "q_kmv_intersect shuffle growth")
     assert(exchanges("q_doubly_robust") <= 13, "q_doubly_robust shuffle growth")
     assert(exchanges("q_ips_policy") <= 14, "q_ips_policy shuffle growth")
-    assert(exchanges("q_conductance") <= 14, "q_conductance shuffle growth")
+    // r15: kn is now cached (the 4-way trade join ran twice before) and
+    // the LPA rounds take the driver gate — fewer EXECUTED shuffles, but
+    // the InMemoryRelation plan text embeds the kn subtree at every
+    // reader, inflating this text census from 14 to 20
+    assert(exchanges("q_conductance") <= 20, "q_conductance shuffle growth")
     assert(exchanges("q_entropy_rate") <= 17, "q_entropy_rate shuffle growth")
     assert(exchanges("q_closeness") <= 25, "q_closeness shuffle growth")
   }
