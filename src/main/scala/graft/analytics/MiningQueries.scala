@@ -1463,7 +1463,10 @@ object MiningQueries {
     "q_modularity",
     (s, dir) => {
       import s.implicits._
-      val kn = knnEdges(tradeEdges(s, dir), 3)
+      // kn cached: both the symmetrized relation below AND the LPA
+      // operator's own symmetrize read it — uncached, the 4-way trade
+      // join ran twice per execution
+      val kn = graft.operators.Caches.register(knnEdges(tradeEdges(s, dir), 3))
       val e = kn.select($"src", $"dst", $"w")
       val sym = graft.operators.Caches.register(
         e.union(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
@@ -2080,7 +2083,9 @@ object MiningQueries {
     "q_conductance",
     (s, dir) => {
       import s.implicits._
-      val kn = knnEdges(tradeEdges(s, dir), 3)
+      // kn cached: the symmetrize below and LPA's own both read it
+      // (uncached, the 4-way trade join ran twice per execution)
+      val kn = graft.operators.Caches.register(knnEdges(tradeEdges(s, dir), 3))
       val e = kn.select($"src", $"dst", $"w")
       val sym = graft.operators.Caches.register(
         e.union(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
