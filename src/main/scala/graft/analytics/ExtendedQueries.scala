@@ -1471,20 +1471,40 @@ object ExtendedQueries {
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
       "graft_ooo_src").toString
     val t = unix_micros($"ts")
-    val parts = Seq(
-      ev0.filter(t > b1 && t <= b2),            // middle tercile FIRST
-      ev0.filter(t <= b1),                      // then the earliest
-      ev0.filter(t > b2),                       // then the latest
-      sentinel(mxUs + 2 * spanUs + 7200L * 1000000L),  // wm past corpus
-      sentinel(mxUs + 4 * spanUs + 14400L * 1000000L)) // fires timeouts
-    parts.zipWithIndex.foreach { case (p, i) =>
-      val stage = s"$srcDir/stage_$i"
-      p.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+    // ONE partitioned write stages all five arrival files (was five
+    // jobs, three of them full corpus scans — the tercile filters):
+    // every row gets its stage tag, stages hash-route whole to one task
+    // via repartition(stage), and partitionBy lands exactly one part
+    // file per stage directory. The stage tag is a partition column, so
+    // the data files carry the same four event columns as before; file
+    // mtimes still pin the arrival order. An empty tercile (possible
+    // only on a degenerate span) writes no directory — the fallback
+    // writes the empty file the FileStreamSource previously saw.
+    val staged = ev0
+      .withColumn("stage",
+        when(t > b1 && t <= b2, 0).when(t <= b1, 1).otherwise(2))
+      .unionByName(sentinel(mxUs + 2 * spanUs + 7200L * 1000000L)
+        .withColumn("stage", lit(3)))  // wm past corpus
+      .unionByName(sentinel(mxUs + 4 * spanUs + 14400L * 1000000L)
+        .withColumn("stage", lit(4)))  // fires timeouts
+    val stageRoot = s"$srcDir/staged"
+    staged.repartition(col("stage"))
+      .write.mode("overwrite").partitionBy("stage").parquet(stageRoot)
+    (0 to 4).foreach { i =>
+      val stageDir = new java.io.File(s"$stageRoot/stage=$i")
       val dst = new java.io.File(srcDir, s"events_$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
+      val part = Option(stageDir.listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      part match {
+        case Some(f) => java.nio.file.Files.move(f.toPath, dst.toPath): Unit
+        case None => // empty stage: write the empty-schema file directly
+          ev0.limit(0).coalesce(1).write.mode("overwrite")
+            .parquet(s"$srcDir/empty_$i")
+          val ef = new java.io.File(s"$srcDir/empty_$i").listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no part file for empty stage $i"))
+          java.nio.file.Files.move(ef.toPath, dst.toPath): Unit
+      }
       require(dst.setLastModified(1700000000000L + i * 60000L))
     }
     def rm(f: java.io.File): Unit = {
