@@ -2283,7 +2283,10 @@ object FunnelQueries {
         }
         val ranked = winsM.toSeq
           .map { case (i, (wi, ni)) => (i, wi, ni, ppm(i)) }
-          .sortBy { case (i, _, _, p) => (-p, i) }
+          // (strength desc, type asc) — the type tie compared in UTF-8
+          // byte order, exactly the window's UTF8String ordering
+          .sortWith { case ((ia, _, _, pa), (ib, _, _, pb)) =>
+            pa > pb || (pa == pb && graft.operators.Bpe.utf8Less(ia, ib)) }
           .zipWithIndex
           .map { case ((i, wi, ni, p), idx) =>
             org.apache.spark.sql.Row(i, wi, ni, p, idx + 1) }

@@ -49,6 +49,23 @@ object Bpe {
       org.apache.spark.sql.functions.replace(c, lit(s" $pair "), lit(s" $merged "))
     }
 
+  /** Binary (UTF-8 byte) string order — what Spark's UTF8String and
+    * DuckDB compare. Identical to Java order on ASCII; differs on
+    * supplementary characters, so the driver argmax uses THIS, never
+    * String.compareTo, and the two-path equality holds for any input. */
+  private[graft] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Vocabularies at or under this many distinct words run all merge
     * rounds in driver maps instead of one rollup-and-collect job per
     * round — the [[Graphs.DriverMaxGraphEdges]] routing discipline on
@@ -66,13 +83,13 @@ object Bpe {
     *
     * Vocabularies under `driverMaxVocab` take the identical merge walk
     * in driver maps: same Long pair counts (addition commutes), same
-    * (count desc, pair asc) argmax — binary string order equals Java
-    * order on the [a-z0-9] symbol alphabet — and the same
-    * left-to-right continue-after-replacement replace semantics
-    * (Java String.replace ≡ Spark/DuckDB replace, the property the
-    * space-sentinel encoding already relies on). `driverMaxVocab = 0`
-    * forces the distributed loop (the spec hook); BpeSpec pins the two
-    * paths merge-for-merge equal. */
+    * (count desc, pair asc) argmax — ties compared in UTF-8 byte order
+    * ([[utf8Less]]), exactly Spark's UTF8String order on ANY alphabet —
+    * and the same left-to-right continue-after-replacement replace
+    * semantics (Java String.replace ≡ Spark/DuckDB replace, the
+    * property the space-sentinel encoding already relies on).
+    * `driverMaxVocab = 0` forces the distributed loop (the spec hook);
+    * BpeSpec pins the two paths merge-for-merge equal. */
   def learnMerges(
       words: DataFrame, wordCol: String, freqCol: String, rounds: Int,
       driverMaxVocab: Long = DriverMaxVocab): DataFrame = {
@@ -105,7 +122,7 @@ object Bpe {
           var pair: String = null
           var cnt = Long.MinValue
           counts.foreach { case (p, c) =>
-            if (pair == null || c > cnt || (c == cnt && p < pair)) {
+            if (pair == null || c > cnt || (c == cnt && utf8Less(p, pair))) {
               pair = p; cnt = c
             }
           }
