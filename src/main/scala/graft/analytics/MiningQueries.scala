@@ -1678,8 +1678,11 @@ object MiningQueries {
         maxDist = 1, tailDrop = 2)
       val comp = graft.operators.Dedup.connectedComponents(
         pairs.select($"id_a", $"id_b"))
-      val mem = comp.select($"label".as("entity"), $"id")
-        .join(Tables.customer(s, dir), $"id" === $"c_custkey")
+      // mem is consumed three times (the base rollup + both mode
+      // passes); cached, the customer scan + entity join run once
+      val mem = graft.operators.Caches.register(
+        comp.select($"label".as("entity"), $"id")
+          .join(Tables.customer(s, dir), $"id" === $"c_custkey"))
       val base = mem.groupBy($"entity").agg(
         count(lit(1)).as("n_members"),
         min(struct($"c_custkey", $"c_name")).as("m"),
